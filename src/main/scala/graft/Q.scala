@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named engine capability: the Spark implementation plus (for
+  * SQL-expressible ops) the DuckDB oracle the driver hash-compares against.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Determinism helpers — SURVEY.md §7.2 doctrine.
+  *
+  * Double `sum`/`avg` in Spark is reduction-order-dependent (partial
+  * aggregation across partitions), so a straight double sum can differ from
+  * DuckDB in the last ulp and break the driver's hash compare. Policy: cast
+  * each input row to DECIMAL(38,6) (deterministic, order-independent exact
+  * sum), sum exactly, then cast the final result back to DOUBLE. Both sides
+  * of every oracle pair use the identical formulation.
+  */
+object Det {
+  val Dec: DecimalType = DecimalType(38, 6)
+
+  /** Order-independent double sum (exact decimal internally). */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Order-independent double avg = decimal-sum / count, divided as doubles
+    * so both engines perform the same single IEEE division.
+    */
+  def davg(c: Column): Column =
+    sum(c.cast(Dec)).cast(DoubleType) / count(c).cast(DoubleType)
+
+  /** Oracle-side SQL spellings of the same helpers. */
+  def sqlSum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+  def sqlAvg(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)"
+}

@@ -1,0 +1,314 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Q}
+import graft.sources.Tables
+
+/** Scans, projections, filters, joins — SURVEY.md §2.A–§2.C.
+  *
+  * Reference semantics: the eviction-lab ETL's file-to-file transformations
+  * (CSV scan → filter per year/level → join stats onto geography by GEOID →
+  * assemble map data) re-expressed as declarative DataFrame plans so Catalyst
+  * does pushdown/pruning/broadcast selection [ref:Makefile data targets (H),
+  * SURVEY.md §0 citation policy — /root/reference empty this session].
+  *
+  * Scale posture (100 TB): scans rely on parquet predicate/column pushdown;
+  * the fact⋈fact join (lineitem⋈orders) is a shuffle join on the natural key
+  * which AQE can skew-split; all bounded dims (nation/region, 25/5 rows at
+  * every SF) are broadcast explicitly so no shuffle of the fact side occurs
+  * for enrichment joins.
+  */
+object Relational {
+
+  /** Full scan + per-group count (reference: stats CSV scan → counts). */
+  val qScanFull = Q(
+    "q_scan_full",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Projection + predicate pushdown: 3 columns, shipdate range predicate.
+    * `.explain` must show PushedFilters + 4-column ReadSchema.
+    */
+  val qScanPruned = Q(
+    "q_scan_pruned",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        // (l_orderkey, l_linenumber) is NOT unique in this data — order by
+        // every output column for a total order (§7.2 rule 1).
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  /** Select + systematic rename to abbreviated names + zero-padded key
+    * (GEOID-pad analog: `eviction-rate` → `er-16`, FIPS lpad).
+    */
+  val qProjRename = Q(
+    "q_proj_rename",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          lpad(col("l_orderkey").cast("string"), 12, "0").as("geoid"),
+          col("l_linenumber").as("ln"),
+          col("l_quantity").as("qty"),
+          col("l_extendedprice").as("px"))
+        .orderBy("geoid", "ln", "qty", "px"),
+    Some("""SELECT lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS geoid,
+                   l_linenumber AS ln, l_quantity AS qty, l_extendedprice AS px
+            FROM lineitem ORDER BY geoid, ln, qty, px"""))
+
+  /** Conjunctive predicate: date range + categorical + numeric threshold
+    * (reference: year∈range, level filter, population threshold).
+    */
+  val qFilterRange = Q(
+    "q_filter_range",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("o_orderdate") <  lit("1999-01-01").cast("timestamp") &&
+               col("o_orderpriority") === "1-URGENT" &&
+               col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+              AND o_orderpriority = '1-URGENT'
+              AND o_totalprice > 150000.0
+            ORDER BY o_orderkey"""))
+
+  /** Sentinel handling (reference: suppressed cells → -1/empty): negative
+    * acctbal treated as suppressed → nulled; count both populations.
+    */
+  val qFilterNullSentinel = Q(
+    "q_filter_null_sentinel",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .withColumn("bal_clean",
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(col("bal_clean")).as("n_valid"),
+          Det.dsum(col("bal_clean")).as("sum_valid"),
+          Det.dsum(coalesce(col("bal_clean"), lit(0.0))).as("sum_coalesced"))
+        .orderBy("c_mktsegment"),
+    Some(s"""SELECT c_mktsegment, count(*) AS n_all,
+                    count(bal_clean) AS n_valid,
+                    ${Det.sqlSum("bal_clean")} AS sum_valid,
+                    ${Det.sqlSum("coalesce(bal_clean, 0.0)")} AS sum_coalesced
+             FROM (SELECT c_mktsegment,
+                          CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END
+                            AS bal_clean
+                   FROM customer)
+             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Membership filter via computed key set (reference: GEOIDs restricted to
+    * those present in the geometry files) — left-semi join then aggregate.
+    */
+  val qFilterInSubquery = Q(
+    "q_filter_in_subquery",
+    (s, dir) => {
+      val building = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      Tables.orders(s, dir)
+        .join(building, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, count(*) AS n,
+                    ${Det.sqlSum("o_totalprice")} AS total
+             FROM orders
+             WHERE o_custkey IN
+               (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+             GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Equi inner join fact↔fact (stats↔geometry by GEOID analog). Shuffle
+    * join on the key; aggregated to a bounded result.
+    */
+  val qJoinInner = Q(
+    "q_join_inner",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             Det.dsum(col("l_extendedprice")).as("sum_px"))
+        .orderBy("o_orderpriority"),
+    Some(s"""SELECT o_orderpriority, count(*) AS n,
+                    ${Det.sqlSum("l_extendedprice")} AS sum_px
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Small-dim broadcast join (25-row nation = state-names lookup analog).
+    * Explicit broadcast() → BroadcastHashJoinExec, no fact-side shuffle.
+    */
+  val qJoinBroadcast = Q(
+    "q_join_broadcast",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"), Det.dsum(col("c_acctbal")).as("bal"))
+        .orderBy("n_name"),
+    Some(s"""SELECT n_name, count(*) AS n_cust,
+                    ${Det.sqlSum("c_acctbal")} AS bal
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name"""))
+
+  /** Left outer preserving unmatched (geography with no stats keeps its
+    * geometry row, null attributes).
+    */
+  val qJoinLeft = Q(
+    "q_join_left",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             Det.dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_custkey"),
+    Some(s"""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+                    ${Det.sqlSum("o_totalprice")} AS total
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey, c_name ORDER BY c_custkey"""))
+
+  /** Semi join: entities having data (GEOIDs with ≥1 stats row). */
+  val qJoinSemi = Q(
+    "q_join_semi",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** Anti join: entities missing data (GEOIDs with no geometry — the
+    * reference logs these in validation).
+    */
+  val qJoinAnti = Q(
+    "q_join_anti",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** FLAGSHIP — 4-way star assembly (stats⋈demographics⋈geo⋈parent-names):
+    * weighted revenue per (region, nation, year). Catalyst broadcasts the
+    * bounded dims; the only big shuffle is lineitem⋈orders on orderkey.
+    */
+  val qJoinMultiwayStar = Q(
+    "q_join_multiway_star",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("r_name", "n_name", "yr")
+    },
+    Some(s"""SELECT r_name, n_name,
+                    CAST(year(o_orderdate) AS INTEGER) AS yr,
+                    ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")}
+                      AS revenue,
+                    count(*) AS n_rows
+             FROM lineitem
+             JOIN orders   ON l_orderkey  = o_orderkey
+             JOIN customer ON o_custkey   = c_custkey
+             JOIN nation   ON c_nationkey = n_nationkey
+             JOIN region   ON n_regionkey = r_regionkey
+             GROUP BY r_name, n_name, yr
+             ORDER BY r_name, n_name, yr"""))
+
+  /** Non-equi self join: lineitem pairs within an order,
+    * l1.linenumber < l2.linenumber (engine-completeness extension).
+    * Equi component on orderkey keeps it a hash/SMJ join with a range
+    * residual, NOT a cross join.
+    */
+  val qJoinThetaSelf = Q(
+    "q_join_theta_self",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val l1 = li.toDF("k", "ln1", "q1")
+      val l2 = li.toDF("k2", "ln2", "q2")
+      l1.join(l2, col("k") === col("k2") && col("ln1") < col("ln2"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+             Det.dsum(col("q1") + col("q2")).as("qsum"))
+        .orderBy("k")
+    },
+    Some(s"""SELECT l1.l_orderkey AS k, count(*) AS n_pairs,
+                    ${Det.sqlSum("l1.l_quantity + l2.l_quantity")} AS qsum
+             FROM lineitem l1 JOIN lineitem l2
+               ON l1.l_orderkey = l2.l_orderkey
+              AND l1.l_linenumber < l2.l_linenumber
+             GROUP BY l1.l_orderkey ORDER BY k"""))
+
+  /** Hierarchy join on derived prefix key (tract→county via
+    * substr(GEOID,1,5) analog): zero-pad orderkey, take prefix, join back to
+    * a dim built on the same prefix.
+    */
+  val qJoinSubstringParent = Q(
+    "q_join_substring_parent",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("geoid", lpad(col("o_orderkey").cast("string"), 12, "0"))
+        .withColumn("parent", substring(col("geoid"), 1, 8))
+      val parents = o.groupBy("parent")
+        .agg(count(lit(1)).as("n_children"))
+      o.join(parents, "parent")
+        .groupBy("parent", "n_children")
+        .agg(Det.dsum(col("o_totalprice")).as("total"))
+        .orderBy("parent")
+    },
+    Some(s"""WITH o AS (SELECT *,
+                    substring(lpad(CAST(o_orderkey AS VARCHAR), 12, '0'), 1, 8)
+                      AS parent FROM orders),
+                  p AS (SELECT parent, count(*) AS n_children
+                        FROM o GROUP BY parent)
+             SELECT o.parent, p.n_children,
+                    ${Det.sqlSum("o.o_totalprice")} AS total
+             FROM o JOIN p ON o.parent = p.parent
+             GROUP BY o.parent, p.n_children ORDER BY o.parent"""))
+
+  val all: Seq[Q] = Seq(
+    qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
+    qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
+    qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent)
+}

@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Explicit-schema loaders for the driver-generated tables
+  * (/root/repo/FIXTURES.md is the spec; schemas verified against parquet
+  * footers). Never `inferSchema` — determinism doctrine SURVEY.md §1.3.
+  *
+  * Reference analog: the CSV/GeoJSON inputs of EvictionLab/eviction-lab-etl
+  * (stats CSVs keyed by GEOID×year, geography features). Here each loader is
+  * the "fetch + typed parse" make-target equivalent [ref:Makefile data
+  * targets (H), SURVEY.md §0 citation policy].
+  */
+object Tables {
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS); with
+    * nanosAsLong=true Spark surfaces it as LongType.
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def load(spark: SparkSession, sfDir: String, name: String,
+                   schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "region", regionSchema)
+  def nation(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "nation", nationSchema)
+  def supplier(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "supplier", supplierSchema)
+  def customer(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "customer", customerSchema)
+  def part(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "part", partSchema)
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "orders", ordersSchema)
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "lineitem", lineitemSchema)
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents", documentsSchema)
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "embeddings", embeddingsSchema)
+
+  /** The ONE place that knows events.ts is TIMESTAMP(NANOS) (SURVEY.md §7.1).
+    * Spark 4.1.2 throws PARQUET_TYPE_ILLEGAL on ns timestamps unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; we then floor-divide to µs,
+    * which matches DuckDB's native ns→µs truncation for post-1970 data.
+    * Integer division (`div`) is mandatory: ns-since-epoch ≈ 1.7e18 exceeds
+    * double's 2^53 exact range, so a float path would corrupt timestamps.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
