@@ -6,7 +6,7 @@ import graft.operators._
 object SparkEntry {
   /** All implemented capabilities, one Q per SURVEY.md §2 row. */
   private def allQueries: Seq[Q] =
-    Relational.all
+    Relational.all ++ Aggregates.all ++ Windows.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import graft.{Det, Q}
+import graft.sources.Tables
+
+/** Aggregations — SURVEY.md §2.D.
+  *
+  * Reference semantics: national/state totals per year, the weighted-rate
+  * computation (evictions / renter-households · 100, aggregated by summing
+  * numerator and denominator separately — NEVER avg-of-rates), the long→wide
+  * pivot that builds tile attributes (`er-00`…`er-16`), quantile breaks for
+  * choropleth legends, per-feature bboxes, and search-index lists
+  * [ref:rate computation, wide-table build, breaks (H/M) — SURVEY.md §0].
+  *
+  * Scale posture: every aggregate here is a partial/final HashAggregate
+  * (map-side combine first, one shuffle on the group keys). Pivot uses an
+  * explicit value list so the schema is deterministic and no extra pass to
+  * collect pivot values is needed. Exact percentile is kept for oracle
+  * parity; `percentile_approx` is the documented 100 TB swap (§7.3).
+  */
+object Aggregates {
+
+  /** TPC-H-Q1-style multi-aggregate (national totals analog). */
+  val qAggHash = Q(
+    "q_agg_hash",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base"),
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc"),
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          Det.davg(col("l_extendedprice")).as("avg_px"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+                    ${Det.sqlSum("l_quantity")} AS sum_qty,
+                    ${Det.sqlSum("l_extendedprice")} AS sum_base,
+                    ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc,
+                    ${Det.sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+                    ${Det.sqlAvg("l_quantity")} AS avg_qty,
+                    ${Det.sqlAvg("l_extendedprice")} AS avg_px,
+                    count(*) AS n
+             FROM lineitem
+             WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Signature reference semantic: weighted rate =
+    * 100·sum(numerator)/sum(denominator), null-safe on zero denominator.
+    */
+  val qAggWeightedRate = Q(
+    "q_agg_weighted_rate",
+    (s, dir) => {
+      val num = Det.dsum(col("l_extendedprice") * col("l_discount"))
+      val den = Det.dsum(col("l_extendedprice"))
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
+        .agg(num.as("num"), den.as("den"))
+        .select(col("l_returnflag"), col("yr"),
+          when(col("den") === 0.0, lit(null).cast(DoubleType))
+            .otherwise(lit(100.0) * (col("num") / col("den"))).as("rate"))
+        .orderBy("l_returnflag", "yr")
+    },
+    Some(s"""SELECT l_returnflag, yr,
+                    CASE WHEN den = 0.0 THEN NULL
+                         ELSE 100.0 * (num / den) END AS rate
+             FROM (SELECT l_returnflag,
+                          CAST(year(l_shipdate) AS INTEGER) AS yr,
+                          ${Det.sqlSum("l_extendedprice * l_discount")} AS num,
+                          ${Det.sqlSum("l_extendedprice")} AS den
+                   FROM lineitem GROUP BY l_returnflag, yr)
+             ORDER BY l_returnflag, yr"""))
+
+  /** Exact distinct counts (distinct GEOIDs per level analog). */
+  val qAggDistinct = Q(
+    "q_agg_distinct",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** HLL++ approximate distinct — the 100 TB path for q_agg_distinct.
+    * No SQL oracle (approximate); unit test asserts ±5% of exact.
+    */
+  val qAggApproxDistinct = Q(
+    "q_agg_approx_distinct",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_cust_approx"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+    None)
+
+  /** Rollup subtotals (county→state→national aggregation analog). */
+  val qAggRollup = Q(
+    "q_agg_rollup",
+    (s, dir) => {
+      // False positive: DetectAmbiguousSelfJoin flags rollup's Expand over a
+      // broadcast-join lineage even with freshly aliased columns. The oracle
+      // hash-compare still validates the resolved plan's values.
+      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("rname"), col("n_name").as("nname"),
+          col("c_acctbal").as("bal_in"))
+        .rollup("rname", "nname")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("bal_in")).as("bal"),
+          grouping(col("rname")).cast(IntegerType).as("gr"),
+          grouping(col("nname")).cast(IntegerType).as("gn"))
+        .select(col("rname").as("r_name"), col("nname").as("n_name"),
+          col("n"), col("bal"), col("gr"), col("gn"))
+        .orderBy(col("gr"), col("gn"),
+          col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    Some(s"""SELECT r_name, n_name, count(*) AS n,
+                    ${Det.sqlSum("c_acctbal")} AS bal,
+                    CAST(GROUPING(r_name) AS INTEGER) AS gr,
+                    CAST(GROUPING(n_name) AS INTEGER) AS gn
+             FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY ROLLUP(r_name, n_name)
+             ORDER BY gr, gn, r_name NULLS FIRST, n_name NULLS FIRST"""))
+
+  /** Cube over (year, priority) — all margin combinations. */
+  val qAggCube = Q(
+    "q_agg_cube",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+        .cube("yr", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("yr")).cast(IntegerType).as("gy"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("gp"))
+        .orderBy(col("gy"), col("gp"),
+          col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT yr, o_orderpriority, count(*) AS n,
+                   CAST(GROUPING(yr) AS INTEGER) AS gy,
+                   CAST(GROUPING(o_orderpriority) AS INTEGER) AS gp
+            FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                         o_orderpriority FROM orders)
+            GROUP BY CUBE(yr, o_orderpriority)
+            ORDER BY gy, gp, yr NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  private val pivotYears = 1995 to 2001
+
+  /** THE reference reshape: long→wide by year (tile attrs `er-00`…`er-16`).
+    * Explicit pivot value list → deterministic schema, no value-discovery
+    * pass.
+    */
+  val qAggPivot = Q(
+    "q_agg_pivot",
+    (s, dir) => {
+      val wide = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot(year(col("o_orderdate")), pivotYears)
+        .agg(Det.dsum(col("o_totalprice")))
+      pivotYears.foldLeft(wide) { (df, y) =>
+        df.withColumnRenamed(y.toString, s"y$y")
+      }.orderBy("n_name")
+    },
+    Some {
+      val cols = pivotYears.map(y =>
+        s"""CAST(SUM(CASE WHEN year(o_orderdate) = $y
+              THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS y$y""")
+        .mkString(",\n                    ")
+      s"""SELECT n_name, $cols
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name"""
+    })
+
+  /** Wide→long (data-download unbalanced CSVs) — inverse of the pivot. */
+  val qAggUnpivot = Q(
+    "q_agg_unpivot",
+    (s, dir) => {
+      val wide = qAggPivot.fn(s, dir)
+      wide.unpivot(
+          Array(col("n_name")),
+          pivotYears.map(y => col(s"y$y")).toArray,
+          "yr_col", "rev")
+        .where(col("rev").isNotNull)
+        .orderBy("n_name", "yr_col")
+    },
+    Some {
+      val base = qAggPivot.oracle.get
+      val arms = pivotYears.map(y =>
+        s"SELECT n_name, 'y$y' AS yr_col, y$y AS rev FROM wide WHERE y$y IS NOT NULL")
+        .mkString("\n             UNION ALL ")
+      s"""WITH wide AS ($base)
+          SELECT * FROM ($arms)
+          ORDER BY n_name, yr_col"""
+    })
+
+  /** Exact interpolated percentiles (choropleth legend breaks analog).
+    * Exact `percentile` (not approx) to match DuckDB `quantile_cont`;
+    * round(6) absorbs last-ulp interpolation differences.
+    */
+  val qAggPercentile = Q(
+    "q_agg_percentile",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+                   round(quantile_cont(l_quantity, 0.95), 6) AS p95
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Per-group min/max pairs packed into an array (bbox [w,s,e,n] analog). */
+  val qAggMinmaxBbox = Q(
+    "q_agg_minmax_bbox",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(array(min(col("l_quantity")), min(col("l_extendedprice")),
+                   max(col("l_quantity")), max(col("l_extendedprice")))
+          .as("bbox"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   list_value(min(l_quantity), min(l_extendedprice),
+                              max(l_quantity), max(l_extendedprice)) AS bbox
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Deterministic sorted list per group (typeahead index analog). */
+  val qAggCollectSorted = Q(
+    "q_agg_collect_sorted",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sort_array(collect_list(col("c_name"))).as("names"),
+             count(lit(1)).as("n"))
+        .orderBy("n_name"),
+    Some("""SELECT n_name, list_sort(list(c_name)) AS names, count(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  val all: Seq[Q] = Seq(
+    qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
+    qAggCube, qAggPivot, qAggUnpivot, qAggPercentile, qAggMinmaxBbox,
+    qAggCollectSorted)
+}

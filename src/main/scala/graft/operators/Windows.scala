@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import graft.{Det, Q}
+import graft.sources.Tables
+
+/** Window functions, sorts/limits, set operations — SURVEY.md §2.E–§2.G.
+  *
+  * Reference semantics: the rankings tool (top evicting places per year with
+  * deterministic tie-breaks), canonical-row dedupe across sources,
+  * year-over-year trend columns, legend quartiles, ranked CSV output order,
+  * per-state shard concat, and validation set-differences
+  * [ref:rankings build, source-priority dedupe, trend columns, breaks,
+  * national concat, validation (H/M) — SURVEY.md §0].
+  *
+  * Scale posture: every window partitions by a bounded-cardinality key
+  * (year, customer, order) so no single partition grows with data volume —
+  * except the two global-window queries (daily revenue, global sort) whose
+  * input is already aggregated/bounded. Global top-k uses orderBy+limit which
+  * Spark plans as TakeOrderedAndProject (per-partition heap, no full sort).
+  */
+object Windows {
+
+  /** FLAGSHIP rankings: top-10 orders by value per year, rank with
+    * deterministic tie-break by orderkey.
+    */
+  val qWinRankTopn = Q(
+    "q_win_rank_topn",
+    (s, dir) => {
+      val w = Window.partitionBy(col("yr"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("rk", rank().over(w).cast(IntegerType))
+        .where(col("rk") <= 10)
+        .orderBy("yr", "rk")
+    },
+    Some("""SELECT yr, o_orderkey, o_totalprice, rk
+            FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderkey,
+                         o_totalprice,
+                         CAST(rank() OVER (PARTITION BY year(o_orderdate)
+                           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+                           AS rk
+                  FROM orders)
+            WHERE rk <= 10 ORDER BY yr, rk"""))
+
+  /** row_number()=1 canonical-row dedupe (preferred-source row analog).
+    * Survivor totally ordered (§7.2 rule 3) — never bare dropDuplicates.
+    */
+  val qWinRownumDedupe = Q(
+    "q_win_rownum_dedupe",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey")
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_partkey
+            FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity, l_extendedprice,
+                             l_partkey, l_suppkey) AS rn
+                  FROM lineitem)
+            WHERE rn = 1 ORDER BY l_orderkey"""))
+
+  /** Year-over-year delta per entity (trend columns analog). */
+  val qWinLagYoy = Q(
+    "q_win_lag_yoy",
+    (s, dir) => {
+      val yearly = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(Det.dsum(col("o_totalprice")).as("rev"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+      yearly
+        .withColumn("rev_prev", lag(col("rev"), 1).over(w))
+        .withColumn("yoy", col("rev") - col("rev_prev"))
+        .orderBy("n_name", "yr")
+    },
+    Some(s"""WITH yearly AS (
+               SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+                      ${Det.sqlSum("o_totalprice")} AS rev
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation   ON c_nationkey = n_nationkey
+               GROUP BY n_name, yr)
+             SELECT n_name, yr, rev,
+                    lag(rev, 1) OVER w AS rev_prev,
+                    rev - (lag(rev, 1) OVER w) AS yoy
+             FROM yearly
+             WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+             ORDER BY n_name, yr"""))
+
+  /** Running total + 3-row moving average with explicit ROWS frame over
+    * daily revenue. Sums stay DECIMAL inside the window (order-independent),
+    * cast to double only at the end.
+    */
+  val qWinRunningFrame = Q(
+    "q_win_running_frame",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+        .agg(sum(col("o_totalprice").cast(Det.Dec)).as("rev_dec"))
+      val wRun = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w3 = Window.orderBy(col("d")).rowsBetween(-2, Window.currentRow)
+      daily.select(
+          col("d"),
+          col("rev_dec").cast(DoubleType).as("rev"),
+          sum(col("rev_dec")).over(wRun).cast(DoubleType).as("run_total"),
+          (sum(col("rev_dec")).over(w3).cast(DoubleType) /
+            count(col("rev_dec")).over(w3).cast(DoubleType)).as("mov3"))
+        .orderBy("d")
+    },
+    Some("""WITH daily AS (
+              SELECT date_trunc('day', o_orderdate) AS d,
+                     SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec
+              FROM orders GROUP BY d)
+            SELECT d, CAST(rev_dec AS DOUBLE) AS rev,
+                   CAST(SUM(rev_dec) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+                   CAST(SUM(rev_dec) OVER w3 AS DOUBLE)
+                     / CAST(COUNT(rev_dec) OVER w3 AS DOUBLE) AS mov3
+            FROM daily
+            WINDOW w3 AS (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY d"""))
+
+  /** Quartile bucket per year (legend classes analog). */
+  val qWinNtile = Q(
+    "q_win_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy(col("yr"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w).cast(IntegerType))
+        .orderBy("yr", "o_orderkey")
+    },
+    Some("""SELECT yr, o_orderkey, o_totalprice,
+                   CAST(ntile(4) OVER (PARTITION BY yr
+                     ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+            FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderkey,
+                         o_totalprice FROM orders)
+            ORDER BY yr, o_orderkey"""))
+
+  /** RANGE frame on epoch millis: per-customer trailing-30-day order total. */
+  val qWinRangeFrame = Q(
+    "q_win_range_frame",
+    (s, dir) => {
+      val thirtyDaysMs = 30L * 86400 * 1000
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("ems"))
+        .rangeBetween(-thirtyDaysMs, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate")).as("ems"),
+          col("o_totalprice"))
+        .withColumn("trail30",
+          sum(col("o_totalprice").cast(Det.Dec)).over(w).cast(DoubleType))
+        .orderBy("o_custkey", "ems", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS ems,
+                   o_totalprice,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+                     (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+                      RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS trail30
+            FROM orders
+            ORDER BY o_custkey, ems, o_orderkey"""))
+
+  /** Multi-key global sort with explicit null ordering (ranked CSV order).
+    * Spark default null ordering (ASC→nulls first) differs from DuckDB
+    * (nulls last) — both sides are explicit.
+    */
+  val qSortMultikey = Q(
+    "q_sort_multikey",
+    (s, dir) =>
+      Tables.supplier(s, dir)
+        .orderBy(col("s_acctbal").desc_nulls_last,
+          col("s_name").asc_nulls_first, col("s_suppkey")),
+    Some("""SELECT * FROM supplier
+            ORDER BY s_acctbal DESC NULLS LAST, s_name ASC NULLS FIRST,
+                     s_suppkey"""))
+
+  /** Global top-k without a full sort (TakeOrderedAndProject). */
+  val qTopkGlobal = Q(
+    "q_topk_global",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""))
+
+  /** Pagination slice (rankings UI pages) — Spark 4 native offset. */
+  val qLimitOffset = Q(
+    "q_limit_offset",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(20).limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 10 OFFSET 20"""))
+
+  /** Union of per-segment shards by NAME (column orders differ — the
+    * reference concats per-state CSVs whose column order drifted) + distinct.
+    */
+  val qUnionShards = Q(
+    "q_union_shards",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val shardF = o.where(col("o_orderstatus") === "F")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          year(col("o_orderdate")).as("yr"))
+      val shardO = o.where(col("o_orderstatus") === "O")
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority"),
+          col("o_orderstatus"))
+      shardF.unionByName(shardO).distinct()
+        .orderBy("o_orderstatus", "o_orderpriority", "yr")
+    },
+    Some("""SELECT DISTINCT o_orderstatus, o_orderpriority,
+                   CAST(year(o_orderdate) AS INTEGER) AS yr
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+            ORDER BY o_orderstatus, o_orderpriority, yr"""))
+
+  /** Set difference: keys with data minus keys with geometry analog. */
+  val qExceptMissing = Q(
+    "q_except_missing",
+    (s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, dir).select(col("o_custkey").as("k")))
+        .orderBy("k"),
+    Some("""SELECT c_custkey AS k FROM customer
+            EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k"""))
+
+  /** Keys present in both periods. */
+  val qIntersectCommon = Q(
+    "q_intersect_common",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.where(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("k"))
+        .intersect(
+          o.where(year(col("o_orderdate")) === 1996)
+            .select(col("o_custkey").as("k")))
+        .orderBy("k")
+    },
+    Some("""SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1996
+            ORDER BY k"""))
+
+  /** Subset dedupe with a DETERMINISTIC survivor: earliest order per
+    * (customer, year). Bare dropDuplicates picks an arbitrary survivor —
+    * t2 variant goes through row_number (§7.2 rule 3).
+    */
+  val qDropdupSubset = Q(
+    "q_dropdup_subset",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"), col("yr"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+          col("o_orderkey"), col("o_orderdate"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .drop("rn")
+        .orderBy("o_custkey", "yr")
+    },
+    Some("""SELECT o_custkey, yr, o_orderkey, o_orderdate
+            FROM (SELECT o_custkey,
+                         CAST(year(o_orderdate) AS INTEGER) AS yr,
+                         o_orderkey, o_orderdate,
+                         row_number() OVER (PARTITION BY o_custkey,
+                           year(o_orderdate)
+                           ORDER BY o_orderdate, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn = 1 ORDER BY o_custkey, yr"""))
+
+  val all: Seq[Q] = Seq(
+    qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
+    qWinRangeFrame, qSortMultikey, qTopkGlobal, qLimitOffset, qUnionShards,
+    qExceptMissing, qIntersectCommon, qDropdupSubset)
+}

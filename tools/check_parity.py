@@ -18,6 +18,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], (list, tuple)) or \
+               len(sample) and type(sample.iloc[0]).__name__ == "ndarray":
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if v is not None else None)
     return df
 
 def main():
