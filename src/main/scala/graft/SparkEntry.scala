@@ -1,12 +1,15 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
+import graft.functions.Scalars
+import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** All implemented capabilities, one Q per SURVEY.md §2 row. */
   private def allQueries: Seq[Q] =
-    Relational.all ++ Aggregates.all ++ Windows.all
+    Relational.all ++ Aggregates.all ++ Windows.all ++ Scalars.all ++
+      StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

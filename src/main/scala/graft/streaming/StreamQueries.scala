@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Q}
+import graft.sources.Tables
+
+/** Streaming operators — SURVEY.md §2.I. The reference is pure batch; these
+  * are the engine's Structured-Streaming extension over the `events` table.
+  *
+  * Each op is ONE transform (DataFrame → DataFrame) valid for both a finite
+  * batch DataFrame (the t2 path below) and a `readStream` source — the
+  * streaming unit tests drive the very same functions through MemoryStream.
+  * Window structs are flattened to start/end columns at the edge because
+  * struct parity with DuckDB is fragile (§7.2 rule 5).
+  *
+  * Scale posture: tumbling/sliding aggs are per-(window,key) partial aggs —
+  * state bounded by watermark; session windows use Spark's native
+  * session_window merge; dedup state is keyed by event_id and dropped at the
+  * watermark.
+  */
+object StreamQueries {
+
+  /** 1-hour tumbling window: count + sum(value) per (window, event_type). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sval"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sval"))
+
+  val qStreamTumbling = Q(
+    "q_stream_tumbling",
+    (s, dir) => tumbling(Tables.events(s, dir)).orderBy("ws", "event_type"),
+    Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+                    count(*) AS n, ${Det.sqlSum("value")} AS sval
+             FROM events GROUP BY ws, event_type ORDER BY ws, event_type"""))
+
+  /** 1-hour window sliding every 15 minutes (each event lands in 4 windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  val qStreamSliding = Q(
+    "q_stream_sliding",
+    (s, dir) => sliding(Tables.events(s, dir)).orderBy("ws", "event_type"),
+    Some("""SELECT tb - (k * INTERVAL '15 minutes') AS ws, event_type,
+                   count(*) AS n
+            FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) AS tb,
+                         event_type FROM events)
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+            GROUP BY ws, event_type ORDER BY ws, event_type"""))
+
+  /** Session windows: 30-minute inactivity gap per user. Session end =
+    * last event + gap (Spark session_window semantics; the oracle's
+    * gaps-and-islands SQL reproduces exactly that).
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  val qStreamSession = Q(
+    "q_stream_session",
+    (s, dir) =>
+      sessions(Tables.events(s, dir)).orderBy("user_id", "session_start"),
+    Some("""WITH brk AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS b
+              FROM events),
+            isl AS (
+              SELECT user_id, ts,
+                     SUM(b) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM brk)
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   count(*) AS n_events
+            FROM isl GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  /** Exactly-once analog: drop duplicate event_ids (within the watermark in
+    * stream mode), then aggregate per type.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  val qStreamDedupIds = Q(
+    "q_stream_dedup_ids",
+    (s, dir) =>
+      dedupEvents(Tables.events(s, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sval"))
+        .orderBy("event_type"),
+    Some(s"""SELECT event_type, count(*) AS n, ${Det.sqlSum("value")} AS sval
+             FROM (SELECT DISTINCT ON (event_id) * FROM events
+                   ORDER BY event_id)
+             GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(
+    qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedupIds)
+}
