@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.Scalars
+import graft.functions.{Scalars, Udx}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -9,7 +9,7 @@ object SparkEntry {
   /** All implemented capabilities, one Q per SURVEY.md §2 row. */
   private def allQueries: Seq[Q] =
     Relational.all ++ Aggregates.all ++ Windows.all ++ Scalars.all ++
-      StreamQueries.all
+      StreamQueries.all ++ Llm.all ++ Udx.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

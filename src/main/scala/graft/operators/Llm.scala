@@ -1,0 +1,502 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import graft.{Det, Q}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline operators — SURVEY.md §2.J (mandated
+  * extension; the reference has no text corpus, so these run on the
+  * driver-provided `documents` / `embeddings` tables).
+  *
+  * Scale posture (100 TB):
+  *  - exact dedup is hash-groupBy — embarrassingly parallel, one shuffle;
+  *  - exact Jaccard goes through 3-gram SHINGLES, not raw tokens: shingle
+  *    doc-frequency is bounded (measured max 25 at sf0.1 vs 3 923 for
+  *    tokens), so the shingle-equijoin fan-out stays near-linear;
+  *  - MinHash+LSH banding is the documented big-corpus path: candidate
+  *    generation is a groupBy on (band, signature) — no pairwise join at
+  *    all — followed by exact verification on candidates only;
+  *  - SimHash gives a second near-dup signal with 64-bit signatures and
+  *    banded Hamming candidate generation;
+  *  - brute-force cosine is the correctness baseline (O(probes·N)); the
+  *    LSH-bucketed variant (random hyperplanes) is the ANN scale path.
+  */
+object Llm {
+
+  /** Tokenize the space-separated synthetic corpus. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+
+  /** Distinct 3-gram shingles per doc, with 1-based position retained.
+    * Guard: sequence(1, n) with n < 1 would generate a DESCENDING sequence
+    * in Spark — docs shorter than 3 tokens are filtered out instead.
+    */
+  def shinglesWithPos(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"), (col("pos") + 1).cast(IntegerType).as("pos"),
+        col("col").as("shingle"))
+
+  /** Distinct shingle set per doc (the Jaccard/MinHash universe). */
+  def shingleSets(docs: DataFrame): DataFrame =
+    shinglesWithPos(docs).select("doc_id", "shingle").distinct()
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: content hash → canonical survivor (min doc_id). */
+  val qDedupExactHash = Q(
+    "q_dedup_exact_hash",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          sha2(lower(trim(col("text"))), 256).as("content_hash"))
+        .groupBy("content_hash")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+        .orderBy("content_hash"),
+    Some("""SELECT content_hash, min(doc_id) AS keeper, count(*) AS n_dups
+            FROM (SELECT doc_id, sha256(lower(trim(text))) AS content_hash
+                  FROM documents)
+            GROUP BY content_hash ORDER BY content_hash"""))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) over 3-shingle
+    * sets. This is the small-scale truth; LSH below is the scale path.
+    */
+  val qDedupJaccardPairs = Q(
+    "q_dedup_jaccard_pairs",
+    (s, dir) => {
+      val sh = shingleSets(Tables.documents(s, dir))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.toDF("a", "shingle")
+      val b = sh.toDF("b", "shingle_b")
+      val inter = a.join(b,
+          col("shingle") === col("shingle_b") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("a", "na"), "a")
+        .join(sizes.toDF("b", "nb"), "b")
+        .withColumn("jac", col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType))
+        .where(col("jac") >= 0.5)
+        .select("a", "b", "inter", "na", "nb", "jac")
+        .orderBy("a", "b")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+                 sh AS (SELECT DISTINCT doc_id,
+                          unnest([array_to_string(toks[i:i+2], ' ')
+                                  FOR i IN range(1, greatest(len(toks)-1, 1))])
+                            AS shingle
+                        FROM d),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                       FROM sh x JOIN sh y
+                         ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                       GROUP BY 1, 2)
+            SELECT a, b, inter, sa.n AS na, sb.n AS nb,
+                   CAST(inter AS DOUBLE)
+                     / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+            FROM p JOIN sz sa ON p.a = sa.doc_id
+                   JOIN sz sb ON p.b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE)
+                    / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+            ORDER BY a, b"""))
+
+  private val MinhashK = 16  // 4 bands × 4 rows
+  private val MinhashBands = 4
+
+  /** MinHash+LSH near-dup: the 100 TB path. Candidate pairs come from a
+    * groupBy on (band, band-signature) — NO pairwise join over the corpus —
+    * then only candidates get exact Jaccard verification. Deterministic
+    * (xxhash64 with fixed per-function index), but not SQL-expressible in
+    * DuckDB → no oracle; unit test asserts recall ≥ 0.9 vs the exact query.
+    */
+  val qDedupMinhashLsh = Q(
+    "q_dedup_minhash_lsh",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = shingleSets(docs)
+      // (doc, hash-fn index i, h) → per-doc minhash signature rows
+      val sigRows = sh
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, ${MinhashK - 1}), " +
+              "i -> xxhash64(i, shingle))")))
+        .groupBy(col("doc_id"), col("pos").as("i"))
+        .agg(min(col("col")).as("sig"))
+      // band key = ordered concat of the r signature values in the band
+      val bands = sigRows
+        .withColumn("band", (col("i") / (MinhashK / MinhashBands))
+          .cast(IntegerType))
+        .groupBy("doc_id", "band")
+        .agg(concat_ws(",", transform(
+          sort_array(collect_list(struct(col("i"), col("sig")))),
+          s => s.getField("sig").cast("string"))).as("band_key"))
+      val cand = bands.toDF("a", "band", "k1")
+        .join(bands.toDF("b", "band_b", "k2"),
+          col("band") === col("band_b") && col("k1") === col("k2") &&
+            col("a") < col("b"))
+        .select("a", "b").distinct()
+      // exact verification restricted to candidates: attach a-side shingles,
+      // then equi-join b-side on (b, shingle) — the filter below folds into
+      // the join condition via PushPredicateThroughJoin
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val interCnt = cand
+        .join(sh.toDF("a", "shingle"), "a")
+        .join(sh.toDF("b", "shingle_b"), "b")
+        .where(col("shingle") === col("shingle_b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      interCnt
+        .join(sizes.toDF("a", "na"), "a")
+        .join(sizes.toDF("b", "nb"), "b")
+        .withColumn("jac", col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType))
+        .where(col("jac") >= 0.5)
+        .select("a", "b", "jac")
+        .orderBy("a", "b")
+    },
+    None)
+
+  /** SimHash near-dup: 64-bit signature (sign of tf-weighted hash-bit sums),
+    * banded into 4×16-bit keys for Hamming-≤3 candidate generation, then
+    * exact Hamming verification via bit_count(xor). Deterministic; no
+    * DuckDB oracle (hash functions differ) → unit-tested.
+    */
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, dir) => {
+      val tok = tokens(Tables.documents(s, dir))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .withColumn("h", xxhash64(col("tok")))
+      val contrib = tok.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 63), " +
+            "j -> CASE WHEN ((h >> j) & 1) = 1 THEN tf ELSE -tf END)")))
+        .groupBy(col("doc_id"), col("pos").as("j"))
+        .agg(sum(col("col")).as("w"))
+      val sig = contrib
+        .withColumn("bit",
+          expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
+            "ELSE CAST(0 AS BIGINT) END"))
+        .groupBy("doc_id")
+        .agg(sum(col("bit")).as("simhash"))
+      val banded = sig.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
+        .select(col("doc_id"), col("simhash"), col("pos").as("band"),
+          col("col").as("band_key"))
+      val cand = banded.toDF("a", "sig_a", "band", "k1")
+        .join(banded.toDF("b", "sig_b", "band_b", "k2"),
+          col("band") === col("band_b") && col("k1") === col("k2") &&
+            col("a") < col("b"))
+        .select("a", "b", "sig_a", "sig_b").distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .where(col("hamming") <= 3)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    },
+    None)
+
+  // ------------------------------------------------------- similarity
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def normSqCol(a: Column): Column =
+    aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+
+  /** Brute-force cosine top-5 for 10 probe vectors — the ANN correctness
+    * baseline. round(6) absorbs last-ulp summation-order differences vs
+    * DuckDB's list_cosine_similarity.
+    */
+  val qSimCosineTopk = Q(
+    "q_sim_cosine_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      val scored = emb.join(broadcast(probes),
+          col("probe_id") =!= col("vec_id"))
+        .withColumn("score", round(
+          dotCol(col("pvec"), col("embedding")) /
+            (sqrt(normSqCol(col("pvec"))) * sqrt(normSqCol(col("embedding")))),
+          6))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      scored
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .where(col("rk") <= 5)
+        .select("probe_id", "vec_id", "score", "rk")
+        .orderBy("probe_id", "rk")
+    },
+    Some("""SELECT probe_id, vec_id, score, rk
+            FROM (SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+                         round(list_cosine_similarity(
+                           CAST(p.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 6) AS score,
+                         CAST(row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                             CAST(p.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                           e.vec_id) AS INTEGER) AS rk
+                  FROM embeddings p JOIN embeddings e
+                    ON p.vec_id < 10 AND e.vec_id <> p.vec_id)
+            WHERE rk <= 5 ORDER BY probe_id, rk"""))
+
+  /** Embedding-cosine near-dup pairs (threshold 0.4, exact). */
+  val qSimCosineNearDup = Q(
+    "q_sim_cosine_near_dup",
+    (s, dir) => {
+      val a = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("a"), col("embedding").as("va"))
+      val b = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("b"), col("embedding").as("vb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("score", round(
+          dotCol(col("va"), col("vb")) /
+            (sqrt(normSqCol(col("va"))) * sqrt(normSqCol(col("vb")))), 6))
+        .where(col("score") >= 0.4)
+        .select("a", "b", "score")
+        .orderBy("a", "b")
+    },
+    Some("""SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(
+                     CAST(x.embedding AS DOUBLE[]),
+                     CAST(y.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(
+                    CAST(x.embedding AS DOUBLE[]),
+                    CAST(y.embedding AS DOUBLE[])), 6) >= 0.4
+            ORDER BY a, b"""))
+
+  private val LshBands = 8   // hash tables
+  private val LshRows = 3    // hyperplanes per table
+
+  /** LSH-bucketed ANN (banded random-hyperplane signs): the scale path for
+    * similarity search. Deterministic pseudo-random hyperplanes from
+    * xxhash64(plane, dim); a pair is a candidate if it agrees on all signs
+    * of ANY band (8 tables × 3 planes); exact cosine only on candidates.
+    * No oracle (approximate); unit test checks recall vs brute force.
+    */
+  val qSimCosineAnnLsh = Q(
+    "q_sim_cosine_ann_lsh",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nPlanes = LshBands * LshRows
+      // per-plane signed projection → sign bit; fold each band's bits to key
+      val bandKeysExpr =
+        s"""transform(sequence(0, ${LshBands - 1}), bnd ->
+              aggregate(transform(sequence(0, ${LshRows - 1}), r ->
+                CASE WHEN aggregate(zip_with(embedding,
+                    sequence(0, size(embedding) - 1),
+                    (x, d) -> CAST(x AS DOUBLE) *
+                      ((CAST(pmod(xxhash64(bnd * $LshRows + r, d), 1000003)
+                        AS DOUBLE) / 1000003.0) - 0.5)),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0
+                THEN 1 ELSE 0 END),
+              0L, (acc, b) -> acc * 2 + b))"""
+      val sig = emb.select(col("vec_id"), col("embedding"),
+        posexplode(expr(bandKeysExpr)))
+        .select(col("vec_id"), col("embedding"),
+          col("pos").as("band"), col("col").as("band_key"))
+      val a = sig.toDF("a", "va", "band", "k1")
+      val b = sig.toDF("b", "vb", "band_b", "k2")
+      a.join(b, col("band") === col("band_b") && col("k1") === col("k2") &&
+          col("a") < col("b"))
+        .select("a", "b", "va", "vb").distinct()
+        .withColumn("score", round(
+          dotCol(col("va"), col("vb")) /
+            (sqrt(normSqCol(col("va"))) * sqrt(normSqCol(col("vb")))), 6))
+        .where(col("score") >= 0.4)
+        .select("a", "b", "score")
+        .orderBy("a", "b")
+    },
+    None)
+
+  // ------------------------------------------------------- text analysis
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Top-20 corpus terms after stopword strip (tie-break by term). */
+  val qTextTokensTop = Q(
+    "q_text_tokens_top",
+    (s, dir) =>
+      tokens(Tables.documents(s, dir))
+        .select(lower(col("tok")).as("term"))
+        .where(!col("term").isin(Stopwords: _*))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20),
+    Some(s"""SELECT term, count(*) AS n
+             FROM (SELECT lower(unnest(string_split(text, ' '))) AS term
+                   FROM documents)
+             WHERE term <> ''
+               AND term NOT IN (${Stopwords.map("'" + _ + "'").mkString(", ")})
+             GROUP BY term ORDER BY n DESC, term LIMIT 20"""))
+
+  /** Corpus profiling per language: doc count, avg chars, distinct sources. */
+  val qTextLangStats = Q(
+    "q_text_lang_stats",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast(DoubleType) /
+            count(col("n_chars")).cast(DoubleType)).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(n_chars) AS DOUBLE)
+                     AS avg_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Quality scoring: token/char stats + a deterministic quality formula
+    * (length, mean token length, type-token ratio).
+    */
+  val qTextQuality = Q(
+    "q_text_quality",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          length(col("text")).cast(LongType).as("len_chars"),
+          size(array_distinct(split(col("text"), " "))).cast(LongType)
+            .as("n_types"))
+        .withColumn("avg_tok_len",
+          (col("len_chars") - col("n_tokens") + 1).cast(DoubleType) /
+            col("n_tokens").cast(DoubleType))
+        .withColumn("ttr",
+          col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+        .withColumn("quality", round(
+          least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) *
+            col("ttr"), 6))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_tokens, len_chars, n_types,
+                   CAST(len_chars - n_tokens + 1 AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE) AS avg_tok_len,
+                   CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+                   round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                     * (CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)),
+                     6) AS quality
+            FROM (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens,
+                         CAST(length(text) AS BIGINT) AS len_chars,
+                         CAST(len(list_distinct(string_split(text, ' ')))
+                           AS BIGINT) AS n_types
+                  FROM documents)
+            ORDER BY doc_id"""))
+
+  /** TF-IDF top term per doc. ln parity across engines is risky (§7.5) →
+    * no oracle; ScalaTest golden covers it.
+    */
+  val qTextTfidfTop = Q(
+    "q_text_tfidf_top",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count()
+      val tf = tokens(docs).groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok")
+        .withColumn("score",
+          col("tf") * log((lit(nDocs.toDouble) + 1.0) /
+            (col("df").cast(DoubleType) + 1.0)))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** Document fingerprinting: winnowed rolling-hash (min shingle-hash per
+    * doc, k smallest) — deterministic xxhash64; no DuckDB oracle.
+    */
+  val qTextFingerprint = Q(
+    "q_text_fingerprint",
+    (s, dir) =>
+      shingleSets(Tables.documents(s, dir))
+        .withColumn("h", xxhash64(col("shingle")))
+        .groupBy("doc_id")
+        .agg(sort_array(slice(sort_array(collect_list(col("h"))), 1, 8))
+          .as("fingerprint"),
+          count(lit(1)).as("n_shingles"))
+        .orderBy("doc_id"),
+    None)
+
+  /** Language-ID heuristic: build per-language top-5 token profiles from
+    * the corpus, then classify each doc by profile-token overlap
+    * (tie-break: lexicographically smallest language).
+    */
+  val qTextLangId = Q(
+    "q_text_lang_id",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = tokens(docs)
+      val langTok = tok.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      val wTop = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("tok"))
+      val profile = langTok
+        .withColumn("rk", row_number().over(wTop))
+        .where(col("rk") <= 5)
+        .select(col("lang").as("profile_lang"), col("tok"))
+      val votes = tok.select("doc_id", "tok").distinct()
+        .join(broadcast(profile), "tok")
+        .groupBy("doc_id", "profile_lang")
+        .agg(count(lit(1)).as("hits"))
+      val wBest = Window.partitionBy(col("doc_id"))
+        .orderBy(col("hits").desc, col("profile_lang"))
+      votes
+        .withColumn("rk", row_number().over(wBest))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("profile_lang").as("pred_lang"),
+          col("hits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT DISTINCT doc_id,
+                           unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+                 tokall AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS tok
+                            FROM documents),
+                 lt AS (SELECT d.lang, t.tok, count(*) AS n
+                        FROM tokall t JOIN documents d USING (doc_id)
+                        GROUP BY d.lang, t.tok),
+                 prof AS (SELECT lang AS profile_lang, tok
+                          FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, tok) AS rk FROM lt)
+                          WHERE rk <= 5),
+                 votes AS (SELECT t.doc_id, p.profile_lang, count(*) AS hits
+                           FROM tok t JOIN prof p USING (tok)
+                           GROUP BY t.doc_id, p.profile_lang)
+            SELECT doc_id, profile_lang AS pred_lang, hits
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY hits DESC, profile_lang) AS rk FROM votes)
+            WHERE rk = 1 ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(
+    qDedupExactHash, qDedupJaccardPairs, qDedupMinhashLsh, qDedupSimhash,
+    qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qTextTokensTop,
+    qTextLangStats, qTextQuality, qTextTfidfTop, qTextFingerprint,
+    qTextLangId)
+}
