@@ -307,8 +307,43 @@ object Relational {
              FROM o JOIN p ON o.parent = p.parent
              GROUP BY o.parent, p.n_children ORDER BY o.parent"""))
 
+  /** As-of join: each purchase matched to the latest prior (ts ≤ purchase
+    * ts) signup of the same user. Spark has no native as-of join; instead of
+    * a pairwise join we union both sides and take
+    * `last(signup_ts, ignoreNulls)` over (user ORDER BY ts) — ONE shuffle on
+    * user_id, no join, linear in events. Ties (signup & purchase at the
+    * same ts) order signups first = inclusive `>=` ASOF semantics.
+    */
+  val qJoinAsof = Q(
+    "q_join_asof",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("ts").as("s_ts"), lit(0).as("tag"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("timestamp").as("s_ts"), lit(1).as("tag"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      signups.unionByName(purchases)
+        .withColumn("signup_ts", last(col("s_ts"), ignoreNulls = true).over(w))
+        .where(col("tag") === 1)
+        .select("event_id", "user_id", "ts", "signup_ts")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+            ORDER BY p.event_id"""))
+
   val all: Seq[Q] = Seq(
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
-    qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent)
+    qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
+    qJoinAsof)
 }

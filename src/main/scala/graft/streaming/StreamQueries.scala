@@ -1,9 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import graft.{Det, Q}
 import graft.sources.Tables
+
+/** Typed rows for the custom-stateful surface. */
+final case class UserEvent(user_id: Long, value: Double)
+final case class UserTotal(user_id: Long, n: Long, total: Double)
 
 /** Streaming operators — SURVEY.md §2.I. The reference is pure batch; these
   * are the engine's Structured-Streaming extension over the `events` table.
@@ -104,6 +109,26 @@ object StreamQueries {
              FROM (SELECT DISTINCT ON (event_id) * FROM events
                    ORDER BY event_id)
              GROUP BY event_type ORDER BY event_type"""))
+
+  /** Arbitrary-stateful surface: running per-user totals via
+    * mapGroupsWithState (SURVEY.md §2.I "stateful custom"). State is one
+    * small record per user; in production a TTL/timeout bounds it
+    * (GroupStateTimeout.ProcessingTimeTimeout + state.setTimeoutDuration).
+    */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          var n = prev.n
+          var t = prev.total
+          it.foreach { e => n += 1; t += e.value }
+          val upd = UserTotal(user, n, t)
+          state.update(upd)
+          upd
+      }
+  }
 
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedupIds)

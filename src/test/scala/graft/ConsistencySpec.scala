@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Aggregates, Llm, Relational}
+import graft.functions.Udx
+
+/** Cross-checks between independent formulations of the same semantics. */
+class ConsistencySpec extends AnyFunSuite with SparkFixture {
+
+  test("typed UDAF weighted rate equals native decimal-sum rate") {
+    val native = Aggregates.qAggWeightedRate.fn(spark, sfDir)
+      .select("l_returnflag", "yr", "rate").collect()
+    val typed = Udx.qUdafWeighted.fn(spark, sfDir)
+      .select("l_returnflag", "yr", "rate").collect()
+    assert(native.length == typed.length)
+    native.zip(typed).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getInt(1) == b.getInt(1))
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-12,
+        s"rate mismatch at ${a.getString(0)}/${a.getInt(1)}")
+    }
+  }
+
+  test("unpivot(pivot) equals direct long aggregation") {
+    val viaWide = Aggregates.qAggUnpivot.fn(spark, sfDir)
+      .withColumn("yr", expr("CAST(substring(yr_col, 2) AS INT)"))
+      .select("n_name", "yr", "rev")
+    val direct = {
+      import graft.sources.Tables
+      Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(Det.dsum(col("o_totalprice")).as("rev"))
+        .where(col("yr").between(1995, 2001))
+    }
+    assert(viaWide.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaWide).count() == 0)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val exact = Aggregates.qAggDistinct.fn(spark, sfDir)
+      .select("o_orderstatus", "n_cust").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Aggregates.qAggApproxDistinct.fn(spark, sfDir)
+      .select("o_orderstatus", "n_cust_approx").collect()
+      .foreach { r =>
+        val e = exact(r.getString(0)).toDouble
+        assert(math.abs(r.getLong(1) - e) / e <= 0.05,
+          s"${r.getString(0)}: approx ${r.getLong(1)} vs exact $e")
+      }
+  }
+
+  test("asof join: matched signup is never after the purchase") {
+    Relational.qJoinAsof.fn(spark, sfDir)
+      .where(col("signup_ts").isNotNull)
+      .collect()
+      .foreach { r =>
+        assert(!r.getTimestamp(3).after(r.getTimestamp(2)),
+          s"signup after purchase: $r")
+      }
+  }
+
+  test("asof join: matches a correlated-subquery formulation") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    ev.createOrReplaceTempView("ev_asof_check")
+    val expected = spark.sql(
+      """SELECT p.event_id, p.user_id, p.ts,
+                (SELECT max(s.ts) FROM ev_asof_check s
+                 WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+                   AND s.ts <= p.ts) AS signup_ts
+         FROM ev_asof_check p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""")
+    val actual = Relational.qJoinAsof.fn(spark, sfDir)
+    // exceptAll over (union-based asof) ∪ (correlated subquery) trips a
+    // Catalyst constraint-rewrite bug ("key not found: ts#...") — compare
+    // collected row multisets instead.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(rows(actual) == rows(expected))
+  }
+
+  test("jaccard pairs are reflexive-safe and within [0,1]") {
+    Llm.qDedupJaccardPairs.fn(spark, sfDir).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val jac = r.getDouble(5)
+      assert(a < b)
+      assert(jac >= 0.5 && jac <= 1.0)
+    }
+  }
+
+  test("percentiles are ordered p25 <= p50 <= p75 <= p95") {
+    Aggregates.qAggPercentile.fn(spark, sfDir).collect().foreach { r =>
+      val ps = (1 to 4).map(r.getDouble)
+      assert(ps == ps.sorted, s"unordered percentiles: $r")
+    }
+  }
+}

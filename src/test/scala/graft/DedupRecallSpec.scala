@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Llm
+
+/** Approximate dedup/ANN paths must recover (almost) everything the exact
+  * formulations find — the contract that makes them valid 100 TB stand-ins.
+  */
+class DedupRecallSpec extends AnyFunSuite with SparkFixture {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash+LSH recall >= 0.9 vs exact Jaccard, no false positives") {
+    val exact = pairSet(Llm.qDedupJaccardPairs.fn(spark, sfDir))
+    val lsh = pairSet(Llm.qDedupMinhashLsh.fn(spark, sfDir))
+    assert(exact.nonEmpty, "exact query found no pairs — test data changed?")
+    // LSH verifies candidates exactly, so every emitted pair must be real
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (${lsh.size}/${exact.size})")
+  }
+
+  test("cosine ANN-LSH recall >= 0.8 vs exact near-dup, no false positives") {
+    val exact = pairSet(Llm.qSimCosineNearDup.fn(spark, sfDir))
+    val ann = pairSet(Llm.qSimCosineAnnLsh.fn(spark, sfDir))
+    assert(exact.nonEmpty)
+    assert(ann.subsetOf(exact), s"false positives: ${ann.diff(exact)}")
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall < 0.8 (${ann.size}/${exact.size})")
+  }
+
+  test("SimHash pairs are near-dups under exact Jaccard more often than random") {
+    val sim = pairSet(Llm.qDedupSimhash.fn(spark, sfDir))
+    val exact = pairSet(Llm.qDedupJaccardPairs.fn(spark, sfDir))
+    assert(sim.nonEmpty, "simhash found nothing")
+    val hitRate = sim.intersect(exact).size.toDouble / sim.size
+    assert(hitRate >= 0.5, s"simhash precision vs jaccard-0.5 only $hitRate")
+  }
+
+  test("exact dedup keeps one keeper per content hash") {
+    val df = Llm.qDedupExactHash.fn(spark, sfDir)
+    assert(df.count() == df.select("content_hash").distinct().count())
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** §2.J multimodal design: binary columns + typed metadata; the decode
+  * kernel is a deterministic stub but every Spark-side seam is real.
+  */
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val assets = Multimodal.syntheticAssets(spark, 30).cache()
+
+  test("synthetic assets match the declared schema shape") {
+    val schema = assets.schema
+    assert(schema.fieldNames.toSeq ==
+      Multimodal.assetSchema.fieldNames.toSeq)
+    assert(assets.count() == 30)
+    assert(assets.where(col("media").isNull).count() == 0)
+  }
+
+  test("decode+featurize is deterministic and keeps one row per asset") {
+    val d1 = Multimodal.decodeAndFeaturize(assets, dim = 16)
+    val d2 = Multimodal.decodeAndFeaturize(assets, dim = 16)
+    val r1 = d1.collect().sortBy(_.asset_id)
+    val r2 = d2.collect().sortBy(_.asset_id)
+    assert(r1.length == 30)
+    r1.zip(r2).foreach { case (a, b) =>
+      assert(a.asset_id == b.asset_id)
+      assert(a.features.toSeq == b.features.toSeq, "non-deterministic decode")
+      assert(a.features.length == 16)
+    }
+  }
+
+  test("resize clamps the long side and preserves aspect ratio direction") {
+    val resized = Multimodal.resizeMeta(
+      Multimodal.decodeAndFeaturize(assets), maxSide = 64)
+    resized.collect().foreach { r =>
+      val (w, h) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(w <= 64 + 1 && h <= 64 + 1, s"not clamped: $w x $h")
+    }
+  }
+
+  test("frame sampling yields duration/stride rows per video asset") {
+    val frames = Multimodal.sampleFrames(assets, strideMs = 1000)
+    val counts = frames.groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vids = assets.where(col("kind") === "video")
+      .select("asset_id", "meta.duration_ms").collect()
+    assert(vids.nonEmpty)
+    vids.foreach { r =>
+      val expect = math.max(1, r.getLong(1) / 1000)
+      assert(counts(r.getLong(0)) == expect)
+    }
+  }
+}

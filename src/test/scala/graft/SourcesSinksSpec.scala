@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{SourcesSinks, Tables}
+
+/** §2.A file-format surface: round-trips and output shapes. */
+class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
+
+  test("CSV round-trip preserves rows, schema, and null sentinel") {
+    val out = tmpDir("csv_rt")
+    val nation = Tables.nation(spark, sfDir)
+    SourcesSinks.writeCsv(nation, s"$out/nation")
+    val back = SourcesSinks.readCsv(spark, s"$out/nation",
+      Tables.nationSchema)
+    assert(back.schema == nation.schema)
+    assert(back.exceptAll(nation).count() == 0)
+    assert(nation.exceptAll(back).count() == 0)
+    // sentinel handling: -1 and empty both land as null
+    val sentinelCsv = s"$out/sent"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sentinelCsv))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$sentinelCsv/part.csv"),
+      "n_nationkey,n_name,n_regionkey\n7,,(-skip-)\n-1,X,3\n"
+        .replace("(-skip-)", "-1"))
+    val sent = SourcesSinks.readCsv(spark, sentinelCsv, Tables.nationSchema)
+      .orderBy("n_name")
+    val rows = sent.collect()
+    assert(rows.length == 2)
+    assert(rows.exists(r => r.isNullAt(0) && r.getString(1) == "X"))
+    assert(rows.exists(r => r.getInt(0) == 7 && r.isNullAt(1) && r.isNullAt(2)))
+  }
+
+  test("JSONL round-trip with explicit schema") {
+    val out = tmpDir("jsonl_rt")
+    val region = Tables.region(spark, sfDir)
+    SourcesSinks.writeJsonl(region, s"$out/region")
+    val back = SourcesSinks.readJsonl(spark, s"$out/region",
+      Tables.regionSchema)
+    assert(back.exceptAll(region).count() == 0 &&
+      region.exceptAll(back).count() == 0)
+  }
+
+  test("partitioned CSV sink writes one directory per key") {
+    val out = tmpDir("csv_part")
+    SourcesSinks.writeCsvPartitioned(
+      Tables.customer(spark, sfDir), s"$out/cust", "c_mktsegment")
+    val dirs = new java.io.File(s"$out/cust").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length == 5 && dirs.forall(_.startsWith("c_mktsegment=")))
+  }
+
+  test("GeoJSON-ish NDJSON rows are valid Feature objects") {
+    val out = tmpDir("geojson")
+    val df = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_acctbal").as("x"),
+        (col("s_nationkey") * 1.0).as("y"), col("s_name"))
+    val feats = SourcesSinks.toFeatureRows(df, "s_suppkey", "x", "y",
+      Seq("s_name"))
+    SourcesSinks.writeFeatureRows(feats, s"$out/feat")
+    val lines = spark.read.textFile(s"$out/feat")
+    assert(lines.count() == df.count())
+    val parsed = spark.read.json(lines)
+    assert(parsed.columns.sorted.toSeq ==
+      Seq("geometry", "id", "properties", "type"))
+    assert(parsed.where(col("type") === "Feature").count() == df.count())
+    assert(parsed.select(col("geometry.type")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("Point"))
+  }
+}

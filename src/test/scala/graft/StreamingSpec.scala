@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{StreamQueries, UserEvent, UserTotal}
+
+final case class TestEv(event_id: Long, ts: Timestamp, user_id: Long,
+                        event_type: String, value: Double)
+
+/** The §2.I streaming ops driven through real readStream micro-batches:
+  * batch≡stream equivalence, watermark late-data drops, exactly-once dedup,
+  * session gap boundaries, and custom mapGroupsWithState state.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling: streaming (complete mode) equals batch on same input") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val rows = Seq(
+      TestEv(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      TestEv(2, t("2024-01-01 10:40:00"), 1, "click", 2.0),
+      TestEv(3, t("2024-01-01 11:10:00"), 2, "view", 3.0))
+    val ms = MemoryStream[TestEv]
+    val q = StreamQueries.tumbling(ms.toDF())
+      .writeStream.format("memory").queryName("tumb_complete")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumb_complete")
+        .orderBy("ws", "event_type").collect().toSeq
+      val batch = StreamQueries.tumbling(rows.toDF())
+        .orderBy("ws", "event_type").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("tumbling + 10min watermark (append): closes windows, drops late rows") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[TestEv]
+    val q = StreamQueries.tumbling(
+        ms.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("tumb_append")
+      .outputMode("append").start()
+    try {
+      ms.addData(TestEv(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+                 TestEv(2, t("2024-01-01 10:05:00"), 1, "click", 2.0))
+      q.processAllAvailable() // wm after: 09:55 — nothing closed
+      assert(spark.table("tumb_append").count() == 0)
+      ms.addData(TestEv(3, t("2024-01-01 11:30:00"), 1, "click", 1.0))
+      q.processAllAvailable() // processed with wm 09:55; wm after: 11:20
+      ms.addData(TestEv(4, t("2024-01-01 11:35:00"), 1, "click", 1.0))
+      q.processAllAvailable() // wm 11:20 closes [10:00, 11:00)
+      val closed = spark.table("tumb_append").collect()
+      assert(closed.length == 1 && closed(0).getAs[Long]("n") == 2)
+      // late row far behind the watermark → dropped, nothing re-emitted
+      ms.addData(TestEv(5, t("2024-01-01 10:10:00"), 1, "click", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("tumb_append").count() == 1)
+    } finally q.stop()
+  }
+
+  test("dropDuplicates within watermark: exactly-once across micro-batches") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[TestEv]
+    val q = StreamQueries.dedupEvents(
+        ms.toDF().withWatermark("ts", "1 hour"))
+      .select("event_id", "user_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(TestEv(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+                 TestEv(2, t("2024-01-01 10:01:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+      // replay event 1 (same id) + one new id
+      ms.addData(TestEv(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+                 TestEv(3, t("2024-01-01 10:02:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("session windows: 30min gap boundary is exclusive-merge (>= splits)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      TestEv(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      TestEv(2, t("2024-01-01 10:29:59"), 1, "click", 1.0), // merges
+      TestEv(3, t("2024-01-01 11:00:00"), 1, "click", 1.0), // 30:01 gap → new
+      TestEv(4, t("2024-01-01 10:00:00"), 2, "click", 1.0))
+    val out = StreamQueries.sessions(rows.toDF())
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(0).getAs[Timestamp]("session_end") ==
+      t("2024-01-01 10:59:59")) // last event + 30min
+    assert(out(1).getAs[Long]("n_events") == 1)
+    // sessions of one user never overlap
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1)
+    assert(!u1(1).getAs[Timestamp]("session_start")
+      .before(u1(0).getAs[Timestamp]("session_end")))
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val ms = MemoryStream[UserEvent]
+    val q = StreamQueries.runningTotals(ms.toDS())
+      .writeStream.format("memory").queryName("totals_stream")
+      .outputMode("update").start()
+    try {
+      ms.addData(UserEvent(1, 1.0), UserEvent(2, 5.0))
+      q.processAllAvailable()
+      ms.addData(UserEvent(1, 2.0))
+      q.processAllAvailable()
+      val latest = spark.table("totals_stream").as[UserTotal].collect()
+        .groupBy(_.user_id).map { case (_, v) => v.maxBy(_.n) }.toSet
+      assert(latest == Set(UserTotal(1, 2, 3.0), UserTotal(2, 1, 5.0)))
+    } finally q.stop()
+  }
+}
