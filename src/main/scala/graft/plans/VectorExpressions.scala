@@ -76,3 +76,19 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", args => FloatVecDot(args(0), args(1)), "built-in")
 }
+
+/** SparkSessionExtensions entry point — the idiomatic deployment path:
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * injects the engine's native expressions into every session at build time
+  * (no per-query register() call needed on a cluster).
+  */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+}
