@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Aggregates, Llm, Relational, Windows}
+
+/** Physical-plan regressions: the scale properties that make these operators
+  * viable at 100 TB must stay visible in the plan, not just in comments.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("pruned scan pushes predicates and reads only needed columns") {
+    val p = plan(Relational.qScanPruned.fn(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate predicate must reach the parquet scan")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_shipdate:timestamp>"),
+      "scan must not read beyond the 4 needed columns")
+  }
+
+  test("star join broadcasts every bounded dim; no dim-side shuffle join") {
+    val p = plan(Relational.qJoinMultiwayStar.fn(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "customer/nation/region must be broadcast")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Windows.qTopkGlobal.fn(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("hash aggregation is two-phase (partial + final)") {
+    val p = plan(Aggregates.qAggHash.fn(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "map-side partial aggregation must precede the shuffle")
+  }
+
+  test("cosine scoring uses the codegen vec_dot expression, not HOF lambdas") {
+    val p = plan(Llm.qSimCosineNearDup.fn(spark, sfDir))
+    assert(p.contains("vec_dot"))
+    assert(!p.contains("aggregate(zip_with"),
+      "interpreted higher-order dot product crept back in")
+  }
+
+  test("as-of join is window-based: no join operator in the plan") {
+    val p = plan(Relational.qJoinAsof.fn(spark, sfDir))
+    assert(p.contains("Window"))
+    assert(!p.toLowerCase.contains("sortmergejoin") &&
+      !p.toLowerCase.contains("broadcasthashjoin"),
+      "as-of should be the single-shuffle union+window form")
+  }
+
+  test("broadcast join query actually builds a broadcast side") {
+    val p = plan(Relational.qJoinBroadcast.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+}
