@@ -125,22 +125,24 @@ object Llm {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val sh = shingleSets(docs)
-      // (doc, hash-fn index i, h) → per-doc minhash signature rows
-      val sigRows = sh
-        .select(col("doc_id"),
-          posexplode(expr(
-            s"transform(sequence(0, ${MinhashK - 1}), " +
-              "i -> xxhash64(i, shingle))")))
-        .groupBy(col("doc_id"), col("pos").as("i"))
-        .agg(min(col("col")).as("sig"))
+      // per-doc signature in ONE pass: K min-aggregates over codegen
+      // xxhash64 columns (no exploded (doc, i, h) intermediate, no
+      // interpreted transform lambda)
+      val r = MinhashK / MinhashBands
+      val sigCols = (0 until MinhashK).map(i =>
+        min(expr(s"xxhash64($i, shingle)")).as(s"sig_$i"))
+      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       // band key = ordered concat of the r signature values in the band
-      val bands = sigRows
-        .withColumn("band", (col("i") / (MinhashK / MinhashBands))
-          .cast(IntegerType))
-        .groupBy("doc_id", "band")
-        .agg(concat_ws(",", transform(
-          sort_array(collect_list(struct(col("i"), col("sig")))),
-          s => s.getField("sig").cast("string"))).as("band_key"))
+      val bandKeys = (0 until MinhashBands).map { b =>
+        concat_ws(",", (b * r until (b + 1) * r)
+          .map(i => col(s"sig_$i").cast("string")): _*).as(s"band_$b")
+      }
+      val bands = sigs
+        .select(col("doc_id") +: bandKeys: _*)
+        .select(col("doc_id"), posexplode(
+          array((0 until MinhashBands).map(b => col(s"band_$b")): _*)))
+        .select(col("doc_id"), col("pos").as("band"),
+          col("col").as("band_key"))
       val cand = bands.toDF("a", "band", "k1")
         .join(bands.toDF("b", "band_b", "k2"),
           col("band") === col("band_b") && col("k1") === col("k2") &&
@@ -177,18 +179,17 @@ object Llm {
       val tok = tokens(Tables.documents(s, dir))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         .withColumn("h", xxhash64(col("tok")))
-      val contrib = tok.select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, 63), " +
-            "j -> CASE WHEN ((h >> j) & 1) = 1 THEN tf ELSE -tf END)")))
-        .groupBy(col("doc_id"), col("pos").as("j"))
-        .agg(sum(col("col")).as("w"))
-      val sig = contrib
-        .withColumn("bit",
-          expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
-            "ELSE CAST(0 AS BIGINT) END"))
-        .groupBy("doc_id")
-        .agg(sum(col("bit")).as("simhash"))
+      // 64 per-bit tf-weighted sums in ONE codegen aggregation pass (no
+      // 64x row explosion, no interpreted lambda), then fold signs to bits
+      val bitSums = (0 until 64).map(j =>
+        sum(expr(s"CASE WHEN ((h >> $j) & 1) = 1 THEN tf ELSE -tf END"))
+          .as(s"w_$j"))
+      val bitsExpr = (0 until 64).map(j =>
+        s"(CASE WHEN w_$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
+          s"ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+      val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash", expr(bitsExpr))
+        .select("doc_id", "simhash")
       val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
@@ -285,6 +286,21 @@ object Llm {
   private val LshBands = 8   // hash tables
   private val LshRows = 3    // hyperplanes per table
 
+  /** Hyperplane component (plane p, dim d) ∈ [-0.5, 0.5): deterministic
+    * pseudo-random family from chained XXH64 (seed 42). Planes are
+    * DATA-INDEPENDENT, so they're computed once driver-side and shipped as
+    * array literals — the per-row work is then a codegen vec_dot against a
+    * literal array, not an interpreted nested lambda.
+    */
+  private def lshPlane(p: Int, dims: Int): Seq[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until dims).map { d =>
+      val h = XXH64.hashLong(d.toLong, XXH64.hashLong(p.toLong, 42L))
+      val m = ((h % 1000003) + 1000003) % 1000003
+      m.toDouble / 1000003.0 - 0.5
+    }
+  }
+
   /** LSH-bucketed ANN (banded random-hyperplane signs): the scale path for
     * similarity search. Deterministic pseudo-random hyperplanes from
     * xxhash64(plane, dim); a pair is a candidate if it agrees on all signs
@@ -295,22 +311,22 @@ object Llm {
     "q_sim_cosine_ann_lsh",
     (s, dir) => {
       graft.plans.VectorFunctions.register(s)
+      val dims = 64
       val emb = Tables.embeddings(s, dir)
         .withColumn("ns", expr("vec_dot(embedding, embedding)"))
-      // per-plane signed projection → sign bit; fold each band's bits to key
-      val bandKeysExpr =
-        s"""transform(sequence(0, ${LshBands - 1}), bnd ->
-              aggregate(transform(sequence(0, ${LshRows - 1}), r ->
-                CASE WHEN aggregate(zip_with(embedding,
-                    sequence(0, size(embedding) - 1),
-                    (x, d) -> CAST(x AS DOUBLE) *
-                      ((CAST(pmod(xxhash64(bnd * $LshRows + r, d), 1000003)
-                        AS DOUBLE) / 1000003.0) - 0.5)),
-                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0
-                THEN 1 ELSE 0 END),
-              0L, (acc, b) -> acc * 2 + b))"""
-      val sig = emb.select(col("vec_id"), col("embedding"), col("ns"),
-        posexplode(expr(bandKeysExpr)))
+      // band key = bit-fold of the r plane-projection signs — all codegen
+      val sigCols = (0 until LshBands).map { b =>
+        (0 until LshRows).map { r =>
+          val pl = lshPlane(b * LshRows + r, dims)
+          s"(CASE WHEN vec_dot(embedding, " +
+            s"CAST(array(${pl.mkString(",")}) AS ARRAY<DOUBLE>)) > 0 " +
+            s"THEN ${1 << (LshRows - 1 - r)} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      }
+      val sig = emb
+        .withColumn("bands", expr(s"array(${sigCols.mkString(",")})"))
+        .select(col("vec_id"), col("embedding"), col("ns"),
+          posexplode(col("bands")))
         .select(col("vec_id"), col("embedding"), col("ns"),
           col("pos").as("band"), col("col").as("band_key"))
       val a = sig.toDF("a", "va", "nsa", "band", "k1")

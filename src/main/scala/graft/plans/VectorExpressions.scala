@@ -6,12 +6,13 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen dot product over two float vectors — SURVEY.md §2.K's
-  * "codegen Expression" row, justified by profiling: the higher-order
-  * `aggregate(zip_with(...))` formulation is interpreted per row (no
-  * whole-stage codegen for lambda functions) and dominated the similarity
-  * benchmarks (~155 s of a 250 s sf0.1 run). This expression generates a
-  * tight Java loop inside the WholeStageCodegen stage instead.
+/** Native codegen dot product over two numeric vectors (array<float> or
+  * array<double> on either side) — SURVEY.md §2.K's "codegen Expression"
+  * row, justified by profiling: the higher-order `aggregate(zip_with(...))`
+  * formulation is interpreted per row (no whole-stage codegen for lambda
+  * functions) and dominated the similarity benchmarks (~155 s of a 250 s
+  * sf0.1 run). This expression generates a tight Java loop inside the
+  * WholeStageCodegen stage instead.
   *
   * Accumulation order is the same sequential left-to-right fold as the HOF
   * formulation and DuckDB's list loops, so §7.2 float parity is preserved.
@@ -22,31 +23,44 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok)
+    if (elemType(left).isDefined && elemType(right).isDefined)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<float> arguments, got " +
+        s"$prettyName requires array<float|double> arguments, got " +
           s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def get(d: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => d.getFloat(i).toDouble
+    case _         => d.getDouble(i)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (tx, ty) = (elemType(left).get, elemType(right).get)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += get(x, tx, i) * get(y, ty, i)
       i += 1
     }
     acc
+  }
+
+  private def genGet(v: String, t: DataType, i: String): String = t match {
+    case FloatType => s"(double) $v.getFloat($i)"
+    case _         => s"$v.getDouble($i)"
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -55,11 +69,12 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val (tx, ty) = (elemType(left).get, elemType(right).get)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += ${genGet(a, tx, i)} * ${genGet(b, ty, i)};
          |}
          |${ev.value} = $acc;
        """.stripMargin
