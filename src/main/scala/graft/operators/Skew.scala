@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation — SURVEY.md §7.3's salting recipe as code.
+  *
+  * At 100 TB a hot key (the "Los Angeles County" GEOID of the reference
+  * data, a viral doc hash, a null-ish default) can put one join partition
+  * orders of magnitude above the rest. AQE's skew-join split
+  * (spark.sql.adaptive.skewJoin.enabled, on by default) handles most cases
+  * at runtime; explicit salting below is the deterministic fallback when the
+  * skewed side must stay a shuffle join (e.g. both sides too big to
+  * broadcast) or when AQE is unavailable (non-shuffle operators feeding the
+  * join).
+  *
+  * Mechanics: the skewed (probe) side gets a random-but-deterministic salt
+  * in [0, salts); the build side is replicated `salts` times; the join key
+  * becomes (key, salt), spreading each hot key over `salts` partitions. The
+  * result is row-identical to the unsalted join.
+  */
+object Skew {
+
+  /** Inner equi-join `big ⋈ small` on big(bigKey) == small(smallKey) with
+    * the big side salted over `salts` buckets. Deterministic salt (hash of
+    * the whole row via xxhash64 on all columns) so re-runs produce identical
+    * partitioning — no rand() (§7.2 rule 6).
+    */
+  def saltedInnerJoin(big: DataFrame, small: DataFrame,
+                      bigKey: String, smallKey: String,
+                      salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts))
+        .cast("int"))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig
+      .join(replicatedSmall,
+        col(bigKey) === col(smallKey) &&
+          saltedBig("_salt") === replicatedSmall("_salt"))
+      .drop("_salt")
+  }
+
+  /** Skewed-key aggregation: two-phase (salted partial → final) so one hot
+    * group key cannot serialize into a single reducer. Equivalent to
+    * groupBy(key).agg(sum) but the first shuffle spreads each key over
+    * `salts` partitions.
+    */
+  def saltedSumAgg(df: DataFrame, key: String, valueCol: String,
+                   salts: Int, resultName: String): DataFrame =
+    df.withColumn("_salt",
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as(resultName))
+}

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.{Det, Q}
 import graft.sources.Tables
 
@@ -128,6 +128,38 @@ object StreamQueries {
           state.update(upd)
           upd
       }
+  }
+
+  /** Spark-4-native stateful surface: the same running totals as a
+    * transformWithState StatefulProcessor. State is a per-user ValueState;
+    * TTLConfig.NONE here, a TTL bounds it in production. Requires the
+    * RocksDB state-store provider
+    * (spark.sql.streaming.stateStore.providerClass).
+    */
+  class RunningTotalProcessor
+      extends StatefulProcessor[Long, UserEvent, UserTotal] {
+    @transient private var state: ValueState[UserTotal] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserTotal]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotal], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues)
+        : Iterator[UserTotal] = {
+      val prev = Option(state.get()).getOrElse(UserTotal(key, 0L, 0.0))
+      var n = prev.n
+      var t = prev.total
+      rows.foreach { e => n += 1; t += e.value }
+      val upd = UserTotal(key, n, t)
+      state.update(upd)
+      Iterator.single(upd)
+    }
+  }
+
+  def runningTotalsTws(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   val all: Seq[Q] = Seq(

@@ -113,6 +113,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .before(u1(0).getAs[Timestamp]("session_end")))
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[UserEvent]
+    val q = StreamQueries.runningTotalsTws(ms.toDS())
+      .writeStream.format("memory").queryName("totals_tws")
+      .outputMode("update").start()
+    try {
+      ms.addData(UserEvent(1, 1.0), UserEvent(2, 5.0))
+      q.processAllAvailable()
+      ms.addData(UserEvent(1, 2.0))
+      q.processAllAvailable()
+      val latest = spark.table("totals_tws").as[UserTotal].collect()
+        .groupBy(_.user_id).map { case (_, v) => v.maxBy(_.n) }.toSet
+      assert(latest == Set(UserTotal(1, 2, 3.0), UserTotal(2, 1, 5.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val s = spark
     implicit val sql = s.sqlContext
