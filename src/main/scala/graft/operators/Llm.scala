@@ -345,6 +345,65 @@ object Llm {
     },
     None)
 
+  /** IVF-style two-stage ANN (SURVEY.md §7.3): KMeans coarse quantizer →
+    * probe only the nprobe nearest cells → exact cosine within cells.
+    * At 100 TB the cell assignment is a narrow int column and each query
+    * touches nprobe/k of the corpus instead of all of it. Deterministic for
+    * a fixed seed and partitioning; no oracle (approximate + iterative
+    * training) — unit test checks recall vs the brute-force top-k.
+    */
+  val qSimCosineIvf = Q(
+    "q_sim_cosine_ivf",
+    (s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      graft.plans.VectorFunctions.register(s)
+      val k = 16
+      val nprobe = 4
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("features",
+          array_to_vector(col("embedding").cast("array<double>")))
+        .withColumn("ns", expr("vec_dot(embedding, embedding)"))
+        .cache()
+      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+        .fit(emb.select("features"))
+      val assigned = model.transform(emb)
+        .select(col("vec_id"), col("embedding"), col("ns"),
+          col("prediction").as("cell"))
+      // centroid table (k rows) as float arrays for codegen vec_dot
+      val centroids = s.createDataFrame(
+        model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (i, c.toArray.map(_.toFloat))
+        }.toIndexedSeq).toDF("cell_c", "cvec")
+      val probes = assigned.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+          col("ns").as("pns"))
+      // nprobe nearest cells per probe (k is tiny → broadcast cross join)
+      val wCell = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cdist"), col("cell_c"))
+      val probeCells = probes.crossJoin(broadcast(centroids))
+        .withColumn("cdist",
+          expr("vec_dot(pvec, pvec) - 2 * vec_dot(pvec, cvec) + " +
+            "vec_dot(cvec, cvec)"))
+        .withColumn("crk", row_number().over(wCell))
+        .where(col("crk") <= nprobe)
+        .select(col("probe_id"), col("pvec"), col("pns"),
+          col("cell_c").as("cell"))
+      // exact cosine only inside the probed cells
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      probeCells.join(assigned, "cell")
+        .where(col("probe_id") =!= col("vec_id"))
+        .withColumn("score", round(
+          expr("vec_dot(pvec, embedding)") /
+            (sqrt(col("pns")) * sqrt(col("ns"))), 6))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .where(col("rk") <= 5)
+        .select("probe_id", "vec_id", "score", "rk")
+        .orderBy("probe_id", "rk")
+    },
+    None)
+
   // ------------------------------------------------------- text analysis
 
   private val Stopwords = Seq("the", "a", "of", "and", "to")
@@ -514,7 +573,7 @@ object Llm {
 
   val all: Seq[Q] = Seq(
     qDedupExactHash, qDedupJaccardPairs, qDedupMinhashLsh, qDedupSimhash,
-    qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qTextTokensTop,
-    qTextLangStats, qTextQuality, qTextTfidfTop, qTextFingerprint,
-    qTextLangId)
+    qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
+    qTextTokensTop, qTextLangStats, qTextQuality, qTextTfidfTop,
+    qTextFingerprint, qTextLangId)
 }

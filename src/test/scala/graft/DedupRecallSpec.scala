@@ -38,6 +38,18 @@ class DedupRecallSpec extends AnyFunSuite with SparkFixture {
     assert(hitRate >= 0.5, s"simhash precision vs jaccard-0.5 only $hitRate")
   }
 
+  test("IVF two-stage ANN recovers most of the brute-force top-5") {
+    def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(Llm.qSimCosineTopk.fn(spark, sfDir))
+    val ivf = topkSet(Llm.qSimCosineIvf.fn(spark, sfDir))
+    assert(exact.size == 50)
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"IVF recall $recall < 0.5 (nprobe=4 of 16 cells)")
+  }
+
   test("exact dedup keeps one keeper per content hash") {
     val df = Llm.qDedupExactHash.fn(spark, sfDir)
     assert(df.count() == df.select("content_hash").distinct().count())
