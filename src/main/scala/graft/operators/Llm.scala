@@ -254,25 +254,30 @@ object Llm {
                     ON p.vec_id < 10 AND e.vec_id <> p.vec_id)
             WHERE rk <= 5 ORDER BY probe_id, rk"""))
 
+  /** Exact cosine near-dup pairs over any embeddings frame (brute force,
+    * codegen dot). Parameterized so scale experiments can probe other
+    * thresholds than the t2 query's 0.4.
+    */
+  def cosineNearDupPairs(embIn: DataFrame, threshold: Double): DataFrame = {
+    graft.plans.VectorFunctions.register(embIn.sparkSession)
+    val emb = embIn.withColumn("ns", expr("vec_dot(embedding, embedding)"))
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"),
+      col("ns").as("nsa"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"),
+      col("ns").as("nsb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("score", round(
+        expr("vec_dot(va, vb)") /
+          (sqrt(col("nsa")) * sqrt(col("nsb"))), 6))
+      .where(col("score") >= threshold)
+      .select("a", "b", "score")
+      .orderBy("a", "b")
+  }
+
   /** Embedding-cosine near-dup pairs (threshold 0.4, exact). */
   val qSimCosineNearDup = Q(
     "q_sim_cosine_near_dup",
-    (s, dir) => {
-      graft.plans.VectorFunctions.register(s)
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("ns", expr("vec_dot(embedding, embedding)"))
-      val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"),
-        col("ns").as("nsa"))
-      val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"),
-        col("ns").as("nsb"))
-      a.join(b, col("a") < col("b"))
-        .withColumn("score", round(
-          expr("vec_dot(va, vb)") /
-            (sqrt(col("nsa")) * sqrt(col("nsb"))), 6))
-        .where(col("score") >= 0.4)
-        .select("a", "b", "score")
-        .orderBy("a", "b")
-    },
+    (s, dir) => cosineNearDupPairs(Tables.embeddings(s, dir), 0.4),
     Some("""SELECT x.vec_id AS a, y.vec_id AS b,
                    round(list_cosine_similarity(
                      CAST(x.embedding AS DOUBLE[]),
@@ -307,42 +312,51 @@ object Llm {
     * of ANY band (8 tables × 3 planes); exact cosine only on candidates.
     * No oracle (approximate); unit test checks recall vs brute force.
     */
+  /** Banded hyperplane-LSH near-dup pairs, parameterized over threshold and
+    * band shape. Pruning power grows with the similarity threshold: near
+    * θ≈90° (random) a 3-plane band passes ~1/8 of pairs, but at
+    * cos ≥ 0.95 (θ≤18°, the dedup regime) it passes ~0.9³ of true pairs
+    * while random pairs still pass at ~1/8 per band.
+    */
+  def cosineAnnLshPairs(embIn: DataFrame, threshold: Double,
+                        bands: Int = LshBands,
+                        rows: Int = LshRows): DataFrame = {
+    graft.plans.VectorFunctions.register(embIn.sparkSession)
+    val dims = 64
+    val emb = embIn.withColumn("ns", expr("vec_dot(embedding, embedding)"))
+    // band key = bit-fold of the r plane-projection signs — all codegen
+    val sigCols = (0 until bands).map { b =>
+      (0 until rows).map { r =>
+        val pl = lshPlane(b * rows + r, dims)
+        s"(CASE WHEN vec_dot(embedding, " +
+          s"CAST(array(${pl.mkString(",")}) AS ARRAY<DOUBLE>)) > 0 " +
+          s"THEN ${1 << (rows - 1 - r)} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+    val sig = emb
+      .withColumn("bands", expr(s"array(${sigCols.mkString(",")})"))
+      .select(col("vec_id"), col("embedding"), col("ns"),
+        posexplode(col("bands")))
+      .select(col("vec_id"), col("embedding"), col("ns"),
+        col("pos").as("band"), col("col").as("band_key"))
+    val a = sig.toDF("a", "va", "nsa", "band", "k1")
+    val b = sig.toDF("b", "vb", "nsb", "band_b", "k2")
+    // score on the banded matches directly (cheap with codegen dot), THEN
+    // dedup on the narrow (a, b, score) rows — no array shuffling through
+    // the distinct
+    a.join(b, col("band") === col("band_b") && col("k1") === col("k2") &&
+        col("a") < col("b"))
+      .withColumn("score", round(
+        expr("vec_dot(va, vb)") /
+          (sqrt(col("nsa")) * sqrt(col("nsb"))), 6))
+      .where(col("score") >= threshold)
+      .select("a", "b", "score").distinct()
+      .orderBy("a", "b")
+  }
+
   val qSimCosineAnnLsh = Q(
     "q_sim_cosine_ann_lsh",
-    (s, dir) => {
-      graft.plans.VectorFunctions.register(s)
-      val dims = 64
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("ns", expr("vec_dot(embedding, embedding)"))
-      // band key = bit-fold of the r plane-projection signs — all codegen
-      val sigCols = (0 until LshBands).map { b =>
-        (0 until LshRows).map { r =>
-          val pl = lshPlane(b * LshRows + r, dims)
-          s"(CASE WHEN vec_dot(embedding, " +
-            s"CAST(array(${pl.mkString(",")}) AS ARRAY<DOUBLE>)) > 0 " +
-            s"THEN ${1 << (LshRows - 1 - r)} ELSE 0 END)"
-        }.mkString("(", " + ", ")")
-      }
-      val sig = emb
-        .withColumn("bands", expr(s"array(${sigCols.mkString(",")})"))
-        .select(col("vec_id"), col("embedding"), col("ns"),
-          posexplode(col("bands")))
-        .select(col("vec_id"), col("embedding"), col("ns"),
-          col("pos").as("band"), col("col").as("band_key"))
-      val a = sig.toDF("a", "va", "nsa", "band", "k1")
-      val b = sig.toDF("b", "vb", "nsb", "band_b", "k2")
-      // score on the banded matches directly (cheap with codegen dot), THEN
-      // dedup on the narrow (a, b, score) rows — no array shuffling through
-      // the distinct
-      a.join(b, col("band") === col("band_b") && col("k1") === col("k2") &&
-          col("a") < col("b"))
-        .withColumn("score", round(
-          expr("vec_dot(va, vb)") /
-            (sqrt(col("nsa")) * sqrt(col("nsb"))), 6))
-        .where(col("score") >= 0.4)
-        .select("a", "b", "score").distinct()
-        .orderBy("a", "b")
-    },
+    (s, dir) => cosineAnnLshPairs(Tables.embeddings(s, dir), 0.4),
     None)
 
   /** IVF-style two-stage ANN (SURVEY.md §7.3): KMeans coarse quantizer →
