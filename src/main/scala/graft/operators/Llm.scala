@@ -494,6 +494,32 @@ object Llm {
                   FROM documents)
             ORDER BY doc_id"""))
 
+  /** Token counting two ways: whitespace and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other-glyphs — the shape a byte-pair
+    * pre-tokenizer produces). Both engines run the identical pattern.
+    */
+  val qTextTokenCount = Q(
+    "q_text_token_count",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_ws"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType)
+            .as("n_bpe"))
+        .withColumn("bpe_per_ws",
+          col("n_bpe").cast(DoubleType) / col("n_ws").cast(DoubleType))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+                   CAST(len(regexp_extract_all(text,
+                     '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+                   CAST(len(regexp_extract_all(text,
+                     '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                     AS bpe_per_ws
+            FROM documents ORDER BY doc_id"""))
+
   /** TF-IDF top term per doc. ln parity across engines is risky (§7.5) →
     * no oracle; ScalaTest golden covers it.
     */
@@ -588,6 +614,6 @@ object Llm {
   val all: Seq[Q] = Seq(
     qDedupExactHash, qDedupJaccardPairs, qDedupMinhashLsh, qDedupSimhash,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
-    qTextTokensTop, qTextLangStats, qTextQuality, qTextTfidfTop,
-    qTextFingerprint, qTextLangId)
+    qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
+    qTextTfidfTop, qTextFingerprint, qTextLangId)
 }
