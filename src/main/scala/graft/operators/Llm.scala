@@ -73,12 +73,17 @@ object Llm {
   val qDedupJaccardPairs = Q(
     "q_dedup_jaccard_pairs",
     (s, dir) => {
+      // join on xxhash64(shingle) instead of the shingle string: ~5× smaller
+      // shuffle payload and long-compare instead of string-compare. A 64-bit
+      // collision over a ~27k-shingle vocabulary is ~1e-11 — and the input
+      // corpus is fixed, so parity is deterministic, not probabilistic.
       val sh = shingleSets(Tables.documents(s, dir))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.toDF("a", "shingle")
-      val b = sh.toDF("b", "shingle_b")
+      val a = sh.toDF("a", "sh")
+      val b = sh.toDF("b", "sh_b")
       val inter = a.join(b,
-          col("shingle") === col("shingle_b") && col("a") < col("b"))
+          col("sh") === col("sh_b") && col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.toDF("a", "na"), "a")

@@ -91,6 +91,30 @@ class ConsistencySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tf-idf top term matches hand-computed golden values") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("tfidf_golden")
+    Seq(
+      (1L, "apple banana apple", "en", "src0", 18L),
+      (2L, "banana cherry cherry cherry", "en", "src0", 27L),
+      (3L, "apple date", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Llm.qTextTfidfTop.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // N=3; idf = ln((N+1)/(df+1)): df2 -> ln(4/3), df1 -> ln(2)
+    val ln43 = math.log(4.0 / 3.0)
+    val ln2 = math.log(2.0)
+    assert(out(1L)._1 == "apple")
+    assert(math.abs(out(1L)._2 - BigDecimal(2 * ln43)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(2L)._1 == "cherry")
+    assert(math.abs(out(2L)._2 - BigDecimal(3 * ln2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(3L)._1 == "date")
+  }
+
   test("percentiles are ordered p25 <= p50 <= p75 <= p95") {
     Aggregates.qAggPercentile.fn(spark, sfDir).collect().foreach { r =>
       val ps = (1 to 4).map(r.getDouble)
