@@ -112,7 +112,10 @@ object Scalars {
           when(col("l_quantity") === 0.0, lit(null).cast(DoubleType))
             .otherwise(col("l_extendedprice") / col("l_quantity"))
             .as("unit_px"))
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "unit_px"),
+        // total order over ALL output columns (§7.2 rule 1 — the natural
+        // key is not unique in this data)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "disc_pct",
+          "gap", "hi", "lo", "clamped", "unit_px"),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity,
                    round(l_discount * 100.0, 2) AS disc_pct,
                    abs(l_quantity - 25.0) AS gap,
@@ -122,7 +125,8 @@ object Scalars {
                    CASE WHEN l_quantity = 0.0 THEN NULL
                         ELSE l_extendedprice / l_quantity END AS unit_px
             FROM lineitem
-            ORDER BY l_orderkey, l_linenumber, l_quantity, unit_px"""))
+            ORDER BY l_orderkey, l_linenumber, l_quantity, disc_pct, gap,
+                     hi, lo, clamped, unit_px"""))
 
   /** CASE WHEN flag chains + coalesce (low-flag / imputed / subbed analog). */
   val qCondFlags = Q(

@@ -111,10 +111,14 @@ object Aggregates {
     "q_agg_rollup",
     (s, dir) => {
       // False positive: DetectAmbiguousSelfJoin flags rollup's Expand over a
-      // broadcast-join lineage even with freshly aliased columns. The oracle
-      // hash-compare still validates the resolved plan's values.
-      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      Tables.customer(s, dir)
+      // broadcast-join lineage even with freshly aliased columns. The check
+      // only fires at DataFrame construction, so disable it just while this
+      // plan is analyzed and restore the previous value — the shared session
+      // keeps the guard for every other query.
+      val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)),
@@ -129,6 +133,10 @@ object Aggregates {
           col("n"), col("bal"), col("gr"), col("gn"))
         .orderBy(col("gr"), col("gn"),
           col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     },
     Some(s"""SELECT r_name, n_name, count(*) AS n,
                     ${Det.sqlSum("c_acctbal")} AS bal,

@@ -383,9 +383,13 @@ object Llm {
         .withColumn("features",
           array_to_vector(col("embedding").cast("array<double>")))
         .withColumn("ns", expr("vec_dot(embedding, embedding)"))
-        .cache()
-      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
-        .fit(emb.select("features"))
+      // cache only the slim fit input for KMeans' iterations, and release
+      // it as soon as the model exists — nothing stays pinned in the shared
+      // session's storage memory
+      val fitInput = emb.select("features").cache()
+      val model =
+        try new KMeans().setK(k).setSeed(42L).setMaxIter(5).fit(fitInput)
+        finally fitInput.unpersist(blocking = false)
       val assigned = model.transform(emb)
         .select(col("vec_id"), col("embedding"), col("ns"),
           col("prediction").as("cell"))
@@ -595,12 +599,16 @@ object Llm {
           col("hits"))
         .orderBy("doc_id")
     },
-    Some("""WITH tok AS (SELECT DISTINCT doc_id,
-                           unnest(string_split(text, ' ')) AS tok
-                         FROM documents),
-                 tokall AS (SELECT doc_id,
-                              unnest(string_split(text, ' ')) AS tok
-                            FROM documents),
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, tok
+                         FROM (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS tok
+                               FROM documents)
+                         WHERE tok <> ''),
+                 tokall AS (SELECT doc_id, tok
+                            FROM (SELECT doc_id,
+                                    unnest(string_split(text, ' ')) AS tok
+                                  FROM documents)
+                            WHERE tok <> ''),
                  lt AS (SELECT d.lang, t.tok, count(*) AS n
                         FROM tokall t JOIN documents d USING (doc_id)
                         GROUP BY d.lang, t.tok),

@@ -51,8 +51,7 @@ object Multimodal {
       col("id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("id"), lit(3)) + 1).cast(IntegerType)).as("kind"),
-      unbase64(base64(sha2(col("id").cast("string"), 256).cast("binary")))
-        .as("media"),
+      sha2(col("id").cast("string"), 256).cast("binary").as("media"),
       struct(
         (pmod(col("id"), lit(1024)) + 16).cast(IntegerType).as("width"),
         (pmod(col("id") * 7, lit(768)) + 16).cast(IntegerType).as("height"),

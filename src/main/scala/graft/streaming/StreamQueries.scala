@@ -98,16 +98,30 @@ object StreamQueries {
   def dedupEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** t2 batch form uses a DETERMINISTIC survivor (row_number over a full
+    * ordering, §7.2 rule 3) so the oracle pair stays stable even if the
+    * fixtures ever grew duplicate event_ids with different payloads; the
+    * streaming surface remains `dedupEvents` (dropDuplicates within the
+    * watermark), where state-order semantics define the survivor.
+    */
   val qStreamDedupIds = Q(
     "q_stream_dedup_ids",
-    (s, dir) =>
-      dedupEvents(Tables.events(s, dir))
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("ts"), col("user_id"), col("event_type"), col("value"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sval"))
-        .orderBy("event_type"),
+        .orderBy("event_type")
+    },
     Some(s"""SELECT event_type, count(*) AS n, ${Det.sqlSum("value")} AS sval
-             FROM (SELECT DISTINCT ON (event_id) * FROM events
-                   ORDER BY event_id)
+             FROM (SELECT * FROM (SELECT *, row_number() OVER (
+                     PARTITION BY event_id
+                     ORDER BY ts, user_id, event_type, value) AS rn
+                   FROM events) WHERE rn = 1)
              GROUP BY event_type ORDER BY event_type"""))
 
   /** Arbitrary-stateful surface: running per-user totals via
