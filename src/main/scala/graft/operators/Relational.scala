@@ -341,9 +341,40 @@ object Relational {
               ON p.user_id = s.user_id AND p.ts >= s.ts
             ORDER BY p.event_id"""))
 
+  /** Range (interval) join: purchases within 1 hour after a signup of the
+    * same user. Equi component on user_id keeps it a hash/SMJ join with the
+    * time interval as a residual predicate — never a cross join. The
+    * band-limited window (1 h) is what bounds the pair fan-out at scale.
+    */
+  val qJoinRange = Q(
+    "q_join_range",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+          col("event_id").as("s_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"), col("value"))
+      signups.join(purchases,
+          col("s_user") === col("p_user") &&
+            col("p_ts") >= col("s_ts") &&
+            col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("s_user").as("user_id"), col("s_id"), col("p_id"),
+          col("s_ts"), col("p_ts"), col("value"))
+        .orderBy("user_id", "s_id", "p_id")
+    },
+    Some("""SELECT s.user_id, s.event_id AS s_id, p.event_id AS p_id,
+                   s.ts AS s_ts, p.ts AS p_ts, p.value
+            FROM (SELECT * FROM events WHERE event_type = 'signup') s
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON s.user_id = p.user_id
+             AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL '1 hour'
+            ORDER BY s.user_id, s_id, p_id"""))
+
   val all: Seq[Q] = Seq(
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
-    qJoinAsof)
+    qJoinAsof, qJoinRange)
 }
