@@ -168,6 +168,28 @@ object Aggregates {
             GROUP BY CUBE(yr, o_orderpriority)
             ORDER BY gy, gp, yr NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
+  /** Explicit GROUPING SETS (Spark 4 Dataset API): per-year totals and
+    * per-priority totals in one pass — the margins-only slice of the cube.
+    */
+  val qAggGroupingSets = Q(
+    "q_agg_grouping_sets",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .groupingSets(
+          Seq(Seq(col("yr")), Seq(col("o_orderpriority"))),
+          col("yr"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("yr").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some(s"""SELECT yr, o_orderpriority, count(*) AS n,
+                    ${Det.sqlSum("o_totalprice")} AS total
+             FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                          o_orderpriority, o_totalprice FROM orders)
+             GROUP BY GROUPING SETS ((yr), (o_orderpriority))
+             ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
   private val pivotYears = 1995 to 2001
 
   /** THE reference reshape: long→wide by year (tile attrs `er-00`…`er-16`).
@@ -276,6 +298,6 @@ object Aggregates {
 
   val all: Seq[Q] = Seq(
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
-    qAggCube, qAggPivot, qAggUnpivot, qAggPercentile, qAggMinmaxBbox,
-    qAggCollectSorted)
+    qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
+    qAggMinmaxBbox, qAggCollectSorted)
 }

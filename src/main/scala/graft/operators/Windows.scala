@@ -288,8 +288,35 @@ object Windows {
                   FROM orders)
             WHERE rn = 1 ORDER BY o_custkey, yr"""))
 
+  /** first_value/last_value over a full-partition frame: each customer's
+    * first and latest order attributes on every row (reference: carry a
+    * geography's first/latest observation year onto each stats row).
+    */
+  val qWinFirstLast = Q(
+    "q_win_first_last",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("first_date", first_value(col("o_orderdate")).over(w))
+        .withColumn("last_date", last_value(col("o_orderdate")).over(w))
+        .withColumn("first_key", first_value(col("o_orderkey")).over(w))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+                   first_value(o_orderdate) OVER w AS first_date,
+                   last_value(o_orderdate) OVER w AS last_date,
+                   first_value(o_orderkey) OVER w AS first_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey, o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
-    qWinRangeFrame, qSortMultikey, qTopkGlobal, qLimitOffset, qUnionShards,
-    qExceptMissing, qIntersectCommon, qDropdupSubset)
+    qWinRangeFrame, qWinFirstLast, qSortMultikey, qTopkGlobal, qLimitOffset,
+    qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset)
 }

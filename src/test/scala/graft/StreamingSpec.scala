@@ -143,6 +143,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("streaming parquet file sink: append windows land in files exactly once") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val dir = tmpDir("stream_sink")
+    val ms = MemoryStream[TestEv]
+    val q = StreamQueries.tumbling(
+        ms.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      ms.addData(TestEv(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+                 TestEv(2, t("2024-01-01 10:05:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      ms.addData(TestEv(3, t("2024-01-01 11:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(TestEv(4, t("2024-01-01 11:35:00"), 1, "click", 1.0))
+      q.processAllAvailable() // watermark closes [10:00, 11:00)
+      val rows = spark.read.parquet(s"$dir/out").collect()
+      assert(rows.length == 1 && rows(0).getAs[Long]("n") == 2)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val s = spark
     implicit val sql = s.sqlContext
