@@ -338,24 +338,29 @@ object Llm {
           s"THEN ${1 << (rows - 1 - r)} ELSE 0 END)"
       }.mkString("(", " + ", ")")
     }
+    // candidate generation on NARROW (id, band, key) rows — embeddings never
+    // enter the band shuffle; pairs are deduped before scoring so each
+    // candidate is scored exactly once, with vectors re-attached via
+    // broadcast (the per-id vector table is small relative to the pair set;
+    // at corpus scale this becomes two shuffle joins on vec_id)
     val sig = emb
       .withColumn("bands", expr(s"array(${sigCols.mkString(",")})"))
-      .select(col("vec_id"), col("embedding"), col("ns"),
-        posexplode(col("bands")))
-      .select(col("vec_id"), col("embedding"), col("ns"),
-        col("pos").as("band"), col("col").as("band_key"))
-    val a = sig.toDF("a", "va", "nsa", "band", "k1")
-    val b = sig.toDF("b", "vb", "nsb", "band_b", "k2")
-    // score on the banded matches directly (cheap with codegen dot), THEN
-    // dedup on the narrow (a, b, score) rows — no array shuffling through
-    // the distinct
-    a.join(b, col("band") === col("band_b") && col("k1") === col("k2") &&
-        col("a") < col("b"))
+      .select(col("vec_id"), posexplode(col("bands")))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("band_key"))
+    val cand = sig.toDF("a", "band", "k1")
+      .join(sig.toDF("b", "band_b", "k2"),
+        col("band") === col("band_b") && col("k1") === col("k2") &&
+          col("a") < col("b"))
+      .select("a", "b").distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"), col("ns"))
+    cand
+      .join(broadcast(vecs.toDF("a", "va", "nsa")), "a")
+      .join(broadcast(vecs.toDF("b", "vb", "nsb")), "b")
       .withColumn("score", round(
         expr("vec_dot(va, vb)") /
           (sqrt(col("nsa")) * sqrt(col("nsb"))), 6))
       .where(col("score") >= threshold)
-      .select("a", "b", "score").distinct()
+      .select("a", "b", "score")
       .orderBy("a", "b")
   }
 
