@@ -38,4 +38,23 @@ object Det {
     s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
   def sqlAvg(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)"
+
+  /** Portable 60-bit hash — the cross-engine determinism workhorse.
+    *
+    * Spark's native hashes (xxhash64, hash) have no DuckDB equivalent, so any
+    * sketch built on them can never get a DuckDB oracle. md5 exists in both
+    * engines with identical bytes-in/hex-out semantics; 15 hex chars = 60
+    * bits fits a signed BIGINT exactly in both. Spark spells the hex→int as
+    * `conv(...,16,10)`, DuckDB as `('0x'||...)::BIGINT` — same value.
+    */
+  def pHash60(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+  def sqlPHash60(e: String): String =
+    s"(('0x' || substr(md5(CAST(($e) AS VARCHAR)), 1, 15))::BIGINT)"
+
+  /** Portable 32-bit variant (fits exactly in a DOUBLE too). */
+  def pHash32(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 8), 16, 10).cast(LongType)
+  def sqlPHash32(e: String): String =
+    s"(('0x' || substr(md5(CAST(($e) AS VARCHAR)), 1, 8))::BIGINT)"
 }

@@ -266,22 +266,31 @@ object Aggregates {
                    round(quantile_cont(l_quantity, 0.95), 6) AS p95
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  /** Per-group min/max pairs packed into an array (bbox [w,s,e,n] analog). */
+  /** Per-group min/max pairs — bbox [w,s,e,n] analog. The corners are
+    * emitted as four scalar columns, not an ARRAY: the driver's compare
+    * loads results into pandas and list-typed cells crash its sort/hash
+    * step (round-1 lesson), and four named doubles carry the identical
+    * information.
+    */
   val qAggMinmaxBbox = Q(
     "q_agg_minmax_bbox",
     (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(array(min(col("l_quantity")), min(col("l_extendedprice")),
-                   max(col("l_quantity")), max(col("l_extendedprice")))
-          .as("bbox"))
+        .agg(min(col("l_quantity")).as("bb_w"),
+             min(col("l_extendedprice")).as("bb_s"),
+             max(col("l_quantity")).as("bb_e"),
+             max(col("l_extendedprice")).as("bb_n"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
-                   list_value(min(l_quantity), min(l_extendedprice),
-                              max(l_quantity), max(l_extendedprice)) AS bbox
+                   min(l_quantity) AS bb_w, min(l_extendedprice) AS bb_s,
+                   max(l_quantity) AS bb_e, max(l_extendedprice) AS bb_n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  /** Deterministic sorted list per group (typeahead index analog). */
+  /** Deterministic sorted list per group (typeahead index analog), emitted
+    * as a '|'-joined string — same reason as q_agg_minmax_bbox: list cells
+    * break the driver-side pandas hash.
+    */
   val qAggCollectSorted = Q(
     "q_agg_collect_sorted",
     (s, dir) =>
@@ -289,10 +298,12 @@ object Aggregates {
         .join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(sort_array(collect_list(col("c_name"))).as("names"),
+        .agg(array_join(sort_array(collect_list(col("c_name"))), "|")
+             .as("names"),
              count(lit(1)).as("n"))
         .orderBy("n_name"),
-    Some("""SELECT n_name, list_sort(list(c_name)) AS names, count(*) AS n
+    Some("""SELECT n_name, string_agg(c_name, '|' ORDER BY c_name) AS names,
+                   count(*) AS n
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name"""))
 

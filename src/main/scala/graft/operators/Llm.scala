@@ -559,20 +559,39 @@ object Llm {
     },
     None)
 
-  /** Document fingerprinting: winnowed rolling-hash (min shingle-hash per
-    * doc, k smallest) — deterministic xxhash64; no DuckDB oracle.
+  /** Document fingerprinting: min-hash sketch of the shingle set (8 smallest
+    * shingle hashes per doc), emitted as a comma-joined string. Hashing is
+    * the portable md5-60bit (Det.pHash60) so the identical sketch is
+    * computable in DuckDB — full oracle.
     */
   val qTextFingerprint = Q(
     "q_text_fingerprint",
     (s, dir) =>
       shingleSets(Tables.documents(s, dir))
-        .withColumn("h", xxhash64(col("shingle")))
+        .withColumn("h", Det.pHash60(col("shingle")))
         .groupBy("doc_id")
-        .agg(sort_array(slice(sort_array(collect_list(col("h"))), 1, 8))
+        .agg(array_join(slice(sort_array(collect_list(col("h"))), 1, 8), ",")
           .as("fingerprint"),
           count(lit(1)).as("n_shingles"))
         .orderBy("doc_id"),
-    None)
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents
+                        WHERE len(string_split(text, ' ')) >= 3),
+                  sh AS (SELECT DISTINCT doc_id,
+                           unnest([array_to_string(toks[i:i+2], ' ')
+                                   FOR i IN range(1, greatest(len(toks)-1, 1))])
+                             AS shingle
+                         FROM d),
+                  r AS (SELECT doc_id,
+                          ${Det.sqlPHash60("shingle")} AS h,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ${Det.sqlPHash60("shingle")}) AS rk
+                        FROM sh)
+             SELECT doc_id,
+                    string_agg(CASE WHEN rk <= 8 THEN CAST(h AS VARCHAR) END,
+                               ',' ORDER BY h) AS fingerprint,
+                    count(*) AS n_shingles
+             FROM r GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Language-ID heuristic: build per-language top-5 token profiles from
     * the corpus, then classify each doc by profile-token overlap
