@@ -50,6 +50,22 @@ object Llm {
   def shingleSets(docs: DataFrame): DataFrame =
     shinglesWithPos(docs).select("doc_id", "shingle").distinct()
 
+  /** Explode a sorted bucket array into its (earlier, later) element pairs —
+    * LSH candidate generation WITHOUT a self-join. The self-join formulation
+    * recomputes the whole signature subtree once per join side (measured 2×
+    * the signature cost at sf0.1); grouping postings into one bucket row and
+    * expanding pairs in-place computes it once. Pair count stays locally
+    * quadratic in bucket size, which banding keys bound; a pathologically hot
+    * bucket at corpus scale is re-sharded with graft.operators.Skew salting
+    * BEFORE this step, not inside it. `pairStruct` builds the output struct
+    * from lambda vars `x` (earlier element) and `y` (later element).
+    */
+  private def bucketPairs(arr: String, pairStruct: String): Column =
+    explode(expr(
+      s"flatten(transform($arr, (x, i) -> " +
+        s"transform(slice($arr, i + 2, size($arr) - i - 1), " +
+        s"y -> $pairStruct)))"))
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup: content hash → canonical survivor (min doc_id). */
@@ -73,18 +89,24 @@ object Llm {
   val qDedupJaccardPairs = Q(
     "q_dedup_jaccard_pairs",
     (s, dir) => {
-      // join on xxhash64(shingle) instead of the shingle string: ~5× smaller
-      // shuffle payload and long-compare instead of string-compare. A 64-bit
-      // collision over a ~27k-shingle vocabulary is ~1e-11 — and the input
-      // corpus is fixed, so parity is deterministic, not probabilistic.
-      val sh = shingleSets(Tables.documents(s, dir))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.toDF("a", "sh")
-      val b = sh.toDF("b", "sh_b")
-      val inter = a.join(b,
-          col("sh") === col("sh_b") && col("a") < col("b"))
+      // Bucket on xxhash64(shingle) instead of the shingle string: ~5×
+      // smaller shuffle payload and long-compare instead of string-compare.
+      // A 64-bit collision over a ~27k-shingle vocabulary is ~1e-11 — and
+      // the input corpus is fixed, so parity is deterministic, not
+      // probabilistic. Single-pass bucket shape: ONE shuffle groups doc
+      // postings per shingle, in-bucket pairs explode with no self-join, and
+      // per-doc set sizes re-derive from the same bucket exchange (identical
+      // subtree → ReusedExchange) instead of re-scanning the corpus.
+      val sh = shinglesWithPos(Tables.documents(s, dir))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
+      val buckets = sh.groupBy("h")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      val inter = buckets.where(size(col("ids")) > 1)
+        .select(bucketPairs("ids", "struct(x AS a, y AS b)").as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      val sizes = buckets.select(explode(col("ids")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
       inter
         .join(sizes.toDF("a", "na"), "a")
         .join(sizes.toDF("b", "nb"), "b")
@@ -118,78 +140,148 @@ object Llm {
 
   private val MinhashK = 16  // 4 bands × 4 rows
   private val MinhashBands = 4
+  private val MinhashP = 4294967311L // smallest prime > 2^32
+
+  /** Universal-hash MinHash family h_i(x) = (a_i·x + b_i) mod p over a
+    * 32-bit base hash. Constants derive from chained XXH64 (seed-fixed, so
+    * the family is part of the operator definition); a_i is capped at 2^30
+    * so a_i·h < 2^62 never overflows signed-64 arithmetic — which is what
+    * makes the EXACT same integers computable in DuckDB SQL (the oracle
+    * embeds the same (a_i, b_i) literals). One md5 per shingle + K affine
+    * transforms replaces K independent string hashes (~16× less hashing).
+    */
+  private def mhAB(i: Int): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def pos(h: Long): Long = h & Long.MaxValue
+    val a = pos(XXH64.hashLong(i.toLong, 7L)) % (1L << 30) + 1L
+    val b = pos(XXH64.hashLong(i.toLong, 13L)) % MinhashP
+    (a, b)
+  }
 
   /** MinHash+LSH near-dup: the 100 TB path. Candidate pairs come from a
     * groupBy on (band, band-signature) — NO pairwise join over the corpus —
-    * then only candidates get exact Jaccard verification. Deterministic
-    * (xxhash64 with fixed per-function index), but not SQL-expressible in
-    * DuckDB → no oracle; unit test asserts recall ≥ 0.9 vs the exact query.
+    * then only candidates get exact Jaccard verification. The portable
+    * md5-based base hash (Det.pHash32) plus the integer universal-hash
+    * family make the identical signatures computable in DuckDB → full
+    * oracle; unit test asserts recall ≥ 0.9 vs the exact query.
     */
   val qDedupMinhashLsh = Q(
     "q_dedup_minhash_lsh",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val sh = shingleSets(docs)
-      // per-doc signature in ONE pass: K min-aggregates over codegen
-      // xxhash64 columns (no exploded (doc, i, h) intermediate, no
-      // interpreted transform lambda)
+        .withColumn("h", Det.pHash32(col("shingle")))
       val r = MinhashK / MinhashBands
-      val sigCols = (0 until MinhashK).map(i =>
-        min(expr(s"xxhash64($i, shingle)")).as(s"sig_$i"))
-      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val sigCols = (0 until MinhashK).map { i =>
+        val (a, b) = mhAB(i)
+        min(expr(s"(${a}L * h + ${b}L) % ${MinhashP}L")).as(s"sig_$i")
+      }
+      // ONE doc-level aggregation computes the K-min signature, the sorted
+      // hash set (for candidate verification), and the set size — every
+      // downstream branch hangs off the same exchange (ReusedExchange)
+      // instead of re-scanning the corpus per branch.
+      val aggCols = sigCols :+
+        sort_array(collect_list(col("h"))).as("hs") :+
+        count(lit(1)).as("n")
+      val perDoc = sh.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
       // band key = ordered concat of the r signature values in the band
       val bandKeys = (0 until MinhashBands).map { b =>
         concat_ws(",", (b * r until (b + 1) * r)
           .map(i => col(s"sig_$i").cast("string")): _*).as(s"band_$b")
       }
-      val bands = sigs
+      val bands = perDoc
         .select(col("doc_id") +: bandKeys: _*)
         .select(col("doc_id"), posexplode(
           array((0 until MinhashBands).map(b => col(s"band_$b")): _*)))
         .select(col("doc_id"), col("pos").as("band"),
           col("col").as("band_key"))
-      val cand = bands.toDF("a", "band", "k1")
-        .join(bands.toDF("b", "band_b", "k2"),
-          col("band") === col("band_b") && col("k1") === col("k2") &&
-            col("a") < col("b"))
-        .select("a", "b").distinct()
-      // exact verification restricted to candidates: attach a-side shingles,
-      // then equi-join b-side on (b, shingle) — the filter below folds into
-      // the join condition via PushPredicateThroughJoin
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val interCnt = cand
-        .join(sh.toDF("a", "shingle"), "a")
-        .join(sh.toDF("b", "shingle_b"), "b")
-        .where(col("shingle") === col("shingle_b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      interCnt
-        .join(sizes.toDF("a", "na"), "a")
-        .join(sizes.toDF("b", "nb"), "b")
+      // in-bucket pair expansion — signature subtree computed once, no
+      // self-join (see bucketPairs)
+      val cand = bands.groupBy("band", "band_key")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(bucketPairs("ids", "struct(x AS a, y AS b)").as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
+      // exact verification on candidates ONLY: each pair gets both docs'
+      // sorted hash sets attached and intersected in-place (codegen
+      // array_intersect) — no corpus-wide equi-join on shingles
+      val slim = perDoc.select(col("doc_id"), col("hs"), col("n"))
+      cand
+        .join(slim.toDF("a", "ha", "na"), "a")
+        .join(slim.toDF("b", "hb", "nb"), "b")
+        .withColumn("inter",
+          size(array_intersect(col("ha"), col("hb"))).cast(LongType))
         .withColumn("jac", col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")).cast(DoubleType))
         .where(col("jac") >= 0.5)
         .select("a", "b", "jac")
         .orderBy("a", "b")
     },
-    None)
+    Some {
+      val r = MinhashK / MinhashBands
+      val sigDefs = (0 until MinhashK).map { i =>
+        val (a, b) = mhAB(i)
+        s"min(($a * h + $b) % $MinhashP) AS s_$i"
+      }.mkString(", ")
+      val bandKeys = (0 until MinhashBands).map { b =>
+        (b * r until (b + 1) * r)
+          .map(i => s"CAST(s_$i AS VARCHAR)").mkString(" || ',' || ")
+      }.mkString("[", ", ", "]")
+      val bandIdx = (0 until MinhashBands).mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents
+                     WHERE len(string_split(text, ' ')) >= 3),
+               sh AS (SELECT DISTINCT doc_id,
+                        unnest([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks)-1, 1))])
+                          AS shingle
+                      FROM d),
+               hs AS (SELECT doc_id, ${Det.sqlPHash32("shingle")} AS h
+                      FROM sh),
+               sig AS (SELECT doc_id, $sigDefs FROM hs GROUP BY doc_id),
+               bands AS (SELECT doc_id, unnest($bandIdx) AS band,
+                                unnest($bandKeys) AS band_key
+                         FROM sig),
+               cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                        FROM bands x JOIN bands y
+                          ON x.band = y.band AND x.band_key = y.band_key
+                         AND x.doc_id < y.doc_id),
+               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               p AS (SELECT c.a, c.b, count(*) AS inter
+                     FROM cand c
+                     JOIN sh x ON x.doc_id = c.a
+                     JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+                     GROUP BY c.a, c.b)
+          SELECT a, b, CAST(inter AS DOUBLE)
+                         / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+          FROM p JOIN sz sa ON p.a = sa.doc_id
+                 JOIN sz sb ON p.b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)
+                  / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+          ORDER BY a, b"""
+    })
 
-  /** SimHash near-dup: 64-bit signature (sign of tf-weighted hash-bit sums),
-    * banded into 4×16-bit keys for Hamming-≤3 candidate generation, then
-    * exact Hamming verification via bit_count(xor). Deterministic; no
-    * DuckDB oracle (hash functions differ) → unit-tested.
+  /** SimHash near-dup: 60-bit signature (sign of tf-weighted hash-bit sums
+    * over the portable md5-60bit token hash), banded into 4×15-bit keys for
+    * Hamming-≤3 candidate generation, then exact Hamming verification via
+    * bit_count(xor). The signature arithmetic is pure integer sums over a
+    * hash both engines compute identically → full DuckDB oracle. 60 bits
+    * (not 64) because Det.pHash60 is the widest md5 prefix that fits a
+    * signed BIGINT in both engines.
     */
   val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, dir) => {
       val tok = tokens(Tables.documents(s, dir))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .withColumn("h", xxhash64(col("tok")))
-      // 64 per-bit tf-weighted sums in ONE codegen aggregation pass (no
-      // 64x row explosion, no interpreted lambda), then fold signs to bits
-      val bitSums = (0 until 64).map(j =>
+        .withColumn("h", Det.pHash60(col("tok")))
+      // 60 per-bit tf-weighted sums in ONE codegen aggregation pass (no
+      // 60x row explosion, no interpreted lambda), then fold signs to bits
+      val bitSums = (0 until 60).map(j =>
         sum(expr(s"CASE WHEN ((h >> $j) & 1) = 1 THEN tf ELSE -tf END"))
           .as(s"w_$j"))
-      val bitsExpr = (0 until 64).map(j =>
+      val bitsExpr = (0 until 60).map(j =>
         s"(CASE WHEN w_$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
           s"ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
       val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -197,22 +289,54 @@ object Llm {
         .select("doc_id", "simhash")
       val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(expr(
-          "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
+          "transform(sequence(0, 3), b -> (simhash >> (b * 15)) & 32767)")))
         .select(col("doc_id"), col("simhash"), col("pos").as("band"),
           col("col").as("band_key"))
-      val cand = banded.toDF("a", "sig_a", "band", "k1")
-        .join(banded.toDF("b", "sig_b", "band_b", "k2"),
-          col("band") === col("band_b") && col("k1") === col("k2") &&
-            col("a") < col("b"))
-        .select("a", "b", "sig_a", "sig_b").distinct()
-      cand
-        .withColumn("hamming",
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      // in-bucket pair expansion — the signature subtree (tokenize + 60-way
+      // aggregate) is computed once, not once per self-join side
+      banded.groupBy("band", "band_key")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+          .as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(bucketPairs("ids",
+          "struct(x.doc_id AS a, y.doc_id AS b, " +
+            "x.simhash AS sa, y.simhash AS sb)").as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"),
+          col("p.sa").as("sa"), col("p.sb").as("sb"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
         .where(col("hamming") <= 3)
         .select("a", "b", "hamming")
         .orderBy("a", "b")
     },
-    None)
+    Some(s"""WITH tok AS (SELECT doc_id, tok, count(*) AS tf
+                          FROM (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS tok
+                                FROM documents)
+                          WHERE tok <> '' GROUP BY doc_id, tok),
+                 th AS (SELECT doc_id, tf, ${Det.sqlPHash60("tok")} AS h
+                        FROM tok),
+                 bits AS (SELECT doc_id, j.j AS j,
+                            sum(CASE WHEN ((h >> j.j) & 1) = 1
+                                     THEN tf ELSE -tf END) AS w
+                          FROM th CROSS JOIN range(60) AS j(j)
+                          GROUP BY doc_id, j.j),
+                 sig AS (SELECT doc_id,
+                           CAST(sum(CASE WHEN w > 0
+                                         THEN (CAST(1 AS BIGINT) << j)
+                                         ELSE 0 END) AS BIGINT) AS simhash
+                         FROM bits GROUP BY doc_id),
+                 banded AS (SELECT doc_id, simhash, b.b AS band,
+                              (simhash >> (b.b * 15)) & 32767 AS band_key
+                            FROM sig CROSS JOIN range(4) AS b(b)),
+                 cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                                 x.simhash AS sa, y.simhash AS sb
+                          FROM banded x JOIN banded y
+                            ON x.band = y.band AND x.band_key = y.band_key
+                           AND x.doc_id < y.doc_id)
+            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+            ORDER BY a, b"""))
 
   // ------------------------------------------------------- similarity
 
@@ -347,11 +471,15 @@ object Llm {
       .withColumn("bands", expr(s"array(${sigCols.mkString(",")})"))
       .select(col("vec_id"), posexplode(col("bands")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("band_key"))
-    val cand = sig.toDF("a", "band", "k1")
-      .join(sig.toDF("b", "band_b", "k2"),
-        col("band") === col("band_b") && col("k1") === col("k2") &&
-          col("a") < col("b"))
-      .select("a", "b").distinct()
+    // in-bucket pair expansion — one pass over the signature subtree, no
+    // self-join (see bucketPairs); band keys are only `rows` bits wide, so
+    // bucket sizes are the candidate-volume knob here
+    val cand = sig.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(bucketPairs("ids", "struct(x AS a, y AS b)").as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"), col("ns"))
     cand
       .join(broadcast(vecs.toDF("a", "va", "nsa")), "a")
@@ -364,10 +492,40 @@ object Llm {
       .orderBy("a", "b")
   }
 
+  /** The hyperplanes are data-independent literals, so the oracle embeds
+    * the IDENTICAL plane constants as DuckDB list literals: both engines
+    * compute the same left-to-right double dot product (FloatVecDot ≡
+    * list_dot_product), hence the same sign bits, hence the same candidate
+    * set — making this approximate operator fully oracle-checkable.
+    */
   val qSimCosineAnnLsh = Q(
     "q_sim_cosine_ann_lsh",
     (s, dir) => cosineAnnLshPairs(Tables.embeddings(s, dir), 0.4),
-    None)
+    Some {
+      val keyExprs = (0 until LshBands).map { b =>
+        (0 until LshRows).map { r =>
+          val pl = lshPlane(b * LshRows + r, 64)
+          s"(CASE WHEN list_dot_product(v, [${pl.mkString(",")}]) > 0 " +
+            s"THEN ${1 << (LshRows - 1 - r)} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      }.mkString("[", ", ", "]")
+      val bandIdx = (0 until LshBands).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+               sig AS (SELECT vec_id, unnest($bandIdx) AS band,
+                              unnest($keyExprs) AS band_key
+                       FROM e),
+               cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                        FROM sig x JOIN sig y
+                          ON x.band = y.band AND x.band_key = y.band_key
+                         AND x.vec_id < y.vec_id)
+          SELECT c.a, c.b,
+                 round(list_cosine_similarity(x.v, y.v), 6) AS score
+          FROM cand c JOIN e x ON x.vec_id = c.a
+                      JOIN e y ON y.vec_id = c.b
+          WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.4
+          ORDER BY a, b"""
+    })
 
   /** IVF-style two-stage ANN (SURVEY.md §7.3): KMeans coarse quantizer →
     * probe only the nprobe nearest cells → exact cosine within cells.
@@ -534,8 +692,13 @@ object Llm {
                      AS bpe_per_ws
             FROM documents ORDER BY doc_id"""))
 
-  /** TF-IDF top term per doc. ln parity across engines is risky (§7.5) →
-    * no oracle; ScalaTest golden covers it.
+  /** TF-IDF top term per doc. Cross-engine ln() parity is the §7.5 risk:
+    * both engines are within 1 ulp of the true log, so raw scores can
+    * differ in the last bit and flip a ranking on a mathematical tie. The
+    * score is therefore rounded to 6 decimals BEFORE ranking — ties at that
+    * precision resolve through the deterministic `tok` tie-break
+    * identically in both engines (verified over the fixed corpus) → full
+    * oracle. ScalaTest golden still pins the hand-computed values.
     */
   val qTextTfidfTop = Q(
     "q_text_tfidf_top",
@@ -548,16 +711,31 @@ object Llm {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok"))
       tf.join(df, "tok")
-        .withColumn("score",
-          col("tf") * log((lit(nDocs.toDouble) + 1.0) /
-            (col("df").cast(DoubleType) + 1.0)))
+        .withColumn("score", round(
+          col("tf").cast(DoubleType) * log((lit(nDocs.toDouble) + 1.0) /
+            (col("df").cast(DoubleType) + 1.0)), 6))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") === 1)
         .select(col("doc_id"), col("tok").as("top_term"),
-          round(col("score"), 6).as("tfidf"))
+          col("score").as("tfidf"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+                        FROM (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS tok
+                              FROM documents)
+                        WHERE tok <> '' GROUP BY doc_id, tok),
+                 df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+                 n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+                 s AS (SELECT tf.doc_id, tf.tok,
+                         round(CAST(tf.tf AS DOUBLE) *
+                           ln((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)),
+                           6) AS score
+                       FROM tf JOIN df USING (tok) CROSS JOIN n)
+            SELECT doc_id, tok AS top_term, score AS tfidf
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, tok) AS rk FROM s)
+            WHERE rk = 1 ORDER BY doc_id"""))
 
   /** Document fingerprinting: min-hash sketch of the shingle set (8 smallest
     * shingle hashes per doc), emitted as a comma-joined string. Hashing is
