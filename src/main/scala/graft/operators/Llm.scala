@@ -50,21 +50,59 @@ object Llm {
   def shingleSets(docs: DataFrame): DataFrame =
     shinglesWithPos(docs).select("doc_id", "shingle").distinct()
 
-  /** Explode a sorted bucket array into its (earlier, later) element pairs —
-    * LSH candidate generation WITHOUT a self-join. The self-join formulation
-    * recomputes the whole signature subtree once per join side (measured 2×
-    * the signature cost at sf0.1); grouping postings into one bucket row and
-    * expanding pairs in-place computes it once. Pair count stays locally
-    * quadratic in bucket size, which banding keys bound; a pathologically hot
-    * bucket at corpus scale is re-sharded with graft.operators.Skew salting
-    * BEFORE this step, not inside it. `pairStruct` builds the output struct
-    * from lambda vars `x` (earlier element) and `y` (later element).
+  /** Default bucket-size cap for LSH candidate generation. A bucket of size
+    * m yields m(m-1)/2 candidate pairs; a degenerate band key (all-zero
+    * vectors, a boilerplate-dominated corpus) can put millions of rows under
+    * ONE key, whose pair set is compute-death at 100 TB (10^12+ pairs) and
+    * carries almost no signal (a band that can't discriminate isn't evidence
+    * of similarity). Standard LSH practice is to drop oversized buckets; the
+    * cap is applied IDENTICALLY in the DuckDB oracles so parity is exact by
+    * construction, and at the test scale factors no bucket comes near it, so
+    * outputs are unchanged.
     */
-  private def bucketPairs(arr: String, pairStruct: String): Column =
-    explode(expr(
-      s"flatten(transform($arr, (x, i) -> " +
+  val MaxBucket = 4096
+
+  /** Expand each bucket's sorted element array into its (earlier, later)
+    * element pairs — LSH candidate generation WITHOUT a self-join. The
+    * self-join formulation recomputes the whole signature subtree once per
+    * join side (measured 2× the signature cost at sf0.1); grouping postings
+    * into one bucket row and expanding pairs in-place computes it once.
+    *
+    * Memory posture: expansion is TWO-STEP — posexplode to one row per
+    * bucket element first, then one slice/transform per element — so a row
+    * materializes at most O(|bucket|) pairs, never the O(|bucket|²) full
+    * pair set of the single-step flatten(transform(transform)) formulation
+    * (the round-2 OOM hazard). Buckets above `maxBucket` are dropped (see
+    * MaxBucket). `pairStruct` builds the output struct from the column `x`
+    * (earlier element) and lambda var `y` (later element); `keep` lists the
+    * bucket columns to carry alongside the pairs (e.g. the band index).
+    */
+  private def expandBucketPairs(buckets: DataFrame, arr: String,
+                                pairStruct: String, keep: Seq[String],
+                                maxBucket: Int = MaxBucket): DataFrame =
+    buckets
+      .where(size(col(arr)).between(2, maxBucket))
+      .select(keep.map(col) ++ Seq(col(arr), posexplode(col(arr))): _*)
+      .toDF(keep ++ Seq(arr, "i", "x"): _*)
+      .select(keep.map(col) :+ explode(expr(
         s"transform(slice($arr, i + 2, size($arr) - i - 1), " +
-        s"y -> $pairStruct)))"))
+          s"y -> $pairStruct)")).as("p"): _*)
+
+  /** First-collision filter — emits a candidate pair only from the FIRST
+    * band in which the two elements collide, making pairs unique BY
+    * CONSTRUCTION and eliminating the corpus-scale `distinct()` shuffle over
+    * the full candidate set (the dominant cost of the round-2 formulation:
+    * at sf0.1 the ANN query's candidate multiset is ~8× its distinct size).
+    * Requires columns `band` (0-based) and `ka`/`kb` (each element's full
+    * band-key array); a pair seen at band b is kept iff no earlier band
+    * key matches. slice(_, 1, 0) is the empty array, so band 0 needs no
+    * special case. Output set is IDENTICAL to distinct() — the oracles'
+    * SELECT DISTINCT self-join is unchanged.
+    */
+  private def firstCollisionOnly(pairs: DataFrame): DataFrame =
+    pairs.where(!expr(
+      "exists(zip_with(slice(ka, 1, band), slice(kb, 1, band), " +
+        "(p, q) -> p = q), v -> v)"))
 
   // ---------------------------------------------------------------- dedup
 
@@ -101,8 +139,11 @@ object Llm {
         .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
       val buckets = sh.groupBy("h")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      val inter = buckets.where(size(col("ids")) > 1)
-        .select(bucketPairs("ids", "struct(x AS a, y AS b)").as("p"))
+      // truth query: NO bucket cap (dropping a hot shingle would undercount
+      // `inter` and bias jac itself, not just recall) — the capped scale
+      // path is q_dedup_minhash_lsh
+      val inter = expandBucketPairs(buckets, "ids", "struct(x AS a, y AS b)",
+          Nil, maxBucket = Int.MaxValue)
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
       val sizes = buckets.select(explode(col("ids")).as("doc_id"))
@@ -196,16 +237,22 @@ object Llm {
         .select(col("doc_id"), col("pos").as("band"),
           col("col").as("band_key"))
       // in-bucket pair expansion — signature subtree computed once, no
-      // self-join (see bucketPairs)
-      val cand = bands.groupBy("band", "band_key")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .where(size(col("ids")) > 1)
-        .select(bucketPairs("ids", "struct(x AS a, y AS b)").as("p"))
+      // self-join (see expandBucketPairs); oversized buckets dropped, the
+      // cap mirrored in the oracle's bsz CTE
+      val cand = expandBucketPairs(
+          bands.groupBy("band", "band_key")
+            .agg(sort_array(collect_list(col("doc_id"))).as("ids")),
+          "ids", "struct(x AS a, y AS b)", Nil)
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .distinct()
       // exact verification on candidates ONLY: each pair gets both docs'
       // sorted hash sets attached and intersected in-place (codegen
-      // array_intersect) — no corpus-wide equi-join on shingles
+      // array_intersect) — no corpus-wide equi-join on shingles.
+      // The sets hold 32-bit hashes (pHash32, shared with the signatures),
+      // so `inter` can overcount on a hash collision: P ≈ n²/2³³ per doc
+      // pair (n = shingles per doc, ~50 here → ~3e-7). The oracle computes
+      // the same hashes, so parity is unaffected; a corpus with million-
+      // shingle docs should switch the verification sets to pHash60.
       val slim = perDoc.select(col("doc_id"), col("hs"), col("n"))
       cand
         .join(slim.toDF("a", "ha", "na"), "a")
@@ -243,10 +290,15 @@ object Llm {
                bands AS (SELECT doc_id, unnest($bandIdx) AS band,
                                 unnest($bandKeys) AS band_key
                          FROM sig),
+               bsz AS (SELECT band, band_key, count(*) AS m
+                       FROM bands GROUP BY band, band_key),
                cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                         FROM bands x JOIN bands y
                           ON x.band = y.band AND x.band_key = y.band_key
-                         AND x.doc_id < y.doc_id),
+                         AND x.doc_id < y.doc_id
+                        JOIN bsz s
+                          ON s.band = x.band AND s.band_key = x.band_key
+                         AND s.m <= $MaxBucket),
                sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
                p AS (SELECT c.a, c.b, count(*) AS inter
                      FROM cand c
@@ -293,14 +345,15 @@ object Llm {
         .select(col("doc_id"), col("simhash"), col("pos").as("band"),
           col("col").as("band_key"))
       // in-bucket pair expansion — the signature subtree (tokenize + 60-way
-      // aggregate) is computed once, not once per self-join side
-      banded.groupBy("band", "band_key")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-          .as("ids"))
-        .where(size(col("ids")) > 1)
-        .select(bucketPairs("ids",
+      // aggregate) is computed once, not once per self-join side; oversized
+      // buckets dropped, the cap mirrored in the oracle's bsz CTE
+      expandBucketPairs(
+          banded.groupBy("band", "band_key")
+            .agg(sort_array(
+              collect_list(struct(col("doc_id"), col("simhash")))).as("ids")),
+          "ids",
           "struct(x.doc_id AS a, y.doc_id AS b, " +
-            "x.simhash AS sa, y.simhash AS sb)").as("p"))
+            "x.simhash AS sa, y.simhash AS sb)", Nil)
         .select(col("p.a").as("a"), col("p.b").as("b"),
           col("p.sa").as("sa"), col("p.sb").as("sb"))
         .distinct()
@@ -329,11 +382,16 @@ object Llm {
                  banded AS (SELECT doc_id, simhash, b.b AS band,
                               (simhash >> (b.b * 15)) & 32767 AS band_key
                             FROM sig CROSS JOIN range(4) AS b(b)),
+                 bsz AS (SELECT band, band_key, count(*) AS m
+                         FROM banded GROUP BY band, band_key),
                  cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                                  x.simhash AS sa, y.simhash AS sb
                           FROM banded x JOIN banded y
                             ON x.band = y.band AND x.band_key = y.band_key
-                           AND x.doc_id < y.doc_id)
+                           AND x.doc_id < y.doc_id
+                          JOIN bsz s
+                            ON s.band = x.band AND s.band_key = x.band_key
+                           AND s.m <= $MaxBucket)
             SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
             ORDER BY a, b"""))
@@ -417,8 +475,21 @@ object Llm {
                     CAST(y.embedding AS DOUBLE[])), 6) >= 0.4
             ORDER BY a, b"""))
 
-  private val LshBands = 8   // hash tables
-  private val LshRows = 3    // hyperplanes per table
+  /** Band shape for the t2 ANN query (threshold 0.4). Tuned, not guessed:
+    * a pair at cosine s collides with one hyperplane with p = 1 - acos(s)/π,
+    * so the t2 pairs (measured scores 0.40–0.51 on the fixed corpus) have
+    * p ≈ 0.63–0.67 while random pairs sit at p ≈ 0.5 — a WEAK-signal regime.
+    * Recall over b bands of r planes is 1-(1-p^r)^b: at p=0.64, 20×5 gives
+    * ≈0.89 (measured 0.86–0.92 across sf), while the naive "16 planes per
+    * band" dedup shape would collapse it to 1-(1-0.64^16)^20 ≈ 0.02. Bucket
+    * width is the scale knob: 5-bit keys cut expected bucket size 4× and
+    * candidate volume ~2× vs the round-2 3-bit shape. At corpus scale, hold
+    * expected occupancy N/2^r constant by growing r ~ log2(N) and
+    * re-balancing b for the target recall — both are parameters of
+    * cosineAnnLshPairs; the t2 constants pin the oracle's plane literals.
+    */
+  private val LshBands = 20  // hash tables
+  private val LshRows = 5    // hyperplanes per table
 
   /** Hyperplane component (plane p, dim d) ∈ [-0.5, 0.5): deterministic
     * pseudo-random family from chained XXH64 (seed 42). Planes are
@@ -435,17 +506,25 @@ object Llm {
     }
   }
 
-  /** LSH-bucketed ANN (banded random-hyperplane signs): the scale path for
-    * similarity search. Deterministic pseudo-random hyperplanes from
-    * xxhash64(plane, dim); a pair is a candidate if it agrees on all signs
-    * of ANY band (8 tables × 3 planes); exact cosine only on candidates.
-    * No oracle (approximate); unit test checks recall vs brute force.
-    */
-  /** Banded hyperplane-LSH near-dup pairs, parameterized over threshold and
-    * band shape. Pruning power grows with the similarity threshold: near
-    * θ≈90° (random) a 3-plane band passes ~1/8 of pairs, but at
-    * cos ≥ 0.95 (θ≤18°, the dedup regime) it passes ~0.9³ of true pairs
-    * while random pairs still pass at ~1/8 per band.
+  /** Banded hyperplane-LSH near-dup pairs (the ANN scale path),
+    * parameterized over threshold and band shape (see the LshBands note for
+    * the tuning math). Deterministic pseudo-random hyperplanes from
+    * xxhash64(plane, dim); a pair is a candidate if it agrees on all
+    * projection signs of ANY band; exact cosine only on candidates.
+    *
+    * Shape at scale:
+    *  - candidate generation runs on NARROW (id, band, key, keys) rows —
+    *    embeddings never enter the band shuffle;
+    *  - oversized buckets are dropped (expandBucketPairs cap), so a
+    *    degenerate band key cannot expand quadratically;
+    *  - each surviving pair is emitted from its FIRST colliding band only
+    *    (firstCollisionOnly), so candidates are unique by construction and
+    *    the corpus-wide distinct() shuffle of the round-2 formulation is
+    *    gone — at sf0.1 the candidate multiset was ~8× its distinct size;
+    *  - the vector re-attach carries NO broadcast hint: Catalyst/AQE picks
+    *    BHJ while the per-id vector table fits the broadcast threshold and
+    *    falls back to shuffle joins at corpus scale, where broadcasting the
+    *    full embedding table is exactly what cannot happen.
     */
   def cosineAnnLshPairs(embIn: DataFrame, threshold: Double,
                         bands: Int = LshBands,
@@ -453,37 +532,40 @@ object Llm {
     graft.plans.VectorFunctions.register(embIn.sparkSession)
     val dims = 64
     val emb = embIn.withColumn("ns", expr("vec_dot(embedding, embedding)"))
-    // band key = bit-fold of the r plane-projection signs — all codegen
-    val sigCols = (0 until bands).map { b =>
-      (0 until rows).map { r =>
-        val pl = lshPlane(b * rows + r, dims)
-        s"(CASE WHEN vec_dot(embedding, " +
-          s"CAST(array(${pl.mkString(",")}) AS ARRAY<DOUBLE>)) > 0 " +
-          s"THEN ${1 << (rows - 1 - r)} ELSE 0 END)"
-      }.mkString("(", " + ", ")")
-    }
-    // candidate generation on NARROW (id, band, key) rows — embeddings never
-    // enter the band shuffle; pairs are deduped before scoring so each
-    // candidate is scored exactly once, with vectors re-attached via
-    // broadcast (the per-id vector table is small relative to the pair set;
-    // at corpus scale this becomes two shuffle joins on vec_id)
+    // band keys = bit-folds of the plane-projection signs, all computed by
+    // ONE native expression (HyperplaneBandKeys) whose generated code loops
+    // over a plane matrix shipped as a codegen reference — NOT an
+    // expr()-string of bands×rows CASE WHENs, whose ~6 400-leaf tree cost
+    // ~3.5 s of analysis+janino per query at 20×5. Sign parity with the
+    // oracle holds because the expression folds each dot left-to-right over
+    // the same literals as DuckDB's list_dot_product: the IEEE sums are
+    // bit-identical, so the >0 tests agree even within an ulp of zero.
+    // Reordered summation (SIMD trees) would break that — doc'd on
+    // HyperplaneBandKeys as a contract.
+    val keysFn = graft.plans.VectorFunctions.registerLshKeys(
+      embIn.sparkSession,
+      (0 until bands * rows).map(p => lshPlane(p, dims)), rows)
     val sig = emb
-      .withColumn("bands", expr(s"array(${sigCols.mkString(",")})"))
-      .select(col("vec_id"), posexplode(col("bands")))
-      .select(col("vec_id"), col("pos").as("band"), col("col").as("band_key"))
-    // in-bucket pair expansion — one pass over the signature subtree, no
-    // self-join (see bucketPairs); band keys are only `rows` bits wide, so
-    // bucket sizes are the candidate-volume knob here
-    val cand = sig.groupBy("band", "band_key")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(bucketPairs("ids", "struct(x AS a, y AS b)").as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+      .withColumn("keys", expr(s"$keysFn(embedding)"))
+      .select(col("vec_id"), col("keys"), posexplode(col("keys")))
+      .select(col("vec_id"), col("keys"), col("pos").as("band"),
+        col("col").as("band_key"))
+    // each bucket element carries its full band-key array (b small ints) so
+    // the first-collision filter needs no extra join back to the signatures
+    val buckets = sig.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("keys"))))
+        .as("ids"))
+    val cand = firstCollisionOnly(
+      expandBucketPairs(buckets, "ids",
+        "struct(x.vec_id AS a, y.vec_id AS b, x.keys AS ka, y.keys AS kb)",
+        Seq("band"))
+        .select(col("band"), col("p.a").as("a"), col("p.b").as("b"),
+          col("p.ka").as("ka"), col("p.kb").as("kb")))
+      .select("a", "b")
     val vecs = emb.select(col("vec_id"), col("embedding"), col("ns"))
     cand
-      .join(broadcast(vecs.toDF("a", "va", "nsa")), "a")
-      .join(broadcast(vecs.toDF("b", "vb", "nsb")), "b")
+      .join(vecs.toDF("a", "va", "nsa"), "a")
+      .join(vecs.toDF("b", "vb", "nsb"), "b")
       .withColumn("score", round(
         expr("vec_dot(va, vb)") /
           (sqrt(col("nsa")) * sqrt(col("nsb"))), 6))
@@ -496,7 +578,10 @@ object Llm {
     * the IDENTICAL plane constants as DuckDB list literals: both engines
     * compute the same left-to-right double dot product (FloatVecDot ≡
     * list_dot_product), hence the same sign bits, hence the same candidate
-    * set — making this approximate operator fully oracle-checkable.
+    * set — making this approximate operator fully oracle-checkable. The
+    * oracle also mirrors the two structural guards exactly: a pair counts
+    * only at its FIRST colliding band (rn = 1 ≡ firstCollisionOnly) and
+    * only if that band's bucket is within the cap (bsz ≡ expandBucketPairs).
     */
   val qSimCosineAnnLsh = Q(
     "q_sim_cosine_ann_lsh",
@@ -515,10 +600,20 @@ object Llm {
                sig AS (SELECT vec_id, unnest($bandIdx) AS band,
                               unnest($keyExprs) AS band_key
                        FROM e),
-               cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               bsz AS (SELECT band, band_key, count(*) AS m
+                       FROM sig GROUP BY band, band_key),
+               coll AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                               x.band AS band, x.band_key AS band_key,
+                               row_number() OVER (
+                                 PARTITION BY x.vec_id, y.vec_id
+                                 ORDER BY x.band) AS rn
                         FROM sig x JOIN sig y
                           ON x.band = y.band AND x.band_key = y.band_key
-                         AND x.vec_id < y.vec_id)
+                         AND x.vec_id < y.vec_id),
+               cand AS (SELECT c.a, c.b
+                        FROM coll c JOIN bsz s
+                          ON s.band = c.band AND s.band_key = c.band_key
+                        WHERE c.rn = 1 AND s.m <= $MaxBucket)
           SELECT c.a, c.b,
                  round(list_cosine_similarity(x.v, y.v), 6) AS score
           FROM cand c JOIN e x ON x.vec_id = c.a
@@ -704,15 +799,19 @@ object Llm {
     "q_text_tfidf_top",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val nDocs = docs.count()
+      // corpus size folds into the plan as a one-row aggregate cross-joined
+      // in (a 1-row broadcast NL join), mirroring the oracle's CROSS JOIN n
+      // — NOT an eager driver-side count(), which would cost one extra full
+      // corpus pass per build at scale
+      val nd = docs.agg(count(lit(1)).cast(DoubleType).as("nd"))
       val tf = tokens(docs).groupBy("doc_id", "tok")
         .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok"))
-      tf.join(df, "tok")
+      tf.join(df, "tok").crossJoin(nd)
         .withColumn("score", round(
-          col("tf").cast(DoubleType) * log((lit(nDocs.toDouble) + 1.0) /
+          col("tf").cast(DoubleType) * log((col("nd") + 1.0) /
             (col("df").cast(DoubleType) + 1.0)), 6))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") === 1)

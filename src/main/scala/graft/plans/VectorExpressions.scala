@@ -85,11 +85,137 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane-LSH band keys of one vector in ONE expression node.
+  *
+  * The expr()-string formulation (bands × rows CASE WHENs, each with a
+  * 64-double array literal) builds a ~6 400-leaf expression tree whose
+  * analysis + constant folding + janino compile cost ~3.5 s PER QUERY at
+  * 20×5 — a fixed driver-side tax that dwarfed the actual scan at bench
+  * scale. Here the plane matrix rides along as a codegen reference object
+  * (`references[i]`, not generated source), so the generated code is one
+  * small triple loop regardless of band shape.
+  *
+  * Key k(b) folds the r projection signs big-endian:
+  * bit (rows-1-r) set iff dot(v, plane(b·rows+r)) > 0. Each dot is the same
+  * sequential left-to-right double fold as FloatVecDot, so the sign bits —
+  * and hence the candidate set — stay bit-identical to the DuckDB oracle's
+  * list_dot_product over the same plane literals (§7.2 parity contract:
+  * no SIMD/tree reordering).
+  */
+case class HyperplaneBandKeys(child: Expression,
+                              planes: Seq[Seq[Double]],
+                              rows: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def bands: Int = planes.length / rows
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+
+  private def elemType: Option[DataType] = child.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemType.isDefined && planes.nonEmpty && planes.length % rows == 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float|double> input and " +
+          s"planes.length a multiple of rows, got ${child.dataType.sql}")
+
+  /** Java-shaped copy for both eval modes (and the codegen reference). */
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat = elemType.contains(FloatType)
+    val keys = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0
+      var r = 0
+      while (r < rows) {
+        val pl = planeArr(b * rows + r)
+        val n = math.min(v.numElements(), pl.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) *
+            pl(i)
+          i += 1
+        }
+        if (acc > 0) key += 1 << (rows - 1 - r)
+        r += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.addReferenceObj("lshPlanes", planeArr, "double[][]")
+      val keys = ctx.freshName("keys")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val pl = ctx.freshName("pl")
+      val key = ctx.freshName("key")
+      val get = if (elemType.contains(FloatType))
+        s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int[] $keys = new int[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  int $key = 0;
+         |  for (int $r = 0; $r < $rows; $r++) {
+         |    double[] $pl = $p[$b * $rows + $r];
+         |    int $n = java.lang.Math.min($v.numElements(), $pl.length);
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $get * $pl[$i];
+         |    }
+         |    if ($acc > 0) $key += (1 << ($rows - 1 - $r));
+         |  }
+         |  $keys[$b] = $key;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBandKeys = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Make `vec_dot` callable from expr()/SQL in this session. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", args => FloatVecDot(args(0), args(1)), "built-in")
+
+  /** Register a band-shape-specific `lsh_keys_<bands>_<rows>` function with
+    * the plane matrix baked in (SQL functions can't take a matrix argument).
+    * Idempotent per shape; name-spaced by shape so two shapes can coexist
+    * in one session.
+    */
+  def registerLshKeys(spark: SparkSession, planes: Seq[Seq[Double]],
+                      rows: Int): String = {
+    val name = s"lsh_keys_${planes.length / rows}_$rows"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, args => HyperplaneBandKeys(args(0), planes, rows), "built-in")
+    name
+  }
 }
 
 /** SparkSessionExtensions entry point — the idiomatic deployment path:
