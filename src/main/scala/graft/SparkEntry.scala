@@ -9,7 +9,7 @@ object SparkEntry {
   /** All implemented capabilities, one Q per SURVEY.md §2 row. */
   private def allQueries: Seq[Q] =
     Relational.all ++ Aggregates.all ++ Windows.all ++ Scalars.all ++
-      StreamQueries.all ++ Llm.all ++ Udx.all
+      StreamQueries.all ++ Llm.all ++ Udx.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

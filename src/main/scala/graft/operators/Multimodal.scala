@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Q
+import graft.sources.Tables
 
 /** Multimodal (image/audio/video) column design — SURVEY.md §2.J design row.
   *
@@ -114,4 +116,101 @@ object Multimodal {
       }
     }
   }
+
+  /** Deterministic corpus-derived asset table in the full assetSchema shape:
+    * one asset per document, media = the md5 hex digest of the text as
+    * bytes (a stand-in payload BOTH engines can derive — there's no real
+    * media in the container), meta from the doc id. This is the t2-visible
+    * bridge from the driver's tables to the multimodal pipeline.
+    */
+  def assetsFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("kind"),
+      md5(col("text")).cast("binary").as("media"),
+      struct(
+        (pmod(col("doc_id"), lit(1024)) + 16).cast(IntegerType).as("width"),
+        (pmod(col("doc_id") * 7, lit(768)) + 16).cast(IntegerType)
+          .as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(col("doc_id"), lit(30000)) + 1000).as("duration_ms"))
+        .as("meta"))
+
+  /** Output row of the t2 featurization query. */
+  final case class FeatRow(asset_id: Long, kind: String, width: Int,
+                           height: Int, out_w: Int, out_h: Int,
+                           n_bytes: Int, feat: String)
+
+  /** The t2 multimodal query: decode (STUB kernel) + featurize + resize
+    * metadata over corpus-derived assets, through the REAL pipeline seams —
+    * BinaryType payload column, repartition by asset_id, typed
+    * Dataset[Asset], batched mapPartitions (the codec context would open
+    * once per partition iterator).
+    *
+    * Featurization here is an integer byte-fold (bin j sums payload bytes
+    * at positions ≡ j mod 8) rather than decodeStub's float accumulation:
+    * exact integers make the identical feature vector computable in DuckDB
+    * (ascii() over the same md5 hex chars) → full oracle for the one
+    * mandated component that previously had none. The resize math is a
+    * single IEEE divide + multiply + ceil in both engines.
+    */
+  val qMultimodalFeatures = Q(
+    "q_multimodal_features",
+    (s, dir) => {
+      import s.implicits._
+      val dim = 8
+      val maxSide = 256.0
+      assetsFromDocuments(s, dir)
+        .repartition(col("asset_id"))
+        .as[Asset]
+        .mapPartitions { it =>
+          // per-partition setup (codec init) would go here — once per batch
+          it.map { a =>
+            val sums = new Array[Long](dim)
+            var i = 0
+            while (i < a.media.length) {
+              sums(i % dim) += (a.media(i) & 0xff)
+              i += 1
+            }
+            val w = a.meta.width.getOrElse(0)
+            val h = a.meta.height.getOrElse(0)
+            val scale = math.min(1.0, maxSide / math.max(w, h))
+            FeatRow(a.asset_id, a.kind, w, h,
+              math.ceil(w * scale).toInt, math.ceil(h * scale).toInt,
+              a.media.length, sums.mkString(","))
+          }
+        }
+        .toDF()
+        .orderBy("asset_id")
+    },
+    Some("""WITH a AS (SELECT doc_id AS asset_id,
+                              (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+                                AS kind,
+                              md5(text) AS h,
+                              CAST(doc_id % 1024 + 16 AS INT) AS width,
+                              CAST((doc_id * 7) % 768 + 16 AS INT) AS height
+                       FROM documents),
+                 f AS (SELECT asset_id, CAST(i.i % 8 AS INT) AS j,
+                              sum(ascii(substr(h, CAST(i.i AS INT) + 1, 1)))
+                                AS s
+                       FROM a CROSS JOIN range(32) AS i(i)
+                       GROUP BY 1, 2),
+                 feat AS (SELECT asset_id,
+                                 string_agg(CAST(s AS VARCHAR), ','
+                                            ORDER BY j) AS feat
+                          FROM f GROUP BY asset_id)
+            SELECT a.asset_id, a.kind, a.width, a.height,
+                   CAST(ceil(a.width *
+                     least(1.0, 256.0 / greatest(a.width, a.height)))
+                     AS INT) AS out_w,
+                   CAST(ceil(a.height *
+                     least(1.0, 256.0 / greatest(a.width, a.height)))
+                     AS INT) AS out_h,
+                   CAST(length(a.h) AS INT) AS n_bytes,
+                   f.feat
+            FROM a JOIN feat f USING (asset_id)
+            ORDER BY asset_id"""))
+
+  val all: Seq[Q] = Seq(qMultimodalFeatures)
 }

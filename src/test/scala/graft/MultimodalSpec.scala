@@ -41,6 +41,20 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("t2 featurization query: one row per document, 8 integer bins") {
+    val out = Multimodal.qMultimodalFeatures.fn(spark, sfDir).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(out.length == nDocs)
+    out.foreach { r =>
+      val bins = r.getAs[String]("feat").split(",")
+      assert(bins.length == 8)
+      // md5 hex chars are 0-9a-f (ascii 48..102); 4 chars per bin
+      bins.foreach(b => assert(b.toLong >= 4 * 48 && b.toLong <= 4 * 102))
+      assert(r.getAs[Int]("out_w") <= 256 + 1)
+      assert(r.getAs[Int]("n_bytes") == 32)
+    }
+  }
+
   test("frame sampling yields duration/stride rows per video asset") {
     val frames = Multimodal.sampleFrames(assets, strideMs = 1000)
     val counts = frames.groupBy("asset_id").count().collect()
