@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
 import graft.functions.{Scalars, Udx}
+import graft.sources.{Bucketing, SourcesSinks}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -9,7 +10,8 @@ object SparkEntry {
   /** All implemented capabilities, one Q per SURVEY.md §2 row. */
   private def allQueries: Seq[Q] =
     Relational.all ++ Aggregates.all ++ Windows.all ++ Scalars.all ++
-      StreamQueries.all ++ Llm.all ++ Udx.all ++ Multimodal.all
+      StreamQueries.all ++ Llm.all ++ Udx.all ++ Multimodal.all ++
+      SourcesSinks.all ++ Skew.all ++ Bucketing.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

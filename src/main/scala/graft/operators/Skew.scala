@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.{Det, Q}
+import graft.sources.Tables
 
 /** Skew mitigation — SURVEY.md §7.3's salting recipe as code.
   *
@@ -54,4 +56,28 @@ object Skew {
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(key))
       .agg(sum(col("_partial")).as(resultName))
+
+  /** q_join_inner through the salted path: same semantics, same oracle —
+    * salting is a pure partitioning change, so the DuckDB SQL is the plain
+    * join. The 8-way salt spreads every l_orderkey over 8 shuffle
+    * partitions; SkewSpec additionally asserts row-identity against the
+    * unsalted join at the row level.
+    */
+  val qJoinInnerSalted = Q(
+    "q_join_inner_salted",
+    (s, dir) =>
+      saltedInnerJoin(
+        Tables.lineitem(s, dir),
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_extendedprice")).as("sum_px"))
+        .orderBy("o_orderpriority"),
+    Some(s"""SELECT o_orderpriority, count(*) AS n,
+                    ${Det.sqlSum("l_extendedprice")} AS sum_px
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(qJoinInnerSalted)
 }

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Q}
 
 /** Bucketed co-located joins — SURVEY.md §2/§7.3 "pre-partitioning" path.
   *
@@ -26,4 +28,35 @@ object Bucketing {
                    leftKey: String, rightKey: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable),
       spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+
+  /** q_join_inner through the bucketed path: pre-partition both fact sides
+    * bucketed+sorted on the join key (the one-time cost a 100 TB pipeline
+    * pays once per ingest), then the same join/aggregate runs with NO join
+    * exchange and NO join sort — BucketingSpec plan-asserts it. Same oracle
+    * as q_join_inner: bucketing is a pure physical-layout change. Table
+    * names are fixed; the driver runs queries sequentially (same contract
+    * as the session-conf toggles documented in Aggregates/Tables).
+    */
+  val qJoinBucketed = Q(
+    "q_join_bucketed",
+    (s, dir) => {
+      writeBucketed(Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice"),
+        "graft_li_bkt", "l_orderkey", buckets = 8)
+      writeBucketed(Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority"),
+        "graft_o_bkt", "o_orderkey", buckets = 8)
+      bucketedJoin(s, "graft_li_bkt", "graft_o_bkt",
+        "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_extendedprice")).as("sum_px"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n,
+                    ${Det.sqlSum("l_extendedprice")} AS sum_px
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(qJoinBucketed)
 }

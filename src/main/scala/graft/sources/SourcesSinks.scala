@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
+import graft.Q
 
 /** File-format sources and sinks — SURVEY.md §2.A (○ unit-tested surface).
   *
@@ -73,7 +74,82 @@ object SourcesSinks {
   def writeFeatureRows(features: DataFrame, path: String): Unit =
     features.write.mode("overwrite").text(path)
 
+  /** Full schema of one Feature row as toFeatureRows emits it. */
+  def featureSchema(idType: DataType, propSchema: StructType): StructType =
+    StructType(Seq(
+      StructField("type", StringType),
+      StructField("id", idType),
+      StructField("properties", propSchema),
+      StructField("geometry", StructType(Seq(
+        StructField("type", StringType),
+        StructField("coordinates",
+          org.apache.spark.sql.types.ArrayType(DoubleType)))))))
+
+  /** Parse a column of Feature JSON strings back into the modeled columns —
+    * the inverse of toFeatureRows, as a plain projection so it composes
+    * into any query plan (one codegen stage, no shuffle). `jsonCol` is the
+    * string column; output = id, the flattened property columns, x, y.
+    */
+  def parseFeatureRows(df: DataFrame, jsonCol: String, idType: DataType,
+                       propSchema: StructType): DataFrame =
+    df.select(from_json(col(jsonCol),
+        featureSchema(idType, propSchema)).as("f"))
+      .select(col("f.id").as("id") +:
+        propSchema.fieldNames.toSeq.map(n => col(s"f.properties.$n")) :+
+        element_at(col("f.geometry.coordinates"), 1).as("x") :+
+        element_at(col("f.geometry.coordinates"), 2).as("y"): _*)
+
+  /** GeoJSON-ish NDJSON feature SOURCE: read what writeFeatureRows wrote
+    * (or any external per-line Feature file) back into typed columns. The
+    * reference's flagship flow STARTS from geography feature files, so the
+    * engine must ingest them, not only emit them.
+    */
+  def readFeatureRows(spark: SparkSession, path: String, idType: DataType,
+                      propSchema: StructType): DataFrame =
+    parseFeatureRows(spark.read.text(path), "value", idType, propSchema)
+
   /** Parquet sink (the Verify path itself uses this). */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** The t2 geo query: build Feature rows from nation×region with
+    * deterministic point coordinates, serialize with toFeatureRows, parse
+    * them BACK with parseFeatureRows (the full sink→source round trip,
+    * inside one plan), then aggregate a per-region bounding box. The
+    * coordinates are exact binary fractions (k + 0.5) so the JSON text
+    * round trip is value-exact and the oracle — which computes the same
+    * bbox directly, JSON being Spark plumbing — hash-matches.
+    */
+  val qGeoBboxRoundtrip = Q(
+    "q_geo_bbox_roundtrip",
+    (s, dir) => {
+      val joined = Tables.nation(s, dir)
+        .join(Tables.region(s, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").cast(LongType).as("feat_id"),
+          col("n_name"), col("r_name"),
+          (col("n_nationkey") * 7 % 360 - 180 + 0.5).as("x"),
+          (col("n_nationkey") * 13 % 180 - 90 + 0.5).as("y"))
+      val features = toFeatureRows(joined, "feat_id", "x", "y",
+        Seq("n_name", "r_name"))
+      val propSchema = StructType(Seq(
+        StructField("n_name", StringType), StructField("r_name", StringType)))
+      parseFeatureRows(features, "feature", LongType, propSchema)
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_feat"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, count(*) AS n_feat,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y
+            FROM (SELECT r.r_name,
+                         (n.n_nationkey * 7) % 360 - 180 + 0.5 AS x,
+                         (n.n_nationkey * 13) % 180 - 90 + 0.5 AS y
+                  FROM nation n JOIN region r
+                    ON n.n_regionkey = r.r_regionkey)
+            GROUP BY r_name ORDER BY r_name"""))
+
+  val all: Seq[Q] = Seq(qGeoBboxRoundtrip)
 }

@@ -30,4 +30,22 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("t2 q_join_bucketed: join stage has no exchange, agg result sane") {
+    try {
+      val df = Bucketing.qJoinBucketed.fn(spark, sfDir)
+      // the ONLY exchanges allowed are the bounded post-join aggregate and
+      // the final sort — the join itself must read buckets pairwise
+      val plan = df.queryExecution.executedPlan.toString
+      val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").last
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join inputs still shuffle:\n${plan.take(2000)}")
+      val rows = df.collect()
+      assert(rows.length == 5 && rows.map(_.getLong(1)).sum > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_li_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_o_bkt")
+    }
+  }
 }

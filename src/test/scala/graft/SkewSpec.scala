@@ -19,6 +19,13 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("t2 q_join_inner_salted is row-identical to q_join_inner") {
+    val salted = Skew.qJoinInnerSalted.fn(spark, sfDir)
+    val plain = graft.operators.Relational.qJoinInner.fn(spark, sfDir)
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_returnflag", "l_orderkey")

@@ -50,6 +50,30 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(dirs.length == 5 && dirs.forall(_.startsWith("c_mktsegment=")))
   }
 
+  test("feature NDJSON sink -> readFeatureRows source round-trips values") {
+    import org.apache.spark.sql.types._
+    val out = tmpDir("geojson_src")
+    val df = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_acctbal").as("x"),
+        (col("s_nationkey") * 1.0).as("y"), col("s_name"))
+    SourcesSinks.writeFeatureRows(
+      SourcesSinks.toFeatureRows(df, "s_suppkey", "x", "y", Seq("s_name")),
+      s"$out/feat")
+    val back = SourcesSinks.readFeatureRows(spark, s"$out/feat", LongType,
+      StructType(Seq(StructField("s_name", StringType))))
+      .select(col("id").as("s_suppkey"), col("x"), col("y"), col("s_name"))
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+  }
+
+  test("t2 geo bbox query: one bbox row per region") {
+    val rows = SourcesSinks.qGeoBboxRoundtrip.fn(spark, sfDir).collect()
+    assert(rows.length == Tables.region(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_x") <= r.getAs[Double]("max_x"))
+      assert(r.getAs[Double]("min_y") <= r.getAs[Double]("max_y"))
+    }
+  }
+
   test("GeoJSON-ish NDJSON rows are valid Feature objects") {
     val out = tmpDir("geojson")
     val df = Tables.supplier(spark, sfDir)
