@@ -115,6 +115,11 @@ object Aggregates {
       // only fires at DataFrame construction, so disable it just while this
       // plan is analyzed and restore the previous value — the shared session
       // keeps the guard for every other query.
+      // CAVEAT: session confs are session-global, not thread-local — this
+      // toggle is safe under the driver's sequential query loop (the t2
+      // contract) but NOT under concurrent query construction on one
+      // session; a concurrent harness must serialize builds or use
+      // per-thread sessions (spark.newSession()).
       val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "false")

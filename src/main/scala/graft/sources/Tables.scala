@@ -118,6 +118,13 @@ object Tables {
     * which matches DuckDB's native ns→µs truncation for post-1970 data.
     * Integer division (`div`) is mandatory: ns-since-epoch ≈ 1.7e18 exceeds
     * double's 2^53 exact range, so a float path would corrupt timestamps.
+    *
+    * CAVEAT: the nanosAsLong flag is a session-global conf set at read time
+    * (Spark offers no per-read option for it). It only widens what the
+    * parquet reader ACCEPTS, so leaving it set is harmless to other queries,
+    * but like every session-conf mutation here it assumes the driver's
+    * sequential query loop — concurrent builds on one session should set it
+    * once up front.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

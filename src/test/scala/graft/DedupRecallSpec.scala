@@ -46,8 +46,18 @@ class DedupRecallSpec extends AnyFunSuite with SparkFixture {
     val ivf = topkSet(Llm.qSimCosineIvf.fn(spark, sfDir))
     assert(exact.size == 50)
     val recall = ivf.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.5,
-      s"IVF recall $recall < 0.5 (nprobe=4 of 16 cells)")
+    // measured 0.64 at sf0.001 / 0.74 at sf0.01 (deterministic: seed-fixed
+    // KMeans over fixed data; outputs byte-identical across 8/16/32-way
+    // parallelism). The bound sits just under the measured floor so a
+    // genuine regression of the cell-probe logic fails, not noise.
+    assert(recall >= 0.6,
+      s"IVF recall $recall < 0.6 (nprobe=4 of 16 cells; measured 0.64)")
+  }
+
+  test("IVF is deterministic: two builds give identical rows") {
+    val r1 = Llm.qSimCosineIvf.fn(spark, sfDir).collect().map(_.toSeq).toSeq
+    val r2 = Llm.qSimCosineIvf.fn(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(r1 == r2)
   }
 
   test("exact dedup keeps one keeper per content hash") {
