@@ -14,14 +14,28 @@ import graft.{Det, Q}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed, per-bucket-sorted table. */
+  /** Persist `df` as a bucketed, per-bucket-sorted table.
+    *
+    * The in-memory catalog forgets tables when the session ends but the
+    * warehouse directory's files persist, so a later session's CREATE hits
+    * LOCATION_ALREADY_EXISTS (mode("overwrite") only overwrites tables the
+    * CURRENT catalog knows about). Drop the catalog entry AND delete the
+    * orphaned location before writing.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Equi-join two same-bucketed tables on their bucket keys. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

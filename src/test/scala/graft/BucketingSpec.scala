@@ -31,6 +31,26 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("writeBucketed survives an orphaned warehouse dir from a dead session") {
+    // simulate the cross-session failure: location exists on disk, but the
+    // (in-memory) catalog has no table entry — plain saveAsTable dies with
+    // LOCATION_ALREADY_EXISTS here
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, "orphan_bkt")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    fs.create(new org.apache.hadoop.fs.Path(loc, "stale.parquet")).close()
+    spark.sql("DROP TABLE IF EXISTS orphan_bkt") // catalog entry gone, files remain
+    try {
+      Bucketing.writeBucketed(
+        Tables.region(spark, sfDir), "orphan_bkt", "r_regionkey", 2)
+      assert(spark.table("orphan_bkt").count() == 5)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orphan_bkt")
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+  }
+
   test("t2 q_join_bucketed: join stage has no exchange, agg result sane") {
     try {
       val df = Bucketing.qJoinBucketed.fn(spark, sfDir)

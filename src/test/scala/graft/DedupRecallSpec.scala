@@ -47,9 +47,10 @@ class DedupRecallSpec extends AnyFunSuite with SparkFixture {
     assert(exact.size == 50)
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     // measured 0.64 at sf0.001 / 0.74 at sf0.01 (deterministic: seed-fixed
-    // KMeans over fixed data; outputs byte-identical across 8/16/32-way
-    // parallelism). The bound sits just under the measured floor so a
-    // genuine regression of the cell-probe logic fails, not noise.
+    // KMeans over fixed data; ParitySpec proves the output identical across
+    // 3/7/16-way shuffle parallelism). The bound sits just under the
+    // measured floor so a genuine regression of the cell-probe logic
+    // fails, not noise.
     assert(recall >= 0.6,
       s"IVF recall $recall < 0.6 (nprobe=4 of 16 cells; measured 0.64)")
   }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Llm
+import graft.operators.{Aggregates, Windows}
+
+/** Output must not depend on the parallelism it was computed with — the
+  * property that lets the same query run on local[4] and a 1000-executor
+  * cluster and hash-match. Each query runs under three different
+  * spark.sql.shuffle.partitions settings (including a prime, so no bucket
+  * boundary alignment can mask a dependency) and must produce identical
+  * rows. toJSON canonicalizes nested arrays/structs/binary for comparison.
+  *
+  * qSimCosineIvf is the load-bearing member: KMeans aggregates centroid
+  * sums in partition order, so this is the direct evidence that seed-fixed
+  * KMeans at this scale yields partition-count-independent centroids (and
+  * hence cell assignments and final top-k).
+  */
+class ParitySpec extends AnyFunSuite with SparkFixture {
+
+  private val parallelisms = Seq("3", "7", "16")
+
+  private def runAt(q: Q, parts: String): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try q.fn(spark, sfDir).toJSON.collect().toSeq.sorted
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def assertParity(q: Q): Unit = {
+    val runs = parallelisms.map(p => p -> runAt(q, p))
+    val (refP, ref) = runs.head
+    assert(ref.nonEmpty, s"${q.name} returned no rows")
+    runs.tail.foreach { case (p, rows) =>
+      assert(rows == ref,
+        s"${q.name}: output at shuffle.partitions=$p differs from $refP " +
+          s"(first diff: ${rows.zipAll(ref, "<missing>", "<missing>")
+            .find { case (a, b) => a != b }})")
+    }
+  }
+
+  for (q <- Seq(
+      Llm.qSimCosineIvf,
+      Llm.qSimCosineAnnLsh,
+      Llm.qDedupMinhashLsh,
+      Llm.qDedupSimhash,
+      Llm.qTextTfidfTop,
+      Llm.qTextFingerprint,
+      Aggregates.qAggPercentile,
+      Windows.qTopkGlobal))
+    test(s"${q.name} output is identical at shuffle.partitions = " +
+        parallelisms.mkString("/")) {
+      assertParity(q)
+    }
+}
