@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Make-style incremental materialization — SURVEY.md §3.1/§4.1: the
+  * reference's build tool skips a target when it is newer than every
+  * prerequisite. Same contract here for materialized parquet outputs: a
+  * target is fresh iff its _SUCCESS marker (written last, so its mtime
+  * upper-bounds the data files') is at least as new as the newest file
+  * under every input path; a fresh target is read back without running the
+  * build.
+  *
+  * Scale posture: freshness is pure namenode metadata (a recursive listing
+  * of inputs and one stat of _SUCCESS) — no data is read to decide. In a
+  * 100 TB pipeline DAG this is what turns "rerun everything nightly" into
+  * "recompute only the partitions whose inputs moved"; combine with
+  * partition-level output paths for per-partition skipping.
+  */
+object Incremental {
+
+  /** mtime of the newest file under `path` (recursive); 0 if absent. */
+  def newestMtime(fs: FileSystem, path: Path): Long =
+    if (!fs.exists(path)) 0L
+    else {
+      val it = fs.listFiles(path, true)
+      var newest = fs.getFileStatus(path).getModificationTime
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      newest
+    }
+
+  /** Is the materialized output at `outPath` newer than all inputs? */
+  def isFresh(spark: SparkSession, inputs: Seq[String],
+              outPath: String): Boolean = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val success = new Path(outPath, "_SUCCESS")
+    val fs = success.getFileSystem(hconf)
+    fs.exists(success) && {
+      val outMtime = fs.getFileStatus(success).getModificationTime
+      inputs.forall { in =>
+        val p = new Path(in)
+        newestMtime(p.getFileSystem(hconf), p) <= outMtime
+      }
+    }
+  }
+
+  /** Run `build` and write its result to `outPath` ONLY when some input is
+    * newer than the existing output (or the output does not exist); always
+    * return the materialized data read back from `outPath`, plus whether a
+    * rebuild happened. The build is by-name — a skipped target never
+    * constructs its plan.
+    */
+  def materialize(spark: SparkSession, inputs: Seq[String], outPath: String)
+                 (build: => DataFrame): (DataFrame, Boolean) = {
+    val rebuilt =
+      if (isFresh(spark, inputs, outPath)) false
+      else {
+        build.write.mode("overwrite").parquet(outPath)
+        true
+      }
+    (spark.read.parquet(outPath), rebuilt)
+  }
+}

@@ -124,6 +124,54 @@ object StreamQueries {
                    FROM events) WHERE rn = 1)
              GROUP BY event_type ORDER BY event_type"""))
 
+  /** Click side of the attribution join: one row per click event. */
+  def clickSide(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+
+  /** Purchase side of the attribution join. */
+  def purchaseSide(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("amount"))
+
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks in the 30 minutes before it. One transform for both
+    * modes: in batch it plans as an equi-join on user with a time-band
+    * residual (hash-joinable — never a cartesian); in streaming, with both
+    * sides watermarked, the interval condition lets Spark bound and expire
+    * join state (a click older than watermark + 30 min can never match
+    * again), so state does not grow with the stream. StreamingSpec drives
+    * this exact function through two MemoryStreams and asserts batch ≡
+    * stream.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+
+  val qStreamJoinInterval = Q(
+    "q_stream_join_interval",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      attributionJoin(clickSide(ev), purchaseSide(ev))
+        .select(col("click_id"), col("purchase_id"),
+          col("c_user").as("user_id"), col("click_ts"),
+          col("purchase_ts"), col("amount"))
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.user_id AS user_id, c.ts AS click_ts,
+                   p.ts AS purchase_ts, p.value AS amount
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            ORDER BY click_id, purchase_id"""))
+
   /** Arbitrary-stateful surface: running per-user totals via
     * mapGroupsWithState (SURVEY.md §2.I "stateful custom"). State is one
     * small record per user; in production a TTL/timeout bounds it
@@ -177,5 +225,6 @@ object StreamQueries {
   }
 
   val all: Seq[Q] = Seq(
-    qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedupIds)
+    qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedupIds,
+    qStreamJoinInterval)
 }

@@ -168,6 +168,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: streaming equals batch, state expires") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val rows = Seq(
+      TestEv(1, t("2024-01-01 10:00:00"), 1, "click", 0.0),
+      TestEv(2, t("2024-01-01 10:10:00"), 1, "purchase", 9.99),  // joins 1
+      TestEv(3, t("2024-01-01 10:50:00"), 1, "purchase", 5.00),  // >30m after 1
+      TestEv(4, t("2024-01-01 10:05:00"), 2, "click", 0.0),
+      TestEv(5, t("2024-01-01 10:20:00"), 2, "purchase", 1.50),  // joins 4
+      TestEv(6, t("2024-01-01 12:00:00"), 3, "purchase", 7.77))  // no click
+    val clicks = MemoryStream[TestEv]
+    val purchases = MemoryStream[TestEv]
+    val joined = StreamQueries.attributionJoin(
+      StreamQueries.clickSide(clicks.toDF())
+        .withWatermark("click_ts", "1 hour"),
+      StreamQueries.purchaseSide(purchases.toDF())
+        .withWatermark("purchase_ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("attrib_stream")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches so the join must buffer click state
+      clicks.addData(rows.filter(_.event_type == "click"): _*)
+      q.processAllAvailable()
+      purchases.addData(rows.filter(_.event_type == "purchase"): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_stream")
+        .select("click_id", "purchase_id", "amount")
+        .collect().map(_.toSeq).toSet
+      val batchEv = rows.toDF()
+      val batch = StreamQueries.attributionJoin(
+          StreamQueries.clickSide(batchEv),
+          StreamQueries.purchaseSide(batchEv))
+        .select("click_id", "purchase_id", "amount")
+        .collect().map(_.toSeq).toSet
+      assert(batch == Set(Seq(1L, 2L, 9.99), Seq(4L, 5L, 1.5)))
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val s = spark
     implicit val sql = s.sqlContext
