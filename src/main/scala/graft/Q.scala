@@ -39,6 +39,23 @@ object Det {
   def sqlAvg(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)"
 
+  /** Scale-12 variant for full-precision float inputs (e.g. embedding
+    * components). Scale 6 quantizes at the same magnitude as the data's
+    * 7th significant digit, so the engines' float→decimal rounding-rule
+    * difference (Spark HALF_UP on the shortest repr vs DuckDB on the exact
+    * binary expansion) surfaces as off-by-1e-6 diffs. At scale 12 both
+    * engines see ≥16 identical leading digits, so the quantization is
+    * boundary-safe; inputs are cast to DOUBLE first so both engines expand
+    * the same value.
+    */
+  val Dec12: DecimalType = DecimalType(38, 12)
+  def davg12(c: Column): Column =
+    sum(c.cast(DoubleType).cast(Dec12)).cast(DoubleType) /
+      count(c).cast(DoubleType)
+  def sqlAvg12(e: String): String =
+    s"CAST(SUM(CAST(CAST(($e) AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)" +
+      s" / CAST(COUNT($e) AS DOUBLE)"
+
   /** Portable 60-bit hash — the cross-engine determinism workhorse.
     *
     * Spark's native hashes (xxhash64, hash) have no DuckDB equivalent, so any

@@ -19,7 +19,7 @@ import graft.sources.Tables
   *  - MinHash+LSH banding is the documented big-corpus path: candidate
   *    generation is a groupBy on (band, signature) — no pairwise join at
   *    all — followed by exact verification on candidates only;
-  *  - SimHash gives a second near-dup signal with 64-bit signatures and
+  *  - SimHash gives a second near-dup signal with 60-bit signatures and
   *    banded Hamming candidate generation;
   *  - brute-force cosine is the correctness baseline (O(probes·N)); the
   *    LSH-bucketed variant (random hyperplanes) is the ANN scale path.
@@ -178,6 +178,78 @@ object Llm {
             WHERE CAST(inter AS DOUBLE)
                     / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
             ORDER BY a, b"""))
+
+  /** Duplicate CLUSTERS from the near-dup pair graph — the step a curation
+    * pipeline runs after pair generation (keep `min(doc_id)` per cluster,
+    * drop the rest). Connected components via iterative min-label
+    * propagation: every doc starts labeled with itself; each round pushes
+    * the smallest known label across edges; fixpoint = each doc holds the
+    * min doc_id of its component, which IS the cluster id (and the keeper).
+    *
+    * Scale posture: one shuffle-join + one groupBy per round over
+    * (node, label) rows — never a transitive-closure blowup; rounds needed
+    * = component diameter (near-dup clusters are small cliques, so single
+    * digits; for adversarial chain-shaped graphs switch to the
+    * large-star/small-star contraction, which converges in O(log n)
+    * rounds). Labels only ever decrease, so sum(label) is a monotone
+    * convergence witness — one scalar aggregate per round, no row-level
+    * old-vs-new diff. Each round's result is cached and the previous
+    * unpersisted: lineage stays O(1) deep per round and nothing leaks into
+    * the shared session's storage. Deterministic by construction (min is
+    * order-independent) → full DuckDB oracle via recursive CTE.
+    */
+  val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val pairs = qDedupJaccardPairs.fn(s, dir).select(col("a"), col("b"))
+      val edges = pairs.union(pairs.select(col("b"), col("a")))
+        .toDF("src", "dst").cache()
+      var labels = Tables.documents(s, dir)
+        .select(col("doc_id"), col("doc_id").as("lbl")).cache()
+      try {
+        var prevSum = labels.agg(sum("lbl")).first().getLong(0)
+        var converged = false
+        var round = 0
+        while (!converged && round < 50) {
+          val prop = edges
+            .join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .select(col("dst").as("doc_id"), col("lbl"))
+          val next = labels.union(prop)
+            .groupBy("doc_id").agg(min("lbl").as("lbl")).cache()
+          val nextSum = next.agg(sum("lbl")).first().getLong(0)
+          if (nextSum == prevSum) { next.unpersist(blocking = false); converged = true }
+          else {
+            labels.unpersist(blocking = false)
+            labels = next
+            prevSum = nextSum
+            round += 1
+          }
+        }
+        // the loop ran its jobs against the caches, which are released
+        // below — localCheckpoint materializes the fixpoint and TRUNCATES
+        // the per-round lineage, so executing the returned plan later reads
+        // the checkpointed rows instead of replaying every round uncached
+        // (on a cluster, prefer a reliable checkpoint dir over executor
+        // blocks)
+        labels.localCheckpoint(true)
+          .select(col("doc_id"), col("lbl").as("cluster_id"))
+          .orderBy("doc_id")
+      } finally {
+        edges.unpersist(blocking = false)
+        labels.unpersist(blocking = false)
+      }
+    },
+    Some(s"""WITH RECURSIVE
+               pairs AS (${qDedupJaccardPairs.oracle.get}),
+               edges AS (SELECT a AS src, b AS dst FROM pairs
+                         UNION ALL SELECT b, a FROM pairs),
+               reach(doc_id, lbl) AS (
+                 SELECT doc_id, doc_id FROM documents
+                 UNION
+                 SELECT e.dst, r.lbl
+                 FROM reach r JOIN edges e ON e.src = r.doc_id)
+             SELECT doc_id, min(lbl) AS cluster_id
+             FROM reach GROUP BY doc_id ORDER BY doc_id"""))
 
   private val MinhashK = 16  // 4 bands × 4 rows
   private val MinhashBands = 4
@@ -397,6 +469,34 @@ object Llm {
             ORDER BY a, b"""))
 
   // ------------------------------------------------------- similarity
+
+  /** Per-label centroid embeddings in long form (label, dim, n, mu) — the
+    * class-prototype / coarse-quantizer build step of a curation pipeline
+    * (IVF cells, per-domain prototypes, outlier scoring all start here).
+    * posexplode + one groupBy((label, dim)) is a LINEAR dim-fold with a
+    * single shuffle whose key space (labels × dims) is tiny — scale-safe at
+    * any corpus size. Components sum via the Det decimal policy, so the
+    * result is partition-order-independent and matches DuckDB bit-exactly
+    * (ml.stat.Summarizer.mean would be one pass without the explode, but
+    * its double accumulation is order-dependent → no oracle; at 64 dims the
+    * explode costs nothing).
+    */
+  val qEmbedCentroids = Q(
+    "q_embed_centroids",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").cast(IntegerType).as("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(Det.davg12(col("col")), 6).as("mu"))
+        .orderBy("label", "dim"),
+    Some(s"""WITH ex AS (SELECT label,
+                    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+                    unnest(embedding) AS x
+                  FROM embeddings)
+             SELECT label, dim, count(*) AS n,
+                    round(${Det.sqlAvg12("x")}, 6) AS mu
+             FROM ex GROUP BY label, dim ORDER BY label, dim"""))
 
   /** Brute-force cosine top-5 for 10 probe vectors — the ANN correctness
     * baseline. The dot product is the native codegen FloatVecDot expression
@@ -926,7 +1026,9 @@ object Llm {
             WHERE rk = 1 ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExactHash, qDedupJaccardPairs, qDedupMinhashLsh, qDedupSimhash,
+    qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
+    qDedupMinhashLsh, qDedupSimhash,
+    qEmbedCentroids,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
     qTextTfidfTop, qTextFingerprint, qTextLangId)

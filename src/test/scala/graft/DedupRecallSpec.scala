@@ -61,6 +61,18 @@ class DedupRecallSpec extends AnyFunSuite with SparkFixture {
     assert(r1 == r2)
   }
 
+  test("dedup clusters: pair endpoints co-cluster, id = min member") {
+    val pairs = pairSet(Llm.qDedupJaccardPairs.fn(spark, sfDir))
+    val cl = Llm.qDedupClusters.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) == cl(b), s"pair ($a,$b) split across clusters") }
+    cl.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid,
+        s"cluster $cid is not its own min member") }
+  }
+
   test("exact dedup keeps one keeper per content hash") {
     val df = Llm.qDedupExactHash.fn(spark, sfDir)
     assert(df.count() == df.select("content_hash").distinct().count())

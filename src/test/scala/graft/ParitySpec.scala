@@ -42,6 +42,8 @@ class ParitySpec extends AnyFunSuite with SparkFixture {
   for (q <- Seq(
       Llm.qSimCosineIvf,
       Llm.qSimCosineAnnLsh,
+      Llm.qEmbedCentroids,
+      Llm.qDedupClusters,
       Llm.qDedupMinhashLsh,
       Llm.qDedupSimhash,
       Llm.qTextTfidfTop,
