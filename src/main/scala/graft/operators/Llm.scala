@@ -468,6 +468,70 @@ object Llm {
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
             ORDER BY a, b"""))
 
+  /** End-to-end curation verdicts — the composition a training-data
+    * pipeline actually ships: every doc gets exactly one verdict under the
+    * precedence duplicate → too_short → too_long → low_quality → keep.
+    * "Duplicate" = greedy keep-first near-dup dedup: a doc is dropped iff
+    * it is the LARGER id of some jaccard-0.5 pair (for pair cliques this
+    * keeps exactly the min member; q_dedup_clusters is the
+    * transitive-closure refinement). Quality/length reuse the exact
+    * q_text_quality formulas, so the stages compose without re-deriving
+    * semantics.
+    *
+    * Scale posture: verdict columns are pure per-row projections; the dup
+    * flag is one left semi-style join against the (tiny relative to
+    * corpus) pair b-side — broadcastable in practice, hash join at worst.
+    * One wide scan, one join, no other shuffle.
+    */
+  val qCorpusCurate = Q(
+    "q_corpus_curate",
+    (s, dir) => {
+      val dupB = qDedupJaccardPairs.fn(s, dir)
+        .select(col("b").as("doc_id")).distinct()
+        .withColumn("is_dup", lit(1))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast(LongType)
+            .as("n_types"))
+        .withColumn("quality", round(
+          least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) *
+            (col("n_types").cast(DoubleType) /
+              col("n_tokens").cast(DoubleType)), 6))
+        .join(dupB, Seq("doc_id"), "left")
+        .withColumn("verdict",
+          when(col("is_dup").isNotNull, "duplicate")
+            .when(col("n_tokens") < 15, "too_short")
+            .when(col("n_tokens") > 95, "too_long")
+            .when(col("quality") < 0.12, "low_quality")
+            .otherwise("keep"))
+        .select("doc_id", "n_tokens", "quality", "verdict")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH pairs AS (${qDedupJaccardPairs.oracle.get}),
+                  dupb AS (SELECT DISTINCT b AS doc_id FROM pairs),
+                  q AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                            AS n_tokens,
+                          CAST(len(list_distinct(string_split(text, ' ')))
+                            AS BIGINT) AS n_types
+                        FROM documents)
+             SELECT q.doc_id, q.n_tokens,
+                    round(least(CAST(q.n_tokens AS DOUBLE) / 100.0, 1.0)
+                      * (CAST(q.n_types AS DOUBLE)
+                         / CAST(q.n_tokens AS DOUBLE)), 6) AS quality,
+                    CASE WHEN d.doc_id IS NOT NULL THEN 'duplicate'
+                         WHEN q.n_tokens < 15 THEN 'too_short'
+                         WHEN q.n_tokens > 95 THEN 'too_long'
+                         WHEN round(least(CAST(q.n_tokens AS DOUBLE) / 100.0,
+                                          1.0)
+                           * (CAST(q.n_types AS DOUBLE)
+                              / CAST(q.n_tokens AS DOUBLE)), 6) < 0.12
+                           THEN 'low_quality'
+                         ELSE 'keep' END AS verdict
+             FROM q LEFT JOIN dupb d ON q.doc_id = d.doc_id
+             ORDER BY q.doc_id"""))
+
   // ------------------------------------------------------- similarity
 
   /** Per-label centroid embeddings in long form (label, dim, n, mu) — the
@@ -1026,7 +1090,7 @@ object Llm {
             WHERE rk = 1 ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
+    qDedupExactHash, qDedupJaccardPairs, qDedupClusters, qCorpusCurate,
     qDedupMinhashLsh, qDedupSimhash,
     qEmbedCentroids,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,

@@ -112,6 +112,42 @@ object SourcesSinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC sink/source — the other columnar format a lake-interchange engine
+    * must speak (built into Spark; predicate pushdown and column pruning
+    * work the same as parquet).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** The t2 ORC query: parquet→ORC→read-back→aggregate in one plan. The
+    * round trip is value-lossless (both formats share Spark's type system
+    * for these columns), so the oracle aggregates the parquet table
+    * directly — DuckDB never needs to read ORC, and a hash match proves
+    * the ORC path preserved every value. Output lands in a per-session
+    * temp dir, so parallel sessions never collide.
+    */
+  val qSourceOrcRoundtrip = Q(
+    "q_source_orc_roundtrip",
+    (s, dir) => {
+      val slim = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString + "/orders"
+      writeOrc(slim, path)
+      readOrc(s, path, slim.schema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, count(*) AS n,
+                    ${graft.Det.sqlSum("o_totalprice")} AS sum_price
+             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** The t2 geo query: build Feature rows from nation×region with
     * deterministic point coordinates, serialize with toFeatureRows, parse
     * them BACK with parseFeatureRows (the full sink→source round trip,
@@ -151,5 +187,5 @@ object SourcesSinks {
                     ON n.n_regionkey = r.r_regionkey)
             GROUP BY r_name ORDER BY r_name"""))
 
-  val all: Seq[Q] = Seq(qGeoBboxRoundtrip)
+  val all: Seq[Q] = Seq(qGeoBboxRoundtrip, qSourceOrcRoundtrip)
 }

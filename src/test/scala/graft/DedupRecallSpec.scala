@@ -73,6 +73,19 @@ class DedupRecallSpec extends AnyFunSuite with SparkFixture {
         s"cluster $cid is not its own min member") }
   }
 
+  test("corpus curation: one verdict per doc, dup verdicts match the pair graph") {
+    val verdicts = Llm.qCorpusCurate.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val docs = Llm.qTextQuality.fn(spark, sfDir).count()
+    assert(verdicts.size == docs, "a doc was dropped or duplicated")
+    val dupB = pairSet(Llm.qDedupJaccardPairs.fn(spark, sfDir)).map(_._2)
+    dupB.foreach { b =>
+      assert(verdicts(b) == "duplicate", s"pair b-side $b not marked dup") }
+    assert(verdicts.values.toSet.size >= 4,
+      s"verdict branches unexercised: ${verdicts.values.toSet}")
+    assert(verdicts.values.count(_ == "keep") > verdicts.size / 2)
+  }
+
   test("exact dedup keeps one keeper per content hash") {
     val df = Llm.qDedupExactHash.fn(spark, sfDir)
     assert(df.count() == df.select("content_hash").distinct().count())

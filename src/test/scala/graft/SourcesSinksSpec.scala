@@ -74,6 +74,17 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ORC round trip is row-identical, schema included") {
+    val out = tmpDir("orc") + "/orders"
+    val slim = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SourcesSinks.writeOrc(slim, out)
+    val back = SourcesSinks.readOrc(spark, out, slim.schema)
+    assert(back.schema == slim.schema)
+    assert(back.exceptAll(slim).count() == 0)
+    assert(slim.exceptAll(back).count() == 0)
+  }
+
   test("GeoJSON-ish NDJSON rows are valid Feature objects") {
     val out = tmpDir("geojson")
     val df = Tables.supplier(spark, sfDir)
