@@ -204,10 +204,21 @@ object Llm {
       val pairs = qDedupJaccardPairs.fn(s, dir).select(col("a"), col("b"))
       val edges = pairs.union(pairs.select(col("b"), col("a")))
         .toDF("src", "dst").cache()
-      var labels = Tables.documents(s, dir)
-        .select(col("doc_id"), col("doc_id").as("lbl")).cache()
+      // iterate ONLY over the pair subgraph: docs in no pair are singleton
+      // clusters by definition and join back at the end — the per-round
+      // shuffles touch O(pairs) rows, not O(corpus), which at 100 TB is
+      // the difference between reshuffling the lake per round and
+      // reshuffling the (tiny) duplicate graph
+      val pairDocs = edges.select(col("src").as("doc_id")).distinct()
+      var labels = pairDocs.withColumn("lbl", col("doc_id")).cache()
       try {
-        var prevSum = labels.agg(sum("lbl")).first().getLong(0)
+        // sum over an EMPTY label set (corpus with no near-dup pairs) is
+        // null — treat as 0 so the loop converges on the first check
+        def labelSum(df: DataFrame): Long = {
+          val r = df.agg(sum("lbl")).first()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+        var prevSum = labelSum(labels)
         var converged = false
         var round = 0
         while (!converged && round < 50) {
@@ -216,7 +227,7 @@ object Llm {
             .select(col("dst").as("doc_id"), col("lbl"))
           val next = labels.union(prop)
             .groupBy("doc_id").agg(min("lbl").as("lbl")).cache()
-          val nextSum = next.agg(sum("lbl")).first().getLong(0)
+          val nextSum = labelSum(next)
           if (nextSum == prevSum) { next.unpersist(blocking = false); converged = true }
           else {
             labels.unpersist(blocking = false)
@@ -231,7 +242,11 @@ object Llm {
         // the checkpointed rows instead of replaying every round uncached
         // (on a cluster, prefer a reliable checkpoint dir over executor
         // blocks)
-        labels.localCheckpoint(true)
+        val fixpoint = labels.localCheckpoint(true)
+        val singletons = Tables.documents(s, dir).select("doc_id")
+          .join(fixpoint.select("doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("lbl", col("doc_id"))
+        fixpoint.union(singletons)
           .select(col("doc_id"), col("lbl").as("cluster_id"))
           .orderBy("doc_id")
       } finally {
