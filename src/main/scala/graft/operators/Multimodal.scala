@@ -134,7 +134,11 @@ object Multimodal {
         (pmod(col("doc_id") * 7, lit(768)) + 16).cast(IntegerType)
           .as("height"),
         lit(16000).as("sample_rate"),
-        (pmod(col("doc_id"), lit(30000)) + 1000).as("duration_ms"))
+        // (doc_id % 29 + 1) s + 500 ms: frame counts span 1..29 at EVERY
+        // scale factor (doc_id % 30000 degenerates to <2 s for small ids,
+        // which would leave the frame fan-out untested)
+        ((pmod(col("doc_id"), lit(29)) + 1) * 1000 + 500)
+          .as("duration_ms"))
         .as("meta"))
 
   /** Output row of the t2 featurization query. */
@@ -212,5 +216,54 @@ object Multimodal {
             FROM a JOIN feat f USING (asset_id)
             ORDER BY asset_id"""))
 
-  val all: Seq[Q] = Seq(qMultimodalFeatures)
+  /** Output row of the t2 frame-sampling query. */
+  final case class FrameRow(asset_id: Long, frame_idx: Int, ts_ms: Long,
+                            fsum: Long)
+
+  /** The t2 frame-sampling query: video assets explode into one row per
+    * sampled frame at a 1 s stride — the generator (flatMap) shape of a
+    * video pipeline, through the same typed-Dataset/mapPartitions seams as
+    * featurization. Per-frame fingerprint = integer byte-fold of the
+    * payload + frame index (the stub for "decode frame f"), exact in both
+    * engines → full oracle. Frame counts are bounded by duration_ms, so
+    * the fan-out is data-capped (max 30 rows/asset), never unbounded.
+    */
+  val qMultimodalFrames = Q(
+    "q_multimodal_frames",
+    (s, dir) => {
+      import s.implicits._
+      assetsFromDocuments(s, dir)
+        .where(col("kind") === "video")
+        .repartition(col("asset_id"))
+        .as[Asset]
+        .mapPartitions { it =>
+          // per-partition setup (codec init) would go here — once per batch
+          it.flatMap { a =>
+            var bsum = 0L
+            var i = 0
+            while (i < a.media.length) { bsum += (a.media(i) & 0xff); i += 1 }
+            val n = math.max(1L, a.meta.duration_ms.getOrElse(0L) / 1000L)
+            (0L until n).iterator.map { f =>
+              FrameRow(a.asset_id, f.toInt, f * 1000L, bsum + f)
+            }
+          }
+        }
+        .toDF()
+        .orderBy("asset_id", "frame_idx")
+    },
+    Some("""WITH a AS (SELECT doc_id AS asset_id, md5(text) AS h,
+                              (doc_id % 29 + 1) * 1000 + 500 AS dur
+                       FROM documents WHERE doc_id % 3 = 2),
+                 s AS (SELECT asset_id, dur,
+                              sum(ascii(substr(h, CAST(i.i AS INT) + 1, 1)))
+                                AS bsum
+                       FROM a CROSS JOIN range(32) AS i(i)
+                       GROUP BY 1, 2)
+            SELECT asset_id, CAST(f.f AS INT) AS frame_idx,
+                   f.f * 1000 AS ts_ms, CAST(bsum + f.f AS BIGINT) AS fsum
+            FROM s CROSS JOIN range(30) AS f(f)
+            WHERE f.f < greatest(1, dur // 1000)
+            ORDER BY asset_id, frame_idx"""))
+
+  val all: Seq[Q] = Seq(qMultimodalFeatures, qMultimodalFrames)
 }

@@ -37,6 +37,36 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** writeBucketed with make semantics: skip the rewrite when the catalog
+    * already has the table AND its files are newer than every input (the
+    * Incremental freshness check — pure metadata). The one-time-per-ingest
+    * cost bucketing promises becomes literal: repeat runs in a session pay
+    * only the exchange-free join. A fresh session (empty catalog) rewrites
+    * even if files survive — re-registering orphaned bucket files without
+    * their bucket spec risks a silently wrong co-located join, and a
+    * rewrite is merely slow.
+    */
+  def ensureBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int, inputs: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString
+    // the skip must never serve a table built from DIFFERENT inputs (e.g.
+    // another scale factor earlier in the same session): the builder's
+    // input list is recorded as a table property and must match exactly
+    val want = inputs.sorted.mkString(",")
+    val fresh = spark.catalog.tableExists(table) && {
+      val props = spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      props.get("graft.inputs").contains(want)
+    } && Incremental.isFresh(spark, inputs, loc)
+    if (!fresh) {
+      writeBucketed(df, table, key, buckets)
+      spark.sql(
+        s"ALTER TABLE `$table` SET TBLPROPERTIES ('graft.inputs' = '$want')")
+    }
+  }
+
   /** Equi-join two same-bucketed tables on their bucket keys. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    leftKey: String, rightKey: String): DataFrame =
@@ -54,12 +84,14 @@ object Bucketing {
   val qJoinBucketed = Q(
     "q_join_bucketed",
     (s, dir) => {
-      writeBucketed(Tables.lineitem(s, dir)
+      ensureBucketed(Tables.lineitem(s, dir)
         .select("l_orderkey", "l_extendedprice"),
-        "graft_li_bkt", "l_orderkey", buckets = 8)
-      writeBucketed(Tables.orders(s, dir)
+        "graft_li_bkt", "l_orderkey", buckets = 8,
+        inputs = Seq(s"$dir/lineitem.parquet"))
+      ensureBucketed(Tables.orders(s, dir)
         .select("o_orderkey", "o_orderpriority"),
-        "graft_o_bkt", "o_orderkey", buckets = 8)
+        "graft_o_bkt", "o_orderkey", buckets = 8,
+        inputs = Seq(s"$dir/orders.parquet"))
       bucketedJoin(s, "graft_li_bkt", "graft_o_bkt",
         "l_orderkey", "o_orderkey")
         .groupBy("o_orderpriority")

@@ -51,6 +51,29 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ensureBucketed: skips when fresh, rebuilds when inputs change") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, "ensure_bkt/_SUCCESS")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val df = Tables.region(spark, sfDir).select("r_regionkey", "r_name")
+      Bucketing.ensureBucketed(df, "ensure_bkt", "r_regionkey", 2,
+        Seq(s"$sfDir/region.parquet"))
+      val t1 = fs.getFileStatus(loc).getModificationTime
+      // same inputs, fresh output → no rewrite
+      Bucketing.ensureBucketed(df, "ensure_bkt", "r_regionkey", 2,
+        Seq(s"$sfDir/region.parquet"))
+      assert(fs.getFileStatus(loc).getModificationTime == t1,
+        "fresh table was rewritten")
+      // different declared inputs → must rebuild even though files are fresh
+      Bucketing.ensureBucketed(df, "ensure_bkt", "r_regionkey", 2,
+        Seq(s"$sfDir/nation.parquet"))
+      assert(fs.getFileStatus(loc).getModificationTime > t1,
+        "input change did not trigger a rebuild")
+      assert(spark.table("ensure_bkt").count() == 5)
+    } finally spark.sql("DROP TABLE IF EXISTS ensure_bkt")
+  }
+
   test("t2 q_join_bucketed: join stage has no exchange, agg result sane") {
     try {
       val df = Bucketing.qJoinBucketed.fn(spark, sfDir)
