@@ -312,7 +312,54 @@ object Aggregates {
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name"""))
 
-  val all: Seq[Q] = Seq(
+  /** Correlation + sample covariance per group, DETERMINISTICALLY: Spark's
+    * native corr/covar_samp accumulate doubles in partition order (no
+    * cross-engine or cross-parallelism stability), so both moments are
+    * rebuilt from exact decimal power sums (n, Σx, Σy, Σxy, Σx², Σy² —
+    * every product exactly representable as a double before the cast at
+    * these magnitudes) and combined with a fixed IEEE formula both engines
+    * evaluate identically. Same single-shuffle two-phase agg shape as any
+    * groupBy — the six sums all fold map-side.
+    */
+  val qAggCorr = Q(
+    "q_agg_corr",
+    (s, dir) => {
+      val nd = col("n").cast(DoubleType)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_quantity")).as("sx"),
+          Det.dsum(col("l_extendedprice")).as("sy"),
+          Det.dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+          Det.dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          Det.dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((nd * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
+             sqrt(nd * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"),
+          round((col("sxy") - col("sx") * col("sy") / nd) / (nd - 1), 6)
+            .as("cov_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val n = "CAST(n AS DOUBLE)"
+      s"""SELECT l_returnflag, n,
+                round(($n * sxy - sx * sy)
+                  / (sqrt($n * sxx - sx * sx)
+                     * sqrt($n * syy - sy * sy)), 6) AS corr_qty_price,
+                round((sxy - sx * sy / $n) / ($n - 1), 6) AS cov_qty_price
+         FROM (SELECT l_returnflag, count(*) AS n,
+                      ${Det.sqlSum("l_quantity")} AS sx,
+                      ${Det.sqlSum("l_extendedprice")} AS sy,
+                      ${Det.sqlSum("l_quantity * l_extendedprice")} AS sxy,
+                      ${Det.sqlSum("l_quantity * l_quantity")} AS sxx,
+                      ${Det.sqlSum("l_extendedprice * l_extendedprice")} AS syy
+               FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag"""
+    })
+
+  val all: Seq[Q] = Seq(qAggCorr,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
     qAggMinmaxBbox, qAggCollectSorted)

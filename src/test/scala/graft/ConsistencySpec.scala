@@ -40,6 +40,26 @@ class ConsistencySpec extends AnyFunSuite with SparkFixture {
     assert(direct.exceptAll(viaWide).count() == 0)
   }
 
+  test("decimal-sum corr/cov match native corr/covar_samp to 1e-6") {
+    import graft.sources.Tables
+    val ours = Aggregates.qAggCorr.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("v"))
+      .collect().foreach { r =>
+        val (c, v) = ours(r.getString(0))
+        assert(math.abs(c - r.getDouble(1)) < 1e-6,
+          s"corr ${r.getString(0)}: $c vs native ${r.getDouble(1)}")
+        // our value is round(_, 6): allow its 5e-7 quantization on top of
+        // float-accumulation drift
+        assert(math.abs(v - r.getDouble(2)) <
+            5e-7 + 1e-9 * math.abs(r.getDouble(2)),
+          s"cov ${r.getString(0)}: $v vs native ${r.getDouble(2)}")
+      }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val exact = Aggregates.qAggDistinct.fn(spark, sfDir)
       .select("o_orderstatus", "n_cust").collect()

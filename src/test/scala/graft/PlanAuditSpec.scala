@@ -58,4 +58,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = plan(Relational.qJoinBroadcast.fn(spark, sfDir))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("stream-stream interval join plans as an equi-join, never cartesian") {
+    import graft.streaming.StreamQueries
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val p = plan(StreamQueries.attributionJoin(
+      StreamQueries.clickSide(ev), StreamQueries.purchaseSide(ev)))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "time-band condition must ride as residual on the user equi-join")
+  }
+
+  test("curation verdicts read only the columns they need") {
+    val p = plan(Llm.qCorpusCurate.fn(spark, sfDir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan must prune to doc_id+text")
+    assert(!p.contains("n_chars"), "untouched column leaked into the scan")
+  }
+
+  test("embedding centroids aggregate in one shuffle (plus final sort)") {
+    val p = plan(Llm.qEmbedCentroids.fn(spark, sfDir))
+    // FormattedMode prints each operator twice (tree line + detail block):
+    // count only the numbered detail headers
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"dim-fold should shuffle once for the agg + once for the sort, saw $exchanges:\n${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial aggregation must fold dims map-side before the shuffle")
+  }
 }
