@@ -1020,6 +1020,37 @@ object Llm {
     * the portable md5-60bit (Det.pHash60) so the identical sketch is
     * computable in DuckDB — full oracle.
     */
+  /** PII masking: replace email-shaped tokens then long digit runs, in
+    * that order (an email eaten by the number rule first would leak its
+    * domain). The corpus has no organic PII, so a maskable contact string
+    * is synthesized from doc fields IDENTICALLY in both engines — the
+    * masking machinery (pattern semantics, replace-ALL behavior: Spark
+    * default vs DuckDB 'g' flag) is what the hash match certifies. Pure
+    * per-row projection — no shuffle, fully codegen.
+    */
+  val qTextPiiMask = Q(
+    "q_text_pii_mask",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("contact user"), col("doc_id"), lit("@"),
+            col("source"), lit(".org or call "),
+            col("doc_id") * 7919).as("contact"))
+        .withColumn("masked",
+          regexp_replace(regexp_replace(col("contact"),
+            "[a-z0-9]+@[a-z][a-z0-9.]+", "<EMAIL>"),
+            "[0-9]{3,}", "<NUM>"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, contact,
+                   regexp_replace(regexp_replace(contact,
+                     '[a-z0-9]+@[a-z][a-z0-9.]+', '<EMAIL>', 'g'),
+                     '[0-9]{3,}', '<NUM>', 'g') AS masked
+            FROM (SELECT doc_id,
+                         'contact user' || doc_id || '@' || source ||
+                         '.org or call ' || (doc_id * 7919) AS contact
+                  FROM documents)
+            ORDER BY doc_id"""))
+
   val qTextFingerprint = Q(
     "q_text_fingerprint",
     (s, dir) =>
@@ -1110,5 +1141,5 @@ object Llm {
     qEmbedCentroids,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
-    qTextTfidfTop, qTextFingerprint, qTextLangId)
+    qTextTfidfTop, qTextFingerprint, qTextLangId, qTextPiiMask)
 }

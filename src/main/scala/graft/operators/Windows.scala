@@ -315,8 +315,36 @@ object Windows {
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY o_custkey, o_orderkey"""))
 
+  /** Relative-standing functions: percent_rank + cume_dist per year
+    * partition. Both are rational functions of integer rank/count —
+    * deterministic with a total order — but quantized to round(6) because
+    * the engines may associate the double division differently.
+    */
+  val qWinPercentRank = Q(
+    "q_win_percent_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("yr"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .orderBy("yr", "o_orderkey")
+    },
+    Some("""SELECT yr, o_orderkey, o_totalprice,
+                   round(percent_rank() OVER w, 6) AS pr,
+                   round(cume_dist() OVER w, 6) AS cd
+            FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                         o_orderkey, o_totalprice
+                  FROM orders)
+            WINDOW w AS (PARTITION BY yr
+              ORDER BY o_totalprice, o_orderkey)
+            ORDER BY yr, o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
-    qWinRangeFrame, qWinFirstLast, qSortMultikey, qTopkGlobal, qLimitOffset,
+    qWinRangeFrame, qWinFirstLast, qWinPercentRank, qSortMultikey,
+    qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset)
 }
