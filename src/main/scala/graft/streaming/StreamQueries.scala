@@ -153,6 +153,44 @@ object StreamQueries {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
 
+  /** LEFT OUTER variant: every click emits, matched or not. In streaming,
+    * Spark holds an unmatched click until the watermark proves no matching
+    * purchase can still arrive, THEN emits it with nulls — the
+    * StreamingSpec test drives exactly that state-expiry path.
+    */
+  def attributionJoinLeft(clicks: DataFrame,
+                          purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+
+  /** t2 batch form: conversion funnel per user-id bucket — how many clicks
+    * converted to a purchase within the attribution window vs not. The
+    * left join is the operator under test; the bucketed rollup keeps the
+    * output bounded at any corpus size.
+    */
+  val qStreamJoinLeft = Q(
+    "q_stream_join_left",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      attributionJoinLeft(clickSide(ev), purchaseSide(ev))
+        .groupBy(pmod(col("c_user"), lit(10)).as("user_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("purchase_id")).as("n_matched"),
+          countDistinct(col("click_id")).as("n_clicks"))
+        .orderBy("user_bucket")
+    },
+    Some("""SELECT c.user_id % 10 AS user_bucket, count(*) AS n_rows,
+                   count(p.event_id) AS n_matched,
+                   count(DISTINCT c.event_id) AS n_clicks
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+            GROUP BY user_bucket ORDER BY user_bucket"""))
+
   val qStreamJoinInterval = Q(
     "q_stream_join_interval",
     (s, dir) => {
@@ -226,5 +264,5 @@ object StreamQueries {
 
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedupIds,
-    qStreamJoinInterval)
+    qStreamJoinInterval, qStreamJoinLeft)
 }

@@ -208,6 +208,50 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("left-outer stream join: unmatched click emits nulls after watermark") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val clicks = MemoryStream[TestEv]
+    val purchases = MemoryStream[TestEv]
+    val joined = StreamQueries.attributionJoinLeft(
+      StreamQueries.clickSide(clicks.toDF())
+        .withWatermark("click_ts", "10 minutes"),
+      StreamQueries.purchaseSide(purchases.toDF())
+        .withWatermark("purchase_ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("attrib_left")
+      .outputMode("append").start()
+    try {
+      clicks.addData(TestEv(1, t("2024-01-01 10:00:00"), 1, "click", 0.0),
+                     TestEv(2, t("2024-01-01 10:01:00"), 2, "click", 0.0))
+      purchases.addData(TestEv(3, t("2024-01-01 10:10:00"), 1, "purchase", 4.0))
+      q.processAllAvailable()
+      // matched row may emit immediately; the unmatched click (user 2)
+      // must NOT have emitted yet — a purchase could still arrive
+      val early = spark.table("attrib_left")
+        .where(col("click_id") === 2).count()
+      assert(early == 0, "unmatched click emitted before watermark closed it")
+      // advance both watermarks far past click+30min+delay
+      clicks.addData(TestEv(8, t("2024-01-01 12:00:00"), 9, "click", 0.0))
+      purchases.addData(
+        TestEv(9, t("2024-01-01 12:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      clicks.addData(TestEv(10, t("2024-01-01 13:00:00"), 9, "click", 0.0))
+      purchases.addData(
+        TestEv(11, t("2024-01-01 13:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val unmatched = spark.table("attrib_left")
+        .where(col("click_id") === 2).collect()
+      assert(unmatched.length == 1 && unmatched(0).isNullAt(
+        unmatched(0).fieldIndex("purchase_id")),
+        "user-2 click should emit exactly once, with null purchase")
+      val matched = spark.table("attrib_left")
+        .where(col("click_id") === 1).collect()
+      assert(matched.length == 1 &&
+        matched(0).getAs[Long]("purchase_id") == 3L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val s = spark
     implicit val sql = s.sqlContext
