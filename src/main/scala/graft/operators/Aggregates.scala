@@ -359,7 +359,35 @@ object Aggregates {
          ORDER BY l_returnflag"""
     })
 
-  val all: Seq[Q] = Seq(qAggCorr,
+  /** Statistical mode per group with a DETERMINISTIC tie-break (highest
+    * count, then smallest value) — Spark has no mode() and DuckDB's
+    * mode() leaves ties unspecified, so both sides spell the same
+    * count-then-rank formulation. Two-shuffle shape: value-count agg, then
+    * a tiny per-group window over the distinct values.
+    */
+  val qAggMode = Q(
+    "q_agg_mode",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("l_quantity"))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt").as("n_at_mode"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n_at_mode
+            FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt,
+                         row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY count(*) DESC, l_quantity) AS rk
+                  FROM lineitem GROUP BY l_returnflag, l_quantity)
+            WHERE rk = 1 ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(qAggCorr, qAggMode,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
     qAggMinmaxBbox, qAggCollectSorted)
