@@ -49,6 +49,8 @@ class ParitySpec extends AnyFunSuite with SparkFixture {
       Llm.qTextTfidfTop,
       Llm.qTextFingerprint,
       Aggregates.qAggPercentile,
+      Aggregates.qAggCorr,
+      Aggregates.qAggMode,
       Windows.qTopkGlobal))
     test(s"${q.name} output is identical at shuffle.partitions = " +
         parallelisms.mkString("/")) {
