@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Aggregates, Llm, Relational, Windows}
 
@@ -74,6 +75,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "documents scan must prune to doc_id+text")
     assert(!p.contains("n_chars"), "untouched column leaked into the scan")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the 100 TB pattern: a selective dim predicate becomes a bloom filter
+    // pushed into the fact scan, so most fact rows die before the shuffle.
+    // Spark only injects it past size thresholds tuned for real clusters —
+    // lower them to observe the mechanism at test scale.
+    import graft.sources.Tables
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir)
+            .where(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val p = plan(df)
+      assert(p.contains("might_contain") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n${p.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("embedding centroids aggregate in one shuffle (plus final sort)") {
