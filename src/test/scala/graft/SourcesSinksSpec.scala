@@ -74,6 +74,26 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("schema evolution: superset schema reads old+new shards, nulls absent cols") {
+    // the lake reality at 100 TB: shards written before a column existed
+    // must stay readable after the schema grows — explicit superset schema
+    // fills the missing column with nulls, no mergeSchema scan needed
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("evolve")
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/old")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$dir/new")
+    val superset = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("score", DoubleType)))
+    val all = spark.read.schema(superset).parquet(s"$dir/old", s"$dir/new")
+    val rows = all.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(2), "old shard must read with null score")
+    assert(rows(1).getDouble(2) == 9.5)
+  }
+
   test("ORC round trip is row-identical, schema included") {
     val out = tmpDir("orc") + "/orders"
     val slim = Tables.orders(spark, sfDir)
