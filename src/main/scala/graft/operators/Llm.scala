@@ -496,7 +496,9 @@ object Llm {
     * Scale posture: verdict columns are pure per-row projections; the dup
     * flag is one left semi-style join against the (tiny relative to
     * corpus) pair b-side — broadcastable in practice, hash join at worst.
-    * One wide scan, one join, no other shuffle.
+    * The verdict columns add one pruned scan and one join on top of the
+    * pair query's own cost (in production the pair graph is a precomputed
+    * table, making this a pure scan + small join).
     */
   val qCorpusCurate = Q(
     "q_corpus_curate",
