@@ -106,6 +106,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rank-top-N gets Spark's WindowGroupLimit pushdown (partial + final)") {
+    // the declarative rank()<=N form lets Catalyst bound each partition to
+    // its top N BEFORE the window sort/shuffle (SPARK-37099) — the reason
+    // we don't hand-roll a heap operator: the optimizer already plans one,
+    // two-phase like an aggregate
+    val p = plan(Windows.qWinRankTopn.fn(spark, sfDir))
+    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(p).size >= 2,
+      s"window top-N lost its group-limit pushdown:\n${p.take(1200)}")
+  }
+
+  test("AQE splits a skewed join partition at runtime (no manual salting)") {
+    // Skew.saltedInnerJoin is the deterministic/manual path; this pins the
+    // AUTOMATIC one: with AQE thresholds scaled to test data, a 90%-one-key
+    // join must execute as SortMergeJoin(skew=true) with a skewed
+    // AQEShuffleRead. Runtime evidence — inspected AFTER execution, since
+    // AQE re-plans from shuffle statistics.
+    val s = spark
+    import org.apache.spark.sql.functions.when
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val big = s.range(200000L).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        org.apache.spark.sql.functions
+          .concat(lit("payload-payload-payload-"), col("id")).as("v"))
+      val dim = s.range(20000L)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = big.join(dim, "k").groupBy().agg(count(lit(1)).as("n"))
+      j.collect()
+      val ep = j.queryExecution.executedPlan.toString
+      assert(ep.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${ep.take(1200)}")
+      assert(ep.contains("skewed"),
+        "AQEShuffleRead should report skewed splits")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("embedding centroids aggregate in one shuffle (plus final sort)") {
     val p = plan(Llm.qEmbedCentroids.fn(spark, sfDir))
     // FormattedMode prints each operator twice (tree line + detail block):
