@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 import graft.{Det, Q}
 import graft.sources.Tables
 
@@ -315,47 +315,69 @@ object Aggregates {
   /** Correlation + sample covariance per group, DETERMINISTICALLY: Spark's
     * native corr/covar_samp accumulate doubles in partition order (no
     * cross-engine or cross-parallelism stability), so both moments are
-    * rebuilt from exact decimal power sums (n, Σx, Σy, Σxy, Σx², Σy² —
-    * every product exactly representable as a double before the cast at
-    * these magnitudes) and combined with a fixed IEEE formula both engines
-    * evaluate identically. Same single-shuffle two-phase agg shape as any
-    * groupBy — the six sums all fold map-side.
+    * rebuilt from exact power sums and combined with a fixed IEEE formula
+    * both engines evaluate identically. The sums are taken in INTEGER CENTS
+    * (l_quantity is integral, l_extendedprice is a 2-decimal amount, so
+    * round(x*100) is an exact integer ≤1e8 in both engines): DECIMAL(18,0)
+    * cents, DECIMAL(37,0) products, DECIMAL(38,0) sums — exact end-to-end
+    * with no float→decimal quantization anywhere. A scale-6 decimal cast of
+    * the raw doubles (the r5 formulation) quantizes l_extendedprice² (~1e10)
+    * right where Spark's shortest-repr and DuckDB's exact-expansion
+    * double→decimal roundings diverge, which breaks the hash oracle at
+    * larger scale factors; integer cents sidesteps the cast entirely.
+    * Same single-shuffle two-phase agg shape as any groupBy — the six sums
+    * all fold map-side.
     */
   val qAggCorr = Q(
     "q_agg_corr",
     (s, dir) => {
+      val cents = DecimalType(18, 0)
+      val qc = round(col("l_quantity") * 100).cast(cents)
+      val pc = round(col("l_extendedprice") * 100).cast(cents)
       val nd = col("n").cast(DoubleType)
+      val sx = col("sxc").cast(DoubleType) / 100.0
+      val sy = col("syc").cast(DoubleType) / 100.0
+      val sxy = col("sxyc").cast(DoubleType) / 10000.0
+      val sxx = col("sxxc").cast(DoubleType) / 10000.0
+      val syy = col("syyc").cast(DoubleType) / 10000.0
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          Det.dsum(col("l_quantity")).as("sx"),
-          Det.dsum(col("l_extendedprice")).as("sy"),
-          Det.dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
-          Det.dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
-          Det.dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+          sum(qc).as("sxc"), sum(pc).as("syc"),
+          sum(qc * pc).as("sxyc"),
+          sum(qc * qc).as("sxxc"),
+          sum(pc * pc).as("syyc"))
         .select(col("l_returnflag"), col("n"),
-          round((nd * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
-             sqrt(nd * col("syy") - col("sy") * col("sy"))), 6)
+          round((nd * sxy - sx * sy) /
+            (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 6)
             .as("corr_qty_price"),
-          round((col("sxy") - col("sx") * col("sy") / nd) / (nd - 1), 6)
+          round((sxy - sx * sy / nd) / (nd - 1), 6)
             .as("cov_qty_price"))
         .orderBy("l_returnflag")
     },
     Some {
-      val n = "CAST(n AS DOUBLE)"
+      def c(e: String) = s"SUM(CAST(round(($e) * 100) AS DECIMAL(18,0)))"
+      def cc(a: String, b: String) =
+        s"SUM(CAST(round(($a) * 100) AS DECIMAL(18,0)) * " +
+          s"CAST(round(($b) * 100) AS DECIMAL(18,0)))"
       s"""SELECT l_returnflag, n,
-                round(($n * sxy - sx * sy)
-                  / (sqrt($n * sxx - sx * sx)
-                     * sqrt($n * syy - sy * sy)), 6) AS corr_qty_price,
-                round((sxy - sx * sy / $n) / ($n - 1), 6) AS cov_qty_price
-         FROM (SELECT l_returnflag, count(*) AS n,
-                      ${Det.sqlSum("l_quantity")} AS sx,
-                      ${Det.sqlSum("l_extendedprice")} AS sy,
-                      ${Det.sqlSum("l_quantity * l_extendedprice")} AS sxy,
-                      ${Det.sqlSum("l_quantity * l_quantity")} AS sxx,
-                      ${Det.sqlSum("l_extendedprice * l_extendedprice")} AS syy
-               FROM lineitem GROUP BY l_returnflag)
+                round((nd * sxy - sx * sy)
+                  / (sqrt(nd * sxx - sx * sx)
+                     * sqrt(nd * syy - sy * sy)), 6) AS corr_qty_price,
+                round((sxy - sx * sy / nd) / (nd - 1), 6) AS cov_qty_price
+         FROM (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+                      CAST(sxc AS DOUBLE) / 100.0 AS sx,
+                      CAST(syc AS DOUBLE) / 100.0 AS sy,
+                      CAST(sxyc AS DOUBLE) / 10000.0 AS sxy,
+                      CAST(sxxc AS DOUBLE) / 10000.0 AS sxx,
+                      CAST(syyc AS DOUBLE) / 10000.0 AS syy
+               FROM (SELECT l_returnflag, count(*) AS n,
+                            ${c("l_quantity")} AS sxc,
+                            ${c("l_extendedprice")} AS syc,
+                            ${cc("l_quantity", "l_extendedprice")} AS sxyc,
+                            ${cc("l_quantity", "l_quantity")} AS sxxc,
+                            ${cc("l_extendedprice", "l_extendedprice")} AS syyc
+                     FROM lineitem GROUP BY l_returnflag))
          ORDER BY l_returnflag"""
     })
 

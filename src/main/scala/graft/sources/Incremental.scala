@@ -39,7 +39,13 @@ object Incremental {
       val outMtime = fs.getFileStatus(success).getModificationTime
       inputs.forall { in =>
         val p = new Path(in)
-        newestMtime(p.getFileSystem(hconf), p) <= outMtime
+        val inFs = p.getFileSystem(hconf)
+        // A missing prerequisite must never count as "older than the
+        // output" (newestMtime returns 0 for it) — that would silently
+        // serve stale materialized data for a deleted/mistyped input.
+        // Make errors on a missing prerequisite; we force a rebuild, which
+        // surfaces the missing path as the build's own read error.
+        inFs.exists(p) && newestMtime(inFs, p) <= outMtime
       }
     }
   }

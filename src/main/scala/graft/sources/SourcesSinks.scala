@@ -99,6 +99,53 @@ object SourcesSinks {
         element_at(col("f.geometry.coordinates"), 1).as("x") :+
         element_at(col("f.geometry.coordinates"), 2).as("y"): _*)
 
+  /** Polygon/MultiPolygon-style geometry: the reference's census features
+    * are polygons, not points [ref:census/%.geojson targets (H) —
+    * SURVEY.md §0], so the feature model also speaks a ring-based Polygon
+    * variant. Coordinates are GeoJSON-shaped: array of linear rings, each
+    * ring an array of [x, y] positions (first ring = exterior, the rest =
+    * holes). `ringsCol` must already be array<array<array<double>>>.
+    */
+  def toPolygonFeatureRows(df: DataFrame, idCol: String, ringsCol: String,
+                           propCols: Seq[String]): DataFrame = {
+    val props = struct(propCols.map(col): _*)
+    df.select(to_json(struct(
+      lit("Feature").as("type"),
+      col(idCol).as("id"),
+      props.as("properties"),
+      struct(lit("Polygon").as("type"),
+        col(ringsCol).as("coordinates")).as("geometry")))
+      .as("feature"))
+  }
+
+  /** Full schema of one Polygon Feature row as toPolygonFeatureRows emits
+    * it (coordinates: rings → positions → [x, y]).
+    */
+  def polygonFeatureSchema(idType: DataType,
+                           propSchema: StructType): StructType = {
+    import org.apache.spark.sql.types.ArrayType
+    StructType(Seq(
+      StructField("type", StringType),
+      StructField("id", idType),
+      StructField("properties", propSchema),
+      StructField("geometry", StructType(Seq(
+        StructField("type", StringType),
+        StructField("coordinates",
+          ArrayType(ArrayType(ArrayType(DoubleType)))))))))
+  }
+
+  /** Inverse of toPolygonFeatureRows — a plain projection returning id,
+    * the flattened property columns, and the nested `rings` column; ring
+    * consumers (bbox, point count, area) explode from there.
+    */
+  def parsePolygonFeatureRows(df: DataFrame, jsonCol: String, idType: DataType,
+                              propSchema: StructType): DataFrame =
+    df.select(from_json(col(jsonCol),
+        polygonFeatureSchema(idType, propSchema)).as("f"))
+      .select(col("f.id").as("id") +:
+        propSchema.fieldNames.toSeq.map(n => col(s"f.properties.$n")) :+
+        col("f.geometry.coordinates").as("rings"): _*)
+
   /** GeoJSON-ish NDJSON feature SOURCE: read what writeFeatureRows wrote
     * (or any external per-line Feature file) back into typed columns. The
     * reference's flagship flow STARTS from geography feature files, so the
@@ -123,20 +170,40 @@ object SourcesSinks {
               schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** One reusable temp root per Spark application, removed on JVM exit.
+    * Through r5 every qSourceOrcRoundtrip invocation called
+    * createTempDirectory and never cleaned up, so bench re-timings and
+    * repeated driver/test runs accumulated orphaned ORC copies in /tmp;
+    * now re-runs overwrite one per-session directory and a shutdown hook
+    * deletes it. Keyed by applicationId so parallel sessions never collide.
+    */
+  private val sessionRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  def sessionTempDir(s: SparkSession): java.nio.file.Path =
+    sessionRoots.computeIfAbsent(s.sparkContext.applicationId, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_session_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d.toFile)
+      }))
+      d
+    })
+
   /** The t2 ORC query: parquet→ORC→read-back→aggregate in one plan. The
     * round trip is value-lossless (both formats share Spark's type system
     * for these columns), so the oracle aggregates the parquet table
     * directly — DuckDB never needs to read ORC, and a hash match proves
-    * the ORC path preserved every value. Output lands in a per-session
-    * temp dir, so parallel sessions never collide.
+    * the ORC path preserved every value. Output lands in the per-session
+    * temp root (overwritten in place on re-runs, deleted on JVM exit).
     */
   val qSourceOrcRoundtrip = Q(
     "q_source_orc_roundtrip",
     (s, dir) => {
       val slim = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_orc").toString + "/orders"
+      val path = sessionTempDir(s).resolve("orc_orders").toString
       writeOrc(slim, path)
       readOrc(s, path, slim.schema)
         .groupBy("o_orderstatus")
@@ -187,5 +254,66 @@ object SourcesSinks {
                     ON n.n_regionkey = r.r_regionkey)
             GROUP BY r_name ORDER BY r_name"""))
 
-  val all: Seq[Q] = Seq(qGeoBboxRoundtrip, qSourceOrcRoundtrip)
+  /** The t2 polygon query: build a 2-ring Polygon per nation (an exterior
+    * square and a hole, both centered on the same deterministic point as
+    * qGeoBboxRoundtrip, all coordinates exact binary fractions k + 0.5 ±
+    * 0.25/0.125), serialize with toPolygonFeatureRows, parse BACK with
+    * parsePolygonFeatureRows (full sink→source round trip inside one plan),
+    * explode rings → positions, and aggregate a per-region bbox + structure
+    * counts. The oracle regenerates the same 10 positions per feature
+    * arithmetically (JSON being Spark plumbing), so a hash match proves
+    * every ring, position, and coordinate survived the round trip exactly.
+    * Scale posture: the double explode is a narrow generator (no shuffle
+    * until the bounded-key groupBy); ring arrays stay columnar until the
+    * single agg exchange.
+    */
+  val qGeoPolygonBbox = Q(
+    "q_geo_polygon_bbox",
+    (s, dir) => {
+      def pt(dx: Double, dy: Double) =
+        array(col("cx") + dx, col("cy") + dy)
+      def ring(w: Double) =
+        array(pt(-w, -w), pt(w, -w), pt(w, w), pt(-w, w), pt(-w, -w))
+      val joined = Tables.nation(s, dir)
+        .join(Tables.region(s, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").cast(LongType).as("feat_id"),
+          col("n_name"), col("r_name"),
+          (col("n_nationkey") * 7 % 360 - 180 + 0.5).as("cx"),
+          (col("n_nationkey") * 13 % 180 - 90 + 0.5).as("cy"))
+        .withColumn("rings", array(ring(0.25), ring(0.125)))
+      val features = toPolygonFeatureRows(joined, "feat_id", "rings",
+        Seq("n_name", "r_name"))
+      val propSchema = StructType(Seq(
+        StructField("n_name", StringType), StructField("r_name", StringType)))
+      parsePolygonFeatureRows(features, "feature", LongType, propSchema)
+        .select(col("id"), col("r_name"), explode(col("rings")).as("ring"))
+        .select(col("id"), col("r_name"), explode(col("ring")).as("pt"))
+        .select(col("id"), col("r_name"),
+          element_at(col("pt"), 1).as("x"), element_at(col("pt"), 2).as("y"))
+        .groupBy("r_name")
+        .agg(countDistinct(col("id")).as("n_feat"),
+          count(lit(1)).as("n_pt"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, count(DISTINCT feat_id) AS n_feat,
+                   count(*) AS n_pt,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y
+            FROM (SELECT n.n_nationkey AS feat_id, r.r_name,
+                         (n.n_nationkey * 7) % 360 - 180 + 0.5 + o.dx AS x,
+                         (n.n_nationkey * 13) % 180 - 90 + 0.5 + o.dy AS y
+                  FROM nation n JOIN region r
+                    ON n.n_regionkey = r.r_regionkey
+                  CROSS JOIN (VALUES
+                    (-0.25, -0.25), (0.25, -0.25), (0.25, 0.25),
+                    (-0.25, 0.25), (-0.25, -0.25),
+                    (-0.125, -0.125), (0.125, -0.125), (0.125, 0.125),
+                    (-0.125, 0.125), (-0.125, -0.125)) AS o(dx, dy))
+            GROUP BY r_name ORDER BY r_name"""))
+
+  val all: Seq[Q] =
+    Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qSourceOrcRoundtrip)
 }
