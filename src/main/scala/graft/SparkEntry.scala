@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.{Scalars, Udx}
+import graft.functions.{Scalars, Sketches, Udx}
 import graft.sources.{Bucketing, SourcesSinks}
 import graft.streaming.StreamQueries
 
@@ -11,7 +11,7 @@ object SparkEntry {
   private def allQueries: Seq[Q] =
     Relational.all ++ Aggregates.all ++ Windows.all ++ Scalars.all ++
       StreamQueries.all ++ Llm.all ++ Udx.all ++ Multimodal.all ++
-      SourcesSinks.all ++ Skew.all ++ Bucketing.all
+      SourcesSinks.all ++ Skew.all ++ Bucketing.all ++ Sketches.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

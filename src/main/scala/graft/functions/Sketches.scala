@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
+import graft.Q
 
 /** Sketch surface beyond HLL (q_agg_approx_distinct): Count-Min heavy
   * hitters. At 100 TB a per-token exact count is a full shuffle of the
@@ -24,4 +26,48 @@ object Sketches {
   /** Estimated frequencies for the given items. */
   def estimate(cms: CountMinSketch, items: Seq[String]): Map[String, Long] =
     items.map(i => i -> cms.estimateCount(i)).toMap
+
+  /** The t2 heavy-hitters query: top-20 tokens by exact count, with every
+    * surviving row CERTIFIED by the Count-Min sketch — each candidate must
+    * satisfy exact ≤ estimate ≤ exact + ⌈eps·N⌉ (the CMS contract; N from
+    * the sketch's own totalCount) or it is dropped and the DuckDB oracle —
+    * which outputs the plain exact top-20 — catches the loss. That makes
+    * the sketch estimate driver-visible and oracle-constrained even though
+    * DuckDB cannot compute the sketch itself (the tight eps·N accuracy
+    * bound stays in SketchesSpec). Deterministic: fixed seed, fixed corpus,
+    * count-then-token total order.
+    *
+    * Scale posture: the sketch is a fixed-size mergeable summary built in
+    * one pass (partials merge, no raw-token shuffle); the exact top-20 is
+    * one groupBy + TakeOrderedAndProject; the estimate UDF runs over
+    * exactly 20 rows against the broadcast sketch. At 100 TB the exact
+    * groupBy is the expensive truth path — the production shape keeps only
+    * the sketch and queries it directly, which Sketches.estimate models.
+    */
+  val qSketchHeavyHitters = Q(
+    "q_sketch_heavy_hitters",
+    (s, dir) => {
+      val eps = 0.001
+      val toks = graft.operators.Llm.tokens(
+        graft.sources.Tables.documents(s, dir))
+      val cms = countMinOver(toks, "tok", eps = eps)
+      val maxErr = math.ceil(eps * cms.totalCount()).toLong
+      val bc = s.sparkContext.broadcast(cms)
+      val estimateTok = udf((t: String) => bc.value.estimateCount(t))
+      toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(20)
+        .withColumn("n_cms", estimateTok(col("tok")))
+        .where(col("n_cms") >= col("n_exact") &&
+          col("n_cms") <= col("n_exact") + lit(maxErr))
+        .select("tok", "n_exact")
+        .orderBy(col("n_exact").desc, col("tok"))
+    },
+    Some("""SELECT tok, count(*) AS n_exact
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY n_exact DESC, tok LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(qSketchHeavyHitters)
 }

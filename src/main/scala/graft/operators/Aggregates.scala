@@ -271,6 +271,27 @@ object Aggregates {
                    round(quantile_cont(l_quantity, 0.95), 6) AS p95
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** The 100 TB swap for q_agg_percentile — SURVEY.md §7.3's documented
+    * scale variant, now a query instead of prose. Exact `percentile` sorts
+    * every group's values; `percentile_approx` (Greenwald-Khanna / KLL-style
+    * mergeable summary) is one pass with bounded state and rank error
+    * ≤ n/accuracy. No DuckDB oracle BY DESIGN (the summary's merge order is
+    * engine-internal, like q_agg_approx_distinct); ConsistencySpec bounds the
+    * result between the exact 0.45/0.55 (resp. 0.90/0.97) quantiles instead,
+    * a rank-tolerance far looser than the n/10000 guarantee.
+    */
+  val qAggPercentileApprox = Q(
+    "q_agg_percentile_approx",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+            .as("p95_approx"))
+        .orderBy("l_returnflag"))
+
   /** Per-group min/max pairs — bbox [w,s,e,n] analog. The corners are
     * emitted as four scalar columns, not an ARRAY: the driver's compare
     * loads results into pandas and list-typed cells crash its sort/hash
@@ -412,5 +433,5 @@ object Aggregates {
   val all: Seq[Q] = Seq(qAggCorr, qAggMode,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
-    qAggMinmaxBbox, qAggCollectSorted)
+    qAggPercentileApprox, qAggMinmaxBbox, qAggCollectSorted)
 }

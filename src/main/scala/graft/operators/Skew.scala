@@ -79,5 +79,29 @@ object Skew {
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val all: Seq[Q] = Seq(qJoinInnerSalted)
+  /** saltedSumAgg through the t2 gate: same promotion recipe as
+    * q_join_inner_salted — salting is a pure partitioning change, so the
+    * DuckDB oracle is the plain unsalted sum. The value is pre-cast to the
+    * Det decimal BEFORE the two-phase sum (exact decimal addition is
+    * associative+commutative, so partial-then-final over salt buckets is
+    * bit-identical to any order; a raw double sum would be
+    * reduction-order-dependent and could never hash-match). SkewSpec
+    * additionally asserts row-identity against the plain groupBy.
+    */
+  val qAggSumSalted = Q(
+    "q_agg_sum_salted",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast(Det.Dec).as("pd"))
+      saltedSumAgg(li, "l_returnflag", "pd", salts = 8, "sum_px_d")
+        .select(col("l_returnflag"),
+          col("sum_px_d").cast(org.apache.spark.sql.types.DoubleType)
+            .as("sum_px"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, ${Det.sqlSum("l_extendedprice")} AS sum_px
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(qJoinInnerSalted, qAggSumSalted)
 }

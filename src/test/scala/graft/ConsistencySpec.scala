@@ -135,6 +135,33 @@ class ConsistencySpec extends AnyFunSuite with SparkFixture {
     assert(out(3L)._1 == "date")
   }
 
+  test("percentile_approx lands inside a loose exact-rank window") {
+    import graft.sources.Tables
+    // rank tolerance far looser than the n/10000 guarantee: the approx
+    // quantile must land between the exact 0.45/0.55 (resp. 0.90/0.97)
+    // quantiles of the same group
+    val windows = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.45)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.90)").as("lo95"),
+        expr("percentile(l_extendedprice, 0.97)").as("hi95"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val got = Aggregates.qAggPercentileApprox.fn(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (lo50, hi50, lo95, hi95) = windows(r.getString(0))
+      val (p50, p95) = (r.getDouble(1), r.getDouble(2))
+      assert(p50 >= lo50 && p50 <= hi50,
+        s"${r.getString(0)}: p50_approx $p50 outside [$lo50, $hi50]")
+      assert(p95 >= lo95 && p95 <= hi95,
+        s"${r.getString(0)}: p95_approx $p95 outside [$lo95, $hi95]")
+    }
+  }
+
   test("percentiles are ordered p25 <= p50 <= p75 <= p95") {
     Aggregates.qAggPercentile.fn(spark, sfDir).collect().foreach { r =>
       val ps = (1 to 4).map(r.getDouble)

@@ -53,4 +53,28 @@ class IncrementalSpec extends AnyFunSuite with SparkFixture {
   test("isFresh is false when the output was never written") {
     assert(!Incremental.isFresh(spark, Seq(sfDir), tmpDir("inc_x") + "/none"))
   }
+
+  test("isFresh: a missing input forces a rebuild, never serves stale output") {
+    val in = Paths.get(tmpDir("inc_miss_in"), "region")
+    copyTree(Paths.get(sfDir, "region.parquet"), in)
+    val out = tmpDir("inc_miss_out") + "/agg"
+    Incremental.materialize(spark, Seq(in.toString), out)(
+      spark.read.parquet(in.toString).select("r_regionkey"))
+    assert(Incremental.isFresh(spark, Seq(in.toString), out))
+    // a deleted/mistyped prerequisite must not look "older than the
+    // output" (mtime 0) — make errors on it; we go stale
+    assert(!Incremental.isFresh(spark, Seq(in.toString + "_gone"), out))
+  }
+
+  test("dedup consumers share one materialized pair table per session") {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val success = graft.sources.SourcesSinks.sessionTempDir(spark)
+      .resolve(s"jaccard_pairs_$key").resolve("_SUCCESS")
+    SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count()
+    assert(Files.exists(success))
+    val m1 = Files.getLastModifiedTime(success)
+    // the second consumer must REUSE the materialized pairs, not rebuild
+    SparkEntry.queries("q_corpus_curate")(spark, sfDir).count()
+    assert(Files.getLastModifiedTime(success) == m1)
+  }
 }

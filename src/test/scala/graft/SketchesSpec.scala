@@ -25,6 +25,15 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("heavy-hitters query: 20 rows, descending, CMS filter drops none") {
+    val rows = Sketches.qSketchHeavyHitters.fn(spark, sfDir).collect()
+    // the CMS certification filter must be a no-op (est within bounds for
+    // every candidate) — fewer than 20 rows means the bound failed
+    assert(rows.length == 20)
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+  }
+
   test("CMS is deterministic for a fixed seed") {
     val toks = Llm.tokens(Tables.documents(spark, sfDir)).select("tok")
     val a = Sketches.countMinOver(toks, "tok")

@@ -65,6 +65,49 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
   }
 
+  test("polygon feature NDJSON round-trips rings, holes, and properties") {
+    import org.apache.spark.sql.types._
+    val out = tmpDir("polygon_rt")
+    val s = spark
+    import s.implicits._
+    // two features: a 2-ring polygon (square + hole) and a 1-ring triangle
+    // — exact binary-fraction coords so JSON text is value-exact
+    val df = Seq(
+      (1L, "sq", Seq(
+        Seq(Seq(0.0, 0.0), Seq(4.0, 0.0), Seq(4.0, 4.0), Seq(0.0, 4.0),
+          Seq(0.0, 0.0)),
+        Seq(Seq(1.0, 1.0), Seq(2.0, 1.0), Seq(2.0, 2.0), Seq(1.0, 2.0),
+          Seq(1.0, 1.0)))),
+      (2L, "tri", Seq(
+        Seq(Seq(0.5, 0.25), Seq(1.5, 0.25), Seq(1.0, 1.75), Seq(0.5, 0.25)))))
+      .toDF("fid", "name", "rings")
+    SourcesSinks.writeFeatureRows(
+      SourcesSinks.toPolygonFeatureRows(df, "fid", "rings", Seq("name")),
+      s"$out/feat")
+    val back = SourcesSinks.parsePolygonFeatureRows(
+      spark.read.text(s"$out/feat"), "value", LongType,
+      StructType(Seq(StructField("name", StringType))))
+      .select(col("id").as("fid"), col("name"), col("rings"))
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // the emitted JSON is a valid GeoJSON Polygon Feature
+    val feat = SourcesSinks.toPolygonFeatureRows(df, "fid", "rings",
+      Seq("name")).orderBy("feature").head().getString(0)
+    assert(feat.contains("\"type\":\"Polygon\""))
+    assert(feat.contains("\"coordinates\":[["))
+  }
+
+  test("t2 polygon bbox query: hole rings counted, bbox from exterior") {
+    val rows = SourcesSinks.qGeoPolygonBbox.fn(spark, sfDir).collect()
+    assert(rows.length == Tables.region(spark, sfDir).count())
+    rows.foreach { r =>
+      // 10 positions per feature (5-pt exterior + 5-pt hole)
+      assert(r.getAs[Long]("n_pt") == 10 * r.getAs[Long]("n_feat"))
+      // exterior half-width 0.25 → bbox spans at least 0.5 on each axis
+      assert(r.getAs[Double]("max_x") - r.getAs[Double]("min_x") >= 0.5)
+      assert(r.getAs[Double]("max_y") - r.getAs[Double]("min_y") >= 0.5)
+    }
+  }
+
   test("t2 geo bbox query: one bbox row per region") {
     val rows = SourcesSinks.qGeoBboxRoundtrip.fn(spark, sfDir).collect()
     assert(rows.length == Tables.region(spark, sfDir).count())
