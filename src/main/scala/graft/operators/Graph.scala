@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star contraction (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC 2014 — public algorithm, re-expressed on
+  * DataFrames). Converges in O(log n) rounds REGARDLESS of component
+  * diameter, which is the scale-robust complement to q_dedup_clusters'
+  * min-label propagation (diameter-bounded — ideal for clique-shaped
+  * near-dup clusters, pathological for chain-shaped graphs; the
+  * propagation loop `require`s convergence and points here).
+  *
+  * Each round is two groupBy-join passes over the CURRENT edge set — no
+  * collect_set arrays (a 100 TB star center would OOM an array-per-node
+  * formulation; the min is computed with a plain two-phase min agg), no
+  * driver-side graph. Edges only ever point "downhill" toward smaller
+  * ids, so the edge count never exceeds the input after canonicalization
+  * and the fixpoint is exactly the star graph (node → component min).
+  * Deterministic by construction: min is order-independent, the fixpoint
+  * is unique, so the result hash-matches a recursive-CTE oracle.
+  */
+object Graph {
+
+  /** Order-independent (count, hash-xor) witness of a canonical edge set —
+    * one scalar aggregate per round, same policy as the propagation loop's
+    * monotone label sum (no row-level old-vs-new diff). bit_xor, not sum:
+    * xor is order-independent AND cannot overflow under ANSI mode (a long
+    * sum of xxhash64 values throws ARITHMETIC_OVERFLOW on the 3rd row).
+    * The set is distinct by construction, so xor cancellation of repeated
+    * rows cannot occur.
+    */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      bit_xor(xxhash64(col("a"), col("b")))).first()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Large-star round: every node's strictly-LARGER neighbors re-attach to
+    * the min of its closed neighborhood (computed by symmetrizing then one
+    * min agg + one join — never a per-node neighbor array).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val m = sym.groupBy("a").agg(min(col("b")).as("mb"))
+      .select(col("a"), least(col("a"), col("mb")).as("m"))
+    sym.join(m, "a").where(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** Small-star round: orient edges downhill (bigger → smaller), then every
+    * node's smaller neighbors and the node itself re-attach to its min
+    * neighbor. Output stays in canonical downhill orientation.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct()
+    val m = or.groupBy("a").agg(min(col("b")).as("m"))
+    or.join(m, "a")
+      .select(col("b").as("a"), col("m").as("b"))
+      .where(col("a") =!= col("b"))
+      .union(m.select(col("a"), col("m").as("b")))
+      .distinct()
+  }
+
+  /** Connected components of the undirected graph given by `edges` (two
+    * numeric/orderable columns named `a`, `b`; duplicates and self-loops
+    * tolerated). Returns (node, component) for every endpoint, component =
+    * min node id of its component. `maxRounds` is a safety cap far above
+    * the O(log n) need; non-convergence raises instead of returning wrong
+    * labels.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    var e = edges.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct()
+      // localCheckpoint each round: 2 joins + 2 distincts per round would
+      // otherwise stack a lineage Catalyst re-analyzes from scratch every
+      // iteration (planning time grows superlinearly by round 10+)
+      .localCheckpoint(true)
+    var prev = checksum(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val cs = checksum(next)
+      if (cs == prev) converged = true
+      else { e = next; prev = cs; round += 1 }
+    }
+    require(converged,
+      s"large-star/small-star did not converge in $maxRounds rounds " +
+        "(cap is far above the O(log n) bound — inspect the edge input)")
+    // fixpoint IS the star graph: every non-min node points at its
+    // component min; min nodes appear only as targets → label themselves.
+    // The min agg is a no-op on a true star — kept so a node can never
+    // fan out rows even if the fixpoint invariant were ever violated.
+    val labels = e.groupBy(col("a")).agg(min(col("b")).as("component"))
+      .withColumnRenamed("a", "node")
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+  }
+}

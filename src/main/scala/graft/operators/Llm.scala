@@ -297,6 +297,31 @@ object Llm {
              SELECT doc_id, min(lbl) AS cluster_id
              FROM reach GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** The same duplicate clusters through Graph.connectedComponents
+    * (large-star/small-star contraction) — the O(log n)-round path that
+    * survives chain-shaped components where min-label propagation needs
+    * diameter rounds. Identical output contract and the IDENTICAL DuckDB
+    * oracle as q_dedup_clusters, so the driver hash-proves the two
+    * algorithms agree on the real pair graph every round; GraphSpec
+    * additionally pins a diameter-200 chain (propagation's worst case).
+    * Pair input comes from the shared materialized pair table, so this
+    * adds only the contraction cost to the bench.
+    */
+  val qDedupClustersBigstar = Q(
+    "q_dedup_clusters_bigstar",
+    (s, dir) => {
+      val pairs = pairTable(s, dir).select(col("a"), col("b"))
+      val cc = Graph.connectedComponents(pairs)
+      val singletons = Tables.documents(s, dir).select("doc_id")
+        .join(cc.select(col("node")), col("doc_id") === col("node"),
+          "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      cc.select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .union(singletons)
+        .orderBy("doc_id")
+    },
+    qDedupClusters.oracle)
+
   private val MinhashK = 16  // 4 bands × 4 rows
   private val MinhashBands = 4
   private val MinhashP = 4294967311L // smallest prime > 2^32
@@ -1169,7 +1194,8 @@ object Llm {
             WHERE rk = 1 ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExactHash, qDedupJaccardPairs, qDedupClusters, qCorpusCurate,
+    qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
+    qDedupClustersBigstar, qCorpusCurate,
     qDedupMinhashLsh, qDedupSimhash,
     qEmbedCentroids,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,

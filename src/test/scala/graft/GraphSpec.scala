@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Graph, Llm}
+
+/** Large-star/small-star contraction: O(log n) rounds on the shapes that
+  * break diameter-bounded propagation, exact agreement with it elsewhere.
+  */
+class GraphSpec extends AnyFunSuite with SparkFixture {
+
+  private def ccMap(edges: Seq[(Long, Long)],
+                    maxRounds: Int = 30): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.connectedComponents(edges.toDF("a", "b"), maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("diameter-200 chain collapses to one component in O(log n) rounds") {
+    // propagation's worst case: a path graph needs `diameter` rounds there;
+    // contraction must finish far inside 15
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val got = ccMap(chain, maxRounds = 15)
+    assert(got.size == 201)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("multiple components, self-loops, duplicate + reversed edges") {
+    val edges = Seq(
+      (5L, 3L), (3L, 9L), (9L, 5L),       // triangle {3,5,9}
+      (20L, 21L), (21L, 20L), (20L, 21L), // dup + reversed pair {20,21}
+      (7L, 7L),                           // self-loop: singleton {7}
+      (40L, 41L), (41L, 42L))             // path {40,41,42}
+    val got = ccMap(edges)
+    assert(got == Map(
+      3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L,
+      7L -> 7L,
+      40L -> 40L, 41L -> 40L, 42L -> 40L))
+  }
+
+  test("star-center hub: high-degree node labels the whole component") {
+    // hub 1000 with 300 spokes including the component min 1
+    val edges = (1L to 300L).map(i => (1000L, i))
+    val got = ccMap(edges)
+    assert(got.size == 301)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("agrees with min-label propagation on the real near-dup pair graph") {
+    val viaContraction = Llm.qDedupClustersBigstar.fn(spark, sfDir)
+    val viaPropagation = Llm.qDedupClusters.fn(spark, sfDir)
+    assert(viaContraction.exceptAll(viaPropagation).count() == 0)
+    assert(viaPropagation.exceptAll(viaContraction).count() == 0)
+  }
+}
