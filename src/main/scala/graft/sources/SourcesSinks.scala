@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import graft.Q
@@ -145,6 +145,21 @@ object SourcesSinks {
       .select(col("f.id").as("id") +:
         propSchema.fieldNames.toSeq.map(n => col(s"f.properties.$n")) :+
         col("f.geometry.coordinates").as("rings"): _*)
+
+  /** Signed shoelace area of one closed linear ring column (first position
+    * == last): positive for counter-clockwise winding, negative for
+    * clockwise — so summing ring areas of a GeoJSON polygon (CCW exterior,
+    * CW holes) yields the net area directly. Pure codegen higher-order
+    * expression over the in-row ring array (bounded per-ring length; this
+    * is a per-row projection, not a hot inner loop like vec_dot).
+    */
+  def ringSignedArea(ringCol: String): Column =
+    expr(s"""aggregate(
+         zip_with(slice($ringCol, 1, size($ringCol) - 1),
+                  slice($ringCol, 2, size($ringCol) - 1),
+                  (p, q) -> element_at(p, 1) * element_at(q, 2)
+                          - element_at(q, 1) * element_at(p, 2)),
+         CAST(0 AS DOUBLE), (acc, v) -> acc + v) / 2""")
 
   /** GeoJSON-ish NDJSON feature SOURCE: read what writeFeatureRows wrote
     * (or any external per-line Feature file) back into typed columns. The
@@ -314,6 +329,64 @@ object SourcesSinks {
                     (-0.125, 0.125), (-0.125, -0.125)) AS o(dx, dy))
             GROUP BY r_name ORDER BY r_name"""))
 
+  /** Polygon AREA through the full round trip: per nation, an exterior
+    * square (CCW, half-width w = 0.25·(1 + nationkey mod 4)) with a CW hole
+    * of half-width w/2; serialize → parse → explode rings → SHOELACE each
+    * ring → signed sum per feature (exterior − hole = 3w²) → per-region
+    * stats. The Spark side computes area GEOMETRICALLY from the parsed
+    * coordinates; the oracle derives the same numbers ANALYTICALLY from
+    * the construction (3w²) — two independent formulations that must agree
+    * bit-exactly. Exactness: every coordinate is an exact binary fraction
+    * (≤3 fractional bits), so each shoelace product and every partial sum
+    * is exactly representable — double accumulation is order-independent
+    * here, no decimal policy needed.
+    */
+  val qGeoPolygonArea = Q(
+    "q_geo_polygon_area",
+    (s, dir) => {
+      def ring(hw: Column, ccw: Boolean) = {
+        val corners = Seq((-1, -1), (1, -1), (1, 1), (-1, 1), (-1, -1))
+          .map { case (sx, sy) =>
+            array(col("cx") + hw * sx, col("cy") + hw * sy) }
+        array((if (ccw) corners else corners.reverse): _*)
+      }
+      val joined = Tables.nation(s, dir)
+        .join(Tables.region(s, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").cast(LongType).as("feat_id"),
+          col("r_name"),
+          (col("n_nationkey") * 7 % 360 - 180 + 0.5).as("cx"),
+          (col("n_nationkey") * 13 % 180 - 90 + 0.5).as("cy"),
+          ((col("n_nationkey") % 4 + 1).cast(DoubleType) * 0.25).as("w"))
+        .withColumn("rings",
+          array(ring(col("w"), ccw = true),
+            ring(col("w") * 0.5, ccw = false)))
+      val features = toPolygonFeatureRows(joined, "feat_id", "rings",
+        Seq("r_name"))
+      val propSchema = StructType(Seq(StructField("r_name", StringType)))
+      parsePolygonFeatureRows(features, "feature", LongType, propSchema)
+        .select(col("id"), col("r_name"), explode(col("rings")).as("ring"))
+        .withColumn("ring_area", ringSignedArea("ring"))
+        .groupBy("id", "r_name")
+        .agg(sum(col("ring_area")).as("area"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_feat"),
+          sum(col("area")).as("total_area"),
+          min(col("area")).as("min_area"),
+          max(col("area")).as("max_area"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, count(*) AS n_feat,
+                   sum(3 * w * w) AS total_area,
+                   min(3 * w * w) AS min_area,
+                   max(3 * w * w) AS max_area
+            FROM (SELECT r.r_name,
+                         CAST(0.25 * (1 + n.n_nationkey % 4) AS DOUBLE) AS w
+                  FROM nation n JOIN region r
+                    ON n.n_regionkey = r.r_regionkey)
+            GROUP BY r_name ORDER BY r_name"""))
+
   val all: Seq[Q] =
-    Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qSourceOrcRoundtrip)
+    Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
+      qSourceOrcRoundtrip)
 }

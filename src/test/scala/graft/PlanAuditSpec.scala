@@ -151,6 +151,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("heavy hitters: exact top-20 is TakeOrderedAndProject, CMS adds no shuffle") {
+    val p = plan(graft.functions.Sketches.qSketchHeavyHitters.fn(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be a bounded-heap limit, not a full sort")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "exact counts must partial-aggregate map-side before the shuffle")
+  }
+
+  test("polygon bbox: nation/region scans prune to the joined columns") {
+    val p = plan(graft.sources.SourcesSinks.qGeoPolygonBbox.fn(spark, sfDir))
+    assert(p.contains("ReadSchema: struct<n_nationkey:int," +
+      "n_name:string,n_regionkey:int>"),
+      "nation scan must prune to key+name+regionkey")
+    assert(!p.contains("CartesianProduct"),
+      "ring expansion must stay a generator, never a join blowup")
+  }
+
+  test("contraction rounds keep two-phase min aggregation (no neighbor arrays)") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = plan(graft.operators.Graph.connectedComponents(e))
+    assert(!p.contains("collect_list") && !p.contains("collect_set"),
+      "per-node neighbor arrays would OOM on a 100 TB star center")
+  }
+
   test("embedding centroids aggregate in one shuffle (plus final sort)") {
     val p = plan(Llm.qEmbedCentroids.fn(spark, sfDir))
     // FormattedMode prints each operator twice (tree line + detail block):

@@ -96,6 +96,37 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(feat.contains("\"coordinates\":[["))
   }
 
+  test("shoelace: known shapes, winding sign, hole subtraction") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // unit square CCW -> +1
+      ("sq_ccw", Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(1.0, 1.0),
+        Seq(0.0, 1.0), Seq(0.0, 0.0))),
+      // same square CW -> -1
+      ("sq_cw", Seq(Seq(0.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0),
+        Seq(1.0, 0.0), Seq(0.0, 0.0))),
+      // 3-4-5 right triangle CCW -> +6
+      ("tri", Seq(Seq(0.0, 0.0), Seq(4.0, 0.0), Seq(0.0, 3.0),
+        Seq(0.0, 0.0))))
+      .toDF("name", "ring")
+      .withColumn("a", SourcesSinks.ringSignedArea("ring"))
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("sq_ccw" -> 1.0, "sq_cw" -> -1.0, "tri" -> 6.0))
+  }
+
+  test("t2 polygon area query: net area is exactly 3*w^2 per feature") {
+    val rows = SourcesSinks.qGeoPolygonArea.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every per-feature area is 3w^2 for w in {0.25,0.5,0.75,1.0} -> min
+      // and max must be members of that set, exactly (binary fractions)
+      val allowed = Set(0.1875, 0.75, 1.6875, 3.0)
+      assert(allowed.contains(r.getAs[Double]("min_area")), r.toString)
+      assert(allowed.contains(r.getAs[Double]("max_area")), r.toString)
+    }
+  }
+
   test("t2 polygon bbox query: hole rings counted, bbox from exterior") {
     val rows = SourcesSinks.qGeoPolygonBbox.fn(spark, sfDir).collect()
     assert(rows.length == Tables.region(spark, sfDir).count())
