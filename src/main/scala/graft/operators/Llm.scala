@@ -635,6 +635,49 @@ object Llm {
                     round(${Det.sqlAvg12("x")}, 6) AS mu
              FROM ex GROUP BY label, dim ORDER BY label, dim"""))
 
+  /** Int8 scalar quantization of the embedding store — the memory shape
+    * that makes a 100 TB vector corpus searchable (4 bytes → 1 byte per
+    * component; IVF/LSH candidates re-rank against these codes, full floats
+    * page in only for the final top-k). Per-dim min/max comes from ONE
+    * posexplode aggregation over a 64-key space, broadcast back onto the
+    * exploded components; code = round((x − mn)/step), step = (mx − mn)/255,
+    * so reconstruction error ≤ step/2 per component (QuantizeSpec bound).
+    * Returns the exploded per-component frame (dim, x, code, recon, err +
+    * the dim stats) for downstream re-assembly or error audits.
+    */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
+    val ex = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"),
+        col("pos").cast(IntegerType).as("dim"),
+        col("col").cast(DoubleType).as("x"))
+    val stats = ex.groupBy("dim")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("step", (col("mx") - col("mn")) / 255.0)
+    ex.join(broadcast(stats), "dim")
+      .withColumn("code",
+        when(col("step") === 0, lit(0))
+          .otherwise(round((col("x") - col("mn")) / col("step"))
+            .cast(IntegerType)))
+      .withColumn("recon", col("mn") + col("code") * col("step"))
+      .withColumn("err", abs(col("recon") - col("x")))
+  }
+
+  /** Per-label quantization-error audit over the int8 codes. No oracle BY
+    * DESIGN (the code boundaries sit on float rounding edges that are
+    * engine-internal, like q_agg_approx_distinct); QuantizeSpec pins the
+    * step/2 error contract and the 0..255 code range instead.
+    */
+  val qEmbedQuantize = Q(
+    "q_embed_quantize",
+    (s, dir) =>
+      quantizeEmbeddings(Tables.embeddings(s, dir))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_comp"),
+          round(max(col("err")), 9).as("max_abs_err"),
+          round(Det.davg12(col("err")), 9).as("avg_abs_err"))
+        .orderBy("label"))
+
   /** Brute-force cosine top-5 for 10 probe vectors — the ANN correctness
     * baseline. The dot product is the native codegen FloatVecDot expression
     * (graft.plans) — same sequential fold as a HOF but inside
@@ -1197,7 +1240,7 @@ object Llm {
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate,
     qDedupMinhashLsh, qDedupSimhash,
-    qEmbedCentroids,
+    qEmbedCentroids, qEmbedQuantize,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
     qTextTfidfTop, qTextFingerprint, qTextLangId, qTextPiiMask)

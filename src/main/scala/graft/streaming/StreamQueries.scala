@@ -210,6 +210,49 @@ object StreamQueries {
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
             ORDER BY click_id, purchase_id"""))
 
+  /** Stream-static enrichment — the most common production streaming shape
+    * (each event enriched against a slowly-changing dimension). The dim is
+    * bounded (users → nation names), so it rides as a broadcast into every
+    * micro-batch: stateless, no watermark, no stream-side shuffle. One
+    * transform valid for batch and readStream (StreamingSpec drives the
+    * same function through MemoryStream and compares against this batch
+    * form).
+    */
+  def userDim(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"))
+
+  val qStreamEnrich = Q(
+    "q_stream_enrich",
+    (s, dir) =>
+      enrich(Tables.events(s, dir), userDim(s, dir))
+        .groupBy("n_name", "event_type")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sval"))
+        .orderBy("n_name", "event_type"),
+    Some(s"""SELECT n_name, event_type, count(*) AS n,
+                    ${Det.sqlSum("value")} AS sval
+             FROM events e
+             JOIN customer c ON e.user_id = c.c_custkey
+             JOIN nation n ON c.c_nationkey = n.n_nationkey
+             GROUP BY n_name, event_type ORDER BY n_name, event_type"""))
+
+  /** Exactly-once for a non-transactional sink: the standard foreachBatch
+    * recipe. Structured Streaming replays a failed epoch with the SAME
+    * batchId, so writing each micro-batch to its own batch_id=<id>
+    * directory with overwrite makes the replay idempotent — the epoch
+    * overwrites itself instead of double-appending (a plain append sink
+    * duplicates rows on recovery). Readers see the union of epoch dirs as
+    * one partitioned table.
+    */
+  def idempotentParquetSink(outPath: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
   /** Arbitrary-stateful surface: running per-user totals via
     * mapGroupsWithState (SURVEY.md §2.I "stateful custom"). State is one
     * small record per user; in production a TTL/timeout bounds it
@@ -264,5 +307,5 @@ object StreamQueries {
 
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedupIds,
-    qStreamJoinInterval, qStreamJoinLeft)
+    qStreamJoinInterval, qStreamJoinLeft, qStreamEnrich)
 }

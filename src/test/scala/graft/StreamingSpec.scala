@@ -252,6 +252,57 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-static enrich: broadcast dim join, streaming equals batch") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val dim = Seq((1L, "FRANCE"), (2L, "KENYA")).toDF("user_id", "n_name")
+    val rows = Seq(
+      TestEv(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      TestEv(2, t("2024-01-01 10:05:00"), 2, "view", 2.0),
+      TestEv(3, t("2024-01-01 10:10:00"), 9, "click", 3.0)) // no dim row
+    val ms = MemoryStream[TestEv]
+    val q = StreamQueries.enrich(ms.toDF(), dim)
+      .select("event_id", "user_id", "n_name")
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_stream")
+        .orderBy("event_id").collect().toSeq
+      val batch = StreamQueries.enrich(rows.toDF(), dim)
+        .select("event_id", "user_id", "n_name")
+        .orderBy("event_id").collect().toSeq
+      // stateless inner join: user 9 drops, others enrich — identically
+      assert(streamed == batch && streamed.length == 2)
+    } finally q.stop()
+  }
+
+  test("foreachBatch idempotent sink: epoch replay does not duplicate rows") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val out = tmpDir("eos_sink")
+    val sink = StreamQueries.idempotentParquetSink(out)
+    val ms = MemoryStream[TestEv]
+    val q = ms.toDF().select("event_id", "user_id")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      ms.addData(TestEv(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+                 TestEv(2, t("2024-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      val once = spark.read.parquet(out).count()
+      // simulate the recovery path: the SAME epoch re-delivered with the
+      // same batchId must overwrite its own directory, not append
+      sink(Seq((1L, 1L), (2L, 2L)).toDF("event_id", "user_id"), 0L)
+      assert(spark.read.parquet(out).count() == once)
+      // a genuinely new epoch adds its own directory
+      sink(Seq((3L, 3L)).toDF("event_id", "user_id"), 1L)
+      assert(spark.read.parquet(out).count() == once + 1)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val s = spark
     implicit val sql = s.sqlContext
