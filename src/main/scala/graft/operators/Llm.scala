@@ -678,6 +678,40 @@ object Llm {
           round(Det.davg12(col("err")), 9).as("avg_abs_err"))
         .orderBy("label"))
 
+  /** Cosine top-5 over the RECONSTRUCTED int8 vectors — proof the
+    * quantized store actually searches: at 100 TB the scan runs against
+    * the 1-byte codes (4× less memory traffic) and only the final top-k
+    * pages in full floats. Vectors re-assemble from the exploded codes by
+    * dim-sorted collect (struct sort = dim order, 64 elements per row);
+    * scoring is the same broadcast-probe codegen vec_dot shape as
+    * q_sim_cosine_topk. No oracle BY DESIGN (code boundaries are float-
+    * rounding-internal); QuantizeSpec asserts top-5 recall vs the exact
+    * query instead.
+    */
+  val qSimCosineQuantized = Q(
+    "q_sim_cosine_quantized",
+    (s, dir) => {
+      graft.plans.VectorFunctions.register(s)
+      val recon = quantizeEmbeddings(Tables.embeddings(s, dir))
+        .groupBy("vec_id", "label")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, recon)))," +
+          " p -> p.recon)").as("rvec"))
+      val withNorm = recon.withColumn("ns", expr("vec_dot(rvec, rvec)"))
+      val probes = withNorm.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("rvec").as("pvec"),
+          col("ns").as("pns"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("qscore").desc, col("vec_id"))
+      withNorm.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+        .withColumn("qscore", round(
+          expr("vec_dot(pvec, rvec)") /
+            (sqrt(col("pns")) * sqrt(col("ns"))), 6))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select("probe_id", "vec_id", "qscore", "rk")
+        .orderBy("probe_id", "rk")
+    })
+
   /** Brute-force cosine top-5 for 10 probe vectors — the ANN correctness
     * baseline. The dot product is the native codegen FloatVecDot expression
     * (graft.plans) — same sequential fold as a HOF but inside
@@ -1152,6 +1186,65 @@ object Llm {
                   FROM documents)
             ORDER BY doc_id"""))
 
+  /** Markup stripping — the first stage of any web-corpus cleaning
+    * pipeline. Same synthesis doctrine as q_text_pii_mask (the corpus has
+    * no organic HTML, so a deterministic wrapper is built from doc fields
+    * identically in both engines); the hash match certifies tag-removal +
+    * whitespace-collapse semantics cross-engine. Pure codegen projection.
+    */
+  val qTextStripMarkup = Q(
+    "q_text_strip_markup",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("<div id=\"d"), col("doc_id"), lit("\"><p>"),
+            col("text"), lit("</p><br/><span>"), col("source"),
+            lit("</span></div>")).as("html"))
+        .withColumn("clean",
+          trim(regexp_replace(
+            regexp_replace(col("html"), "<[^>]+>", " "), " +", " ")))
+        .select(col("doc_id"), col("clean"),
+          length(col("clean")).cast(LongType).as("n_chars"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, clean, length(clean) AS n_chars
+            FROM (SELECT doc_id,
+                    trim(regexp_replace(regexp_replace(html,
+                      '<[^>]+>', ' ', 'g'), ' +', ' ', 'g')) AS clean
+                  FROM (SELECT doc_id,
+                          '<div id="d' || doc_id || '"><p>' || text ||
+                          '</p><br/><span>' || source ||
+                          '</span></div>' AS html
+                        FROM documents))
+            ORDER BY doc_id"""))
+
+  /** URL/domain extraction over synthesized bodies (same doctrine):
+    * group-1 regexp_extract_all → explode → domain frequency. Certifies
+    * the extract-ALL-with-capture-group semantics both engines must share.
+    */
+  val qTextUrlDomains = Q(
+    "q_text_url_domains",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("see https://"), col("source"),
+            lit(".example.com/doc/"), col("doc_id"),
+            lit(" and http://m"), col("doc_id") % 7,
+            lit(".example.org/x")).as("body"))
+        .select(explode(expr(
+          "regexp_extract_all(body, 'https?://([a-z0-9.-]+)', 1)"))
+          .as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n"))
+        .orderBy("domain"),
+    Some("""SELECT domain, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(body,
+                    'https?://([a-z0-9.-]+)', 1)) AS domain
+                  FROM (SELECT 'see https://' || source ||
+                          '.example.com/doc/' || doc_id ||
+                          ' and http://m' || (doc_id % 7) ||
+                          '.example.org/x' AS body
+                        FROM documents))
+            GROUP BY domain ORDER BY domain"""))
+
   val qTextFingerprint = Q(
     "q_text_fingerprint",
     (s, dir) =>
@@ -1242,6 +1335,8 @@ object Llm {
     qDedupMinhashLsh, qDedupSimhash,
     qEmbedCentroids, qEmbedQuantize,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
+    qSimCosineQuantized,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
-    qTextTfidfTop, qTextFingerprint, qTextLangId, qTextPiiMask)
+    qTextTfidfTop, qTextFingerprint, qTextLangId, qTextPiiMask,
+    qTextStripMarkup, qTextUrlDomains)
 }

@@ -30,6 +30,20 @@ class QuantizeSpec extends AnyFunSuite with SparkFixture {
       .count() == 0)
   }
 
+  test("quantized top-5 recalls >= 0.8 of the exact top-5 per probe") {
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("vec_id"))
+        .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).toSet }
+    val exact = topSets(Llm.qSimCosineTopk.fn(spark, sfDir))
+    val quant = topSets(Llm.qSimCosineQuantized.fn(spark, sfDir))
+    assert(quant.keySet == exact.keySet)
+    val recalls = exact.map { case (p, ex) =>
+      quant(p).intersect(ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean quantized recall $mean < 0.8")
+  }
+
   test("per-label audit query: one row per label, errors non-negative") {
     val rows = Llm.qEmbedQuantize.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
