@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.{Det, Q}
 import graft.sources.Tables
 
@@ -212,7 +212,34 @@ object Scalars {
                    p_retailprice AS px, 2 AS n_keys
             FROM part ORDER BY p_partkey"""))
 
+  /** Fuzzy place-name matching by edit distance — the entity-resolution
+    * primitive a geography pipeline needs when joining externally-sourced
+    * names (misspellings, abbreviation drift). levenshtein is the standard
+    * DP edit distance in both engines → deterministic integer oracle. The
+    * cross join is dim×dim (25×25) — the bounded kind; at corpus scale the
+    * production shape is blocking (join on a cheap key like soundex/prefix)
+    * before the per-pair distance, exactly like LSH bands before Jaccard.
+    */
+  val qStrFuzzyMatch = Q(
+    "q_str_fuzzy_match",
+    (s, dir) => {
+      val a = Tables.nation(s, dir).select(col("n_name").as("name_a"))
+      val b = Tables.nation(s, dir).select(col("n_name").as("name_b"))
+      a.crossJoin(b)
+        .where(col("name_a") < col("name_b"))
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast(LongType))
+        .where(col("dist") <= 5)
+        .orderBy("name_a", "name_b")
+    },
+    Some("""SELECT a.n_name AS name_a, b.n_name AS name_b,
+                   levenshtein(a.n_name, b.n_name) AS dist
+            FROM nation a, nation b
+            WHERE a.n_name < b.n_name
+              AND levenshtein(a.n_name, b.n_name) <= 5
+            ORDER BY name_a, name_b"""))
+
   val all: Seq[Q] = Seq(
     qStrGeoid, qStrClean, qDateParts, qMathRate, qCondFlags, qJsonExtract,
-    qArrayOps, qMapOps)
+    qArrayOps, qMapOps, qStrFuzzyMatch)
 }

@@ -342,9 +342,72 @@ object Windows {
               ORDER BY o_totalprice, o_orderkey)
             ORDER BY yr, o_orderkey"""))
 
+  /** Gap-fill + forward-fill: densify sparse per-nation daily revenue onto
+    * a complete 90-day spine, carrying the last observed value across gaps
+    * (`last(..., ignoreNulls)` over an unbounded-preceding frame; leading
+    * gaps before the first observation stay null on both engines). THE
+    * time-series normalization step before any window/trend computation on
+    * event-sourced data.
+    *
+    * Scale posture: the spine is dim × bounded-date-range (generated
+    * in-plan by sequence/explode, no driver loop); the fill is one
+    * partition-bounded window — never a self-join per day. The cross join
+    * is dim × 90 literals, the bounded kind the engine allows.
+    */
+  val qWinGapFill = Q(
+    "q_win_gap_fill",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= "1995-01-01" &&
+          col("o_orderdate") < "1995-04-01")
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), to_date(col("o_orderdate")).as("d"))
+        .agg(Det.dsum(col("o_totalprice")).as("rev"))
+      val spine = Tables.nation(s, dir).select("n_name")
+        .crossJoin(s.sql(
+          """SELECT explode(sequence(DATE'1995-01-01', DATE'1995-03-31',
+             interval 1 day)) AS d"""))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("n_name", "d"), "left")
+        .withColumn("is_gap", col("rev").isNull)
+        .withColumn("rev_filled", last(col("rev"), ignoreNulls = true).over(w))
+        // emit the day as TIMESTAMP: parquet date32 loads as python date
+        // objects driver-side while DuckDB DATE loads as datetime64 — the
+        // dtype check would flag a value-identical result (§7.2 rule 5)
+        .select(col("n_name"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("rev_filled"), col("is_gap"))
+        .orderBy("n_name", "d")
+    },
+    Some(s"""WITH daily AS (
+               SELECT n_name, CAST(o_orderdate AS DATE) AS d,
+                      ${Det.sqlSum("o_totalprice")} AS rev
+               FROM orders JOIN customer ON o_custkey = c_custkey
+                           JOIN nation ON c_nationkey = n_nationkey
+               WHERE o_orderdate >= '1995-01-01'
+                 AND o_orderdate < '1995-04-01'
+               GROUP BY 1, 2),
+             spine AS (
+               SELECT n_name, CAST(unnest(generate_series(
+                        DATE '1995-01-01', DATE '1995-03-31',
+                        INTERVAL 1 DAY)) AS DATE) AS d
+               FROM nation)
+             SELECT s.n_name, CAST(s.d AS TIMESTAMP) AS d,
+                    last_value(daily.rev IGNORE NULLS) OVER (
+                      PARTITION BY s.n_name ORDER BY s.d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS rev_filled,
+                    daily.rev IS NULL AS is_gap
+             FROM spine s LEFT JOIN daily
+               ON s.n_name = daily.n_name AND s.d = daily.d
+             ORDER BY s.n_name, s.d"""))
+
   val all: Seq[Q] = Seq(
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
-    qWinRangeFrame, qWinFirstLast, qWinPercentRank, qSortMultikey,
-    qTopkGlobal, qLimitOffset,
+    qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,
+    qSortMultikey, qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset)
 }
