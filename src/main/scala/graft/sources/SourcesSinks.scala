@@ -146,6 +146,49 @@ object SourcesSinks {
         propSchema.fieldNames.toSeq.map(n => col(s"f.properties.$n")) :+
         col("f.geometry.coordinates").as("rings"): _*)
 
+  /** MultiPolygon variant: coordinates are an array of POLYGONS, each an
+    * array of rings (GeoJSON level-4 nesting) — the shape census features
+    * take when a geography is disjoint (islands, exclaves). `polysCol`
+    * must already be array<array<array<array<double>>>>.
+    */
+  def toMultiPolygonFeatureRows(df: DataFrame, idCol: String,
+                                polysCol: String,
+                                propCols: Seq[String]): DataFrame = {
+    val props = struct(propCols.map(col): _*)
+    df.select(to_json(struct(
+      lit("Feature").as("type"),
+      col(idCol).as("id"),
+      props.as("properties"),
+      struct(lit("MultiPolygon").as("type"),
+        col(polysCol).as("coordinates")).as("geometry")))
+      .as("feature"))
+  }
+
+  def multiPolygonFeatureSchema(idType: DataType,
+                                propSchema: StructType): StructType = {
+    import org.apache.spark.sql.types.ArrayType
+    StructType(Seq(
+      StructField("type", StringType),
+      StructField("id", idType),
+      StructField("properties", propSchema),
+      StructField("geometry", StructType(Seq(
+        StructField("type", StringType),
+        StructField("coordinates",
+          ArrayType(ArrayType(ArrayType(ArrayType(DoubleType))))))))))
+  }
+
+  /** Inverse of toMultiPolygonFeatureRows: id, flattened properties, and
+    * the nested `polys` column (polygons → rings → positions → [x, y]).
+    */
+  def parseMultiPolygonFeatureRows(df: DataFrame, jsonCol: String,
+                                   idType: DataType,
+                                   propSchema: StructType): DataFrame =
+    df.select(from_json(col(jsonCol),
+        multiPolygonFeatureSchema(idType, propSchema)).as("f"))
+      .select(col("f.id").as("id") +:
+        propSchema.fieldNames.toSeq.map(n => col(s"f.properties.$n")) :+
+        col("f.geometry.coordinates").as("polys"): _*)
+
   /** Signed shoelace area of one closed linear ring column (first position
     * == last): positive for counter-clockwise winding, negative for
     * clockwise — so summing ring areas of a GeoJSON polygon (CCW exterior,
@@ -386,7 +429,77 @@ object SourcesSinks {
                     ON n.n_regionkey = r.r_regionkey)
             GROUP BY r_name ORDER BY r_name"""))
 
+  /** MultiPolygon through the round trip: each nation is TWO disjoint
+    * CCW squares ("islands" — half-widths w and w/2, centers cx∓2), so the
+    * per-feature area is 4w² + w² = 5w². Same independent-formulation
+    * oracle doctrine as q_geo_polygon_area: Spark parses the JSON and runs
+    * shoelace over every (polygon, ring); the oracle derives 5w²
+    * analytically. Exact binary fractions throughout.
+    */
+  val qGeoMultipolygonArea = Q(
+    "q_geo_multipolygon_area",
+    (s, dir) => {
+      def ring(cxOff: Double, hw: Column) = {
+        val corners = Seq((-1, -1), (1, -1), (1, 1), (-1, 1), (-1, -1))
+          .map { case (sx, sy) =>
+            array(col("cx") + cxOff + hw * sx, col("cy") + hw * sy) }
+        array(corners: _*)
+      }
+      val joined = Tables.nation(s, dir)
+        .join(Tables.region(s, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").cast(LongType).as("feat_id"),
+          col("r_name"),
+          (col("n_nationkey") * 7 % 360 - 180 + 0.5).as("cx"),
+          (col("n_nationkey") * 13 % 180 - 90 + 0.5).as("cy"),
+          ((col("n_nationkey") % 4 + 1).cast(DoubleType) * 0.25).as("w"))
+        .withColumn("polys", array(
+          array(ring(-2.0, col("w"))),
+          array(ring(2.0, col("w") * 0.5))))
+      val features = toMultiPolygonFeatureRows(joined, "feat_id", "polys",
+        Seq("r_name"))
+      val propSchema = StructType(Seq(StructField("r_name", StringType)))
+      parseMultiPolygonFeatureRows(features, "feature", LongType, propSchema)
+        .select(col("id"), col("r_name"), posexplode(col("polys")))
+        .select(col("id"), col("r_name"), col("pos").as("pidx"),
+          explode(col("col")).as("ring"))
+        .withColumn("ring_area", ringSignedArea("ring"))
+        .groupBy("id", "r_name")
+        .agg(countDistinct(col("pidx")).as("n_polys"),
+          sum(col("ring_area")).as("area"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_feat"),
+          sum(col("n_polys")).as("n_polys"),
+          sum(col("area")).as("total_area"),
+          min(col("area")).as("min_area"),
+          max(col("area")).as("max_area"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, count(*) AS n_feat, count(*) * 2 AS n_polys,
+                   sum(5 * w * w) AS total_area,
+                   min(5 * w * w) AS min_area,
+                   max(5 * w * w) AS max_area
+            FROM (SELECT r.r_name,
+                         CAST(0.25 * (1 + n.n_nationkey % 4) AS DOUBLE) AS w
+                  FROM nation n JOIN region r
+                    ON n.n_regionkey = r.r_regionkey)
+            GROUP BY r_name ORDER BY r_name"""))
+
+  /** Batch idempotent partition refresh — the lake-side analog of the
+    * streaming epoch sink: with dynamic partitionOverwriteMode, an
+    * overwrite write touching partitions {P} replaces exactly {P} and
+    * leaves every other partition intact, so re-running a failed daily
+    * build is idempotent and never truncates the table (static mode would
+    * drop ALL partitions first).
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
+
   val all: Seq[Q] =
     Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
-      qSourceOrcRoundtrip)
+      qGeoMultipolygonArea, qSourceOrcRoundtrip)
 }

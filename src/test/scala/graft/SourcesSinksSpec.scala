@@ -127,6 +127,48 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("multipolygon round-trips islands; t2 area query sums 5*w^2") {
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    // one feature: two disjoint unit squares -> total area 2
+    val df = Seq((1L, "twin", Seq(
+      Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(1.0, 1.0), Seq(0.0, 1.0),
+        Seq(0.0, 0.0))),
+      Seq(Seq(Seq(5.0, 0.0), Seq(6.0, 0.0), Seq(6.0, 1.0), Seq(5.0, 1.0),
+        Seq(5.0, 0.0))))))
+      .toDF("fid", "name", "polys")
+    val feat = SourcesSinks.toMultiPolygonFeatureRows(df, "fid", "polys",
+      Seq("name"))
+    assert(feat.head().getString(0).contains("\"type\":\"MultiPolygon\""))
+    val back = SourcesSinks.parseMultiPolygonFeatureRows(feat, "feature",
+      LongType, StructType(Seq(StructField("name", StringType))))
+      .select(col("id").as("fid"), col("name"), col("polys"))
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // t2 query: every per-feature area is 5w^2, w in {0.25,0.5,0.75,1.0}
+    val allowed = Set(0.3125, 1.25, 2.8125, 5.0)
+    SourcesSinks.qGeoMultipolygonArea.fn(spark, sfDir).collect().foreach { r =>
+      assert(allowed.contains(r.getAs[Double]("min_area")), r.toString)
+      assert(allowed.contains(r.getAs[Double]("max_area")), r.toString)
+      assert(r.getAs[Long]("n_polys") == 2 * r.getAs[Long]("n_feat"))
+    }
+  }
+
+  test("dynamic partition overwrite refreshes only the touched partitions") {
+    val s = spark
+    import s.implicits._
+    val out = tmpDir("dyn_overwrite") + "/t"
+    SourcesSinks.overwritePartitions(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k"), out, "k")
+    // rewrite ONLY partition k=b with new content
+    SourcesSinks.overwritePartitions(
+      Seq((20L, "b")).toDF("id", "k"), out, "k")
+    val rows = spark.read.parquet(out).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // a and c survive; b is replaced, not appended
+    assert(rows == Seq((1L, "a"), (3L, "c"), (20L, "b")).sortBy(_._1))
+  }
+
   test("t2 polygon bbox query: hole rings counted, bbox from exterior") {
     val rows = SourcesSinks.qGeoPolygonBbox.fn(spark, sfDir).collect()
     assert(rows.length == Tables.region(spark, sfDir).count())
