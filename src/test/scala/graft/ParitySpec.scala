@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Llm
 import graft.operators.{Aggregates, Windows}
+import graft.functions.Sketches
 
 /** Output must not depend on the parallelism it was computed with — the
   * property that lets the same query run on local[4] and a 1000-executor
@@ -51,7 +52,14 @@ class ParitySpec extends AnyFunSuite with SparkFixture {
       Aggregates.qAggPercentile,
       Aggregates.qAggCorr,
       Aggregates.qAggMode,
-      Windows.qTopkGlobal))
+      Windows.qTopkGlobal,
+      // round 6: contraction CC (iterative joins), CMS certification
+      // (sketch merge order), quantized re-rank (per-dim min/max aggs),
+      // forward fill (window over left join)
+      Llm.qDedupClustersBigstar,
+      Llm.qSimCosineQuantized,
+      Sketches.qSketchHeavyHitters,
+      Windows.qWinGapFill))
     test(s"${q.name} output is identical at shuffle.partitions = " +
         parallelisms.mkString("/")) {
       assertParity(q)
