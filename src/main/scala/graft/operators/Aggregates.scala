@@ -292,6 +292,34 @@ object Aggregates {
             .as("p95_approx"))
         .orderBy("l_returnflag"))
 
+  /** Fixed-width histogram (choropleth legend-distribution analog): revenue
+    * binned at $10 000. Binning happens in EXACT INTEGER CENTS with integer
+    * division (same doctrine as q_agg_corr) — a float `floor((x-lo)/w)`
+    * puts edge values one ulp either side of the bin boundary per engine,
+    * integer DIV cannot. Bounded key space (11 bins), full map-side
+    * combine, one shuffle.
+    */
+  val qAggHistogram = Q(
+    "q_agg_histogram",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(round(col("l_extendedprice") * 100).cast(DecimalType(18, 0))
+          .cast(org.apache.spark.sql.types.LongType).as("c"))
+        .select(expr("c DIV 1000000").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"), col("n"),
+          (col("bin").cast(DoubleType) * 10000.0).as("lo"),
+          ((col("bin") + 1).cast(DoubleType) * 10000.0).as("hi"))
+        .orderBy("bin"),
+    Some("""SELECT bin, count(*) AS n,
+                   CAST(bin AS DOUBLE) * 10000.0 AS lo,
+                   CAST(bin + 1 AS DOUBLE) * 10000.0 AS hi
+            FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                           // 1000000 AS bin
+                  FROM lineitem)
+            GROUP BY bin ORDER BY bin"""))
+
   /** Per-group min/max pairs — bbox [w,s,e,n] analog. The corners are
     * emitted as four scalar columns, not an ARRAY: the driver's compare
     * loads results into pandas and list-typed cells crash its sort/hash
@@ -433,5 +461,5 @@ object Aggregates {
   val all: Seq[Q] = Seq(qAggCorr, qAggMode,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
-    qAggPercentileApprox, qAggMinmaxBbox, qAggCollectSorted)
+    qAggPercentileApprox, qAggHistogram, qAggMinmaxBbox, qAggCollectSorted)
 }

@@ -1186,6 +1186,40 @@ object Llm {
                   FROM documents)
             ORDER BY doc_id"""))
 
+  /** Deterministic train/val/test split — reproducible sampling is a core
+    * training-data-engine contract (the split must be a pure function of
+    * the doc id: stable across runs, engines, partitioning, and corpus
+    * growth — appending docs never reshuffles existing assignments, unlike
+    * rand() or TABLESAMPLE). The portable md5-based hash (Det.pHash60 mod
+    * 100) makes the IDENTICAL assignment computable in DuckDB → full
+    * oracle. 80/10/10 by hash bucket; output = per-(source, split) counts
+    * + min/max doc ids as an assignment fingerprint.
+    */
+  val qCorpusSplit = Q(
+    "q_corpus_split",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket", pmod(Det.pHash60(col("doc_id")), lit(100)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("source", "split"),
+    Some(s"""SELECT source, split, count(*) AS n,
+                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             FROM (SELECT source, doc_id,
+                     CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'val'
+                          ELSE 'test' END AS split
+                   FROM (SELECT source, doc_id,
+                           ((${Det.sqlPHash60("doc_id")}) % 100 + 100) % 100
+                             AS b
+                         FROM documents))
+             GROUP BY source, split ORDER BY source, split"""))
+
   /** Markup stripping — the first stage of any web-corpus cleaning
     * pipeline. Same synthesis doctrine as q_text_pii_mask (the corpus has
     * no organic HTML, so a deterministic wrapper is built from doc fields
@@ -1338,5 +1372,5 @@ object Llm {
     qSimCosineQuantized,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
     qTextTfidfTop, qTextFingerprint, qTextLangId, qTextPiiMask,
-    qTextStripMarkup, qTextUrlDomains)
+    qTextStripMarkup, qTextUrlDomains, qCorpusSplit)
 }
