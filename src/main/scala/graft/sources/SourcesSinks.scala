@@ -33,6 +33,23 @@ object SourcesSinks {
       .option("emptyValue", nullValue) // "" follows the same sentinel rule
       .csv(path)
 
+  /** Malformed-input containment — the lake contract that ONE bad row in a
+    * 100 TB load cannot kill the job, while staying countable and
+    * quarantinable: PERMISSIVE mode parses what it can, nulls the fields it
+    * can't, and captures each unparseable raw line in `_corrupt_record`
+    * (select it to route rejects to a quarantine sink). Pair with
+    * `mode=FAILFAST` (just pass the option) when a strict load SHOULD die
+    * on first corruption.
+    */
+  def readCsvPermissive(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   /** Header CSV writer. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)

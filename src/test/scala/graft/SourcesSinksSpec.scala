@@ -31,6 +31,26 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(rows.exists(r => r.getInt(0) == 7 && r.isNullAt(1) && r.isNullAt(2)))
   }
 
+  test("PERMISSIVE csv captures corrupt rows; clean rows parse normally") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("corrupt_csv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part.csv"),
+      "id,score\n1,2.5\nnot_a_number,oops\n3,4.0\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType)))
+    val df = SourcesSinks.readCsvPermissive(spark, dir, schema).cache()
+    try {
+      val good = df.where(col("_corrupt_record").isNull)
+      val bad = df.where(col("_corrupt_record").isNotNull)
+      assert(good.count() == 2 && bad.count() == 1)
+      // the quarantine row carries the raw line for replay/debugging
+      assert(bad.select("_corrupt_record").head().getString(0)
+        == "not_a_number,oops")
+      assert(good.agg(sum("score")).head().getDouble(0) == 6.5)
+    } finally df.unpersist()
+  }
+
   test("JSONL round-trip with explicit schema") {
     val out = tmpDir("jsonl_rt")
     val region = Tables.region(spark, sfDir)
