@@ -239,7 +239,54 @@ object Scalars {
               AND levenshtein(a.n_name, b.n_name) <= 5
             ORDER BY name_a, name_b"""))
 
+  /** Semi-structured VARIANT round trip (Spark 4 native type): synthesize a
+    * nested JSON document per order in-plan, `parse_json` it into a VARIANT
+    * column, then extract typed fields back out with `variant_get` (top
+    * level, nested object, array element) and aggregate them. The oracle is
+    * an INDEPENDENT FORMULATION — DuckDB aggregates the raw base columns
+    * directly, never sees JSON — so a hash match proves the
+    * build→parse→extract pipeline preserved every value and type exactly.
+    * Only integer/string fields go into the JSON (float→text formatting is
+    * engine-specific; the decimal policy in Det covers numeric aggregation,
+    * not serialization).
+    *
+    * Scale posture: VARIANT is the 100 TB answer to schema-on-read logs —
+    * parse once into a binary columnar encoding, extract fields with
+    * codegen'd accessors instead of re-parsing text per query. The whole
+    * query is one projection + one bounded-key aggregate, no shuffle of raw
+    * JSON text.
+    */
+  val qJsonVariant = Q(
+    "q_json_variant",
+    (s, dir) => {
+      val j = concat(
+        lit("""{"id": """), col("o_orderkey"),
+        lit(""", "st": """"), col("o_orderstatus"),
+        lit("""", "tags": ["y:"""), year(col("o_orderdate")),
+        lit("""", "p:"""), col("o_orderpriority"),
+        lit(""""], "meta": {"y": """), year(col("o_orderdate")),
+        lit("""}}"""))
+      Tables.orders(s, dir)
+        .select(parse_json(j).as("v"))
+        .select(
+          variant_get(col("v"), "$.st", "string").as("st"),
+          variant_get(col("v"), "$.meta.y", "int").as("yr"),
+          variant_get(col("v"), "$.tags[1]", "string").as("pri_tag"),
+          variant_get(col("v"), "$.id", "bigint").as("id"))
+        .groupBy("st", "yr")
+        .agg(count(lit(1)).as("n"),
+          min(col("pri_tag")).as("min_pri_tag"),
+          max(col("id")).as("max_id"))
+        .orderBy("st", "yr")
+    },
+    Some("""SELECT o_orderstatus AS st,
+                   CAST(year(o_orderdate) AS INTEGER) AS yr,
+                   count(*) AS n,
+                   min('p:' || o_orderpriority) AS min_pri_tag,
+                   max(o_orderkey) AS max_id
+            FROM orders GROUP BY st, yr ORDER BY st, yr"""))
+
   val all: Seq[Q] = Seq(
     qStrGeoid, qStrClean, qDateParts, qMathRate, qCondFlags, qJsonExtract,
-    qArrayOps, qMapOps, qStrFuzzyMatch)
+    qArrayOps, qMapOps, qStrFuzzyMatch, qJsonVariant)
 }

@@ -372,9 +372,42 @@ object Relational {
              AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL '1 hour'
             ORDER BY s.user_id, s_id, p_id"""))
 
+  /** Lateral (correlated) join: per nation, the top-2 customers by account
+    * balance — the "top-N related rows per outer row" shape that a plain
+    * equi-join + global window can also express, here written as a true
+    * correlated subquery via Spark 4's `Dataset.lateralJoin` so the engine
+    * surface includes LATERAL itself (DuckDB runs the same query with SQL
+    * `JOIN LATERAL`, making the semantics cross-engine-certified).
+    *
+    * Scale posture: Catalyst decorrelates the subquery (DecorrelateInnerQuery)
+    * into a ranked window over the inner side — one shuffle by the
+    * correlation key, no per-outer-row re-execution; the outer side here is
+    * a bounded dim (25 nations) so the final join broadcasts.
+    */
+  val qJoinLateral = Q(
+    "q_join_lateral",
+    (s, dir) => {
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val c = Tables.customer(s, dir)
+      n.lateralJoin(
+          c.where(col("c_nationkey") === col("n_nationkey").outer())
+            .orderBy(col("c_acctbal").desc, col("c_name"))
+            .limit(2)
+            .select("c_name", "c_acctbal"))
+        .select("n_name", "c_name", "c_acctbal")
+        .orderBy("n_name", "c_name", "c_acctbal")
+    },
+    Some("""SELECT n.n_name, t.c_name, t.c_acctbal
+            FROM nation n
+            JOIN LATERAL (
+              SELECT c_name, c_acctbal FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_name LIMIT 2) t ON true
+            ORDER BY n_name, c_name, c_acctbal"""))
+
   val all: Seq[Q] = Seq(
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
-    qJoinAsof, qJoinRange)
+    qJoinAsof, qJoinRange, qJoinLateral)
 }

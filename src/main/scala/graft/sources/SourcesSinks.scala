@@ -516,7 +516,42 @@ object SourcesSinks {
       .partitionBy(partCol)
       .parquet(path)
 
+  /** Disk-partition pruning made driver-visible: write orders hive-
+    * partitioned by o_orderstatus into the session temp root, read it back
+    * with a partition predicate, and aggregate. At 100 TB this is THE scan
+    * lever that dwarfs row-group pushdown — a pruned partition is never
+    * listed, opened, or read (here 2 of 3 directory trees untouched), and
+    * the predicate must show up in the scan's PartitionFilters, not as a
+    * post-scan Filter (plan-asserted in PlanAuditSpec). The oracle
+    * aggregates the original parquet directly, so a hash match also proves
+    * the partitioned round trip lost nothing: o_orderstatus survives as a
+    * directory key even though it is no longer a data column.
+    *
+    * The write is keyed by the input dir and skipped when already fresh
+    * (same make-style guard as Llm.pairTable) so bench re-timings measure
+    * the pruned read, not the rewrite.
+    */
+  val qScanPartitionPruned = Q(
+    "q_scan_partition_pruned",
+    (s, dir) => {
+      val path = sessionTempDir(s)
+        .resolve(s"orders_by_status_${dir.hashCode.toHexString}").toString
+      if (!Incremental.isFresh(s, Seq(dir + "/orders.parquet"), path))
+        Tables.orders(s, dir).write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .where(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          graft.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n,
+                    ${graft.Det.sqlSum("o_totalprice")} AS sum_price
+             FROM orders WHERE o_orderstatus = 'F'
+             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] =
     Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
-      qGeoMultipolygonArea, qSourceOrcRoundtrip)
+      qGeoMultipolygonArea, qSourceOrcRoundtrip, qScanPartitionPruned)
 }

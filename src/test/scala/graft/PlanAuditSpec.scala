@@ -187,4 +187,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "partial aggregation must fold dims map-side before the shuffle")
   }
+
+  test("partition-pruned scan: predicate lands in PartitionFilters, 2/3 pruned") {
+    val df = graft.sources.SourcesSinks.qScanPartitionPruned.fn(spark, sfDir)
+    val p = plan(df)
+    assert("PartitionFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(p).isDefined,
+      s"status predicate must prune directories, not filter rows:\n${p.take(1500)}")
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
+      "partition key must not degrade to a data-column pushdown")
+    // the pruned scan must not read the partition key as a data column
+    assert(p.contains(
+      "ReadSchema: struct<o_totalprice:double,o_orderpriority:string>"),
+      s"scan should read only the 2 aggregate inputs:\n${p.take(1500)}")
+  }
+
+  test("lateral join decorrelates: ranked window, no per-outer-row re-execution") {
+    val p = plan(Relational.qJoinLateral.fn(spark, sfDir))
+    // DecorrelateInnerQuery must rewrite the correlated LIMIT-2 subquery
+    // into a single windowed rank over customer — one pass, one shuffle —
+    // joined back to nation; a LateralJoin/CartesianProduct survivor would
+    // mean per-nation re-execution of the subquery at scale.
+    assert(p.contains("Window"), "correlated top-2 should become a window rank")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "decorrelation must not fall back to a cartesian product")
+  }
 }
