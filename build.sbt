@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON. sbt's default
+// LoggedOutput strategy prefixes every forked-process line with "[info] " and
+// appends its own "[success] Total time: …" line, both of which defeat that
+// parser (BENCH_r04–r06 all recorded "parsed": null). StdoutOutput passes the
+// forked JVM's stdout through verbatim; showSuccess drops the trailer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
