@@ -91,8 +91,18 @@ object Graph {
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val cs = checksum(next)
-      if (cs == prev) converged = true
-      else { e = next; prev = cs; round += 1 }
+      if (cs == prev) {
+        // The count component of the checksum is exact, so equal checksums
+        // mean equal cardinalities; a ~2^-64 xor collision is the only way
+        // two DIFFERENT sets could land here — and it would end iteration
+        // with wrong labels and no loud failure. One exact set-difference
+        // on the (checkpointed, shrunken) fixpoint edge set per run makes
+        // that failure mode impossible at negligible cost.
+        require(e.exceptAll(next).isEmpty,
+          "edge-set checksum collision: consecutive rounds matched " +
+            "(count, xor) but differ exactly — continue iterating")
+        converged = true
+      } else { e = next; prev = cs; round += 1 }
     }
     require(converged,
       s"large-star/small-star did not converge in $maxRounds rounds " +

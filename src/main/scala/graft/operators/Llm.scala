@@ -193,7 +193,11 @@ object Llm {
     * a live computation — it IS the pair-generation benchmark.
     */
   private def pairTable(s: SparkSession, dir: String): DataFrame = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // Collision-free key: a lossy character substitution would map distinct
+    // dirs (/data/sf0-1 vs /data/sf0_1) to one cache entry, and mtime-only
+    // freshness could then serve another corpus's pair table silently.
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val out = graft.sources.SourcesSinks.sessionTempDir(s)
       .resolve(s"jaccard_pairs_$key").toString
     val (df, _) = graft.sources.Incremental.materialize(

@@ -36,10 +36,15 @@ object SourcesSinks {
   /** Malformed-input containment — the lake contract that ONE bad row in a
     * 100 TB load cannot kill the job, while staying countable and
     * quarantinable: PERMISSIVE mode parses what it can, nulls the fields it
-    * can't, and captures each unparseable raw line in `_corrupt_record`
-    * (select it to route rejects to a quarantine sink). Pair with
-    * `mode=FAILFAST` (just pass the option) when a strict load SHOULD die
-    * on first corruption.
+    * can't, and captures each unparseable raw line in `_corrupt_record`.
+    * To route rejects to a quarantine sink, `cache()` (or otherwise
+    * materialize) the frame FIRST: Spark raises AnalysisException for a
+    * query that references only the corrupt-record column of an uncached
+    * CSV frame (the internal-column restriction) — e.g.
+    * `val raw = readCsvPermissive(...).cache();
+    *  raw.where($"_corrupt_record".isNotNull).select("_corrupt_record")`.
+    * Pair with `mode=FAILFAST` (just pass the option) when a strict load
+    * SHOULD die on first corruption.
     */
   def readCsvPermissive(spark: SparkSession, path: String,
                         schema: StructType): DataFrame =

@@ -67,7 +67,9 @@ class IncrementalSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("dedup consumers share one materialized pair table per session") {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // mirrors Llm.pairTable's collision-free key (md5 of the input dir)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val success = graft.sources.SourcesSinks.sessionTempDir(spark)
       .resolve(s"jaccard_pairs_$key").resolve("_SUCCESS")
     SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count()
