@@ -11,7 +11,8 @@ object SparkEntry {
   private def allQueries: Seq[Q] =
     Relational.all ++ Aggregates.all ++ Windows.all ++ Scalars.all ++
       StreamQueries.all ++ Llm.all ++ Udx.all ++ Multimodal.all ++
-      SourcesSinks.all ++ Skew.all ++ Bucketing.all ++ Sketches.all
+      SourcesSinks.all ++ Skew.all ++ Bucketing.all ++ Sketches.all ++
+      Layout.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -458,7 +458,54 @@ object Aggregates {
                   FROM lineitem GROUP BY l_returnflag, l_quantity)
             WHERE rk = 1 ORDER BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(qAggCorr, qAggMode,
+  /** Incremental-rollup MERGE: per-month PARTIAL aggregate states (count,
+    * exact-cents sum, min, max — each mergeable by construction) re-merged
+    * into final per-priority totals, hash-matched against the ORACLE'S
+    * one-shot aggregation. This is the semantic heart of a 100 TB rollup
+    * pipeline: a new day/month computes ONLY its own partial and the final
+    * is a merge of stored partials, never a full recompute — the identity
+    * `merge(partials) ≡ aggregate(all rows)` is exactly what this query
+    * certifies cross-engine. The partial table is the persistence seam
+    * (`Incremental.materialize` per month-partition at scale); in-plan here
+    * so the bench measures the merge shape, not parquet IO.
+    *
+    * Each state component must be associative+commutative AND exact:
+    * count/min/max trivially, the sum in integer cents (a double sum would
+    * make partial→final order observable). avg is DERIVED at the end from
+    * (sum, count) — never stored — one IEEE division in both engines.
+    */
+  val qAggIncrMerge = Q(
+    "q_agg_incr_merge",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("m"),
+          round(col("o_totalprice") * 100).cast(DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType).as("cents"))
+        .groupBy("o_orderpriority", "m")
+        .agg(count(lit(1)).as("p_n"), sum(col("cents")).as("p_sum"),
+          min(col("cents")).as("p_min"), max(col("cents")).as("p_max"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("p_n")).as("n_orders"),
+          sum(col("p_sum")).as("sum_cents"),
+          min(col("p_min")).as("min_cents"),
+          max(col("p_max")).as("max_cents"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("sum_cents"), col("min_cents"), col("max_cents"),
+          (col("sum_cents").cast(DoubleType) /
+            col("n_orders").cast(DoubleType) / 100.0).as("avg_price"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   min(cents) AS min_cents, max(cents) AS max_cents,
+                   CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     / 100.0 AS avg_price
+            FROM (SELECT o_orderpriority,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(qAggCorr, qAggMode, qAggIncrMerge,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
     qAggPercentileApprox, qAggHistogram, qAggMinmaxBbox, qAggCollectSorted)

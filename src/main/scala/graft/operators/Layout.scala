@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+import graft.Q
+import graft.sources.Tables
+
+/** Multi-dimensional data LAYOUT for scan pruning — the write-side half of
+  * "filters reach the parquet scan". Parquet row-group min/max stats prune
+  * a scan only when the file layout CLUSTERS the filtered columns; a linear
+  * sort clusters exactly one column and leaves every other filter column
+  * with full-range stats in every file. Z-ORDERING (bit-interleaved Morton
+  * key, the technique behind Delta/Iceberg OPTIMIZE ZORDER BY) gives every
+  * interleaved column locality at once: sorting by the interleaved key
+  * bounds each file's span in ALL dimensions to ~range/2^(bits_per_file/d),
+  * so a conjunctive range filter on any subset of the z-columns skips most
+  * row groups at 100 TB instead of reading them.
+  *
+  * Pure public-algorithm implementation: the Morton key is a plain Catalyst
+  * expression tree (shift/and/or — whole-stage-codegen friendly, no UDF),
+  * the clustering is repartitionByRange + sortWithinPartitions on the key
+  * (range partitioner ⇒ files tile the z-curve), and the key column is
+  * dropped before the write so the layout is invisible to readers.
+  */
+object Layout {
+
+  /** 2-D Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative integer columns (a in the odd positions, b in the even).
+    * 21 bits per dimension fills 42 of a long's 63 value bits — callers
+    * with wider domains range-bucket to 2^21 first (at 100 TB the z-key is
+    * computed on the bucket rank, not the raw value, which also handles
+    * skew: equal-frequency buckets spread hot keys across the curve).
+    */
+  def zKey(a: Column, b: Column, bits: Int = 21): Column =
+    (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a.cast(LongType), i).bitwiseAND(lit(1L)),
+          2 * i + 1),
+        shiftleft(shiftright(b.cast(LongType), i).bitwiseAND(lit(1L)),
+          2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Cluster `df` on the z-curve of (a, b) into `numFiles` range slices,
+    * each internally z-sorted — the shape a parquet writer turns into
+    * per-file min/max stats that prune in BOTH dimensions.
+    */
+  def zorderBy(df: DataFrame, a: Column, b: Column, numFiles: Int,
+               bits: Int = 21): DataFrame = {
+    val keyed = df.withColumn("__zk", zKey(a, b, bits))
+    keyed.repartitionByRange(numFiles, col("__zk"))
+      .sortWithinPartitions("__zk")
+      .drop("__zk")
+  }
+
+  /** Z-ordered lineitem materialized ONCE per (session, input dir) — same
+    * Incremental seam as Llm.pairTable, keyed collision-free by an md5 of
+    * the dir. First consumer in a session pays the clustering write;
+    * every later read (verify re-runs, bench re-times) hits the parquet.
+    */
+  private def zorderedLineitem(s: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = graft.sources.SourcesSinks.sessionTempDir(s)
+      .resolve(s"lineitem_zorder_$key").toString
+    val (df, _) = graft.sources.Incremental.materialize(
+      s, Seq(s"$dir/lineitem.parquet"), out)(
+      zorderBy(Tables.lineitem(s, dir),
+        col("l_partkey"), col("l_suppkey"), numFiles = 8))
+    df
+  }
+
+  /** The z-ordered table actually being QUERIED: a conjunctive range filter
+    * on both z-columns + exact aggregate, hash-matched against the oracle
+    * running the SAME filter on the ORIGINAL (unclustered) table — proving
+    * the layout op preserved every row while LayoutSpec proves the
+    * clustering (per-slice span shrinks in both dimensions, which is what
+    * row-group pruning consumes at scale).
+    */
+  val qLayoutZorder = Q(
+    "q_layout_zorder",
+    (s, dir) =>
+      zorderedLineitem(s, dir)
+        // ranges chosen inside the SMALLEST scale factor's key domain
+        // (sf0.001: partkey 0-199, suppkey 0-9) so the query selects rows
+        // at every SF
+        .where(col("l_partkey").between(20, 150) &&
+          col("l_suppkey").between(2, 7))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100)
+            .cast(DecimalType(18, 0)).cast(LongType)).as("sum_cents"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                   min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+            FROM lineitem
+            WHERE l_partkey BETWEEN 20 AND 150
+              AND l_suppkey BETWEEN 2 AND 7
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(qLayoutZorder)
+}

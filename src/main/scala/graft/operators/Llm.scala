@@ -1367,6 +1367,110 @@ object Llm {
                     ORDER BY hits DESC, profile_lang) AS rk FROM votes)
             WHERE rk = 1 ORDER BY doc_id"""))
 
+  /** Repetition quality signals (the "repetitious text" family of the
+    * Gopher/MassiveText filter rules, computed here at word granularity):
+    * duplicate-token fraction (1 − distinct/total) and most-frequent-token
+    * fraction per document. Highly repetitious documents are the single
+    * cheapest badness signal a corpus filter has — boilerplate, keyword
+    * stuffing, and generation loops all spike both ratios.
+    *
+    * Shape: token explode → (doc, tok) count → per-doc merge. Both
+    * aggregations are map-side-combinable; per-doc key cardinality is
+    * bounded by vocabulary, never corpus size. Ratios are ONE IEEE
+    * division of exact longs in both engines (§7.2 doctrine).
+    */
+  val qTextRepetition = Q(
+    "q_text_repetition",
+    (s, dir) =>
+      tokens(Tables.documents(s, dir).where(col("doc_id") < 300))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"), max(col("c")).as("top_count"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          ((col("n_tokens") - col("n_distinct")).cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).as("dup_frac"),
+          (col("top_count").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).as("top_frac"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents WHERE doc_id < 300),
+                 tf AS (SELECT doc_id, tok, count(*) AS c FROM t
+                        WHERE tok <> '' GROUP BY doc_id, tok),
+                 d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                              count(*) AS n_distinct,
+                              CAST(max(c) AS BIGINT) AS top_count
+                       FROM tf GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_distinct,
+                   CAST(n_tokens - n_distinct AS DOUBLE) /
+                     CAST(n_tokens AS DOUBLE) AS dup_frac,
+                   CAST(top_count AS DOUBLE) /
+                     CAST(n_tokens AS DOUBLE) AS top_frac
+            FROM d ORDER BY doc_id"""))
+
+  /** Train→eval CONTAMINATION check — the pre-training hygiene step every
+    * serious corpus pipeline runs before a model train: for each held-out
+    * (test-split) document, what fraction of its distinct 3-gram shingles
+    * also occurs anywhere in the train split? Split assignment reuses
+    * q_corpus_split's pure-function-of-id hash (so the check is stable as
+    * the corpus grows); overlap is a LEFT SEMI join on the shingle — the
+    * contaminated subset — against a per-doc total.
+    *
+    * Scale posture: the train shingle set at 100 TB is far beyond any
+    * broadcast — this is deliberately a SHUFFLE semi-join on the shingle
+    * key (bounded doc-frequency per shingle keeps fan-in flat), and the
+    * distinct-before-join keeps the build side minimal. No per-doc arrays,
+    * no collect.
+    */
+  val qContamination = Q(
+    "q_contamination",
+    (s, dir) => {
+      val split = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          pmod(Det.pHash60(col("doc_id")), lit(100)).as("b"))
+      val sh = shingleSets(Tables.documents(s, dir))
+      val trainSh = sh.join(split.where(col("b") < 80), "doc_id")
+        .select("shingle").distinct()
+      val testSh = sh.join(split.where(col("b") >= 90), "doc_id")
+        .select("doc_id", "shingle")
+      val total = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val hit = testSh.join(trainSh, Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      total.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
+          (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+            col("n_shingles").cast(DoubleType)).as("contam_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents
+                        WHERE len(string_split(text, ' ')) >= 3),
+                 u AS (SELECT DISTINCT doc_id, shingle
+                       FROM (SELECT doc_id,
+                               unnest([array_to_string(toks[i:i+2], ' ')
+                                       FOR i IN range(1,
+                                         greatest(len(toks) - 1, 1))])
+                                 AS shingle
+                             FROM d)),
+                 sp AS (SELECT doc_id,
+                          ((${Det.sqlPHash60("doc_id")}) % 100 + 100) % 100
+                            AS b
+                        FROM documents),
+                 tr AS (SELECT DISTINCT shingle
+                        FROM u JOIN sp USING (doc_id) WHERE b < 80),
+                 te AS (SELECT u.doc_id, u.shingle
+                        FROM u JOIN sp USING (doc_id) WHERE b >= 90)
+             SELECT doc_id, count(*) AS n_shingles,
+                    CAST(sum(CASE WHEN tr.shingle IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_contaminated,
+                    CAST(sum(CASE WHEN tr.shingle IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE) AS contam_frac
+             FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+             GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate,
@@ -1376,5 +1480,6 @@ object Llm {
     qSimCosineQuantized,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
     qTextTfidfTop, qTextFingerprint, qTextLangId, qTextPiiMask,
-    qTextStripMarkup, qTextUrlDomains, qCorpusSplit)
+    qTextStripMarkup, qTextUrlDomains, qCorpusSplit,
+    qTextRepetition, qContamination)
 }

@@ -405,9 +405,94 @@ object Relational {
               ORDER BY c_acctbal DESC, c_name LIMIT 2) t ON true
             ORDER BY n_name, c_name, c_acctbal"""))
 
+  /** GRID-BUCKETED spatial containment join (point-in-bbox) — the
+    * scale-correct shape for "which region contains each point". A naive
+    * bbox-containment join is a nested-loop theta join (O(points×boxes) —
+    * compute-death when the box side outgrows a broadcast); the standard
+    * fix, used by every distributed geo engine, is a space-grid prefilter:
+    * each point lands in EXACTLY ONE cell (its own equi-join key), each
+    * bbox replicates to every cell it overlaps, the join becomes a plain
+    * hash equi-join on the cell id, and the exact containment predicate
+    * runs only on co-celled pairs. Point→single-cell means no dedup pass
+    * is needed. Coordinates are synthesized as exact binary fractions
+    * (k/1024, k/8) from the portable hash, so containment boundaries are
+    * bit-identical cross-engine (same doctrine as q_geo_bbox_roundtrip).
+    *
+    * Oracle formulation is INDEPENDENT: a plain BETWEEN join with no grid —
+    * the hash match proves the grid decomposition loses/duplicates nothing.
+    */
+  val qGeoGridJoin = Q(
+    "q_geo_grid_join",
+    (s, dir) => {
+      val pts = Tables.events(s, dir).select(
+        col("event_id"),
+        (pmod(Det.pHash32(concat(col("event_id").cast(
+          org.apache.spark.sql.types.StringType), lit("x"))), lit(1024))
+          .cast(org.apache.spark.sql.types.DoubleType) / 1024.0).as("x"),
+        (pmod(Det.pHash32(concat(col("event_id").cast(
+          org.apache.spark.sql.types.StringType), lit("y"))), lit(1024))
+          .cast(org.apache.spark.sql.types.DoubleType) / 1024.0).as("y"))
+        .withColumn("cx", floor(col("x") * 8).cast(
+          org.apache.spark.sql.types.IntegerType))
+        .withColumn("cy", floor(col("y") * 8).cast(
+          org.apache.spark.sql.types.IntegerType))
+      // 5 region bboxes at exact 1/8 boundaries, deliberately overlapping
+      // (a point may fall in several regions; output is per-region).
+      val boxes = Tables.region(s, dir).select(
+        col("r_regionkey"),
+        (col("r_regionkey").cast(org.apache.spark.sql.types.DoubleType)
+          * 0.125).as("xmin"),
+        (col("r_regionkey").cast(org.apache.spark.sql.types.DoubleType)
+          * 0.125 + 0.375).as("xmax"),
+        (pmod(col("r_regionkey"), lit(2)).cast(
+          org.apache.spark.sql.types.DoubleType) * 0.25).as("ymin"),
+        (pmod(col("r_regionkey"), lit(2)).cast(
+          org.apache.spark.sql.types.DoubleType) * 0.25 + 0.5).as("ymax"))
+      // replicate each bbox to the grid cells it overlaps; closed upper
+      // bounds at exact 1/8 multiples are covered because floor(xmax*8)
+      // is then the cell that owns boundary points.
+      val boxCells = boxes
+        .withColumn("cx", explode(sequence(
+          floor(col("xmin") * 8).cast(org.apache.spark.sql.types.IntegerType),
+          least(floor(col("xmax") * 8), lit(7.0)).cast(
+            org.apache.spark.sql.types.IntegerType))))
+        .withColumn("cy", explode(sequence(
+          floor(col("ymin") * 8).cast(org.apache.spark.sql.types.IntegerType),
+          least(floor(col("ymax") * 8), lit(7.0)).cast(
+            org.apache.spark.sql.types.IntegerType))))
+      pts.join(broadcast(boxCells), Seq("cx", "cy"))
+        .where(col("x") >= col("xmin") && col("x") <= col("xmax") &&
+          col("y") >= col("ymin") && col("y") <= col("ymax"))
+        .groupBy("r_regionkey")
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("event_id")).as("sum_ids"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy("r_regionkey")
+    },
+    Some(s"""WITH pts AS (
+               SELECT event_id,
+                 CAST(((${Det.sqlPHash32("CAST(event_id AS VARCHAR) || 'x'")})
+                   % 1024 + 1024) % 1024 AS DOUBLE) / 1024.0 AS x,
+                 CAST(((${Det.sqlPHash32("CAST(event_id AS VARCHAR) || 'y'")})
+                   % 1024 + 1024) % 1024 AS DOUBLE) / 1024.0 AS y
+               FROM events),
+             boxes AS (
+               SELECT r_regionkey,
+                      CAST(r_regionkey AS DOUBLE) * 0.125 AS xmin,
+                      CAST(r_regionkey AS DOUBLE) * 0.125 + 0.375 AS xmax,
+                      CAST(r_regionkey % 2 AS DOUBLE) * 0.25 AS ymin,
+                      CAST(r_regionkey % 2 AS DOUBLE) * 0.25 + 0.5 AS ymax
+               FROM region)
+             SELECT r_regionkey, count(*) AS n_points,
+                    CAST(sum(event_id) AS BIGINT) AS sum_ids,
+                    min(event_id) AS min_id, max(event_id) AS max_id
+             FROM pts JOIN boxes
+               ON x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax
+             GROUP BY r_regionkey ORDER BY r_regionkey"""))
+
   val all: Seq[Q] = Seq(
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
-    qJoinAsof, qJoinRange, qJoinLateral)
+    qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin)
 }

@@ -405,9 +405,56 @@ object Windows {
                ON s.n_name = daily.n_name AND s.d = daily.d
              ORDER BY s.n_name, s.d"""))
 
+  /** Slowly-changing-dimension TYPE 2 build — the warehouse-standard way to
+    * keep attribute HISTORY: each change event becomes a versioned row with
+    * an [eff_from, eff_to) validity interval, the open interval marking the
+    * current version. Orders act as the change log of each customer's
+    * priority attribute. One window over (change_ts, change_id) — the tie
+    * key makes the version sequence a total order (the synthetic orderdate
+    * has same-day changes per customer) — then `lead` closes each interval
+    * with the next change's timestamp.
+    *
+    * Scale posture: a single shuffle on the dimension's natural key
+    * (partitionBy custkey); no self-join formulation (the lead-window build
+    * is O(n log n) per key vs the O(n²) "next change" theta-join some ETL
+    * tools emit). At 100 TB the change log is date-partitioned and the
+    * rebuild is incremental per partition (Incremental.materialize seam).
+    */
+  val qScd2Dim = Q(
+    "q_scd2_dim",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("eff_from"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderpriority").as("attr"),
+          col("o_orderdate").as("eff_from"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+        .withColumn("is_current",
+          when(col("eff_to").isNull, 1).otherwise(0)
+            .cast(org.apache.spark.sql.types.IntegerType))
+        .select("o_custkey", "version", "o_orderkey", "attr",
+          "eff_from", "eff_to", "is_current")
+        .orderBy("o_custkey", "version")
+    },
+    Some("""SELECT o_custkey, version, o_orderkey, attr, eff_from, eff_to,
+                   is_current
+            FROM (SELECT o_custkey,
+                         CAST(row_number() OVER w AS INTEGER) AS version,
+                         o_orderkey, o_orderpriority AS attr,
+                         o_orderdate AS eff_from,
+                         lead(o_orderdate, 1) OVER w AS eff_to,
+                         CAST(CASE WHEN lead(o_orderdate, 1) OVER w IS NULL
+                              THEN 1 ELSE 0 END AS INTEGER) AS is_current
+                  FROM orders
+                  WINDOW w AS (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey))
+            ORDER BY o_custkey, version"""))
+
   val all: Seq[Q] = Seq(
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
-    qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,
+    qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill, qScd2Dim,
     qSortMultikey, qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset)
 }

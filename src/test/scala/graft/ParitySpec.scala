@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Llm
-import graft.operators.{Aggregates, Windows}
+import graft.operators.{Aggregates, Layout, Relational, Windows}
 import graft.functions.Sketches
 
 /** Output must not depend on the parallelism it was computed with — the
@@ -59,7 +59,14 @@ class ParitySpec extends AnyFunSuite with SparkFixture {
       Llm.qDedupClustersBigstar,
       Llm.qSimCosineQuantized,
       Sketches.qSketchHeavyHitters,
-      Windows.qWinGapFill))
+      Windows.qWinGapFill,
+      // round 7: contamination (two-join fan-in on shingles), grid spatial
+      // join (cell replication), incremental merge (partial→final states),
+      // z-order (range partitioner sampling must not leak into VALUES)
+      Llm.qContamination,
+      Relational.qGeoGridJoin,
+      Aggregates.qAggIncrMerge,
+      Layout.qLayoutZorder))
     test(s"${q.name} output is identical at shuffle.partitions = " +
         parallelisms.mkString("/")) {
       assertParity(q)
