@@ -211,4 +211,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.toLowerCase.contains("cartesianproduct"),
       "decorrelation must not fall back to a cartesian product")
   }
+
+  test("grid spatial join is a hash equi-join on cells, never a nested loop") {
+    val p = plan(Relational.qGeoGridJoin.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "replicated bbox-cell side must broadcast into a HASH join")
+    assert(!p.toLowerCase.contains("broadcastnestedloopjoin") &&
+      !p.toLowerCase.contains("cartesianproduct"),
+      "the containment theta predicate must ride the cell equi-join, " +
+        "not force a nested loop")
+  }
+
+  test("SCD2 build shuffles once on the dimension key") {
+    val p = plan(Windows.qScd2Dim.fn(spark, sfDir))
+    assert(p.contains("Window"))
+    // one hash exchange (the window's partitionBy — FormattedMode puts the
+    // partitioning in an Arguments line); the only other exchange is the
+    // final presentation sort's range partitioning
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      "version/lead must share ONE shuffle on o_custkey")
+  }
+
+  test("incremental merge keeps both aggregation levels two-phase") {
+    val p = plan(Aggregates.qAggIncrMerge.fn(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "partial+final at month level AND at merge level")
+  }
+
+  test("contamination overlap is a semi-join (no row fan-out, no arrays)") {
+    val p = plan(Llm.qContamination.fn(spark, sfDir))
+    assert(p.contains("LeftSemi"),
+      "train-shingle membership must be a LEFT SEMI join")
+    assert(!p.contains("collect_set") && !p.contains("collect_list"),
+      "no per-doc shingle arrays — they OOM on boilerplate docs at scale")
+  }
 }
