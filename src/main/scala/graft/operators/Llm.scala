@@ -1471,7 +1471,40 @@ object Llm {
              FROM te LEFT JOIN tr ON te.shingle = tr.shingle
              GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Reproducible STRATIFIED sampling — exactly k docs per stratum, chosen
+    * by portable-hash rank (same pure-function-of-id doctrine as
+    * q_corpus_split): the sample is identical across runs, engines, and
+    * partitioning, and STABLE under corpus growth in expectation (a new doc
+    * displaces at most one sampled doc of its own stratum, never reshuffles
+    * the rest — rand()/TABLESAMPLE resample everything). This is how a
+    * training pipeline pins eval subsets and ablation slices.
+    *
+    * Scale posture: rank-within-stratum is the WindowGroupLimit shape —
+    * Spark pushes a per-partition partial top-k below the shuffle, so the
+    * exchange carries O(strata·k) rows, not the corpus.
+    */
+  val qSampleStratified = Q(
+    "q_sample_stratified",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(Det.pHash60(col("doc_id")), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 20)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk")
+    },
+    Some(s"""SELECT source, rk, doc_id
+             FROM (SELECT source, doc_id,
+                     CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY ${Det.sqlPHash60("doc_id")}, doc_id)
+                       AS INTEGER) AS rk
+                   FROM documents)
+             WHERE rk <= 20 ORDER BY source, rk"""))
+
   val all: Seq[Q] = Seq(
+    qSampleStratified,
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate,
     qDedupMinhashLsh, qDedupSimhash,

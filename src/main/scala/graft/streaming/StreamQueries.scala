@@ -10,6 +10,15 @@ import graft.sources.Tables
 final case class UserEvent(user_id: Long, value: Double)
 final case class UserTotal(user_id: Long, n: Long, total: Double)
 
+/** Anomaly-scorer rows: ts carried as epoch micros (a Long) so the state
+  * encoder stays primitive-only; cents are exact.
+  */
+final case class ScoredEvent(event_id: Long, user_id: Long, ts_us: Long,
+                             c: Long)
+final case class AnomalyHit(event_id: Long, user_id: Long, ts_us: Long,
+                            c: Long, z: Double)
+final case class Moments(n: Long, s: Long, ss: Long)
+
 /** Streaming operators — SURVEY.md §2.I. The reference is pure batch; these
   * are the engine's Structured-Streaming extension over the `events` table.
   *
@@ -305,7 +314,113 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Online anomaly detection — per-user running z-score against the
+    * user's OWN prior history (the prior-only frame is what makes it
+    * causal/streamable: an event is scored before it updates the state).
+    * Exactness doctrine: moments kept in integer cents (count, sum,
+    * sum-of-squares — all mergeable, all exact), z derived at the edge via
+    * the same correctly-rounded IEEE op sequence in Spark, DuckDB and the
+    * stateful processor: mean = S/n, var = (n·SS − S²)/(n·(n−1)), then one
+    * subtraction, one division, one sqrt — identical doubles everywhere.
+    *
+    * Scale posture: batch form is one window shuffle on user_id; streaming
+    * form is transformWithState with THREE LONGS of state per user (no
+    * history buffer — the moments ARE the history), so state is O(users)
+    * regardless of stream length.
+    */
+  def anomalyScores(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType, DecimalType}
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast(DecimalType(18, 0))
+          .cast(LongType).as("c"))
+      .withColumn("n", count(col("c")).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("ss", sum(col("c") * col("c")).over(w))
+      .where(col("n") >= 3)
+      .withColumn("varnum", col("n") * col("ss") - col("s") * col("s"))
+      .where(col("varnum") > 0)
+      .withColumn("z",
+        (col("c").cast(DoubleType) -
+          col("s").cast(DoubleType) / col("n").cast(DoubleType)) /
+          sqrt(col("varnum").cast(DoubleType) /
+            (col("n") * (col("n") - 1)).cast(DoubleType)))
+      .where(abs(col("z")) > lit(2.5))
+      .select(col("event_id"), col("user_id"), col("ts"), col("c"), col("z"))
+  }
+
+  val qStreamAnomaly = Q(
+    "q_stream_anomaly",
+    (s, dir) =>
+      anomalyScores(Tables.events(s, dir))
+        .orderBy("user_id", "ts", "event_id"),
+    Some("""WITH m AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS c,
+                     count(c2) OVER w AS n,
+                     CAST(sum(c2) OVER w AS BIGINT) AS s,
+                     CAST(sum(c2 * c2) OVER w AS BIGINT) AS ss
+              FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS c2
+                    FROM events)
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)),
+            scored AS (
+              SELECT event_id, user_id, ts, c,
+                     (CAST(c AS DOUBLE) -
+                      CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+                       sqrt(CAST(n * ss - s * s AS DOUBLE) /
+                            CAST(n * (n - 1) AS DOUBLE)) AS z
+              FROM m WHERE n >= 3 AND n * ss - s * s > 0)
+            SELECT event_id, user_id, ts, c, z
+            FROM scored WHERE abs(z) > 2.5
+            ORDER BY user_id, ts, event_id"""))
+
+  /** The same scorer as a streaming StatefulProcessor: per-user state is
+    * exactly (n, S, SS) — each batch's rows are sorted by (ts, event_id)
+    * inside the group (cross-batch order is the source's event-time order,
+    * guaranteed upstream by the watermark discipline), each row is scored
+    * against the state BEFORE being folded in. StreamingSpec drives this
+    * through MemoryStream and asserts row-identity with `anomalyScores`.
+    */
+  class AnomalyProcessor
+      extends StatefulProcessor[Long, ScoredEvent, AnomalyHit] {
+    @transient private var state: ValueState[Moments] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Moments]("moments",
+        org.apache.spark.sql.Encoders.product[Moments], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[ScoredEvent],
+                                 timerValues: TimerValues)
+        : Iterator[AnomalyHit] = {
+      var m = Option(state.get()).getOrElse(Moments(0L, 0L, 0L))
+      val out = Vector.newBuilder[AnomalyHit]
+      rows.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val varnum = m.n * m.ss - m.s * m.s
+        if (m.n >= 3 && varnum > 0) {
+          val z = (e.c.toDouble - m.s.toDouble / m.n.toDouble) /
+            math.sqrt(varnum.toDouble / (m.n * (m.n - 1)).toDouble)
+          if (math.abs(z) > 2.5)
+            out += AnomalyHit(e.event_id, key, e.ts_us, e.c, z)
+        }
+        m = Moments(m.n + 1, m.s + e.c, m.ss + e.c * e.c)
+      }
+      state.update(m)
+      out.result().iterator
+    }
+  }
+
+  def anomalyStream(events: Dataset[ScoredEvent]): Dataset[AnomalyHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AnomalyProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedupIds,
-    qStreamJoinInterval, qStreamJoinLeft, qStreamEnrich)
+    qStreamJoinInterval, qStreamJoinLeft, qStreamEnrich, qStreamAnomaly)
 }

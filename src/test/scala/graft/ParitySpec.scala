@@ -66,7 +66,9 @@ class ParitySpec extends AnyFunSuite with SparkFixture {
       Llm.qContamination,
       Relational.qGeoGridJoin,
       Aggregates.qAggIncrMerge,
-      Layout.qLayoutZorder))
+      Layout.qLayoutZorder,
+      Llm.qSampleStratified,
+      streaming.StreamQueries.qStreamAnomaly))
     test(s"${q.name} output is identical at shuffle.partitions = " +
         parallelisms.mkString("/")) {
       assertParity(q)

@@ -238,6 +238,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "partial+final at month level AND at merge level")
   }
 
+  test("stratified sample gets WindowGroupLimit: exchange carries top-k only") {
+    val p = plan(Llm.qSampleStratified.fn(spark, sfDir))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "per-partition partial top-k must run below the shuffle")
+  }
+
   test("contamination overlap is a semi-join (no row fan-out, no arrays)") {
     val p = plan(Llm.qContamination.fn(spark, sfDir))
     assert(p.contains("LeftSemi"),

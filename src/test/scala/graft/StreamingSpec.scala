@@ -4,7 +4,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{StreamQueries, UserEvent, UserTotal}
+import graft.streaming.{AnomalyHit, ScoredEvent, StreamQueries, UserEvent,
+  UserTotal}
 
 final case class TestEv(event_id: Long, ts: Timestamp, user_id: Long,
                         event_type: String, value: Double)
@@ -132,6 +133,52 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val latest = spark.table("totals_tws").as[UserTotal].collect()
         .groupBy(_.user_id).map { case (_, v) => v.maxBy(_.n) }.toSet
       assert(latest == Set(UserTotal(1, 2, 3.0), UserTotal(2, 1, 5.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("anomaly z-scores: stateful stream equals the batch window form") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ev = graft.sources.Tables.events(s, sfDir)
+    // identical cents/micros projection for both paths
+    val scored = ev.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+        .cast("long").as("c")).as[ScoredEvent].collect().toSeq
+    // two micro-batches split on event time: cross-batch arrival order is
+    // the event-time order the processor contract requires
+    val cut = scored.map(_.ts_us).sorted.apply(scored.size / 2)
+    val (b1, b2) = scored.partition(_.ts_us < cut)
+    val ms = MemoryStream[ScoredEvent]
+    val q = StreamQueries.anomalyStream(ms.toDS())
+      .writeStream.format("memory").queryName("anomaly_tws")
+      .outputMode("update").start()
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("anomaly_tws").as[AnomalyHit]
+        .collect().toSet
+      val batch = StreamQueries.anomalyScores(ev)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("c"), col("z"))
+        .as[AnomalyHit].collect().toSet
+      assert(batch.nonEmpty, "fixture produced no anomalies — test is vacuous")
+      assert(streamed == batch)
     } finally {
       q.stop()
       prev match {
