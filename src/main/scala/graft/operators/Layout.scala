@@ -102,5 +102,35 @@ object Layout {
               AND l_suppkey BETWEEN 2 AND 7
             GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Small-file COMPACTION — the other chronic layout pathology at scale:
+    * a streaming sink or over-parallel writer leaves thousands of KB-sized
+    * files, and every downstream scan pays per-file open/footer/metadata
+    * cost (plus driver memory for the file index) until someone rewrites
+    * the table. Bin-packs the input to ceil(bytes/targetBytes) output
+    * files via `coalesce` — a NARROW dependency (partition merge, no
+    * shuffle, no sort): at 100 TB compaction must not pay a full exchange
+    * just to concatenate row groups. Use zorderBy instead when the rewrite
+    * should also re-cluster (that one necessarily shuffles).
+    *
+    * Returns (filesBefore, filesAfter). Writes to a NEW directory — the
+    * atomic swap (rename/metastore pointer flip) is the caller's
+    * transaction boundary, same idempotency doctrine as
+    * SourcesSinks.overwritePartitions.
+    */
+  def compact(s: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), s.sparkContext.hadoopConfiguration)
+    def dataFiles(d: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(inDir)
+    val nOut = math.max(1,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    s.read.parquet(inDir).coalesce(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    (before.length, dataFiles(outDir).length)
+  }
+
   val all: Seq[Q] = Seq(qLayoutZorder)
 }

@@ -1503,8 +1503,67 @@ object Llm {
                    FROM documents)
              WHERE rk <= 20 ORDER BY source, rk"""))
 
+  /** Bigram language-model scoring — the statistical-fluency quality
+    * signal (a cheap perplexity proxy): per document, the average and
+    * minimum corpus-MLE transition probability
+    * P(w_i | w_{i-1}) = count(w_{i-1} w_i) / count(w_{i-1} ·).
+    * Word-salad and shuffled text score near the unigram floor; fluent
+    * text scores high; the min flags the single most improbable
+    * transition. Counts are corpus-global, scoring is per-doc.
+    *
+    * Determinism: each P is ONE IEEE division of exact longs; the per-doc
+    * average goes through the Dec12 sum (order-independent) + one final
+    * division + round (§7.2, same doctrine as q_embed_centroids' mu).
+    * Scale posture: both count tables are vocabulary-bounded groupBys;
+    * scoring is a shuffle equi-join on the token key (bounded fan-in, no
+    * broadcast assumption on the vocabulary).
+    */
+  val qTextNgramLm = Q(
+    "q_text_ngram_lm",
+    (s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS w1, " +
+            "element_at(toks, i + 1) AS w2))")).as("x"))
+        .select(col("doc_id"), col("x.w1").as("w1"), col("x.w2").as("w2"))
+      val cnt2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      val cnt1 = bg.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+      bg.where(col("doc_id") < 300)
+        .join(cnt2, Seq("w1", "w2")).join(cnt1, Seq("w1"))
+        .select(col("doc_id"),
+          (col("cnt2").cast(DoubleType) / col("cnt1").cast(DoubleType))
+            .as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(Det.davg12(col("p")), 9).as("avg_p"),
+          min(col("p")).as("min_p"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents
+                        WHERE len(string_split(text, ' ')) >= 2),
+                 b AS (SELECT doc_id,
+                         unnest([{'w1': toks[i], 'w2': toks[i + 1]}
+                                 FOR i IN range(1, len(toks))]) AS x
+                       FROM d),
+                 bg AS (SELECT doc_id, x.w1 AS w1, x.w2 AS w2 FROM b),
+                 c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bg
+                        GROUP BY w1, w2),
+                 c1 AS (SELECT w1, count(*) AS cnt1 FROM bg GROUP BY w1),
+                 p AS (SELECT doc_id,
+                         CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE) AS p
+                       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                       WHERE doc_id < 300)
+             SELECT doc_id, count(*) AS n_bigrams,
+                    round(${Det.sqlAvg12("p")}, 9) AS avg_p,
+                    min(p) AS min_p
+             FROM p GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    qSampleStratified,
+    qSampleStratified, qTextNgramLm,
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate,
     qDedupMinhashLsh, qDedupSimhash,

@@ -51,6 +51,27 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(z.schema == src.schema) // the key column must not leak out
   }
 
+  test("compact bin-packs small files without shuffling or losing rows") {
+    val src = graft.sources.Tables.lineitem(spark, sfDir)
+    val shardDir = tmpDir("compact_in")
+    src.repartition(64).write.mode("overwrite").parquet(shardDir)
+    val outDir = tmpDir("compact_base") + "/out"
+    // target = half the total -> expect ~2 output files, never 64
+    val total = new java.io.File(shardDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (before, after) =
+      Layout.compact(spark, shardDir, outDir, targetBytes = total / 2 + 1)
+    assert(before == 64 && after <= 3, s"($before, $after)")
+    def sig(df: org.apache.spark.sql.DataFrame) = df.agg(count(lit(1)),
+      bit_xor(xxhash64(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey")))).first()
+    assert(sig(spark.read.parquet(outDir)) == sig(src))
+    // narrow plan: a compaction that shuffles would be an Exchange here
+    val p = spark.read.parquet(shardDir).coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("z-order bounds per-slice span in BOTH dims; linear sort cannot") {
     // 4096 points on a 64x64 grid -> 16 slices. On the z-curve each slice
     // is a compact tile (span ~1/4 of the range per dim); sorted linearly
