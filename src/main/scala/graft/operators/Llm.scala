@@ -1562,8 +1562,65 @@ object Llm {
                     min(p) AS min_p
              FROM p GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Sequence PACKING for pretraining — the concat-then-chunk layout every
+    * GPT-style data loader consumes: documents are laid end-to-end in a
+    * deterministic order (portable-hash shuffle — reproducible, unlike
+    * rand()) and cut every B=512 tokens; each doc reports its global token
+    * offset and the training-chunk span it lands in.
+    *
+    * The global running offset is THE textbook distributed prefix sum, and
+    * this implements the scale-correct two-phase form: a single global
+    * window would serialize the corpus through ONE task at 100 TB. Instead
+    * (1) docs hash into 64 ordered buckets; (2) the per-doc cumsum runs
+    * per-bucket (parallel windows); (3) bucket totals — 64 rows — get their
+    * own running offset and broadcast back. offset = bucket_offset +
+    * local_cumsum. The ORACLE is the naive single-window global cumsum over
+    * the same (bucket, hash, id) total order, so the hash match proves the
+    * decomposition exact.
+    */
+  val qCorpusPack = Q(
+    "q_corpus_pack",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          pmod(Det.pHash60(col("doc_id")), lit(64)).as("bucket"),
+          Det.pHash60(col("doc_id")).as("h"))
+      val wIn = Window.partitionBy(col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = d.withColumn("local_off",
+        coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      val wB = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy("bucket").agg(sum(col("n_tok")).as("bt"))
+        .withColumn("bucket_off", coalesce(sum(col("bt")).over(wB), lit(0L)))
+        .select(col("bucket"), col("bucket_off"))
+      local.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("start_off", col("local_off") + col("bucket_off"))
+        .select(col("doc_id"), col("n_tok"), col("start_off"),
+          expr("start_off div 512").as("first_chunk"),
+          expr("(start_off + n_tok - 1) div 512").as("last_chunk"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                    ((${Det.sqlPHash60("doc_id")}) % 64 + 64) % 64 AS bucket,
+                    (${Det.sqlPHash60("doc_id")}) AS h
+                  FROM documents),
+                 c AS (SELECT doc_id, n_tok,
+                    CAST(coalesce(sum(n_tok) OVER (
+                      ORDER BY bucket, h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_off
+                  FROM d)
+             SELECT doc_id, n_tok, start_off,
+                    start_off // 512 AS first_chunk,
+                    (start_off + n_tok - 1) // 512 AS last_chunk
+             FROM c ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    qSampleStratified, qTextNgramLm,
+    qSampleStratified, qTextNgramLm, qCorpusPack,
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate,
     qDedupMinhashLsh, qDedupSimhash,

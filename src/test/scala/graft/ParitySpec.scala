@@ -68,7 +68,8 @@ class ParitySpec extends AnyFunSuite with SparkFixture {
       Aggregates.qAggIncrMerge,
       Layout.qLayoutZorder,
       Llm.qSampleStratified,
-      streaming.StreamQueries.qStreamAnomaly))
+      streaming.StreamQueries.qStreamAnomaly,
+      Llm.qCorpusPack))
     test(s"${q.name} output is identical at shuffle.partitions = " +
         parallelisms.mkString("/")) {
       assertParity(q)

@@ -244,6 +244,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "per-partition partial top-k must run below the shuffle")
   }
 
+  test("sequence packing: per-doc cumsum windows run PER BUCKET, in parallel") {
+    val p = plan(Llm.qCorpusPack.fn(spark, sfDir))
+    // the corpus-sized window must partition on the hash bucket — a global
+    // (empty-partition) window here would serialize 100 TB through one task;
+    // the only single-partition window allowed is over the 64 bucket totals
+    assert(p.contains("hashpartitioning(bucket"),
+      "doc-level cumsum lost its bucket partitioning")
+  }
+
   test("contamination overlap is a semi-join (no row fan-out, no arrays)") {
     val p = plan(Llm.qContamination.fn(spark, sfDir))
     assert(p.contains("LeftSemi"),
