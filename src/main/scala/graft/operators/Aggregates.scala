@@ -505,7 +505,50 @@ object Aggregates {
                   FROM orders)
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val all: Seq[Q] = Seq(qAggCorr, qAggMode, qAggIncrMerge,
+  /** Cohort retention — the standard product-analytics matrix: customers
+    * grouped by first-order month (the cohort), counted again at each
+    * month-offset they remain active. Calendar-month arithmetic is done in
+    * integer (year·12 + month) space so both engines bucket identically
+    * (float month differences round differently at DST/length boundaries).
+    * Distinct (customer, month) activity BEFORE the count turns
+    * count-distinct into a plain count — one dedup shuffle, then a
+    * bounded-key (cohorts × offsets) aggregation.
+    */
+  val qCohortRetention = Q(
+    "q_cohort_retention",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val cohort = orders.groupBy("o_custkey")
+        .agg(min(date_trunc("month", col("o_orderdate"))).as("cohort"))
+      val active = orders
+        .select(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .distinct()
+      cohort.join(active, Seq("o_custkey"))
+        .select(col("cohort"),
+          ((year(col("m")) * 12 + month(col("m"))) -
+            (year(col("cohort")) * 12 + month(col("cohort"))))
+            .cast(org.apache.spark.sql.types.IntegerType).as("months_since"))
+        .groupBy("cohort", "months_since")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("cohort", "months_since")
+    },
+    Some("""WITH fo AS (SELECT o_custkey,
+                   min(date_trunc('month', o_orderdate)) AS cohort
+                 FROM orders GROUP BY o_custkey),
+                 act AS (SELECT DISTINCT o_custkey,
+                   date_trunc('month', o_orderdate) AS m
+                 FROM orders)
+            SELECT cohort,
+                   CAST((year(m) * 12 + month(m)) -
+                        (year(cohort) * 12 + month(cohort)) AS INTEGER)
+                     AS months_since,
+                   count(*) AS n_customers
+            FROM fo JOIN act USING (o_custkey)
+            GROUP BY cohort, months_since
+            ORDER BY cohort, months_since"""))
+
+  val all: Seq[Q] = Seq(qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
     qAggPercentileApprox, qAggHistogram, qAggMinmaxBbox, qAggCollectSorted)

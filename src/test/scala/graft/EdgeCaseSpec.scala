@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Layout, Llm}
+import graft.sources.Tables
+
+/** Degenerate-input robustness: a 100 TB pipeline WILL meet an empty
+  * partition, an empty day, a single-row table — operators must return
+  * empty/identity results, not throw. (The sequence() guard in
+  * shinglesWithPos exists exactly because Spark generates DESCENDING
+  * sequences for n < 1; these tests keep that class of edge pinned.)
+  */
+class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
+
+  private def emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row], Tables.documentsSchema)
+
+  private def docsOf(rows: (Long, String)*) = {
+    val data = rows.map { case (id, text) =>
+      Row(id, text, "en", "synthetic", text.length.toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data), Tables.documentsSchema)
+  }
+
+  test("token/shingle pipelines return empty on an empty corpus") {
+    assert(Llm.tokens(emptyDocs).count() == 0)
+    assert(Llm.shinglesWithPos(emptyDocs).count() == 0)
+    assert(Llm.shingleSets(emptyDocs).count() == 0)
+  }
+
+  test("short documents are excluded from shingles, not mis-shingled") {
+    val d = docsOf((1L, "one"), (2L, "two words"), (3L, "three word doc"))
+    val sh = Llm.shinglesWithPos(d).collect()
+    assert(sh.map(_.getLong(0)).toSet == Set(3L))
+    assert(sh.head.getString(2) == "three word doc")
+  }
+
+  test("connected components of an empty edge set is empty; self-loops collapse") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType))))
+    assert(Graph.connectedComponents(empty).count() == 0)
+    val s = spark
+    import s.implicits._
+    val loops = Seq((7L, 7L), (9L, 9L)).toDF("a", "b")
+    val cc = Graph.connectedComponents(loops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(7L -> 7L, 9L -> 9L))
+  }
+
+  test("anomaly scorer emits nothing until a user has 3 prior events") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 5.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "click", 5.5),
+      (3L, Timestamp.valueOf("2024-01-01 10:02:00"), 1L, "click", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.streaming.StreamQueries.anomalyScores(ev).count() == 0)
+  }
+
+  test("anomaly scorer skips zero-variance history instead of dividing by it") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    val ev = (1 to 6).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 10:0$i%d:00"), 1L, "click",
+        if (i < 6) 5.0 else 500.0) // constant history, then a wild outlier
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // varnum = 0 for every prior-window → no NaN/Inf rows may escape
+    val out = graft.streaming.StreamQueries.anomalyScores(ev).collect()
+    assert(out.isEmpty)
+  }
+
+  test("zorderBy and compact handle a single-row table") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((5L, 9L)).toDF("a", "b")
+    assert(Layout.zorderBy(one, col("a"), col("b"), 4).count() == 1)
+    val in = tmpDir("edge_one_in")
+    one.write.mode("overwrite").parquet(in)
+    val (_, after) =
+      Layout.compact(spark, in, tmpDir("edge_one_base") + "/o", 1L << 30)
+    assert(after == 1)
+  }
+}
