@@ -405,6 +405,49 @@ object Relational {
               ORDER BY c_acctbal DESC, c_name LIMIT 2) t ON true
             ORDER BY n_name, c_name, c_acctbal"""))
 
+  /** FULL OUTER join — the reconciliation shape (two systems' views of the
+    * same key space, preserving rows unique to either side). Sides are two
+    * disjoint-ish customer segments so all three row classes (both /
+    * left-only / right-only) are populated; the aggregate classifies by
+    * null-ness of each side's key. Scale posture: full outer cannot
+    * broadcast (both sides must shuffle — Spark plans SMJ/shuffled-hash);
+    * the equi-key shuffle is the correct and only shape, and the bounded
+    * rollup keeps output O(nations).
+    */
+  val qJoinFull = Q(
+    "q_join_full",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val neg = c.where(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("l_key"),
+          col("c_nationkey").as("l_nation"))
+      val bld = c.where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("r_key"),
+          col("c_nationkey").as("r_nation"))
+      neg.join(bld, col("l_key") === col("r_key"), "full_outer")
+        .groupBy(coalesce(col("l_nation"), col("r_nation")).as("nation"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("l_key").isNotNull && col("r_key").isNotNull, 1))
+            .as("n_both"),
+          count(when(col("r_key").isNull, 1)).as("n_left_only"),
+          count(when(col("l_key").isNull, 1)).as("n_right_only"))
+        .orderBy("nation")
+    },
+    Some("""SELECT coalesce(l.c_nationkey, r.c_nationkey) AS nation,
+                   count(*) AS n_rows,
+                   count(CASE WHEN l.c_custkey IS NOT NULL
+                              AND r.c_custkey IS NOT NULL THEN 1 END)
+                     AS n_both,
+                   count(CASE WHEN r.c_custkey IS NULL THEN 1 END)
+                     AS n_left_only,
+                   count(CASE WHEN l.c_custkey IS NULL THEN 1 END)
+                     AS n_right_only
+            FROM (SELECT * FROM customer WHERE c_acctbal < 0) l
+            FULL OUTER JOIN
+                 (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') r
+              ON l.c_custkey = r.c_custkey
+            GROUP BY nation ORDER BY nation"""))
+
   /** GRID-BUCKETED spatial containment join (point-in-bbox) — the
     * scale-correct shape for "which region contains each point". A naive
     * bbox-containment join is a nested-loop theta join (O(points×boxes) —
@@ -494,5 +537,5 @@ object Relational {
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
-    qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin)
+    qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull)
 }
