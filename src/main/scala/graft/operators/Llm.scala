@@ -1619,8 +1619,61 @@ object Llm {
                     (start_off + n_tok - 1) // 512 AS last_chunk
              FROM c ORDER BY doc_id"""))
 
+  /** Domain-mixture REWEIGHTING — the sampling step that turns a raw crawl
+    * into a training mixture (downsample the over-represented language,
+    * replicate the under-represented one; the DoReMi/data-mixing shape).
+    * Per-doc copy count is a PURE FUNCTION of (doc_id, lang weight):
+    * copies = ⌊w⌋ + [hash‰ < frac(w)·1000] — all integer comparisons (the
+    * 3-decimal weights make the thresholds exact), so the mixture is
+    * reproducible across runs/engines/partitioning and stable under corpus
+    * growth, unlike rand()-based sampling. Spark EMITS the replicated rows
+    * (explode over sequence — what a training exporter actually writes,
+    * guarded against Spark's descending sequence(1,0)); the oracle
+    * computes copy counts arithmetically and aggregates — the hash match
+    * proves emit ≡ arithmetic.
+    */
+  val qCorpusMixture = Q(
+    "q_corpus_mixture",
+    (s, dir) => {
+      val base = when(col("lang") === "zh", 2)
+        .otherwise(0)
+      val thr = when(col("lang") === "en", 400)
+        .when(col("lang") === "de", 800)
+        .when(col("lang") === "es", 900)
+        .when(col("lang") === "fr", 700)
+        .otherwise(500) // zh: 2 copies + 50% third
+      val h = pmod(Det.pHash60(concat(col("doc_id").cast(
+        org.apache.spark.sql.types.StringType), lit("mix"))), lit(1000))
+      Tables.documents(s, dir)
+        .withColumn("copies", base + when(h < thr, 1).otherwise(0))
+        .where(col("copies") >= 1)
+        .select(col("doc_id"), col("lang"), col("copies"),
+          explode(sequence(lit(1), col("copies"))).as("copy_ix"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("copies")).cast(
+            org.apache.spark.sql.types.IntegerType).as("max_copies"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, lang,
+                   (CASE WHEN lang = 'zh' THEN 2 ELSE 0 END) +
+                   (CASE WHEN
+                      ((${Det.sqlPHash60("CAST(doc_id AS VARCHAR) || 'mix'")})
+                        % 1000 + 1000) % 1000 <
+                      (CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 800
+                                 WHEN 'es' THEN 900 WHEN 'fr' THEN 700
+                                 ELSE 500 END)
+                    THEN 1 ELSE 0 END) AS copies
+                  FROM documents)
+             SELECT lang, CAST(sum(copies) AS BIGINT) AS n_rows,
+                    count(*) AS n_docs,
+                    CAST(max(copies) AS INTEGER) AS max_copies
+             FROM w WHERE copies >= 1
+             GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(
-    qSampleStratified, qTextNgramLm, qCorpusPack,
+    qSampleStratified, qTextNgramLm, qCorpusPack, qCorpusMixture,
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate,
     qDedupMinhashLsh, qDedupSimhash,

@@ -131,4 +131,24 @@ object Tables {
     spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Register every fixture table as a session temp view so the engine's
+    * FULL surface is reachable from plain `spark.sql(...)` — the same
+    * declarative plans Catalyst sees from the DataFrame API (views are
+    * lazy analysis-time substitutions, zero materialization). `events`
+    * registers through the ns-aware loader above, so SQL users inherit the
+    * correct timestamp semantics for free.
+    */
+  def createViews(spark: SparkSession, sfDir: String): Unit = {
+    region(spark, sfDir).createOrReplaceTempView("region")
+    nation(spark, sfDir).createOrReplaceTempView("nation")
+    supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    customer(spark, sfDir).createOrReplaceTempView("customer")
+    part(spark, sfDir).createOrReplaceTempView("part")
+    orders(spark, sfDir).createOrReplaceTempView("orders")
+    lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    documents(spark, sfDir).createOrReplaceTempView("documents")
+    embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
 }
