@@ -548,7 +548,43 @@ object Aggregates {
             GROUP BY cohort, months_since
             ORDER BY cohort, months_since"""))
 
+  /** ARGMAX via struct max — the deterministic form of max_by: plain
+    * `max_by(x, y)` is unspecified on ties in both engines (Spark returns
+    * an arbitrary tied row, a cross-engine hash-mismatch waiting to
+    * happen); `max(struct(y, tiebreak, x))` makes the winner total-ordered
+    * and stays a single two-phase aggregate (mergeable, no window, no
+    * second pass). Cents-exact value, orderkey tiebreak, fields unpacked
+    * at the edge (§7.2: no struct columns in t2 output).
+    */
+  val qAggArgmax = Q(
+    "q_agg_argmax",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast(DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType).as("cents"),
+          col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("cents"), col("l_orderkey"), col("l_partkey")))
+          .as("top"))
+        .select(col("l_returnflag"), col("top.cents").as("max_cents"),
+          col("top.l_orderkey").as("at_orderkey"),
+          col("top.l_partkey").as("at_partkey"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   (top).cents AS max_cents,
+                   (top).l_orderkey AS at_orderkey,
+                   (top).l_partkey AS at_partkey
+            FROM (SELECT l_returnflag,
+                         max(ROW(CAST(round(l_extendedprice * 100) AS BIGINT),
+                                 l_orderkey, l_partkey)
+                             ::STRUCT(cents BIGINT, l_orderkey BIGINT,
+                                      l_partkey BIGINT)) AS top
+                  FROM lineitem GROUP BY l_returnflag)
+            ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
+    qAggArgmax,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
     qAggPercentileApprox, qAggHistogram, qAggMinmaxBbox, qAggCollectSorted)
