@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Aggregates, Llm, Relational, Windows}
+
+/** Results must not depend on the EXECUTION knobs that differ across real
+  * clusters: AQE (runtime re-planning), the auto-broadcast threshold (plan
+  * selection), and whole-stage codegen (interpreted vs generated
+  * evaluation). Each config flip re-runs representative queries — joins,
+  * windowed dedup, decimal/double aggregation, LSH dedup, z-scores — and
+  * demands byte-identical rows vs the default config. A diff here means an
+  * operator leaked plan- or evaluation-strategy-dependence into its VALUES,
+  * which would surface as silent corruption on any differently-tuned
+  * cluster.
+  */
+class ConfigParitySpec extends AnyFunSuite with SparkFixture {
+
+  private val queries = Seq(
+    Relational.qJoinMultiwayStar,
+    Relational.qGeoGridJoin,
+    Windows.qWinRownumDedupe,
+    Aggregates.qAggIncrMerge,
+    Llm.qDedupMinhashLsh,
+    graft.streaming.StreamQueries.qStreamAnomaly)
+
+  private def runWith(confs: (String, String)*)(q: Q): Seq[String] = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try q.fn(spark, sfDir).toJSON.collect().toSeq.sorted
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private val variants: Seq[(String, Seq[(String, String)])] = Seq(
+    "AQE disabled" -> Seq("spark.sql.adaptive.enabled" -> "false"),
+    "auto-broadcast disabled" ->
+      Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    "whole-stage codegen disabled" ->
+      Seq("spark.sql.codegen.wholeStage" -> "false"))
+
+  for (q <- queries; (label, confs) <- variants)
+    test(s"${q.name} values are identical with $label") {
+      val ref = runWith()(q)
+      assert(ref.nonEmpty, s"${q.name} returned no rows")
+      assert(runWith(confs: _*)(q) == ref)
+    }
+}
