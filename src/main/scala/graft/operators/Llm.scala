@@ -1672,8 +1672,65 @@ object Llm {
              FROM w WHERE copies >= 1
              GROUP BY lang ORDER BY lang"""))
 
+  /** Sign of JL projection-matrix entry (dim d ∈ 1..64, component j ∈
+    * 0..15): ±1 from the md5 of a fixed tag — the SAME bytes every engine's
+    * md5 produces, so the matrix needs no storage and no cross-engine
+    * shipping (recompute anywhere, get the same matrix).
+    */
+  private def jlSign(d: Int, j: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl${d}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  /** One JL component as expression TEXT — the identical ±-chain is emitted
+    * for Spark (`element_at`) and DuckDB (`[...]` indexing), so both
+    * engines evaluate the same left-associated double sum: bit-identical
+    * results with NO rounding step. Scale factor 1/√16 = 0.25 is an exact
+    * binary fraction.
+    */
+  private def jlComponent(j: Int, elem: Int => String): String =
+    "0.25 * (" + (1 to 64).map { d =>
+      (if (jlSign(d, j) > 0) "+ " else "- ") +
+        s"CAST(${elem(d)} AS DOUBLE)"
+    }.mkString(" ") + ")"
+
+  /** Johnson–Lindenstrauss RANDOM PROJECTION, 64 → 16 dims — the embedding
+    * compression that preserves pairwise distances within (1±ε) with no
+    * training step (the cheap alternative to PCA/IVF re-training when a
+    * 100 TB vector store must shrink 4×). The projection matrix is
+    * sign-only (±1/√k, Achlioptas 2001 — public result): entries derive
+    * from md5 of the (dim, component) tag, so the operator is stateless
+    * and reproducible everywhere. Pure per-row codegen projection: no
+    * shuffle, no state, trivially parallel at any scale.
+    *
+    * Full oracle: both engines evaluate the SAME generated ±-chain over
+    * exact float→double casts — bit-identical, hash-matched (the matrix
+    * equality is certified by construction, the arithmetic by the driver).
+    * JlSpec asserts the JL property itself (distance preservation).
+    */
+  val qEmbedProjectJl = Q(
+    "q_embed_project_jl",
+    (s, dir) => {
+      val cols = col("vec_id") +: (0 until 16).map(j =>
+        expr(jlComponent(j, d => s"element_at(embedding, $d)"))
+          .as(f"p$j%02d"))
+      Tables.embeddings(s, dir)
+        .where(col("vec_id") < 200)
+        .select(cols: _*)
+        .orderBy("vec_id")
+    },
+    Some({
+      val comps = (0 until 16).map(j =>
+        s"${jlComponent(j, d => s"embedding[$d]")} AS p${"%02d".format(j)}")
+      s"""SELECT vec_id, ${comps.mkString(",\n       ")}
+          FROM embeddings WHERE vec_id < 200 ORDER BY vec_id"""
+    }))
+
   val all: Seq[Q] = Seq(
     qSampleStratified, qTextNgramLm, qCorpusPack, qCorpusMixture,
+    qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate,
     qDedupMinhashLsh, qDedupSimhash,
