@@ -295,6 +295,41 @@ object SourcesSinks {
                     ${graft.Det.sqlSum("o_totalprice")} AS sum_price
              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** The t2 XML query: parquet→XML→read-back→aggregate in one plan, using
+    * Spark 4's BUILT-IN xml source (spark-xml graduated into core). XML is
+    * the interchange format the long tail of enterprise feeds still
+    * arrives in; the explicit read schema keeps the trip value-exact for
+    * these column types (long/string/long), so the oracle aggregates the
+    * parquet table directly and the hash match proves the XML path
+    * preserved every value. Same per-session temp-root lifecycle as ORC.
+    */
+  val qSourceXmlRoundtrip = Q(
+    "q_source_xml_roundtrip",
+    (s, dir) => {
+      val slim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          // cents as LONG: XML is a text format, so a double would round
+          // trip through decimal text — integer cents stay exact
+          round(col("c_acctbal") * 100)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType).as("bal_cents"))
+      val path = sessionTempDir(s).resolve("xml_customer").toString
+      slim.write.mode("overwrite").option("rowTag", "customer")
+        .format("xml").save(path)
+      s.read.schema(slim.schema).option("rowTag", "customer")
+        .format("xml").load(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("sum_cents"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                   min(c_custkey) AS min_key, max(c_custkey) AS max_key
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** The t2 geo query: build Feature rows from nation×region with
     * deterministic point coordinates, serialize with toFeatureRows, parse
     * them BACK with parseFeatureRows (the full sink→source round trip,
@@ -558,5 +593,6 @@ object SourcesSinks {
 
   val all: Seq[Q] =
     Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
-      qGeoMultipolygonArea, qSourceOrcRoundtrip, qScanPartitionPruned)
+      qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,
+      qScanPartitionPruned)
 }
