@@ -583,8 +583,35 @@ object Aggregates {
                   FROM lineitem GROUP BY l_returnflag)
             ORDER BY l_returnflag"""))
 
+  /** MULTIPLE distinct aggregates in one pass — a physical-plan path of
+    * its own: Spark rewrites n distinct aggregates into an Expand (one
+    * replicated row-group per distinct clause, gid-tagged) + two-phase
+    * aggregation, so the query costs one shuffle-pipeline instead of n
+    * self-joined single-distinct queries. Count-distinct customers,
+    * distinct priorities and a plain sum per order-month — the mixed
+    * distinct/non-distinct combination is exactly what forces Expand.
+    */
+  val qAggDistinctMulti = Q(
+    "q_agg_distinct_multi",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          countDistinct(col("o_orderpriority")).as("n_prios"),
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast(DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType)).as("sum_cents"))
+        .orderBy("m"),
+    Some("""SELECT date_trunc('month', o_orderdate) AS m,
+                   count(DISTINCT o_custkey) AS n_custs,
+                   count(DISTINCT o_orderpriority) AS n_prios,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents
+            FROM orders GROUP BY m ORDER BY m"""))
+
   val all: Seq[Q] = Seq(qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
-    qAggArgmax,
+    qAggArgmax, qAggDistinctMulti,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
     qAggPercentileApprox, qAggHistogram, qAggMinmaxBbox, qAggCollectSorted)

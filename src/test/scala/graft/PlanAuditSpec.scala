@@ -244,6 +244,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "per-partition partial top-k must run below the shuffle")
   }
 
+  test("multiple distinct aggregates plan as ONE Expand pipeline, not n joins") {
+    val p = plan(Aggregates.qAggDistinctMulti.fn(spark, sfDir))
+    assert(p.contains("Expand"),
+      "mixed distinct aggregation should rewrite through Expand")
+    assert(!p.toLowerCase.contains("sortmergejoin") &&
+      !p.toLowerCase.contains("broadcasthashjoin"),
+      "n-distinct must not decompose into self-joins")
+  }
+
   test("sequence packing: per-doc cumsum windows run PER BUCKET, in parallel") {
     val p = plan(Llm.qCorpusPack.fn(spark, sfDir))
     // the corpus-sized window must partition on the hash bucket — a global
