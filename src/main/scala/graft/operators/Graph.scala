@@ -91,16 +91,17 @@ object Graph {
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val cs = checksum(next)
-      if (cs == prev) {
+      if (cs == prev && e.exceptAll(next).isEmpty) {
         // The count component of the checksum is exact, so equal checksums
         // mean equal cardinalities; a ~2^-64 xor collision is the only way
         // two DIFFERENT sets could land here — and it would end iteration
         // with wrong labels and no loud failure. One exact set-difference
         // on the (checkpointed, shrunken) fixpoint edge set per run makes
-        // that failure mode impossible at negligible cost.
-        require(e.exceptAll(next).isEmpty,
-          "edge-set checksum collision: consecutive rounds matched " +
-            "(count, xor) but differ exactly — continue iterating")
+        // that failure mode impossible at negligible cost: a detected
+        // collision is treated as ordinary non-convergence (fall through to
+        // the else and keep iterating), not an abort — the very case the
+        // guard exists for must recover, and the maxRounds cap still
+        // bounds a pathological repeat.
         converged = true
       } else { e = next; prev = cs; round += 1 }
     }

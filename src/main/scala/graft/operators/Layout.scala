@@ -47,10 +47,14 @@ object Layout {
     */
   def zorderBy(df: DataFrame, a: Column, b: Column, numFiles: Int,
                bits: Int = 21): DataFrame = {
-    val keyed = df.withColumn("__zk", zKey(a, b, bits))
-    keyed.repartitionByRange(numFiles, col("__zk"))
-      .sortWithinPartitions("__zk")
-      .drop("__zk")
+    // helper column must not silently overwrite (then drop) a same-named
+    // input column — pick the first suffix absent from the schema
+    val zk = LazyList.from(0).map(i => if (i == 0) "__zk" else s"__zk$i")
+      .find(n => !df.columns.contains(n)).get
+    val keyed = df.withColumn(zk, zKey(a, b, bits))
+    keyed.repartitionByRange(numFiles, col(zk))
+      .sortWithinPartitions(zk)
+      .drop(zk)
   }
 
   /** Z-ordered lineitem materialized ONCE per (session, input dir) — same

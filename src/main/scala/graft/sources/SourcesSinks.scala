@@ -271,6 +271,20 @@ object SourcesSinks {
       d
     })
 
+  /** Session temp path for a per-input-dir artifact: `tag` + an md5 of the
+    * input dir (collision-free, unlike hashCode). A session-fixed name
+    * would alias two scale dirs onto one path when both queries' plans are
+    * CONSTRUCTED before either executes — the earlier plan would then read
+    * the later dir's rewrite (latent even though the harness runs per-dir
+    * sequentially today). Same keying doctrine as Llm.pairTable and
+    * Layout.zorderedLineitem.
+    */
+  def dirKeyedTempPath(s: SparkSession, dir: String, tag: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    sessionTempDir(s).resolve(s"${tag}_$key").toString
+  }
+
   /** The t2 ORC query: parquet→ORC→read-back→aggregate in one plan. The
     * round trip is value-lossless (both formats share Spark's type system
     * for these columns), so the oracle aggregates the parquet table
@@ -283,7 +297,7 @@ object SourcesSinks {
     (s, dir) => {
       val slim = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      val path = sessionTempDir(s).resolve("orc_orders").toString
+      val path = dirKeyedTempPath(s, dir, "orc_orders")
       writeOrc(slim, path)
       readOrc(s, path, slim.schema)
         .groupBy("o_orderstatus")
@@ -313,7 +327,7 @@ object SourcesSinks {
           round(col("c_acctbal") * 100)
             .cast(org.apache.spark.sql.types.DecimalType(18, 0))
             .cast(org.apache.spark.sql.types.LongType).as("bal_cents"))
-      val path = sessionTempDir(s).resolve("xml_customer").toString
+      val path = dirKeyedTempPath(s, dir, "xml_customer")
       slim.write.mode("overwrite").option("rowTag", "customer")
         .format("xml").save(path)
       s.read.schema(slim.schema).option("rowTag", "customer")
@@ -574,8 +588,7 @@ object SourcesSinks {
   val qScanPartitionPruned = Q(
     "q_scan_partition_pruned",
     (s, dir) => {
-      val path = sessionTempDir(s)
-        .resolve(s"orders_by_status_${dir.hashCode.toHexString}").toString
+      val path = dirKeyedTempPath(s, dir, "orders_by_status")
       if (!Incremental.isFresh(s, Seq(dir + "/orders.parquet"), path))
         Tables.orders(s, dir).write.mode("overwrite")
           .partitionBy("o_orderstatus").parquet(path)
