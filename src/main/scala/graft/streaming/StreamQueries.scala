@@ -175,6 +175,60 @@ object StreamQueries {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
       "left_outer")
 
+  /** FULL OUTER variant — the last cell of the stream-stream join matrix:
+    * every click emits (matched or not) AND every purchase emits (matched
+    * or not). In streaming both sides buffer under their watermark; an
+    * unmatched row on EITHER side is held until its watermark proves no
+    * partner can still arrive, then emits with nulls — Spark 4 supports
+    * this for interval joins with watermarks on both sides, and the
+    * StreamingSpec test drives both expiry paths. A full outer join cannot
+    * broadcast (every unmatched build row must surface), so both sides
+    * shuffle on the user key — in batch and in the micro-batch state store
+    * alike.
+    */
+  def attributionJoinFull(clicks: DataFrame,
+                          purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+
+  /** t2 batch form of the full-outer attribution join: per user-id bucket,
+    * reconcile matched conversions with click-only and purchase-only rows
+    * (the three-way classification an attribution audit runs). The bucket
+    * key coalesces across sides — exactly one of c_user/p_user is non-null
+    * on an unmatched row.
+    */
+  val qStreamJoinFull = Q(
+    "q_stream_join_full",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      attributionJoinFull(clickSide(ev), purchaseSide(ev))
+        .groupBy(pmod(coalesce(col("c_user"), col("p_user")), lit(10))
+          .as("user_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("click_id").isNotNull &&
+            col("purchase_id").isNotNull, 1)).as("n_matched"),
+          count(when(col("purchase_id").isNull, 1)).as("n_click_only"),
+          count(when(col("click_id").isNull, 1)).as("n_purchase_only"))
+        .orderBy("user_bucket")
+    },
+    Some("""SELECT COALESCE(c.user_id, p.user_id) % 10 AS user_bucket,
+                   count(*) AS n_rows,
+                   count(CASE WHEN c.event_id IS NOT NULL
+                              AND p.event_id IS NOT NULL THEN 1 END)
+                     AS n_matched,
+                   count(CASE WHEN p.event_id IS NULL THEN 1 END)
+                     AS n_click_only,
+                   count(CASE WHEN c.event_id IS NULL THEN 1 END)
+                     AS n_purchase_only
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+            GROUP BY user_bucket ORDER BY user_bucket"""))
+
   /** t2 batch form: conversion funnel per user-id bucket — how many clicks
     * converted to a purchase within the attribution window vs not. The
     * left join is the operator under test; the bucketed rollup keeps the
@@ -422,5 +476,6 @@ object StreamQueries {
 
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedupIds,
-    qStreamJoinInterval, qStreamJoinLeft, qStreamEnrich, qStreamAnomaly)
+    qStreamJoinInterval, qStreamJoinLeft, qStreamJoinFull, qStreamEnrich,
+    qStreamAnomaly)
 }

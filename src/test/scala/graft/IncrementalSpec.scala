@@ -79,4 +79,25 @@ class IncrementalSpec extends AnyFunSuite with SparkFixture {
     SparkEntry.queries("q_corpus_curate")(spark, sfDir).count()
     assert(Files.getLastModifiedTime(success) == m1)
   }
+
+  test("IVF index is built once per (session, dir) and reused — no refit") {
+    val cells = Paths.get(graft.sources.SourcesSinks
+      .dirKeyedTempPath(spark, sfDir, "ivf_cells"))
+    val cents = Paths.get(graft.sources.SourcesSinks
+      .dirKeyedTempPath(spark, sfDir, "ivf_centroids"))
+    SparkEntry.queries("q_sim_cosine_ivf")(spark, sfDir).count()
+    assert(Files.exists(cells.resolve("_SUCCESS")) &&
+      Files.exists(cents.resolve("_SUCCESS")))
+    // physical IVF shape: the assignment store is partitioned by cell, so
+    // an nprobe probe is a partition-pruned read
+    val cellDirs = Files.list(cells).filter(p =>
+      p.getFileName.toString.startsWith("cell=")).count()
+    assert(cellDirs > 1, s"expected cell=* partition dirs, got $cellDirs")
+    val m1 = Files.getLastModifiedTime(cells.resolve("_SUCCESS"))
+    val m2 = Files.getLastModifiedTime(cents.resolve("_SUCCESS"))
+    // second invocation reuses the materialized index (KMeans not refit)
+    SparkEntry.queries("q_sim_cosine_ivf")(spark, sfDir).count()
+    assert(Files.getLastModifiedTime(cells.resolve("_SUCCESS")) == m1 &&
+      Files.getLastModifiedTime(cents.resolve("_SUCCESS")) == m2)
+  }
 }

@@ -331,6 +331,56 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("full-outer stream join: BOTH sides' unmatched rows emit nulls " +
+    "after watermark") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val clicks = MemoryStream[TestEv]
+    val purchases = MemoryStream[TestEv]
+    val joined = StreamQueries.attributionJoinFull(
+      StreamQueries.clickSide(clicks.toDF())
+        .withWatermark("click_ts", "10 minutes"),
+      StreamQueries.purchaseSide(purchases.toDF())
+        .withWatermark("purchase_ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("attrib_full")
+      .outputMode("append").start()
+    try {
+      // user 1: matched pair; user 2: click only; user 3: purchase only
+      clicks.addData(TestEv(1, t("2024-01-01 10:00:00"), 1, "click", 0.0),
+                     TestEv(2, t("2024-01-01 10:01:00"), 2, "click", 0.0))
+      purchases.addData(
+        TestEv(3, t("2024-01-01 10:10:00"), 1, "purchase", 4.0),
+        TestEv(4, t("2024-01-01 10:02:00"), 3, "purchase", 6.0))
+      q.processAllAvailable()
+      // neither unmatched row may emit while its partner could still arrive
+      val early = spark.table("attrib_full")
+        .where(col("click_id") === 2 || col("purchase_id") === 4).count()
+      assert(early == 0,
+        "unmatched row emitted before its watermark closed the join window")
+      // advance both watermarks far past the interval + delay, twice (state
+      // eviction runs on the NEXT batch after the watermark moves)
+      for (h <- Seq("12", "13")) {
+        clicks.addData(TestEv(80, t(s"2024-01-01 $h:00:00"), 9, "click", 0.0))
+        purchases.addData(
+          TestEv(90, t(s"2024-01-01 $h:00:00"), 9, "purchase", 1.0))
+        q.processAllAvailable()
+      }
+      val out = spark.table("attrib_full")
+      val clickOnly = out.where(col("click_id") === 2).collect()
+      assert(clickOnly.length == 1 && clickOnly(0).isNullAt(
+        clickOnly(0).fieldIndex("purchase_id")),
+        "user-2 click should emit exactly once with null purchase side")
+      val purchaseOnly = out.where(col("purchase_id") === 4).collect()
+      assert(purchaseOnly.length == 1 && purchaseOnly(0).isNullAt(
+        purchaseOnly(0).fieldIndex("click_id")),
+        "user-3 purchase should emit exactly once with null click side")
+      val matched = out.where(col("click_id") === 1).collect()
+      assert(matched.length == 1 &&
+        matched(0).getAs[Long]("purchase_id") == 3L)
+    } finally q.stop()
+  }
+
   test("stream-static enrich: broadcast dim join, streaming equals batch") {
     val s = spark
     implicit val sql = s.sqlContext
