@@ -610,7 +610,194 @@ object Aggregates {
                      AS BIGINT) AS sum_cents
             FROM orders GROUP BY m ORDER BY m"""))
 
+  /** Higher-moment distribution profile (skewness + excess kurtosis) per
+    * group — the shape statistics a data-quality monitor tracks to catch
+    * drift that mean/stddev miss. Decomposition: raw power sums S1..S4
+    * over the INTEGRAL quantity column as exact longs (order-independent,
+    * mergeable — one two-phase aggregate, no second pass for central
+    * moments), finals assembled in doubles. The final formula text is
+    * generated ONCE and injected into BOTH the Spark expr() and the DuckDB
+    * SQL, so the IEEE op sequence is identical by construction (the JL
+    * doctrine) — no rounding needed. m2^1.5 is spelled m2*sqrt(m2)
+    * because sqrt is correctly rounded IEEE in both engines while pow's
+    * last ulp is libm-dependent.
+    */
+  private val momentFinals: (String, String) = {
+    val mean = "(s1 / n)"
+    val m2 = s"(s2 / n - $mean * $mean)"
+    val skew = s"((s3 / n - 3.0 * $mean * (s2 / n) + " +
+      s"2.0 * $mean * $mean * $mean) / ($m2 * sqrt($m2)))"
+    val kurt = s"((s4 / n - 4.0 * $mean * (s3 / n) + " +
+      s"6.0 * $mean * $mean * (s2 / n) - " +
+      s"3.0 * $mean * $mean * $mean * $mean) / ($m2 * $m2) - 3.0)"
+    (skew, kurt)
+  }
+
+  val qAggSkewKurt = Q(
+    "q_agg_skew_kurt",
+    (s, dir) => {
+      val (skewF, kurtF) = momentFinals
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(org.apache.spark.sql.types.LongType)
+            .as("q"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("q")).cast(DoubleType).as("s1"),
+          sum(col("q") * col("q")).cast(DoubleType).as("s2"),
+          sum(col("q") * col("q") * col("q")).cast(DoubleType).as("s3"),
+          sum(col("q") * col("q") * col("q") * col("q"))
+            .cast(DoubleType).as("s4"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          expr(skewF).as("skewness"), expr(kurtF).as("kurtosis"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val (skewF, kurtF) = momentFinals
+      s"""WITH ms AS (SELECT l_returnflag,
+                    CAST(count(*) AS DOUBLE) AS n,
+                    CAST(sum(q) AS DOUBLE) AS s1,
+                    CAST(sum(q * q) AS DOUBLE) AS s2,
+                    CAST(sum(q * q * q) AS DOUBLE) AS s3,
+                    CAST(sum(q * q * q * q) AS DOUBLE) AS s4
+             FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+                   FROM lineitem)
+             GROUP BY l_returnflag)
+          SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                 $skewF AS skewness, $kurtF AS kurtosis
+          FROM ms ORDER BY l_returnflag"""
+    })
+
+  /** Median absolute deviation per group — the robust dispersion statistic
+    * (outlier-insensitive, unlike stddev). Two exact medians over integer
+    * cents: group median, then median of |cents − median|. Both medians
+    * interpolate at p=0.5 over integers, so every intermediate double is a
+    * half-integer — exact in both engines, no rounding. The second pass
+    * joins the 3-row median table back (broadcast at any scale: one row
+    * per group key); at 100 TB swap the exact percentile for
+    * percentile_approx as documented in §7.3.
+    */
+  val qAggMad = Q(
+    "q_agg_mad",
+    (s, dir) => {
+      val cents = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast(DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType).as("c"))
+      val med = cents.groupBy("l_returnflag")
+        .agg(expr("percentile(c, 0.5)").as("med"))
+      cents.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(first(col("med")).as("median_cents"),
+          expr("percentile(abs(c - med), 0.5)").as("mad_cents"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH c AS (SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                 FROM lineitem),
+            m AS (SELECT l_returnflag, quantile_cont(c, 0.5) AS med
+                  FROM c GROUP BY l_returnflag)
+            SELECT c.l_returnflag, first(m.med) AS median_cents,
+                   quantile_cont(abs(c.c - m.med), 0.5) AS mad_cents
+            FROM c JOIN m USING (l_returnflag)
+            GROUP BY c.l_returnflag ORDER BY c.l_returnflag"""))
+
+  /** Time-series resample to per-(user, day) OHLC bars — the downsampling
+    * shape every metrics store runs (open/close via the struct-min/max
+    * argmax doctrine of q_agg_argmax: (ts, event_id) prefix makes the
+    * selection deterministic under ties; high/low are plain min/max). One
+    * two-phase aggregate on bounded keys, integer cents throughout.
+    */
+  val qTimeOhlc = Q(
+    "q_time_ohlc",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"),
+          round(col("value") * 100).cast(DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType).as("c"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_trades"),
+          min(struct(col("ts"), col("event_id"), col("c"))).as("ofirst"),
+          max(struct(col("ts"), col("event_id"), col("c"))).as("olast"),
+          max(col("c")).as("high_cents"), min(col("c")).as("low_cents"))
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("n_trades"), col("ofirst.c").as("open_cents"),
+          col("olast.c").as("close_cents"),
+          col("high_cents"), col("low_cents"))
+        .orderBy("user_id", "day"),
+    Some("""SELECT user_id, CAST(CAST(ts_day AS DATE) AS VARCHAR) AS day,
+                   count(*) AS n_trades,
+                   (min(ROW(ts, event_id, c)
+                      ::STRUCT(ts TIMESTAMP, event_id BIGINT, c BIGINT))).c
+                     AS open_cents,
+                   (max(ROW(ts, event_id, c)
+                      ::STRUCT(ts TIMESTAMP, event_id BIGINT, c BIGINT))).c
+                     AS close_cents,
+                   max(c) AS high_cents, min(c) AS low_cents
+            FROM (SELECT user_id, CAST(ts AS DATE) AS ts_day, ts, event_id,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events WHERE event_type = 'purchase')
+            GROUP BY user_id, ts_day ORDER BY user_id, day"""))
+
+  /** Column-level data profiling of the orders table — null counts,
+    * distinct cardinalities and min/max per column, the summary every
+    * ingestion pipeline materializes before accepting a drop. ONE pass:
+    * all per-column aggregates in a single two-phase HashAggregate row,
+    * pivoted to rows driver-side via stack (no second scan per column).
+    * Values are stringified only from exact types (longs, strings, dates,
+    * integer cents) — double→text formatting is engine-divergent and never
+    * enters the output.
+    */
+  val qProfileColumns = Q(
+    "q_profile_columns",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("price_cents",
+          round(col("o_totalprice") * 100).cast(DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType))
+        .withColumn("order_day", to_date(col("o_orderdate")))
+      val profiled = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "price_cents", "order_day")
+      val aggs = profiled.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast("string").as(s"${c}_mn"),
+          max(col(c)).cast("string").as(s"${c}_mx"))
+      }
+      val one = o.agg(count(lit(1)).as("n_total"), aggs: _*)
+      val stackExpr = profiled.map { c =>
+        s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx"
+      }.mkString(s"stack(${profiled.size}, ", ", ", ")")
+      one.select(col("n_total"),
+          expr(s"$stackExpr AS (col_name, n_nonnull, n_distinct, " +
+            "min_value, max_value)"))
+        .select(col("col_name"), col("n_total"),
+          (col("n_total") - col("n_nonnull")).as("n_null"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+        .orderBy("col_name")
+    },
+    Some {
+      val cols = Seq(
+        ("o_orderkey", "o_orderkey"),
+        ("o_custkey", "o_custkey"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_orderpriority", "o_orderpriority"),
+        ("price_cents", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+        ("order_day", "CAST(o_orderdate AS DATE)"))
+      cols.map { case (n, e) =>
+        s"""SELECT '$n' AS col_name, count(*) AS n_total,
+                   count(*) - count($e) AS n_null,
+                   count(DISTINCT $e) AS n_distinct,
+                   CAST(min($e) AS VARCHAR) AS min_value,
+                   CAST(max($e) AS VARCHAR) AS max_value
+            FROM orders"""
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   val all: Seq[Q] = Seq(qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
+    qAggSkewKurt, qAggMad, qTimeOhlc, qProfileColumns,
     qAggArgmax, qAggDistinctMulti,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,

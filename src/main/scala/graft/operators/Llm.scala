@@ -326,6 +326,45 @@ object Llm {
     },
     qDedupClusters.oracle)
 
+  /** Embedding-space near-duplicate CLUSTERS: connected components over
+    * the exact cosine near-dup pair graph (threshold 0.4) via the
+    * large-star/small-star contraction — the brief's "embedding-cosine
+    * near-dup" dedup completed from pairs to keeper groups, the same
+    * pairs→components step q_dedup_clusters runs for text shingles. The
+    * CC iterates only over the pair subgraph (vectors in no pair are
+    * singletons by definition); the oracle chains the near-dup pair SQL
+    * into the same recursive-CTE reachability used by q_dedup_clusters,
+    * so the driver hash-proves pair generation AND contraction together.
+    */
+  // lazy: the oracle embeds qSimCosineNearDup's SQL, which is declared
+  // later in this object — a strict val here would read null at init
+  lazy val qDedupEmbedClusters: Q = Q(
+    "q_dedup_embed_clusters",
+    (s, dir) => {
+      val pairs = cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)
+        .select(col("a"), col("b"))
+      val cc = Graph.connectedComponents(pairs)
+      val singletons = Tables.embeddings(s, dir).select("vec_id")
+        .join(cc.select(col("node")), col("vec_id") === col("node"),
+          "left_anti")
+        .select(col("vec_id"), col("vec_id").as("cluster_id"))
+      cc.select(col("node").as("vec_id"), col("component").as("cluster_id"))
+        .union(singletons)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE
+               pairs AS (${qSimCosineNearDup.oracle.get
+                  .replace("ORDER BY a, b", "")}),
+               edges AS (SELECT a AS src, b AS dst FROM pairs
+                         UNION ALL SELECT b, a FROM pairs),
+               reach(vec_id, lbl) AS (
+                 SELECT vec_id, vec_id FROM embeddings
+                 UNION
+                 SELECT e.dst, r.lbl
+                 FROM reach r JOIN edges e ON e.src = r.vec_id)
+             SELECT vec_id, min(lbl) AS cluster_id
+             FROM reach GROUP BY vec_id ORDER BY vec_id"""))
+
   private val MinhashK = 16  // 4 bands × 4 rows
   private val MinhashBands = 4
   private val MinhashP = 4294967311L // smallest prime > 2^32
@@ -1825,7 +1864,7 @@ object Llm {
     qDedupMinhashLsh, qDedupSimhash,
     qEmbedCentroids, qEmbedQuantize,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
-    qSimCosineQuantized,
+    qSimCosineQuantized, qDedupEmbedClusters,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
     qTextTfidfTop, qTextFingerprint, qTextLangId, qTextPiiMask,
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,

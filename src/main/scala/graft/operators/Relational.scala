@@ -533,9 +533,64 @@ object Relational {
                ON x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax
              GROUP BY r_regionkey ORDER BY r_regionkey"""))
 
+  /** k-nearest-neighbor join: for each probe point (one per nation), the 3
+    * nearest customer points by squared euclidean distance, deterministic
+    * tie-break on custkey. Coordinates are the synthetic exact-binary-
+    * fraction scheme of the geo queries (k + 0.5), so every coordinate
+    * difference is an exact INTEGER in a double and dist2 is exact — no
+    * float tolerance anywhere. Shape: the probe side is tiny and
+    * broadcast; ranking is a WindowGroupLimit-eligible row_number over
+    * (dist2, custkey) partitioned by probe, so the exchange carries
+    * O(probes·k), not the full cross product. At corpus scale the
+    * broadcast-probes pattern is exactly how a small query batch scans a
+    * big point table (the spatial analog of q_sim_cosine_topk); for
+    * big-probe-set × big-point-set, grid-bucket both sides first
+    * (q_geo_grid_join's cell shape).
+    */
+  val qJoinKnn = Q(
+    "q_join_knn",
+    (s, dir) => {
+      val probes = Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          (col("n_nationkey") * 7 % 360 - 180 + 0.5).as("px"),
+          (col("n_nationkey") * 13 % 180 - 90 + 0.5).as("py"))
+      val pts = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          (col("c_custkey") * 3 % 360 - 180 + 0.5).as("cx"),
+          (col("c_custkey") * 11 % 180 - 90 + 0.5).as("cy"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_nationkey")
+        .orderBy(col("dist2"), col("c_custkey"))
+      pts.crossJoin(broadcast(probes))
+        .withColumn("dist2",
+          (col("px") - col("cx")) * (col("px") - col("cx")) +
+            (col("py") - col("cy")) * (col("py") - col("cy")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("n_nationkey", "c_custkey", "dist2", "rk")
+        .orderBy("n_nationkey", "rk")
+    },
+    Some("""SELECT n_nationkey, c_custkey, dist2, rk
+            FROM (SELECT n.n_nationkey, c.c_custkey,
+                         (n.px - c.cx) * (n.px - c.cx) +
+                         (n.py - c.cy) * (n.py - c.cy) AS dist2,
+                         CAST(row_number() OVER (PARTITION BY n.n_nationkey
+                           ORDER BY (n.px - c.cx) * (n.px - c.cx) +
+                                    (n.py - c.cy) * (n.py - c.cy),
+                                    c.c_custkey) AS INTEGER) AS rk
+                  FROM (SELECT n_nationkey,
+                               n_nationkey * 7 % 360 - 180 + 0.5 AS px,
+                               n_nationkey * 13 % 180 - 90 + 0.5 AS py
+                        FROM nation) n,
+                       (SELECT c_custkey,
+                               c_custkey * 3 % 360 - 180 + 0.5 AS cx,
+                               c_custkey * 11 % 180 - 90 + 0.5 AS cy
+                        FROM customer) c)
+            WHERE rk <= 3 ORDER BY n_nationkey, rk"""))
+
   val all: Seq[Q] = Seq(
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
-    qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull)
+    qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn)
 }

@@ -452,9 +452,101 @@ object Windows {
                                ORDER BY o_orderdate, o_orderkey))
             ORDER BY o_custkey, version"""))
 
+  /** Exponentially-weighted moving average over each user's purchase
+    * stream — the smoothing shape monitoring/trend pipelines run. α = 1/2:
+    * the lag weights 0.5, 0.25, 0.125, 0.0625 are exact powers of two, so
+    * each product is an EXACT IEEE scaling and the whole chain is
+    * bit-reproducible cross-engine with NO rounding. The numerator/
+    * denominator formulas are generated once and injected into both the
+    * Spark expr() and the DuckDB SQL (the JL doctrine), with explicit
+    * left-assoc parenthesization; the window is 4 lags over
+    * (ts, event_id) — one shuffle on user_id, O(1) state per row.
+    */
+  private val ewmaFormulas: (String, String) = {
+    val num = "(((v + 0.5 * COALESCE(l1, 0.0)) + 0.25 * COALESCE(l2, 0.0))" +
+      " + 0.125 * COALESCE(l3, 0.0)) + 0.0625 * COALESCE(l4, 0.0)"
+    val den = "(((1.0 + (CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END))" +
+      " + (CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END))" +
+      " + (CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END))" +
+      " + (CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 END)"
+    (num, den)
+  }
+
+  val qWinEwma = Q(
+    "q_win_ewma",
+    (s, dir) => {
+      val (num, den) = ewmaFormulas
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").as("v"))
+        .withColumn("l1", lag(col("v"), 1).over(w))
+        .withColumn("l2", lag(col("v"), 2).over(w))
+        .withColumn("l3", lag(col("v"), 3).over(w))
+        .withColumn("l4", lag(col("v"), 4).over(w))
+        .select(col("user_id"), col("event_id"),
+          (expr(s"($num)") / expr(s"($den)")).as("ewma"))
+        .orderBy("user_id", "event_id")
+    },
+    Some {
+      val (num, den) = ewmaFormulas
+      s"""WITH p AS (SELECT user_id, event_id, ts, value AS v
+                  FROM events WHERE event_type = 'purchase'),
+             l AS (SELECT user_id, event_id,
+                      lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+                      lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4, v
+                   FROM p
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          SELECT user_id, event_id, (($num) / ($den)) AS ewma
+          FROM l ORDER BY user_id, event_id"""
+    })
+
+  /** Ordered conversion funnel (view → click → purchase): a user counts at
+    * step k only if step k's FIRST qualifying event is at-or-after the
+    * user's step-(k−1) time — the order constraint that separates a funnel
+    * from three independent counts. Each stage is a bounded per-user
+    * aggregate joined forward (never a per-event self-join); output is the
+    * 3-row step/user-count table an analytics dashboard renders.
+    */
+  val qFunnelSteps = Q(
+    "q_funnel_steps",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("vt"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") >= col("vt"))
+        .groupBy("user_id").agg(min(col("ts")).as("ct"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts") >= col("ct"))
+        .groupBy("user_id").agg(min(col("ts")).as("pt"))
+      val one = (d: DataFrame, step: String, n: Int) =>
+        d.agg(count(lit(1)).as("n_users"))
+          .select(lit(n).as("step"), lit(step).as("step_name"),
+            col("n_users"))
+      one(v, "view", 1).union(one(c, "click_after_view", 2))
+        .union(one(p, "purchase_after_click", 3))
+        .orderBy("step")
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+                  JOIN v ON e.user_id = v.user_id AND e.ts >= v.vt
+                  WHERE e.event_type = 'click' GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+                  JOIN c ON e.user_id = c.user_id AND e.ts >= c.ct
+                  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT 1 AS step, 'view' AS step_name,
+                   count(*) AS n_users FROM v
+            UNION ALL SELECT 2, 'click_after_view', count(*) FROM c
+            UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM p
+            ORDER BY step"""))
+
   val all: Seq[Q] = Seq(
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill, qScd2Dim,
+    qWinEwma, qFunnelSteps,
     qSortMultikey, qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset)
 }

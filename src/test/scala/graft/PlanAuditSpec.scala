@@ -14,6 +14,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  /** SimpleMode renders the tree once, one line per node (FormattedMode
+    * repeats each node in the detail section, and executedPlan.collect
+    * sees nothing under AdaptiveSparkPlanExec — both miscount).
+    */
+  private def simplePlan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+
+  private def hashExchangeCount(df: DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(simplePlan(df)).size
+
   test("pruned scan pushes predicates and reads only needed columns") {
     val p = plan(Relational.qScanPruned.fn(spark, sfDir))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
@@ -226,19 +238,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val df = Windows.qScd2Dim.fn(spark, sfDir)
     val p = plan(df)
     assert(p.contains("Window"))
-    // count Exchange NODES on the executed plan tree, not regex hits in the
-    // formatted string (whose Arguments-line rendering shifts across Spark
-    // versions/AQE): exactly one hash exchange (the shared window
-    // partitionBy on o_custkey) — the only other exchange is the final
-    // presentation sort's range partitioning
-    val exchanges = df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-        e.outputPartitioning
-    }
-    val hash = exchanges.count(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
-    assert(hash <= 1, s"version/lead must share ONE shuffle on o_custkey " +
-      s"(found $hash hash exchanges: $exchanges)")
+    // count hash-exchange NODES in the single-line-per-node simple
+    // rendering: exactly one (the shared window partitionBy on o_custkey);
+    // the only other exchange is the final presentation sort's range
+    // partitioning
+    val hash = hashExchangeCount(df)
+    assert(hash == 1, s"version/lead must share ONE shuffle on o_custkey " +
+      s"(found $hash hash exchanges)")
   }
 
   test("incremental merge keeps both aggregation levels two-phase") {
@@ -277,5 +283,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "train-shingle membership must be a LEFT SEMI join")
     assert(!p.contains("collect_set") && !p.contains("collect_list"),
       "no per-doc shingle arrays — they OOM on boilerplate docs at scale")
+  }
+
+  test("kNN join broadcasts the probe side and group-limits the ranking") {
+    val p = plan(Relational.qJoinKnn.fn(spark, sfDir))
+    assert(p.contains("BroadcastExchange"),
+      "the tiny probe table must broadcast, never shuffle the point table")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "per-partition top-3 must run below the shuffle " +
+        "(exchange carries O(probes*k), not the cross product)")
+  }
+
+  test("EWMA lags share ONE window shuffle on user_id") {
+    val df = Windows.qWinEwma.fn(spark, sfDir)
+    assert(plan(df).contains("Window"))
+    val hash = hashExchangeCount(df)
+    assert(hash == 1, s"the four lags must share one user_id exchange, " +
+      s"found $hash hash exchanges")
+  }
+
+  test("column profiling computes all per-column stats in ONE scan") {
+    val df = Aggregates.qProfileColumns.fn(spark, sfDir)
+    val scans = "FileScan parquet".r.findAllIn(simplePlan(df)).size
+    assert(scans == 1, s"profiling must not rescan the table per column " +
+      s"(found $scans scans)")
+  }
+
+  test("skew/kurtosis moment sums are one two-phase aggregate") {
+    val p = plan(Aggregates.qAggSkewKurt.fn(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "power sums must combine map-side (partial + final)")
+    assert(!p.toLowerCase.contains("join"),
+      "raw-moment decomposition needs no second pass / self-join")
   }
 }
