@@ -118,4 +118,39 @@ object Graph {
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
   }
+
+  /** Triangle + wedge census of an undirected graph given as a canonical
+    * (a < b, distinct) edge list. Triangles count once each via the
+    * ordered a<b<c 3-join (no orientation dedup pass); wedges are
+    * Σ d(d−1)/2 from one degree aggregate; global clustering coefficient
+    * = 3·triangles/wedges (0 when wedge-free). All-integer until the one
+    * final division. Three shuffle joins over the edge list — at 100 TB
+    * pre-bucket the edge table on the join key and cap super-node degrees
+    * (a web-scale hub makes the wedge join quadratic; dedup graphs are
+    * near-cliques and have no hubs).
+    *
+    * Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering_coeff).
+    */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("a", "b")
+    val nodes = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+    val deg = nodes.groupBy("n").agg(count(lit(1)).as("d"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val tri = e.toDF("x", "y")
+      .join(e.toDF("y2", "z"), col("y") === col("y2"))
+      .join(e.toDF("x3", "z3"),
+        col("x") === col("x3") && col("z") === col("z3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // four 1-row aggregates → bounded broadcast cross joins
+    nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        col("n_triangles"),
+        when(coalesce(col("n_wedges"), lit(0L)) === 0, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("clustering_coeff"))
+  }
 }

@@ -336,13 +336,28 @@ object Llm {
     * into the same recursive-CTE reachability used by q_dedup_clusters,
     * so the driver hash-proves pair generation AND contraction together.
     */
+  /** Cosine near-dup pair table materialized once per (session, dir) —
+    * same Incremental seam as the jaccard pairTable: the O(N²) scoring
+    * join is the expensive part, and every downstream consumer (cluster
+    * contraction, triangle census) re-reads the parquet instead of
+    * re-scoring. q_sim_cosine_near_dup itself stays a live computation —
+    * it IS the pair-generation benchmark.
+    */
+  private def embedPairTable(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.SourcesSinks
+      .dirKeyedTempPath(s, dir, "embed_pairs")
+    val (df, _) = graft.sources.Incremental.materialize(
+      s, Seq(s"$dir/embeddings.parquet"), out)(
+      cosineNearDupPairs(Tables.embeddings(s, dir), 0.4))
+    df
+  }
+
   // lazy: the oracle embeds qSimCosineNearDup's SQL, which is declared
   // later in this object — a strict val here would read null at init
   lazy val qDedupEmbedClusters: Q = Q(
     "q_dedup_embed_clusters",
     (s, dir) => {
-      val pairs = cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)
-        .select(col("a"), col("b"))
+      val pairs = embedPairTable(s, dir).select(col("a"), col("b"))
       val cc = Graph.connectedComponents(pairs)
       val singletons = Tables.embeddings(s, dir).select("vec_id")
         .join(cc.select(col("node")), col("vec_id") === col("node"),
@@ -364,6 +379,42 @@ object Llm {
                  FROM reach r JOIN edges e ON e.src = r.vec_id)
              SELECT vec_id, min(lbl) AS cluster_id
              FROM reach GROUP BY vec_id ORDER BY vec_id"""))
+
+  /** Triangle census of the near-dup pair graph — the structural health
+    * check a dedup pipeline runs on its candidate graph (a true duplicate
+    * cluster is a near-clique: many triangles per wedge; a low clustering
+    * coefficient flags chained false positives gluing distinct docs into
+    * one component). Triangles count via the canonical a<b<c ordered
+    * 3-join over the (a<b) edge list — each triangle counted exactly once,
+    * no orientation dedup pass; wedges Σ d(d−1)/2 from one degree
+    * aggregate. All-integer until the final coefficient division (guarded
+    * for the wedge-free graph). Reads the materialized pair table, so the
+    * census costs three shuffle joins over the (tiny) duplicate subgraph —
+    * never touches the corpus.
+    */
+  val qGraphTriangles = Q(
+    "q_graph_triangles",
+    (s, dir) =>
+      Graph.triangleCensus(pairTable(s, dir).select(col("a"), col("b"))),
+    Some(s"""WITH e AS (SELECT a, b FROM
+                  (${qDedupJaccardPairs.oracle.get.replace(
+                      "ORDER BY a, b", "")})),
+              nodes AS (SELECT a AS n FROM e UNION ALL SELECT b FROM e),
+              deg AS (SELECT n, count(*) AS d FROM nodes GROUP BY n),
+              agg AS (SELECT
+                  (SELECT count(*) FROM deg) AS n_nodes,
+                  (SELECT count(*) FROM e) AS n_edges,
+                  (SELECT COALESCE(CAST(sum(d * (d - 1) // 2) AS BIGINT), 0)
+                   FROM deg) AS n_wedges,
+                  (SELECT count(*)
+                   FROM e e1 JOIN e e2 ON e1.b = e2.a
+                        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+                    AS n_triangles)
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   CASE WHEN n_wedges = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE CAST(3.0 AS DOUBLE) * n_triangles / n_wedges
+                        END AS clustering_coeff
+            FROM agg"""))
 
   private val MinhashK = 16  // 4 bands × 4 rows
   private val MinhashBands = 4
@@ -1860,7 +1911,7 @@ object Llm {
     qSampleStratified, qTextNgramLm, qCorpusPack, qCorpusMixture,
     qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
-    qDedupClustersBigstar, qCorpusCurate,
+    qDedupClustersBigstar, qCorpusCurate, qGraphTriangles,
     qDedupMinhashLsh, qDedupSimhash,
     qEmbedCentroids, qEmbedQuantize,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,

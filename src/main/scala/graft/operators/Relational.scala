@@ -588,9 +588,78 @@ object Relational {
                         FROM customer) c)
             WHERE rk <= 3 ORDER BY n_nationkey, rk"""))
 
+  /** MERGE/upsert (CDC apply): a delta batch — updates to every BUILDING-
+    * segment customer (+10.00 on the balance) plus freshly keyed inserts —
+    * applied onto the base dimension with MERGE semantics: matched rows
+    * take the delta's values, unmatched delta rows insert, everything else
+    * carries over. Physical shape is ONE full-outer equi-join on the key +
+    * per-column coalesce (delta wins) — the engine-agnostic way to apply a
+    * CDC batch when the store has no transactional MERGE; both sides
+    * shuffle on the key (an upsert cannot broadcast the base). The output
+    * audits the merge: per (segment, action) counts + exact balance sums,
+    * where action ∈ update/insert/carry.
+    */
+  val qMergeUpsert = Q(
+    "q_merge_upsert",
+    (s, dir) => {
+      val cents = (c: org.apache.spark.sql.Column) =>
+        round(c * 100).cast(org.apache.spark.sql.types.DecimalType(18, 0))
+          .cast(org.apache.spark.sql.types.LongType)
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg"),
+          cents(col("c_acctbal")).as("bal"))
+      val delta = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg"),
+          (cents(col("c_acctbal")) + 1000L).as("bal"))
+        .unionAll(
+          Tables.customer(s, dir).where(col("c_custkey") < 10)
+            .select((col("c_custkey") + 10000000L).as("k"),
+              lit("NEWSEG").as("seg"),
+              lit(0L).as("bal")))
+      val merged = base.as("b")
+        .join(delta.as("d"), col("b.k") === col("d.k"), "full_outer")
+        .select(
+          coalesce(col("d.k"), col("b.k")).as("k"),
+          coalesce(col("d.seg"), col("b.seg")).as("seg"),
+          coalesce(col("d.bal"), col("b.bal")).as("bal"),
+          when(col("d.k").isNotNull && col("b.k").isNotNull, "update")
+            .when(col("b.k").isNull, "insert")
+            .otherwise("carry").as("action"))
+      merged.groupBy("seg", "action")
+        .agg(count(lit(1)).as("n"), sum(col("bal")).as("sum_cents"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy("seg", "action")
+    },
+    Some("""WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                 FROM customer),
+            delta AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+                             CAST(round(c_acctbal * 100) AS BIGINT) + 1000
+                               AS bal
+                      FROM customer WHERE c_mktsegment = 'BUILDING'
+                      UNION ALL
+                      SELECT c_custkey + 10000000, 'NEWSEG', 0
+                      FROM customer WHERE c_custkey < 10),
+            merged AS (SELECT
+                COALESCE(d.k, b.k) AS k,
+                COALESCE(d.seg, b.seg) AS seg,
+                COALESCE(d.bal, b.bal) AS bal,
+                CASE WHEN d.k IS NOT NULL AND b.k IS NOT NULL THEN 'update'
+                     WHEN b.k IS NULL THEN 'insert'
+                     ELSE 'carry' END AS action
+              FROM base b FULL JOIN delta d ON b.k = d.k)
+            SELECT seg, action, count(*) AS n,
+                   CAST(sum(bal) AS BIGINT) AS sum_cents,
+                   min(k) AS min_key, max(k) AS max_key
+            FROM merged GROUP BY seg, action ORDER BY seg, action"""))
+
   val all: Seq[Q] = Seq(
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
-    qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn)
+    qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
+    qMergeUpsert)
 }

@@ -543,10 +543,92 @@ object Windows {
             UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM p
             ORDER BY step"""))
 
+  /** Batch sessionization with per-session VALUE stats — the explicit
+    * gaps-and-islands formulation (lag → break flag → running sum → group),
+    * complementing q_stream_session's session_window with the shape you
+    * control directly at 100 TB: both windows and the final aggregate
+    * share ONE shuffle on user_id, and the session id is a running count
+    * of break flags so state per row is O(1). Break rule matches
+    * session_window's exclusive merge (gap >= 30 min splits), compared in
+    * exact integer MICROSECONDS on both engines (a seconds-truncated cast
+    * would misclassify sub-second boundary gaps); (ts, event_id) ordering
+    * makes the lag chain total.
+    */
+  val qSessionStats = Q(
+    "q_session_stats",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType).as("c"))
+        .withColumn("brk",
+          when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w)) >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(wRun))
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"),
+          count(lit(1)).as("n_events"), sum(col("c")).as("sum_cents"))
+        .drop("sid")
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH brk AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS c,
+                     CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id))
+                          >= 1800000000 THEN 1 ELSE 0 END AS b
+              FROM events),
+            isl AS (
+              SELECT user_id, ts, c,
+                     SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM brk)
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+                   count(*) AS n_events,
+                   CAST(sum(c) AS BIGINT) AS sum_cents
+            FROM isl GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  /** cume_dist — the remaining rank-family window function (fraction of
+    * the partition at-or-below the current value). Ties share a value of
+    * rows_le/n, so the output is deterministic without a tie-break; the
+    * division is one IEEE op over two exact integers in both engines.
+    */
+  val qWinCumeDist = Q(
+    "q_win_cume_dist",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("cents"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType).as("cents"))
+        .withColumn("cd", cume_dist().over(w))
+        .select("o_orderkey", "o_orderpriority", "cd")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, cd
+            FROM (SELECT o_orderkey, o_orderpriority,
+                         cume_dist() OVER (PARTITION BY o_orderpriority
+                           ORDER BY CAST(round(o_totalprice * 100)
+                                         AS BIGINT)) AS cd
+                  FROM orders)
+            ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill, qScd2Dim,
-    qWinEwma, qFunnelSteps,
+    qWinEwma, qFunnelSteps, qSessionStats, qWinCumeDist,
     qSortMultikey, qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset)
 }

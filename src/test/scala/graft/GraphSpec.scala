@@ -54,4 +54,23 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(viaContraction.exceptAll(viaPropagation).count() == 0)
     assert(viaPropagation.exceptAll(viaContraction).count() == 0)
   }
+
+  test("triangle census: known counts on canonical toy graphs") {
+    val s = spark
+    import s.implicits._
+    def census(edges: Seq[(Long, Long)]) = {
+      val r = Graph.triangleCensus(edges.toDF("a", "b")).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    }
+    // one triangle: 3 nodes, 3 edges, 3 wedges, coeff 3*1/3 = 1
+    assert(census(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == (3L, 3L, 3L, 1L, 1.0))
+    // star K1,3: no triangles, center degree 3 -> 3 wedges, coeff 0
+    assert(census(Seq((1L, 2L), (1L, 3L), (1L, 4L))) == (4L, 3L, 3L, 0L, 0.0))
+    // K4: 4 triangles, every node degree 3 -> 12 wedges, coeff 3*4/12 = 1
+    assert(census(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))) == (4L, 6L, 12L, 4L, 1.0))
+    // path P3: 2 edges, 1 wedge, no triangle
+    assert(census(Seq((1L, 2L), (2L, 3L))) == (3L, 2L, 1L, 0L, 0.0))
+  }
 }
