@@ -119,6 +119,49 @@ object Graph {
         coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** Fixed-iteration PageRank over an undirected graph given as a
+    * canonical (a < b, distinct) edge list — the centrality measure a
+    * curation pipeline uses to weight authoritative sources (and the
+    * classic iterative-dataflow stress test). r₀ = 1/N;
+    * rᵢ₊₁(v) = (1−d)/N + d·Σ rᵢ(u)/deg(u) over neighbors u.
+    *
+    * Determinism doctrine: the per-neighbor contribution r/deg is one IEEE
+    * division, but the Σ over in-neighbors is a shuffle aggregation whose
+    * double order is engine-internal — so contributions go through the
+    * Dec12 cast (exact, order-free sum; same boundary-safety argument as
+    * davg12) and the final affine step is shared formula text. Each
+    * iteration is one join + one two-phase agg over (edges ⋈ ranks); the
+    * rank table is O(nodes) and re-shuffles on the same key every round —
+    * on a cluster, pre-partition both sides on the node key so iterations
+    * are exchange-free. Iterations are a PLAN (no driver-side loop state),
+    * so `iters` must stay small (3–5) or lineage needs checkpointing —
+    * callers wanting convergence should localCheckpoint between rounds.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.toDF("a", "b")
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("node"), col("deg"))
+    val nN = nodes.count().toDouble
+    var ranks = nodes.withColumn("r", lit(1.0) / lit(nN))
+    for (_ <- 0 until iters) {
+      val contrib = und
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (col("r") / col("deg").cast("double")).as("c"))
+      val summed = contrib.groupBy("node")
+        .agg(sum(col("c").cast(graft.Det.Dec12)).cast("double").as("s"))
+      ranks = nodes
+        .join(summed, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit((1.0 - damping) / nN) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    ranks.select("node", "r")
+  }
+
   /** Triangle + wedge census of an undirected graph given as a canonical
     * (a < b, distinct) edge list. Triangles count once each via the
     * ordered a<b<c 3-join (no orientation dedup pass); wedges are

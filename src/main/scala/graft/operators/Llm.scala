@@ -416,6 +416,58 @@ object Llm {
                         END AS clustering_coeff
             FROM agg"""))
 
+  /** Per-doc token-distribution (Shannon) entropy — the diversity signal
+    * quality filters use to catch keyword-stuffed / boilerplate docs that
+    * length and type-token ratio miss. H = −Σ p·ln(p) over the doc's
+    * token frequencies. Determinism: ln is bit-identical across Java's
+    * Math.log, glibc and DuckDB (verified empirically, 0/1900 ulp
+    * mismatches across magnitudes); double ADDITION order is not — and a
+    * window running-sum is no rescue, because DuckDB evaluates window
+    * aggregates with a SEGMENT TREE (pairwise combine order, not the
+    * sequential fold Spark runs). So each p·ln(p) term — itself a fixed
+    * IEEE op sequence from shared formula text — goes through the Dec12
+    * doctrine: cast to DECIMAL(38,12), summed exactly (order-free), one
+    * final cast back. Entropy ≤ ln(vocab) ≈ 10, far inside scale-12
+    * headroom. Plan: explode → two-level agg + one bounded window for the
+    * doc total — no rounding anywhere.
+    */
+  private val entropyTerm =
+    "(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))"
+
+  val qTextEntropy = Q(
+    "q_text_entropy",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+      val cnts = tok.groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("cnt"))
+      val wDoc = Window.partitionBy("doc_id")
+      cnts
+        .withColumn("n", sum(col("cnt")).over(wDoc))
+        .withColumn("term", expr(entropyTerm))
+        .groupBy("doc_id")
+        .agg(first(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          (-sum(col("term").cast(Det.Dec12)).cast(DoubleType))
+            .as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, w
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                        FROM documents) WHERE w <> ''),
+             cnts AS (SELECT doc_id, w, count(*) AS cnt
+                      FROM tok GROUP BY doc_id, w),
+             terms AS (SELECT doc_id, w, cnt,
+                         sum(cnt) OVER (PARTITION BY doc_id) AS n
+                       FROM cnts)
+             SELECT doc_id, CAST(first(n) AS BIGINT) AS n_tokens,
+                    count(*) AS n_types,
+                    -CAST(sum(CAST(($entropyTerm) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS entropy
+             FROM terms GROUP BY doc_id ORDER BY doc_id"""))
+
   private val MinhashK = 16  // 4 bands × 4 rows
   private val MinhashBands = 4
   private val MinhashP = 4294967311L // smallest prime > 2^32
@@ -1919,5 +1971,5 @@ object Llm {
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
     qTextTfidfTop, qTextFingerprint, qTextLangId, qTextPiiMask,
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,
-    qTextRepetition, qContamination)
+    qTextRepetition, qContamination, qTextEntropy)
 }

@@ -656,10 +656,120 @@ object Relational {
                    min(k) AS min_key, max(k) AS max_key
             FROM merged GROUP BY seg, action ORDER BY seg, action"""))
 
+  /** Fixed 3-iteration PageRank over the part↔supplier co-occurrence
+    * graph (who supplies what, from distinct lineitem pairs; node ids are
+    * parity-disjoint: 2·partkey vs 2·suppkey+1). Top-20 by rank with node
+    * tie-break. See Graph.pageRank for the Dec12 determinism doctrine —
+    * the oracle replays the identical affine/divide IEEE sequence per
+    * iteration, including the (1.0 − 0.85) subtraction (NOT the literal
+    * 0.15, which is a different double).
+    */
+  val qGraphPagerank = Q(
+    "q_graph_pagerank",
+    (s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      Graph.pageRank(edges, iters = 3)
+        .orderBy(col("r").desc, col("node"))
+        .limit(20)
+    },
+    Some {
+      val iters = 3
+      val prev = (i: Int) => if (i == 0) "r0" else s"r$i"
+      val iterCtes = (1 to iters).map { i =>
+        s"""r$i AS (SELECT d.src AS node, d.deg,
+                 (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                   / (SELECT nn FROM n)
+                 + CAST(0.85 AS DOUBLE)
+                   * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS r
+               FROM deg d LEFT JOIN
+                 (SELECT u.dst AS node,
+                         CAST(sum(CAST(p.r / CAST(p.deg AS DOUBLE)
+                                       AS DECIMAL(38,12))) AS DOUBLE) AS s
+                  FROM und u JOIN ${prev(i - 1)} p ON p.node = u.src
+                  GROUP BY u.dst) s ON s.node = d.src)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT l_partkey * 2 AS a,
+                    l_suppkey * 2 + 1 AS b FROM lineitem),
+            und AS (SELECT a AS src, b AS dst FROM e
+                    UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+            r0 AS (SELECT src AS node, deg,
+                     CAST(1.0 AS DOUBLE) / (SELECT nn FROM n) AS r
+                   FROM deg),
+            $iterCtes
+          SELECT node, r FROM r$iters
+          ORDER BY r DESC, node LIMIT 20"""
+    })
+
+  /** Data-quality constraint suite — the validation pass an ingestion
+    * pipeline runs before accepting a drop (the reference ships validation
+    * scripts for exactly this role; SURVEY §7.6). Four constraint
+    * families, each a count of VIOLATIONS (0 = clean) so the output is a
+    * fixed bounded table an alerting system diffs:
+    *  - uniqueness: duplicated primary keys in orders;
+    *  - referential integrity: orders→customer orphans (anti-join — at
+    *    scale a shuffle semi/anti on the key, never a broadcast of the
+    *    parent);
+    *  - range: non-positive order totals;
+    *  - completeness: null order dates.
+    * One row per check with the violating-key extremes for triage.
+    */
+  val qDqChecks = Q(
+    "q_dq_checks",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val dupKeys = o.groupBy("o_orderkey")
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+        .select(lit("pk_unique_orders").as("check_name"), col("n"),
+          col("min_k"), col("max_k"))
+      val orphans = o.join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+        .select(lit("fk_orders_customer").as("check_name"), col("n"),
+          col("min_k"), col("max_k"))
+      val range = o.where(col("o_totalprice") <= 0)
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+        .select(lit("range_totalprice_positive").as("check_name"), col("n"),
+          col("min_k"), col("max_k"))
+      val nulls = o.where(col("o_orderdate").isNull)
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+        .select(lit("notnull_orderdate").as("check_name"), col("n"),
+          col("min_k"), col("max_k"))
+      dupKeys.union(orphans).union(range).union(nulls)
+        .orderBy("check_name")
+    },
+    Some("""SELECT 'pk_unique_orders' AS check_name, count(*) AS n,
+                   min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+            FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                  HAVING count(*) > 1)
+            UNION ALL
+            SELECT 'fk_orders_customer', count(*),
+                   min(o_orderkey), max(o_orderkey)
+            FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'range_totalprice_positive', count(*),
+                   min(o_orderkey), max(o_orderkey)
+            FROM orders WHERE o_totalprice <= 0
+            UNION ALL
+            SELECT 'notnull_orderdate', count(*),
+                   min(o_orderkey), max(o_orderkey)
+            FROM orders WHERE o_orderdate IS NULL
+            ORDER BY check_name"""))
+
   val all: Seq[Q] = Seq(
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
     qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
-    qMergeUpsert)
+    qMergeUpsert, qGraphPagerank, qDqChecks)
 }

@@ -73,4 +73,21 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     // path P3: 2 edges, 1 wedge, no triangle
     assert(census(Seq((1L, 2L), (2L, 3L))) == (3L, 2L, 1L, 0L, 0.0))
   }
+
+  test("pageRank: uniform on regular graphs, mass sums to ~1, hubs rank up") {
+    val s = spark
+    import s.implicits._
+    // triangle = 2-regular: rank stays uniform at 1/3 every iteration
+    val tri = Graph.pageRank(Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"),
+      iters = 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tri.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+    // star K1,4: center accumulates rank above the leaves; mass conserved
+    val star = Graph.pageRank(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b"),
+      iters = 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(star(1L) > star(2L) * 2, "star center must dominate leaves")
+    assert(math.abs(star.values.sum - 1.0) < 1e-9, "rank mass conserved")
+    assert(Seq(2L, 3L, 4L, 5L).map(star).distinct.size == 1,
+      "symmetric leaves get identical rank")
+  }
 }
