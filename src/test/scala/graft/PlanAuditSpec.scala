@@ -302,11 +302,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"found $hash hash exchanges")
   }
 
-  test("column profiling computes all per-column stats in ONE scan") {
+  test("column profiling stays hash-aggregated: no corpus sort, no Expand") {
     val df = Aggregates.qProfileColumns.fn(spark, sfDir)
-    val scans = "FileScan parquet".r.findAllIn(simplePlan(df)).size
-    assert(scans == 1, s"profiling must not rescan the table per column " +
-      s"(found $scans scans)")
+    val p = simplePlan(df)
+    // two branches (melt counts + min/max), each one narrow scan
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected the two profiling branches, $scans scans")
+    // the single-pass mixed countDistinct+min/max formulation rewrites to
+    // SortAggregate over a 7x Expand — two global sorts of the corpus
+    assert(!p.contains("Expand"),
+      "multi-distinct Expand rewrite crept back into profiling")
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(sorts <= 1, s"only the presentation sort is allowed, got $sorts")
   }
 
   test("skew/kurtosis moment sums are one two-phase aggregate") {
