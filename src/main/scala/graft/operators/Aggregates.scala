@@ -813,8 +813,58 @@ object Aggregates {
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** Gini coefficient of order value per priority class — the inequality
+    * metric (is revenue concentrated in a few large orders?) monitoring
+    * dashboards track. Mean-difference form over ascending ranks:
+    * G = (2·Σ rᵢ·xᵢ)/(n·Σ xᵢ) − (n+1)/n, with xᵢ integer cents ranked by
+    * (cents, orderkey) — a TOTAL order, so rᵢ is deterministic under
+    * ties. Σ rᵢ·xᵢ stays an exact BIGINT (r ≤ 10⁸ rows · x ≤ 10⁹ cents
+    * per row bounds each term < 2⁶³ headroom at the tested scales; at
+    * true 100 TB row counts switch the product column to DECIMAL(38,0));
+    * the final three divisions are shared formula text → bit-exact, no
+    * rounding. One window + one two-phase aggregate, both on the bounded
+    * priority key.
+    */
+  private val giniFinal =
+    "(CAST(2 AS DOUBLE) * CAST(srx AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) - " +
+      "(CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(n AS DOUBLE)"
+
+  val qAggGini = Q(
+    "q_agg_gini",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("cents"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast(DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType).as("cents"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sx"),
+          sum(col("r") * col("cents")).as("srx"))
+        .select(col("o_orderpriority"), col("n"),
+          col("sx").as("sum_cents"), expr(giniFinal).as("gini"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""WITH ranked AS (SELECT o_orderpriority,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                    CAST(row_number() OVER (PARTITION BY o_orderpriority
+                      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                               o_orderkey) AS BIGINT) AS r
+                  FROM orders),
+             sums AS (SELECT o_orderpriority, count(*) AS n,
+                        CAST(sum(cents) AS BIGINT) AS sx,
+                        CAST(sum(r * cents) AS BIGINT) AS srx
+                      FROM ranked GROUP BY o_orderpriority)
+             SELECT o_orderpriority, n, sx AS sum_cents,
+                    $giniFinal AS gini
+             FROM sums ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
-    qAggSkewKurt, qAggMad, qTimeOhlc, qProfileColumns,
+    qAggSkewKurt, qAggMad, qTimeOhlc, qProfileColumns, qAggGini,
     qAggArgmax, qAggDistinctMulti,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,

@@ -625,10 +625,61 @@ object Windows {
                   FROM orders)
             ORDER BY o_orderkey"""))
 
+  /** Longest consecutive-day activity streak per user (the DAU/retention
+    * streak metric): distinct active days → integer day numbers →
+    * gaps-and-islands (a day starts a new streak iff the previous active
+    * day is not exactly 1 before it) → longest island per user. All
+    * integer arithmetic on epoch-day numbers — no timestamp math in the
+    * streak logic itself, so the only cross-engine surface is the
+    * ts→date bucketing both engines already agree on (UTC).
+    */
+  val qWinStreak = Q(
+    "q_win_streak",
+    (s, dir) => {
+      val wU = Window.partitionBy("user_id").orderBy("day_num")
+      val wRun = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day_num"))
+        .distinct()
+      days
+        .withColumn("brk",
+          when(col("day_num") - lag(col("day_num"), 1).over(wU) === 1, 0)
+            .otherwise(1))
+        .withColumn("sid", sum(col("brk")).over(wRun))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest_streak_days"),
+          sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER)
+                     AS day_num
+                 FROM events),
+            brk AS (SELECT user_id, day_num,
+                      CASE WHEN day_num - lag(day_num) OVER
+                             (PARTITION BY user_id ORDER BY day_num) = 1
+                           THEN 0 ELSE 1 END AS b
+                    FROM days),
+            isl AS (SELECT user_id,
+                      SUM(b) OVER (PARTITION BY user_id ORDER BY day_num
+                        ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM brk),
+            runs AS (SELECT user_id, sid, count(*) AS len
+                     FROM isl GROUP BY user_id, sid)
+            SELECT user_id,
+                   max(len) AS longest_streak_days,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   count(*) AS n_streaks
+            FROM runs GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill, qScd2Dim,
-    qWinEwma, qFunnelSteps, qSessionStats, qWinCumeDist,
+    qWinEwma, qFunnelSteps, qSessionStats, qWinCumeDist, qWinStreak,
     qSortMultikey, qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset)
 }

@@ -604,8 +604,59 @@ object SourcesSinks {
              FROM orders WHERE o_orderstatus = 'F'
              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** The t2 BINARY-FILE query: the raw-bytes ingest path a multimodal
+    * pipeline starts from (image/audio blobs land as FILES, not rows —
+    * `binaryFile` is Spark's source for them; see Multimodal for the
+    * downstream decode seam). Per-language corpus blobs are written as
+    * real files (content = every doc's text joined in doc_id order — one
+    * deterministic byte stream per lang), read BACK through
+    * format("binaryFile"), and fingerprinted (length + md5). The oracle
+    * computes the same fingerprint from the documents table directly, so
+    * the hash match proves the file write → binary read path is
+    * byte-exact. Files are rebuilt per (session, dir) behind the same
+    * Incremental-style freshness guard as the partitioned-orders rewrite.
+    */
+  val qSourceBinaryfileRoundtrip = Q(
+    "q_source_binaryfile_roundtrip",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val path = dirKeyedTempPath(s, dir, "binary_corpus")
+      if (!Incremental.isFresh(s, Seq(s"$dir/documents.parquet"), path)) {
+        val blobs = Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(doc_id, text))), p -> p.text), '\n')")
+            .as("blob"))
+          .collect()
+        val d = new java.io.File(path)
+        d.mkdirs()
+        blobs.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, s"corpus_${r.getString(0)}.txt"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+        // freshness marker, same contract Incremental.isFresh checks
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+      }
+      s.read.format("binaryFile").load(path)
+        .where(!col("path").endsWith("_SUCCESS"))
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("file_name")
+    },
+    Some("""SELECT 'corpus_' || lang || '.txt' AS file_name,
+                   CAST(strlen(blob) AS BIGINT) AS length,
+                   md5(blob) AS content_md5
+            FROM (SELECT lang,
+                         string_agg(text, chr(10) ORDER BY doc_id) AS blob
+                  FROM documents GROUP BY lang)
+            ORDER BY file_name"""))
+
   val all: Seq[Q] =
     Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
       qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,
-      qScanPartitionPruned)
+      qScanPartitionPruned, qSourceBinaryfileRoundtrip)
 }

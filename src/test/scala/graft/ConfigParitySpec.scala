@@ -21,7 +21,15 @@ class ConfigParitySpec extends AnyFunSuite with SparkFixture {
     Windows.qWinRownumDedupe,
     Aggregates.qAggIncrMerge,
     Llm.qDedupMinhashLsh,
-    graft.streaming.StreamQueries.qStreamAnomaly)
+    graft.streaming.StreamQueries.qStreamAnomaly,
+    // the most delicate float paths: shared-formula IEEE chains (EWMA,
+    // Gini), iterated Dec12 sums (PageRank), ln + Dec12 (entropy) — a
+    // codegen/interpreted or plan-shape value difference here is exactly
+    // the silent-corruption class this spec exists for
+    Windows.qWinEwma,
+    Relational.qGraphPagerank,
+    Llm.qTextEntropy,
+    Aggregates.qAggGini)
 
   private def runWith(confs: (String, String)*)(q: Q): Seq[String] = {
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
