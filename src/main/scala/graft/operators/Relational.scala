@@ -687,7 +687,7 @@ object Relational {
                FROM deg d LEFT JOIN
                  (SELECT u.dst AS node,
                          CAST(sum(CAST(p.r / CAST(p.deg AS DOUBLE)
-                                       AS DECIMAL(38,12))) AS DOUBLE) AS s
+                                       AS DECIMAL(18,12))) AS DOUBLE) AS s
                   FROM und u JOIN ${prev(i - 1)} p ON p.node = u.src
                   GROUP BY u.dst) s ON s.node = d.src)"""
       }.mkString(",\n")
