@@ -468,6 +468,52 @@ object Llm {
                           AS DOUBLE) AS entropy
              FROM terms GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Flesch-style readability scoring — the classic quality-filter signal
+    * for instruction/tutorial corpora. Syllables are proxied by vowel-
+    * group runs ([aeiouy]+ on the lowercased text — a standard public
+    * approximation), sentences by [.!?]+ runs with non-blank content.
+    * Both counts are plain character-class regexes that Java's engine and
+    * RE2 treat identically (no lookaround/backrefs — the same contract
+    * q_text_lang_id relies on). The Flesch formula is shared text over
+    * exact integer counts; non-prose degenerate docs (no sentence marks /
+    * no words) yield NULL rather than an infinity.
+    */
+  private val fleschFormula =
+    "CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * " +
+      "(CAST(w AS DOUBLE) / CAST(sent AS DOUBLE)) - " +
+      "CAST(84.6 AS DOUBLE) * (CAST(vg AS DOUBLE) / CAST(w AS DOUBLE))"
+
+  val qTextReadability = Q(
+    "q_text_readability",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").as("w"),
+          expr("size(filter(split(text, '[.!?]+'), " +
+            "x -> length(trim(x)) > 0))").as("sent"),
+          expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+            .as("vg"))
+        .select(col("doc_id"), col("w").cast("long").as("n_words"),
+          col("sent").cast("long").as("n_sentences"),
+          col("vg").cast("long").as("n_vowel_groups"),
+          when(col("w") > 0 && col("sent") > 0, expr(fleschFormula))
+            .as("flesch"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, w AS n_words, sent AS n_sentences,
+                    vg AS n_vowel_groups,
+                    CASE WHEN w > 0 AND sent > 0 THEN $fleschFormula
+                         ELSE NULL END AS flesch
+             FROM (SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS BIGINT) AS w,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       x -> length(trim(x)) > 0)) AS BIGINT) AS sent,
+                     CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS BIGINT) AS vg
+                   FROM documents)
+             ORDER BY doc_id"""))
+
   private val MinhashK = 16  // 4 bands × 4 rows
   private val MinhashBands = 4
   private val MinhashP = 4294967311L // smallest prime > 2^32
@@ -1971,5 +2017,5 @@ object Llm {
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
     qTextTfidfTop, qTextFingerprint, qTextLangId, qTextPiiMask,
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,
-    qTextRepetition, qContamination, qTextEntropy)
+    qTextRepetition, qContamination, qTextEntropy, qTextReadability)
 }

@@ -766,10 +766,95 @@ object Relational {
             FROM orders WHERE o_orderdate IS NULL
             ORDER BY check_name"""))
 
+  /** Composite shipping-priority analytics (the TPC-H Q3 shape): revenue
+    * of each unshipped BUILDING-segment order, top-10 by revenue — the
+    * classic select-project-join-aggregate-topN composite that exercises
+    * filter pushdown on BOTH join inputs, a fact⋈fact shuffle join, exact
+    * cents aggregation and TakeOrderedAndProject in one plan. Revenue =
+    * Σ price·(1−disc) in exact cents: price·100 is an integer and disc is
+    * a 2-decimal fraction, so price·(100−disc·100) is an exact integer of
+    * centi-cents — summed as longs, divided back at the edge.
+    */
+  val qCompositeShipping = Q(
+    "q_composite_shipping",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") < lit("1995-03-15"))
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > lit("1995-03-15"))
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast(org.apache.spark.sql.types.DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType) *
+            (lit(100L) - round(col("l_discount") * 100)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+              .cast(org.apache.spark.sql.types.LongType)))
+            .as("rev_cc"))
+      val c = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("rev_cc")).as("revenue_cc"))
+        .orderBy(col("revenue_cc").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").cast("string").as("order_day"),
+          col("o_orderpriority"), col("revenue_cc"))
+    },
+    Some("""SELECT o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day,
+                   o_orderpriority,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                            (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_cc
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+             AND c.c_mktsegment = 'BUILDING'
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_cc DESC, o_orderkey LIMIT 10"""))
+
+  /** Market-basket co-occurrence: the top-20 part pairs appearing in the
+    * same order (the association-mining primitive behind "frequently
+    * bought together"). Self-join on the order key with a<b ordering —
+    * fanout is quadratic only in per-order basket size (bounded), never in
+    * corpus size; at 100 TB the guard is a per-order item cap before the
+    * join (same bucket-cap doctrine as the LSH expanders).
+    */
+  val qBasketPairs = Q(
+    "q_basket_pairs",
+    (s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      items.toDF("okey", "pa")
+        .join(items.toDF("okey2", "pb"),
+          col("okey") === col("okey2") && col("pa") < col("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+    Some("""SELECT pa, pb, n_orders
+            FROM (SELECT x.part AS pa, y.part AS pb,
+                         count(*) AS n_orders
+                  FROM (SELECT DISTINCT l_orderkey AS okey, l_partkey
+                          AS part FROM lineitem) x
+                  JOIN (SELECT DISTINCT l_orderkey AS okey, l_partkey
+                          AS part FROM lineitem) y
+                    ON x.okey = y.okey AND x.part < y.part
+                  GROUP BY pa, pb)
+            ORDER BY n_orders DESC, pa, pb LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
     qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
-    qMergeUpsert, qGraphPagerank, qDqChecks)
+    qMergeUpsert, qGraphPagerank, qDqChecks, qCompositeShipping,
+    qBasketPairs)
 }
