@@ -55,6 +55,23 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(cc == Map(7L -> 7L, 9L -> 9L))
   }
 
+  test("triangle census and pageRank survive empty and degenerate graphs") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val cen = Graph.triangleCensus(empty).first()
+    assert(cen.getLong(0) == 0 && cen.getLong(3) == 0 &&
+      cen.getDouble(4) == 0.0, "empty graph census must be all zeros")
+    assert(Graph.pageRank(empty, iters = 2).count() == 0)
+    // single edge: two nodes, no wedges, no triangles; PR splits evenly
+    val one = Seq((1L, 2L)).toDF("a", "b")
+    val c1 = Graph.triangleCensus(one).first()
+    assert(c1.getLong(0) == 2 && c1.getLong(2) == 0 && c1.getLong(3) == 0)
+    val pr = Graph.pageRank(one, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.5) < 1e-12 && math.abs(pr(2L) - 0.5) < 1e-12)
+  }
+
   test("anomaly scorer emits nothing until a user has 3 prior events") {
     val s = spark
     import s.implicits._

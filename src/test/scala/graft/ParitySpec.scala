@@ -69,7 +69,14 @@ class ParitySpec extends AnyFunSuite with SparkFixture {
       Layout.qLayoutZorder,
       Llm.qSampleStratified,
       streaming.StreamQueries.qStreamAnomaly,
-      Llm.qCorpusPack))
+      Llm.qCorpusPack,
+      // round 8: iterated Dec-sum PageRank (per-partition decimal partials),
+      // sessionization (two stacked windows + agg), entropy (ln + Dec12),
+      // Gini (window rank feeding exact products)
+      Relational.qGraphPagerank,
+      Windows.qSessionStats,
+      Llm.qTextEntropy,
+      Aggregates.qAggGini))
     test(s"${q.name} output is identical at shuffle.partitions = " +
         parallelisms.mkString("/")) {
       assertParity(q)
