@@ -625,6 +625,69 @@ object Windows {
                   FROM orders)
             ORDER BY o_orderkey"""))
 
+  /** AS-OF snapshot reconstruction from the SCD2 dimension — the read-side
+    * complement of q_scd2_dim (time travel without a table format: "what
+    * did every customer's attribute look like on date D?"). A row is
+    * current as-of D iff eff_from ≤ D < eff_to (open interval = current),
+    * exactly one row per key qualifies by construction — validated by the
+    * oracle running the same interval predicate over the same build. The
+    * snapshot predicate is a FILTER, not a window: at 100 TB, as-of reads
+    * must prune on eff_from/eff_to column stats rather than re-rank
+    * history.
+    */
+  val qScd2Asof = Q(
+    "q_scd2_asof",
+    (s, dir) => {
+      val asOf = lit("1996-06-01").cast("timestamp")
+      qScd2Dim.fn(s, dir)
+        .where(col("eff_from") <= asOf &&
+          (col("eff_to").isNull || col("eff_to") > asOf))
+        .groupBy("attr")
+        .agg(count(lit(1)).as("n_customers"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"),
+          sum(col("version")).as("sum_version"))
+        .orderBy("attr")
+    },
+    Some(s"""WITH scd AS (${qScd2Dim.oracle.get
+        .replace("ORDER BY o_custkey, version", "")})
+             SELECT attr, count(*) AS n_customers,
+                    min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+                    CAST(sum(version) AS BIGINT) AS sum_version
+             FROM scd
+             WHERE eff_from <= TIMESTAMP '1996-06-01 00:00:00'
+               AND (eff_to IS NULL OR eff_to > TIMESTAMP '1996-06-01 00:00:00')
+             GROUP BY attr ORDER BY attr"""))
+
+  /** Ratio-to-report: each order's share of its priority class's revenue —
+    * the per-row normalization primitive behind contribution reports and
+    * sampling weights. One unordered partition window (exact long sum) +
+    * one IEEE division; deterministic without tie-breaks.
+    */
+  val qWinRatioToReport = Q(
+    "q_win_ratio_to_report",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType).as("cents"))
+        .withColumn("share",
+          col("cents").cast("double") /
+            sum(col("cents")).over(w).cast("double"))
+        .select("o_orderkey", "o_orderpriority", "share")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+                   CAST(cents AS DOUBLE) /
+                   CAST(sum(cents) OVER (PARTITION BY o_orderpriority)
+                        AS DOUBLE) AS share
+            FROM (SELECT o_orderkey, o_orderpriority,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders)
+            ORDER BY o_orderkey"""))
+
   /** Longest consecutive-day activity streak per user (the DAU/retention
     * streak metric): distinct active days → integer day numbers →
     * gaps-and-islands (a day starts a new streak iff the previous active
@@ -680,6 +743,7 @@ object Windows {
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill, qScd2Dim,
     qWinEwma, qFunnelSteps, qSessionStats, qWinCumeDist, qWinStreak,
+    qScd2Asof, qWinRatioToReport,
     qSortMultikey, qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset)
 }
