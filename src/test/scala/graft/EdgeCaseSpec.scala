@@ -72,6 +72,37 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(pr(1L) - 0.5) < 1e-12 && math.abs(pr(2L) - 0.5) < 1e-12)
   }
 
+  test("entropy: empty corpus -> empty; uniform doc -> 0; no NaN escapes") {
+    assert(Llm.tokenEntropy(emptyDocs).count() == 0)
+    val rows = Llm.tokenEntropy(docsOf(
+      (1L, "same same same same"),       // single type -> H = 0 exactly
+      (2L, "a b a b"),                   // two equal types -> H = ln 2
+      (3L, "x"))).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byId(1L) == (4L, 1L, 0.0), "uniform doc must score exactly 0")
+    assert(math.abs(byId(2L)._3 - math.log(2)) < 1e-12)
+    assert(byId(3L) == (1L, 1L, 0.0), "single-token doc scores 0")
+    assert(rows.forall(r => !r.getDouble(3).isNaN))
+  }
+
+  test("readability: degenerate docs yield NULL flesch, never infinities") {
+    val rows = Llm.readability(docsOf(
+      (1L, "A plain sentence. And another one!"),
+      (2L, "no sentence marks here"),    // unterminated = ONE sentence
+      (3L, "..."),                       // w=1 but zero sentences -> NULL
+      (4L, ""))).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(!byId(1L).isNullAt(4) &&
+      !byId(1L).getDouble(4).isInfinite)
+    assert(!byId(2L).isNullAt(4),
+      "a doc without terminal punctuation reads as one sentence")
+    assert(byId(3L).isNullAt(4), "zero sentences must not divide")
+    assert(byId(4L).isNullAt(4), "empty doc must not divide")
+    rows.foreach(r => assert(r.isNullAt(4) ||
+      (!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)))
+  }
+
   test("anomaly scorer emits nothing until a user has 3 prior events") {
     val s = spark
     import s.implicits._
