@@ -76,23 +76,35 @@ object StreamQueries {
     * re-ranks in the serving layer or a foreachBatch). WindowGroupLimit
     * keeps the exchange at O(windows·k).
     */
+  /** Windowed-spend aggregate — valid on a batch frame AND under
+    * readStream (the streaming side runs it with a watermark; StreamingSpec
+    * drives it through MemoryStream).
+    */
+  def windowSpend(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(sum(round(col("value") * 100)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+        .cast(org.apache.spark.sql.types.LongType)).as("spend_cents"))
+      .select(col("window.start").as("ws"), col("user_id"),
+        col("spend_cents"))
+
+  /** Per-window rank — the serving-layer/foreachBatch half of the
+    * leaderboard (ranking is not an incremental streaming op).
+    */
+  def rankWindows(spend: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ws").orderBy(col("spend_cents").desc, col("user_id"))
+    spend
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
   val qStreamWindowTopk = Q(
     "q_stream_window_topk",
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("ws").orderBy(col("spend_cents").desc, col("user_id"))
-      Tables.events(s, dir)
-        .where(col("event_type") === "purchase")
-        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
-        .agg(sum(round(col("value") * 100)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 0))
-          .cast(org.apache.spark.sql.types.LongType)).as("spend_cents"))
-        .select(col("window.start").as("ws"), col("user_id"),
-          col("spend_cents"))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 3)
-        .orderBy("ws", "rk")
-    },
+    (s, dir) =>
+      rankWindows(windowSpend(Tables.events(s, dir))).orderBy("ws", "rk"),
     Some("""SELECT ws, user_id, spend_cents, rk
             FROM (SELECT ws, user_id, spend_cents,
                          CAST(row_number() OVER (PARTITION BY ws

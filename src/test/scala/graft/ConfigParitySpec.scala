@@ -46,7 +46,12 @@ class ConfigParitySpec extends AnyFunSuite with SparkFixture {
     "auto-broadcast disabled" ->
       Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
     "whole-stage codegen disabled" ->
-      Seq("spark.sql.codegen.wholeStage" -> "false"))
+      Seq("spark.sql.codegen.wholeStage" -> "false"),
+    // Spark 4 defaults ANSI on; a cluster still running ansi=false must
+    // get the same VALUES — our arithmetic never relies on ANSI-vs-legacy
+    // overflow/cast behavior (exact cents, bounded products, no silent
+    // wraparound in range)
+    "ANSI mode disabled" -> Seq("spark.sql.ansi.enabled" -> "false"))
 
   for (q <- queries; (label, confs) <- variants)
     test(s"${q.name} values are identical with $label") {

@@ -41,6 +41,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("windowed top-k leaderboard: streamed agg + downstream rank " +
+    "equals batch") {
+    val s = spark
+    implicit val sql = s.sqlContext
+    import s.implicits._
+    val rows = Seq(
+      TestEv(1, t("2024-01-01 10:05:00"), 1, "purchase", 5.0),
+      TestEv(2, t("2024-01-01 10:15:00"), 2, "purchase", 9.0),
+      TestEv(3, t("2024-01-01 10:25:00"), 3, "purchase", 7.0),
+      TestEv(4, t("2024-01-01 10:35:00"), 4, "purchase", 1.0),
+      TestEv(5, t("2024-01-01 11:05:00"), 1, "purchase", 2.0),
+      TestEv(6, t("2024-01-01 10:45:00"), 1, "click", 99.0)) // not spend
+    val ms = MemoryStream[TestEv]
+    val q = StreamQueries.windowSpend(ms.toDF())
+      .writeStream.format("memory").queryName("spend_windows")
+      .outputMode("complete").start()
+    try {
+      // split across micro-batches so the window agg must merge state
+      ms.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamedTop = StreamQueries
+        .rankWindows(spark.table("spend_windows"))
+        .orderBy("ws", "rk").collect().toSeq
+      val batchTop = StreamQueries
+        .rankWindows(StreamQueries.windowSpend(rows.toDF()))
+        .orderBy("ws", "rk").collect().toSeq
+      assert(streamedTop == batchTop)
+      // top-3 of the 10:00 window excludes the lowest spender and clicks
+      val w10 = streamedTop.filter(_.getTimestamp(0) ==
+        t("2024-01-01 10:00:00"))
+      assert(w10.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L))
+    } finally q.stop()
+  }
+
   test("tumbling + 10min watermark (append): closes windows, drops late rows") {
     val s = spark
     implicit val sql = s.sqlContext
