@@ -713,6 +713,40 @@ object Relational {
           ORDER BY r DESC, node LIMIT 20"""
     })
 
+  /** Correlated scalar subquery, driven through `spark.sql` end-to-end
+    * (the full SQL surface, not a DataFrame translation): orders priced
+    * above their own priority class's average. Catalyst DECORRELATES the
+    * per-row subquery into one aggregate + join (plan-asserted: no
+    * per-outer-row re-execution, no cartesian) — the rewrite that makes
+    * correlated SQL viable at 100 TB. The ONE query text runs verbatim on
+    * BOTH engines (modulo the Det decimal-avg spelling shared already),
+    * so this row also certifies SQL-dialect compatibility for the
+    * subquery corner.
+    */
+  val qFilterAboveAvg = Q(
+    "q_filter_above_avg",
+    (s, dir) => {
+      Tables.createViews(s, dir)
+      s.sql(s"""SELECT o1.o_orderpriority, count(*) AS n_above,
+                       min(o1.o_orderkey) AS min_key
+                FROM orders o1
+                WHERE o1.o_totalprice >
+                  (SELECT ${Det.sqlAvg("o2.o_totalprice")}
+                   FROM orders o2
+                   WHERE o2.o_orderpriority = o1.o_orderpriority)
+                GROUP BY o1.o_orderpriority
+                ORDER BY o1.o_orderpriority""")
+    },
+    Some(s"""SELECT o1.o_orderpriority, count(*) AS n_above,
+                    min(o1.o_orderkey) AS min_key
+             FROM orders o1
+             WHERE o1.o_totalprice >
+               (SELECT ${Det.sqlAvg("o2.o_totalprice")}
+                FROM orders o2
+                WHERE o2.o_orderpriority = o1.o_orderpriority)
+             GROUP BY o1.o_orderpriority
+             ORDER BY o1.o_orderpriority"""))
+
   /** Data-quality constraint suite — the validation pass an ingestion
     * pipeline runs before accepting a drop (the reference ships validation
     * scripts for exactly this role; SURVEY §7.6). Four constraint
@@ -864,5 +898,5 @@ object Relational {
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
     qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
     qMergeUpsert, qGraphPagerank, qDqChecks, qCompositeShipping,
-    qBasketPairs)
+    qBasketPairs, qFilterAboveAvg)
 }

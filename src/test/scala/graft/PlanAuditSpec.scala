@@ -316,6 +316,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(sorts <= 1, s"only the presentation sort is allowed, got $sorts")
   }
 
+  test("correlated scalar subquery decorrelates to one aggregate + join") {
+    val p = simplePlan(Relational.qFilterAboveAvg.fn(spark, sfDir))
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.toLowerCase.contains("broadcastnestedloopjoin"),
+      "per-row subquery re-execution / nested loop crept in")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("Join") || p.contains("join")),
+      "expected the decorrelated aggregate-then-join shape")
+  }
+
   test("skew/kurtosis moment sums are one two-phase aggregate") {
     val p = plan(Aggregates.qAggSkewKurt.fn(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
