@@ -85,7 +85,10 @@ object Bench {
     // a read-only working dir must not fail the bench itself)
     try {
       // merge, don't replace: a partial run (`only` args) must not erase
-      // the rest of this sf's baseline rows
+      // the rest of this sf's baseline rows. A FAILED timing (-1) must not
+      // replace a good baseline either — that would permanently disable
+      // the 3x regression gate for that query (base > 0 guard above).
+      val good = results.filter { case (_, v) => v >= 0 }
       val keep =
         if (!java.nio.file.Files.exists(priorPath)) Seq.empty
         else scala.jdk.CollectionConverters.ListHasAsScala(
@@ -93,9 +96,9 @@ object Bench {
           .filter { l =>
             val cols = l.split('\t')
             cols.length == 3 &&
-              !(cols(0) == sfDir && results.contains(cols(1)))
+              !(cols(0) == sfDir && good.contains(cols(1)))
           }
-      val mine = results.toSeq.sortBy(_._1)
+      val mine = good.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$sfDir\t$k\t${f3(v)}" }
       val body = (keep ++ mine).sorted.mkString("", "\n", "\n")
       java.nio.file.Files.write(priorPath,

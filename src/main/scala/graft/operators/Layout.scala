@@ -63,10 +63,8 @@ object Layout {
     * every later read (verify re-runs, bench re-times) hits the parquet.
     */
   private def zorderedLineitem(s: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val out = graft.sources.SourcesSinks.sessionTempDir(s)
-      .resolve(s"lineitem_zorder_$key").toString
+    val out = graft.sources.SourcesSinks
+      .dirKeyedTempPath(s, dir, "lineitem_zorder")
     val (df, _) = graft.sources.Incremental.materialize(
       s, Seq(s"$dir/lineitem.parquet"), out)(
       zorderBy(Tables.lineitem(s, dir),

@@ -193,13 +193,11 @@ object Llm {
     * a live computation — it IS the pair-generation benchmark.
     */
   private def pairTable(s: SparkSession, dir: String): DataFrame = {
-    // Collision-free key: a lossy character substitution would map distinct
-    // dirs (/data/sf0-1 vs /data/sf0_1) to one cache entry, and mtime-only
-    // freshness could then serve another corpus's pair table silently.
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val out = graft.sources.SourcesSinks.sessionTempDir(s)
-      .resolve(s"jaccard_pairs_$key").toString
+    // collision-free md5 keying centralized in dirKeyedTempPath (a lossy
+    // character substitution would map distinct dirs to one cache entry,
+    // and mtime-only freshness could then serve another corpus's pairs)
+    val out = graft.sources.SourcesSinks
+      .dirKeyedTempPath(s, dir, "jaccard_pairs")
     val (df, _) = graft.sources.Incremental.materialize(
       s, Seq(s"$dir/documents.parquet"), out)(qDedupJaccardPairs.fn(s, dir))
     df
@@ -842,8 +840,10 @@ object Llm {
     * component; IVF/LSH candidates re-rank against these codes, full floats
     * page in only for the final top-k). Per-dim min/max comes from ONE
     * posexplode aggregation over a 64-key space, broadcast back onto the
-    * exploded components; code = round((x − mn)/step), step = (mx − mn)/255,
-    * so reconstruction error ≤ step/2 per component (QuantizeSpec bound).
+    * exploded components; code = floor((x − mn)/step + 0.5) — nearest-int
+    * spelled with floor, NOT round(); see the inline comment — with
+    * step = (mx − mn)/255, so reconstruction error ≤ step/2 per component
+    * (QuantizeSpec bound).
     * Returns the exploded per-component frame (dim, x, code, recon, err +
     * the dim stats) for downstream re-assembly or error audits.
     */

@@ -628,7 +628,13 @@ object SourcesSinks {
             "collect_list(struct(doc_id, text))), p -> p.text), '\n')")
             .as("blob"))
           .collect()
+        // clear any previous build first — a rebuild after the corpus
+        // CHANGED (e.g. a language removed) must not leave stale blob
+        // files behind for the binary read to pick up (Incremental
+        // .materialize gets this via mode("overwrite"); hand-written
+        // files need the explicit delete)
         val d = new java.io.File(path)
+        Option(d.listFiles).foreach(_.foreach(f => { f.delete(); () }))
         d.mkdirs()
         blobs.foreach { r =>
           java.nio.file.Files.write(

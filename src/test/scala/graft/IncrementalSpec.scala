@@ -90,8 +90,11 @@ class IncrementalSpec extends AnyFunSuite with SparkFixture {
       Files.exists(cents.resolve("_SUCCESS")))
     // physical IVF shape: the assignment store is partitioned by cell, so
     // an nprobe probe is a partition-pruned read
-    val cellDirs = Files.list(cells).filter(p =>
-      p.getFileName.toString.startsWith("cell=")).count()
+    val listing = Files.list(cells)
+    val cellDirs =
+      try listing.filter(p =>
+        p.getFileName.toString.startsWith("cell=")).count()
+      finally listing.close() // Files.list holds an open DirectoryStream
     assert(cellDirs > 1, s"expected cell=* partition dirs, got $cellDirs")
     val m1 = Files.getLastModifiedTime(cells.resolve("_SUCCESS"))
     val m2 = Files.getLastModifiedTime(cents.resolve("_SUCCESS"))
