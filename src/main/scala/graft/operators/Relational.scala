@@ -533,6 +533,32 @@ object Relational {
                ON x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax
              GROUP BY r_regionkey ORDER BY r_regionkey"""))
 
+  /** RIGHT outer join — the §2.C type left implicit until now (every
+    * customer keeps a row even with no orders in the filtered window;
+    * planned as a left join with sides swapped, but the API/SQL surface
+    * must accept it as written). Null-guarded aggregate distinguishes
+    * matched from preserved-only rows.
+    */
+  val qJoinRight = Q(
+    "q_join_right",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_matched"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, count(*) AS n_rows,
+                   count(o_orderkey) AS n_matched,
+                   count(DISTINCT c_custkey) AS n_customers
+            FROM (SELECT * FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00') o
+            RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** k-nearest-neighbor join: for each probe point (one per nation), the 3
     * nearest customer points by squared euclidean distance, deterministic
     * tie-break on custkey. Coordinates are the synthetic exact-binary-
@@ -898,5 +924,5 @@ object Relational {
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
     qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
     qMergeUpsert, qGraphPagerank, qDqChecks, qCompositeShipping,
-    qBasketPairs, qFilterAboveAvg)
+    qBasketPairs, qFilterAboveAvg, qJoinRight)
 }

@@ -688,6 +688,38 @@ object Windows {
                   FROM orders)
             ORDER BY o_orderkey"""))
 
+  /** dense_rank — rank without gaps after ties, completing the rank
+    * family (rank/row_number/ntile/percent_rank/cume_dist elsewhere in
+    * §2.E): suppliers dense-ranked by integer-cents balance within
+    * nation. Ties share a rank deterministically (no tie-break needed for
+    * the RANK value); the output also carries s_suppkey so the row set
+    * is totally ordered.
+    */
+  val qWinDenseRank = Q(
+    "q_win_dense_rank",
+    (s, dir) => {
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(col("bal_cents").desc)
+      Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          round(col("s_acctbal") * 100)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+            .cast(org.apache.spark.sql.types.LongType).as("bal_cents"))
+        .withColumn("drk", dense_rank().over(w))
+        .where(col("drk") <= 5)
+        .select("s_nationkey", "drk", "s_suppkey", "bal_cents")
+        .orderBy("s_nationkey", "drk", "s_suppkey")
+    },
+    Some("""SELECT s_nationkey, drk, s_suppkey, bal_cents
+            FROM (SELECT s_nationkey, s_suppkey,
+                         CAST(round(s_acctbal * 100) AS BIGINT)
+                           AS bal_cents,
+                         CAST(dense_rank() OVER (PARTITION BY s_nationkey
+                           ORDER BY CAST(round(s_acctbal * 100) AS BIGINT)
+                           DESC) AS INTEGER) AS drk
+                  FROM supplier)
+            WHERE drk <= 5 ORDER BY s_nationkey, drk, s_suppkey"""))
+
   /** Longest consecutive-day activity streak per user (the DAU/retention
     * streak metric): distinct active days → integer day numbers →
     * gaps-and-islands (a day starts a new streak iff the previous active
@@ -743,7 +775,7 @@ object Windows {
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill, qScd2Dim,
     qWinEwma, qFunnelSteps, qSessionStats, qWinCumeDist, qWinStreak,
-    qScd2Asof, qWinRatioToReport,
+    qScd2Asof, qWinRatioToReport, qWinDenseRank,
     qSortMultikey, qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset)
 }
