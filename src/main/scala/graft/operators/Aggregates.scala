@@ -863,8 +863,32 @@ object Aggregates {
                     $giniFinal AS gini
              FROM sums ORDER BY o_orderpriority"""))
 
+  /** Ordered string aggregation (SQL LISTAGG / string_agg) — the report
+    * surface for "all members of the group, comma-joined". Spelled as
+    * array_join ∘ array_sort ∘ collect_list so the element ORDER is part
+    * of the operator (a bare listagg is unspecified under parallel
+    * aggregation — the same determinism trap as max_by); Spark's sorted
+    * spelling ≡ DuckDB's `string_agg(x ORDER BY x)`.
+    */
+  val qAggStringAgg = Q(
+    "q_agg_string_agg",
+    (s, dir) =>
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          expr("array_join(array_sort(collect_list(n_name)), ',')")
+            .as("nations"))
+        .orderBy("r_name"),
+    Some("""SELECT r_name, count(*) AS n_nations,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
   val all: Seq[Q] = Seq(qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
     qAggSkewKurt, qAggMad, qTimeOhlc, qProfileColumns, qAggGini,
+    qAggStringAgg,
     qAggArgmax, qAggDistinctMulti,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
