@@ -733,6 +733,13 @@ object Windows {
     (s, dir) => {
       val wU = Window.partitionBy("user_id").orderBy("day_num")
       val wRun = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // distinct() FIRST, then window — deliberately two exchanges, not
+      // the one-exchange "dedup via adjacent-lag inside the user window"
+      // formulation: distinct's map-side partial aggregation shrinks the
+      // stream (events ≫ user-days; ~13× here, unbounded at 100 TB)
+      // BEFORE anything crosses the wire, while the single-exchange form
+      // would shuffle AND sort the full event stream. Fewer exchanges is
+      // not the objective — fewer shuffled BYTES is.
       val days = Tables.events(s, dir)
         .select(col("user_id"),
           datediff(to_date(col("ts")), lit("1970-01-01")).as("day_num"))

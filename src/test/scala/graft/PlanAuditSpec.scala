@@ -326,6 +326,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "expected the decorrelated aggregate-then-join shape")
   }
 
+  test("sessionization runs dedup-to-aggregate on ONE user_id exchange") {
+    val df = Windows.qSessionStats.fn(spark, sfDir)
+    val hash = hashExchangeCount(df)
+    assert(hash == 1, s"lag, running sum and the session aggregate must " +
+      s"share one user_id shuffle (HashPartitioning(user_id) satisfies " +
+      s"the (user_id, sid) clustering) — found $hash")
+  }
+
+  test("streak dedup combines map-side before its shuffle") {
+    val p = simplePlan(Windows.qWinStreak.fn(spark, sfDir))
+    // distinct-first is deliberate (see the operator comment): the partial
+    // aggregate below the exchange is what shrinks events -> user-days
+    // before the wire
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "distinct must keep its partial/final split")
+  }
+
   test("skew/kurtosis moment sums are one two-phase aggregate") {
     val p = plan(Aggregates.qAggSkewKurt.fn(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
