@@ -886,9 +886,45 @@ object Aggregates {
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name"""))
 
+  /** Boolean + bitwise aggregate families (SQL bool_and/bool_or,
+    * bit_and/bit_or/bit_xor) — constraint summaries ("every order paid?")
+    * and flag-set unions in one pass. All five are exact, commutative and
+    * order-independent, so no determinism machinery is needed; the flag
+    * word packs three order facts into an int to exercise multi-bit
+    * merges.
+    */
+  val qAggBoolBit = Q(
+    "q_agg_bool_bit",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          (col("o_totalprice") > 1000.0).as("big"),
+          (when(col("o_orderstatus") === "F", 1).otherwise(0) +
+            when(col("o_totalprice") > 100000.0, 2).otherwise(0) +
+            when(col("o_custkey") % 2 === 0, 4).otherwise(0)).as("flags"))
+        .groupBy("o_orderpriority")
+        .agg(bool_and(col("big")).as("all_big"),
+          bool_or(col("big")).as("any_big"),
+          bit_and(col("flags")).as("flags_and"),
+          bit_or(col("flags")).as("flags_or"),
+          bit_xor(col("flags")).as("flags_xor"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+                   bool_and(big) AS all_big, bool_or(big) AS any_big,
+                   bit_and(flags) AS flags_and, bit_or(flags) AS flags_or,
+                   bit_xor(flags) AS flags_xor
+            FROM (SELECT o_orderpriority, o_totalprice > 1000.0 AS big,
+                         (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END +
+                          CASE WHEN o_totalprice > 100000.0 THEN 2 ELSE 0
+                          END +
+                          CASE WHEN o_custkey % 2 = 0 THEN 4 ELSE 0 END)
+                           AS flags
+                  FROM orders)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
     qAggSkewKurt, qAggMad, qTimeOhlc, qProfileColumns, qAggGini,
-    qAggStringAgg,
+    qAggStringAgg, qAggBoolBit,
     qAggArgmax, qAggDistinctMulti,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
