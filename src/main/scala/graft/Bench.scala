@@ -36,7 +36,16 @@ object Bench {
     // regression gate below; absent file → empty map (first run).
     // Rows are keyed by the sf dir: a local sf0.01 iteration run must not
     // become the baseline the driver's sf0.1 run is gated against.
-    val priorPath = java.nio.file.Paths.get("BENCH_PRIOR.tsv")
+    // The file is anchored at the repo root (nearest ancestor of the cwd
+    // holding build.sbt), NOT the bare cwd — running the bench from a
+    // subdirectory must neither silently disable the 3× gate (empty prior
+    // map) nor scatter new baseline files around the tree.
+    val repoRoot = Iterator.iterate(
+        java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null)
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+    val priorPath = repoRoot.resolve("BENCH_PRIOR.tsv")
     val prior: Map[String, Double] =
       if (!java.nio.file.Files.exists(priorPath)) Map.empty
       else scala.jdk.CollectionConverters.ListHasAsScala(
@@ -48,6 +57,9 @@ object Bench {
             case _ => None
           }
         }.toMap
+    if (prior.isEmpty)
+      System.err.println(s"[bench] no prior baselines for $sfDir at " +
+        s"$priorPath — 3x regression gate inactive this run")
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) => (name, fn, time(name, fn)) }

@@ -74,4 +74,19 @@ object Det {
     conv(substring(md5(c.cast(StringType)), 1, 8), 16, 10).cast(LongType)
   def sqlPHash32(e: String): String =
     s"(('0x' || substr(md5(CAST(($e) AS VARCHAR)), 1, 8))::BIGINT)"
+
+  /** Remove an ORDER BY clause from an embedded oracle so it can serve as
+    * a CTE body — and FAIL LOUDLY if the clause text no longer matches
+    * (a silent `.replace` no-op after a reformat would leave an ORDER BY
+    * inside the CTE; DuckDB tolerates it, but the composed oracle would
+    * drift from the text we think we composed).
+    */
+  def sqlDropOrderBy(sql: String, clause: String): String = {
+    val out = sql.replace(clause, "")
+    require(out != sql,
+      s"oracle composition: expected to strip '$clause' but the clause " +
+        "was not found — the embedded oracle text changed; update the " +
+        "caller's clause to match")
+    out
+  }
 }

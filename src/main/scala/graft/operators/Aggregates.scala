@@ -622,14 +622,19 @@ object Aggregates {
     * because sqrt is correctly rounded IEEE in both engines while pow's
     * last ulp is libm-dependent.
     */
-  private val momentFinals: (String, String) = {
+  private[graft] val momentFinals: (String, String) = {
     val mean = "(s1 / n)"
     val m2 = s"(s2 / n - $mean * $mean)"
-    val skew = s"((s3 / n - 3.0 * $mean * (s2 / n) + " +
-      s"2.0 * $mean * $mean * $mean) / ($m2 * sqrt($m2)))"
-    val kurt = s"((s4 / n - 4.0 * $mean * (s3 / n) + " +
+    // degenerate groups (constant column → m2 = 0) must surface as NULL,
+    // not the NaN a bare 0/0 division emits — the CASE guard is part of
+    // the shared formula text so both engines take the identical branch
+    val skew = s"(CASE WHEN $m2 > 0 THEN " +
+      s"((s3 / n - 3.0 * $mean * (s2 / n) + " +
+      s"2.0 * $mean * $mean * $mean) / ($m2 * sqrt($m2))) END)"
+    val kurt = s"(CASE WHEN $m2 > 0 THEN " +
+      s"((s4 / n - 4.0 * $mean * (s3 / n) + " +
       s"6.0 * $mean * $mean * (s2 / n) - " +
-      s"3.0 * $mean * $mean * $mean * $mean) / ($m2 * $m2) - 3.0)"
+      s"3.0 * $mean * $mean * $mean * $mean) / ($m2 * $m2) - 3.0) END)"
     (skew, kurt)
   }
 

@@ -148,6 +148,20 @@ object Graph {
       .toDF("src", "dst").localCheckpoint(true)
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    pageRankIterate(und, deg, iters, damping)
+  }
+
+  /** Iteration core over a PRE-BUILT undirected adjacency (`und`: both
+    * orientations as (src, dst)) and degree table (`deg`: (src, deg)).
+    * Split from [[pageRank]] so callers can materialize the static graph
+    * tables through `graft.sources.Incremental` — at 100 TB the
+    * scan+distinct+symmetrize graph build is a write-path job keyed by the
+    * input dir, and the query pays iteration cost only. Values are
+    * identical either way: the tables hold exact integers/longs, so a
+    * parquet round trip cannot perturb the Dec12 iteration arithmetic.
+    */
+  def pageRankIterate(und: DataFrame, deg: DataFrame, iters: Int,
+                      damping: Double = 0.85): DataFrame = {
     val nodes = deg.select(col("src").as("node"), col("deg"))
     val nN = nodes.count().toDouble
     var ranks = nodes.withColumn("r", lit(1.0) / lit(nN))

@@ -366,8 +366,8 @@ object Llm {
         .orderBy("vec_id")
     },
     Some(s"""WITH RECURSIVE
-               pairs AS (${qSimCosineNearDup.oracle.get
-                  .replace("ORDER BY a, b", "")}),
+               pairs AS (${graft.Det.sqlDropOrderBy(
+                  qSimCosineNearDup.oracle.get, "ORDER BY a, b")}),
                edges AS (SELECT a AS src, b AS dst FROM pairs
                          UNION ALL SELECT b, a FROM pairs),
                reach(vec_id, lbl) AS (

@@ -693,19 +693,35 @@ object Relational {
   val qGraphPagerank = Q(
     "q_graph_pagerank",
     (s, dir) => {
-      // the edge extraction (591k-row scan+distinct at sf0.1, ~2.5 s) is a
-      // STATIC graph build — materialize it once per (session, dir) through
-      // the Incremental seam (the IVF/pairTable pattern) so repeated
-      // invocations pay iteration cost only
-      val out = graft.sources.SourcesSinks
-        .dirKeyedTempPath(s, dir, "pagerank_edges")
-      val (edges, _) = graft.sources.Incremental.materialize(
-        s, Seq(s"$dir/lineitem.parquet"), out)(
-        Tables.lineitem(s, dir)
+      // the whole static-graph build — 591k-row scan+distinct, symmetrize,
+      // degree agg (~2.5 s of the 8.2 s bench time at sf0.1) — is
+      // materialized once per (session, dir) through the Incremental seam
+      // (the ivfIndex two-output pattern: either table stale → both rebuilt
+      // from one edge extraction), so repeated invocations pay iteration
+      // cost only
+      val undOut = graft.sources.SourcesSinks
+        .dirKeyedTempPath(s, dir, "pagerank_und")
+      val degOut = graft.sources.SourcesSinks
+        .dirKeyedTempPath(s, dir, "pagerank_deg")
+      val inputs = Seq(s"$dir/lineitem.parquet")
+      if (!graft.sources.Incremental.isFresh(s, inputs, undOut) ||
+          !graft.sources.Incremental.isFresh(s, inputs, degOut)) {
+        val e = Tables.lineitem(s, dir)
           .select((col("l_partkey") * 2).as("a"),
             (col("l_suppkey") * 2 + 1).as("b"))
-          .distinct())
-      Graph.pageRank(edges, iters = 3)
+          .distinct()
+        e.union(e.select(col("b").as("a"), col("a").as("b")))
+          .toDF("src", "dst")
+          .write.mode("overwrite").parquet(undOut)
+        // degree from the just-written adjacency (not the lazy plan): one
+        // cheap re-scan of the materialized table, only on rebuild, and
+        // deg's _SUCCESS lands after und's so freshness covers both
+        s.read.parquet(undOut).groupBy("src")
+          .agg(count(lit(1)).as("deg"))
+          .write.mode("overwrite").parquet(degOut)
+      }
+      Graph.pageRankIterate(
+        s.read.parquet(undOut), s.read.parquet(degOut), iters = 3)
         .orderBy(col("r").desc, col("node"))
         .limit(20)
     },
@@ -886,19 +902,35 @@ object Relational {
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue_cc DESC, o_orderkey LIMIT 10"""))
 
+  /** One order may not contribute more than this many distinct items to
+    * the basket self-join — the same drop-oversized-keys doctrine as
+    * `Llm.MaxBucket`: an adversarial mega-basket (one okey with 10^6
+    * items) makes the a<b self-join quadratic at 100 TB, and a basket
+    * that large is catalog noise, not co-purchase signal. Applied
+    * IDENTICALLY in the DuckDB oracle (row_number ≤ cap, keyed by
+    * partkey so the kept subset is deterministic); TPC-H baskets are ≤ 7
+    * items at every SF, so test-scale outputs are unchanged.
+    */
+  val MaxBasket = 256
+
   /** Market-basket co-occurrence: the top-20 part pairs appearing in the
     * same order (the association-mining primitive behind "frequently
     * bought together"). Self-join on the order key with a<b ordering —
-    * fanout is quadratic only in per-order basket size (bounded), never in
-    * corpus size; at 100 TB the guard is a per-order item cap before the
-    * join (same bucket-cap doctrine as the LSH expanders).
+    * fanout is quadratic only in per-order basket size, never in corpus
+    * size, and basket size is hard-capped at [[MaxBasket]] before the
+    * join (the 100 TB guard, enforced in both engines).
     */
   val qBasketPairs = Q(
     "q_basket_pairs",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wBasket = Window.partitionBy(col("okey")).orderBy(col("part"))
       val items = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
         .distinct()
+        .withColumn("rn", row_number().over(wBasket))
+        .where(col("rn") <= MaxBasket)
+        .select("okey", "part")
       items.toDF("okey", "pa")
         .join(items.toDF("okey2", "pb"),
           col("okey") === col("okey2") && col("pa") < col("pb"))
@@ -907,13 +939,19 @@ object Relational {
         .orderBy(col("n_orders").desc, col("pa"), col("pb"))
         .limit(20)
     },
-    Some("""SELECT pa, pb, n_orders
+    Some(s"""WITH items AS (
+              SELECT okey, part FROM (
+                SELECT okey, part,
+                       row_number() OVER (PARTITION BY okey ORDER BY part)
+                         AS rn
+                FROM (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+                      FROM lineitem))
+              WHERE rn <= $MaxBasket)
+            SELECT pa, pb, n_orders
             FROM (SELECT x.part AS pa, y.part AS pb,
                          count(*) AS n_orders
-                  FROM (SELECT DISTINCT l_orderkey AS okey, l_partkey
-                          AS part FROM lineitem) x
-                  JOIN (SELECT DISTINCT l_orderkey AS okey, l_partkey
-                          AS part FROM lineitem) y
+                  FROM items x
+                  JOIN items y
                     ON x.okey = y.okey AND x.part < y.part
                   GROUP BY pa, pb)
             ORDER BY n_orders DESC, pa, pb LIMIT 20"""))

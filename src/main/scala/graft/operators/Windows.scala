@@ -649,8 +649,8 @@ object Windows {
           sum(col("version")).as("sum_version"))
         .orderBy("attr")
     },
-    Some(s"""WITH scd AS (${qScd2Dim.oracle.get
-        .replace("ORDER BY o_custkey, version", "")})
+    Some(s"""WITH scd AS (${graft.Det.sqlDropOrderBy(
+        qScd2Dim.oracle.get, "ORDER BY o_custkey, version")})
              SELECT attr, count(*) AS n_customers,
                     min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
                     CAST(sum(version) AS BIGINT) AS sum_version

@@ -632,9 +632,15 @@ object SourcesSinks {
         // CHANGED (e.g. a language removed) must not leave stale blob
         // files behind for the binary read to pick up (Incremental
         // .materialize gets this via mode("overwrite"); hand-written
-        // files need the explicit delete)
+        // files need the explicit delete). File.delete on a non-empty
+        // subdirectory returns false — fail loudly rather than letting a
+        // stale nested entry survive the rebuild silently
         val d = new java.io.File(path)
-        Option(d.listFiles).foreach(_.foreach(f => { f.delete(); () }))
+        Option(d.listFiles).foreach(_.foreach { f =>
+          require(f.delete(),
+            s"binary-corpus rebuild: could not delete stale entry $f " +
+              "(unexpected subdirectory? the build writes flat files only)")
+        })
         d.mkdirs()
         blobs.foreach { r =>
           java.nio.file.Files.write(

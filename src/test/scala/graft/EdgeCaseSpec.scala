@@ -103,6 +103,29 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       (!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)))
   }
 
+  test("skew/kurtosis finals: constant group yields NULL, never NaN") {
+    val sp = spark
+    import sp.implicits._
+    val (skewF, kurtF) = graft.operators.Aggregates.momentFinals
+    val rows = Seq(("const", 7L), ("const", 7L), ("const", 7L),
+        ("vary", 1L), ("vary", 2L), ("vary", 6L))
+      .toDF("g", "q")
+      .groupBy("g")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("q")).cast("double").as("s1"),
+        sum(col("q") * col("q")).cast("double").as("s2"),
+        sum(col("q") * col("q") * col("q")).cast("double").as("s3"),
+        sum(col("q") * col("q") * col("q") * col("q"))
+          .cast("double").as("s4"))
+      .select(col("g"), expr(skewF).as("sk"), expr(kurtF).as("ku"))
+      .collect()
+    val byG = rows.map(r => r.getString(0) -> r).toMap
+    assert(byG("const").isNullAt(1) && byG("const").isNullAt(2),
+      "m2 = 0 must surface as NULL, not 0/0 = NaN")
+    assert(!byG("vary").isNullAt(1) && !byG("vary").getDouble(1).isNaN)
+    assert(!byG("vary").isNullAt(2) && !byG("vary").getDouble(2).isNaN)
+  }
+
   test("anomaly scorer emits nothing until a user has 3 prior events") {
     val s = spark
     import s.implicits._

@@ -80,6 +80,22 @@ class IncrementalSpec extends AnyFunSuite with SparkFixture {
     assert(Files.getLastModifiedTime(success) == m1)
   }
 
+  test("PageRank adjacency+degree built once per (session, dir) and reused") {
+    val und = Paths.get(graft.sources.SourcesSinks
+      .dirKeyedTempPath(spark, sfDir, "pagerank_und"))
+    val deg = Paths.get(graft.sources.SourcesSinks
+      .dirKeyedTempPath(spark, sfDir, "pagerank_deg"))
+    SparkEntry.queries("q_graph_pagerank")(spark, sfDir).count()
+    assert(Files.exists(und.resolve("_SUCCESS")) &&
+      Files.exists(deg.resolve("_SUCCESS")))
+    val m1 = Files.getLastModifiedTime(und.resolve("_SUCCESS"))
+    val m2 = Files.getLastModifiedTime(deg.resolve("_SUCCESS"))
+    // second invocation pays iteration cost only — no graph rebuild
+    SparkEntry.queries("q_graph_pagerank")(spark, sfDir).count()
+    assert(Files.getLastModifiedTime(und.resolve("_SUCCESS")) == m1 &&
+      Files.getLastModifiedTime(deg.resolve("_SUCCESS")) == m2)
+  }
+
   test("IVF index is built once per (session, dir) and reused — no refit") {
     val cells = Paths.get(graft.sources.SourcesSinks
       .dirKeyedTempPath(spark, sfDir, "ivf_cells"))
