@@ -134,5 +134,50 @@ object Layout {
     (before.length, dataFiles(outDir).length)
   }
 
-  val all: Seq[Q] = Seq(qLayoutZorder)
+  /** The t2 COMPACTION query — proves the rewrite is value-lossless, not
+    * just file-count-smaller: fragment a slim orders projection into 32
+    * deliberately-small files (the streaming-sink pathology, synthesized),
+    * bin-pack them back with [[compact]], then read the compacted table
+    * and aggregate. The oracle runs the same aggregate on the ORIGINAL
+    * parquet table, so a hash match certifies no row was lost, duplicated
+    * or altered by fragment→compact. The fixture + rewrite are built once
+    * per (session, input dir) behind the Incremental freshness guard
+    * (compacted _SUCCESS lands after the fragment's, so one check covers
+    * both); re-runs read the compacted parquet directly.
+    */
+  val qLayoutCompact = Q(
+    "q_layout_compact",
+    (s, dir) => {
+      val smallOut = graft.sources.SourcesSinks
+        .dirKeyedTempPath(s, dir, "compact_small")
+      val bigOut = graft.sources.SourcesSinks
+        .dirKeyedTempPath(s, dir, "compact_big")
+      val inputs = Seq(s"$dir/orders.parquet")
+      if (!graft.sources.Incremental.isFresh(s, inputs, smallOut) ||
+          !graft.sources.Incremental.isFresh(s, inputs, bigOut)) {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100)
+              .cast(DecimalType(18, 0)).cast(LongType).as("price_cents"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(smallOut)
+        val (nBefore, nAfter) =
+          compact(s, smallOut, bigOut, targetBytes = 128L << 20)
+        require(nAfter < nBefore,
+          s"compaction did not reduce file count ($nBefore -> $nAfter)")
+      }
+      s.read.parquet(bigOut)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  val all: Seq[Q] = Seq(qLayoutZorder, qLayoutCompact)
 }

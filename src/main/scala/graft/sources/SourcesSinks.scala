@@ -344,6 +344,69 @@ object SourcesSinks {
                    min(c_custkey) AS min_key, max(c_custkey) AS max_key
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** The t2 CSV query — the reference's PRIMARY interchange format gets
+    * the same oracle-checked round trip as ORC/XML/binaryFile:
+    * parquet→header-CSV→read-back→aggregate in one plan, through the
+    * library's own writeCsv/readCsv (explicit schema, no inferSchema
+    * scan, the ""/-1 null-sentinel convention). CSV is a text format, so
+    * the money column rides as integer cents (exact decimal text); the
+    * oracle aggregates the parquet table directly and a hash match proves
+    * the CSV path preserved every value. Same per-session temp-root
+    * lifecycle as the ORC trip.
+    */
+  val qSourceCsvRoundtrip = Q(
+    "q_source_csv_roundtrip",
+    (s, dir) => {
+      val slim = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+            .cast(LongType).as("price_cents"))
+      val path = dirKeyedTempPath(s, dir, "csv_orders")
+      writeCsv(slim, path)
+      readCsv(s, path, slim.schema)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** The t2 JSONL query: parquet→NDJSON→read-back→aggregate in one plan
+    * through writeJsonl/readJsonl (the census-API response analog —
+    * schema-on-read with an EXPLICIT schema, never inference). Integer
+    * cents for text-exactness, same doctrine as CSV/XML; the oracle reads
+    * the parquet table, so the hash match proves the JSON text trip is
+    * value-lossless.
+    */
+  val qSourceJsonlRoundtrip = Q(
+    "q_source_jsonl_roundtrip",
+    (s, dir) => {
+      val slim = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"),
+          round(col("p_retailprice") * 100)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+            .cast(LongType).as("price_cents"))
+      val path = dirKeyedTempPath(s, dir, "jsonl_part")
+      writeJsonl(slim, path)
+      readJsonl(s, path, slim.schema)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+          min(col("p_partkey")).as("min_key"),
+          max(col("p_partkey")).as("max_key"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, count(*) AS n,
+                   CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                   min(p_partkey) AS min_key, max(p_partkey) AS max_key
+            FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
   /** The t2 geo query: build Feature rows from nation×region with
     * deterministic point coordinates, serialize with toFeatureRows, parse
     * them BACK with parseFeatureRows (the full sink→source round trip,
@@ -718,5 +781,6 @@ object SourcesSinks {
   val all: Seq[Q] =
     Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
       qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,
+      qSourceCsvRoundtrip, qSourceJsonlRoundtrip,
       qScanPartitionPruned, qSourceBinaryfileRoundtrip, qGeoTilePyramid)
 }

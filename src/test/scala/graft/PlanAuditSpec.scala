@@ -343,6 +343,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "distinct must keep its partial/final split")
   }
 
+  test("SCD2 as-of filter pushes to parquet stats over a materialized dim") {
+    // the qScd2Asof doc claims as-of reads prune on eff_from/eff_to COLUMN
+    // STATS at 100 TB — that only holds if the interval predicate reaches
+    // the scan of a PARQUET-materialized SCD2 table as pushed filters (in
+    // the live query the dim is computed inline, so the claim needs its
+    // own audit over the stored shape)
+    val out = tmpDir("scd2_dim") + "/dim"
+    Windows.qScd2Dim.fn(spark, sfDir).write.mode("overwrite").parquet(out)
+    val asOf = lit("1996-06-01").cast("timestamp")
+    val snap = spark.read.parquet(out)
+      .where(col("eff_from") <= asOf &&
+        (col("eff_to").isNull || col("eff_to") > asOf))
+    val p = plan(snap)
+    assert("PushedFilters: \\[[^\\]]*LessThanOrEqual\\(eff_from"
+      .r.findFirstIn(p).isDefined,
+      s"eff_from bound must reach the parquet scan:\n${p.take(1500)}")
+    assert("PushedFilters: \\[[^\\]]*Or\\(IsNull\\(eff_to\\),GreaterThan\\(eff_to"
+      .r.findFirstIn(p).isDefined,
+      s"open-interval eff_to predicate must push as Or(IsNull,GreaterThan):\n${
+        p.take(1500)}")
+  }
+
   test("skew/kurtosis moment sums are one two-phase aggregate") {
     val p = plan(Aggregates.qAggSkewKurt.fn(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2,

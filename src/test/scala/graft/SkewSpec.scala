@@ -36,6 +36,60 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("hot-key fixture: salted join matches AQE join, AQE splits the skew") {
+    // non-uniform evidence for the salting story: a lineitem variant where
+    // ONE order key owns ~20% of all rows (every 5th key collapsed onto
+    // the smallest), materialized in the session temp root like any other
+    // fixture. Both mitigation paths must return row-identical joins, and
+    // AQE — with thresholds scaled to test data — must actually split the
+    // hot partition at runtime.
+    val s = spark
+    val hotKey = Tables.orders(s, sfDir)
+      .agg(min(col("o_orderkey"))).first().getLong(0)
+    val out = graft.sources.SourcesSinks.sessionTempDir(s)
+      .resolve("lineitem_hotkey").toString
+    Tables.lineitem(s, sfDir)
+      .withColumn("l_orderkey",
+        when(col("l_orderkey") % 5 === 0, lit(hotKey))
+          .otherwise(col("l_orderkey")))
+      .write.mode("overwrite").parquet(out)
+    // AQE splits a skewed reduce partition by MAPPER ranges — a tiny
+    // fixture scanned as one task has one mapper and nothing to split, so
+    // spread the scan over several mappers first (at real scale the file
+    // count does this naturally)
+    val skewed = s.read.parquet(out).repartition(8)
+    val share = skewed.where(col("l_orderkey") === hotKey).count().toDouble /
+      skewed.count()
+    assert(share > 0.15, f"fixture lost its skew: hot key owns $share%.2f")
+    val dim = Tables.orders(s, sfDir).select("o_orderkey", "o_orderpriority")
+    val confs = Seq(
+      // sf0.001's hot partition is ~10KB of shuffle bytes — thresholds
+      // scale down with the fixture (at real scale the defaults apply)
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val plain = skewed.join(dim, col("l_orderkey") === col("o_orderkey"))
+      // execute THIS df (not a derived .count plan): AQE re-plans from
+      // runtime shuffle statistics, so the skew split is only visible on
+      // the executed queryExecution
+      plain.collect()
+      val ep = plain.queryExecution.executedPlan.toString
+      assert(ep.contains("skew=true"),
+        s"AQE did not mark the hot-key join as skewed:\n${ep.take(1200)}")
+      val salted =
+        Skew.saltedInnerJoin(skewed, dim, "l_orderkey", "o_orderkey", 8)
+      assert(salted.exceptAll(plain).count() == 0)
+      assert(plain.exceptAll(salted).count() == 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("salt actually spreads a hot key over multiple partitions") {
     val li = Tables.lineitem(spark, sfDir)
     val salts = li.withColumn("_salt",
