@@ -187,6 +187,48 @@ object Graph {
     ranks.select("node", "r")
   }
 
+  /** Root + depth of every node in a FOREST (each node one parent; roots
+    * are their own parent... or simply listed with themselves), by POINTER
+    * DOUBLING: each round rewrites every node's known ancestor to that
+    * ancestor's ancestor and adds the distances, so the frontier depth
+    * doubles per round and a depth-D hierarchy resolves in ⌈log₂ D⌉
+    * self-joins — the scale-safe alternative to one-level-per-round BFS
+    * (depth-64 chain: 6 shuffle rounds, not 64). `nodes` must have columns
+    * (node, parent, is_root) with is_root boolean; every parent chain must
+    * terminate at a root (cycles raise via the round cap). Returns (node,
+    * root, depth). Same driver-loop + localCheckpoint doctrine as
+    * connectedComponents: each round is one equi-join + projection over an
+    * O(nodes) table, shuffled on the ancestor key.
+    */
+  def rootAndDepth(nodes: DataFrame, maxRounds: Int = 20): DataFrame = {
+    var lab = nodes.select(col("node"),
+        when(col("is_root"), col("node")).otherwise(col("parent")).as("anc"),
+        when(col("is_root"), lit(0L)).otherwise(lit(1L)).as("d"),
+        col("is_root").as("settled"))
+      .localCheckpoint(true)
+    var round = 0
+    var open = lab.where(!col("settled")).limit(1).count()
+    while (open > 0 && round < maxRounds) {
+      val a = lab.select(col("node").as("ak"), col("anc").as("aanc"),
+        col("d").as("ad"), col("settled").as("asettled"))
+      lab = lab.join(a, col("anc") === col("ak"), "left")
+        .select(col("node"),
+          when(col("settled"), col("anc"))
+            .otherwise(coalesce(col("aanc"), col("anc"))).as("anc"),
+          when(col("settled"), col("d"))
+            .otherwise(col("d") + coalesce(col("ad"), lit(0L))).as("d"),
+          (col("settled") || coalesce(col("asettled"), lit(false)))
+            .as("settled"))
+        .localCheckpoint(true)
+      round += 1
+      open = lab.where(!col("settled")).limit(1).count()
+    }
+    require(open == 0,
+      s"pointer doubling did not settle in $maxRounds rounds " +
+        "(depth > 2^rounds or a parent cycle — inspect the hierarchy)")
+    lab.select(col("node"), col("anc").as("root"), col("d").as("depth"))
+  }
+
   /** Triangle + wedge census of an undirected graph given as a canonical
     * (a < b, distinct) edge list. Triangles count once each via the
     * ordered a<b<c 3-join (no orientation dedup pass); wedges are

@@ -755,6 +755,42 @@ object Relational {
           ORDER BY r DESC, node LIMIT 20"""
     })
 
+  /** Hierarchy rollup — the BFS-traversal family (org charts, BOM
+    * explosion, category trees) that flat joins can't express and Spark
+    * has no recursive CTE for. A deterministic forest over customers
+    * (parent = custkey div 10; keys < 10 are roots, so every chain
+    * terminates and depth grows with log₁₀ of the key domain) is resolved
+    * to (node, root, depth) by Graph.rootAndDepth's POINTER DOUBLING —
+    * ⌈log₂ depth⌉ self-join rounds, not depth rounds: the scale posture
+    * that makes a depth-64 hierarchy 6 shuffles at 100 TB. The oracle IS
+    * a recursive CTE (DuckDB has one; the hash match proves the doubling
+    * loop equals the textbook per-level recursion), rolled up per root.
+    */
+  val qHierarchyRollup = Q(
+    "q_hierarchy_rollup",
+    (s, dir) => {
+      val nodes = Tables.customer(s, dir)
+        .select(col("c_custkey").as("node"),
+          expr("c_custkey div 10").as("parent"),
+          (col("c_custkey") < 10).as("is_root"))
+      Graph.rootAndDepth(nodes)
+        .groupBy("root")
+        .agg(count(lit(1)).as("n_nodes"),
+          max(col("depth")).as("max_depth"),
+          sum(col("depth")).as("sum_depth"))
+        .orderBy("root")
+    },
+    Some("""WITH RECURSIVE r(node, root, depth) AS (
+              SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+              FROM customer WHERE c_custkey < 10
+              UNION ALL
+              SELECT c.c_custkey, r.root, r.depth + 1
+              FROM customer c JOIN r ON r.node = c.c_custkey // 10
+              WHERE c.c_custkey >= 10)
+            SELECT root, count(*) AS n_nodes, max(depth) AS max_depth,
+                   CAST(sum(depth) AS BIGINT) AS sum_depth
+            FROM r GROUP BY root ORDER BY root"""))
+
   /** Correlated scalar subquery, driven through `spark.sql` end-to-end
     * (the full SQL surface, not a DataFrame translation): orders priced
     * above their own priority class's average. Catalyst DECORRELATES the
@@ -962,5 +998,5 @@ object Relational {
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
     qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
     qMergeUpsert, qGraphPagerank, qDqChecks, qCompositeShipping,
-    qBasketPairs, qFilterAboveAvg, qJoinRight)
+    qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup)
 }

@@ -778,11 +778,78 @@ object Windows {
                    count(*) AS n_streaks
             FROM runs GROUP BY user_id ORDER BY user_id"""))
 
+  /** Interval MERGE (union of overlapping ranges) per key — the validity-
+    * period consolidation primitive (contract coverage, downtime windows,
+    * speech/video segment union) that q_win_streak's point-based islands
+    * can't express: an interval can bridge a gap its start point alone
+    * would break on. Each order opens a 30-day interval; a new island
+    * starts iff the interval's start lies strictly past the RUNNING MAX of
+    * all previous ends (rows-frame up to 1 preceding — max is
+    * order-independent within the frame, and all arithmetic is integer
+    * epoch-days, so the oracle is bit-exact). One exchange on the key: the
+    * window shuffles on o_custkey, and both downstream aggregates reuse
+    * that partitioning (groupBy (k, island) and groupBy k are satisfied by
+    * HashPartitioning(k) — plan-asserted in PlanAuditSpec).
+    */
+  val qWinIntervalMerge = Q(
+    "q_win_interval_merge",
+    (s, dir) => {
+      val wPrev = Window.partitionBy("k").orderBy("sdn", "edn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("k").orderBy("sdn", "edn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .as("sdn"))
+        .withColumn("edn", col("sdn") + 30)
+        .withColumn("pmax", max(col("edn")).over(wPrev))
+        .withColumn("brk",
+          when(col("pmax").isNull || col("sdn") > col("pmax"), 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(wRun))
+        .groupBy("k", "sid")
+        .agg(min(col("sdn")).as("ist"), max(col("edn")).as("ien"),
+          count(lit(1)).as("n_src"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_merged"),
+          sum(col("ien") - col("ist")).as("covered_days"),
+          max(col("ien") - col("ist")).as("longest_days"),
+          sum(col("n_src")).as("n_orders"))
+        .orderBy("k")
+    },
+    Some("""WITH ints AS (SELECT o_custkey AS k,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                     AS INTEGER) AS sdn,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                     AS INTEGER) + 30 AS edn
+                 FROM orders),
+            brk AS (SELECT k, sdn, edn,
+                      max(edn) OVER (PARTITION BY k ORDER BY sdn, edn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pmax
+                    FROM ints),
+            isl AS (SELECT k, sdn, edn,
+                      SUM(CASE WHEN pmax IS NULL OR sdn > pmax
+                               THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY k ORDER BY sdn, edn
+                          ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM brk),
+            runs AS (SELECT k, sid, min(sdn) AS ist, max(edn) AS ien,
+                            count(*) AS n_src
+                     FROM isl GROUP BY k, sid)
+            SELECT k, count(*) AS n_merged,
+                   CAST(sum(ien - ist) AS BIGINT) AS covered_days,
+                   max(ien - ist) AS longest_days,
+                   CAST(sum(n_src) AS BIGINT) AS n_orders
+            FROM runs GROUP BY k ORDER BY k"""))
+
   val all: Seq[Q] = Seq(
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill, qScd2Dim,
     qWinEwma, qFunnelSteps, qSessionStats, qWinCumeDist, qWinStreak,
     qScd2Asof, qWinRatioToReport, qWinDenseRank,
     qSortMultikey, qTopkGlobal, qLimitOffset,
-    qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset)
+    qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset,
+    qWinIntervalMerge)
 }

@@ -74,6 +74,32 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(census(Seq((1L, 2L), (2L, 3L))) == (3L, 2L, 1L, 0L, 0.0))
   }
 
+  test("rootAndDepth: pointer doubling resolves chains, forests; cycles throw") {
+    val s = spark
+    import s.implicits._
+    def forest(rows: (Long, Long, Boolean)*) =
+      rows.toDF("node", "parent", "is_root")
+    // depth-5 chain 1<-2<-3<-4<-5<-6: needs ~log2(5)=3 rounds, not 5
+    val chain = Graph.rootAndDepth(forest(
+      (1L, 1L, true), (2L, 1L, false), (3L, 2L, false),
+      (4L, 3L, false), (5L, 4L, false), (6L, 5L, false)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(chain(1L) == (1L, 0L) && chain(4L) == (1L, 3L) &&
+      chain(6L) == (1L, 5L))
+    // two-tree forest: labels stay within each tree
+    val f = Graph.rootAndDepth(forest(
+      (1L, 1L, true), (10L, 10L, true),
+      (2L, 1L, false), (3L, 2L, false), (11L, 10L, false)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(f(3L) == (1L, 2L) && f(11L) == (10L, 1L) && f(10L) == (10L, 0L))
+    // a parent cycle (2<->3, no root on the chain) must raise, not hang
+    intercept[IllegalArgumentException] {
+      Graph.rootAndDepth(forest(
+        (1L, 1L, true), (2L, 3L, false), (3L, 2L, false)), maxRounds = 4)
+        .collect()
+    }
+  }
+
   test("pageRank: uniform on regular graphs, mass sums to ~1, hubs rank up") {
     val s = spark
     import s.implicits._

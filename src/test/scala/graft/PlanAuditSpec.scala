@@ -365,6 +365,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
         p.take(1500)}")
   }
 
+  test("interval merge: window and both rollups share ONE key exchange") {
+    val p = simplePlan(Windows.qWinIntervalMerge.fn(spark, sfDir))
+    // the island window shuffles on o_custkey; groupBy(k, sid) and
+    // groupBy(k) are both satisfied by HashPartitioning(k), so neither
+    // aggregate may add an exchange (the final orderBy is a range
+    // exchange, not counted)
+    assert(hashExchangeCount(Windows.qWinIntervalMerge.fn(spark, sfDir)) == 1,
+      s"expected exactly 1 hash exchange:\n$p")
+  }
+
   test("skew/kurtosis moment sums are one two-phase aggregate") {
     val p = plan(Aggregates.qAggSkewKurt.fn(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
