@@ -695,33 +695,29 @@ object Relational {
     (s, dir) => {
       // the whole static-graph build — 591k-row scan+distinct, symmetrize,
       // degree agg (~2.5 s of the 8.2 s bench time at sf0.1) — is
-      // materialized once per (session, dir) through the Incremental seam
-      // (the ivfIndex two-output pattern: either table stale → both rebuilt
-      // from one edge extraction), so repeated invocations pay iteration
-      // cost only
-      val undOut = graft.sources.SourcesSinks
-        .dirKeyedTempPath(s, dir, "pagerank_und")
-      val degOut = graft.sources.SourcesSinks
-        .dirKeyedTempPath(s, dir, "pagerank_deg")
+      // materialized once per (session, dir) as BUCKETED tables on the
+      // iteration join key (Bucketing.ensureBucketed, make semantics):
+      // every iteration joins und⋈ranks on src, so bucketing und removes
+      // the 1.2M-row adjacency exchange from EVERY iteration — only the
+      // O(nodes) rank table moves per round, which is exactly the §7.3
+      // "pre-partition both sides so iterations are exchange-free" posture
+      // for a cluster. deg is bucketed the same way for the rank-update
+      // join. Repeat invocations pay iteration cost only.
       val inputs = Seq(s"$dir/lineitem.parquet")
-      if (!graft.sources.Incremental.isFresh(s, inputs, undOut) ||
-          !graft.sources.Incremental.isFresh(s, inputs, degOut)) {
-        val e = Tables.lineitem(s, dir)
-          .select((col("l_partkey") * 2).as("a"),
-            (col("l_suppkey") * 2 + 1).as("b"))
-          .distinct()
+      val e = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      graft.sources.Bucketing.ensureBucketed(
         e.union(e.select(col("b").as("a"), col("a").as("b")))
-          .toDF("src", "dst")
-          .write.mode("overwrite").parquet(undOut)
-        // degree from the just-written adjacency (not the lazy plan): one
-        // cheap re-scan of the materialized table, only on rebuild, and
-        // deg's _SUCCESS lands after und's so freshness covers both
-        s.read.parquet(undOut).groupBy("src")
-          .agg(count(lit(1)).as("deg"))
-          .write.mode("overwrite").parquet(degOut)
-      }
+          .toDF("src", "dst"),
+        "graft_pr_und", "src", buckets = 32, inputs = inputs)
+      graft.sources.Bucketing.ensureBucketed(
+        s.table("graft_pr_und").groupBy("src")
+          .agg(count(lit(1)).as("deg")),
+        "graft_pr_deg", "src", buckets = 32, inputs = inputs)
       Graph.pageRankIterate(
-        s.read.parquet(undOut), s.read.parquet(degOut), iters = 3)
+        s.table("graft_pr_und"), s.table("graft_pr_deg"), iters = 3)
         .orderBy(col("r").desc, col("node"))
         .limit(20)
     },

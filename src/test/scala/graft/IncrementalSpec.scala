@@ -81,10 +81,11 @@ class IncrementalSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("PageRank adjacency+degree built once per (session, dir) and reused") {
-    val und = Paths.get(graft.sources.SourcesSinks
-      .dirKeyedTempPath(spark, sfDir, "pagerank_und"))
-    val deg = Paths.get(graft.sources.SourcesSinks
-      .dirKeyedTempPath(spark, sfDir, "pagerank_deg"))
+    // the graph tables are BUCKETED tables (iteration-join key), so they
+    // live in the warehouse dir, not the session temp root
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val und = Paths.get(wh, "graft_pr_und")
+    val deg = Paths.get(wh, "graft_pr_deg")
     SparkEntry.queries("q_graph_pagerank")(spark, sfDir).count()
     assert(Files.exists(und.resolve("_SUCCESS")) &&
       Files.exists(deg.resolve("_SUCCESS")))

@@ -365,6 +365,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
         p.take(1500)}")
   }
 
+  test("pagerank iterations never exchange the bucketed adjacency") {
+    val df = Relational.qGraphPagerank.fn(spark, sfDir)
+    val p = simplePlan(df)
+    // exchange budget per iteration: 1 for the rank table reaching the
+    // und⋈ranks join, 1 for the contribution groupBy(dst) — the 1.2M-row
+    // adjacency and the degree table are bucketed on src and must join
+    // exchange-free (the §7.3 pre-partitioned-iteration posture; measured
+    // 6.5 s → 2.4 s at sf0.1 when the und exchange left the loop)
+    assert(hashExchangeCount(df) <= 6,
+      s"adjacency/degree exchange crept back into the iteration loop:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"und/deg scans should be bucketed reads:\n${p.take(2000)}")
+  }
+
   test("interval merge: window and both rollups share ONE key exchange") {
     val p = simplePlan(Windows.qWinIntervalMerge.fn(spark, sfDir))
     // the island window shuffles on o_custkey; groupBy(k, sid) and
