@@ -229,6 +229,45 @@ object Graph {
     lab.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
 
+  /** Min-hop distance from a SEED SET over an undirected graph (`und`:
+    * both edge directions present, columns (src, dst)) — multi-source
+    * BFS, the traversal primitive behind "within-k-hops" neighborhood
+    * queries (supplier reach, link-spam radius, GNN neighborhood
+    * sampling). Frontier expansion: each round joins the CURRENT
+    * frontier against the adjacency, anti-joins nodes already settled,
+    * and tags survivors with the round number — hop h shuffles
+    * O(frontier·degree) rows, never O(nodes); when `und` is a bucketed
+    * table on src the adjacency side of every round's join is
+    * exchange-free (the same §7.3 pre-partitioned-iteration posture as
+    * pageRankIterate). Hops are CAPPED (`maxHops`): an uncapped BFS over
+    * a connected 100 TB graph is the whole corpus — the cap is the
+    * operator's scale guard, and it is part of the semantics (also in
+    * the oracle). Returns (node, hops:int) with hops = exact BFS
+    * distance ≤ maxHops, one row per reached node (seeds at hop 0).
+    * Deterministic (set semantics per round) → recursive-CTE oracle.
+    * Same driver-loop + localCheckpoint lineage doctrine as
+    * connectedComponents; early-exits when a frontier empties.
+    */
+  def bfsHops(und: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var frontier = dist.select("node")
+    var h = 1
+    var live = frontier.limit(1).count() > 0
+    while (h <= maxHops && live) {
+      val next = frontier.join(und, frontier("node") === und("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      live = next.limit(1).count() > 0
+      dist = dist.union(next).localCheckpoint(true)
+      frontier = next.select("node")
+      h += 1
+    }
+    dist
+  }
+
   /** Triangle + wedge census of an undirected graph given as a canonical
     * (a < b, distinct) edge list. Triangles count once each via the
     * ordered a<b<c 3-join (no orientation dedup pass); wedges are

@@ -690,34 +690,43 @@ object Relational {
     * iteration, including the (1.0 − 0.85) subtraction (NOT the literal
     * 0.15, which is a different double).
     */
+  /** Bucketed GRAPH STORE shared by the whole graph family
+    * (q_graph_pagerank iteration, q_graph_sssp traversal): the
+    * part↔supplier co-occurrence graph — 591k-row scan+distinct,
+    * symmetrize, degree agg (~2.5 s of bench time at sf0.1 when paid
+    * per-query) — materialized once per (session, inputs) as BUCKETED
+    * tables on the traversal join key (Bucketing.ensureBucketed, make
+    * semantics): every PageRank iteration AND every BFS round joins the
+    * adjacency on src, so bucketing removes the 1.2M-row adjacency
+    * exchange from EVERY round of EVERY consumer — only the O(nodes) /
+    * O(frontier) side moves, which is exactly the §7.3 "pre-partition
+    * both sides so iterations are exchange-free" posture for a cluster.
+    * One write-path artifact, two query families; repeat invocations pay
+    * iteration/traversal cost only.
+    */
+  private def graphStore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val inputs = Seq(s"$dir/lineitem.parquet")
+    val e = Tables.lineitem(s, dir)
+      .select((col("l_partkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    graft.sources.Bucketing.ensureBucketed(
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+        .toDF("src", "dst"),
+      "graft_pr_und", "src", buckets = 32, inputs = inputs)
+    graft.sources.Bucketing.ensureBucketed(
+      s.table("graft_pr_und").groupBy("src")
+        .agg(count(lit(1)).as("deg")),
+      "graft_pr_deg", "src", buckets = 32, inputs = inputs)
+    (s.table("graft_pr_und"), s.table("graft_pr_deg"))
+  }
+
   val qGraphPagerank = Q(
     "q_graph_pagerank",
     (s, dir) => {
-      // the whole static-graph build — 591k-row scan+distinct, symmetrize,
-      // degree agg (~2.5 s of the 8.2 s bench time at sf0.1) — is
-      // materialized once per (session, dir) as BUCKETED tables on the
-      // iteration join key (Bucketing.ensureBucketed, make semantics):
-      // every iteration joins und⋈ranks on src, so bucketing und removes
-      // the 1.2M-row adjacency exchange from EVERY iteration — only the
-      // O(nodes) rank table moves per round, which is exactly the §7.3
-      // "pre-partition both sides so iterations are exchange-free" posture
-      // for a cluster. deg is bucketed the same way for the rank-update
-      // join. Repeat invocations pay iteration cost only.
-      val inputs = Seq(s"$dir/lineitem.parquet")
-      val e = Tables.lineitem(s, dir)
-        .select((col("l_partkey") * 2).as("a"),
-          (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
-      graft.sources.Bucketing.ensureBucketed(
-        e.union(e.select(col("b").as("a"), col("a").as("b")))
-          .toDF("src", "dst"),
-        "graft_pr_und", "src", buckets = 32, inputs = inputs)
-      graft.sources.Bucketing.ensureBucketed(
-        s.table("graft_pr_und").groupBy("src")
-          .agg(count(lit(1)).as("deg")),
-        "graft_pr_deg", "src", buckets = 32, inputs = inputs)
-      Graph.pageRankIterate(
-        s.table("graft_pr_und"), s.table("graft_pr_deg"), iters = 3)
+      val (und, deg) = graphStore(s, dir)
+      Graph.pageRankIterate(und, deg, iters = 3)
         .orderBy(col("r").desc, col("node"))
         .limit(20)
     },
@@ -786,6 +795,42 @@ object Relational {
             SELECT root, count(*) AS n_nodes, max(depth) AS max_depth,
                    CAST(sum(depth) AS BIGINT) AS sum_depth
             FROM r GROUP BY root ORDER BY root"""))
+
+  /** Multi-source BFS shortest hops (the k-hop-neighborhood traversal:
+    * supplier reach, link radius, GNN neighborhood sampling) over the
+    * same part↔supplier graph as q_graph_pagerank — and over the same
+    * bucketed graph STORE (graphStore): one write-path artifact serves
+    * both the iteration family and the traversal family, each round's
+    * adjacency join exchange-free. Seeds = every node ≡ 0 (mod 100);
+    * hop cap 4 is part of the operator's semantics (the scale guard —
+    * an uncapped BFS over a connected 100 TB graph returns the corpus)
+    * and is mirrored in the oracle. The oracle is a recursive CTE with
+    * UNION dedup on (node, hops) and the same cap; min(hops) per node
+    * IS the BFS distance, so the hash match proves the frontier loop ≡
+    * textbook recursion — the second member (after q_hierarchy_rollup)
+    * of the recursive-CTE family Spark lacks natively.
+    */
+  val qGraphSssp = Q(
+    "q_graph_sssp",
+    (s, dir) => {
+      val (und, _) = graphStore(s, dir)
+      val seeds = und.select(col("src").as("node"))
+        .where(pmod(col("node"), lit(100)) === 0).distinct()
+      Graph.bfsHops(und, seeds, maxHops = 4).orderBy("node")
+    },
+    Some("""WITH RECURSIVE
+              e AS (SELECT DISTINCT l_partkey * 2 AS a,
+                           l_suppkey * 2 + 1 AS b FROM lineitem),
+              und AS (SELECT a AS src, b AS dst FROM e
+                      UNION ALL SELECT b, a FROM e),
+              walk(node, hops) AS (
+                SELECT DISTINCT src, 0 FROM und WHERE src % 100 = 0
+                UNION
+                SELECT u.dst, w.hops + 1
+                FROM walk w JOIN und u ON u.src = w.node
+                WHERE w.hops < 4)
+            SELECT node, CAST(min(hops) AS INTEGER) AS hops
+            FROM walk GROUP BY node ORDER BY node"""))
 
   /** Correlated scalar subquery, driven through `spark.sql` end-to-end
     * (the full SQL surface, not a DataFrame translation): orders priced
@@ -994,5 +1039,6 @@ object Relational {
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
     qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
     qMergeUpsert, qGraphPagerank, qDqChecks, qCompositeShipping,
-    qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup)
+    qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup,
+    qGraphSssp)
 }

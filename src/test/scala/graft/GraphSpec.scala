@@ -100,6 +100,32 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bfsHops: exact hop distances, multi-source min, cap, early exit") {
+    val s = spark
+    import s.implicits._
+    def und(edges: (Long, Long)*) = {
+      val e = edges.toDF("src", "dst")
+      e.union(e.select(col("dst"), col("src"))).toDF("src", "dst")
+    }
+    def run(g: org.apache.spark.sql.DataFrame, seeds: Seq[Long], cap: Int) =
+      Graph.bfsHops(g, seeds.toDF("node"), cap)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // chain 0-1-2-3-4-5 from node 0: exact hops, cap cuts at 3
+    val chain = und((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(run(chain, Seq(0L), 10) ==
+      Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5))
+    assert(run(chain, Seq(0L), 3) ==
+      Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+    // multi-source: distance is the MIN over seeds (0 and 5)
+    assert(run(chain, Seq(0L, 5L), 10) ==
+      Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 0))
+    // disconnected part never appears; BFS early-exits before the cap
+    val twoIslands = und((0L, 1L), (10L, 11L))
+    assert(run(twoIslands, Seq(0L), 8) == Map(0L -> 0, 1L -> 1))
+    // seed not in the graph stays at hop 0 with no expansion
+    assert(run(twoIslands, Seq(99L), 4) == Map(99L -> 0))
+  }
+
   test("pageRank: uniform on regular graphs, mass sums to ~1, hubs rank up") {
     val s = spark
     import s.implicits._
