@@ -835,6 +835,104 @@ object Llm {
                     round(${Det.sqlAvg12("x")}, 6) AS mu
              FROM ex GROUP BY label, dim ORDER BY label, dim"""))
 
+  /** Semantic dedup (the SemDeDup shape): within each label cluster, the
+    * vector CLOSEST to the class centroid is the kept prototype and every
+    * other vector inside the redundant core (cosine-to-centroid ≥ 0.25)
+    * is droppable — the curation step that thins dense regions of
+    * embedding space where near-interchangeable samples add tokens but no
+    * diversity. Per-vec verdict table (proto / drop / keep).
+    *
+    * Determinism: centroid COMPONENTS are Dec12 order-free means
+    * quantized to 6 decimals (the exact qEmbedCentroids OUTPUT contract
+    * — see the inline comment for why the raw davg12 double is not
+    * cross-engine safe here);
+    * the centroid is then assembled into a dim-ordered DOUBLE array and
+    * every dot product (x·mu, x·x, mu·mu) runs through vec_dot ≡
+    * list_dot_product — the same sequential left-to-right IEEE fold
+    * contract the ann_lsh family certifies — so cosines are
+    * BIT-IDENTICAL across engines with NO rounding step at all: raw
+    * doubles hash-match. (A Dec12 quantization of the PRODUCTS instead
+    * hits the engines' double→decimal rounding-rule divergence — the
+    * same trap as round(); it failed parity at sf0.1 by one last-ulp
+    * row.) The prototype is resolved by max(cos) + min(vec_id)-among-
+    * ties (two aggregates + an equality join on the exact double), NOT
+    * max_by (tie-unspecified) and NOT a per-label window rank: at
+    * 100 TB a full sort inside a 10-key partition is one task per
+    * label, while this shape is all map-side combinable aggregation.
+    * Scale: the centroid explode is a linear dim-fold on a
+    * (labels × dims) key space; the k-row centroid-array table
+    * broadcasts onto the corpus scan — scoring is one codegen pass,
+    * no per-vector shuffle at all.
+    */
+  val qEmbedSemdedup = Q(
+    "q_embed_semdedup",
+    (s, dir) => {
+      graft.plans.VectorFunctions.register(s)
+      val ex = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"),
+          col("pos").cast(IntegerType).as("dim"),
+          col("col").cast(DoubleType).as("x"))
+      // mu at 6 decimals — the qEmbedCentroids OUTPUT contract (proven
+      // hash-green tri-scale), not the raw davg12 double: one raw
+      // component hit an exact decimal tie at the 1e-12 quantum where
+      // DuckDB rounds half-even on the exact expansion and Spark
+      // half-up on the shortest repr (2e-14 apart) — the 6-decimal
+      // quantize is upstream of every dot product, so the engines score
+      // against bit-identical centroids
+      val cva = ex.groupBy("label", "dim")
+        .agg(round(Det.davg12(col("x")), 6).as("mu"))
+        .groupBy("label")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(dim, mu))), s -> s.mu)")
+          .as("cva"))
+        .withColumn("dcc", expr("vec_dot(cva, cva)"))
+      val scored = Tables.embeddings(s, dir)
+        .join(broadcast(cva), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          (expr("vec_dot(embedding, cva)") /
+            (sqrt(expr("vec_dot(embedding, embedding)")) *
+              sqrt(col("dcc")))).as("cos_c"))
+      val mx = scored.groupBy("label").agg(max(col("cos_c")).as("m"))
+      val proto = scored.join(broadcast(mx), Seq("label"))
+        .where(col("cos_c") === col("m"))
+        .groupBy("label").agg(min(col("vec_id")).as("pv"))
+      scored.join(broadcast(proto), Seq("label"))
+        .select(col("vec_id"), col("label"), col("cos_c"),
+          when(col("vec_id") === col("pv"), "proto")
+            .when(col("cos_c") >= 0.25, "drop")
+            .otherwise("keep").as("verdict"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ex AS (SELECT vec_id, label,
+                    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+                    unnest(embedding) AS x
+                  FROM embeddings),
+                 cent AS (SELECT label, dim,
+                            round(${Det.sqlAvg12("x")}, 6) AS mu
+                          FROM ex GROUP BY label, dim),
+                 cva AS (SELECT label, list(mu ORDER BY dim) AS cva
+                         FROM cent GROUP BY label),
+                 s AS (SELECT e.vec_id, e.label,
+                         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          c.cva) /
+                           (sqrt(list_dot_product(
+                              CAST(e.embedding AS DOUBLE[]),
+                              CAST(e.embedding AS DOUBLE[]))) *
+                            sqrt(list_dot_product(c.cva, c.cva))) AS cos_c
+                       FROM embeddings e JOIN cva c ON e.label = c.label),
+                 mx AS (SELECT label, max(cos_c) AS m FROM s GROUP BY label),
+                 proto AS (SELECT s.label, min(s.vec_id) AS pv
+                           FROM s JOIN mx ON s.label = mx.label
+                            AND s.cos_c = mx.m
+                           GROUP BY s.label)
+             SELECT s.vec_id, s.label, s.cos_c,
+                    CASE WHEN s.vec_id = p.pv THEN 'proto'
+                         WHEN s.cos_c >= 0.25 THEN 'drop'
+                         ELSE 'keep' END AS verdict
+             FROM s JOIN proto p ON s.label = p.label
+             ORDER BY s.vec_id"""))
+
   /** Int8 scalar quantization of the embedding store — the memory shape
     * that makes a 100 TB vector corpus searchable (4 bytes → 1 byte per
     * component; IVF/LSH candidates re-rank against these codes, full floats
@@ -2021,7 +2119,7 @@ object Llm {
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate, qGraphTriangles,
     qDedupMinhashLsh, qDedupSimhash,
-    qEmbedCentroids, qEmbedQuantize,
+    qEmbedCentroids, qEmbedSemdedup, qEmbedQuantize,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
     qSimCosineQuantized, qDedupEmbedClusters,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,

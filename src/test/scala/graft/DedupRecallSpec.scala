@@ -90,4 +90,26 @@ class DedupRecallSpec extends AnyFunSuite with SparkFixture {
     val df = Llm.qDedupExactHash.fn(spark, sfDir)
     assert(df.count() == df.select("content_hash").distinct().count())
   }
+
+  test("semdedup: one proto per label = its max-cos min-id vector; drops >= 0.25") {
+    val rows = Llm.qEmbedSemdedup.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+        r.getDouble(2), r.getString(3)))
+    val nVecs = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == nVecs, "a vector was dropped or duplicated")
+    rows.groupBy(_._2).foreach { case (label, grp) =>
+      val protos = grp.filter(_._4 == "proto")
+      assert(protos.length == 1, s"label $label has ${protos.length} protos")
+      val maxCos = grp.map(_._3).max
+      val expect = grp.filter(_._3 == maxCos).map(_._1).min
+      assert(protos.head._1 == expect,
+        s"label $label proto ${protos.head._1} != max-cos min-id $expect")
+      grp.filter(_._4 == "drop").foreach { case (id, _, c, _) =>
+        assert(c >= 0.25, s"vec $id dropped at cos $c < 0.25") }
+      grp.filter(_._4 == "keep").foreach { case (id, _, c, _) =>
+        assert(c < 0.25, s"vec $id kept at cos $c >= 0.25") }
+    }
+    assert(rows.map(_._4).toSet == Set("proto", "drop", "keep"),
+      "a verdict branch is unexercised at this SF")
+  }
 }
