@@ -1539,6 +1539,114 @@ object Llm {
                     ORDER BY score DESC, tok) AS rk FROM s)
             WHERE rk = 1 ORDER BY doc_id"""))
 
+  /** BM25 keyword relevance — the lexical-retrieval half of hybrid search
+    * (cosine over embeddings is the other half, q_sim_cosine_topk): top-20
+    * docs for a fixed 3-term query under Robertson/Sparck-Jones BM25
+    * (k1=1.2, b=0.75, +1 idf so scores stay positive). Determinism: idf's
+    * ln() is bit-identical cross-engine (§7.5 — unlike trig); every other
+    * input (tf, df, dl, N) is an exact integer cast to DOUBLE, avgdl is ONE
+    * IEEE division of exact integers, and the whole per-term score is a
+    * single shared formula TEXT evaluated by both engines (identical op
+    * sequence); the per-doc sum over query terms goes through the Dec12
+    * order-free sum, is rounded to 6 decimals BEFORE ranking, and ties
+    * resolve on doc_id. Scale: df (|terms| rows) and the corpus-stats row
+    * broadcast; tf/dl are map-side-combinable per-doc aggregations; the
+    * final top-20 is a TakeOrdered, never a full sort.
+    */
+  // k1=1.2, b=0.75 — 2.2 = k1+1 and 0.25 = 1-b appear as literals (the
+  // SAME double in both engines since the text is shared verbatim)
+  private val bm25Fml = "ln((nd - df + CAST(0.5 AS DOUBLE)) / " +
+    "(df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * " +
+    "(tf * CAST(2.2 AS DOUBLE) / (tf + CAST(1.2 AS DOUBLE) * " +
+    "(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))"
+
+  val qTextBm25 = Q(
+    "q_text_bm25",
+    (s, dir) => {
+      val terms = Seq("join", "window", "scan")
+      val tl = tokens(Tables.documents(s, dir))
+      val dl = tl.groupBy("doc_id").agg(count(lit(1)).as("dl_i"))
+      val st = dl.agg(count(lit(1)).cast(DoubleType).as("nd"),
+        (sum(col("dl_i")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avgdl"))
+      val tf = tl.where(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_i"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df_i"))
+      tf.join(broadcast(df), "tok").join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"), col("tf_i").cast(DoubleType).as("tf"),
+          col("df_i").cast(DoubleType).as("df"),
+          col("dl_i").cast(DoubleType).as("dl"),
+          col("nd"), col("avgdl"))
+        .withColumn("sc", expr(bm25Fml))
+        .groupBy("doc_id")
+        .agg(round(sum(col("sc").cast(Det.Dec12)).cast(DoubleType), 6)
+          .as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+                    unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+             tc AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+             dli AS (SELECT doc_id, count(*) AS dl_i
+                     FROM tc GROUP BY doc_id),
+             st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                      CAST(CAST(sum(dl_i) AS BIGINT) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) AS avgdl
+                    FROM dli),
+             tf AS (SELECT doc_id, tok, count(*) AS tf_i FROM tc
+                    WHERE tok IN ('join', 'window', 'scan')
+                    GROUP BY doc_id, tok),
+             df AS (SELECT tok, count(*) AS df_i FROM tf GROUP BY tok),
+             x AS (SELECT tf.doc_id, CAST(tf.tf_i AS DOUBLE) AS tf,
+                     CAST(df.df_i AS DOUBLE) AS df,
+                     CAST(dli.dl_i AS DOUBLE) AS dl, st.nd, st.avgdl
+                   FROM tf JOIN df USING (tok) JOIN dli USING (doc_id)
+                   CROSS JOIN st),
+             s AS (SELECT doc_id, $bm25Fml AS sc FROM x)
+         SELECT doc_id,
+                round(CAST(SUM(CAST(sc AS DECIMAL(38,12))) AS DOUBLE),
+                      6) AS bm25
+         FROM s GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
+  /** Overlapping-window document chunking — the embedding-prep / RAG
+    * staple (context-window packing's read-side twin, q_corpus_pack):
+    * each doc explodes into 32-token chunks at stride 24 (8-token
+    * overlap so no sentence straddles a boundary unseen). Chunk count =
+    * (n-1) div 24 + 1 — the final partial chunk IS emitted (dropping it
+    * loses corpus tail tokens). All-integer positional arithmetic and
+    * string slicing → bit-exact cross-engine; Spark's slice() and
+    * DuckDB's list_slice() both clamp at the array end. Scale: pure
+    * per-row generator (one projection + posexplode — no shuffle at
+    * all); the fan-out is bounded by doc length / stride, and chunk
+    * rows carry only the chunk text, not the source doc.
+    */
+  val qTextChunk = Q(
+    "q_text_chunk",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(
+          "posexplode(transform(sequence(0, (size(toks)-1) div 24), " +
+            "i -> concat_ws(' ', slice(toks, i*24+1, 32))))"))
+        .select(col("doc_id"), col("pos").cast(LongType).as("chunk_id"),
+          size(split(col("col"), " ")).cast(LongType).as("n_tok"),
+          col("col").as("chunk"))
+        .orderBy("doc_id", "chunk_id"),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+                 c AS (SELECT doc_id,
+                         unnest(range((len(toks)-1)//24 + 1)) AS chunk_id,
+                         toks
+                       FROM d)
+            SELECT doc_id, chunk_id,
+                   CAST(len(list_slice(toks, chunk_id*24+1,
+                                       chunk_id*24+32)) AS BIGINT) AS n_tok,
+                   array_to_string(list_slice(toks, chunk_id*24+1,
+                                              chunk_id*24+32), ' ') AS chunk
+            FROM c ORDER BY doc_id, chunk_id"""))
+
   /** Document fingerprinting: min-hash sketch of the shingle set (8 smallest
     * shingle hashes per doc), emitted as a comma-joined string. Hashing is
     * the portable md5-60bit (Det.pHash60) so the identical sketch is
@@ -2123,7 +2231,8 @@ object Llm {
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
     qSimCosineQuantized, qDedupEmbedClusters,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
-    qTextTfidfTop, qTextFingerprint, qTextLangId, qTextPiiMask,
+    qTextTfidfTop, qTextBm25, qTextChunk, qTextFingerprint, qTextLangId,
+    qTextPiiMask,
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,
     qTextRepetition, qContamination, qTextEntropy, qTextReadability)
 }
