@@ -1610,6 +1610,95 @@ object Llm {
          FROM s GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id LIMIT 20"""))
 
+  /** Exact-substring duplication coverage (the ExactSubstr-dedup shape:
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better" measures how much of each doc is verbatim-repeated
+    * elsewhere; the suffix-array there is stood in for by shingle
+    * grouping here): a 3-gram occurring in ≥ 2 DISTINCT docs marks its
+    * token span [pos, pos+2] duplicated; per-doc coverage is the UNION
+    * of those overlapping spans — the q_win_interval_merge running-max
+    * island, all-integer so bit-exact — and the output is the
+    * duplicated-token fraction (one IEEE division). Docs shorter than 3
+    * tokens or with no shared shingle report 0 via the left join.
+    * Scale: the shingle groupBy is the operator's honest cost (the
+    * suffix-array equivalent); at 100 TB you'd group the 60-bit
+    * Det.pHash60 of the shingle for fixed-width keys, the span-merge
+    * window shuffles once on doc_id, and everything downstream reuses
+    * that partitioning.
+    */
+  val qDedupSubstrSpans = Q(
+    "q_dedup_substr_spans",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = shinglesWithPos(docs)
+      val dup = sh.groupBy("shingle")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2).select("shingle")
+      val wPrev = Window.partitionBy("doc_id").orderBy("sdn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("sdn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cov = sh.join(dup, "shingle")
+        .select(col("doc_id"), col("pos").as("sdn"),
+          (col("pos") + 2).as("edn"))
+        .withColumn("pmax", max(col("edn")).over(wPrev))
+        .withColumn("brk",
+          when(col("pmax").isNull || col("sdn") > col("pmax"), 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(wRun))
+        .groupBy("doc_id", "sid")
+        .agg(min(col("sdn")).as("ist"), max(col("edn")).as("ien"))
+        .groupBy("doc_id")
+        .agg(sum(col("ien") - col("ist") + 1).as("cov_tok"))
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("cov_tok"), lit(0L)).as("cov_tok"))
+        .withColumn("dup_frac",
+          col("cov_tok").cast(DoubleType) / col("n_tok").cast(DoubleType))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+                 sh AS (SELECT doc_id,
+                          CAST(unnest(range(1, len(toks)-1)) AS INTEGER)
+                            AS pos, toks
+                        FROM d WHERE len(toks) >= 3),
+                 shs AS (SELECT doc_id, pos,
+                           array_to_string(
+                             list_slice(toks, pos, pos+2), ' ') AS shingle
+                         FROM sh),
+                 dup AS (SELECT shingle FROM shs GROUP BY shingle
+                         HAVING count(DISTINCT doc_id) >= 2),
+                 iv AS (SELECT s.doc_id, s.pos AS sdn, s.pos + 2 AS edn
+                        FROM shs s JOIN dup USING (shingle)),
+                 brk AS (SELECT doc_id, sdn, edn,
+                           max(edn) OVER (PARTITION BY doc_id ORDER BY sdn
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pmax
+                         FROM iv),
+                 isl AS (SELECT doc_id, sdn, edn,
+                           SUM(CASE WHEN pmax IS NULL OR sdn > pmax
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY sdn
+                               ROWS UNBOUNDED PRECEDING) AS sid
+                         FROM brk),
+                 runs AS (SELECT doc_id, sid, min(sdn) AS ist,
+                                 max(edn) AS ien
+                          FROM isl GROUP BY doc_id, sid),
+                 cov AS (SELECT doc_id,
+                           CAST(sum(ien - ist + 1) AS BIGINT) AS cov_tok
+                         FROM runs GROUP BY doc_id)
+            SELECT d2.doc_id,
+                   CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tok,
+                   COALESCE(cov.cov_tok, 0) AS cov_tok,
+                   CAST(COALESCE(cov.cov_tok, 0) AS DOUBLE)
+                     / CAST(len(string_split(d2.text, ' ')) AS DOUBLE)
+                     AS dup_frac
+            FROM documents d2 LEFT JOIN cov USING (doc_id)
+            ORDER BY d2.doc_id"""))
+
   /** Overlapping-window document chunking — the embedding-prep / RAG
     * staple (context-window packing's read-side twin, q_corpus_pack):
     * each doc explodes into 32-token chunks at stride 24 (8-token
@@ -2226,7 +2315,7 @@ object Llm {
     qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate, qGraphTriangles,
-    qDedupMinhashLsh, qDedupSimhash,
+    qDedupMinhashLsh, qDedupSimhash, qDedupSubstrSpans,
     qEmbedCentroids, qEmbedSemdedup, qEmbedQuantize,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
     qSimCosineQuantized, qDedupEmbedClusters,

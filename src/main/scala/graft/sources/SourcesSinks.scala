@@ -778,9 +778,104 @@ object SourcesSinks {
             FROM pts GROUP BY x4 // 2, y4 // 2
             ORDER BY z, x, y"""))
 
+  /** Point-in-polygon containment by RAY CASTING (the spatial-join
+    * kernel under geocoding, geofencing, point-aggregation-by-district):
+    * customer points vs the nation squares-with-holes, crossing-number
+    * over every ring edge — odd total = inside (the hole subtracts by
+    * parity, no orientation needed). The Spark side runs the REAL
+    * general-polygon algorithm (per-edge y-straddle test + ray/edge
+    * intersection, a higher-order aggregate over the edge list — works
+    * unchanged for arbitrary simple polygons); the oracle derives
+    * containment ANALYTICALLY from the construction (|p−c| interval
+    * tests) — the q_geo_polygon_area independent-formulation doctrine.
+    * Exactness: every coordinate is an exact binary-and-decimal fraction
+    * (centers k+0.5, half-widths k/4, point offsets odd multiples of
+    * 1/16 so a point can NEVER lie on a boundary); for axis-aligned
+    * edges the ray intersection is exact (vertical edge → zero-product
+    * term; horizontal edge → straddle test false), so every comparison
+    * is on exact doubles in both engines. Scale: the 25-row polygon
+    * table broadcasts onto the point scan (a broadcast NL spatial join —
+    * at planetary row counts you'd pre-bucket by q_geo_grid_join's cell
+    * key and ray-cast only within candidate cells); per-point work is a
+    * codegen'd fold over a constant edge list, and the per-feature
+    * rollup is a bounded-key two-phase aggregate.
+    */
+  val qGeoPointInPolygon = Q(
+    "q_geo_point_in_polygon",
+    (s, dir) => {
+      def ring(hw: Column, ccw: Boolean) = {
+        val corners = Seq((-1, -1), (1, -1), (1, 1), (-1, 1), (-1, -1))
+          .map { case (sx, sy) =>
+            array(col("cx") + hw * sx, col("cy") + hw * sy) }
+        array((if (ccw) corners else corners.reverse): _*)
+      }
+      val geom = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast(LongType).as("feat_id"),
+          (col("n_nationkey") * 7 % 360 - 180 + 0.5).as("cx"),
+          (col("n_nationkey") * 13 % 180 - 90 + 0.5).as("cy"),
+          ((col("n_nationkey") % 4 + 1).cast(DoubleType) * 0.25).as("w"))
+        .withColumn("rings",
+          array(ring(col("w"), ccw = true), ring(col("w") * 0.5, ccw = false)))
+        .select("feat_id", "cx", "cy", "rings")
+      val pts = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(geom.select(col("feat_id").as("home"),
+          col("cx").as("hcx"), col("cy").as("hcy"))),
+          col("c_nationkey") === col("home"))
+        .select(col("c_custkey"),
+          (col("hcx") + (col("c_custkey") * 7 % 41 - 20) * 0.125 + 0.0625)
+            .as("px"),
+          (col("hcy") + (col("c_custkey") * 13 % 41 - 20) * 0.125 + 0.0625)
+            .as("py"))
+      pts.crossJoin(broadcast(geom))
+        .withColumn("crossings", expr(
+          """aggregate(
+               flatten(transform(rings, r -> transform(
+                 sequence(1, size(r) - 1),
+                 i -> array(element_at(r, i), element_at(r, i + 1))))),
+               0,
+               (acc, e) -> acc + (CASE WHEN
+                 (element_at(element_at(e, 1), 2) > py)
+                   != (element_at(element_at(e, 2), 2) > py)
+                 AND px < element_at(element_at(e, 1), 1)
+                   + (py - element_at(element_at(e, 1), 2))
+                     * (element_at(element_at(e, 2), 1)
+                        - element_at(element_at(e, 1), 1))
+                     / (element_at(element_at(e, 2), 2)
+                        - element_at(element_at(e, 1), 2))
+                 THEN 1 ELSE 0 END))"""))
+        .where(col("crossings") % 2 === 1)
+        .groupBy("feat_id")
+        .agg(count(lit(1)).as("n_inside"),
+          sum(col("c_custkey")).as("sum_keys"))
+        .orderBy("feat_id")
+    },
+    Some("""WITH geom AS (SELECT CAST(n_nationkey AS BIGINT) AS feat_id,
+                   CAST(n_nationkey * 7 % 360 - 180 + 0.5 AS DOUBLE) AS cx,
+                   CAST(n_nationkey * 13 % 180 - 90 + 0.5 AS DOUBLE) AS cy,
+                   CAST(0.25 * (1 + n_nationkey % 4) AS DOUBLE) AS w
+                 FROM nation),
+            pts AS (SELECT c.c_custkey,
+                      g.cx + CAST((c.c_custkey * 7 % 41 - 20) * 0.125
+                                  + 0.0625 AS DOUBLE) AS px,
+                      g.cy + CAST((c.c_custkey * 13 % 41 - 20) * 0.125
+                                  + 0.0625 AS DOUBLE) AS py
+                    FROM customer c
+                    JOIN geom g ON g.feat_id = c.c_nationkey),
+            hits AS (SELECT g.feat_id, p.c_custkey
+                     FROM pts p CROSS JOIN geom g
+                     WHERE abs(p.px - g.cx) < g.w
+                       AND abs(p.py - g.cy) < g.w
+                       AND NOT (abs(p.px - g.cx) < g.w / 2
+                                AND abs(p.py - g.cy) < g.w / 2))
+            SELECT feat_id, count(*) AS n_inside,
+                   CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+            FROM hits GROUP BY feat_id ORDER BY feat_id"""))
+
   val all: Seq[Q] =
     Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
       qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,
       qSourceCsvRoundtrip, qSourceJsonlRoundtrip,
-      qScanPartitionPruned, qSourceBinaryfileRoundtrip, qGeoTilePyramid)
+      qScanPartitionPruned, qSourceBinaryfileRoundtrip, qGeoTilePyramid,
+      qGeoPointInPolygon)
 }
