@@ -405,6 +405,102 @@ object Windows {
                ON s.n_name = daily.n_name AND s.d = daily.d
              ORDER BY s.n_name, s.d"""))
 
+  // interpolation formula — ONE text evaluated by both engines (identical
+  // IEEE op sequence); day-number diffs are exact small integers, so the
+  // single division is the only inexact step and both engines perform it
+  // on identical operands
+  private val interpFml =
+    "pv + (nv - pv) * (CAST(dn - pdn AS DOUBLE) / CAST(ndn - pdn AS DOUBLE))"
+
+  /** LINEAR interpolation across gaps — q_win_gap_fill's forward-fill
+    * holds the last value flat; sensor/metric pipelines want the value on
+    * the line between the bracketing observations (resampling, missing-
+    * tick repair). Same nation × 90-day spine; for each gap day the
+    * bracketing observations come from four window functions over TWO
+    * frames (last/prev value+day over unbounded-preceding, first/next
+    * value+day over unbounded-following — `ignoreNulls`, so one window
+    * exchange serves all four); the interpolated value is the shared
+    * formula text above, 6-decimal-rounded at output. Leading/trailing
+    * gaps (no bracket on one side) stay NULL in both engines. Scale: one
+    * shuffle on the partition key total — both window frames and the
+    * output share HashPartitioning(n_name); the spine is bounded
+    * dim × 90 generated in-plan.
+    */
+  val qTimeInterpLinear = Q(
+    "q_time_interp_linear",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= "1995-01-01" &&
+          col("o_orderdate") < "1995-04-01")
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), to_date(col("o_orderdate")).as("d"))
+        .agg(Det.dsum(col("o_totalprice")).as("rev"))
+      val spine = Tables.nation(s, dir).select("n_name")
+        .crossJoin(s.sql(
+          """SELECT explode(sequence(DATE'1995-01-01', DATE'1995-03-31',
+             interval 1 day)) AS d"""))
+      val wPrev = Window.partitionBy(col("n_name")).orderBy(col("dn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("n_name")).orderBy(col("dn"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("n_name", "d"), "left")
+        .withColumn("dn", datediff(col("d"), lit("1970-01-01")))
+        .withColumn("pv", last(col("rev"), ignoreNulls = true).over(wPrev))
+        .withColumn("pdn", last(when(col("rev").isNotNull, col("dn")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("rev"), ignoreNulls = true).over(wNext))
+        .withColumn("ndn", first(when(col("rev").isNotNull, col("dn")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("interp",
+          when(col("rev").isNotNull, col("rev"))
+            .otherwise(when(col("pv").isNull || col("nv").isNull, lit(null))
+              .otherwise(expr(interpFml))))
+        .select(col("n_name"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          round(col("interp"), 6).as("interp"),
+          col("rev").isNotNull.as("is_obs"))
+        .orderBy("n_name", "d")
+    },
+    Some(s"""WITH daily AS (
+               SELECT n_name, CAST(o_orderdate AS DATE) AS d,
+                      ${Det.sqlSum("o_totalprice")} AS rev
+               FROM orders JOIN customer ON o_custkey = c_custkey
+                           JOIN nation ON c_nationkey = n_nationkey
+               WHERE o_orderdate >= '1995-01-01'
+                 AND o_orderdate < '1995-04-01'
+               GROUP BY 1, 2),
+             spine AS (
+               SELECT n_name, CAST(unnest(generate_series(
+                        DATE '1995-01-01', DATE '1995-03-31',
+                        INTERVAL 1 DAY)) AS DATE) AS d
+               FROM nation),
+             j AS (
+               SELECT s.n_name, s.d, daily.rev,
+                      CAST(s.d - DATE '1970-01-01' AS INTEGER) AS dn
+               FROM spine s LEFT JOIN daily
+                 ON s.n_name = daily.n_name AND s.d = daily.d),
+             b AS (
+               SELECT n_name, d, rev, dn,
+                      last_value(rev IGNORE NULLS) OVER wp AS pv,
+                      last_value(CASE WHEN rev IS NOT NULL THEN dn END
+                        IGNORE NULLS) OVER wp AS pdn,
+                      first_value(rev IGNORE NULLS) OVER wn AS nv,
+                      first_value(CASE WHEN rev IS NOT NULL THEN dn END
+                        IGNORE NULLS) OVER wn AS ndn
+               FROM j
+               WINDOW wp AS (PARTITION BY n_name ORDER BY dn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY n_name ORDER BY dn
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             SELECT n_name, CAST(d AS TIMESTAMP) AS d,
+                    round(CASE WHEN rev IS NOT NULL THEN rev
+                               WHEN pv IS NULL OR nv IS NULL THEN NULL
+                               ELSE $interpFml END, 6) AS interp,
+                    rev IS NOT NULL AS is_obs
+             FROM b ORDER BY n_name, d"""))
+
   /** Slowly-changing-dimension TYPE 2 build — the warehouse-standard way to
     * keep attribute HISTORY: each change event becomes a versioned row with
     * an [eff_from, eff_to) validity interval, the open interval marking the
@@ -846,7 +942,8 @@ object Windows {
 
   val all: Seq[Q] = Seq(
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
-    qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill, qScd2Dim,
+    qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,
+    qTimeInterpLinear, qScd2Dim,
     qWinEwma, qFunnelSteps, qSessionStats, qWinCumeDist, qWinStreak,
     qScd2Asof, qWinRatioToReport, qWinDenseRank,
     qSortMultikey, qTopkGlobal, qLimitOffset,
