@@ -1560,31 +1560,39 @@ object Llm {
     "(tf * CAST(2.2 AS DOUBLE) / (tf + CAST(1.2 AS DOUBLE) * " +
     "(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))"
 
-  val qTextBm25 = Q(
-    "q_text_bm25",
-    (s, dir) => {
-      val terms = Seq("join", "window", "scan")
-      val tl = tokens(Tables.documents(s, dir))
-      val dl = tl.groupBy("doc_id").agg(count(lit(1)).as("dl_i"))
-      val st = dl.agg(count(lit(1)).cast(DoubleType).as("nd"),
-        (sum(col("dl_i")).cast(DoubleType) /
-          count(lit(1)).cast(DoubleType)).as("avgdl"))
-      val tf = tl.where(col("tok").isin(terms: _*))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_i"))
-      val df = tf.groupBy("tok").agg(count(lit(1)).as("df_i"))
-      tf.join(broadcast(df), "tok").join(dl, "doc_id")
-        .crossJoin(broadcast(st))
-        .select(col("doc_id"), col("tf_i").cast(DoubleType).as("tf"),
-          col("df_i").cast(DoubleType).as("df"),
-          col("dl_i").cast(DoubleType).as("dl"),
-          col("nd"), col("avgdl"))
-        .withColumn("sc", expr(bm25Fml))
-        .groupBy("doc_id")
-        .agg(round(sum(col("sc").cast(Det.Dec12)).cast(DoubleType), 6)
-          .as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
-    },
-    Some(s"""WITH t AS (SELECT doc_id,
+  /** Per-(doc, query-term) retrieval statistics — the shared front half of
+    * q_text_bm25 and q_search_rrf: tf per matched term, df per term, doc
+    * length, corpus size and average doc length, all exact integers cast
+    * to DOUBLE once. df and the corpus-stats row broadcast; tf/dl are
+    * map-side-combinable aggregations.
+    */
+  private def retrievalStats(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "window", "scan")
+    val tl = tokens(Tables.documents(s, dir))
+    val dl = tl.groupBy("doc_id").agg(count(lit(1)).as("dl_i"))
+    val st = dl.agg(count(lit(1)).cast(DoubleType).as("nd"),
+      (sum(col("dl_i")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avgdl"))
+    val tf = tl.where(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_i"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df_i"))
+    tf.join(broadcast(df), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("tf_i").cast(DoubleType).as("tf"),
+        col("df_i").cast(DoubleType).as("df"),
+        col("dl_i").cast(DoubleType).as("dl"),
+        col("nd"), col("avgdl"))
+  }
+
+  /** Dec12 order-free per-doc score rollup shared by both rankers. */
+  private def scoreDocs(x: DataFrame, fml: String, out: String): DataFrame =
+    x.withColumn("sc", expr(fml))
+      .groupBy("doc_id")
+      .agg(round(sum(col("sc").cast(Det.Dec12)).cast(DoubleType), 6).as(out))
+
+  /** Oracle-side mirror of retrievalStats: CTE chain ending in `x`. */
+  private val retrievalStatsCte =
+    """t AS (SELECT doc_id,
                     unnest(string_split(text, ' ')) AS tok
                   FROM documents),
              tc AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
@@ -1602,13 +1610,82 @@ object Llm {
                      CAST(df.df_i AS DOUBLE) AS df,
                      CAST(dli.dl_i AS DOUBLE) AS dl, st.nd, st.avgdl
                    FROM tf JOIN df USING (tok) JOIN dli USING (doc_id)
-                   CROSS JOIN st),
-             s AS (SELECT doc_id, $bm25Fml AS sc FROM x)
-         SELECT doc_id,
-                round(CAST(SUM(CAST(sc AS DECIMAL(38,12))) AS DOUBLE),
-                      6) AS bm25
-         FROM s GROUP BY doc_id
+                   CROSS JOIN st)"""
+
+  /** Oracle-side mirror of scoreDocs over `x` → CTE named `outCte`. */
+  private def scoreDocsCte(fml: String, out: String, outCte: String) =
+    s"""$outCte AS (SELECT doc_id,
+                round(CAST(SUM(CAST(($fml) AS DECIMAL(38,12))) AS DOUBLE),
+                      6) AS $out
+              FROM x GROUP BY doc_id)"""
+
+  val qTextBm25 = Q(
+    "q_text_bm25",
+    (s, dir) =>
+      scoreDocs(retrievalStats(s, dir), bm25Fml, "bm25")
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20),
+    Some(s"""WITH $retrievalStatsCte,
+             ${scoreDocsCte(bm25Fml, "bm25", "bm")}
+         SELECT doc_id, bm25 FROM bm
          ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
+  // smoothed-idf TF-IDF — the second ranker q_search_rrf fuses with BM25
+  private val tfidfSumFml =
+    "tf * ln((nd + CAST(1.0 AS DOUBLE)) / (df + CAST(1.0 AS DOUBLE)))"
+
+  // RRF with the standard k=60; a doc missing from one system's top-50
+  // contributes 0 for that system. Two-term fixed-order sum — no
+  // aggregation, so no ordering hazard.
+  private val rrfFml =
+    "CASE WHEN ra IS NULL THEN CAST(0.0 AS DOUBLE) ELSE " +
+      "CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(ra AS DOUBLE)) " +
+      "END + CASE WHEN rb IS NULL THEN CAST(0.0 AS DOUBLE) ELSE " +
+      "CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rb AS DOUBLE)) END"
+
+  /** Reciprocal rank fusion — the hybrid-search MERGE step (fuse lexical
+    * and semantic rankings without score calibration; here BM25 and
+    * smoothed-idf TF-IDF over the same 3-term query stand in as the two
+    * systems). Each system contributes its top-50 (6-decimal-rounded
+    * score, doc_id tie-break — fully deterministic ranks), fused by
+    * 1/(60+rank) summed where present (full outer join). Determinism:
+    * ranks are exact small integers, the RRF sum is a fixed two-term
+    * formula text — no float aggregation at all. Scale: each system's
+    * top-50 is a TakeOrdered (never a global sort); ranking WITHIN 50
+    * rows is a one-task window; the fusion join is 50×50 rows — driver-
+    * negligible regardless of corpus size.
+    */
+  val qSearchRrf = Q(
+    "q_search_rrf",
+    (s, dir) => {
+      val x = retrievalStats(s, dir)
+      def top50(scored: DataFrame, sc: String, rk: String): DataFrame = {
+        val w = Window.orderBy(col(sc).desc, col("doc_id"))
+        scored.orderBy(col(sc).desc, col("doc_id")).limit(50)
+          .withColumn(rk, row_number().over(w).cast(LongType))
+      }
+      val ta = top50(scoreDocs(x, bm25Fml, "bm25"), "bm25", "ra")
+        .select("doc_id", "ra")
+      val tb = top50(scoreDocs(x, tfidfSumFml, "tfidf"), "tfidf", "rb")
+        .select("doc_id", "rb")
+      ta.join(tb, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(expr(rrfFml), 6))
+        .select(col("doc_id"), col("ra"), col("rb"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    },
+    Some(s"""WITH $retrievalStatsCte,
+             ${scoreDocsCte(bm25Fml, "bm25", "bm")},
+             ${scoreDocsCte(tfidfSumFml, "tfidf", "tfi")},
+             ta AS (SELECT doc_id, CAST(row_number() OVER
+                      (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra
+                    FROM (SELECT * FROM bm
+                          ORDER BY bm25 DESC, doc_id LIMIT 50)),
+             tb AS (SELECT doc_id, CAST(row_number() OVER
+                      (ORDER BY tfidf DESC, doc_id) AS BIGINT) AS rb
+                    FROM (SELECT * FROM tfi
+                          ORDER BY tfidf DESC, doc_id LIMIT 50))
+         SELECT doc_id, ra, rb, round($rrfFml, 6) AS rrf
+         FROM ta FULL OUTER JOIN tb USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 20"""))
 
   /** Exact-substring duplication coverage (the ExactSubstr-dedup shape:
     * Lee et al.'s "Deduplicating Training Data Makes Language Models
@@ -2320,7 +2397,8 @@ object Llm {
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
     qSimCosineQuantized, qDedupEmbedClusters,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
-    qTextTfidfTop, qTextBm25, qTextChunk, qTextFingerprint, qTextLangId,
+    qTextTfidfTop, qTextBm25, qSearchRrf, qTextChunk, qTextFingerprint,
+    qTextLangId,
     qTextPiiMask,
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,
     qTextRepetition, qContamination, qTextEntropy, qTextReadability)

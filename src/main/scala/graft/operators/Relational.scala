@@ -682,6 +682,85 @@ object Relational {
                    min(k) AS min_key, max(k) AS max_key
             FROM merged GROUP BY seg, action ORDER BY seg, action"""))
 
+  /** CDC change-LOG application — q_merge_upsert applies one delta batch;
+    * this applies an ORDERED multi-event log (updates + delete tombstones,
+    * orders replayed as balance-change events on their customer) with
+    * last-writer-wins compaction: row_number over (ts DESC, seq DESC) per
+    * key — the unique event id as tie-key makes the replay order total —
+    * keeps only each key's final event, then ONE left join onto the base
+    * snapshot decides carry / update / delete per row. This is the
+    * log-compaction shape (Kafka compacted topics, Delta/Hudi snapshot
+    * reconstruction): compact FIRST, join ONCE — never fold events
+    * one-batch-at-a-time into the base (that's O(events) scans at 100 TB).
+    * Output audits the apply per segment: live/deleted/updated counts and
+    * the exact post-apply balance (integer cents). One shuffle for the
+    * compaction window + one key-partitioned join.
+    */
+  val qCdcApply = Q(
+    "q_cdc_apply",
+    (s, dir) => {
+      val cents = (c: org.apache.spark.sql.Column) =>
+        round(c * 100).cast(org.apache.spark.sql.types.DecimalType(18, 0))
+          .cast(org.apache.spark.sql.types.LongType)
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          cents(col("c_acctbal")).as("bal"))
+      val log = Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+          col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
+          cents(col("o_totalprice")).as("new_bal"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+        .orderBy(col("ts").desc, col("seq").desc)
+      val compacted = log.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select("k", "op", "new_bal")
+      base.join(compacted, Seq("k"), "left")
+        .withColumn("status",
+          when(col("op").isNull, "carry")
+            .when(col("op") === "D", "delete").otherwise("update"))
+        .withColumn("final_bal",
+          when(col("op") === "U", col("new_bal")).otherwise(col("bal")))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_base"),
+          sum(when(col("status") === "delete", 1L).otherwise(0L))
+            .as("n_deleted"),
+          sum(when(col("status") === "update", 1L).otherwise(0L))
+            .as("n_updated"),
+          sum(when(col("status") =!= "delete", col("final_bal"))
+            .otherwise(0L)).as("sum_cents_live"))
+        .orderBy("seg")
+    },
+    Some("""WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                 FROM customer),
+            log AS (SELECT o_custkey AS k, o_orderdate AS ts,
+                      o_orderkey AS seq,
+                      CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END
+                        AS op,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS new_bal
+                    FROM orders),
+            compacted AS (SELECT k, op, new_bal
+                          FROM (SELECT *, row_number() OVER (
+                                  PARTITION BY k
+                                  ORDER BY ts DESC, seq DESC) AS rn
+                                FROM log)
+                          WHERE rn = 1),
+            st AS (SELECT b.seg,
+                     CASE WHEN l.op IS NULL THEN 'carry'
+                          WHEN l.op = 'D' THEN 'delete'
+                          ELSE 'update' END AS status,
+                     CASE WHEN l.op = 'U' THEN l.new_bal
+                          ELSE b.bal END AS final_bal
+                   FROM base b LEFT JOIN compacted l ON b.k = l.k)
+            SELECT seg, count(*) AS n_base,
+                   CAST(sum(CASE WHEN status = 'delete' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_deleted,
+                   CAST(sum(CASE WHEN status = 'update' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_updated,
+                   CAST(sum(CASE WHEN status <> 'delete' THEN final_bal
+                            ELSE 0 END) AS BIGINT) AS sum_cents_live
+            FROM st GROUP BY seg ORDER BY seg"""))
+
   /** Fixed 3-iteration PageRank over the part↔supplier co-occurrence
     * graph (who supplies what, from distinct lineitem pairs; node ids are
     * parity-disjoint: 2·partkey vs 2·suppkey+1). Top-20 by rank with node
@@ -1038,7 +1117,7 @@ object Relational {
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
     qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
-    qMergeUpsert, qGraphPagerank, qDqChecks, qCompositeShipping,
+    qMergeUpsert, qCdcApply, qGraphPagerank, qDqChecks, qCompositeShipping,
     qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup,
     qGraphSssp)
 }
