@@ -796,9 +796,14 @@ object SourcesSinks {
     * is on exact doubles in both engines. Scale: the 25-row polygon
     * table broadcasts onto the point scan (a broadcast NL spatial join —
     * at planetary row counts you'd pre-bucket by q_geo_grid_join's cell
-    * key and ray-cast only within candidate cells); per-point work is a
-    * codegen'd fold over a constant edge list, and the per-feature
-    * rollup is a bounded-key two-phase aggregate.
+    * key and ray-cast only within candidate cells); the ring→edge
+    * transform is materialized ONCE per polygon row BEFORE the join
+    * (inside the per-pair expression it re-evaluates per (point,
+    * polygon) — measured 3.9 s vs this shape at sf0.1), a conservative
+    * bbox test gates the exact cast (the coarse-filter/exact-test
+    * contract of every spatial engine; bbox-boundary points pass the
+    * filter and are rejected by the cast, so results are identical),
+    * and the per-feature rollup is a bounded-key two-phase aggregate.
     */
   val qGeoPointInPolygon = Q(
     "q_geo_point_in_polygon",
@@ -816,7 +821,25 @@ object SourcesSinks {
           ((col("n_nationkey") % 4 + 1).cast(DoubleType) * 0.25).as("w"))
         .withColumn("rings",
           array(ring(col("w"), ccw = true), ring(col("w") * 0.5, ccw = false)))
-        .select("feat_id", "cx", "cy", "rings")
+        // edge list + bbox materialized per polygon ROW, not per pair
+        .withColumn("edges", expr(
+          """flatten(transform(rings, r -> transform(
+               sequence(1, size(r) - 1),
+               i -> array(element_at(r, i), element_at(r, i + 1)))))"""))
+        .withColumn("bxmin", expr(
+          "aggregate(edges, cast('Infinity' AS DOUBLE), " +
+            "(m, e) -> least(m, element_at(element_at(e, 1), 1)))"))
+        .withColumn("bxmax", expr(
+          "aggregate(edges, cast('-Infinity' AS DOUBLE), " +
+            "(m, e) -> greatest(m, element_at(element_at(e, 1), 1)))"))
+        .withColumn("bymin", expr(
+          "aggregate(edges, cast('Infinity' AS DOUBLE), " +
+            "(m, e) -> least(m, element_at(element_at(e, 1), 2)))"))
+        .withColumn("bymax", expr(
+          "aggregate(edges, cast('-Infinity' AS DOUBLE), " +
+            "(m, e) -> greatest(m, element_at(element_at(e, 1), 2)))"))
+        .select("feat_id", "cx", "cy", "edges",
+          "bxmin", "bxmax", "bymin", "bymax")
       val pts = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_nationkey"))
         .join(broadcast(geom.select(col("feat_id").as("home"),
@@ -827,13 +850,11 @@ object SourcesSinks {
             .as("px"),
           (col("hcy") + (col("c_custkey") * 13 % 41 - 20) * 0.125 + 0.0625)
             .as("py"))
-      pts.crossJoin(broadcast(geom))
+      pts.join(broadcast(geom),
+          col("px") >= col("bxmin") && col("px") <= col("bxmax") &&
+            col("py") >= col("bymin") && col("py") <= col("bymax"))
         .withColumn("crossings", expr(
-          """aggregate(
-               flatten(transform(rings, r -> transform(
-                 sequence(1, size(r) - 1),
-                 i -> array(element_at(r, i), element_at(r, i + 1))))),
-               0,
+          """aggregate(edges, 0,
                (acc, e) -> acc + (CASE WHEN
                  (element_at(element_at(e, 1), 2) > py)
                    != (element_at(element_at(e, 2), 2) > py)
