@@ -76,7 +76,16 @@ class ParitySpec extends AnyFunSuite with SparkFixture {
       Relational.qGraphPagerank,
       Windows.qSessionStats,
       Llm.qTextEntropy,
-      Aggregates.qAggGini))
+      Aggregates.qAggGini,
+      // round 9: semdedup (Dec12 centroid + broadcast cosine + max/min
+      // prototype resolution), BM25 + RRF (ln scores, Dec12 term sums,
+      // rank fusion), linear interp (4 window fns over a left join),
+      // substr spans (shingle groupBy feeding window islands)
+      Llm.qEmbedSemdedup,
+      Llm.qTextBm25,
+      Llm.qSearchRrf,
+      Windows.qTimeInterpLinear,
+      Llm.qDedupSubstrSpans))
     test(s"${q.name} output is identical at shuffle.partitions = " +
         parallelisms.mkString("/")) {
       assertParity(q)
