@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Release the executor blocks behind a SUPERSEDED localCheckpoint'd
+    * frame. localCheckpoint truncates lineage, so its blocks are the ONLY
+    * copy of the data — this must be called exclusively on frames that
+    * will never be executed again (the previous round of a driver loop),
+    * never on the frame a caller will consume. Without this, every round
+    * of every iterative query leaves its full intermediate edge/label
+    * table pinned in the block manager for the rest of the JVM's life
+    * (ContextCleaner only reclaims on GC of the weak ref), which taxes
+    * everything that runs after the graph family in a long session.
+    */
+  private[graft] def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Order-independent (count, hash-xor) witness of a canonical edge set —
     * one scalar aggregate per round, same policy as the propagation loop's
     * monotone label sum (no row-level old-vs-new diff). bit_xor, not sum:
@@ -102,8 +119,9 @@ object Graph {
         // the else and keep iterating), not an abort — the very case the
         // guard exists for must recover, and the maxRounds cap still
         // bounds a pathological repeat.
+        release(next) // next ≡ e as sets; e carries on into the labels plan
         converged = true
-      } else { e = next; prev = cs; round += 1 }
+      } else { release(e); e = next; prev = cs; round += 1 }
     }
     require(converged,
       s"large-star/small-star did not converge in $maxRounds rounds " +
@@ -143,7 +161,11 @@ object Graph {
     // materialize the (static) adjacency and degree tables once —
     // otherwise every iteration's lazy plan re-runs the upstream
     // scan+distinct per join side (measured 11 s → 3 s at sf0.1); same
-    // localCheckpoint policy as connectedComponents
+    // localCheckpoint policy as connectedComponents. These two blocks
+    // live as long as the RETURNED plan (it reads them lazily), so this
+    // convenience wrapper is for small/test graphs — the production path
+    // is pageRankIterate over Bucketing.ensureBucketed parquet tables
+    // (q_graph_pagerank), which pins no executor blocks at all
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .toDF("src", "dst").localCheckpoint(true)
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -211,7 +233,7 @@ object Graph {
     while (open > 0 && round < maxRounds) {
       val a = lab.select(col("node").as("ak"), col("anc").as("aanc"),
         col("d").as("ad"), col("settled").as("asettled"))
-      lab = lab.join(a, col("anc") === col("ak"), "left")
+      val doubled = lab.join(a, col("anc") === col("ak"), "left")
         .select(col("node"),
           when(col("settled"), col("anc"))
             .otherwise(coalesce(col("aanc"), col("anc"))).as("anc"),
@@ -219,7 +241,9 @@ object Graph {
             .otherwise(col("d") + coalesce(col("ad"), lit(0L))).as("d"),
           (col("settled") || coalesce(col("asettled"), lit(false)))
             .as("settled"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: old lab fully read before release
+      release(lab)
+      lab = doubled
       round += 1
       open = lab.where(!col("settled")).limit(1).count()
     }
@@ -249,20 +273,34 @@ object Graph {
     * connectedComponents; early-exits when a frontier empties.
     */
   def bfsHops(und: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    var dist = seeds.select(col("node")).distinct()
+    // Checkpoint ONLY each round's frontier (O(frontier) rows), never the
+    // accumulated distance table: `dist` stays the LAZY union of the ≤
+    // maxHops+1 checkpointed frontiers, so the settled set is written once
+    // per node total instead of once per node PER HOP — re-materializing
+    // the full table every round is O(reached·hops) block writes, which at
+    // 100 TB is rewriting the accumulated BFS result each iteration. The
+    // union plan is ≤ maxHops+1 LogicalRDD leaves, so the per-round
+    // anti-join and the returned frame read cached frontier blocks with no
+    // recompute and no growing-lineage re-analysis.
+    val seed0 = seeds.select(col("node")).distinct()
       .withColumn("hops", lit(0)).localCheckpoint(true)
-    var frontier = dist.select("node")
+    var dist = seed0
+    var frontier = seed0.select("node")
     var h = 1
-    var live = frontier.limit(1).count() > 0
+    var live = !frontier.isEmpty
     while (h <= maxHops && live) {
       val next = frontier.join(und, frontier("node") === und("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint(true)
-      live = next.limit(1).count() > 0
-      dist = dist.union(next).localCheckpoint(true)
-      frontier = next.select("node")
+      // liveness probe reads the just-materialized frontier blocks (first
+      // non-empty partition) — no extra shuffle job beyond the checkpoint
+      live = !next.isEmpty
+      if (live) {
+        dist = dist.union(next)
+        frontier = next.select("node")
+      } else release(next) // empty frontier: nothing to keep
       h += 1
     }
     dist
