@@ -1642,6 +1642,16 @@ object Llm {
       "END + CASE WHEN rb IS NULL THEN CAST(0.0 AS DOUBLE) ELSE " +
       "CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rb AS DOUBLE)) END"
 
+  // 6-decimal quantization of the raw RRF sum via floor(x*1e6 + 0.5)/1e6 —
+  // pure IEEE double ops, bit-identical cross-engine by construction
+  // (§7.2: engine round() diverges at decimal-boundary ties because Spark
+  // rounds the shortest-decimal repr while DuckDB rounds the exact binary
+  // expansion; floor-based nearest is tie-hazard-free for x ≥ 0). Shared
+  // formula TEXT so both engines execute the identical op sequence.
+  private val rrfRoundedFml =
+    s"floor(($rrfFml) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))" +
+      " / CAST(1000000.0 AS DOUBLE)"
+
   /** Reciprocal rank fusion — the hybrid-search MERGE step (fuse lexical
     * and semantic rankings without score calibration; here BM25 and
     * smoothed-idf TF-IDF over the same 3-term query stand in as the two
@@ -1668,7 +1678,7 @@ object Llm {
       val tb = top50(scoreDocs(x, tfidfSumFml, "tfidf"), "tfidf", "rb")
         .select("doc_id", "rb")
       ta.join(tb, Seq("doc_id"), "full_outer")
-        .withColumn("rrf", round(expr(rrfFml), 6))
+        .withColumn("rrf", expr(rrfRoundedFml))
         .select(col("doc_id"), col("ra"), col("rb"), col("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     },
@@ -1683,7 +1693,7 @@ object Llm {
                       (ORDER BY tfidf DESC, doc_id) AS BIGINT) AS rb
                     FROM (SELECT * FROM tfi
                           ORDER BY tfidf DESC, doc_id LIMIT 50))
-         SELECT doc_id, ra, rb, round($rrfFml, 6) AS rrf
+         SELECT doc_id, ra, rb, $rrfRoundedFml AS rrf
          FROM ta FULL OUTER JOIN tb USING (doc_id)
          ORDER BY rrf DESC, doc_id LIMIT 20"""))
 

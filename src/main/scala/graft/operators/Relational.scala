@@ -783,9 +783,20 @@ object Relational {
     * One write-path artifact, two query families; repeat invocations pay
     * iteration/traversal cost only.
     */
-  private def graphStore(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val inputs = Seq(s"$dir/lineitem.parquet")
+  /** Catalog names are keyed by an md5 of the input dir (the
+    * dirKeyedTempPath doctrine): a fixed global name would race two
+    * concurrent sessions — or alias two scale dirs whose plans are built
+    * before either executes — onto one warehouse location. Consumers
+    * request only the table(s) they traverse: SSSP never builds the
+    * degree table it doesn't read.
+    */
+  private def graphKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Bucketed undirected adjacency (both orientations, bucketed on src). */
+  private def graphUnd(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_pr_und_${graphKey(dir)}"
     val e = Tables.lineitem(s, dir)
       .select((col("l_partkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
@@ -793,18 +804,23 @@ object Relational {
     graft.sources.Bucketing.ensureBucketed(
       e.union(e.select(col("b").as("a"), col("a").as("b")))
         .toDF("src", "dst"),
-      "graft_pr_und", "src", buckets = 32, inputs = inputs)
+      t, "src", buckets = 32, inputs = Seq(s"$dir/lineitem.parquet"))
+    s.table(t)
+  }
+
+  /** Bucketed degree table derived from the adjacency store. */
+  private def graphDeg(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_pr_deg_${graphKey(dir)}"
     graft.sources.Bucketing.ensureBucketed(
-      s.table("graft_pr_und").groupBy("src")
-        .agg(count(lit(1)).as("deg")),
-      "graft_pr_deg", "src", buckets = 32, inputs = inputs)
-    (s.table("graft_pr_und"), s.table("graft_pr_deg"))
+      graphUnd(s, dir).groupBy("src").agg(count(lit(1)).as("deg")),
+      t, "src", buckets = 32, inputs = Seq(s"$dir/lineitem.parquet"))
+    s.table(t)
   }
 
   val qGraphPagerank = Q(
     "q_graph_pagerank",
     (s, dir) => {
-      val (und, deg) = graphStore(s, dir)
+      val (und, deg) = (graphUnd(s, dir), graphDeg(s, dir))
       Graph.pageRankIterate(und, deg, iters = 3)
         .orderBy(col("r").desc, col("node"))
         .limit(20)
@@ -892,7 +908,7 @@ object Relational {
   val qGraphSssp = Q(
     "q_graph_sssp",
     (s, dir) => {
-      val (und, _) = graphStore(s, dir)
+      val und = graphUnd(s, dir)
       val seeds = und.select(col("src").as("node"))
         .where(pmod(col("node"), lit(100)) === 0).distinct()
       Graph.bfsHops(und, seeds, maxHops = 4).orderBy("node")

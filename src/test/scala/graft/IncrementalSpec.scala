@@ -84,8 +84,11 @@ class IncrementalSpec extends AnyFunSuite with SparkFixture {
     // the graph tables are BUCKETED tables (iteration-join key), so they
     // live in the warehouse dir, not the session temp root
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val und = Paths.get(wh, "graft_pr_und")
-    val deg = Paths.get(wh, "graft_pr_deg")
+    // table names are dir-keyed (md5), mirroring Relational.graphKey
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val und = Paths.get(wh, s"graft_pr_und_$key")
+    val deg = Paths.get(wh, s"graft_pr_deg_$key")
     SparkEntry.queries("q_graph_pagerank")(spark, sfDir).count()
     assert(Files.exists(und.resolve("_SUCCESS")) &&
       Files.exists(deg.resolve("_SUCCESS")))
