@@ -4,19 +4,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Q
-import graft.sources.Tables
+import graft.sources.{Incremental, SourcesSinks, Tables}
 
 /** Multimodal (image/audio/video) column design — SURVEY.md §2.J design row.
   *
   * Assets are opaque `BinaryType` payloads plus a typed metadata struct —
-  * the schema a 100 TB multimodal corpus would use. The actual media codecs
-  * are NOT in this container, so the decode kernels below are clearly-marked
-  * DETERMINISTIC STUBS (hash-derived pixels/samples); everything around them
-  * — schema, batched per-partition iteration, partitioning, output shape —
-  * is the real Spark plumbing and is unit-tested.
+  * the schema a 100 TB multimodal corpus would use. The decode kernels are
+  * REAL JDK codecs (no stubs): PNG via `javax.imageio.ImageIO` for images
+  * and video frames, PCM16 WAV via `javax.sound.sampled.AudioSystem` for
+  * audio; "video" is a length-prefixed pack of PNG frames (a documented
+  * synthetic container — the container is trivial, but every frame decode
+  * is a real image codec pass). Both codec families are pure-JVM, headless
+  * and deterministic.
   *
   * Scale posture: decode/feature-extract run via mapPartitions on the
-  * executor side (one JNI/codec context per partition, amortized across the
+  * executor side (one codec context per partition, amortized across the
   * batch — the Scala analog of Python's mapInPandas batching); assets are
   * repartitioned by asset_id so media bytes never skew one task; outputs are
   * narrow columns (features, dims) so downstream stages drop the payload
@@ -44,48 +46,208 @@ object Multimodal {
   final case class Frame(asset_id: Long, frame_idx: Int, ts_ms: Long,
                          features: Array[Float])
 
-  /** Deterministic synthetic asset table (tests only — no real media in the
-    * container). Payload bytes derive from sha2(asset_id).
+  // ---------------------------------------------------------------- codecs
+
+  /** Encode a deterministic RGB raster as real PNG bytes (lossless: the
+    * decoded getRGB of every pixel equals the value set here).
+    */
+  def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image decode: PNG bytes → BufferedImage via the JDK codec. */
+  def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    img
+  }
+
+  /** Encode PCM16 mono samples as a canonical 44-byte-header WAV. */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Real audio decode: WAV bytes → PCM16 samples via the JDK sampled-audio
+    * stack (AudioSystem parses the RIFF/fmt chunks; no audio device needed).
+    */
+  def decodeWav(bytes: Array[Byte]): Array[Short] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected PCM16 mono, got $fmt")
+      val raw = ais.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw)
+        .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+               else java.nio.ByteOrder.LITTLE_ENDIAN)
+      Array.fill(raw.length / 2)(bb.getShort)
+    } finally ais.close()
+  }
+
+  /** Pack PNG frames into the synthetic video container: a 4-byte
+    * big-endian frame count, then per frame a 4-byte length + PNG bytes.
+    */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + frames.map(4 + _.length).sum)
+    bb.putInt(frames.length)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  /** Unpack the synthetic video container back into per-frame PNG bytes. */
+  def unpackFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    (0 until n).map { _ =>
+      val len = bb.getInt
+      val f = new Array[Byte](len)
+      bb.get(f)
+      f
+    }
+  }
+
+  // ----------------------------------------------- synthetic asset corpus
+
+  private def assetKind(id: Long): String =
+    (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+
+  /** Deterministic raster for asset `id`: a modular pixel ramp (exact
+    * integer arithmetic, so the same raster is derivable analytically).
+    */
+  private def rampRgb(id: Long)(x: Int, y: Int): Int = {
+    val r = ((id + 3L * x + 5L * y) % 256).toInt
+    val g = ((2L * id + 7L * x + y) % 256).toInt
+    val b = ((5L * id + x + 11L * y) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Deterministic synthetic asset table carrying REAL media payloads:
+    * PNG rasters for images, PCM16 WAV for audio, PNG-frame packs for
+    * video. Generation runs executor-side (mapPartitions) — the encode
+    * cost parallelizes like any decode would.
     */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
-    spark.range(n.toLong).select(
-      col("id").as("asset_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("id"), lit(3)) + 1).cast(IntegerType)).as("kind"),
-      sha2(col("id").cast("string"), 256).cast("binary").as("media"),
-      struct(
-        (pmod(col("id"), lit(1024)) + 16).cast(IntegerType).as("width"),
-        (pmod(col("id") * 7, lit(768)) + 16).cast(IntegerType).as("height"),
-        lit(16000).as("sample_rate"),
-        (pmod(col("id"), lit(30000)) + 1000).as("duration_ms")).as("meta"))
+    spark.range(n.toLong).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 1024 + 16).toInt
+        val h = (id * 7 % 768 + 16).toInt
+        val durMs = id % 30000 + 1000
+        val media = assetKind(id) match {
+          case "image" => encodePng(w, h, rampRgb(id))
+          case "audio" =>
+            val nS = math.min(16000L * durMs / 1000L, 65536L).toInt
+            encodeWav(Array.tabulate(nS)(i =>
+              ((id * 31 + i * 17) % 65536 - 32768).toShort), 16000)
+          case _ =>
+            val frames = math.max(1L, durMs / 1000L).toInt
+            // frames stay small (16×12) so a long video is many frames,
+            // not one huge raster — the shape a real sampler produces
+            packFrames((0 until frames).map(f =>
+              encodePng(16, 12, rampRgb(id + f))))
+        }
+        Asset(id, assetKind(id), media,
+          AssetMeta(Some(w), Some(h), Some(16000), Some(durMs)))
+      }
+    }.toDF()
   }
 
-  /** STUB decode kernel: a real build links an image/audio codec here.
-    * Deterministic: features are a fixed-length fold of the payload bytes.
+  /** Per-bin mean luminance of a decoded raster: bin j averages pixels at
+    * raster index ≡ j (mod dim) — fixed iteration order, so float
+    * accumulation is deterministic.
     */
-  private def decodeStub(media: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < media.length) {
-      out(i % dim) += (media(i) & 0xff) / 255.0f
-      i += 1
+  private def lumBins(img: java.awt.image.BufferedImage,
+                      dim: Int): (Int, Int, Array[Float]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)) / (3.0f * 255.0f)
+        val j = (y * w + x) % dim
+        sums(j) += lum
+        counts(j) += 1
+        x += 1
+      }
+      y += 1
     }
-    out
+    var j = 0
+    while (j < dim) {
+      if (counts(j) > 0) sums(j) /= counts(j)
+      j += 1
+    }
+    (w, h, sums)
   }
 
-  /** Decode + feature-extract, batched per partition (mapInPandas analog):
-    * the codec context would be opened once per iterator, not per row.
+  /** Decode + feature-extract, batched per partition: REAL codec passes
+    * (ImageIO / AudioSystem) with the per-partition iterator amortizing
+    * codec setup. Features: images/video = per-bin mean luminance (video
+    * averaged across decoded frames), audio = per-bin mean |amplitude|.
     */
   def decodeAndFeaturize(assets: DataFrame, dim: Int = 16): Dataset[DecodedAsset] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.repartition(col("asset_id")).as[Asset].mapPartitions { it =>
-      // per-partition setup (codec init) would go here — once per batch
       it.map { a =>
-        val feats = decodeStub(a.media, dim)
-        DecodedAsset(a.asset_id, a.kind,
-          a.meta.width.getOrElse(0), a.meta.height.getOrElse(0), feats)
+        a.kind match {
+          case "image" =>
+            val (w, h, f) = lumBins(decodeImage(a.media), dim)
+            DecodedAsset(a.asset_id, a.kind, w, h, f)
+          case "audio" =>
+            val samples = decodeWav(a.media)
+            val sums = new Array[Float](dim)
+            val counts = new Array[Int](dim)
+            var i = 0
+            while (i < samples.length) {
+              sums(i % dim) += math.abs(samples(i).toInt) / 32768.0f
+              counts(i % dim) += 1
+              i += 1
+            }
+            var j = 0
+            while (j < dim) {
+              if (counts(j) > 0) sums(j) /= counts(j)
+              j += 1
+            }
+            DecodedAsset(a.asset_id, a.kind, 0, 0, sums)
+          case _ =>
+            val frames = unpackFrames(a.media).map(decodeImage)
+            val acc = new Array[Float](dim)
+            frames.foreach { img =>
+              val (_, _, f) = lumBins(img, dim)
+              var j = 0
+              while (j < dim) { acc(j) += f(j); j += 1 }
+            }
+            var j = 0
+            while (j < dim) { acc(j) /= frames.length; j += 1 }
+            DecodedAsset(a.asset_id, a.kind,
+              frames.head.getWidth, frames.head.getHeight, acc)
+        }
       }
     }
   }
@@ -95,33 +257,32 @@ object Multimodal {
     decoded.toDF()
       .withColumn("scale",
         least(lit(1.0), lit(maxSide.toDouble) /
-          greatest(col("width"), col("height")).cast(DoubleType)))
+          greatest(greatest(col("width"), col("height")), lit(1))
+            .cast(DoubleType)))
       .withColumn("out_w", ceil(col("width") * col("scale")).cast(IntegerType))
       .withColumn("out_h", ceil(col("height") * col("scale")).cast(IntegerType))
 
-  /** Frame sampling for video assets: one row per sampled frame at a fixed
-    * stride — the Spark-side shape of a frame-extraction pipeline.
+  /** Frame sampling for video assets: one row per REAL decoded frame at a
+    * fixed stride — every frame goes through the ImageIO codec.
     */
   def sampleFrames(assets: DataFrame, strideMs: Long = 1000,
                    dim: Int = 16): Dataset[Frame] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.where(col("kind") === "video").as[Asset].flatMap { a =>
-      val dur = a.meta.duration_ms.getOrElse(0L)
-      val n = math.max(1, (dur / strideMs).toInt)
-      val base = decodeStub(a.media, dim)
-      (0 until n).iterator.map { f =>
-        Frame(a.asset_id, f, f * strideMs,
-          base.map(v => v * (1.0f + f))) // stub per-frame variation
+      unpackFrames(a.media).iterator.zipWithIndex.map { case (png, f) =>
+        val (_, _, feats) = lumBins(decodeImage(png), dim)
+        Frame(a.asset_id, f, f * strideMs, feats)
       }
     }
   }
 
   /** Deterministic corpus-derived asset table in the full assetSchema shape:
     * one asset per document, media = the md5 hex digest of the text as
-    * bytes (a stand-in payload BOTH engines can derive — there's no real
-    * media in the container), meta from the doc id. This is the t2-visible
-    * bridge from the driver's tables to the multimodal pipeline.
+    * bytes (a stand-in payload BOTH engines can derive — the t2 oracle
+    * needs to recompute the payload analytically), meta from the doc id.
+    * This is the t2-visible bridge from the driver's tables to the
+    * multimodal pipeline; the REAL-codec t2 path is q_multimodal_decode.
     */
   def assetsFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
@@ -146,18 +307,18 @@ object Multimodal {
                            height: Int, out_w: Int, out_h: Int,
                            n_bytes: Int, feat: String)
 
-  /** The t2 multimodal query: decode (STUB kernel) + featurize + resize
-    * metadata over corpus-derived assets, through the REAL pipeline seams —
-    * BinaryType payload column, repartition by asset_id, typed
-    * Dataset[Asset], batched mapPartitions (the codec context would open
-    * once per partition iterator).
+  /** The t2 multimodal query: featurize + resize metadata over
+    * corpus-derived assets, through the REAL pipeline seams — BinaryType
+    * payload column, repartition by asset_id, typed Dataset[Asset],
+    * batched mapPartitions (the codec context opens once per partition
+    * iterator; the real-codec decode pass itself is q_multimodal_decode,
+    * whose payloads are actual PNG files).
     *
     * Featurization here is an integer byte-fold (bin j sums payload bytes
-    * at positions ≡ j mod 8) rather than decodeStub's float accumulation:
-    * exact integers make the identical feature vector computable in DuckDB
-    * (ascii() over the same md5 hex chars) → full oracle for the one
-    * mandated component that previously had none. The resize math is a
-    * single IEEE divide + multiply + ceil in both engines.
+    * at positions ≡ j mod 8): exact integers make the identical feature
+    * vector computable in DuckDB (ascii() over the same md5 hex chars) →
+    * full oracle. The resize math is a single IEEE divide + multiply +
+    * ceil in both engines.
     */
   val qMultimodalFeatures = Q(
     "q_multimodal_features",
@@ -224,9 +385,9 @@ object Multimodal {
     * sampled frame at a 1 s stride — the generator (flatMap) shape of a
     * video pipeline, through the same typed-Dataset/mapPartitions seams as
     * featurization. Per-frame fingerprint = integer byte-fold of the
-    * payload + frame index (the stub for "decode frame f"), exact in both
-    * engines → full oracle. Frame counts are bounded by duration_ms, so
-    * the fan-out is data-capped (max 30 rows/asset), never unbounded.
+    * payload + frame index, exact in both engines → full oracle. Frame
+    * counts are bounded by duration_ms, so the fan-out is data-capped
+    * (max 30 rows/asset), never unbounded.
     */
   val qMultimodalFrames = Q(
     "q_multimodal_frames",
@@ -265,5 +426,111 @@ object Multimodal {
             WHERE f.f < greatest(1, dur // 1000)
             ORDER BY asset_id, frame_idx"""))
 
-  val all: Seq[Q] = Seq(qMultimodalFeatures, qMultimodalFrames)
+  /** Output row of the t2 real-codec decode query. */
+  final case class PngStatRow(asset_id: Long, width: Int, height: Int,
+                              n_px: Long, sum_r: Long, sum_g: Long,
+                              sum_b: Long)
+
+  /** The t2 REAL-CODEC decode query: deterministic PNG files on disk →
+    * `binaryFile` ingest → `javax.imageio` decode in batched mapPartitions
+    * → per-image pixel statistics. The fixture writes one real PNG per
+    * sampled document (modular pixel ramp, dims from the doc id) via
+    * PER-PARTITION file writes (no driver collect), guarded by the same
+    * Incremental freshness check as the other file fixtures. PNG is
+    * lossless, so the decoded channel sums equal the construction's — and
+    * the oracle computes those sums ANALYTICALLY from the ramp formula
+    * (independent-formulation doctrine: DuckDB never decodes a PNG; a
+    * hash match proves encode → file → binaryFile → ImageIO preserved
+    * every pixel). All-integer stats → bit-exact cross-engine.
+    *
+    * Scale posture: the decode pass is the real thing — payload-bearing
+    * rows repartitioned by asset, a real codec invoked per row inside a
+    * per-partition batch, narrow integer outputs dropping the payload
+    * immediately. At 100 TB only the fixture builder changes (assets
+    * already exist); the read+decode+aggregate pipeline is unchanged.
+    */
+  val qMultimodalDecode = Q(
+    "q_multimodal_decode",
+    (s, dir) => {
+      import s.implicits._
+      val path = SourcesSinks.dirKeyedTempPath(s, dir, "png_assets")
+      if (!Incremental.isFresh(s, Seq(s"$dir/documents.parquet"), path)) {
+        val d = new java.io.File(path)
+        Option(d.listFiles).foreach(_.foreach { f =>
+          require(f.delete(),
+            s"png-assets rebuild: could not delete stale entry $f " +
+              "(unexpected subdirectory? the build writes flat files only)")
+        })
+        d.mkdirs()
+        // executor-side file writes, one task per partition — the fixture
+        // never funnels media bytes through the driver
+        Tables.documents(s, dir).select(col("doc_id"))
+          .where(pmod(col("doc_id"), lit(100)) === 0)
+          .as[Long]
+          .foreachPartition { (it: Iterator[Long]) =>
+            it.foreach { id =>
+              val w = (id % 13 + 4).toInt
+              val h = (id * 7 % 11 + 4).toInt
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(path, f"asset_$id%09d.png"),
+                encodePng(w, h, rampRgb(id)))
+            }
+          }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+      }
+      s.read.format("binaryFile").load(path)
+        .where(!col("path").endsWith("_SUCCESS"))
+        .select(
+          regexp_extract(element_at(split(col("path"), "/"), -1),
+            "asset_(\\d+)\\.png", 1).cast(LongType).as("asset_id"),
+          col("content"))
+        .repartition(col("asset_id"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // one ImageIO pass per row, batched per partition
+          it.map { case (id, bytes) =>
+            val img = decodeImage(bytes)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            PngStatRow(id, w, h, w.toLong * h, sr, sg, sb)
+          }
+        }
+        .toDF()
+        .orderBy("asset_id")
+    },
+    Some("""WITH d AS (SELECT doc_id AS asset_id,
+                              CAST(doc_id % 13 + 4 AS INT) AS width,
+                              CAST((doc_id * 7) % 11 + 4 AS INT) AS height
+                       FROM documents WHERE doc_id % 100 = 0),
+                 px AS (SELECT asset_id, width, height,
+                               (asset_id + 3 * x.i + 5 * y.i) % 256 AS r,
+                               (2 * asset_id + 7 * x.i + y.i) % 256 AS g,
+                               (5 * asset_id + x.i + 11 * y.i) % 256 AS b
+                        FROM d
+                        CROSS JOIN range(16) AS x(i)
+                        CROSS JOIN range(14) AS y(i)
+                        WHERE x.i < width AND y.i < height)
+            SELECT asset_id, width, height,
+                   CAST(count(*) AS BIGINT) AS n_px,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b
+            FROM px GROUP BY asset_id, width, height
+            ORDER BY asset_id"""))
+
+  val all: Seq[Q] = Seq(qMultimodalFeatures, qMultimodalFrames,
+    qMultimodalDecode)
 }

@@ -4,12 +4,37 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
-/** §2.J multimodal design: binary columns + typed metadata; the decode
-  * kernel is a deterministic stub but every Spark-side seam is real.
+/** §2.J multimodal design: binary columns + typed metadata; decode runs
+  * through REAL JDK codecs (ImageIO PNG, AudioSystem WAV) and every
+  * Spark-side seam (schema, repartition, batched mapPartitions) is real.
   */
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
 
   private lazy val assets = Multimodal.syntheticAssets(spark, 30).cache()
+
+  test("PNG encode→decode roundtrip is pixel-exact") {
+    val png = Multimodal.encodePng(7, 5,
+      (x, y) => ((x * 40) << 16) | ((y * 50) << 8) | (x + y))
+    val img = Multimodal.decodeImage(png)
+    assert(img.getWidth == 7 && img.getHeight == 5)
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert((img.getRGB(x, y) & 0xffffff) ==
+        (((x * 40) << 16) | ((y * 50) << 8) | (x + y)))
+  }
+
+  test("WAV encode→decode roundtrip is sample-exact") {
+    val samples = Array.tabulate(1000)(i => ((i * 997) % 65536 - 32768).toShort)
+    val back = Multimodal.decodeWav(Multimodal.encodeWav(samples, 16000))
+    assert(back.toSeq == samples.toSeq)
+  }
+
+  test("frame pack→unpack preserves every frame's bytes") {
+    val frames = (0 until 4).map(f =>
+      Multimodal.encodePng(6, 4, (x, y) => (f * 60 + x + y) << 16))
+    val back = Multimodal.unpackFrames(Multimodal.packFrames(frames))
+    assert(back.length == 4)
+    frames.zip(back).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+  }
 
   test("synthetic assets match the declared schema shape") {
     val schema = assets.schema
