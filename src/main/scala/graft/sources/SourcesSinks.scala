@@ -685,12 +685,6 @@ object SourcesSinks {
       import org.apache.spark.sql.expressions.Window
       val path = dirKeyedTempPath(s, dir, "binary_corpus")
       if (!Incremental.isFresh(s, Seq(s"$dir/documents.parquet"), path)) {
-        val blobs = Tables.documents(s, dir)
-          .groupBy("lang")
-          .agg(expr("array_join(transform(array_sort(" +
-            "collect_list(struct(doc_id, text))), p -> p.text), '\n')")
-            .as("blob"))
-          .collect()
         // clear any previous build first — a rebuild after the corpus
         // CHANGED (e.g. a language removed) must not leave stale blob
         // files behind for the binary read to pick up (Incremental
@@ -705,11 +699,31 @@ object SourcesSinks {
               "(unexpected subdirectory? the build writes flat files only)")
         })
         d.mkdirs()
-        blobs.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(path, s"corpus_${r.getString(0)}.txt"),
-            r.getString(1).getBytes("UTF-8"))
-        }
+        // executor-side writes, one file per language row — blob bytes
+        // never funnel through the driver (a per-lang blob is the whole
+        // language's corpus; collecting it is a driver OOM at scale). A
+        // blob must still fit ONE TASK: enforce that boundedness instead
+        // of assuming it — past the ceiling the right tool is a
+        // multi-file-per-lang layout, not a bigger heap
+        val maxBlobBytes = 256L << 20
+        Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(doc_id, text))), p -> p.text), '\n')")
+            .as("blob"))
+          .foreachPartition {
+            (it: Iterator[org.apache.spark.sql.Row]) =>
+              it.foreach { r =>
+                val bytes = r.getString(1).getBytes("UTF-8")
+                require(bytes.length <= maxBlobBytes,
+                  s"per-lang corpus blob for '${r.getString(0)}' is " +
+                    s"${bytes.length} B (> $maxBlobBytes): shard the " +
+                    "language across multiple files instead")
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(path,
+                    s"corpus_${r.getString(0)}.txt"), bytes)
+              }
+          }
         // freshness marker, same contract Incremental.isFresh checks
         java.nio.file.Files.write(
           java.nio.file.Paths.get(path, "_SUCCESS"), Array.empty[Byte])
