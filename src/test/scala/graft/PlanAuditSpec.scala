@@ -389,6 +389,46 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"expected exactly 1 hash exchange:\n$p")
   }
 
+  test("BM25 top-20 plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Llm.qTextBm25.fn(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "ranker top-k must be a bounded heap — a full corpus sort at 100 TB " +
+        "is the difference between top-k retrieval and a table rewrite")
+  }
+
+  test("RRF: each ranker's top-50 and the fused top-20 are TakeOrdered") {
+    val p = plan(Llm.qSearchRrf.fn(spark, sfDir))
+    assert("""\(\d+\) TakeOrderedAndProject""".r.findAllIn(p).size >= 2,
+      s"per-system top-50 / fused top-20 lost the bounded-heap plan:\n${
+        p.take(1500)}")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "fusion must stay a keyed outer join over two 50-row sides")
+  }
+
+  test("doc chunking is a pure generator: zero hash exchanges") {
+    val df = Llm.qTextChunk.fn(spark, sfDir)
+    assert(hashExchangeCount(df) == 0,
+      s"chunking must not shuffle (per-row slice generator; the only " +
+        s"exchange allowed is the presentation sort's range partitioning):\n${
+          simplePlan(df)}")
+    assert(simplePlan(df).contains("Generate"),
+      "posexplode generator missing from the plan")
+  }
+
+  test("point-in-polygon: bbox prefilter rides a broadcast join, edges hoisted") {
+    val p = plan(graft.sources.SourcesSinks.qGeoPointInPolygon.fn(spark, sfDir))
+    // the 25-row polygon side broadcasts; the bbox range predicate is the
+    // join condition (coarse filter), so the expensive ray-cast aggregate
+    // runs only on bbox survivors — and the edge list is materialized per
+    // polygon ROW before the join, not re-derived per (point, polygon) pair
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "bbox theta join must broadcast the bounded polygon side")
+    assert("Join condition:[^\\n]*bxmin".r.findFirstIn(p).isDefined,
+      s"bbox bounds must gate the join itself:\n${p.take(1500)}")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "unconditioned cross product crept into the spatial join")
+  }
+
   test("skew/kurtosis moment sums are one two-phase aggregate") {
     val p = plan(Aggregates.qAggSkewKurt.fn(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2,

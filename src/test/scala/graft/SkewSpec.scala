@@ -90,6 +90,45 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("hot-key fixture: salted agg equals plain agg, two-phase below the wire") {
+    // the aggregation-path counterpart of the hot-key join fixture: one
+    // group key owning ~20% of all rows must not serialize into a single
+    // reducer. saltedSumAgg's first shuffle keys on (key, salt), spreading
+    // the hot group over `salts` partitions; exact integer sums make the
+    // two-phase result bit-identical to the plain groupBy.
+    val s = spark
+    val hotKey = Tables.orders(s, sfDir)
+      .agg(min(col("o_orderkey"))).first().getLong(0)
+    val skewed = Tables.lineitem(s, sfDir)
+      .withColumn("l_orderkey",
+        when(col("l_orderkey") % 5 === 0, lit(hotKey))
+          .otherwise(col("l_orderkey")))
+      .select("l_orderkey", "l_linenumber")
+    val share = skewed.where(col("l_orderkey") === hotKey).count().toDouble /
+      skewed.count()
+    assert(share > 0.15, f"fixture lost its skew: hot key owns $share%.2f")
+    val plain = skewed.groupBy("l_orderkey")
+      .agg(sum(col("l_linenumber")).as("s"))
+    val salted = Skew.saltedSumAgg(skewed, "l_orderkey", "l_linenumber", 8, "s")
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    // the partial-agg evidence: both phases (salted partial and final)
+    // keep their map-side combine, so the hot key crosses each wire
+    // pre-reduced — 2 hash exchanges, >= 4 HashAggregate nodes
+    val sp = salted.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert("Exchange hashpartitioning".r.findAllIn(sp).size == 2,
+      s"expected the (key,salt) + key exchanges only:\n$sp")
+    assert("HashAggregate".r.findAllIn(sp).size >= 4,
+      s"partial+final must survive at BOTH phases:\n$sp")
+    // and the hot key genuinely spreads: its rows land in >1 salt bucket
+    val buckets = skewed.where(col("l_orderkey") === hotKey)
+      .withColumn("_salt",
+        pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .select("_salt").distinct().count()
+    assert(buckets > 1, "hot key collapsed into one salt bucket")
+  }
+
   test("salt actually spreads a hot key over multiple partitions") {
     val li = Tables.lineitem(spark, sfDir)
     val salts = li.withColumn("_salt",
