@@ -927,7 +927,75 @@ object Aggregates {
                   FROM orders)
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val all: Seq[Q] = Seq(qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
+  // lift / two-proportion z-score over the four exact counts — ONE formula
+  // text per output column, evaluated by both engines on identical integer
+  // operands (divisions and sqrt are the only inexact steps; sqrt is
+  // correctly rounded everywhere, §7.2)
+  private val abP0 = "CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+  private val abP1 = "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+  private val abPp = "CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)"
+  // degenerate designs (no conversions, or everyone converts) have no
+  // defined lift/z — NULL via the same CASE text in both engines, never
+  // a divide-by-zero (ANSI) or an Inf/NaN hash mismatch
+  private val abLift =
+    s"CASE WHEN c0 = 0 THEN NULL ELSE (($abP1) - ($abP0)) / ($abP0) END"
+  private val abZ =
+    s"CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE " +
+      s"(($abP1) - ($abP0)) / sqrt(($abPp) * (CAST(1.0 AS DOUBLE) - ($abPp))" +
+      s" * (CAST(1.0 AS DOUBLE) / CAST(n0 AS DOUBLE)" +
+      s" + CAST(1.0 AS DOUBLE) / CAST(n1 AS DOUBLE))) END"
+
+  /** A/B experiment readout — the two-proportion test an experimentation
+    * pipeline runs on every flag flip: users split into deterministic
+    * arms (user_id parity — no rand(), §7.2 rule 6), per-arm user-level
+    * conversion (≥1 purchase event), then lift and the pooled two-
+    * proportion z-score. The four underlying counts are exact distinct
+    * counts (one pass, conditional COUNT DISTINCT ×4 via the Expand
+    * rewrite — bounded by the 2×2 design, not the event volume); every
+    * derived number is a shared formula over those integers. Scale: one
+    * corpus scan into a 1-row result; the distinct shuffle carries
+    * user_ids only.
+    */
+  val qAbLift = Q(
+    "q_ab_lift",
+    (s, dir) => {
+      // conversion = a purchase above 100.0 (≈ p90 of purchase values):
+      // a bare "any purchase" converts EVERY synthetic user, which
+      // degenerates the test (pp = 1 → z undefined) at every scale
+      val conv = col("event_type") === "purchase" && col("value") > lit(100.0)
+      Tables.events(s, dir)
+        .agg(
+          countDistinct(when(col("user_id") % 2 === 0, col("user_id")))
+            .as("n0"),
+          countDistinct(when(col("user_id") % 2 === 0 && conv,
+            col("user_id"))).as("c0"),
+          countDistinct(when(col("user_id") % 2 === 1, col("user_id")))
+            .as("n1"),
+          countDistinct(when(col("user_id") % 2 === 1 && conv,
+            col("user_id"))).as("c1"))
+        .select(col("n0"), col("c0"), col("n1"), col("c1"),
+          expr(abP0).as("p0"), expr(abP1).as("p1"),
+          expr(abLift).as("lift"), expr(abZ).as("z"))
+    },
+    Some(s"""WITH k AS (SELECT
+               count(DISTINCT CASE WHEN user_id % 2 = 0
+                                   THEN user_id END) AS n0,
+               count(DISTINCT CASE WHEN user_id % 2 = 0
+                                   AND event_type = 'purchase'
+                                   AND value > CAST(100.0 AS DOUBLE)
+                                   THEN user_id END) AS c0,
+               count(DISTINCT CASE WHEN user_id % 2 = 1
+                                   THEN user_id END) AS n1,
+               count(DISTINCT CASE WHEN user_id % 2 = 1
+                                   AND event_type = 'purchase'
+                                   AND value > CAST(100.0 AS DOUBLE)
+                                   THEN user_id END) AS c1
+             FROM events)
+            SELECT n0, c0, n1, c1, $abP0 AS p0, $abP1 AS p1,
+                   $abLift AS lift, $abZ AS z
+            FROM k"""))
+
+  val all: Seq[Q] = Seq(qAbLift, qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
     qAggSkewKurt, qAggMad, qTimeOhlc, qProfileColumns, qAggGini,
     qAggStringAgg, qAggBoolBit,
     qAggArgmax, qAggDistinctMulti,

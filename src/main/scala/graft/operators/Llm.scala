@@ -2397,7 +2397,48 @@ object Llm {
           FROM embeddings WHERE vec_id < 200 ORDER BY vec_id"""
     }))
 
+  /** BPE pair counting — the inner loop of byte-pair-encoding tokenizer
+    * TRAINING (the single most-run corpus statistic in LLM data work:
+    * every merge round of BPE/WordPiece recounts adjacent-pair
+    * frequencies): count adjacent token pairs corpus-wide, emit the
+    * top-30 merge candidates. Pairs are generated per row (transform over
+    * an index sequence — zero shuffle until the count), guarded for
+    * single-token docs (Spark's sequence(1,0) runs DESCENDING — an
+    * unguarded generator would fabricate pairs and hit index 0); counts
+    * are exact integers and the top-30 is a bounded heap
+    * (TakeOrderedAndProject), tie-broken by (a, b) for a deterministic
+    * cut. Scale: one two-phase count on (a, b) — pair cardinality is
+    * vocabulary², far below corpus size; the generator adds no exchange.
+    */
+  val qBpePairCounts = Q(
+    "q_bpe_pair_counts",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(expr(
+          "CASE WHEN size(toks) >= 2 THEN " +
+            "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS a, " +
+            "element_at(toks, i + 1) AS b)) " +
+            "ELSE array() END")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .where(col("a") =!= "" && col("b") =!= "")
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(30),
+    Some("""WITH d AS (SELECT string_split(text, ' ') AS toks
+                       FROM documents),
+             p AS (SELECT toks[CAST(t.i AS INT)] AS a,
+                          toks[CAST(t.i AS INT) + 1] AS b
+                   FROM d, unnest(range(1, len(toks))) AS t(i))
+            SELECT a, b, count(*) AS n
+            FROM p WHERE a <> '' AND b <> ''
+            GROUP BY a, b
+            ORDER BY n DESC, a, b LIMIT 30"""))
+
   val all: Seq[Q] = Seq(
+    qBpePairCounts,
     qSampleStratified, qTextNgramLm, qCorpusPack, qCorpusMixture,
     qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,

@@ -1128,6 +1128,79 @@ object Relational {
                   GROUP BY pa, pb)
             ORDER BY n_orders DESC, pa, pb LIMIT 20"""))
 
+  // whole-cents total via the bit-portable nearest-int (§7.2: floor(x+0.5)
+  // is pure IEEE in both engines; engine round() diverges at ties)
+  private val centsFml =
+    "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE) " +
+      "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** Largest-remainder proration — the exact-allocation operator every
+    * billing/finance pipeline needs: split an order's total (whole cents)
+    * across its line items proportionally to quantity so the allocated
+    * cents SUM EXACTLY to the total (naive per-line rounding drifts by
+    * ±n/2 cents; auditors notice). Base share = floor(total·qᵢ/Q) per
+    * line; the leftover cents (total − Σbase < n_lines) go one each to
+    * the largest remainders (total·qᵢ mod Q), tie-broken by line number —
+    * fully integer arithmetic end-to-end, so the oracle is bit-exact.
+    * Duplicate (orderkey, linenumber) rows in the synthetic lineitem are
+    * pre-merged (quantity summed) so the remainder rank has a total
+    * order. Scale: one shuffle on the order key serves the line merge,
+    * both window sums and the remainder rank (HashPartitioning(okey)
+    * satisfies all four); output is one row per line.
+    */
+  val qAllocProration = Q(
+    "q_alloc_proration",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("l_orderkey")
+      val wRank = Window.partitionBy("l_orderkey")
+        .orderBy(col("rem").desc, col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        // ONE exchange on the order key serves everything downstream:
+        // HashPartitioning(okey) satisfies the (okey, lineno) merge's
+        // clustering, both window sums, the remainder rank AND the join
+        // (plan-asserted) — without it the merge would shuffle on the
+        // composite key and the window would re-shuffle on okey
+        .repartition(col("l_orderkey"))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(sum(col("l_quantity")
+          .cast(org.apache.spark.sql.types.LongType)).as("q"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), expr(centsFml).as("tot_c")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("qsum", sum(col("q")).over(wOrd))
+        .withColumn("base", expr("(tot_c * q) div qsum"))
+        .withColumn("rem", expr("(tot_c * q) % qsum"))
+        .withColumn("bsum", sum(col("base")).over(wOrd))
+        .withColumn("rk", row_number().over(wRank))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("base") + when(col("rk") <= col("tot_c") - col("bsum"),
+            lit(1L)).otherwise(lit(0L))).as("alloc_cents"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some(s"""WITH li AS (SELECT l_orderkey, l_linenumber,
+                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                  FROM lineitem GROUP BY 1, 2),
+             o AS (SELECT o_orderkey, $centsFml AS tot_c FROM orders),
+             j AS (SELECT li.*, o.tot_c,
+                     CAST(SUM(q) OVER (PARTITION BY l_orderkey) AS BIGINT)
+                       AS qsum
+                   FROM li JOIN o ON l_orderkey = o_orderkey),
+             b AS (SELECT *, (tot_c * q) // qsum AS base,
+                          (tot_c * q) % qsum AS rem
+                   FROM j),
+             e AS (SELECT *,
+                     CAST(SUM(base) OVER (PARTITION BY l_orderkey)
+                       AS BIGINT) AS bsum,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY rem DESC, l_linenumber) AS rk
+                   FROM b)
+            SELECT l_orderkey, l_linenumber,
+                   CAST(base + CASE WHEN rk <= tot_c - bsum
+                                    THEN 1 ELSE 0 END AS BIGINT)
+                     AS alloc_cents
+            FROM e ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Seq[Q] = Seq(
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
@@ -1135,5 +1208,5 @@ object Relational {
     qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
     qMergeUpsert, qCdcApply, qGraphPagerank, qDqChecks, qCompositeShipping,
     qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup,
-    qGraphSssp)
+    qGraphSssp, qAllocProration)
 }

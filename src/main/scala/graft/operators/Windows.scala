@@ -940,6 +940,147 @@ object Windows {
                    CAST(sum(n_src) AS BIGINT) AS n_orders
             FROM runs GROUP BY k ORDER BY k"""))
 
+  /** First-order Markov transition matrix over the event stream — the
+    * sequence model behind next-action prediction, funnel leak analysis
+    * and session simulators: P(next event type | current event type).
+    * Per-user successor via one lead() window (ordered by (ts, event_id)
+    * for a total order even under timestamp ties), then transition counts
+    * and row-normalized probabilities. Counts are exact integers; the
+    * probability is the ONE IEEE division, performed on identical operands
+    * in both engines. Scale: the user window is one shuffle on user_id
+    * (O(events) rows); the transition matrix itself is bounded by
+    * |event types|² — a broadcast-sized result no matter the corpus, with
+    * the per-source total computed by a window over that tiny table
+    * (reuses the groupBy partitioning, no extra join).
+    */
+  val qMarkovTransitions = Q(
+    "q_markov_transitions",
+    (s, dir) => {
+      val wNext = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(wNext))
+        .where(col("dst").isNotNull)
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot",
+          sum(col("n")).over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), col("n"),
+          (col("n").cast(org.apache.spark.sql.types.DoubleType) /
+            col("tot").cast(org.apache.spark.sql.types.DoubleType)).as("p"))
+        .orderBy("src", "dst")
+    },
+    Some("""WITH seq AS (SELECT event_type AS src,
+                    lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS dst
+                  FROM events),
+             t AS (SELECT src, dst, count(*) AS n
+                   FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+             tt AS (SELECT src, dst, n,
+                      CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS tot
+                    FROM t)
+            SELECT src, dst, n, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+            FROM tt ORDER BY src, dst"""))
+
+  /** Dense calendar spine — the densification step every time-series
+    * rollup needs before resampling/joining (BI calendars, SLA windows,
+    * forecasting frames): generate EVERY day in the data's own [min, max]
+    * span and left-join the daily rollup onto it, zero-filling the days
+    * with no orders (2399 of ~2404 days are present in the synthetic
+    * span — the holes are what the spine repairs). The span comes from a
+    * 1-row min/max aggregate and the spine is generated IN-PLAN
+    * (sequence + explode — no driver loop, no collected bounds); the
+    * daily rollup is a bounded-key two-phase aggregate; the join
+    * broadcasts the spine side only if tiny — at a 100-year span it is
+    * still only ~36k rows, driver-negligible either way.
+    */
+  val qCalendarSpine = Q(
+    "q_calendar_spine",
+    (s, dir) => {
+      val span = Tables.orders(s, dir)
+        .agg(to_date(min(col("o_orderdate"))).as("d0"),
+          to_date(max(col("o_orderdate"))).as("d1"))
+      val spine = span.select(
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("rev"))
+      spine.join(daily, Seq("d"), "left")
+        .select(
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("rev"), lit(0.0)).as("rev"),
+          col("n_orders").isNull.as("is_missing"))
+        .orderBy("d")
+    },
+    Some(s"""WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+                      CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+             spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+                         INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+             daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                         count(*) AS n_orders,
+                         ${Det.sqlSum("o_totalprice")} AS rev
+                       FROM orders GROUP BY 1)
+            SELECT CAST(s.d AS TIMESTAMP) AS d,
+                   COALESCE(daily.n_orders, 0) AS n_orders,
+                   COALESCE(daily.rev, CAST(0.0 AS DOUBLE)) AS rev,
+                   daily.n_orders IS NULL AS is_missing
+            FROM spine s LEFT JOIN daily USING (d) ORDER BY d"""))
+
+  /** Rolling MEDIAN over a 7-row frame — the robust smoother metric
+    * pipelines use where a rolling mean would chase outliers (latency
+    * dashboards, spike-resistant trend lines). Spark has no exact median
+    * window function, so the frame is materialized as a SORTED ARRAY
+    * (collect_list over a 7-row frame, sort_array) and the median read
+    * off explicitly; the oracle builds the IDENTICAL construction with
+    * list(…) OVER + list_sort — both engines then take the same element
+    * for odd frames (exact) or the same one-add-one-divide for even
+    * frames, so the result is bit-exact (no quantile interpolation
+    * ambiguity). Inputs are Det-decimal daily sums, deterministic by
+    * doctrine. Scale: the frame is O(7) per row — the array never grows
+    * with the data; one shuffle on the partition key serves the window
+    * and the output sort reuses nothing heavier than the bounded daily
+    * rollup (bounded keys: flag × day).
+    */
+  val qWinRollingMedian = Q(
+    "q_win_rolling_median",
+    (s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(Det.dsum(col("l_extendedprice")).as("rev"))
+      val wFrame = Window.partitionBy("flag").orderBy("d").rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("rev")).over(wFrame)))
+        .withColumn("med", expr(
+          "CASE WHEN size(arr) % 2 = 1 " +
+            "THEN element_at(arr, CAST(size(arr) div 2 + 1 AS INT)) " +
+            "ELSE (element_at(arr, CAST(size(arr) div 2 AS INT)) " +
+            "+ element_at(arr, CAST(size(arr) div 2 + 1 AS INT))) " +
+            "/ CAST(2.0 AS DOUBLE) END"))
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          size(col("arr")).as("n_frame"), col("med"))
+        .orderBy("flag", "d")
+    },
+    Some(s"""WITH daily AS (SELECT l_returnflag AS flag,
+                      CAST(l_shipdate AS DATE) AS d,
+                      ${Det.sqlSum("l_extendedprice")} AS rev
+                    FROM lineitem GROUP BY 1, 2),
+             fr AS (SELECT flag, d,
+                      list_sort(list(rev) OVER (PARTITION BY flag ORDER BY d
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+                    FROM daily)
+            SELECT flag, CAST(d AS TIMESTAMP) AS d,
+                   CAST(len(arr) AS INT) AS n_frame,
+                   CASE WHEN len(arr) % 2 = 1
+                        THEN arr[len(arr) // 2 + 1]
+                        ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1])
+                             / CAST(2.0 AS DOUBLE) END AS med
+            FROM fr ORDER BY flag, d"""))
+
   val all: Seq[Q] = Seq(
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,
@@ -948,5 +1089,6 @@ object Windows {
     qScd2Asof, qWinRatioToReport, qWinDenseRank,
     qSortMultikey, qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset,
-    qWinIntervalMerge)
+    qWinIntervalMerge, qMarkovTransitions, qCalendarSpine,
+    qWinRollingMedian)
 }

@@ -429,6 +429,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "unconditioned cross product crept into the spatial join")
   }
 
+  test("proration shares one lineitem exchange across merge, windows, rank") {
+    val df = Relational.qAllocProration.fn(spark, sfDir)
+    // lineitem repartition(okey) + the orders join side = 2 hash
+    // exchanges total; the line merge, both per-order window sums and
+    // the remainder rank must all reuse HashPartitioning(okey)
+    val hash = hashExchangeCount(df)
+    assert(hash <= 2, s"expected lineitem+orders exchanges only, got $hash")
+    assert(simplePlan(df).contains("Window"))
+  }
+
+  test("rolling median frame arrays never leave the window operator") {
+    val df = Windows.qWinRollingMedian.fn(spark, sfDir)
+    // daily rollup exchange on (flag, d) + window exchange on flag; the
+    // O(7) frame arrays are per-row locals — no array-typed shuffle
+    assert(hashExchangeCount(df) <= 2,
+      s"unexpected exchanges:\n${simplePlan(df)}")
+  }
+
   test("skew/kurtosis moment sums are one two-phase aggregate") {
     val p = plan(Aggregates.qAggSkewKurt.fn(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
