@@ -2437,8 +2437,93 @@ object Llm {
             GROUP BY a, b
             ORDER BY n DESC, a, b LIMIT 30"""))
 
+  /** URL canonicalization + dedup — the crawl-frontier/dedup step every
+    * web-corpus pipeline runs before fetching or keeping a page twice
+    * under cosmetically different URLs: lowercase scheme+host, strip the
+    * default :80 port, strip the trailing path slash, drop utm_*
+    * tracking params, SORT the remaining query params. Messy variants
+    * are synthesized deterministically from doc ids (case, port, slash,
+    * param order and tracking noise all vary) and parsed back with the
+    * same regexp groups in both engines; docs whose URLs collapse to one
+    * canonical form are the duplicate group. Pure string ops → bit-exact.
+    * Scale: canonicalization is a per-row projection (no shuffle); the
+    * group-by is on the canonical key — the same hash-partition dedup
+    * shape as q_dedup_exact_hash.
+    */
+  val qUrlCanonical = Q(
+    "q_url_canonical",
+    (s, dir) => {
+      val url =
+        "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, " +
+          "'://', CASE WHEN doc_id % 5 = 0 THEN 'www.site' " +
+          "ELSE 'WWW.Site' END, CAST(doc_id % 7 AS STRING), '.COM', " +
+          "CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END, " +
+          "'/p/', CAST(doc_id % 50 AS STRING), " +
+          "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, " +
+          "CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=x' " +
+          "ELSE '?a=1&b=2' END)"
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr(url).as("url"))
+        .withColumn("scheme",
+          regexp_extract(col("url"), "^([a-zA-Z]+)://", 1))
+        .withColumn("host",
+          regexp_extract(col("url"), "^[a-zA-Z]+://([^/?]+)", 1))
+        .withColumn("path",
+          regexp_extract(col("url"), "^[a-zA-Z]+://[^/?]+([^?]*)", 1))
+        .withColumn("query", regexp_extract(col("url"), "\\?(.*)$", 1))
+        .withColumn("canonq", expr(
+          "array_join(array_sort(filter(split(query, '&'), " +
+            "x -> NOT startswith(x, 'utm_') AND x != '')), '&')"))
+        .withColumn("canonical", concat(
+          lower(col("scheme")), lit("://"),
+          regexp_replace(lower(col("host")), ":80$", ""),
+          expr("rtrim('/', path)"),
+          expr("CASE WHEN canonq = '' THEN '' " +
+            "ELSE concat('?', canonq) END")))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_variants"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("canonical")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                  || '://'
+                  || (CASE WHEN doc_id % 5 = 0 THEN 'www.site'
+                           ELSE 'WWW.Site' END)
+                  || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+                  || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+                  || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+                  || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                  || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=x'
+                           ELSE '?a=1&b=2' END) AS url
+                FROM documents),
+             p AS (SELECT doc_id, url,
+                     regexp_extract(url, '^([a-zA-Z]+)://', 1) AS scheme,
+                     regexp_extract(url, '^[a-zA-Z]+://([^/?]+)', 1) AS host,
+                     regexp_extract(url, '^[a-zA-Z]+://[^/?]+([^?]*)', 1)
+                       AS path,
+                     regexp_extract(url, '\?(.*)$', 1) AS query
+                   FROM u),
+             c AS (SELECT doc_id, url,
+                     lower(scheme) || '://'
+                     || regexp_replace(lower(host), ':80$', '')
+                     || rtrim(path, '/')
+                     || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)
+                       AS canonical
+                   FROM (SELECT *,
+                           array_to_string(list_sort(list_filter(
+                             string_split(query, '&'),
+                             x -> NOT starts_with(x, 'utm_')
+                                  AND x <> '')), '&') AS cq
+                         FROM p))
+            SELECT canonical, count(*) AS n_docs,
+                   count(DISTINCT url) AS n_variants,
+                   min(doc_id) AS min_doc
+            FROM c GROUP BY canonical ORDER BY canonical"""))
+
   val all: Seq[Q] = Seq(
-    qBpePairCounts,
+    qBpePairCounts, qUrlCanonical,
     qSampleStratified, qTextNgramLm, qCorpusPack, qCorpusMixture,
     qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,

@@ -1081,7 +1081,84 @@ object Windows {
                              / CAST(2.0 AS DOUBLE) END AS med
             FROM fr ORDER BY flag, d"""))
 
+  /** Running drawdown — the monitoring/finance curve metric (how far
+    * below its best-so-far a series has fallen; alerting and
+    * risk-of-ruin both read it): per-flag daily revenue, running peak =
+    * max over the unbounded-preceding frame (max is order-free and
+    * exact), drawdown = peak − current (one IEEE subtraction on
+    * identical operands in both engines — the Det daily sums are already
+    * bit-identical). Scale: one shuffle on the partition key; the
+    * running max is O(1) state per row.
+    */
+  val qWinDrawdown = Q(
+    "q_win_drawdown",
+    (s, dir) => {
+      val wRun = Window.partitionBy("flag").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(Det.dsum(col("l_extendedprice")).as("rev"))
+        .withColumn("peak", max(col("rev")).over(wRun))
+        .withColumn("dd", col("peak") - col("rev"))
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("rev"), col("peak"), col("dd"))
+        .orderBy("flag", "d")
+    },
+    Some(s"""WITH daily AS (SELECT l_returnflag AS flag,
+                      CAST(l_shipdate AS DATE) AS d,
+                      ${Det.sqlSum("l_extendedprice")} AS rev
+                    FROM lineitem GROUP BY 1, 2)
+            SELECT flag, CAST(d AS TIMESTAMP) AS d, rev,
+                   max(rev) OVER (PARTITION BY flag ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS peak,
+                   max(rev) OVER (PARTITION BY flag ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - rev AS dd
+            FROM daily ORDER BY flag, d"""))
+
+  /** Last-touch attribution — the marketing-analytics join of purchases
+    * back to the most recent preceding engagement (click/view) in the
+    * same user's stream: one `last(…, ignoreNulls)` window over
+    * (ts, event_id) — a total order, so the credited touch is
+    * deterministic — then revenue rolled up per touch type, with
+    * touchless purchases credited to '(organic)' (spelled explicitly:
+    * NULL group ordering differs across engines). Scale: one shuffle on
+    * user_id serves the window; the rollup is bounded by the event-type
+    * vocabulary.
+    */
+  val qAttributionLastTouch = Q(
+    "q_attribution_last_touch",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("touch",
+          last(when(col("event_type").isin("click", "view"),
+            col("event_type")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("(organic)")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Det.dsum(col("value")).as("revenue"))
+        .orderBy("touch_type")
+    },
+    Some(s"""WITH t AS (SELECT event_type, value,
+                    last_value(CASE WHEN event_type IN ('click', 'view')
+                                    THEN event_type END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS touch
+                  FROM events)
+            SELECT COALESCE(touch, '(organic)') AS touch_type,
+                   count(*) AS n_purchases,
+                   ${Det.sqlSum("value")} AS revenue
+            FROM t WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY touch_type"""))
+
   val all: Seq[Q] = Seq(
+    qWinDrawdown, qAttributionLastTouch,
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,
     qTimeInterpLinear, qScd2Dim,

@@ -907,10 +907,51 @@ object SourcesSinks {
                    CAST(sum(c_custkey) AS BIGINT) AS sum_keys
             FROM hits GROUP BY feat_id ORDER BY feat_id"""))
 
+  /** Weighted centroid per region — the label-placement / cluster-center
+    * computation a map pipeline runs per feature group (the tile
+    * renderer's "where does the marker go"): Σwᵢ·xᵢ / Σwᵢ with integer
+    * weights over the exact binary-fraction synthetic coords (products
+    * are exact doubles; the Det decimal sum keeps the reduction
+    * order-free), one IEEE division per axis at the end — shared
+    * spelling both engines. Scale: one bounded-key two-phase aggregate
+    * over the point scan; weights and coords are the only columns read.
+    */
+  val qGeoCentroidWeighted = Q(
+    "q_geo_centroid_weighted",
+    (s, dir) => {
+      val pts = Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("segment"),
+          (col("c_custkey") * 3 % 360 - 180 + 0.5).as("lon"),
+          (col("c_custkey") * 11 % 180 - 90 + 0.5).as("lat"),
+          (col("c_custkey") % 10 + 1).as("w"))
+      pts.groupBy("segment")
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("w")).as("w_sum"),
+          (sum((col("w") * col("lon")).cast(graft.Det.Dec))
+            .cast(DoubleType) /
+            sum(col("w")).cast(DoubleType)).as("cx"),
+          (sum((col("w") * col("lat")).cast(graft.Det.Dec))
+            .cast(DoubleType) /
+            sum(col("w")).cast(DoubleType)).as("cy"))
+        .orderBy("segment")
+    },
+    Some("""WITH pts AS (SELECT c_mktsegment AS segment,
+                   CAST(c_custkey * 3 % 360 - 180 + 0.5 AS DOUBLE) AS lon,
+                   CAST(c_custkey * 11 % 180 - 90 + 0.5 AS DOUBLE) AS lat,
+                   c_custkey % 10 + 1 AS w
+                 FROM customer)
+            SELECT segment, count(*) AS n_points,
+                   CAST(sum(w) AS BIGINT) AS w_sum,
+                   CAST(SUM(CAST((w * lon) AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS cx,
+                   CAST(SUM(CAST((w * lat) AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS cy
+            FROM pts GROUP BY segment ORDER BY segment"""))
+
   val all: Seq[Q] =
     Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
       qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,
       qSourceCsvRoundtrip, qSourceJsonlRoundtrip,
       qScanPartitionPruned, qSourceBinaryfileRoundtrip, qGeoTilePyramid,
-      qGeoPointInPolygon)
+      qGeoPointInPolygon, qGeoCentroidWeighted)
 }
