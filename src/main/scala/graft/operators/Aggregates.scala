@@ -995,7 +995,58 @@ object Aggregates {
                    $abLift AS lift, $abZ AS z
             FROM k"""))
 
-  val all: Seq[Q] = Seq(qAbLift, qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
+  /** Weighted median — the robust location estimate when observations
+    * carry importance weights (survey analytics, weighted SLAs; the
+    * unweighted median is q_agg_percentile's 0.5 case). Lower weighted
+    * median: the smallest value whose running weight reaches half the
+    * total (2·cum ≥ tot in integers — no division at all). Selection is
+    * an ELEMENT of the data (never interpolated), the cumulative weight
+    * runs over the (value, custkey) total order, and weights are exact
+    * integers — both engines walk the identical construction, so the
+    * result is bit-exact. Scale: one shuffle on the group key serves the
+    * cumsum window and the rank; no per-group arrays.
+    */
+  val qAggWeightedMedian = Q(
+    "q_agg_weighted_median",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.partitionBy("segment")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("segment")
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("segment"), col("c_acctbal"),
+          col("c_custkey"), (col("c_custkey") % 10 + 1).as("w"))
+        .withColumn("cum", sum(col("w")).over(wCum))
+        .withColumn("tot", sum(col("w")).over(wTot))
+        .where(col("cum") * 2 >= col("tot"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("segment")
+            .orderBy("c_acctbal", "c_custkey")))
+        .where(col("rk") === 1)
+        .select(col("segment"), col("c_acctbal").as("w_median"),
+          col("tot").as("w_total"))
+        .orderBy("segment")
+    },
+    Some("""WITH x AS (SELECT c_mktsegment AS segment, c_acctbal,
+                              c_custkey, c_custkey % 10 + 1 AS w
+                       FROM customer),
+             c AS (SELECT *,
+                     CAST(sum(w) OVER (PARTITION BY segment
+                       ORDER BY c_acctbal, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                     CAST(sum(w) OVER (PARTITION BY segment) AS BIGINT)
+                       AS tot
+                   FROM x),
+             r AS (SELECT *, row_number() OVER (PARTITION BY segment
+                     ORDER BY c_acctbal, c_custkey) AS rk
+                   FROM c WHERE cum * 2 >= tot)
+            SELECT segment, c_acctbal AS w_median, tot AS w_total
+            FROM r WHERE rk = 1 ORDER BY segment"""))
+
+  val all: Seq[Q] = Seq(qAbLift, qAggWeightedMedian,
+    qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
     qAggSkewKurt, qAggMad, qTimeOhlc, qProfileColumns, qAggGini,
     qAggStringAgg, qAggBoolBit,
     qAggArgmax, qAggDistinctMulti,

@@ -531,6 +531,79 @@ object Multimodal {
             FROM px GROUP BY asset_id, width, height
             ORDER BY asset_id"""))
 
+  /** Output row of the t2 audio-decode query. */
+  final case class WavStatRow(asset_id: Long, n_samples: Int, sum_s: Long,
+                              min_s: Int, max_s: Int)
+
+  /** The t2 audio counterpart of [[qMultimodalDecode]]: deterministic
+    * PCM16 WAVs (modular sample ramps) written as real files from the
+    * executors, ingested through `binaryFile`, decoded with the JDK
+    * sampled-audio stack in batched mapPartitions, reduced to exact
+    * integer sample statistics. The oracle recomputes the stats
+    * analytically from the ramp formula — DuckDB never parses a WAV; a
+    * hash match proves encode → file → binaryFile → AudioSystem decode
+    * preserved every sample. Second REAL-codec modality after PNG.
+    */
+  val qMultimodalAudioDecode = Q(
+    "q_multimodal_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      val path = SourcesSinks.dirKeyedTempPath(s, dir, "wav_assets")
+      if (!Incremental.isFresh(s, Seq(s"$dir/documents.parquet"), path)) {
+        val d = new java.io.File(path)
+        Option(d.listFiles).foreach(_.foreach { f =>
+          require(f.delete(),
+            s"wav-assets rebuild: could not delete stale entry $f")
+        })
+        d.mkdirs()
+        Tables.documents(s, dir).select(col("doc_id"))
+          .where(pmod(col("doc_id"), lit(100)) === 50)
+          .as[Long]
+          .foreachPartition { (it: Iterator[Long]) =>
+            it.foreach { id =>
+              val n = (id % 50 + 20).toInt
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(path, f"audio_$id%09d.wav"),
+                encodeWav(Array.tabulate(n)(i =>
+                  ((id * 31 + i * 17) % 65536 - 32768).toShort), 16000))
+            }
+          }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+      }
+      s.read.format("binaryFile").load(path)
+        .where(!col("path").endsWith("_SUCCESS"))
+        .select(
+          regexp_extract(element_at(split(col("path"), "/"), -1),
+            "audio_(\\d+)\\.wav", 1).cast(LongType).as("asset_id"),
+          col("content"))
+        .repartition(col("asset_id"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val samples = decodeWav(bytes)
+            var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+            samples.foreach { v =>
+              sum += v; mn = math.min(mn, v.toInt); mx = math.max(mx, v.toInt)
+            }
+            WavStatRow(id, samples.length, sum, mn, mx)
+          }
+        }
+        .toDF()
+        .orderBy("asset_id")
+    },
+    Some("""WITH d AS (SELECT doc_id AS asset_id, doc_id % 50 + 20 AS n
+                       FROM documents WHERE doc_id % 100 = 50),
+                 sm AS (SELECT asset_id, n,
+                          (asset_id * 31 + i.i * 17) % 65536 - 32768 AS v
+                        FROM d CROSS JOIN range(70) AS i(i)
+                        WHERE i.i < n)
+            SELECT asset_id, CAST(n AS INT) AS n_samples,
+                   CAST(sum(v) AS BIGINT) AS sum_s,
+                   CAST(min(v) AS INT) AS min_s,
+                   CAST(max(v) AS INT) AS max_s
+            FROM sm GROUP BY asset_id, n ORDER BY asset_id"""))
+
   val all: Seq[Q] = Seq(qMultimodalFeatures, qMultimodalFrames,
-    qMultimodalDecode)
+    qMultimodalDecode, qMultimodalAudioDecode)
 }

@@ -341,6 +341,74 @@ object Relational {
               ON p.user_id = s.user_id AND p.ts >= s.ts
             ORDER BY p.event_id"""))
 
+  /** As-of join WITH TOLERANCE — the merge_asof(tolerance=…) semantics a
+    * feature pipeline needs when a stale match is worse than no match
+    * (sensor fusion, price marks, sessionized context): the same
+    * union+window as-of core as [[qJoinAsof]] (one user_id shuffle, no
+    * pairwise join), then matches older than the 7-day horizon are
+    * nulled — the tolerance is a post-filter on the already-deterministic
+    * match, so the operator stays linear and the oracle is the ASOF join
+    * with the same CASE. Timestamp arithmetic is exact integer
+    * microseconds in both engines.
+    */
+  val qJoinAsofTolerance = Q(
+    "q_join_asof_tolerance",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("ts").as("s_ts"), lit(0).as("tag"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("timestamp").as("s_ts"), lit(1).as("tag"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      signups.unionByName(purchases)
+        .withColumn("m_ts", last(col("s_ts"), ignoreNulls = true).over(w))
+        .where(col("tag") === 1)
+        .withColumn("signup_ts",
+          when(col("m_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("m_ts")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("signup_ts"), col("signup_ts").isNotNull.as("within"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, p.ts,
+                   CASE WHEN s.ts >= p.ts - INTERVAL 7 DAY THEN s.ts END
+                     AS signup_ts,
+                   (CASE WHEN s.ts >= p.ts - INTERVAL 7 DAY THEN s.ts END)
+                     IS NOT NULL AS within
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+            ORDER BY p.event_id"""))
+
+  /** Degree distribution of the co-occurrence graph — the first
+    * diagnostic a graph pipeline runs before choosing join strategies
+    * (hub detection decides salting/capping; see triangleCensus's
+    * super-node caveat): histogram of node degrees over the SAME
+    * bucketed graph store as PageRank/SSSP — the degree table is read
+    * exchange-free from its bucketed layout and the histogram is a
+    * bounded-key two-phase count (distinct degrees ≪ nodes).
+    */
+  val qGraphDegreeHist = Q(
+    "q_graph_degree_hist",
+    (s, dir) =>
+      graphDeg(s, dir)
+        .groupBy(col("deg"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg"),
+    Some("""WITH e AS (SELECT DISTINCT l_partkey * 2 AS a,
+                              l_suppkey * 2 + 1 AS b FROM lineitem),
+                 und AS (SELECT a AS src, b AS dst FROM e
+                         UNION ALL SELECT b, a FROM e),
+                 deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src)
+            SELECT deg, count(*) AS n_nodes
+            FROM deg GROUP BY deg ORDER BY deg"""))
+
   /** Range (interval) join: purchases within 1 hour after a signup of the
     * same user. Equi component on user_id keeps it a hash/SMJ join with the
     * time interval as a residual predicate — never a cross join. The
@@ -1208,5 +1276,5 @@ object Relational {
     qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
     qMergeUpsert, qCdcApply, qGraphPagerank, qDqChecks, qCompositeShipping,
     qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup,
-    qGraphSssp, qAllocProration)
+    qGraphSssp, qAllocProration, qJoinAsofTolerance, qGraphDegreeHist)
 }
