@@ -29,7 +29,12 @@ class ConfigParitySpec extends AnyFunSuite with SparkFixture {
     Windows.qWinEwma,
     Relational.qGraphPagerank,
     Llm.qTextEntropy,
-    Aggregates.qAggGini)
+    Aggregates.qAggGini,
+    // round 10 float paths: the A/B z chain (divisions + sqrt over
+    // distinct counts) and the frame-array rolling median — both must
+    // survive codegen/AQE/broadcast/ANSI flips value-identically
+    Aggregates.qAbLift,
+    Windows.qWinRollingMedian)
 
   private def runWith(confs: (String, String)*)(q: Q): Seq[String] = {
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }

@@ -85,7 +85,20 @@ class ParitySpec extends AnyFunSuite with SparkFixture {
       Llm.qTextBm25,
       Llm.qSearchRrf,
       Windows.qTimeInterpLinear,
-      Llm.qDedupSubstrSpans))
+      Llm.qDedupSubstrSpans,
+      // round 10: rolling median (per-frame array sort), drawdown
+      // (running max − Det sum), A/B lift (distinct-count Expand feeding
+      // an IEEE chain incl. sqrt), Markov (window lead + normalization
+      // division), weighted median (integer cumsum pick), proration
+      // (integer div/mod + remainder rank), centroid ratio (Dec sums per
+      // axis), floor-quantized RRF already above
+      Windows.qWinRollingMedian,
+      Windows.qWinDrawdown,
+      Aggregates.qAbLift,
+      Windows.qMarkovTransitions,
+      Aggregates.qAggWeightedMedian,
+      Relational.qAllocProration,
+      graft.sources.SourcesSinks.qGeoCentroidWeighted))
     test(s"${q.name} output is identical at shuffle.partitions = " +
         parallelisms.mkString("/")) {
       assertParity(q)
