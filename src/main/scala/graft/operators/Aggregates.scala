@@ -1045,7 +1045,66 @@ object Aggregates {
             SELECT segment, c_acctbal AS w_median, tot AS w_total
             FROM r WHERE rk = 1 ORDER BY segment"""))
 
-  val all: Seq[Q] = Seq(qAbLift, qAggWeightedMedian,
+  /** RFM segmentation — the marketing-standard customer scoring
+    * (Recency / Frequency / Monetary, each cut into quintiles, customers
+    * bucketed by the 3-digit segment): per-customer aggregates from the
+    * orders fact, then three ntile(5) windows with explicit (metric,
+    * custkey) total orders — ntile's fill rule (earlier buckets take the
+    * extras) is identical in both engines, and a total order makes the
+    * assignment deterministic. Recency is exact integer days from the
+    * GLOBAL max order date (no wall clock — §7.2); monetary ranks on the
+    * Det decimal sum. Output = segment census (≤125 rows). Scale: the
+    * fact scan reduces to O(customers) before any window; the ntile
+    * windows are global-ordered over that reduced table — at 100 TB
+    * you'd swap in approx-quantile breaks (q_agg_percentile_approx's
+    * bounded-error path) rather than a global sort.
+    */
+  val qRfmSegments = Q(
+    "q_rfm_segments",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val maxD = Tables.orders(s, dir)
+        .agg(to_date(max(col("o_orderdate"))).as("ref_d"))
+      val per = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(to_date(max(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          Det.dsum(col("o_totalprice")).as("money"))
+        .crossJoin(broadcast(maxD))
+        .withColumn("recency", datediff(col("ref_d"), col("last_d")))
+      val scored = per
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(col("recency").desc, col("o_custkey"))))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(col("freq"), col("o_custkey"))))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(col("money"), col("o_custkey"))))
+      scored.groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"),
+          Det.dsum(col("money")).as("segment_rev"))
+        .orderBy("r", "f", "m")
+    },
+    Some(s"""WITH ref AS (SELECT CAST(max(o_orderdate) AS DATE) AS ref_d
+                          FROM orders),
+             per AS (SELECT o_custkey,
+                       CAST(max(o_orderdate) AS DATE) AS last_d,
+                       count(*) AS freq,
+                       ${Det.sqlSum("o_totalprice")} AS money
+                     FROM orders GROUP BY o_custkey),
+             sc AS (SELECT o_custkey, money,
+                      CAST(ntile(5) OVER (ORDER BY
+                        (SELECT ref_d FROM ref) - last_d DESC,
+                        o_custkey) AS INT) AS r,
+                      CAST(ntile(5) OVER (ORDER BY freq, o_custkey)
+                        AS INT) AS f,
+                      CAST(ntile(5) OVER (ORDER BY money, o_custkey)
+                        AS INT) AS m
+                    FROM per)
+            SELECT r, f, m, count(*) AS n_customers,
+                   ${Det.sqlSum("money")} AS segment_rev
+            FROM sc GROUP BY r, f, m ORDER BY r, f, m"""))
+
+  val all: Seq[Q] = Seq(qAbLift, qAggWeightedMedian, qRfmSegments,
     qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
     qAggSkewKurt, qAggMad, qTimeOhlc, qProfileColumns, qAggGini,
     qAggStringAgg, qAggBoolBit,

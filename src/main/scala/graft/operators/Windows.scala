@@ -1157,8 +1157,119 @@ object Windows {
             FROM t WHERE event_type = 'purchase'
             GROUP BY 1 ORDER BY touch_type"""))
 
+  /** Pareto / ABC classification — the 80-20 curve inventory and revenue
+    * analytics run over a CATALOG-bounded entity table (parts, SKUs,
+    * accounts): rank parts by revenue, cumulative revenue share, class
+    * A ≤ 80% / B ≤ 95% / C above, rolled up per class. The running sum
+    * goes through Dec12 (window sums of DOUBLE are segment-tree-combined
+    * in DuckDB — §7.2 — but decimal addition is associative, so the
+    * running decimal total is exact in both engines); the share is one
+    * IEEE division on identical operands and the class cut compares
+    * identical doubles. The global ordered cumsum is inherently
+    * sequential — fine here because the ranked table is the PART catalog
+    * (O(SKUs), not O(corpus)); at 100 TB you'd range-bucket the curve
+    * the way q_corpus_pack buckets its prefix sums.
+    */
+  val qWinParetoAbc = Q(
+    "q_win_pareto_abc",
+    (s, dir) => {
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val byPart = Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(Det.dsum(col("l_extendedprice")).as("rev"))
+      val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byPart.agg(
+        sum(col("rev").cast(dec12)).as("tot_d"))
+      byPart.crossJoin(broadcast(tot))
+        .withColumn("cum_d", sum(col("rev").cast(dec12)).over(wCum))
+        .withColumn("share",
+          col("cum_d").cast(org.apache.spark.sql.types.DoubleType) /
+            col("tot_d").cast(org.apache.spark.sql.types.DoubleType))
+        .withColumn("abc",
+          when(col("share") <= 0.8, "A")
+            .when(col("share") <= 0.95, "B")
+            .otherwise("C"))
+        .groupBy("abc")
+        .agg(count(lit(1)).as("n_parts"),
+          Det.dsum(col("rev")).as("class_rev"))
+        .orderBy("abc")
+    },
+    Some(s"""WITH bp AS (SELECT l_partkey,
+                    ${Det.sqlSum("l_extendedprice")} AS rev
+                  FROM lineitem GROUP BY l_partkey),
+             t AS (SELECT SUM(CAST(rev AS DECIMAL(38,12))) AS tot_d FROM bp),
+             c AS (SELECT l_partkey, rev,
+                     SUM(CAST(rev AS DECIMAL(38,12))) OVER (
+                       ORDER BY rev DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_d
+                   FROM bp),
+             s AS (SELECT rev,
+                     CASE WHEN CAST(cum_d AS DOUBLE)
+                               / CAST((SELECT tot_d FROM t) AS DOUBLE)
+                               <= CAST(0.8 AS DOUBLE) THEN 'A'
+                          WHEN CAST(cum_d AS DOUBLE)
+                               / CAST((SELECT tot_d FROM t) AS DOUBLE)
+                               <= CAST(0.95 AS DOUBLE) THEN 'B'
+                          ELSE 'C' END AS abc
+                   FROM c)
+            SELECT abc, count(*) AS n_parts,
+                   ${Det.sqlSum("rev")} AS class_rev
+            FROM s GROUP BY abc ORDER BY abc"""))
+
+  /** Inventory backlog — the running open-position curve a supply-chain
+    * monitor tracks (orders placed vs units shipped): per-day ordered
+    * units (lineitem quantities keyed by order date) and shipped units
+    * (keyed by ship date), full-outer-joined on the day, zero-filled,
+    * with running integer sums giving the net backlog. Quantities are
+    * integral in the data (cast to long — EXACT running sums, bit-exact
+    * oracle); the day axis is calendar-bounded so the global ordered
+    * cumsum is over O(days) rows, never O(corpus).
+    */
+  val qInventoryBacklog = Q(
+    "q_inventory_backlog",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+      val opened = li.groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(col("l_quantity").cast("long")).as("opened"))
+      val shipped = Tables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(col("l_quantity").cast("long")).as("shipped"))
+      val wRun = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      opened.join(shipped, Seq("d"), "full_outer")
+        .select(col("d"),
+          coalesce(col("opened"), lit(0L)).as("opened"),
+          coalesce(col("shipped"), lit(0L)).as("shipped"))
+        .withColumn("backlog",
+          sum(col("opened") - col("shipped")).over(wRun))
+        .select(
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("opened"), col("shipped"), col("backlog"))
+        .orderBy("d")
+    },
+    Some("""WITH op AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS opened
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 GROUP BY 1),
+             sh AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS shipped
+                 FROM lineitem GROUP BY 1),
+             j AS (SELECT COALESCE(op.d, sh.d) AS d,
+                          COALESCE(opened, 0) AS opened,
+                          COALESCE(shipped, 0) AS shipped
+                   FROM op FULL OUTER JOIN sh ON op.d = sh.d)
+            SELECT CAST(d AS TIMESTAMP) AS d, opened, shipped,
+                   CAST(SUM(opened - shipped) OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS backlog
+            FROM j ORDER BY d"""))
+
   val all: Seq[Q] = Seq(
-    qWinDrawdown, qAttributionLastTouch,
+    qWinDrawdown, qAttributionLastTouch, qWinParetoAbc, qInventoryBacklog,
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,
     qTimeInterpLinear, qScd2Dim,
