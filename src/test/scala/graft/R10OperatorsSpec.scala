@@ -151,6 +151,47 @@ class R10OperatorsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("inventory backlog starts positive and ends at exactly zero") {
+    // every ordered unit eventually ships in the synthetic data, so the
+    // running position must return to 0 on the final day — an exactness
+    // property integer cumsums deliver and float ones would drift off
+    val rows = Windows.qInventoryBacklog.fn(spark, sfDir)
+      .orderBy("d").collect()
+    assert(rows.head.getLong(3) > 0, "backlog should open positive")
+    assert(rows.last.getLong(3) == 0L,
+      s"final backlog ${rows.last.getLong(3)} != 0: units lost in transit")
+    val totOpen = rows.map(_.getLong(1)).sum
+    val totShip = rows.map(_.getLong(2)).sum
+    assert(totOpen == totShip)
+  }
+
+  test("Pareto classes partition the catalog with descending value density") {
+    val rows = Windows.qWinParetoAbc.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    val nParts = Tables.lineitem(spark, sfDir)
+      .select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    assert(rows.map(_._2).sum == nParts, "classes must partition the parts")
+    // value density (revenue per part) must fall strictly A > B > C
+    val density = rows.map { case (_, n, rev) => rev / n }
+    assert(density(0) > density(1) && density(1) > density(2),
+      s"ABC density not descending: ${density.toSeq}")
+  }
+
+  test("RFM census covers every customer; quintiles are near-balanced") {
+    val rows = Aggregates.qRfmSegments.fn(spark, sfDir).collect()
+    val nCust = Tables.orders(spark, sfDir)
+      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum == nCust)
+    // each dimension's marginal is an ntile(5): sizes differ by at most 1
+    Seq(0, 1, 2).foreach { dim =>
+      val marginal = rows.groupBy(_.getInt(dim))
+        .map { case (_, rs) => rs.map(_.getLong(3)).sum }
+      assert(marginal.max - marginal.min <= 1,
+        s"dimension $dim quintiles unbalanced: $marginal")
+    }
+  }
+
   test("degree histogram masses sum to the node count") {
     val hist = Relational.qGraphDegreeHist.fn(spark, sfDir)
     val nodes = hist.agg(sum(col("n_nodes"))).collect().head.getLong(0)
