@@ -2522,8 +2522,52 @@ object Llm {
                    min(doc_id) AS min_doc
             FROM c GROUP BY canonical ORDER BY canonical"""))
 
+  /** Per-vector array statistics — the embedding-health profile a vector
+    * pipeline computes before indexing (zero-norm and degenerate vectors
+    * break cosine; max-component spikes flag clipped encoders): L2 norm,
+    * component mean, max component and its FIRST index, all per row via
+    * HOFs — no explode, no shuffle. Determinism: both sums run through
+    * vec_dot ≡ list_dot_product (the same sequential left-to-right IEEE
+    * fold both engines — the proven FloatVecDot contract; the mean's sum
+    * is a dot with a ones vector), max is exact float comparison and
+    * first-index is the contract of array_position/list_position in both
+    * engines. Scale: pure per-row projection over the vector scan.
+    */
+  val qArrayStats = Q(
+    "q_array_stats",
+    (s, dir) => {
+      graft.plans.VectorFunctions.register(s)
+      Tables.embeddings(s, dir)
+        .withColumn("dim", size(col("embedding")))
+        .withColumn("norm",
+          sqrt(expr("vec_dot(embedding, embedding)")))
+        .withColumn("mean",
+          expr("vec_dot(embedding, " +
+            "transform(embedding, x -> CAST(1.0 AS FLOAT)))") /
+            col("dim").cast(DoubleType))
+        .withColumn("vmax",
+          array_max(col("embedding")).cast(DoubleType))
+        .withColumn("amax_idx",
+          expr("array_position(embedding, array_max(embedding))")
+            .cast(IntegerType))
+        .select("vec_id", "dim", "norm", "mean", "vmax", "amax_idx")
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))
+                     AS norm,
+                   list_dot_product(CAST(embedding AS DOUBLE[]),
+                     list_transform(embedding, x -> CAST(1.0 AS DOUBLE)))
+                     / CAST(len(embedding) AS DOUBLE) AS mean,
+                   CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+                     AS vmax,
+                   CAST(list_position(embedding,
+                     list_aggregate(embedding, 'max')) AS INT) AS amax_idx
+            FROM embeddings ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
-    qBpePairCounts, qUrlCanonical,
+    qBpePairCounts, qUrlCanonical, qArrayStats,
     qSampleStratified, qTextNgramLm, qCorpusPack, qCorpusMixture,
     qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
