@@ -1104,7 +1104,261 @@ object Aggregates {
                    ${Det.sqlSum("money")} AS segment_rev
             FROM sc GROUP BY r, f, m ORDER BY r, f, m"""))
 
+  // linear-regression finals — ONE formula text per column over the exact
+  // per-group sums (cast DECIMAL→DOUBLE is correctly rounded in both
+  // engines, the Det.dsum contract); every arithmetic step after the casts
+  // is a single IEEE op on identical operands, so the chain is bit-exact
+  private val regDxy = "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+  private val regDxx = "(CAST(n AS DOUBLE) * sxx - sx * sx)"
+  private val regDyy = "(CAST(n AS DOUBLE) * syy - sy * sy)"
+  // constant-x groups (dxx=0) have no defined fit; dyy=0 additionally
+  // degenerates r² — NULL via the same CASE text, never Inf/NaN
+  private val regSlope =
+    "CASE WHEN dxx = CAST(0.0 AS DOUBLE) THEN NULL ELSE dxy / dxx END"
+  private val regIcept =
+    "CASE WHEN dxx = CAST(0.0 AS DOUBLE) THEN NULL " +
+      "ELSE (sy - (dxy / dxx) * sx) / CAST(n AS DOUBLE) END"
+  private val regR2 =
+    "CASE WHEN dxx = CAST(0.0 AS DOUBLE) OR dyy = CAST(0.0 AS DOUBLE) " +
+      "THEN NULL ELSE (dxy * dxy) / (dxx * dyy) END"
+
+  /** Per-group least-squares fit (slope / intercept / r²) of line revenue
+    * on quantity — the elasticity/trend primitive (price sensitivity,
+    * demand curves) behind every "fit a line per segment" readout.
+    * Spark ships regr_slope/regr_r2, but their running-moment internals
+    * are reduction-order-dependent doubles (the avg-of-doubles hazard,
+    * §7.2) — so the moments are accumulated EXACTLY instead: x = integral
+    * quantity, y = whole cents, and Σx, Σy, Σxy, Σx², Σy² as
+    * DECIMAL(38,0) sums of exact per-row integers (map-side combinable,
+    * one shuffle on the bounded brand key). The closed-form finals then
+    * run through one shared formula text per column. Scale: five exact
+    * sums ride ONE partial/final HashAggregate — the same plan as a plain
+    * groupBy-sum, output bounded by |brands|.
+    */
+  val qAggRegression = Q(
+    "q_agg_regression",
+    (s, dir) => {
+      val Dec0 = DecimalType(38, 0)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("x"),
+          expr(
+            "CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) " +
+              "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("y"))
+      li.join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(Dec0)).cast("double").as("sx"),
+          sum(col("y").cast(Dec0)).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast(Dec0)).cast("double").as("sxy"),
+          sum((col("x") * col("x")).cast(Dec0)).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast(Dec0)).cast("double").as("syy"))
+        .withColumn("dxy", expr(regDxy))
+        .withColumn("dxx", expr(regDxx))
+        .withColumn("dyy", expr(regDyy))
+        .select(col("brand"), col("n"),
+          expr(regSlope).as("slope"),
+          expr(regIcept).as("icept"),
+          expr(regR2).as("r2"))
+        .orderBy("brand")
+    },
+    Some(s"""WITH m AS (
+              SELECT p_brand AS brand, count(*) AS n,
+                CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+              FROM (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS x,
+                      CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y
+                    FROM lineitem) li
+              JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand),
+            d AS (SELECT brand, n, sx, sy,
+                    $regDxy AS dxy, $regDxx AS dxx, $regDyy AS dyy
+                  FROM m)
+            SELECT brand, n, $regSlope AS slope, $regIcept AS icept,
+                   $regR2 AS r2
+            FROM d ORDER BY brand"""))
+
+  /** Herfindahl–Hirschman market concentration per market segment — the
+    * antitrust/marketplace-health index (Σ share², scaled to the 0–10000
+    * convention): firm = customer nation, revenue = whole-cent order
+    * totals. Everything before the last division is EXACT integer
+    * arithmetic — Spark squares the per-firm revenue as DECIMAL(18,0)²
+    * → (37,0) (inside the 38-digit ceiling), DuckDB as HUGEINT (its
+    * decimal multiply keeps the input width and overflows at (18,0)²,
+    * so int128 is its exact path) — different carriers, identical exact
+    * integers, and DECIMAL→DOUBLE / HUGEINT→DOUBLE are both correctly
+    * rounded, so the final shared formula HHI = 10⁴·Σrev²/(Σrev)² sees
+    * bit-identical operands. Scale: firm table is bounded
+    * (|segments|·|nations|), two-phase aggregates only; the orders scan
+    * reduces map-side before any shuffle.
+    */
+  val qAggHhi = Q(
+    "q_agg_hhi",
+    (s, dir) => {
+      val Dec18 = DecimalType(18, 0)
+      val firm = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("firm"))
+        .agg(sum(expr(
+          "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").cast(Dec18))
+          .cast(Dec18).as("rev"))
+      firm.groupBy("segment")
+        .agg(count(lit(1)).as("n_firms"),
+          sum(col("rev")).cast("double").as("tot"),
+          sum(col("rev") * col("rev")).cast("double").as("sq"))
+        .select(col("segment"), col("n_firms"),
+          expr("CASE WHEN tot = CAST(0.0 AS DOUBLE) THEN NULL " +
+            "ELSE CAST(10000.0 AS DOUBLE) * sq / (tot * tot) END")
+            .as("hhi"))
+        .orderBy("segment")
+    },
+    Some("""WITH firm AS (
+              SELECT c_mktsegment AS segment, c_nationkey AS firm,
+                CAST(SUM(CAST(floor(o_totalprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS HUGEINT) AS rev
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2)
+            SELECT segment, count(*) AS n_firms,
+                   CASE WHEN CAST(SUM(rev) AS DOUBLE) = CAST(0.0 AS DOUBLE)
+                        THEN NULL
+                        ELSE CAST(10000.0 AS DOUBLE)
+                          * CAST(SUM(rev * rev) AS DOUBLE)
+                          / (CAST(SUM(rev) AS DOUBLE)
+                             * CAST(SUM(rev) AS DOUBLE)) END AS hhi
+            FROM firm GROUP BY segment ORDER BY segment"""))
+
+  /** Tukey-fence outlier census per group — the IQR anomaly screen (data
+    * quality, fraud triage): exact lower/upper quartiles as ELEMENTS of
+    * the (value, key) total order (rank ⌈n/4⌉ / ⌈3n/4⌉ — never
+    * interpolated, so the whole query is integer-exact end-to-end), then
+    * rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR] counted via the
+    * denominator-free spelling 2v < 5q1 − 3q3 / 2v > 5q3 − 3q1 (no ·1.5
+    * float, no boundary ties). Scale: one shuffle on the group key serves
+    * rank + count windows; the 5-row fence table broadcasts back onto the
+    * same ranked exchange (ReusedExchange). At 100 TB the global-ordered
+    * per-group rank swaps to approx-quantile fences
+    * (q_agg_percentile_approx's bounded-error path) — same downstream
+    * census.
+    */
+  val qAnomalyIqr = Q(
+    "q_anomaly_iqr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wRank = Window.partitionBy("pri").orderBy("v", "o_orderkey")
+      val wAll = Window.partitionBy("pri")
+      val ranked = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pri"),
+          expr("CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("v"),
+          col("o_orderkey"))
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val fences = ranked.groupBy("pri")
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 3) div 4"), col("v")))
+            .as("q1_c"),
+          max(when(col("rn") === expr("(3 * n + 3) div 4"), col("v")))
+            .as("q3_c"))
+      ranked.join(broadcast(fences.drop("n")), Seq("pri"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"), max(col("q1_c")).as("q1_c"),
+          max(col("q3_c")).as("q3_c"),
+          count(when(col("v") * 2 < col("q1_c") * 5 - col("q3_c") * 3,
+            lit(1))).as("n_low"),
+          count(when(col("v") * 2 > col("q3_c") * 5 - col("q1_c") * 3,
+            lit(1))).as("n_high"))
+        .orderBy("pri")
+    },
+    Some("""WITH v AS (SELECT o_orderpriority AS pri,
+                    CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v, o_orderkey
+                  FROM orders),
+             r AS (SELECT *,
+                     row_number() OVER (PARTITION BY pri
+                       ORDER BY v, o_orderkey) AS rn,
+                     count(*) OVER (PARTITION BY pri) AS n
+                   FROM v),
+             f AS (SELECT pri,
+                     max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1_c,
+                     max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END)
+                       AS q3_c
+                   FROM r GROUP BY pri)
+            SELECT r.pri, count(*) AS n, max(f.q1_c) AS q1_c,
+                   max(f.q3_c) AS q3_c,
+                   count(CASE WHEN v * 2 < f.q1_c * 5 - f.q3_c * 3
+                              THEN 1 END) AS n_low,
+                   count(CASE WHEN v * 2 > f.q3_c * 5 - f.q1_c * 3
+                              THEN 1 END) AS n_high
+            FROM r JOIN f ON r.pri = f.pri
+            GROUP BY r.pri ORDER BY r.pri"""))
+
+  /** Top-N concentration — the "how much do the whales matter" readout
+    * (account-risk, capacity planning): top-10 customers by exact-cents
+    * revenue with each one's share and the RUNNING share of the total.
+    * Both ratios divide exact integers (the running numerator is an
+    * integer cumsum over the 10-row result — never a float accumulation,
+    * so there is no engine-order hazard in the running column); the
+    * total broadcasts from a 1-row aggregate. Scale: per-customer rollup
+    * is one two-phase aggregate; top-10 is TakeOrderedAndProject (per-
+    * partition heaps, no global sort); everything after is 10 rows.
+    */
+  val qAggTopnShare = Q(
+    "q_agg_topn_share",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE) " +
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("rev_c"))
+      val tot = per.agg(sum(col("rev_c")).as("tot_c"))
+      val wRun = Window.orderBy(col("rev_c").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.orderBy(col("rev_c").desc, col("o_custkey")).limit(10)
+        .crossJoin(broadcast(tot))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rev_c").desc, col("o_custkey"))))
+        .withColumn("cum_c", sum(col("rev_c")).over(wRun))
+        .select(col("rk"), col("o_custkey"), col("rev_c"),
+          expr("CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE)")
+            .as("share"),
+          expr("CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE)")
+            .as("cum_share"))
+        .orderBy("rk")
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+                    CAST(sum(CAST(floor(o_totalprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS rev_c
+                  FROM orders GROUP BY o_custkey),
+             tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM per),
+             top AS (SELECT * FROM per
+                     ORDER BY rev_c DESC, o_custkey LIMIT 10),
+             r AS (SELECT o_custkey, rev_c, tot_c,
+                     CAST(row_number() OVER (ORDER BY rev_c DESC,
+                       o_custkey) AS INTEGER) AS rk,
+                     CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_c
+                   FROM top, tot)
+            SELECT rk, o_custkey, rev_c,
+                   CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE) AS share,
+                   CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE)
+                     AS cum_share
+            FROM r ORDER BY rk"""))
+
   val all: Seq[Q] = Seq(qAbLift, qAggWeightedMedian, qRfmSegments,
+    qAggRegression, qAggHhi, qAnomalyIqr, qAggTopnShare,
     qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
     qAggSkewKurt, qAggMad, qTimeOhlc, qProfileColumns, qAggGini,
     qAggStringAgg, qAggBoolBit,

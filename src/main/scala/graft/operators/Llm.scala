@@ -179,6 +179,189 @@ object Llm {
                     / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
             ORDER BY a, b"""))
 
+  /** ASYMMETRIC shingle containment — the quote/excerpt detector Jaccard
+    * structurally misses: a short doc fully embedded in a long one has
+    * tiny Jaccard (union is dominated by the long doc) but containment
+    * |A∩B|/|A| ≈ 1. This is the dedup pass that catches boilerplate
+    * wrappers, quoted posts and partial mirrors in a training corpus.
+    * Same single-exchange bucket shape as q_dedup_jaccard_pairs (shingle
+    * postings → in-bucket pairs → per-pair intersection, sizes off the
+    * same exchange); the ≥0.9 threshold is applied as the integer
+    * predicate 10·inter ≥ 9·min(na,nb) — no float boundary anywhere in
+    * the FILTER, the reported scores are one division on identical
+    * integer operands. Truth query: uncapped buckets (a capped bucket
+    * would bias `inter` itself); the capped scale path is the LSH family.
+    */
+  val qDedupContainment = Q(
+    "q_dedup_containment",
+    (s, dir) => {
+      val sh = shinglesWithPos(Tables.documents(s, dir))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
+      val buckets = sh.groupBy("h")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      val inter = expandBucketPairs(buckets, "ids", "struct(x AS a, y AS b)",
+          Nil, maxBucket = Int.MaxValue)
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      val sizes = buckets.select(explode(col("ids")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.toDF("a", "na"), "a")
+        .join(sizes.toDF("b", "nb"), "b")
+        .where(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
+        .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+          (col("inter").cast(DoubleType) / col("na").cast(DoubleType))
+            .as("cont_a"),
+          (col("inter").cast(DoubleType) / col("nb").cast(DoubleType))
+            .as("cont_b"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+                 sh AS (SELECT DISTINCT doc_id,
+                          unnest([array_to_string(toks[i:i+2], ' ')
+                                  FOR i IN range(1, greatest(len(toks)-1, 1))])
+                            AS shingle
+                        FROM d),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                       FROM sh x JOIN sh y
+                         ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                       GROUP BY 1, 2)
+            SELECT a, b, inter, sa.n AS na, sb.n AS nb,
+                   CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+                   CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b
+            FROM p JOIN sz sa ON p.a = sa.doc_id
+                   JOIN sz sb ON p.b = sb.doc_id
+            WHERE inter * 10 >= least(sa.n, sb.n) * 9
+            ORDER BY a, b"""))
+
+  // association lift = P(ab)/(P(a)·P(b)) — rank-equivalent to PMI (log of
+  // the same ratio) without the libm log that §7.2 bans cross-engine; the
+  // two multiplies + one divide run on identical exact-integer operands
+  private val liftFml = "CAST(cab AS DOUBLE) * CAST(nd AS DOUBLE) " +
+    "/ (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))"
+
+  /** Token co-occurrence lift — the phrase-mining / collocation signal
+    * (PMI's rank-equivalent, log-free per §7.2): document-level exact
+    * counts c(a), c(b), c(a,b) over DISTINCT per-doc tokens, lift =
+    * c(ab)·N / (c(a)·c(b)), top-20 with support ≥ 5. Pair generation is
+    * a per-doc self-join bounded by the DISTINCT-token count (≤ |vocab|
+    * per doc — never raw length), and the pair space collapses to
+    * ≤ |vocab|² keys at the groupBy, so the aggregate is bounded no
+    * matter the corpus size. df/N broadcast onto the pair table; final
+    * ranking is TakeOrdered with (ta, tb) tie-break. All counts exact
+    * integers; lift is two multiplies + one divide on identical operands.
+    */
+  val qTextCooccur = Q(
+    "q_text_cooccur",
+    (s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0).distinct()
+      val df = t.groupBy("tok").agg(count(lit(1)).as("c"))
+      val nDocs = t.agg(countDistinct(col("doc_id")).as("nd"))
+      val pairs = t.toDF("doc_id", "ta")
+        .join(t.toDF("doc_id2", "tb"),
+          col("doc_id") === col("doc_id2") && col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("cab"))
+        .where(col("cab") >= 5)
+      pairs
+        .join(broadcast(df.toDF("ta", "ca")), "ta")
+        .join(broadcast(df.toDF("tb", "cb")), "tb")
+        .crossJoin(broadcast(nDocs))
+        .select(col("ta"), col("tb"), col("cab"), col("ca"), col("cb"),
+          expr(liftFml).as("lift"))
+        .orderBy(col("lift").desc, col("ta"), col("tb"))
+        .limit(20)
+    },
+    Some(s"""WITH t AS (SELECT DISTINCT doc_id, tok
+                   FROM (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS tok
+                         FROM documents)
+                   WHERE len(tok) > 0),
+             n AS (SELECT count(DISTINCT doc_id) AS nd FROM t),
+             df AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+             p AS (SELECT x.tok AS ta, y.tok AS tb, count(*) AS cab
+                   FROM t x JOIN t y
+                     ON x.doc_id = y.doc_id AND x.tok < y.tok
+                   GROUP BY 1, 2
+                   HAVING count(*) >= 5),
+             j AS (SELECT ta, tb, cab, x.c AS ca, y.c AS cb, nd
+                   FROM p JOIN df x ON p.ta = x.tok
+                          JOIN df y ON p.tb = y.tok, n)
+            SELECT ta, tb, cab, ca, cb, $liftFml AS lift
+            FROM j ORDER BY lift DESC, ta, tb LIMIT 20"""))
+
+  // total-variation distance with an ALL-INTEGER numerator: |p−q| per token
+  // cross-multiplied to |c_lt·N − c_t·N_l| (exact longs), summed as exact
+  // decimal, ONE division at the end — the denominator product is built in
+  // doubles by shared formula text (each factor ≤2^53-exact, identical
+  // operands → identical IEEE product both engines)
+  private val tvFml = "CAST(num AS DOUBLE) / (CAST(2.0 AS DOUBLE) " +
+    "* CAST(nl AS DOUBLE) * CAST(nt AS DOUBLE))"
+
+  /** Corpus drift — the distribution-shift monitor a training-data
+    * pipeline runs per source/slice (is this slice's token mix diverging
+    * from the corpus?): total-variation distance between each language's
+    * token frequency distribution and the global one. TV = ½Σ|p_t − q_t|
+    * needs EVERY token of the global vocabulary per slice (absent tokens
+    * contribute q_t), so the slice×vocab grid is built explicitly —
+    * bounded by |langs|·|vocab|, independent of corpus size — and the
+    * per-token deviation is cross-multiplied to the integer
+    * |c_lt·N − c_t·N_l| (no per-token division, no float accumulation):
+    * one exact decimal sum per slice, one shared-formula division at the
+    * end. KL/JS need libm log (§7.2 cross-engine ban); TV is the exact
+    * alternative with the same monotone drift signal. Scale: the token
+    * rollups are two-phase bounded-key aggregates off one corpus scan;
+    * everything after is vocab-sized.
+    */
+  val qCorpusDrift = Q(
+    "q_corpus_drift",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val t = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val lt = t.groupBy("lang", "tok").agg(count(lit(1)).as("clt"))
+      val tg = lt.groupBy("tok").agg(sum(col("clt")).as("ct"))
+      val ln = lt.groupBy("lang").agg(sum(col("clt")).as("nl"))
+      val nTot = ln.agg(sum(col("nl")).as("nt"))
+      tg.crossJoin(broadcast(ln)).crossJoin(broadcast(nTot))
+        .join(lt, Seq("lang", "tok"), "left")
+        .select(col("lang"), col("nl"), col("nt"),
+          abs(coalesce(col("clt"), lit(0L)) * col("nt") -
+            col("ct") * col("nl")).as("dev"))
+        .groupBy("lang", "nl", "nt")
+        .agg(sum(col("dev").cast(Dec0)).cast("double").as("num"))
+        .select(col("lang"), col("nl").as("n_tokens"),
+          expr(tvFml).as("tv"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH t AS (SELECT lang, tok
+                   FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                         FROM documents)
+                   WHERE len(tok) > 0),
+             lt AS (SELECT lang, tok, count(*) AS clt
+                    FROM t GROUP BY 1, 2),
+             tg AS (SELECT tok, CAST(sum(clt) AS BIGINT) AS ct
+                    FROM lt GROUP BY 1),
+             ln AS (SELECT lang, CAST(sum(clt) AS BIGINT) AS nl
+                    FROM lt GROUP BY 1),
+             n AS (SELECT CAST(sum(clt) AS BIGINT) AS nt FROM lt),
+             g AS (SELECT ln.lang, ln.nl, tg.tok, tg.ct, n.nt
+                   FROM tg, ln, n),
+             j AS (SELECT g.lang, g.nl, g.nt,
+                     abs(COALESCE(lt.clt, 0) * g.nt - g.ct * g.nl) AS dev
+                   FROM g LEFT JOIN lt
+                     ON lt.lang = g.lang AND lt.tok = g.tok),
+             a AS (SELECT lang, nl, nt,
+                     CAST(SUM(CAST(dev AS DECIMAL(38,0))) AS DOUBLE) AS num
+                   FROM j GROUP BY lang, nl, nt)
+            SELECT lang, nl AS n_tokens, $tvFml AS tv
+            FROM a ORDER BY lang"""))
+
   /** Near-dup pair table MATERIALIZED once per (session, input dir) via
     * Incremental.materialize and shared by every downstream consumer
     * (q_dedup_clusters, q_corpus_curate): through r5 each consumer
@@ -2570,14 +2753,15 @@ object Llm {
     qBpePairCounts, qUrlCanonical, qArrayStats,
     qSampleStratified, qTextNgramLm, qCorpusPack, qCorpusMixture,
     qEmbedProjectJl,
-    qDedupExactHash, qDedupJaccardPairs, qDedupClusters,
+    qDedupExactHash, qDedupJaccardPairs, qDedupContainment, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate, qGraphTriangles,
     qDedupMinhashLsh, qDedupSimhash, qDedupSubstrSpans,
     qEmbedCentroids, qEmbedSemdedup, qEmbedQuantize,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
     qSimCosineQuantized, qDedupEmbedClusters,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
-    qTextTfidfTop, qTextBm25, qSearchRrf, qTextChunk, qTextFingerprint,
+    qTextTfidfTop, qTextBm25, qSearchRrf, qTextChunk, qTextCooccur,
+    qCorpusDrift, qTextFingerprint,
     qTextLangId,
     qTextPiiMask,
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,

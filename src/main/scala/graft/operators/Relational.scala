@@ -1269,7 +1269,77 @@ object Relational {
                      AS alloc_cents
             FROM e ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Snapshot reconciliation — the table-diff operator behind CDC
+    * backfills, migration validation and "what changed since yesterday"
+    * audits: two keyed snapshots full-outer-joined on the key, each row
+    * classified added / removed / changed / same, rolled up to a per-class
+    * census with an exact-cents checksum (the evidence a reconciliation
+    * report needs). Snapshot B is derived deterministically from the same
+    * fact (new arrivals = post-cutoff orders, deletes = okey ≡ 0 mod 11,
+    * updates = status rewritten for okey ≡ 0 mod 7) so the oracle sees
+    * the identical construction. Scale: both sides partition on the join
+    * key — in a real lakehouse both snapshots are bucketed by key, so the
+    * SMJ is exchange-free; the census is a bounded 4-key aggregate with
+    * map-side combine. The classify step is one projection over the
+    * joined row — no second pass, no driver-side diffing.
+    */
+  val qSnapshotDiff = Q(
+    "q_snapshot_diff",
+    (s, dir) => {
+      val cents = expr("CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE) " +
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"), cents.as("c"))
+      val snapA = base
+        .where(col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_orderstatus").as("a_status"),
+          col("c").as("a_c"))
+      val snapB = base
+        .where(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit("P"))
+            .otherwise(col("o_orderstatus")).as("b_status"),
+          col("c").as("b_c"))
+      snapA.join(snapB, Seq("o_orderkey"), "full_outer")
+        .select(
+          when(col("a_status").isNull, lit("added"))
+            .when(col("b_status").isNull, lit("removed"))
+            .when(col("a_status") =!= col("b_status"), lit("changed"))
+            .otherwise(lit("same")).as("change_type"),
+          coalesce(col("b_c"), col("a_c")).as("c"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast(org.apache.spark.sql.types.LongType).as("cents_sum"))
+        .orderBy("change_type")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
+                    CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+                  FROM orders),
+             a AS (SELECT o_orderkey, o_orderstatus AS a_status,
+                          c AS a_c
+                   FROM base
+                   WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+             b AS (SELECT o_orderkey,
+                          CASE WHEN o_orderkey % 7 = 0 THEN 'P'
+                               ELSE o_orderstatus END AS b_status,
+                          c AS b_c
+                   FROM base WHERE o_orderkey % 11 <> 0),
+             d AS (SELECT CASE WHEN a_status IS NULL THEN 'added'
+                               WHEN b_status IS NULL THEN 'removed'
+                               WHEN a_status <> b_status THEN 'changed'
+                               ELSE 'same' END AS change_type,
+                          COALESCE(b_c, a_c) AS c
+                   FROM a FULL OUTER JOIN b USING (o_orderkey))
+            SELECT change_type, count(*) AS n,
+                   CAST(SUM(CAST(c AS DECIMAL(38,0))) AS BIGINT)
+                     AS cents_sum
+            FROM d GROUP BY change_type ORDER BY change_type"""))
+
   val all: Seq[Q] = Seq(
+    qSnapshotDiff,
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,

@@ -1268,7 +1268,281 @@ object Windows {
                      AS BIGINT) AS backlog
             FROM j ORDER BY d"""))
 
+  /** Inter-arrival gap profile — the event-cadence statistic behind
+    * session-timeout tuning, bot detection (machine-regular gaps) and
+    * engagement scoring: per-user gap to the previous event via ONE lag
+    * over the (ts, event_id) total order, rolled up per event type of the
+    * LATER event. Gaps are exact integer microseconds (epoch-µs
+    * subtraction — both engines floor the parquet ns timestamps to µs
+    * identically, the Tables.events contract); the mean is the one IEEE
+    * division over the exact Σgap/n (Det doctrine), min/max are integer
+    * picks. Scale: one user_id shuffle serves the lag window; the rollup
+    * is a bounded-key (|event types|) two-phase aggregate with map-side
+    * combine. O(1) window state — nothing grows with history length.
+    */
+  val qInterarrival = Q(
+    "q_interarrival",
+    (s, dir) => {
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(wSeq))
+        .where(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_us")).as("sum_gap_us"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .select(col("event_type"), col("n_gaps"),
+          expr("CAST(sum_gap_us AS DOUBLE) / CAST(n_gaps AS DOUBLE)")
+            .as("mean_gap_us"),
+          col("min_gap_us"), col("max_gap_us"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (SELECT event_type,
+                    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                  FROM events),
+             a AS (SELECT event_type, count(*) AS n_gaps,
+                     CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                     CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+                     CAST(max(gap_us) AS BIGINT) AS max_gap_us
+                   FROM g WHERE gap_us IS NOT NULL GROUP BY event_type)
+            SELECT event_type, n_gaps,
+                   CAST(sum_gap_us AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                     AS mean_gap_us,
+                   min_gap_us, max_gap_us
+            FROM a ORDER BY event_type"""))
+
+  /** Running VWAP (volume-weighted average price) per return-flag class —
+    * the fair-price curve every trading/pricing pipeline keeps (a plain
+    * running mean over-weights small fills): cumulative Σ(price·qty) /
+    * Σqty over the day axis. Both running sums are EXACT (integer cents ×
+    * integral qty per row, daily rollup then DECIMAL window sums —
+    * decimal addition is associative, so the window combine is exact in
+    * both engines); the VWAP is the one IEEE division per row over the
+    * two correctly-rounded DOUBLE casts. Scale: the bounded daily rollup
+    * (flags × days) precedes the window, so the running frame is O(days),
+    * never O(rows); one exchange on the flag key serves both window sums.
+    */
+  val qWinVwap = Q(
+    "q_win_vwap",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wRun = Window.partitionBy("flag").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"),
+          col("l_quantity").cast("long").as("q"),
+          expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("y"))
+        .groupBy("flag", "d")
+        .agg(sum(col("q").cast(Dec0)).as("qty_day"),
+          sum((col("q") * col("y")).cast(Dec0)).as("notional_day"))
+        .withColumn("cq", sum(col("qty_day")).over(wRun).cast("double"))
+        .withColumn("cn", sum(col("notional_day")).over(wRun)
+          .cast("double"))
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("qty_day").cast("long").as("qty_day"),
+          expr("cn / cq").as("vwap_cents"))
+        .orderBy("flag", "d")
+    },
+    Some("""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_day,
+                CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                  AS notional_day
+              FROM lineitem GROUP BY 1, 2),
+             run AS (SELECT flag, d, qty_day,
+                 CAST(SUM(qty_day) OVER w AS DOUBLE) AS cq,
+                 CAST(SUM(notional_day) OVER w AS DOUBLE) AS cn
+               FROM daily
+               WINDOW w AS (PARTITION BY flag ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT flag, CAST(d AS TIMESTAMP) AS d, qty_day,
+                   cn / cq AS vwap_cents
+            FROM run ORDER BY flag, d"""))
+
+  // Bollinger finals — shared formula text over the exact frame sums; the
+  // variance numerator is computed in doubles from correctly-rounded casts
+  // (identical operands both engines), clamped at 0 before sqrt so a
+  // last-ulp negative from the subtraction can never produce NaN
+  private val bollVar =
+    "(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) " +
+      "- CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) " +
+      "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+  private val bollSd =
+    s"CASE WHEN ($bollVar) <= CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE) " +
+      s"ELSE sqrt($bollVar) END"
+  private val bollMid = "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"
+
+  /** Bollinger bands over a 7-row trailing frame — rolling mean ± 2σ, the
+    * volatility envelope behind alerting thresholds and anomaly bands
+    * (the σ-aware complement of q_win_rolling_median): frame Σv and Σv²
+    * are EXACT — integer daily cents, Spark sums DECIMAL(38,0) squares,
+    * DuckDB goes int128 for the square (its decimal multiply overflows at
+    * the input width — the q_agg_hhi carrier split), identical exact
+    * integers either way — and mean/σ are one shared formula text over
+    * the correctly-rounded DOUBLE casts (sqrt correctly rounded, §7.2;
+    * variance clamped at 0 so rounding can't produce NaN). Scale: frame
+    * state is O(7) per row over the bounded daily rollup; one exchange on
+    * the flag key serves count + both frame sums.
+    */
+  val qWinBollinger = Q(
+    "q_win_bollinger",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wFrame = Window.partitionBy("flag").orderBy("d").rowsBetween(-6, 0)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)").cast(Dec0))
+          .cast(Dec0).as("v"))
+        .withColumn("n", count(lit(1)).over(wFrame))
+        .withColumn("sv", sum(col("v")).over(wFrame))
+        .withColumn("svv", sum(col("v") * col("v")).over(wFrame))
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("n"),
+          expr(bollMid).as("mid"),
+          expr(s"($bollMid) - CAST(2.0 AS DOUBLE) * ($bollSd)").as("lower"),
+          expr(s"($bollMid) + CAST(2.0 AS DOUBLE) * ($bollSd)").as("upper"))
+        .orderBy("flag", "d")
+    },
+    Some(s"""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS HUGEINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             f AS (SELECT flag, d,
+                 count(*) OVER w AS n,
+                 SUM(v) OVER w AS sv,
+                 SUM(v * v) OVER w AS svv
+               FROM daily
+               WINDOW w AS (PARTITION BY flag ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+            SELECT flag, CAST(d AS TIMESTAMP) AS d, n,
+                   $bollMid AS mid,
+                   ($bollMid) - CAST(2.0 AS DOUBLE) * ($bollSd) AS lower,
+                   ($bollMid) + CAST(2.0 AS DOUBLE) * ($bollSd) AS upper
+            FROM f ORDER BY flag, d"""))
+
+  /** Rolling active users — the DAU/WAU engagement curve (stickiness =
+    * DAU/WAU is the first product metric any events pipeline serves):
+    * per-day exact distinct users, and trailing-7-day distinct via a
+    * LINEAR fan-out: each user-day explodes into the ≤7 window days it
+    * contributes to (a generator projection — no join at all), then one
+    * distinct count per day. Exact distinct over a sliding window has no
+    * single-pass window form in either engine, so the fan-out IS the
+    * textbook exact formulation; at 100 TB the swap is partial HLL
+    * sketches merged over the 7-day frame (q_agg_approx_distinct's path)
+    * — same curve, bounded error. Phantom days past the data's edge drop
+    * out in the DAU inner join. Integer day arithmetic only.
+    */
+  val qActiveUsersRolling = Q(
+    "q_active_users_rolling",
+    (s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("uday")).distinct()
+      val dau = ud.groupBy(col("uday").as("d"))
+        .agg(count(lit(1)).as("dau"))
+      val wau = ud.select(col("user_id"), explode(expr(
+          "sequence(uday, date_add(uday, 6), interval 1 day)")).as("d"))
+        .groupBy("d")
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("d"))
+        .select(col("d").cast(org.apache.spark.sql.types.TimestampType)
+          .as("d"), col("dau"), col("wau"))
+        .orderBy("d")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS uday
+                  FROM events),
+             dau AS (SELECT uday AS d, count(*) AS dau
+                     FROM ud GROUP BY 1),
+             w AS (SELECT user_id,
+                     CAST(unnest(generate_series(uday,
+                       uday + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS d
+                   FROM ud),
+             wau AS (SELECT d, count(DISTINCT user_id) AS wau
+                     FROM w GROUP BY d)
+            SELECT CAST(dau.d AS TIMESTAMP) AS d, dau, wau
+            FROM dau JOIN wau ON dau.d = wau.d ORDER BY d"""))
+
+  /** Time-to-convert distribution — the latency readout behind funnel
+    * optimization (how long from first exposure to first purchase):
+    * per-user delta = first purchase at/after the first view, in exact
+    * integer microseconds, then p25/median/p75 as ELEMENTS of the
+    * (delta, user_id) total order (the q_anomaly_iqr rank-selection
+    * doctrine — never interpolated, so the whole quantile row is
+    * integer-exact) plus the mean as one IEEE division over exact Σ/n.
+    * Scale: two bounded per-user min-aggregates (map-side combinable)
+    * and one global rank over the converted-user table (O(converters),
+    * not O(events)); at 100 TB the global rank swaps to approx-quantiles
+    * like every other exact-quantile row here.
+    */
+  val qTimeToConvert = Q(
+    "q_time_to_convert",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("vt"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(v, "user_id").where(col("ts") >= col("vt"))
+        .groupBy("user_id").agg(min(col("ts")).as("pt"),
+          min(col("vt")).as("vt0"))
+      val d = p.select(col("user_id"),
+        (unix_micros(col("pt")) - unix_micros(col("vt0"))).as("delta_us"))
+      val ranked = d
+        .withColumn("rn", row_number().over(
+          Window.orderBy("delta_us", "user_id")))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+      ranked.groupBy("n")
+        .agg(max(when(col("rn") === expr("(n + 3) div 4"),
+            col("delta_us"))).as("p25_us"),
+          max(when(col("rn") === expr("(n + 1) div 2"),
+            col("delta_us"))).as("median_us"),
+          max(when(col("rn") === expr("(3 * n + 3) div 4"),
+            col("delta_us"))).as("p75_us"),
+          sum(col("delta_us")).as("sum_us"))
+        .select(col("n").as("n_converted"), col("p25_us"),
+          col("median_us"), col("p75_us"),
+          expr("CAST(sum_us AS DOUBLE) / CAST(n AS DOUBLE)")
+            .as("mean_us"))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+             p AS (SELECT e.user_id, min(e.ts) AS pt, min(v.vt) AS vt0
+                   FROM events e
+                   JOIN v ON e.user_id = v.user_id AND e.ts >= v.vt
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+             d AS (SELECT user_id,
+                     epoch_us(pt) - epoch_us(vt0) AS delta_us FROM p),
+             r AS (SELECT *,
+                     row_number() OVER (ORDER BY delta_us, user_id) AS rn,
+                     count(*) OVER () AS n
+                   FROM d)
+            SELECT max(n) AS n_converted,
+                   max(CASE WHEN rn = (n + 3) // 4 THEN delta_us END)
+                     AS p25_us,
+                   max(CASE WHEN rn = (n + 1) // 2 THEN delta_us END)
+                     AS median_us,
+                   max(CASE WHEN rn = (3 * n + 3) // 4 THEN delta_us END)
+                     AS p75_us,
+                   CAST(CAST(sum(delta_us) AS BIGINT) AS DOUBLE)
+                     / CAST(max(n) AS DOUBLE) AS mean_us
+            FROM r"""))
+
   val all: Seq[Q] = Seq(
+    qInterarrival, qWinVwap, qWinBollinger, qActiveUsersRolling,
+    qTimeToConvert,
     qWinDrawdown, qAttributionLastTouch, qWinParetoAbc, qInventoryBacklog,
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,

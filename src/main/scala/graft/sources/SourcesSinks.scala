@@ -948,8 +948,53 @@ object SourcesSinks {
                      / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS cy
             FROM pts GROUP BY segment ORDER BY segment"""))
 
+  /** Schema evolution — the lakehouse reality every long-lived table hits:
+    * an early epoch written WITHOUT a column, a later epoch with it, one
+    * mergeSchema read over both that surfaces the union schema with NULLs
+    * where the old files have no column. Epoch membership is
+    * deterministic (p_partkey parity), so the oracle reconstructs the
+    * same union from the source table with a CASE — the hash match
+    * proves the merged read null-fills exactly where it should and
+    * preserves every present value. Scale note: mergeSchema=true footer-
+    * merges ALL files — at 100 TB you pin the union schema in a
+    * catalog/metastore and read with an EXPLICIT schema instead (the
+    * option here demonstrates the semantics; the explicit-schema read is
+    * what this repo's Tables loaders already do everywhere else).
+    */
+  val qSourceMergeSchema = Q(
+    "q_source_merge_schema",
+    (s, dir) => {
+      val base = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"),
+          round(col("p_retailprice") * 100)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+            .cast(LongType).as("price_cents"), col("p_size"))
+      val path = dirKeyedTempPath(s, dir, "merge_schema")
+      base.where(col("p_partkey") % 2 === 0)
+        .drop("p_size")
+        .write.mode("overwrite").parquet(s"$path/epoch=1")
+      base.where(col("p_partkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$path/epoch=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          count(col("p_size")).as("n_sized"),
+          sum(coalesce(col("p_size"), lit(0))).as("size_sum"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, count(*) AS n,
+                   CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                   count(CASE WHEN p_partkey % 2 = 1 THEN p_size END)
+                     AS n_sized,
+                   CAST(sum(CASE WHEN p_partkey % 2 = 1 THEN p_size
+                                 ELSE 0 END) AS BIGINT) AS size_sum
+            FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
   val all: Seq[Q] =
-    Seq(qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
+    Seq(qSourceMergeSchema,
+      qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
       qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,
       qSourceCsvRoundtrip, qSourceJsonlRoundtrip,
       qScanPartitionPruned, qSourceBinaryfileRoundtrip, qGeoTilePyramid,

@@ -112,12 +112,25 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "embeddings", embeddingsSchema)
 
-  /** The ONE place that knows events.ts is TIMESTAMP(NANOS) (SURVEY.md §7.1).
-    * Spark 4.1.2 throws PARQUET_TYPE_ILLEGAL on ns timestamps unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; we then floor-divide to µs,
-    * which matches DuckDB's native ns→µs truncation for post-1970 data.
-    * Integer division (`div`) is mandatory: ns-since-epoch ≈ 1.7e18 exceeds
-    * double's 2^53 exact range, so a float path would corrupt timestamps.
+  /** The ONE place that knows how `events.ts` is physically encoded
+    * (SURVEY.md §7.1) — and the one loader that must NOT pin an explicit
+    * schema blindly: the driver has shipped this table both as
+    * TIMESTAMP(NANOS) (earlier rounds) and TIMESTAMP(MICROS) (current
+    * regeneration), and a hardcoded ns assumption on a µs file silently
+    * compresses every timestamp 1000× toward the epoch (caught 2026-08-13
+    * when the testdata was regenerated µs — every event-time query would
+    * have failed its oracle). So: read the self-describing parquet footer
+    * (footer-only, not a data scan — the no-inferSchema doctrine targets
+    * text formats) and normalize by the surfaced type.
+    *
+    * NANOS path: Spark 4.1.2 throws PARQUET_TYPE_ILLEGAL on ns timestamps
+    * unless `spark.sql.legacy.parquet.nanosAsLong=true`; the column then
+    * surfaces as LongType ns and we floor-divide to µs, matching DuckDB's
+    * native ns→µs truncation for post-1970 data. Integer division (`div`)
+    * is mandatory: ns-since-epoch ≈ 1.7e18 exceeds double's 2^53 exact
+    * range, so a float path would corrupt timestamps.
+    * MICROS path: surfaces as Timestamp(NTZ)Type already at µs — cast to
+    * TimestampType (identity under the session's pinned UTC).
     *
     * CAVEAT: the nanosAsLong flag is a session-global conf set at read time
     * (Spark offers no per-read option for it). It only widens what the
@@ -128,8 +141,14 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast(TimestampType)
+    }
+    raw.select(col("event_id").cast(LongType).as("event_id"), ts.as("ts"),
+      col("user_id").cast(LongType).as("user_id"), col("event_type"),
+      col("value").cast(DoubleType).as("value"), col("props"))
   }
 
   /** Register every fixture table as a session temp view so the engine's
