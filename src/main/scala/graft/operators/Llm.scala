@@ -362,6 +362,48 @@ object Llm {
             SELECT lang, nl AS n_tokens, $tvFml AS tv
             FROM a ORDER BY lang"""))
 
+  /** Vocabulary health per slice — hapax-legomena rate (share of the
+    * slice's vocabulary seen exactly once: high = open vocabulary /
+    * noisy OCR / code-switching; near zero = templated or looping text)
+    * and type-token ratio (lexical diversity) — the two classic corpus
+    * screens run before training-mix decisions (Heaps'-law inputs). All
+    * counts exact integers off ONE (lang, tok) rollup; the two rates are
+    * one IEEE division each on identical operands. Scale: the rollup is
+    * a two-phase bounded-key aggregate (|langs|·|vocab| keys); the
+    * per-slice census is vocab-sized.
+    */
+  val qTextHapax = Q(
+    "q_text_hapax",
+    (s, dir) => {
+      val lt = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      lt.groupBy("lang")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          count(when(col("c") === 1, lit(1))).as("hapax"))
+        .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+          expr("CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE)")
+            .as("hapax_rate"),
+          expr("CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)")
+            .as("ttr"))
+        .orderBy("lang")
+    },
+    Some("""WITH lt AS (SELECT lang, tok, count(*) AS c
+                  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  WHERE len(tok) > 0 GROUP BY lang, tok),
+             a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     count(*) AS vocab,
+                     count(CASE WHEN c = 1 THEN 1 END) AS hapax
+                   FROM lt GROUP BY lang)
+            SELECT lang, n_tokens, vocab, hapax,
+                   CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE)
+                     AS hapax_rate,
+                   CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+            FROM a ORDER BY lang"""))
+
   /** Near-dup pair table MATERIALIZED once per (session, input dir) via
     * Incremental.materialize and shared by every downstream consumer
     * (q_dedup_clusters, q_corpus_curate): through r5 each consumer
@@ -2761,7 +2803,7 @@ object Llm {
     qSimCosineQuantized, qDedupEmbedClusters,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
     qTextTfidfTop, qTextBm25, qSearchRrf, qTextChunk, qTextCooccur,
-    qCorpusDrift, qTextFingerprint,
+    qCorpusDrift, qTextHapax, qTextFingerprint,
     qTextLangId,
     qTextPiiMask,
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,

@@ -1338,8 +1338,70 @@ object Relational {
                      AS cents_sum
             FROM d GROUP BY change_type ORDER BY change_type"""))
 
+  /** Referential-integrity audit — the FK orphan census a DQ gate runs
+    * after every load (and after partial deletes, the scenario staged
+    * here: the parent is PRUNED mod-13 so the check demonstrably counts
+    * real orphans instead of vacuously reporting zero): one row per
+    * relationship with child volume, orphan count and the smallest
+    * orphaned key (the triage pointer). Each relationship is a LEFT ANTI
+    * join — at 100 TB these are shuffle-partitioned on the FK and the
+    * builtin DPP/broadcast kicks in for small parents; the census is a
+    * 3-row union. Exact integers end-to-end.
+    */
+  val qDqReferential = Q(
+    "q_dq_referential",
+    (s, dir) => {
+      val prunedOrders = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 13 =!= 0).select("o_orderkey")
+      val prunedCust = Tables.customer(s, dir)
+        .where(col("c_custkey") % 13 =!= 0).select("c_custkey")
+      val li = Tables.lineitem(s, dir)
+      val one = (name: String, child: DataFrame, key: String,
+                 parent: DataFrame, pkey: String) => {
+        val orphans = child
+          .join(parent, child(key) === parent(pkey), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+            min(col(key)).as("min_orphan_key")))
+          .select(lit(name).as("relationship"), col("n_child"),
+            col("n_orphans"), col("min_orphan_key"))
+      }
+      one("lineitem.l_orderkey->orders", li.select("l_orderkey"),
+          "l_orderkey", prunedOrders, "o_orderkey")
+        .union(one("orders.o_custkey->customer",
+          Tables.orders(s, dir).select("o_custkey"), "o_custkey",
+          prunedCust, "c_custkey"))
+        .union(one("lineitem.l_partkey->part",
+          li.select("l_partkey"), "l_partkey",
+          Tables.part(s, dir).select("p_partkey"), "p_partkey"))
+        .orderBy("relationship")
+    },
+    Some("""WITH po AS (SELECT o_orderkey FROM orders
+                        WHERE o_orderkey % 13 <> 0),
+             pc AS (SELECT c_custkey FROM customer
+                    WHERE c_custkey % 13 <> 0),
+             r1 AS (SELECT 'lineitem.l_orderkey->orders' AS relationship,
+                      (SELECT count(*) FROM lineitem) AS n_child,
+                      count(*) AS n_orphans,
+                      min(l_orderkey) AS min_orphan_key
+                    FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po)),
+             r2 AS (SELECT 'orders.o_custkey->customer',
+                      (SELECT count(*) FROM orders),
+                      count(*), min(o_custkey)
+                    FROM orders
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM pc)),
+             r3 AS (SELECT 'lineitem.l_partkey->part',
+                      (SELECT count(*) FROM lineitem),
+                      count(*), min(l_partkey)
+                    FROM lineitem
+                    WHERE l_partkey NOT IN
+                      (SELECT p_partkey FROM part))
+            SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3 ORDER BY relationship"""))
+
   val all: Seq[Q] = Seq(
-    qSnapshotDiff,
+    qSnapshotDiff, qDqReferential,
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
