@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 import graft.{Det, Q}
@@ -1054,15 +1054,19 @@ object Aggregates {
     * assignment deterministic. Recency is exact integer days from the
     * GLOBAL max order date (no wall clock — §7.2); monetary ranks on the
     * Det decimal sum. Output = segment census (≤125 rows). Scale: the
-    * fact scan reduces to O(customers) before any window; the ntile
-    * windows are global-ordered over that reduced table — at 100 TB
-    * you'd swap in approx-quantile breaks (q_agg_percentile_approx's
-    * bounded-error path) rather than a global sort.
+    * fact scan reduces to O(customers) before any ranking, and the
+    * quintiles are computed WITHOUT a global sort — each metric goes
+    * through Prefix's two-phase decomposition (64 monotone range buckets,
+    * per-bucket row_number in parallel, broadcast bucket-count offsets)
+    * and the exact global rank is replayed into NTILE(5) with pure
+    * integer arithmetic (Prefix.ntileFromRank). The only partition-less
+    * window touches the 64 bucket counts; the DuckDB oracle keeps its
+    * native ntile windows, so the hash match proves the decomposition
+    * replicates the fill rule exactly.
     */
   val qRfmSegments = Q(
     "q_rfm_segments",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val maxD = Tables.orders(s, dir)
         .agg(to_date(max(col("o_orderdate"))).as("ref_d"))
       val per = Tables.orders(s, dir)
@@ -1072,14 +1076,30 @@ object Aggregates {
           Det.dsum(col("o_totalprice")).as("money"))
         .crossJoin(broadcast(maxD))
         .withColumn("recency", datediff(col("ref_d"), col("last_d")))
-      val scored = per
-        .withColumn("r", ntile(5).over(
-          Window.orderBy(col("recency").desc, col("o_custkey"))))
-        .withColumn("f", ntile(5).over(
-          Window.orderBy(col("freq"), col("o_custkey"))))
-        .withColumn("m", ntile(5).over(
-          Window.orderBy(col("money"), col("o_custkey"))))
-      scored.groupBy("r", "f", "m")
+      val nRow = per.agg(count(lit(1)).as("n_cust"))
+      // the reduced O(customers) table is read by all three rank passes —
+      // materialize it once (executor-local; at 100 TB this is a standard
+      // persisted intermediate, tiny next to the fact it reduces)
+      val base = per.crossJoin(broadcast(nRow)).localCheckpoint()
+      // one exact quintile score per metric, each via Prefix: 64 monotone
+      // range buckets -> parallel per-bucket row_number -> broadcast
+      // bucket-count offsets -> ntile replayed arithmetically from the
+      // global rank. NO partition-less window ever sees O(customers) rows.
+      def quintile(metric: Column, desc: Boolean, out: String): DataFrame = {
+        val ord =
+          if (desc) Seq(metric.desc, col("o_custkey"))
+          else Seq(metric.asc, col("o_custkey"))
+        val rk = Prefix.globalRank(
+          Prefix.withRangeBucket(base, metric, 64, "__b"),
+          "__b", ord, bucketDesc = desc, "__rk")
+        rk.select(col("o_custkey"),
+          Prefix.ntileFromRank("__rk", "n_cust", 5).as(out))
+      }
+      base.select("o_custkey", "money")
+        .join(quintile(col("recency"), desc = true, "r"), "o_custkey")
+        .join(quintile(col("freq"), desc = false, "f"), "o_custkey")
+        .join(quintile(col("money"), desc = false, "m"), "o_custkey")
+        .groupBy("r", "f", "m")
         .agg(count(lit(1)).as("n_customers"),
           Det.dsum(col("money")).as("segment_rev"))
         .orderBy("r", "f", "m")

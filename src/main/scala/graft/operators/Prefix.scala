@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Distributed ordered-prefix primitives — the scale-correct replacement
+  * for a partition-less `Window.orderBy(...)` rank / running sum.
+  *
+  * A global ordered window serializes its whole input through ONE task
+  * (the classic 100 TB WindowExec killer). The fix used here is the
+  * two-phase decomposition `q_corpus_pack` already proves exact for hash
+  * buckets, generalized to ORDER-PRESERVING buckets so it also works when
+  * the output must follow a caller-chosen total order (rank curves,
+  * quantile scores, Pareto cumsums):
+  *
+  *   1. bucket each row by a deterministic MONOTONE function of the sort
+  *      metric (linear interpolation between the broadcast global min and
+  *      max). Monotone ⇒ every bucket is a contiguous band of the total
+  *      order, so the decomposition below is exact — not approximate —
+  *      for any associative accumulator (counts, decimal sums);
+  *   2. run the per-row window PER BUCKET (parallel, bounded tasks);
+  *   3. prefix the nBuckets per-bucket totals through one tiny ordered
+  *      window (O(nBuckets) rows — bounded by construction, the only
+  *      partition-less window allowed) and broadcast the offsets back.
+  *
+  * Determinism: min/max are order-insensitive exact aggregates and the
+  * bucket index is a pure row-local function of (metric, min, max), so a
+  * recomputation of the lineage lands every row in the same bucket — no
+  * sampling (unlike `repartitionByRange`, whose boundaries come from
+  * reservoir sketches and would not be reproducible in a DuckDB oracle).
+  * Skew: linear buckets degrade on pathological metric distributions
+  * (all-equal metrics collapse to one bucket) but the decomposition stays
+  * CORRECT; at 100 TB you'd raise nBuckets or pre-apply a variance-
+  * stabilizing monotone transform (log) — both preserve exactness.
+  */
+object Prefix {
+
+  /** Adds `out`: a deterministic bucket id in [0, nBuckets) monotone
+    * NON-DECREASING in `metric` (cast to double — IEEE rounding of a
+    * decimal/long is monotone, and equal doubles share a bucket, which
+    * keeps bands contiguous). Degenerate all-equal input collapses to
+    * bucket 0 — still correct, just serial.
+    */
+  def withRangeBucket(
+      df: DataFrame, metric: Column, nBuckets: Int, out: String): DataFrame = {
+    val st = df.agg(
+      min(metric.cast(DoubleType)).as("__gr_mn"),
+      max(metric.cast(DoubleType)).as("__gr_mx"))
+    df.crossJoin(broadcast(st))
+      .withColumn(out,
+        when(col("__gr_mx") === col("__gr_mn"), lit(0))
+          .otherwise(least(
+            floor((metric.cast(DoubleType) - col("__gr_mn")) /
+              (col("__gr_mx") - col("__gr_mn")) * nBuckets),
+            lit(nBuckets - 1).cast(LongType)))
+          .cast(IntegerType))
+      .drop("__gr_mn", "__gr_mx")
+  }
+
+  /** Exact 1-based global rank over the total order (bucket band,
+    * `order` within band) without a global sort: row_number per bucket +
+    * broadcast per-bucket count offsets. `bucketDesc` flips the band
+    * order for DESC metrics (the bucket column is monotone in the metric,
+    * so descending metric order == descending bucket order). The caller's
+    * `order` must be a TOTAL order within a bucket (tiebreak on a key).
+    */
+  def globalRank(
+      df: DataFrame, bucketCol: String, order: Seq[Column],
+      bucketDesc: Boolean, out: String): DataFrame = {
+    val local = df.withColumn("__gr_rn",
+      row_number().over(
+        Window.partitionBy(col(bucketCol)).orderBy(order: _*)))
+    val bOrd = if (bucketDesc) col(bucketCol).desc else col(bucketCol).asc
+    val offs = df.groupBy(bucketCol).agg(count(lit(1)).as("__gr_bn"))
+      .withColumn("__gr_off", coalesce(
+        sum(col("__gr_bn")).over(
+          Window.orderBy(bOrd).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(bucketCol), col("__gr_off"))
+    local.join(broadcast(offs), Seq(bucketCol))
+      .withColumn(out, (col("__gr_off") + col("__gr_rn")).cast(LongType))
+      .drop("__gr_rn", "__gr_off")
+  }
+
+  /** Exact inclusive running sum of `value` over the same decomposed total
+    * order. `value` must be an ASSOCIATIVE-exact type (long, decimal) —
+    * the whole point of the repo's Dec12 doctrine — so regrouping the
+    * additions per bucket cannot change the result.
+    */
+  def runningSum(
+      df: DataFrame, bucketCol: String, order: Seq[Column],
+      bucketDesc: Boolean, value: Column, out: String): DataFrame = {
+    val local = df.withColumn("__gr_loc",
+      sum(value).over(
+        Window.partitionBy(col(bucketCol)).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bOrd = if (bucketDesc) col(bucketCol).desc else col(bucketCol).asc
+    val offs = df.groupBy(bucketCol).agg(sum(value).as("__gr_bt"))
+      .withColumn("__gr_off", coalesce(
+        sum(col("__gr_bt")).over(
+          Window.orderBy(bOrd).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(bucketCol), col("__gr_off"))
+    local.join(broadcast(offs), Seq(bucketCol))
+      .withColumn(out, col("__gr_off") + col("__gr_loc"))
+      .drop("__gr_loc", "__gr_off")
+  }
+
+  /** SQL-standard NTILE(k) replayed from a global rank: pure integer
+    * arithmetic on (rank, n) replicating the fill rule exactly (first
+    * n mod k tiles take ceil(n/k) rows, the rest floor(n/k)), so the
+    * result hash-matches an engine-native `ntile(k) OVER (ORDER BY ...)`
+    * while never materializing a single-task global window. `rk` and `n`
+    * are column NAMES already on the frame.
+    */
+  def ntileFromRank(rk: String, n: String, k: Int): Column = {
+    // q = n div k, r = n mod k, t = r*(q+1); rank<=t -> ceil(rk/(q+1)),
+    // else r + ceil((rk-t)/q). Lazy If keeps the q=0 division unreachable
+    // (n<k puts every rank in the first branch: t = r = n).
+    val q = s"($n div $k)"
+    val r = s"($n % $k)"
+    val t = s"($r * ($q + 1))"
+    when(col(rk) <= expr(t), expr(s"($rk + $q) div ($q + 1)"))
+      .otherwise(expr(s"$r + (($rk - $t) + $q - 1) div $q"))
+      .cast(IntegerType)
+  }
+}

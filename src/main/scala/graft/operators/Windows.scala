@@ -1165,10 +1165,14 @@ object Windows {
     * in DuckDB — §7.2 — but decimal addition is associative, so the
     * running decimal total is exact in both engines); the share is one
     * IEEE division on identical operands and the class cut compares
-    * identical doubles. The global ordered cumsum is inherently
-    * sequential — fine here because the ranked table is the PART catalog
-    * (O(SKUs), not O(corpus)); at 100 TB you'd range-bucket the curve
-    * the way q_corpus_pack buckets its prefix sums.
+    * identical doubles. The ranked table is the PART catalog, but SKU
+    * catalogs scale with the corpus — so the running cumsum does NOT use
+    * a partition-less window: it goes through Prefix's two-phase
+    * decomposition (64 monotone range buckets on rev, per-bucket window
+    * sums in parallel, broadcast bucket-total offsets; decimal addition
+    * is associative so the regrouping is exact). The only partition-less
+    * window touches the 64 bucket totals; the oracle keeps the naive
+    * global window, so the hash match proves the decomposition exact.
     */
   val qWinParetoAbc = Q(
     "q_win_pareto_abc",
@@ -1177,12 +1181,20 @@ object Windows {
       val byPart = Tables.lineitem(s, dir)
         .groupBy("l_partkey")
         .agg(Det.dsum(col("l_extendedprice")).as("rev"))
-      val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .localCheckpoint()
       val tot = byPart.agg(
         sum(col("rev").cast(dec12)).as("tot_d"))
-      byPart.crossJoin(broadcast(tot))
-        .withColumn("cum_d", sum(col("rev").cast(dec12)).over(wCum))
+      // value rides as DECIMAL(26,12): sums promote to (36,12) and the
+      // offset+local addition to (37,12) — never past the 38-precision
+      // cap, so NO scale-reduction rounding anywhere (a (38,12) value
+      // would round its 12th digit at the final addition and break the
+      // bit-exact share against the oracle's single-window sum)
+      val cum = Prefix.runningSum(
+        Prefix.withRangeBucket(byPart, col("rev"), 64, "__b"),
+        "__b", Seq(col("rev").desc, col("l_partkey")), bucketDesc = true,
+        col("rev").cast(org.apache.spark.sql.types.DecimalType(26, 12)),
+        "cum_d")
+      cum.crossJoin(broadcast(tot))
         .withColumn("share",
           col("cum_d").cast(org.apache.spark.sql.types.DoubleType) /
             col("tot_d").cast(org.apache.spark.sql.types.DoubleType))
@@ -1482,10 +1494,15 @@ object Windows {
     * (delta, user_id) total order (the q_anomaly_iqr rank-selection
     * doctrine — never interpolated, so the whole quantile row is
     * integer-exact) plus the mean as one IEEE division over exact Σ/n.
-    * Scale: two bounded per-user min-aggregates (map-side combinable)
-    * and one global rank over the converted-user table (O(converters),
-    * not O(events)); at 100 TB the global rank swaps to approx-quantiles
-    * like every other exact-quantile row here.
+    * Scale: two bounded per-user min-aggregates (map-side combinable);
+    * the converted-user table is O(users), so the exact rank does NOT
+    * ride a global window — it goes through Prefix's two-phase
+    * decomposition (64 monotone range buckets on delta, parallel
+    * per-bucket row_number, broadcast bucket-count offsets) and n comes
+    * from a broadcast 1-row count, never `count over (partition by 1)`.
+    * Parity note: the oracle carries HAVING count(*) > 0 so an empty
+    * converter set yields 0 rows in BOTH engines (a global aggregate
+    * would emit one all-NULL row where groupBy("n") emits none).
     */
   val qTimeToConvert = Q(
     "q_time_to_convert",
@@ -1499,11 +1516,13 @@ object Windows {
           min(col("vt")).as("vt0"))
       val d = p.select(col("user_id"),
         (unix_micros(col("pt")) - unix_micros(col("vt0"))).as("delta_us"))
-      val ranked = d
-        .withColumn("rn", row_number().over(
-          Window.orderBy("delta_us", "user_id")))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
+        .localCheckpoint()
+      val nRow = d.agg(count(lit(1)).as("n"))
+      val ranked = Prefix.globalRank(
+        Prefix.withRangeBucket(d, col("delta_us"), 64, "__b"),
+        "__b", Seq(col("delta_us"), col("user_id")), bucketDesc = false,
+        "rn")
+        .crossJoin(broadcast(nRow))
       ranked.groupBy("n")
         .agg(max(when(col("rn") === expr("(n + 3) div 4"),
             col("delta_us"))).as("p25_us"),
@@ -1538,7 +1557,7 @@ object Windows {
                      AS p75_us,
                    CAST(CAST(sum(delta_us) AS BIGINT) AS DOUBLE)
                      / CAST(max(n) AS DOUBLE) AS mean_us
-            FROM r"""))
+            FROM r HAVING count(*) > 0"""))
 
   val all: Seq[Q] = Seq(
     qInterarrival, qWinVwap, qWinBollinger, qActiveUsersRolling,

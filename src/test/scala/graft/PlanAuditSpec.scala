@@ -447,6 +447,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"unexpected exchanges:\n${simplePlan(df)}")
   }
 
+  test("RFM quintiles: customer-scale windows run per range-bucket") {
+    // the three rank windows must partition on Prefix's bucket column —
+    // a partition-less ntile here serializes O(customers) through one
+    // task at 100 TB (the r10 verdict's scale-killer class)
+    val p = simplePlan(Aggregates.qRfmSegments.fn(spark, sfDir))
+    assert(p.contains("hashpartitioning(__b"),
+      s"quintile ranks lost their bucket partitioning:\n${p.take(1500)}")
+  }
+
+  test("pareto cumsum runs per range-bucket, offsets broadcast back") {
+    val p = simplePlan(Windows.qWinParetoAbc.fn(spark, sfDir))
+    assert(p.contains("hashpartitioning(__b"),
+      s"revenue cumsum lost its bucket partitioning:\n${p.take(1500)}")
+    assert(p.contains("BroadcastExchange"),
+      "bucket offsets must broadcast, never shuffle the curve")
+  }
+
+  test("time-to-convert rank runs per range-bucket (no global window)") {
+    val p = simplePlan(Windows.qTimeToConvert.fn(spark, sfDir))
+    assert(p.contains("hashpartitioning(__b"),
+      s"converter rank lost its bucket partitioning:\n${p.take(1500)}")
+  }
+
   test("skew/kurtosis moment sums are one two-phase aggregate") {
     val p = plan(Aggregates.qAggSkewKurt.fn(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
