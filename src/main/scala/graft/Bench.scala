@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pin: Tables.events' MICROS path casts wall-clock — on a
+      // non-UTC host an unpinned bench would read shifted timestamps
+      // (ADVICE r10); Verify and the test fixture already pin it.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -15,19 +19,39 @@ object Bench {
     // whichever query happens to run first).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Machine-state calibration (r10 verdict: a ~2x environment-wide slow
+    // window is indistinguishable from a plan regression in the raw
+    // numbers). A fixed codegen+shuffle workload is timed at sweep start
+    // and end; the regression gate below scales its thresholds by
+    // calibration-now / calibration-prior, so sandbox throughput swings
+    // stop masquerading as (or masking) plan changes. The workload is
+    // data-independent: one codegen sum + one small shuffle.
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L).selectExpr("sum(id * 3 + 1)").collect()
+      spark.range(500000L).selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").sum("v").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = math.min(calib(), calib()) // min-of-2: load adds only
     // optional args = run only these queries (local perf iteration; the
     // driver invokes with no args → full run)
     val only = args.toSet
+    // (wall seconds, build seconds spent inside Incremental/bucketed-store
+    // writes during the run — warm-path query cost is wall - build)
     def time(name: String,
              fn: (org.apache.spark.sql.SparkSession, String) =>
-               org.apache.spark.sql.DataFrame): Double = {
+               org.apache.spark.sql.DataFrame): (Double, Double) = {
       val t0 = System.nanoTime()
+      val b0 = graft.sources.BuildTimer.snapshot
       // a failed query must be visible in the output, not recorded as a
       // suspiciously fast success: report it as -1
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try { fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9,
+          (graft.sources.BuildTimer.snapshot - b0) / 1e9) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        (-1.0, 0.0)
       }
     }
     // Last run's per-query seconds (written by this main at the end of every
@@ -38,8 +62,8 @@ object Bench {
     // become the baseline the driver's sf0.1 run is gated against.
     // The file is anchored at the repo root (nearest ancestor of the cwd
     // holding build.sbt), NOT the bare cwd — running the bench from a
-    // subdirectory must neither silently disable the 3× gate (empty prior
-    // map) nor scatter new baseline files around the tree.
+    // subdirectory must neither silently disable the regression gate (empty
+    // prior map) nor scatter new baseline files around the tree.
     val repoRoot = Iterator.iterate(
         java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
       .takeWhile(_ != null)
@@ -59,7 +83,10 @@ object Bench {
         }.toMap
     if (prior.isEmpty)
       System.err.println(s"[bench] no prior baselines for $sfDir at " +
-        s"$priorPath — 3x regression gate inactive this run")
+        s"$priorPath — regression gate inactive this run")
+    // prior calibration for THIS sf's rows; ratio > 1 ⇒ machine slower now
+    val priorCalib = prior.getOrElse("__calib__", 0.0)
+    val calRatio = if (priorCalib > 0) calibStart / priorCalib else 1.0
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) => (name, fn, time(name, fn)) }
@@ -72,35 +99,47 @@ object Bench {
     //     starts only after the first loop completes — the full-suite
     //     runtime between the two samples decorrelates them from any
     //     single sustained spike;
-    //  2. any query still over 3× its previous-round value (BENCH_PRIOR
-    //     .tsv) after min-of-2 gets a THIRD sample — a genuine plan
-    //     regression reproduces three times, a load window does not.
+    //  2. any query still over its calibration-scaled gate (2x prior for
+    //     >1 s queries, 3x below — BENCH_PRIOR.tsv) after min-of-2 gets a
+    //     THIRD sample — a genuine plan regression reproduces three times,
+    //     a load window does not.
     // min-of-n is the right statistic: plan cost is what the number is
-    // for, and external load only ever adds time.
-    val retimed = firstPass.map { case (name, fn, t1) =>
+    // for, and external load only ever adds time. Builds are taken from
+    // the FIRST (cold) run; a build re-firing on a warm re-run is a
+    // broken reuse seam and is reported loudly instead of averaged in.
+    val retimed = firstPass.map { case (name, fn, (t1, b1)) =>
       val t = if (t1 <= 1.0) t1 else {
-        val t2 = time(name, fn)
+        val (t2, b2) = time(name, fn)
+        if (b2 > 0.05)
+          System.err.println(f"[bench] $name REBUILT its store on a warm " +
+            f"re-run ($b2%.2f s) — reuse seam broken")
         if (t2 < 0) t1 else math.min(t1, t2) // a flaky 2nd run can't mask a good 1st
       }
-      (name, fn, t)
+      (name, fn, t, b1)
     }
-    val results = retimed.map { case (name, fn, t) =>
+    val results = retimed.map { case (name, fn, t, b) =>
       val base = prior.getOrElse(name, 0.0)
-      val v = if (base > 0 && t > 3 * base) {
-        val t3 = time(name, fn)
+      val factor = (if (t > 1.0) 2.0 else 3.0) * math.max(calRatio, 1.0)
+      val v = if (base > 0 && t > factor * base) {
+        val (t3, _) = time(name, fn)
         if (t3 < 0) t else math.min(t, t3)
       } else t
-      name -> v
-    }.toMap
+      name -> (v, b)
+    }
+    val wall = results.map { case (k, (v, _)) => k -> v }.toMap
+    val builds = results.collect { case (k, (_, b)) if b > 0.05 => k -> b }
+    val calibEnd = calib()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // persist this run's full map for the next run's 3× gate (best-effort:
-    // a read-only working dir must not fail the bench itself)
+    // persist this run's full map for the next run's regression gate
+    // (best-effort: a read-only working dir must not fail the bench);
+    // __calib__ rides the same file so the next run can normalize.
     try {
       // merge, don't replace: a partial run (`only` args) must not erase
       // the rest of this sf's baseline rows. A FAILED timing (-1) must not
       // replace a good baseline either — that would permanently disable
-      // the 3x regression gate for that query (base > 0 guard above).
-      val good = results.filter { case (_, v) => v >= 0 }
+      // the regression gate for that query (base > 0 guard above).
+      val good = wall.filter { case (_, v) => v >= 0 } +
+        ("__calib__" -> math.min(calibStart, calibEnd))
       val keep =
         if (!java.nio.file.Files.exists(priorPath)) Seq.empty
         else scala.jdk.CollectionConverters.ListHasAsScala(
@@ -118,18 +157,26 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_PRIOR.tsv: $e")
     }
-    val qs = results.toSeq.sortBy(_._1)
+    val qs = wall.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val bs = builds.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val total = if (wall.nonEmpty) wall.values.sum else 0.0
     // The driver keeps only a bounded tail of stdout (~2000 chars). At 87+
     // queries the single combined JSON line outgrew it and the leading
     // "metric":"total" was cut off (BENCH_r04/r05 both "parsed": null). So:
     // per-query map first on its own line (for humans/the judge), then the
-    // compact total object as the LAST line — the tail keeps the end of
-    // stdout, so the total survives regardless of query count.
+    // store-build split, then the compact total object as the LAST line —
+    // the tail keeps the end of stdout, so the total survives regardless
+    // of query count. Calibration rides the total line: seconds for the
+    // fixed workload at sweep start/end plus the vs-prior ratio the gate
+    // used — read total in units of the calibration to compare machine
+    // states across rounds.
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_count":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"store_builds","queries":$bs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_count":${wall.size},"calib_start_s":${f3(calibStart)},"calib_end_s":${f3(calibEnd)},"calib_ratio_vs_prior":${f3(calRatio)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

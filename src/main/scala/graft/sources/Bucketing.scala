@@ -23,7 +23,7 @@ object Bucketing {
     * orphaned location before writing.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit = {
+                    buckets: Int): Unit = BuildTimer.timed {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
@@ -60,7 +60,7 @@ object Bucketing {
         .map(r => r.getString(0) -> r.getString(1)).toMap
       props.get("graft.inputs").contains(want)
     } && Incremental.isFresh(spark, inputs, loc)
-    if (!fresh) {
+    if (!fresh) BuildTimer.timed {
       writeBucketed(df, table, key, buckets)
       spark.sql(
         s"ALTER TABLE `$table` SET TBLPROPERTIES ('graft.inputs' = '$want')")

@@ -61,7 +61,7 @@ object Incremental {
     val rebuilt =
       if (isFresh(spark, inputs, outPath)) false
       else {
-        build.write.mode("overwrite").parquet(outPath)
+        BuildTimer.timed { build.write.mode("overwrite").parquet(outPath) }
         true
       }
     (spark.read.parquet(outPath), rebuilt)
