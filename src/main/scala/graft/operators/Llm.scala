@@ -191,6 +191,10 @@ object Llm {
     * the FILTER, the reported scores are one division on identical
     * integer operands. Truth query: uncapped buckets (a capped bucket
     * would bias `inter` itself); the capped scale path is the LSH family.
+    * Collision note (shared with q_dedup_jaccard_pairs): Spark shingles
+    * ride xxhash64 while the oracle compares raw shingle strings, so a
+    * 64-bit collision would skew inter/na/nb — accepted at ~n²/2⁶⁵ odds,
+    * the standard shingle-hashing trade every MinHash pipeline makes.
     */
   val qDedupContainment = Q(
     "q_dedup_containment",
@@ -295,10 +299,11 @@ object Llm {
             FROM j ORDER BY lift DESC, ta, tb LIMIT 20"""))
 
   // total-variation distance with an ALL-INTEGER numerator: |p−q| per token
-  // cross-multiplied to |c_lt·N − c_t·N_l| (exact longs), summed as exact
-  // decimal, ONE division at the end — the denominator product is built in
-  // doubles by shared formula text (each factor ≤2^53-exact, identical
-  // operands → identical IEEE product both engines)
+  // cross-multiplied to |c_lt·N − c_t·N_l| (exact WIDE integers — decimal
+  // in Spark, int128 in DuckDB; int64 would overflow past ~3e9 tokens),
+  // summed as exact decimal, ONE division at the end — the denominator
+  // product is built in doubles by shared formula text (each factor
+  // ≤2^53-exact, identical operands → identical IEEE product both engines)
   private val tvFml = "CAST(num AS DOUBLE) / (CAST(2.0 AS DOUBLE) " +
     "* CAST(nl AS DOUBLE) * CAST(nt AS DOUBLE))"
 
@@ -328,11 +333,17 @@ object Llm {
       val tg = lt.groupBy("tok").agg(sum(col("clt")).as("ct"))
       val ln = lt.groupBy("lang").agg(sum(col("clt")).as("nl"))
       val nTot = ln.agg(sum(col("nl")).as("nt"))
+      // the cross-multiplication rides WIDE integers (the q_agg_hhi
+      // carrier split: Spark DECIMAL(18,0) products → (37,0), DuckDB
+      // HUGEINT int128 — identical exact values): in int64 a corpus past
+      // ~3e9 tokens would overflow c_lt·N at 2^63 (r10 advice)
+      val Dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
       tg.crossJoin(broadcast(ln)).crossJoin(broadcast(nTot))
         .join(lt, Seq("lang", "tok"), "left")
         .select(col("lang"), col("nl"), col("nt"),
-          abs(coalesce(col("clt"), lit(0L)) * col("nt") -
-            col("ct") * col("nl")).as("dev"))
+          abs(coalesce(col("clt"), lit(0L)).cast(Dec18) *
+            col("nt").cast(Dec18) -
+            col("ct").cast(Dec18) * col("nl").cast(Dec18)).as("dev"))
         .groupBy("lang", "nl", "nt")
         .agg(sum(col("dev").cast(Dec0)).cast("double").as("num"))
         .select(col("lang"), col("nl").as("n_tokens"),
@@ -353,7 +364,10 @@ object Llm {
              g AS (SELECT ln.lang, ln.nl, tg.tok, tg.ct, n.nt
                    FROM tg, ln, n),
              j AS (SELECT g.lang, g.nl, g.nt,
-                     abs(COALESCE(lt.clt, 0) * g.nt - g.ct * g.nl) AS dev
+                     abs(CAST(COALESCE(lt.clt, 0) AS HUGEINT)
+                           * CAST(g.nt AS HUGEINT)
+                         - CAST(g.ct AS HUGEINT)
+                           * CAST(g.nl AS HUGEINT)) AS dev
                    FROM g LEFT JOIN lt
                      ON lt.lang = g.lang AND lt.tok = g.tok),
              a AS (SELECT lang, nl, nt,
