@@ -148,9 +148,16 @@ object Llm {
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
       val sizes = buckets.select(explode(col("ids")).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // SHUFFLE_HASH with sizes as the build side: Catalyst's static
+      // estimate of the pair aggregate is tiny, so left alone it
+      // BROADCASTS the O(pairs) side — OOM-death on a duplicate-heavy
+      // corpus (caught by the r11 10x rehearsal: 8 GB driver OOM at a
+      // mere 50k-doc clone corpus). Neither side is broadcast-safe at
+      // 100 TB; the honest shape is a shuffled join keyed on the doc id
+      // with the smaller O(docs) side as the hash build.
       inter
-        .join(sizes.toDF("a", "na"), "a")
-        .join(sizes.toDF("b", "nb"), "b")
+        .join(sizes.toDF("a", "na").hint("shuffle_hash"), "a")
+        .join(sizes.toDF("b", "nb").hint("shuffle_hash"), "b")
         .withColumn("jac", col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")).cast(DoubleType))
         .where(col("jac") >= 0.5)
@@ -209,9 +216,12 @@ object Llm {
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
       val sizes = buckets.select(explode(col("ids")).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // shuffle-hash with sizes as build — same rationale (and same r11
+      // 10x-rehearsal OOM) as q_dedup_jaccard_pairs: never let the
+      // statically-underestimated O(pairs) aggregate become a broadcast
       inter
-        .join(sizes.toDF("a", "na"), "a")
-        .join(sizes.toDF("b", "nb"), "b")
+        .join(sizes.toDF("a", "na").hint("shuffle_hash"), "a")
+        .join(sizes.toDF("b", "nb").hint("shuffle_hash"), "b")
         .where(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
         .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
           (col("inter").cast(DoubleType) / col("na").cast(DoubleType))
