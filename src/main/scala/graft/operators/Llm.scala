@@ -2699,6 +2699,32 @@ object Llm {
     * group-by is on the canonical key — the same hash-partition dedup
     * shape as q_dedup_exact_hash.
     */
+  /** Adds `canonical` to a frame with a `url` column — the crawl-frontier
+    * canonicalization q_url_canonical groups on, shared with
+    * EdgeCaseSpec's pathological-URL pins (empty query string, duplicate
+    * params, uppercase percent-escapes, bare root). Percent-escapes are
+    * deliberately preserved VERBATIM: decoding can change path semantics
+    * (%2F vs /), so a canonicalizer must never rewrite them.
+    */
+  def withUrlCanonical(df: DataFrame): DataFrame =
+    df
+      .withColumn("scheme",
+        regexp_extract(col("url"), "^([a-zA-Z]+)://", 1))
+      .withColumn("host",
+        regexp_extract(col("url"), "^[a-zA-Z]+://([^/?]+)", 1))
+      .withColumn("path",
+        regexp_extract(col("url"), "^[a-zA-Z]+://[^/?]+([^?]*)", 1))
+      .withColumn("query", regexp_extract(col("url"), "\\?(.*)$", 1))
+      .withColumn("canonq", expr(
+        "array_join(array_sort(filter(split(query, '&'), " +
+          "x -> NOT startswith(x, 'utm_') AND x != '')), '&')"))
+      .withColumn("canonical", concat(
+        lower(col("scheme")), lit("://"),
+        regexp_replace(lower(col("host")), ":80$", ""),
+        expr("rtrim('/', path)"),
+        expr("CASE WHEN canonq = '' THEN '' " +
+          "ELSE concat('?', canonq) END")))
+
   val qUrlCanonical = Q(
     "q_url_canonical",
     (s, dir) => {
@@ -2711,24 +2737,8 @@ object Llm {
           "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, " +
           "CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=x' " +
           "ELSE '?a=1&b=2' END)"
-      Tables.documents(s, dir)
-        .select(col("doc_id"), expr(url).as("url"))
-        .withColumn("scheme",
-          regexp_extract(col("url"), "^([a-zA-Z]+)://", 1))
-        .withColumn("host",
-          regexp_extract(col("url"), "^[a-zA-Z]+://([^/?]+)", 1))
-        .withColumn("path",
-          regexp_extract(col("url"), "^[a-zA-Z]+://[^/?]+([^?]*)", 1))
-        .withColumn("query", regexp_extract(col("url"), "\\?(.*)$", 1))
-        .withColumn("canonq", expr(
-          "array_join(array_sort(filter(split(query, '&'), " +
-            "x -> NOT startswith(x, 'utm_') AND x != '')), '&')"))
-        .withColumn("canonical", concat(
-          lower(col("scheme")), lit("://"),
-          regexp_replace(lower(col("host")), ":80$", ""),
-          expr("rtrim('/', path)"),
-          expr("CASE WHEN canonq = '' THEN '' " +
-            "ELSE concat('?', canonq) END")))
+      withUrlCanonical(Tables.documents(s, dir)
+          .select(col("doc_id"), expr(url).as("url")))
         .groupBy("canonical")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("url")).as("n_variants"),

@@ -34,7 +34,17 @@ class ConfigParitySpec extends AnyFunSuite with SparkFixture {
     // distinct counts) and the frame-array rolling median — both must
     // survive codegen/AQE/broadcast/ANSI flips value-identically
     Aggregates.qAbLift,
-    Windows.qWinRollingMedian)
+    Windows.qWinRollingMedian,
+    // r11 (verdict #8): the real-codec decode paths (mapPartitions batch
+    // shape + ImageIO/AudioSystem byte handling must not vary with plan
+    // strategy) and the RRF rounding path (floor-quantized fused scores)
+    graft.operators.Multimodal.qMultimodalDecode,
+    graft.operators.Multimodal.qMultimodalAudioDecode,
+    Llm.qSearchRrf,
+    // r11 Prefix rewrites: three-bucket rank decomposition + ntile replay
+    // and the Dec(26,12) two-phase cumsum must be plan-strategy-invariant
+    Aggregates.qRfmSegments,
+    Windows.qWinParetoAbc)
 
   private def runWith(confs: (String, String)*)(q: Q): Seq[String] = {
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }

@@ -151,6 +151,27 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(out.isEmpty)
   }
 
+  test("url canonicalization: empty query, dup params, escapes, bare root") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      "http://A.com?",              // empty query string: no trailing '?'
+      "https://b.com/p?a=1&a=1",    // duplicate params kept, stable sort
+      "HTTP://c.COM:80/x%2Fy?B=%2F", // escapes preserved VERBATIM (no
+                                     // decode — %2F vs / changes paths)
+      "https://d.com/",             // bare root: trailing slash stripped
+      "https://e.com/p/?utm_source=x&utm_medium=y" // all-utm -> no query
+    ).toDF("url")
+    val got = graft.operators.Llm.withUrlCanonical(urls)
+      .select("url", "canonical").as[(String, String)].collect().toMap
+    assert(got("http://A.com?") === "http://a.com")
+    assert(got("https://b.com/p?a=1&a=1") === "https://b.com/p?a=1&a=1")
+    assert(got("HTTP://c.COM:80/x%2Fy?B=%2F") === "http://c.com/x%2Fy?B=%2F")
+    assert(got("https://d.com/") === "https://d.com")
+    assert(got("https://e.com/p/?utm_source=x&utm_medium=y")
+      === "https://e.com/p")
+  }
+
   test("zorderBy and compact handle a single-row table") {
     val s = spark
     import s.implicits._
