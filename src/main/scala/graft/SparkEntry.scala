@@ -12,7 +12,7 @@ object SparkEntry {
     Relational.all ++ Aggregates.all ++ Windows.all ++ Scalars.all ++
       StreamQueries.all ++ Llm.all ++ Udx.all ++ Multimodal.all ++
       SourcesSinks.all ++ Skew.all ++ Bucketing.all ++ Sketches.all ++
-      Layout.all
+      Layout.all ++ Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

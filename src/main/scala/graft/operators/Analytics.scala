@@ -1,0 +1,378 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import graft.{Det, Q}
+import graft.sources.Tables
+
+/** Round-11 analytics additions — SURVEY.md §2.S.
+  *
+  * Each query follows the §7.2 determinism doctrine (exact integers /
+  * decimals until one shared-formula IEEE step; total orders everywhere a
+  * rank or limit appears) and the §7.3 scale posture (two-phase
+  * aggregates, broadcast only for by-construction-bounded sides,
+  * group-key shuffles, bounded fan-outs).
+  */
+object Analytics {
+
+  private val cents =
+    "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE) " +
+      "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** Interval-overlap self-join — the scheduling-conflict detector
+    * (double-booked resources, overlapping service windows): each order
+    * opens a service interval [orderdate, orderdate + (okey%7 + 1) days];
+    * pairs of intervals of the SAME customer that overlap are conflicts,
+    * rolled up per customer with total/max overlap days. Overlap length
+    * is pure integer date arithmetic. Scale: ONE equi-join keyed on
+    * custkey (never a time-cross-join); per-key fan-out is bounded by
+    * orders-per-customer², the natural conflict-detection bound. For
+    * unbounded keys the grid-cell decomposition of q_geo_grid_join
+    * applies unchanged to the 1-D time axis.
+    */
+  val qJoinIntervalOverlap = Q(
+    "q_join_interval_overlap",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey").as("ck"),
+        col("o_orderkey").as("ok"),
+        to_date(col("o_orderdate")).as("st"))
+        .withColumn("en", date_add(col("st"),
+          (col("ok") % 7 + 1).cast(IntegerType)))
+      val a = o.select(col("ck"), col("ok").as("ak"),
+        col("st").as("ast"), col("en").as("aen"))
+      val b = o.select(col("ck"), col("ok").as("bk"),
+        col("st").as("bst"), col("en").as("ben"))
+      a.join(b, Seq("ck"))
+        .where(col("ak") < col("bk") &&
+          col("ast") <= col("ben") && col("bst") <= col("aen"))
+        .select(col("ck"),
+          (datediff(least(col("aen"), col("ben")),
+            greatest(col("ast"), col("bst"))) + 1)
+            .cast("long").as("ov")) // DuckDB date arithmetic is BIGINT
+        .groupBy("ck")
+        .agg(count(lit(1)).as("n_conflicts"),
+          sum(col("ov")).as("total_overlap_days"),
+          max(col("ov")).as("max_overlap_days"))
+        .orderBy("ck")
+    },
+    Some("""WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+                    CAST(o_orderdate AS DATE) AS st,
+                    CAST(o_orderdate AS DATE)
+                      + CAST(o_orderkey % 7 + 1 AS INTEGER) AS en
+                  FROM orders),
+             p AS (SELECT a.ck,
+                     (least(a.en, b.en) - greatest(a.st, b.st)) + 1 AS ov
+                   FROM o a JOIN o b
+                     ON a.ck = b.ck AND a.ok < b.ok
+                        AND a.st <= b.en AND b.st <= a.en)
+            SELECT ck, count(*) AS n_conflicts,
+                   CAST(sum(ov) AS BIGINT) AS total_overlap_days,
+                   max(ov) AS max_overlap_days
+            FROM p GROUP BY ck ORDER BY ck"""))
+
+  /** Hashing-trick featurization (the HashingVectorizer shape): every
+    * token maps to a FIXED 256-dim bucket via the portable 60-bit hash —
+    * the featurizer that needs no vocabulary pass, no broadcast dict and
+    * no schema growth at 100 TB. Output = per-bucket census (occurrences,
+    * distinct tokens = collision load, document frequency), the health
+    * readout that sizes the hash dimension. All exact integers; the
+    * bucket space is bounded by construction.
+    */
+  val qFeatureHashing = Q(
+    "q_feature_hashing",
+    (s, dir) => {
+      val t = Llm.tokens(Tables.documents(s, dir))
+        .withColumn("bucket", pmod(Det.pHash60(col("tok")), lit(256)))
+      t.groupBy("bucket")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("tok")).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, tok
+                  FROM (SELECT doc_id,
+                          unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  WHERE tok <> ''),
+             b AS (SELECT doc_id, tok,
+                     ((${Det.sqlPHash60("tok")}) % 256 + 256) % 256
+                       AS bucket
+                   FROM t)
+            SELECT bucket, count(*) AS n_occurrences,
+                   count(DISTINCT tok) AS n_tokens,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  /** kNN majority-vote classification over the embedding store — the
+    * label-propagation / auto-labeling step of a curation pipeline
+    * (classify unlabeled items by their nearest labeled neighbors):
+    * 20 probes score against the corpus with the codegen vec_dot cosine,
+    * keep the top-5 neighbors each (WindowGroupLimit — the exchange
+    * carries O(probes·k)), majority label wins, ties to the smallest
+    * label. Scale: probes broadcast (bounded by construction); scoring is
+    * one codegen pass over the corpus; votes are O(probes·k).
+    */
+  val qKnnClassify = Q(
+    "q_knn_classify",
+    (s, dir) => {
+      graft.plans.VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("ns", expr("vec_dot(embedding, embedding)"))
+      val probes = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+          col("embedding").as("pvec"), col("ns").as("pns"))
+      val scored = emb.join(broadcast(probes),
+          col("probe_id") =!= col("vec_id"))
+        .withColumn("score", round(
+          expr("vec_dot(pvec, embedding)") /
+            (sqrt(col("pns")) * sqrt(col("ns"))), 6))
+      val top = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("probe_id"))
+            .orderBy(col("score").desc, col("vec_id"))))
+        .where(col("rk") <= 5)
+      top.groupBy("probe_id", "true_label", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(
+          Window.partitionBy(col("probe_id"))
+            .orderBy(col("votes").desc, col("label"))))
+        .where(col("vr") === 1)
+        .select(col("probe_id"), col("true_label"),
+          col("label").as("pred_label"), col("votes"))
+        .orderBy("probe_id")
+    },
+    Some("""WITH sc AS (SELECT p.vec_id AS probe_id,
+                    p.label AS true_label, e.vec_id, e.label,
+                    round(list_cosine_similarity(
+                      CAST(p.embedding AS DOUBLE[]),
+                      CAST(e.embedding AS DOUBLE[])), 6) AS score
+                  FROM embeddings p JOIN embeddings e
+                    ON p.vec_id < 20 AND e.vec_id <> p.vec_id),
+             top AS (SELECT * FROM (SELECT *,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY score DESC, vec_id) AS rk
+                     FROM sc) WHERE rk <= 5),
+             v AS (SELECT probe_id, true_label, label,
+                     count(*) AS votes
+                   FROM top GROUP BY 1, 2, 3),
+             best AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY votes DESC, label) AS vr
+                      FROM v)
+            SELECT probe_id, true_label, label AS pred_label, votes
+            FROM best WHERE vr = 1 ORDER BY probe_id"""))
+
+  // Mann-Kendall tau: one shared formula over the exact integer S and n
+  private val mkTau = "CAST(s_stat AS DOUBLE) * CAST(2.0 AS DOUBLE) " +
+    "/ (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE))"
+
+  /** Mann-Kendall trend test — the NONPARAMETRIC monotone-trend detector
+    * (is this metric drifting?) that needs no distribution assumption
+    * and, unlike a least-squares slope, is ALL-INTEGER: S = Σ_{i<j}
+    * sign(x_j − x_i) over the daily exact-cents revenue series per
+    * return flag, with Kendall's tau = 2S/(n(n−1)) as the one IEEE step.
+    * Scale: the pair space is O(days²) BY DESIGN over the
+    * calendar-bounded daily rollup (the fact table reduces to O(days)
+    * rows per flag first) — never O(corpus²).
+    */
+  val qTrendMannKendall = Q(
+    "q_trend_mann_kendall",
+    (s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr(
+          "CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("x"))
+      val a = daily.select(col("flag"), col("d").as("di"), col("x").as("xi"))
+      val b = daily.select(col("flag"), col("d").as("dj"), col("x").as("xj"))
+      a.join(b, Seq("flag"))
+        .where(col("di") < col("dj"))
+        .select(col("flag"),
+          when(col("xj") > col("xi"), 1L)
+            .when(col("xj") < col("xi"), -1L).otherwise(0L).as("sg"))
+        .groupBy("flag")
+        .agg(sum(col("sg")).as("s_stat"))
+        .join(daily.groupBy("flag").agg(count(lit(1)).as("n_days")), "flag")
+        .select(col("flag"), col("n_days"), col("s_stat"),
+          expr(mkTau).as("tau"))
+        .orderBy("flag")
+    },
+    Some(s"""WITH daily AS (SELECT l_returnflag AS flag,
+                    CAST(o_orderdate AS DATE) AS d,
+                    CAST(sum(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS x
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1, 2),
+             p AS (SELECT a.flag,
+                     CASE WHEN b.x > a.x THEN 1
+                          WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+                   FROM daily a JOIN daily b
+                     ON a.flag = b.flag AND a.d < b.d),
+             st AS (SELECT flag, CAST(sum(sg) AS BIGINT) AS s_stat
+                    FROM p GROUP BY flag),
+             nd AS (SELECT flag, count(*) AS n_days
+                    FROM daily GROUP BY flag)
+            SELECT st.flag, n_days, s_stat, $mkTau AS tau
+            FROM st JOIN nd ON st.flag = nd.flag ORDER BY st.flag"""))
+
+  /** 2-D skyline (Pareto frontier) — the classic "maximal vectors"
+    * operator (best tradeoff shortlists: no other point is ≥ in both
+    * dimensions and > in one): per market segment, the customers maximal
+    * in (lifetime cents, order count). Computed WITHOUT the O(n²)
+    * dominance self-join: distinct (money, freq) points sorted
+    * (money desc, freq desc) admit the running-max rule — a point is on
+    * the skyline iff its freq exceeds the running max freq of all
+    * strictly-better-money predecessors (equal-money ties fold into the
+    * distinct step). One window per segment key; exact cents.
+    */
+  val qSkyline2d = Q(
+    "q_skyline_2d",
+    (s, dir) => {
+      val per = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("freq"), sum(expr(cents)).as("money_c"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          col("o_custkey") === col("c_custkey"))
+      val pts = per.groupBy("segment", "money_c", "freq")
+        .agg(min(col("o_custkey")).as("keeper"),
+          count(lit(1)).as("n_dups"))
+      val w = Window.partitionBy(col("segment"))
+        .orderBy(col("money_c").desc, col("freq").desc, col("keeper"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("cmax", max(col("freq")).over(w))
+        .where(col("cmax").isNull || col("freq") > col("cmax"))
+        .select(col("segment"), col("money_c"), col("freq"),
+          col("keeper"), col("n_dups"))
+        .orderBy(col("segment"), col("money_c").desc)
+    },
+    Some(s"""WITH per AS (SELECT o_custkey,
+                    count(*) AS freq,
+                    CAST(sum($cents) AS BIGINT) AS money_c
+                  FROM orders GROUP BY o_custkey),
+             pts AS (SELECT c.c_mktsegment AS segment, money_c, freq,
+                       min(o_custkey) AS keeper, count(*) AS n_dups
+                     FROM per JOIN customer c ON o_custkey = c.c_custkey
+                     GROUP BY 1, 2, 3),
+             r AS (SELECT *, max(freq) OVER (PARTITION BY segment
+                     ORDER BY money_c DESC, freq DESC, keeper
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS cmax
+                   FROM pts)
+            SELECT segment, money_c, freq, keeper, n_dups
+            FROM r WHERE cmax IS NULL OR freq > cmax
+            ORDER BY segment, money_c DESC"""))
+
+  // OOV rate: one IEEE division over exact integer counts
+  private val oovFml = "CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+
+  /** Vocabulary coverage / OOV rate — the tokenizer-fit screen a training
+    * pipeline runs per corpus slice (how much of this slice falls outside
+    * the model's vocabulary?): vocabulary = global top-1000 tokens by
+    * exact count with (count desc, token) total order — a bounded heap
+    * (TakeOrderedAndProject), NEVER a global sort or window; per-language
+    * token volume and OOV volume are exact integers off one scan, the
+    * rate is one shared-formula division. The 1000-row vocabulary is
+    * broadcast-safe at ANY corpus scale by construction.
+    */
+  val qVocabCoverage = Q(
+    "q_vocab_coverage",
+    (s, dir) => {
+      val t = Llm.tokens(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      val vocab = t.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(1000)
+        .select(col("tok"), lit(1).as("iv"))
+      t.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          expr(oovFml).as("oov_rate"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, tok
+                  FROM (SELECT doc_id,
+                          unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  WHERE tok <> ''),
+             tl AS (SELECT t.doc_id, t.tok, d.lang
+                    FROM t JOIN documents d ON t.doc_id = d.doc_id),
+             vocab AS (SELECT tok FROM
+                         (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+                       ORDER BY cnt DESC, tok LIMIT 1000),
+             j AS (SELECT tl.lang,
+                     CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+                   FROM tl LEFT JOIN vocab v ON tl.tok = v.tok)
+            SELECT lang, count(*) AS n_tokens,
+                   CAST(sum(oov) AS BIGINT) AS n_oov, $oovFml AS oov_rate
+            FROM j GROUP BY lang ORDER BY lang"""))
+
+  // novelty rate: one IEEE division over exact integer counts
+  private val novFml = "CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)"
+
+  /** N-gram novelty — the incremental-crawl curation signal (how much of
+    * this source's content is FIRST-SEEN here vs already covered by
+    * earlier documents?): each distinct 3-shingle is owned by its
+    * minimum doc_id; a doc's novel shingles are those it owns; rolled up
+    * per source as exact integer volumes + one rate division. The
+    * doc-order novelty definition is deterministic and engine-free.
+    * Scale: one (shingle → min owner) rollup + one membership join, both
+    * keyed on the shingle hash — no pair expansion anywhere (novelty is
+    * the cheap screen run BEFORE pairwise dedup). Shingles ride xxhash64
+    * on the Spark side vs raw strings in the oracle — the same accepted
+    * ~n²/2⁶⁵ collision trade as q_dedup_jaccard_pairs.
+    */
+  val qNgramNovelty = Q(
+    "q_ngram_novelty",
+    (s, dir) => {
+      val sh = Llm.shinglesWithPos(Tables.documents(s, dir))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
+      val owner = sh.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = sh.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L)
+            .otherwise(0L)).as("n_nov"))
+      perDoc
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).as("n_shingles"),
+          sum(col("n_nov")).as("n_novel"))
+        .select(col("source"), col("n_docs"), col("n_shingles"),
+          col("n_novel"), expr(novFml).as("novelty_rate"))
+        .orderBy("source")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents
+                  WHERE len(string_split(text, ' ')) >= 3),
+             sh AS (SELECT DISTINCT doc_id,
+                      unnest([array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, len(toks) - 1)]) AS shingle
+                    FROM d),
+             own AS (SELECT shingle, min(doc_id) AS first_doc
+                     FROM sh GROUP BY shingle),
+             pd AS (SELECT sh.doc_id, count(*) AS n_sh,
+                      CAST(sum(CASE WHEN own.first_doc = sh.doc_id
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nov
+                    FROM sh JOIN own ON sh.shingle = own.shingle
+                    GROUP BY sh.doc_id),
+             r AS (SELECT doc.source, pd.n_sh, pd.n_nov
+                   FROM pd JOIN documents doc ON pd.doc_id = doc.doc_id)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+                   CAST(sum(n_nov) AS BIGINT) AS n_novel,
+                   $novFml AS novelty_rate
+            FROM r GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing,
+    qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
+    qNgramNovelty)
+}
