@@ -372,7 +372,193 @@ object Analytics {
                    $novFml AS novelty_rate
             FROM r GROUP BY source ORDER BY source"""))
 
+  // Benford expected first-digit shares as SHARED literal text — both
+  // engines parse the identical decimal literal to the identical double,
+  // so share − expected is one IEEE subtraction on identical operands
+  // (log10(1+1/d) itself is libm, banned cross-engine by §7.2)
+  private val benfordCase =
+    "CASE digit WHEN 1 THEN CAST(0.301029995663981 AS DOUBLE) " +
+      "WHEN 2 THEN CAST(0.176091259055681 AS DOUBLE) " +
+      "WHEN 3 THEN CAST(0.124938736608300 AS DOUBLE) " +
+      "WHEN 4 THEN CAST(0.096910013008056 AS DOUBLE) " +
+      "WHEN 5 THEN CAST(0.079181246047625 AS DOUBLE) " +
+      "WHEN 6 THEN CAST(0.066946789630613 AS DOUBLE) " +
+      "WHEN 7 THEN CAST(0.057991946977687 AS DOUBLE) " +
+      "WHEN 8 THEN CAST(0.051152522447381 AS DOUBLE) " +
+      "ELSE CAST(0.045757490560675 AS DOUBLE) END"
+  private val benfordShare =
+    "CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)"
+
+  /** Benford first-digit screen — the classic fraud / fabricated-data
+    * detector (natural multi-magnitude amounts follow log-law digit
+    * frequencies; fabricated ones don't): first significant digit of
+    * exact order cents, per-digit census, observed share vs the Benford
+    * expectation (shared literal table — no libm log anywhere), absolute
+    * deviation per digit. 9-row output; one two-phase aggregate over the
+    * fact table. The verdict an auditor reads is the deviation column.
+    */
+  val qAggBenford = Q(
+    "q_agg_benford",
+    (s, dir) => {
+      val d = Tables.orders(s, dir)
+        .select(substring(expr(cents).cast("string"), 1, 1)
+          .cast(IntegerType).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = d.agg(sum(col("n")).as("n_total"))
+      d.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr(benfordShare).as("share"),
+          expr(benfordCase).as("expected"))
+        .withColumn("abs_dev", abs(col("share") - col("expected")))
+        .orderBy("digit")
+    },
+    Some(s"""WITH d AS (SELECT CAST(substr(CAST($cents AS VARCHAR), 1, 1)
+                      AS INTEGER) AS digit
+                  FROM orders),
+             c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+             t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+            SELECT digit, n, $benfordShare AS share,
+                   $benfordCase AS expected,
+                   abs($benfordShare - $benfordCase) AS abs_dev
+            FROM c, t ORDER BY digit"""))
+
+  /** Bitmap engagement rollup — the roaring-bitmap cohort pattern (which
+    * days of the month was each user active?) in pure integer form: one
+    * BIGINT mask per (user, month) via bit_or(1 << day−1), active-day
+    * count via bit_count, then the engagement histogram. The mask is an
+    * ASSOCIATIVE integer aggregate — map-side combinable, mergeable
+    * across partitions/increments exactly like a production bitmap
+    * index segment. All integers end-to-end.
+    */
+  val qBitmapEngagement = Q(
+    "q_bitmap_engagement",
+    (s, dir) => {
+      val m = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM").as("ym"),
+          expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)").as("daybit"))
+        .groupBy("user_id", "ym")
+        .agg(expr("bit_or(daybit)").as("mask"))
+        .select(col("user_id"), col("ym"),
+          expr("bit_count(mask)").as("active_days"))
+      m.groupBy("active_days")
+        .agg(count(lit(1)).as("n_user_months"))
+        .orderBy("active_days")
+    },
+    Some("""WITH m AS (SELECT user_id, strftime(ts, '%Y-%m') AS ym,
+                    CAST(bit_count(bit_or(CAST(1 AS BIGINT)
+                      << (day(ts) - 1))) AS INTEGER) AS active_days
+                  FROM events GROUP BY user_id, strftime(ts, '%Y-%m'))
+            SELECT active_days, count(*) AS n_user_months
+            FROM m GROUP BY active_days ORDER BY active_days"""))
+
+  /** Log-line parsing — the structured-extraction ETL staple (access
+    * logs → typed columns): Apache-combined-style lines synthesized
+    * DETERMINISTICALLY from events (so the oracle sees the identical
+    * construction), parsed back with one regexp into method / path /
+    * status / bytes, rolled up per (method, status) with exact byte
+    * sums. Parse failures surface as a NULL-method group instead of
+    * vanishing — the DQ posture for malformed lines. Per-row projection
+    * + bounded two-phase aggregate; the regexp runs once per line.
+    */
+  val qParseLogline = Q(
+    "q_parse_logline",
+    (s, dir) => {
+      val line =
+        "concat('10.0.', CAST(user_id % 256 AS STRING), '.', " +
+          "CAST(event_id % 256 AS STRING), ' - - [', " +
+          "CAST(CAST(ts AS DATE) AS STRING), '] \"', " +
+          "CASE WHEN event_id % 10 = 0 THEN 'POST' ELSE 'GET' END, " +
+          "' /', event_type, '/', CAST(event_id % 100 AS STRING), " +
+          "' HTTP/1.1\" ', " +
+          "CASE WHEN event_id % 17 = 0 THEN '404' " +
+          "WHEN event_id % 31 = 0 THEN '500' ELSE '200' END, ' ', " +
+          "CAST(CAST(floor(value * CAST(10.0 AS DOUBLE)) AS BIGINT) " +
+          "AS STRING))"
+      val rx = "^\\S+ \\S+ \\S+ \\[[^\\]]+\\] \"(\\S+) (\\S+) [^\"]+\" (\\d+) (\\d+)$"
+      Tables.events(s, dir)
+        .select(expr(line).as("line"))
+        .select(
+          nullif(regexp_extract(col("line"), rx, 1), lit("")).as("method"),
+          regexp_extract(col("line"), rx, 3).cast(IntegerType).as("status"),
+          regexp_extract(col("line"), rx, 4).cast("long").as("bytes"))
+        .groupBy("method", "status")
+        .agg(count(lit(1)).as("n_requests"), sum(col("bytes")).as("total_bytes"))
+        .orderBy("method", "status")
+    },
+    Some("""WITH l AS (SELECT '10.0.' || CAST(user_id % 256 AS VARCHAR)
+                    || '.' || CAST(event_id % 256 AS VARCHAR)
+                    || ' - - [' || CAST(CAST(ts AS DATE) AS VARCHAR)
+                    || '] "'
+                    || (CASE WHEN event_id % 10 = 0 THEN 'POST'
+                             ELSE 'GET' END)
+                    || ' /' || event_type || '/'
+                    || CAST(event_id % 100 AS VARCHAR)
+                    || ' HTTP/1.1" '
+                    || (CASE WHEN event_id % 17 = 0 THEN '404'
+                             WHEN event_id % 31 = 0 THEN '500'
+                             ELSE '200' END)
+                    || ' '
+                    || CAST(CAST(floor(value * CAST(10.0 AS DOUBLE))
+                         AS BIGINT) AS VARCHAR) AS line
+                  FROM events),
+             p AS (SELECT
+                     nullif(regexp_extract(line,
+                       '^\S+ \S+ \S+ \[[^\]]+\] "(\S+) (\S+) [^"]+" (\d+) (\d+)$',
+                       1), '') AS method,
+                     CAST(regexp_extract(line,
+                       '^\S+ \S+ \S+ \[[^\]]+\] "(\S+) (\S+) [^"]+" (\d+) (\d+)$',
+                       3) AS INTEGER) AS status,
+                     CAST(regexp_extract(line,
+                       '^\S+ \S+ \S+ \[[^\]]+\] "(\S+) (\S+) [^"]+" (\d+) (\d+)$',
+                       4) AS BIGINT) AS bytes
+                   FROM l)
+            SELECT method, status, count(*) AS n_requests,
+                   CAST(sum(bytes) AS BIGINT) AS total_bytes
+            FROM p GROUP BY method, status ORDER BY method, status"""))
+
+  /** Order-insensitive table checksum — the migration / replication /
+    * snapshot-diff primitive (did two copies of a 100 TB table end up
+    * identical WITHOUT sorting either?): every row folds to the portable
+    * 60-bit hash of its canonical projection (exact cents for floats,
+    * ISO dates — no float-formatting hazard), reduced by the two
+    * order-free monoids (exact decimal SUM and XOR). Any single-row
+    * difference moves both. One scan, one 1-row aggregate, zero
+    * shuffles of data wider than the hash.
+    */
+  val qChecksumTable = Q(
+    "q_checksum_table",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val repr =
+        "concat_ws('|', CAST(l_orderkey AS STRING), " +
+          "CAST(l_linenumber AS STRING), l_returnflag, l_linestatus, " +
+          "CAST(CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) " +
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS STRING), " +
+          "CAST(CAST(l_shipdate AS DATE) AS STRING))"
+      Tables.lineitem(s, dir)
+        .select(Det.pHash60(expr(repr)).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          // exact decimal sum carried as STRING: it exceeds int64 beyond
+          // ~8M rows, and a decimal column would be dtype-coerced
+          // differently by the two engines' pandas bridges
+          sum(col("h").cast(Dec0)).cast("string").as("sum_hash"),
+          expr("bit_xor(h)").as("xor_hash"))
+    },
+    Some(s"""SELECT count(*) AS n_rows,
+                    CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR)
+                      AS sum_hash,
+                    bit_xor(h) AS xor_hash
+             FROM (SELECT ${Det.sqlPHash60(
+      "CAST(l_orderkey AS VARCHAR) || '|' || " +
+        "CAST(l_linenumber AS VARCHAR) || '|' || l_returnflag || '|' || " +
+        "l_linestatus || '|' || CAST(CAST(floor(l_extendedprice " +
+        "* CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) " +
+        "AS VARCHAR) || '|' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"
+    )} AS h FROM lineitem)"""))
+
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
-    qNgramNovelty)
+    qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
+    qChecksumTable)
 }
