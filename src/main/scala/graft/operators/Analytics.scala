@@ -557,8 +557,87 @@ object Analytics {
         "AS VARCHAR) || '|' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"
     )} AS h FROM lineitem)"""))
 
+  /** Two-hop reach of the top hubs — the friends-of-friends / blast-radius
+    * readout (how much of the graph sits within two hops of the heaviest
+    * nodes?) over the bucketed graph store: top-20 hubs by degree
+    * (TakeOrdered off the exchange-free degree read), first hop filters
+    * the bucketed adjacency by a BROADCAST hub list (bounded by the
+    * explicit top-k), second hop re-joins the adjacency on the
+    * intermediate frontier — the only exchange carries O(Σ deg(hub))
+    * frontier rows, never the full edge set. Distinct 2-hop neighbors
+    * exclude the hub itself.
+    */
+  val qGraph2hopHubs = Q(
+    "q_graph_2hop_hubs",
+    (s, dir) => {
+      val und = Relational.graphUnd(s, dir)
+      val hubs = Relational.graphDeg(s, dir)
+        .orderBy(col("deg").desc, col("src")).limit(20)
+        .select(col("src").as("hub"), col("deg"))
+      val hop1 = und.join(broadcast(hubs), col("src") === col("hub"))
+        .select(col("hub"), col("deg"), col("dst").as("n1"))
+      val hop2 = und.join(hop1, col("src") === col("n1"))
+        .where(col("dst") =!= col("hub"))
+        .groupBy("hub", "deg")
+        .agg(countDistinct(col("dst")).as("n_2hop"))
+      hop2.select(col("hub"), col("deg"), col("n_2hop"))
+        .orderBy(col("deg").desc, col("hub"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT l_partkey * 2 AS a,
+                    l_suppkey * 2 + 1 AS b FROM lineitem),
+             und AS (SELECT a AS src, b AS dst FROM e
+                     UNION ALL SELECT b, a FROM e),
+             deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+             hubs AS (SELECT src AS hub, deg FROM deg
+                      ORDER BY deg DESC, src LIMIT 20),
+             h1 AS (SELECT h.hub, h.deg, u.dst AS n1
+                    FROM und u JOIN hubs h ON u.src = h.hub),
+             h2 AS (SELECT h1.hub, h1.deg, u.dst
+                    FROM und u JOIN h1 ON u.src = h1.n1
+                    WHERE u.dst <> h1.hub)
+            SELECT hub, deg, count(DISTINCT dst) AS n_2hop
+            FROM h2 GROUP BY hub, deg ORDER BY deg DESC, hub"""))
+
+  /** Inverted-index build — the search-index construction step (token →
+    * posting list): document frequency per token over distinct
+    * (token, doc) pairs, postings CAPPED at the first 10 doc_ids via a
+    * per-token WindowGroupLimit (the exchange carries ≤10 rows per
+    * token, never a full posting list — uncapped lists OOM on stopwords
+    * at corpus scale), top-50 tokens by (df desc, token) as a bounded
+    * heap. Arrays are sorted → deterministic.
+    */
+  val qInvertedIndex = Q(
+    "q_inverted_index",
+    (s, dir) => {
+      val td = Llm.tokens(Tables.documents(s, dir)).distinct()
+      val df = td.groupBy("tok").agg(count(lit(1)).as("df"))
+      val top = df.orderBy(col("df").desc, col("tok")).limit(50)
+      val postings = td.join(broadcast(top), Seq("tok"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+        .where(col("rn") <= 10)
+        .groupBy("tok", "df")
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      postings.select(col("tok"), col("df"), col("postings"))
+        .orderBy(col("df").desc, col("tok"))
+    },
+    Some("""WITH td AS (SELECT DISTINCT doc_id, tok
+                  FROM (SELECT doc_id,
+                          unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  WHERE tok <> ''),
+             df AS (SELECT tok, count(*) AS df FROM td GROUP BY tok),
+             top AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 50),
+             r AS (SELECT td.tok, top.df, td.doc_id,
+                     row_number() OVER (PARTITION BY td.tok
+                       ORDER BY td.doc_id) AS rn
+                   FROM td JOIN top ON td.tok = top.tok)
+            SELECT tok, df, list(doc_id ORDER BY doc_id) AS postings
+            FROM r WHERE rn <= 10
+            GROUP BY tok, df ORDER BY df DESC, tok"""))
+
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
-    qChecksumTable)
+    qChecksumTable, qGraph2hopHubs, qInvertedIndex)
 }

@@ -863,7 +863,7 @@ object Relational {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Bucketed undirected adjacency (both orientations, bucketed on src). */
-  private def graphUnd(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def graphUnd(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_pr_und_${graphKey(dir)}"
     val e = Tables.lineitem(s, dir)
       .select((col("l_partkey") * 2).as("a"),
@@ -877,7 +877,7 @@ object Relational {
   }
 
   /** Bucketed degree table derived from the adjacency store. */
-  private def graphDeg(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def graphDeg(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_pr_deg_${graphKey(dir)}"
     graft.sources.Bucketing.ensureBucketed(
       graphUnd(s, dir).groupBy("src").agg(count(lit(1)).as("deg")),
