@@ -1003,29 +1003,35 @@ object Aggregates {
     * an ELEMENT of the data (never interpolated), the cumulative weight
     * runs over the (value, custkey) total order, and weights are exact
     * integers — both engines walk the identical construction, so the
-    * result is bit-exact. Scale: one shuffle on the group key serves the
-    * cumsum window and the rank; no per-group arrays.
+    * result is bit-exact. Scale: the cumulative weight rides Prefix's
+    * GROUPED two-phase decomposition (64 per-segment range buckets on
+    * the value) — a plain partitionBy(segment) would sort
+    * O(customers/|segments|) in one task per segment, the constant-
+    * cardinality-key disguise of the global-window killer; the median
+    * pick is then a min-struct aggregate over the half-weight
+    * survivors, not another full-partition rank.
     */
   val qAggWeightedMedian = Q(
     "q_agg_weighted_median",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wCum = Window.partitionBy("segment")
-        .orderBy("c_acctbal", "c_custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wTot = Window.partitionBy("segment")
-      Tables.customer(s, dir)
+      val base = Tables.customer(s, dir)
         .select(col("c_mktsegment").as("segment"), col("c_acctbal"),
           col("c_custkey"), (col("c_custkey") % 10 + 1).as("w"))
-        .withColumn("cum", sum(col("w")).over(wCum))
-        .withColumn("tot", sum(col("w")).over(wTot))
+        .localCheckpoint()
+      val tot = base.groupBy("segment").agg(sum(col("w")).as("tot"))
+      val cum = Prefix.groupedRunningSum(
+        Prefix.withGroupRangeBucket(base, Seq("segment"),
+          col("c_acctbal"), 64, "__b"),
+        Seq("segment"), "__b",
+        Seq(col("c_acctbal"), col("c_custkey")), bucketDesc = false,
+        col("w"), "cum")
+      cum.join(broadcast(tot), "segment")
         .where(col("cum") * 2 >= col("tot"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("segment")
-            .orderBy("c_acctbal", "c_custkey")))
-        .where(col("rk") === 1)
-        .select(col("segment"), col("c_acctbal").as("w_median"),
-          col("tot").as("w_total"))
+        .groupBy("segment")
+        .agg(min(struct(col("c_acctbal"), col("c_custkey"))).as("m"),
+          max(col("tot")).as("w_total"))
+        .select(col("segment"), col("m.c_acctbal").as("w_median"),
+          col("w_total"))
         .orderBy("segment")
     },
     Some("""WITH x AS (SELECT c_mktsegment AS segment, c_acctbal,
@@ -1264,26 +1270,29 @@ object Aggregates {
     * interpolated, so the whole query is integer-exact end-to-end), then
     * rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR] counted via the
     * denominator-free spelling 2v < 5q1 − 3q3 / 2v > 5q3 − 3q1 (no ·1.5
-    * float, no boundary ties). Scale: one shuffle on the group key serves
-    * rank + count windows; the 5-row fence table broadcasts back onto the
-    * same ranked exchange (ReusedExchange). At 100 TB the global-ordered
-    * per-group rank swaps to approx-quantile fences
-    * (q_agg_percentile_approx's bounded-error path) — same downstream
-    * census.
+    * float, no boundary ties). Scale: the per-group rank rides Prefix's
+    * GROUPED two-phase decomposition (64 per-priority range buckets) —
+    * a plain partitionBy(pri) puts O(orders/5) through one task per
+    * priority; n comes from a broadcast per-group count, not a
+    * full-partition count window. approx-quantile fences
+    * (q_agg_percentile_approx's bounded-error path) remain the cheaper
+    * 100 TB swap when exactness isn't required.
     */
   val qAnomalyIqr = Q(
     "q_anomaly_iqr",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wRank = Window.partitionBy("pri").orderBy("v", "o_orderkey")
-      val wAll = Window.partitionBy("pri")
-      val ranked = Tables.orders(s, dir)
+      val base = Tables.orders(s, dir)
         .select(col("o_orderpriority").as("pri"),
           expr("CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE) " +
             "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("v"),
           col("o_orderkey"))
-        .withColumn("rn", row_number().over(wRank))
-        .withColumn("n", count(lit(1)).over(wAll))
+        .localCheckpoint()
+      val counts = base.groupBy("pri").agg(count(lit(1)).as("n"))
+      val ranked = Prefix.groupedRank(
+          Prefix.withGroupRangeBucket(base, Seq("pri"), col("v"), 64, "__b"),
+          Seq("pri"), "__b", Seq(col("v"), col("o_orderkey")),
+          bucketDesc = false, "rn")
+        .join(broadcast(counts), "pri")
       val fences = ranked.groupBy("pri")
         .agg(max(col("n")).as("n"),
           max(when(col("rn") === expr("(n + 3) div 4"), col("v")))

@@ -190,7 +190,12 @@ object Analytics {
             "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("x"))
       val a = daily.select(col("flag"), col("d").as("di"), col("x").as("xi"))
       val b = daily.select(col("flag"), col("d").as("dj"), col("x").as("xj"))
-      a.join(b, Seq("flag"))
+      // broadcast the a-side: the daily rollup is CALENDAR-BOUNDED (the
+      // broadcast-safe-by-construction class), so the O(days²) sign
+      // fan-out distributes across the b-side's partitions instead of
+      // serializing one task per flag (a 3-value join key clusters the
+      // whole pair space onto 3 tasks otherwise)
+      b.join(broadcast(a), Seq("flag"))
         .where(col("di") < col("dj"))
         .select(col("flag"),
           when(col("xj") > col("xi"), 1L)
@@ -229,7 +234,9 @@ object Analytics {
     * (money desc, freq desc) admit the running-max rule — a point is on
     * the skyline iff its freq exceeds the running max freq of all
     * strictly-better-money predecessors (equal-money ties fold into the
-    * distinct step). One window per segment key; exact cents.
+    * distinct step). The running max rides Prefix's grouped two-phase
+    * decomposition (64 per-segment range buckets), so no task ever
+    * sorts a whole segment; exact cents.
     */
   val qSkyline2d = Q(
     "q_skyline_2d",
@@ -243,11 +250,18 @@ object Analytics {
       val pts = per.groupBy("segment", "money_c", "freq")
         .agg(min(col("o_custkey")).as("keeper"),
           count(lit(1)).as("n_dups"))
-      val w = Window.partitionBy(col("segment"))
-        .orderBy(col("money_c").desc, col("freq").desc, col("keeper"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      pts.withColumn("cmax", max(col("freq")).over(w))
-        .where(col("cmax").isNull || col("freq") > col("cmax"))
+        .localCheckpoint()
+      // the running max rides Prefix's GROUPED two-phase decomposition:
+      // a plain Window.partitionBy(segment) sorts O(customers/|segments|)
+      // in ONE task per segment (|segments| is constant — that's the
+      // global-window killer wearing a 5-way disguise)
+      val cm = Prefix.groupedRunningMaxExcl(
+        Prefix.withGroupRangeBucket(pts, Seq("segment"), col("money_c"),
+          64, "__b"),
+        Seq("segment"), "__b",
+        Seq(col("money_c").desc, col("freq").desc, col("keeper")),
+        bucketDesc = true, col("freq"), "cmax")
+      cm.where(col("cmax").isNull || col("freq") > col("cmax"))
         .select(col("segment"), col("money_c"), col("freq"),
           col("keeper"), col("n_dups"))
         .orderBy(col("segment"), col("money_c").desc)

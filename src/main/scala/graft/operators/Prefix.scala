@@ -108,6 +108,116 @@ object Prefix {
       .drop("__gr_loc", "__gr_off")
   }
 
+  /** Per-GROUP variant of withRangeBucket: bucket bounds come from each
+    * group's own min/max (a per-group aggregate joined back — AQE
+    * broadcasts it when the group count is small). Same monotonicity and
+    * determinism contract as the global form, per group.
+    */
+  def withGroupRangeBucket(
+      df: DataFrame, group: Seq[String], metric: Column,
+      nBuckets: Int, out: String): DataFrame = {
+    val st = df.groupBy(group.map(col): _*).agg(
+      min(metric.cast(DoubleType)).as("__gr_mn"),
+      max(metric.cast(DoubleType)).as("__gr_mx"))
+    df.join(st, group)
+      .withColumn(out,
+        when(col("__gr_mx") === col("__gr_mn"), lit(0))
+          .otherwise(least(
+            floor((metric.cast(DoubleType) - col("__gr_mn")) /
+              (col("__gr_mx") - col("__gr_mn")) * nBuckets),
+            lit(nBuckets - 1).cast(LongType)))
+          .cast(IntegerType))
+      .drop("__gr_mn", "__gr_mx")
+  }
+
+  /** Per-group exact 1-based rank over (bucket band, `order` within
+    * band) — the grouped form of globalRank: per-(group, bucket)
+    * row_number + per-group bucket-count offsets (nBuckets rows per
+    * group through a group-partitioned tiny window).
+    */
+  def groupedRank(
+      df: DataFrame, group: Seq[String], bucketCol: String,
+      order: Seq[Column], bucketDesc: Boolean, out: String): DataFrame = {
+    val gCols = group.map(col)
+    val local = df.withColumn("__gr_rn",
+      row_number().over(
+        Window.partitionBy(gCols :+ col(bucketCol): _*).orderBy(order: _*)))
+    val bOrd = if (bucketDesc) col(bucketCol).desc else col(bucketCol).asc
+    val offs = df.groupBy(gCols :+ col(bucketCol): _*)
+      .agg(count(lit(1)).as("__gr_bn"))
+      .withColumn("__gr_off", coalesce(
+        sum(col("__gr_bn")).over(
+          Window.partitionBy(gCols: _*).orderBy(bOrd)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(gCols ++ Seq(col(bucketCol), col("__gr_off")): _*)
+    local.join(offs, group :+ bucketCol)
+      .withColumn(out, (col("__gr_off") + col("__gr_rn")).cast(LongType))
+      .drop("__gr_rn", "__gr_off")
+  }
+
+  /** Per-group exact INCLUSIVE running sum over the decomposed total
+    * order — grouped runningSum (value must be associative-exact:
+    * long/decimal).
+    */
+  def groupedRunningSum(
+      df: DataFrame, group: Seq[String], bucketCol: String,
+      order: Seq[Column], bucketDesc: Boolean, value: Column,
+      out: String): DataFrame = {
+    val gCols = group.map(col)
+    val local = df.withColumn("__gr_loc",
+      sum(value).over(
+        Window.partitionBy(gCols :+ col(bucketCol): _*).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bOrd = if (bucketDesc) col(bucketCol).desc else col(bucketCol).asc
+    val offs = df.groupBy(gCols :+ col(bucketCol): _*)
+      .agg(sum(value).as("__gr_bt"))
+      .withColumn("__gr_off", coalesce(
+        sum(col("__gr_bt")).over(
+          Window.partitionBy(gCols: _*).orderBy(bOrd)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(gCols ++ Seq(col(bucketCol), col("__gr_off")): _*)
+    local.join(offs, group :+ bucketCol)
+      .withColumn(out, col("__gr_off") + col("__gr_loc"))
+      .drop("__gr_loc", "__gr_off")
+  }
+
+  /** EXCLUSIVE running max of `value` over a per-group total order
+    * (group band, bucket band, `order` within bucket) — the skyline /
+    * record-so-far primitive — without ever sorting a whole group in one
+    * task: per-(group, bucket) window + per-group bucket-offset maxima
+    * (nBuckets rows per group through a group-partitioned tiny window —
+    * bounded by construction). Max is associative and commutative, so
+    * the regrouping is exact. Rows with no predecessor get NULL, like
+    * a rowsBetween(unboundedPreceding, -1) frame.
+    */
+  def groupedRunningMaxExcl(
+      df: DataFrame, group: Seq[String], bucketCol: String,
+      order: Seq[Column], bucketDesc: Boolean, value: Column,
+      out: String): DataFrame = {
+    val gCols = group.map(col)
+    val local = df.withColumn("__gr_loc",
+      max(value).over(
+        Window.partitionBy(gCols :+ col(bucketCol): _*).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val bOrd = if (bucketDesc) col(bucketCol).desc else col(bucketCol).asc
+    val offs = df.groupBy(gCols :+ col(bucketCol): _*)
+      .agg(max(value).as("__gr_bm"))
+      .withColumn("__gr_off",
+        max(col("__gr_bm")).over(
+          Window.partitionBy(gCols: _*).orderBy(bOrd)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(gCols ++ Seq(col(bucketCol), col("__gr_off")): _*)
+    // no broadcast hint: offs is O(groups · nBuckets) — AQE broadcasts it
+    // while groups are few and falls back to a shuffle join when the
+    // group space itself scales (greatest() skips NULLs, so the combined
+    // prefix is NULL only for a true first row)
+    local.join(offs, group :+ bucketCol)
+      .withColumn(out, greatest(col("__gr_off"), col("__gr_loc")))
+      .drop("__gr_loc", "__gr_off")
+  }
+
   /** SQL-standard NTILE(k) replayed from a global rank: pure integer
     * arithmetic on (rank, n) replicating the fill rule exactly (first
     * n mod k tiles take ceil(n/k) rows, the rest floor(n/k)), so the

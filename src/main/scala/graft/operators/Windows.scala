@@ -134,7 +134,14 @@ object Windows {
             WINDOW w3 AS (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY d"""))
 
-  /** Quartile bucket per year (legend classes analog). */
+  /** Quartile bucket per year (legend classes analog). NOTE (r11):
+    * the partition key here has CONSTANT cardinality, so each partition
+    * scales with the data — kept as the native window-API surface row;
+    * the scale swap is Prefix's grouped two-phase decomposition, proven
+    * bit-exact in-suite by q_agg_weighted_median / q_anomaly_iqr /
+    * q_skyline_2d (and ntileFromRank for NTILE itself in
+    * q_rfm_segments).
+    */
   val qWinNtile = Q(
     "q_win_ntile",
     (s, dir) => {
@@ -318,7 +325,13 @@ object Windows {
   /** Relative-standing functions: percent_rank + cume_dist per year
     * partition. Both are rational functions of integer rank/count —
     * deterministic with a total order — but quantized to round(6) because
-    * the engines may associate the double division differently.
+    * the engines may associate the double division differently. NOTE (r11):
+    * the partition key here has CONSTANT cardinality, so each partition
+    * scales with the data — kept as the native window-API surface row;
+    * the scale swap is Prefix's grouped two-phase decomposition, proven
+    * bit-exact in-suite by q_agg_weighted_median / q_anomaly_iqr /
+    * q_skyline_2d (and ntileFromRank for NTILE itself in
+    * q_rfm_segments).
     */
   val qWinPercentRank = Q(
     "q_win_percent_rank",
@@ -697,7 +710,13 @@ object Windows {
   /** cume_dist — the remaining rank-family window function (fraction of
     * the partition at-or-below the current value). Ties share a value of
     * rows_le/n, so the output is deterministic without a tie-break; the
-    * division is one IEEE op over two exact integers in both engines.
+    * division is one IEEE op over two exact integers in both engines. NOTE (r11):
+    * the partition key here has CONSTANT cardinality, so each partition
+    * scales with the data — kept as the native window-API surface row;
+    * the scale swap is Prefix's grouped two-phase decomposition, proven
+    * bit-exact in-suite by q_agg_weighted_median / q_anomaly_iqr /
+    * q_skyline_2d (and ntileFromRank for NTILE itself in
+    * q_rfm_segments).
     */
   val qWinCumeDist = Q(
     "q_win_cume_dist",
@@ -758,7 +777,15 @@ object Windows {
   /** Ratio-to-report: each order's share of its priority class's revenue —
     * the per-row normalization primitive behind contribution reports and
     * sampling weights. One unordered partition window (exact long sum) +
-    * one IEEE division; deterministic without tie-breaks.
+    * one IEEE division; deterministic without tie-breaks — and the
+    * unordered sum-over-partition swaps to a plain groupBy + join at
+    * scale (no ordered window needed at all). NOTE (r11):
+    * the partition key here has CONSTANT cardinality, so each partition
+    * scales with the data — kept as the native window-API surface row;
+    * the scale swap is Prefix's grouped two-phase decomposition, proven
+    * bit-exact in-suite by q_agg_weighted_median / q_anomaly_iqr /
+    * q_skyline_2d (and ntileFromRank for NTILE itself in
+    * q_rfm_segments).
     */
   val qWinRatioToReport = Q(
     "q_win_ratio_to_report",
@@ -789,7 +816,13 @@ object Windows {
     * §2.E): suppliers dense-ranked by integer-cents balance within
     * nation. Ties share a rank deterministically (no tie-break needed for
     * the RANK value); the output also carries s_suppkey so the row set
-    * is totally ordered.
+    * is totally ordered. NOTE (r11):
+    * the partition key here has CONSTANT cardinality, so each partition
+    * scales with the data — kept as the native window-API surface row;
+    * the scale swap is Prefix's grouped two-phase decomposition, proven
+    * bit-exact in-suite by q_agg_weighted_median / q_anomaly_iqr /
+    * q_skyline_2d (and ntileFromRank for NTILE itself in
+    * q_rfm_segments).
     */
   val qWinDenseRank = Q(
     "q_win_dense_rank",

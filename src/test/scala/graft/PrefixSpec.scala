@@ -68,6 +68,40 @@ class PrefixSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("groupedRunningMaxExcl == per-group exclusive window max") {
+    val df = data(4000).withColumn("g",
+      pmod(Det.pHash60(concat(col("id"), lit("g"))), lit(3)))
+    val ord = Seq(col("w").desc, col("v").desc, col("id"))
+    val truth = df.withColumn("m_t",
+      max(col("v")).over(Window.partitionBy(col("g")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val got = Prefix.groupedRunningMaxExcl(
+      Prefix.withGroupRangeBucket(df, Seq("g"), col("w"), 16, "b"),
+      Seq("g"), "b", ord, bucketDesc = true, col("v"), "m")
+    val bad = got.join(truth.select(col("id"), col("m_t")), "id")
+      .where(not(col("m") <=> col("m_t"))).count()
+    assert(bad === 0L, s"$bad grouped running-max mismatches")
+  }
+
+  test("groupedRank / groupedRunningSum == per-group window forms") {
+    val df = data(4000).withColumn("g",
+      pmod(Det.pHash60(concat(col("id"), lit("q"))), lit(5)))
+    val ord = Seq(col("v").asc, col("id"))
+    val truth = df
+      .withColumn("rk_t", row_number().over(
+        Window.partitionBy(col("g")).orderBy(ord: _*)))
+      .withColumn("c_t", sum(col("v")).over(
+        Window.partitionBy(col("g")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val b = Prefix.withGroupRangeBucket(df, Seq("g"), col("v"), 16, "b")
+    val got = Prefix.groupedRunningSum(
+      Prefix.groupedRank(b, Seq("g"), "b", ord, bucketDesc = false, "rk"),
+      Seq("g"), "b", ord, bucketDesc = false, col("v"), "c")
+    val bad = got.join(truth.select(col("id"), col("rk_t"), col("c_t")), "id")
+      .where(col("rk") =!= col("rk_t") || col("c") =!= col("c_t")).count()
+    assert(bad === 0L, s"$bad grouped rank/cumsum mismatches")
+  }
+
   test("degenerate all-equal metric collapses to one bucket, stays exact") {
     val df = spark.range(100).select(col("id"), lit(7).as("v"))
     val got = Prefix.globalRank(
