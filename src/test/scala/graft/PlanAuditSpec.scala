@@ -470,6 +470,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"converter rank lost its bucket partitioning:\n${p.take(1500)}")
   }
 
+  test("weighted median / IQR / skyline: group windows run per range-bucket") {
+    // the grouped-Prefix rewrites must keep their (group, bucket)
+    // partitioning — a bare partitionBy(segment|pri) here would sort
+    // O(rows/constant) in one task per group
+    for (df <- Seq(Aggregates.qAggWeightedMedian.fn(spark, sfDir),
+        Aggregates.qAnomalyIqr.fn(spark, sfDir),
+        graft.operators.Analytics.qSkyline2d.fn(spark, sfDir))) {
+      val p = simplePlan(df)
+      assert(p.contains("__b"),
+        s"grouped range-bucket column missing from the plan:\n${p.take(1200)}")
+    }
+  }
+
+  test("Mann-Kendall pair fan-out: daily series broadcasts, no flag-keyed shuffle join") {
+    val p = simplePlan(
+      graft.operators.Analytics.qTrendMannKendall.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"calendar-bounded daily series must broadcast:\n${p.take(1200)}")
+  }
+
   test("skew/kurtosis moment sums are one two-phase aggregate") {
     val p = plan(Aggregates.qAggSkewKurt.fn(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).size >= 2,
