@@ -650,8 +650,175 @@ object Analytics {
             FROM r WHERE rn <= 10
             GROUP BY tok, df ORDER BY df DESC, tok"""))
 
+  // population covariance from exact integer moments: one shared formula
+  // text per cell — (n·Σab − Σa·Σb)/n², every operand an exact integer
+  // correctly rounded to double once
+  private def covFml(sab: String, sa: String, sb: String): String =
+    s"(CAST(n AS DOUBLE) * CAST($sab AS DOUBLE) " +
+      s"- CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE)) " +
+      "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+
+  /** Covariance matrix — the multi-metric dependence readout feeding
+    * feature selection / PCA preprocessing / anomaly ellipsoids: the
+    * full 3×3 population covariance of (quantity, price cents, discount
+    * permille) from EXACT integer moments — Spark's covar_pop is an
+    * order-dependent double accumulation (the §7.2 hazard), so all nine
+    * sums ride DECIMAL(38,0) per-row integer products through ONE
+    * two-phase aggregate, finals via shared formula text. One scan, one
+    * row out, map-side combinable — the same plan as a plain sum.
+    */
+  val qAggCovarMatrix = Q(
+    "q_agg_covar_matrix",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def dsum(e: String) = sum(expr(e).cast(Dec0))
+      Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("x"),
+          expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("y"),
+          expr("CAST(floor(l_discount * CAST(1000.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("z"))
+        .agg(count(lit(1)).as("n"),
+          dsum("x").as("sx"), dsum("y").as("sy"), dsum("z").as("sz"),
+          dsum("x * x").as("sxx"), dsum("y * y").as("syy"),
+          dsum("z * z").as("szz"), dsum("x * y").as("sxy"),
+          dsum("x * z").as("sxz"), dsum("y * z").as("syz"))
+        .select(col("n"),
+          expr(covFml("sxx", "sx", "sx")).as("var_qty"),
+          expr(covFml("syy", "sy", "sy")).as("var_price"),
+          expr(covFml("szz", "sz", "sz")).as("var_disc"),
+          expr(covFml("sxy", "sx", "sy")).as("cov_qty_price"),
+          expr(covFml("sxz", "sx", "sz")).as("cov_qty_disc"),
+          expr(covFml("syz", "sy", "sz")).as("cov_price_disc"))
+    },
+    Some(s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                    CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y,
+                    CAST(floor(l_discount * CAST(1000.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS z
+                  FROM lineitem),
+             m AS (SELECT count(*) AS n,
+                     SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                     SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                     SUM(CAST(z AS DECIMAL(38,0))) AS sz,
+                     SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                     SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                     SUM(CAST(z * z AS DECIMAL(38,0))) AS szz,
+                     SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                     SUM(CAST(x * z AS DECIMAL(38,0))) AS sxz,
+                     SUM(CAST(y * z AS DECIMAL(38,0))) AS syz
+                   FROM b)
+            SELECT n, ${covFml("sxx", "sx", "sx")} AS var_qty,
+                   ${covFml("syy", "sy", "sy")} AS var_price,
+                   ${covFml("szz", "sz", "sz")} AS var_disc,
+                   ${covFml("sxy", "sx", "sy")} AS cov_qty_price,
+                   ${covFml("sxz", "sx", "sz")} AS cov_qty_disc,
+                   ${covFml("syz", "sy", "sz")} AS cov_price_disc
+            FROM m"""))
+
+  /** Hampel filter — the robust rolling outlier detector (median ± MAD
+    * over a centered 7-day frame; the despike step before any
+    * time-series model, immune to the outliers a rolling mean ± σ is
+    * dragged by): daily exact-cents revenue per flag, frame median and
+    * MAD as SORTED-ARRAY elements (the q_win_rolling_median doctrine —
+    * no interpolation, all integers), outlier when |v − med| > 3·MAD in
+    * pure integer comparison. Interior (full-frame) rows only. The
+    * window rides the calendar-bounded daily rollup — O(days) per flag.
+    */
+  val qWinHampel = Q(
+    "q_win_hampel",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("flag"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr(cents)).as("v"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("d"))
+        .rowsBetween(-3, 3)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("v")).over(w)))
+        .where(size(col("arr")) === 7)
+        .withColumn("med", element_at(col("arr"), 4))
+        .withColumn("mad", expr(
+          "element_at(array_sort(transform(arr, e -> abs(e - med))), 4)"))
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("v"), col("med"), col("mad"),
+          (abs(col("v") - col("med")) > col("mad") * 3).as("is_outlier"))
+        .orderBy("flag", "d")
+    },
+    Some(s"""WITH daily AS (SELECT o_orderpriority AS flag,
+                    CAST(o_orderdate AS DATE) AS d,
+                    CAST(sum($cents) AS BIGINT) AS v
+                  FROM orders GROUP BY 1, 2),
+             f AS (SELECT flag, d, v,
+                     list_sort(list(v) OVER (PARTITION BY flag ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+                   FROM daily),
+             g AS (SELECT flag, d, v, arr[4] AS med
+                   FROM f WHERE len(arr) = 7),
+             h AS (SELECT flag, d, v, med,
+                     list_sort(list_transform(arr, e -> abs(e - med)))[4]
+                       AS mad
+                   FROM (SELECT f.flag, f.d, f.v, g.med, f.arr
+                         FROM f JOIN g ON f.flag = g.flag AND f.d = g.d))
+            SELECT flag, CAST(d AS TIMESTAMP) AS d, v, med, mad,
+                   abs(v - med) > mad * 3 AS is_outlier
+            FROM h ORDER BY flag, d"""))
+
+  /** Fixed-width record roundtrip — the mainframe/legacy-feed ingestion
+    * path (COBOL copybook layouts, bank settlement files): orders
+    * serialized to 37-char zero-padded records, written as plain text
+    * from the plan, read back with spark.read.text and parsed by
+    * SUBSTRING offsets into typed columns, aggregated per status. The
+    * oracle builds and parses the identical string from the source
+    * table — the hash match proves the format spec + text file trip +
+    * offset parse are jointly lossless. Per-row projection; the text
+    * codec never shuffles.
+    */
+  val qSourceFixedWidth = Q(
+    "q_source_fixed_width",
+    (s, dir) => {
+      val rec =
+        "concat(lpad(CAST(o_orderkey AS STRING), 12, '0'), " +
+          "rpad(o_orderstatus, 1, ' '), " +
+          s"lpad(CAST($cents AS STRING), 14, '0'), " +
+          "CAST(CAST(o_orderdate AS DATE) AS STRING))"
+      val path = graft.sources.SourcesSinks
+        .dirKeyedTempPath(s, dir, "fixed_width_orders")
+      Tables.orders(s, dir).select(expr(rec).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(
+          substring(col("value"), 1, 12).cast("long").as("okey"),
+          trim(substring(col("value"), 13, 1)).as("status"),
+          substring(col("value"), 14, 14).cast("long").as("cents"),
+          substring(col("value"), 28, 10).cast("date").as("d"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("okey")).as("min_key"),
+          max(col("d")).cast(org.apache.spark.sql.types.TimestampType)
+            .as("max_d"))
+        .orderBy("status")
+    },
+    Some(s"""WITH r AS (SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+                    || rpad(o_orderstatus, 1, ' ')
+                    || lpad(CAST($cents AS VARCHAR), 14, '0')
+                    || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS v
+                  FROM orders),
+             p AS (SELECT CAST(substr(v, 1, 12) AS BIGINT) AS okey,
+                     trim(substr(v, 13, 1)) AS status,
+                     CAST(substr(v, 14, 14) AS BIGINT) AS cents,
+                     CAST(substr(v, 28, 10) AS DATE) AS d
+                   FROM r)
+            SELECT status, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   min(okey) AS min_key,
+                   CAST(max(d) AS TIMESTAMP) AS max_d
+            FROM p GROUP BY status ORDER BY status"""))
+
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
-    qChecksumTable, qGraph2hopHubs, qInvertedIndex)
+    qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
+    qWinHampel, qSourceFixedWidth)
 }
