@@ -91,6 +91,53 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(buckets === 1L)
   }
 
+  test("table checksum is partitioning-invariant (the order-free contract)") {
+    val base = Analytics.qChecksumTable.fn(spark, sfDir).collect().head
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val alt = Analytics.qChecksumTable.fn(spark, sfDir).collect().head
+      assert(base === alt,
+        "checksum must not depend on partitioning / reduction order")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("covar matrix agrees with native covar_pop to relative 1e-9") {
+    import graft.sources.Tables
+    val ours = Analytics.qAggCovarMatrix.fn(spark, sfDir).collect().head
+    val native = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long").cast("double").as("x"),
+        expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) " +
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").cast("double").as("y"))
+      .agg(covar_pop(col("x"), col("y"))).collect().head.getDouble(0)
+    val got = ours.getAs[Double]("cov_qty_price")
+    assert(math.abs(got - native) <= 1e-9 * math.abs(native),
+      s"exact-moment covariance drifted from native: $got vs $native")
+  }
+
+  test("hampel emits only full 7-day frames and flags a planted spike") {
+    val s = spark
+    import s.implicits._
+    // 9 consecutive days, constant 100 except a spike on day 5
+    val daily = (1 to 9).map(i =>
+      ("X", java.sql.Date.valueOf(f"2024-01-0$i"),
+        if (i == 5) 10000L else 100L)).toDF("flag", "d", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("flag")).orderBy(col("d")).rowsBetween(-3, 3)
+    val out = daily
+      .withColumn("arr", sort_array(collect_list(col("v")).over(w)))
+      .where(size(col("arr")) === 7)
+      .withColumn("med", element_at(col("arr"), 4))
+      .withColumn("mad", expr(
+        "element_at(array_sort(transform(arr, e -> abs(e - med))), 4)"))
+      .select(col("d"), col("v"), col("med"),
+        (abs(col("v") - col("med")) > col("mad") * 3).as("o"))
+      .collect()
+    assert(out.length === 3, "only days 4..6 have full frames")
+    assert(out.count(_.getBoolean(3)) === 1, "exactly the spike flags")
+    assert(out.find(_.getBoolean(3)).get.getLong(1) === 10000L)
+  }
+
   test("knn classify returns one prediction per probe with <= 5 votes") {
     val out = Analytics.qKnnClassify.fn(spark, sfDir)
       .select("probe_id", "votes").collect()
