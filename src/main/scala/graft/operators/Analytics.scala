@@ -298,8 +298,12 @@ object Analytics {
   val qVocabCoverage = Q(
     "q_vocab_coverage",
     (s, dir) => {
-      val t = Llm.tokens(Tables.documents(s, dir))
-        .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      // lang rides the explode — joining the doc table back on doc_id
+      // would shuffle O(tokens) rows just to re-attach a column the scan
+      // already had
+      val t = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
       val vocab = t.groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(1000)
         .select(col("tok"), lit(1).as("iv"))
