@@ -622,7 +622,11 @@ object Analytics {
     * per-token WindowGroupLimit (the exchange carries ≤10 rows per
     * token, never a full posting list — uncapped lists OOM on stopwords
     * at corpus scale), top-50 tokens by (df desc, token) as a bounded
-    * heap. Arrays are sorted → deterministic.
+    * heap. The posting list is emitted as a comma-joined STRING, not a
+    * raw array: the verify harness cannot sort array-typed columns
+    * (pandas factorize dies on ndarray — the r11 failure), and the
+    * scalar projection is the repo-wide output doctrine (OutputShapeSpec).
+    * Arrays are sorted before joining → deterministic.
     */
   val qInvertedIndex = Q(
     "q_inverted_index",
@@ -635,7 +639,8 @@ object Analytics {
           Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
         .where(col("rn") <= 10)
         .groupBy("tok", "df")
-        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
       postings.select(col("tok"), col("df"), col("postings"))
         .orderBy(col("df").desc, col("tok"))
     },
@@ -650,7 +655,9 @@ object Analytics {
                      row_number() OVER (PARTITION BY td.tok
                        ORDER BY td.doc_id) AS rn
                    FROM td JOIN top ON td.tok = top.tok)
-            SELECT tok, df, list(doc_id ORDER BY doc_id) AS postings
+            SELECT tok, df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
             FROM r WHERE rn <= 10
             GROUP BY tok, df ORDER BY df DESC, tok"""))
 
