@@ -119,7 +119,13 @@ object Bench {
     }
     val results = retimed.map { case (name, fn, t, b) =>
       val base = prior.getOrElse(name, 0.0)
-      val factor = (if (t > 1.0) 2.0 else 3.0) * math.max(calRatio, 1.0)
+      // threshold class keyed off the PRIOR baseline, not the current
+      // sample — a 1.2 s-baseline query reading 0.9 s under load must not
+      // slip into the looser sub-second 3x class (ADVICE r11). calRatio
+      // floors at 0.8, not 1.0: a machine measurably FASTER than the
+      // prior run tightens the gate instead of leaving regressions the
+      // old slack to hide in.
+      val factor = (if (base > 1.0) 2.0 else 3.0) * math.max(calRatio, 0.8)
       val v = if (base > 0 && t > factor * base) {
         val (t3, _) = time(name, fn)
         if (t3 < 0) t else math.min(t, t3)

@@ -88,6 +88,16 @@ object Prefix {
     * order. `value` must be an ASSOCIATIVE-exact type (long, decimal) —
     * the whole point of the repo's Dec12 doctrine — so regrouping the
     * additions per bucket cannot change the result.
+    *
+    * Decimal-precision contract: a decimal `value` of precision p sums to
+    * p+10 per bucket (Spark's sum widening). The cross-bucket offset
+    * window would widen AGAIN to (38, s) and the final offset+local add
+    * would then need precision 39 — past the cap, so allowPrecisionLoss
+    * would silently round the last scale digit. To keep the whole path
+    * rounding-free the offset is cast BACK to the local-sum type (p+10)
+    * before the addition: value-exact as long as the GRAND total fits
+    * precision p+10 — the same headroom the caller already granted the
+    * per-bucket sums, and 10 decimal orders of magnitude of row count.
     */
   def runningSum(
       df: DataFrame, bucketCol: String, order: Seq[Column],
@@ -97,11 +107,13 @@ object Prefix {
         Window.partitionBy(col(bucketCol)).orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val bOrd = if (bucketDesc) col(bucketCol).desc else col(bucketCol).asc
-    val offs = df.groupBy(bucketCol).agg(sum(value).as("__gr_bt"))
+    val totals = df.groupBy(bucketCol).agg(sum(value).as("__gr_bt"))
+    val btType = totals.schema("__gr_bt").dataType
+    val offs = totals
       .withColumn("__gr_off", coalesce(
         sum(col("__gr_bt")).over(
           Window.orderBy(bOrd).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+        lit(0L)).cast(btType))
       .select(col(bucketCol), col("__gr_off"))
     local.join(broadcast(offs), Seq(bucketCol))
       .withColumn(out, col("__gr_off") + col("__gr_loc"))
@@ -158,7 +170,8 @@ object Prefix {
 
   /** Per-group exact INCLUSIVE running sum over the decomposed total
     * order — grouped runningSum (value must be associative-exact:
-    * long/decimal).
+    * long/decimal; same rounding-free offset-narrowing contract as
+    * runningSum — per-group grand total must fit precision p+10).
     */
   def groupedRunningSum(
       df: DataFrame, group: Seq[String], bucketCol: String,
@@ -170,13 +183,15 @@ object Prefix {
         Window.partitionBy(gCols :+ col(bucketCol): _*).orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val bOrd = if (bucketDesc) col(bucketCol).desc else col(bucketCol).asc
-    val offs = df.groupBy(gCols :+ col(bucketCol): _*)
+    val totals = df.groupBy(gCols :+ col(bucketCol): _*)
       .agg(sum(value).as("__gr_bt"))
+    val btType = totals.schema("__gr_bt").dataType
+    val offs = totals
       .withColumn("__gr_off", coalesce(
         sum(col("__gr_bt")).over(
           Window.partitionBy(gCols: _*).orderBy(bOrd)
             .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+        lit(0L)).cast(btType))
       .select(gCols ++ Seq(col(bucketCol), col("__gr_off")): _*)
     local.join(offs, group :+ bucketCol)
       .withColumn(out, col("__gr_off") + col("__gr_loc"))

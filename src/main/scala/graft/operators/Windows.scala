@@ -1217,10 +1217,13 @@ object Windows {
         .localCheckpoint()
       val tot = byPart.agg(
         sum(col("rev").cast(dec12)).as("tot_d"))
-      // value rides as DECIMAL(26,12): sums promote to (36,12) and the
-      // offset+local addition to (37,12) — never past the 38-precision
-      // cap, so NO scale-reduction rounding anywhere (a (38,12) value
-      // would round its 12th digit at the final addition and break the
+      // value rides as DECIMAL(26,12): per-bucket sums promote to
+      // (36,12), Prefix.runningSum narrows the cross-bucket offsets back
+      // to (36,12) (exact: the grand total fits 24 integer digits), and
+      // the final offset+local addition lands at (37,12) — never past
+      // the 38-precision cap, so NO scale-reduction rounding anywhere
+      // (a (38,12) carrier would need precision 39 at the final add and
+      // allowPrecisionLoss would round the 12th digit, breaking the
       // bit-exact share against the oracle's single-window sum)
       val cum = Prefix.runningSum(
         Prefix.withRangeBucket(byPart, col("rev"), 64, "__b"),
