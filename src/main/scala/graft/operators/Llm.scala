@@ -2686,6 +2686,101 @@ object Llm {
             GROUP BY a, b
             ORDER BY n DESC, a, b LIMIT 30"""))
 
+  /** BPE merge APPLICATION — the tokenizer-encode step every training
+    * pipeline actually runs per document (q_bpe_pair_counts is the
+    * training counter; this is the other half): the top-20 merge rules
+    * by corpus pair frequency are applied to each sampled document's
+    * token sequence IN RANK ORDER, one greedy left-to-right pass per
+    * rule. Sequences ride as bracket-delimited strings (`[a][b][c]`) so
+    * a rule application is a plain non-overlapping string `replace` of
+    * `[a][b]` with `[ab]` — adjacent occurrences share no delimiter, so
+    * left-to-right replace ≡ BPE's leftmost-first greedy merge for each
+    * rule, and the whole fold is `aggregate(merges, s, replace)` — a
+    * codegen'd per-row projection. One-pass-per-rank is the standard
+    * fast-encode semantics (rules reference base tokens; a merged token
+    * only re-matches when a LATER rule names its concatenated surface
+    * form — deterministic, mirrored exactly in the oracle's
+    * list_reduce). Emits (doc_id, n_before, n_after, encoded) — all
+    * scalar (OutputShapeSpec doctrine). Scale: the merge table is a
+    * bounded top-k (one TakeOrdered), collected into ONE array row and
+    * broadcast-crossed to the sample — encoding itself is zero-shuffle
+    * row-local string work, embarrassingly parallel at 100 TB; real
+    * tokenizers cap rule count (32k–100k), which rides the same
+    * broadcast (a few MB).
+    */
+  /** The encode fold: apply a rank-ordered `'a|b'` merge-rule array
+    * column to a bracket-delimited token string column, one
+    * non-overlapping left-to-right `replace` pass per rule. Exposed for
+    * the R12 spec's semantics pins (adjacent-run greediness, rank-order
+    * chaining).
+    */
+  private[graft] def bpeFold(s0Col: String, mergesCol: String) = expr(
+    s"aggregate($mergesCol, $s0Col, (acc, mm) -> replace(acc, " +
+      "concat('[', replace(mm, '|', ']['), ']'), " +
+      "concat('[', replace(mm, '|', ''), ']')))")
+
+  val qBpeEncode = Q(
+    "q_bpe_encode",
+    (s, dir) => {
+      val toksDf = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t != '')").as("toks"))
+      val pairs = toksDf
+        .select(explode(expr(
+          "CASE WHEN size(toks) >= 2 THEN " +
+            "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS a, " +
+            "element_at(toks, i + 1) AS b)) " +
+            "ELSE array() END")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(20)
+      // rank-ordered rule list as ONE broadcastable array row: sort by
+      // (-n, a, b) via struct array_sort, keep 'a|b' (corpus is
+      // delimiter-free; see the oracle's identical encoding)
+      val merges = pairs
+        .agg(expr("transform(array_sort(collect_list(" +
+          "struct(-n AS negn, a, b, concat(a, '|', b) AS m))), " +
+          "x -> x.m)").as("merges"))
+      toksDf.where(col("doc_id") < 100 && size(col("toks")) > 0)
+        .crossJoin(broadcast(merges))
+        .withColumn("s0",
+          concat(lit("["), array_join(col("toks"), "]["), lit("]")))
+        .withColumn("e", bpeFold("s0", "merges"))
+        .select(col("doc_id"),
+          size(col("toks")).cast(org.apache.spark.sql.types.LongType)
+            .as("n_before"),
+          (length(col("e")) - length(expr("replace(e, ']', '')")))
+            .cast(org.apache.spark.sql.types.LongType).as("n_after"),
+          expr("trim(BOTH '[]' FROM replace(e, '][', ' '))").as("encoded"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), t -> t <> '')
+                      AS toks
+                  FROM documents),
+             p AS (SELECT toks[CAST(t.i AS INT)] AS a,
+                          toks[CAST(t.i AS INT) + 1] AS b
+                   FROM d, unnest(range(1, len(toks))) AS t(i)),
+             pc AS (SELECT a, b, count(*) AS n FROM p
+                    GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20),
+             m AS (SELECT list(a || '|' || b ORDER BY n DESC, a, b)
+                     AS merges FROM pc),
+             enc AS (SELECT doc_id, len(toks) AS n_before,
+                       list_reduce(
+                         list_prepend(
+                           '[' || array_to_string(toks, '][') || ']',
+                           merges),
+                         (acc, mm) -> replace(acc,
+                            '[' || replace(mm, '|', '][') || ']',
+                            '[' || replace(mm, '|', '') || ']')) AS e
+                     FROM d, m WHERE doc_id < 100 AND len(toks) > 0)
+            SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+                   CAST(length(e) - length(replace(e, ']', ''))
+                        AS BIGINT) AS n_after,
+                   trim(replace(e, '][', ' '), '[]') AS encoded
+            FROM enc ORDER BY doc_id"""))
+
   /** URL canonicalization + dedup — the crawl-frontier/dedup step every
     * web-corpus pipeline runs before fetching or keeping a page twice
     * under cosmetically different URLs: lowercase scheme+host, strip the
@@ -2826,7 +2921,7 @@ object Llm {
             FROM embeddings ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(
-    qBpePairCounts, qUrlCanonical, qArrayStats,
+    qBpePairCounts, qBpeEncode, qUrlCanonical, qArrayStats,
     qSampleStratified, qTextNgramLm, qCorpusPack, qCorpusMixture,
     qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupContainment, qDedupClusters,
