@@ -45,4 +45,33 @@ class R12Spec extends AnyFunSuite with SparkFixture {
     val out = encode(Seq("x", "y", "x", "y", "z"), Seq("x|y"))
     assert(out === "xy xy z")
   }
+
+  test("graph beam search: recall@3 >= 0.8 vs brute-force truth") {
+    graft.plans.VectorFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .withColumn("ns", expr("vec_dot(embedding, embedding)"))
+    val nodes = emb.where(col("vec_id") < 400)
+      .select(col("vec_id").as("node"), col("embedding").as("nv"),
+        col("ns").as("nns"))
+    val probes = emb.where(col("vec_id") >= 400 && col("vec_id") < 410)
+      .select(col("vec_id").as("probe"), col("embedding").as("pv"),
+        col("ns").as("pns"))
+    val truth = probes.crossJoin(broadcast(nodes))
+      .withColumn("score", round(
+        expr("vec_dot(pv, nv)") / (sqrt(col("pns")) * sqrt(col("nns"))), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe").orderBy(col("score").desc, col("node"))))
+      .where(col("rn") <= 3)
+      .select("probe", "node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beam = graft.operators.Llm.qSimGraphBeam.fn(spark, sfDir)
+      .select("probe", "node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "vacuous fixture")
+    val recall = truth.intersect(beam).size.toDouble / truth.size
+    assert(recall >= 0.8,
+      f"beam search recall@3 $recall%.2f below 0.8 floor " +
+        "(graph navigability regressed)")
+  }
 }
