@@ -2891,6 +2891,94 @@ object Llm {
                    trim(replace(e, '][', ' '), '[]') AS encoded
             FROM enc ORDER BY doc_id"""))
 
+  /** Iterative BPE TRAINING — the true multi-round trainer (the loop
+    * q_bpe_pair_counts is one iteration of, and whose output
+    * q_bpe_encode consumes): each round recounts adjacent pairs over the
+    * CURRENT tokenization corpus-wide, picks THE most frequent pair
+    * (n desc, a, b — deterministic), merges it everywhere, repeats.
+    * 3 rounds; emits the learned merge table (round, a, b, n). The merge
+    * rewrite is the same bracket-string replace fold as q_bpe_encode
+    * (one rule per round), so round r's counts see round r-1's merged
+    * tokens — the property a single-pass counter cannot have. Driver
+    * loop: each round collects exactly ONE row (the argmax pair) to
+    * parameterize the next round's plan — the same
+    * iterative-parameterization posture as KMeans' centroids or Graph's
+    * frontier probes, NOT a data collect; per-round lineage is cut with
+    * localCheckpoint (Graph doctrine). Scale: a round = one bounded
+    * vocab² pair-count shuffle + one row-local rewrite; real tokenizers
+    * run 32k rounds of exactly this shape (with delta-counting to avoid
+    * full recounts — noted, out of scope). Oracle: the 3 rounds unrolled
+    * as CTEs, each recount/argmax/rewrite in SQL.
+    */
+  val qBpeTrain = Q(
+    "q_bpe_train",
+    (s, dir) => {
+      val rounds = 3
+      val pairGen =
+        "CASE WHEN size(toks) >= 2 THEN " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, " +
+          "element_at(toks, i + 1) AS b)) " +
+          "ELSE array() END"
+      var toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t != '')").as("toks"))
+        .localCheckpoint(true)
+      val learned = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val top = toks.select(explode(expr(pairGen)).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .collect()(0)
+        val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        learned += ((r, a, b, n))
+        if (r < rounds) {
+          val prev = toks
+          toks = toks.select(col("doc_id"),
+            split(btrim(replace(
+              replace(
+                concat(lit("["), array_join(col("toks"), "]["), lit("]")),
+                lit(s"[$a][$b]"), lit(s"[$a$b]")),
+              lit("]["), lit(" ")), lit("[]")), " ").as("toks"))
+            .localCheckpoint(true)
+          Graph.release(prev)
+        }
+      }
+      val out = learned.result()
+      s.createDataFrame(out).toDF("round", "a", "b", "n")
+        .orderBy("round")
+    },
+    Some {
+      val roundCtes = (1 to 3).map { r =>
+        val prev = s"l${r - 1}"
+        val base =
+          s"""p$r AS (SELECT toks[CAST(t.i AS INT)] AS a,
+                       toks[CAST(t.i AS INT) + 1] AS b
+                     FROM $prev, unnest(range(1, len(toks))) AS t(i)),
+             m$r AS (SELECT a, b, count(*) AS n FROM p$r
+                     GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)"""
+        if (r == 3) base
+        else base + s""",
+             l$r AS (SELECT doc_id,
+                       string_split(trim(replace(
+                         replace('[' || array_to_string(toks, '][') || ']',
+                           (SELECT '[' || a || '][' || b || ']' FROM m$r),
+                           (SELECT '[' || a || b || ']' FROM m$r)),
+                         '][', ' '), '[]'), ' ') AS toks
+                     FROM $prev)"""
+      }.mkString(",\n")
+      s"""WITH l0 AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), t -> t <> '')
+                      AS toks
+                  FROM documents),
+             $roundCtes
+            SELECT 1 AS round, a, b, n FROM m1
+            UNION ALL SELECT 2, a, b, n FROM m2
+            UNION ALL SELECT 3, a, b, n FROM m3
+            ORDER BY round"""
+    })
+
   /** URL canonicalization + dedup — the crawl-frontier/dedup step every
     * web-corpus pipeline runs before fetching or keeping a page twice
     * under cosmetically different URLs: lowercase scheme+host, strip the
@@ -3031,7 +3119,7 @@ object Llm {
             FROM embeddings ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(
-    qBpePairCounts, qBpeEncode, qUrlCanonical, qArrayStats,
+    qBpePairCounts, qBpeEncode, qBpeTrain, qUrlCanonical, qArrayStats,
     qSampleStratified, qTextNgramLm, qCorpusPack, qCorpusMixture,
     qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupContainment, qDedupClusters,

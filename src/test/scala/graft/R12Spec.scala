@@ -46,6 +46,19 @@ class R12Spec extends AnyFunSuite with SparkFixture {
     assert(out === "xy xy z")
   }
 
+  test("bpe train round 1 equals the single-pass counter's top pair") {
+    val trained = graft.operators.Llm.qBpeTrain.fn(spark, sfDir).collect()
+    assert(trained.length == 3)
+    assert(trained.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(trained.forall(_.getLong(3) > 0))
+    // round 1 must agree with q_bpe_pair_counts' rank-1 row: the trainer
+    // IS the counter iterated, so their first argmax is shared
+    val counted = graft.operators.Llm.qBpePairCounts.fn(spark, sfDir)
+      .limit(1).collect()(0)
+    assert((trained(0).getString(1), trained(0).getString(2)) ===
+      (counted.getString(0), counted.getString(1)))
+  }
+
   test("graph beam search: recall@3 >= 0.8 vs brute-force truth") {
     graft.plans.VectorFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
