@@ -218,6 +218,45 @@ object Relational {
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             ORDER BY c_custkey"""))
 
+  /** Null-safe equality join (`<=>` / SQL `IS NOT DISTINCT FROM`) — the
+    * join NULL-keyed rows still participate in (late-arriving dimension
+    * keys, optional attributes used as join keys: a plain `=` silently
+    * drops every NULL row, the classic reconciliation-count bug). NULL
+    * keys are synthesized deterministically (`nullif(k % 7, 3)` on both
+    * sides) so the NULL<=>NULL class is populated and counted. Catalyst
+    * plans null-safe equality as a HASH join key (EqualNullSafe is
+    * equi-joinable — no nested-loop degradation; PlanLint's cartesian
+    * ban would catch a regression). Output: pair count per key class,
+    * NULL class surfaced as -1.
+    */
+  val qJoinNullSafe = Q(
+    "q_join_null_safe",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          expr("nullif(c_nationkey % 7, 3)").as("ck"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"),
+          expr("nullif(s_nationkey % 7, 3)").as("sk"))
+      c.join(sup, col("ck") <=> col("sk"))
+        .groupBy(coalesce(col("ck"), lit(-1L))
+          .cast(org.apache.spark.sql.types.LongType).as("k_class"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .orderBy("k_class")
+    },
+    Some("""SELECT CAST(coalesce(c.ck, -1) AS BIGINT) AS k_class,
+                   count(*) AS n_pairs,
+                   count(DISTINCT c.c_custkey) AS n_cust,
+                   count(DISTINCT s.s_suppkey) AS n_supp
+            FROM (SELECT c_custkey, nullif(c_nationkey % 7, 3) AS ck
+                  FROM customer) c
+            JOIN (SELECT s_suppkey, nullif(s_nationkey % 7, 3) AS sk
+                  FROM supplier) s
+              ON c.ck IS NOT DISTINCT FROM s.sk
+            GROUP BY 1 ORDER BY 1"""))
+
   /** FLAGSHIP — 4-way star assembly (stats⋈demographics⋈geo⋈parent-names):
     * weighted revenue per (region, nation, year). Catalyst broadcasts the
     * bounded dims; the only big shuffle is lineitem⋈orders on orderkey.
@@ -1408,5 +1447,6 @@ object Relational {
     qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
     qMergeUpsert, qCdcApply, qGraphPagerank, qDqChecks, qCompositeShipping,
     qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup,
-    qGraphSssp, qAllocProration, qJoinAsofTolerance, qGraphDegreeHist)
+    qGraphSssp, qAllocProration, qJoinAsofTolerance, qGraphDegreeHist,
+    qJoinNullSafe)
 }

@@ -46,6 +46,15 @@ class R12Spec extends AnyFunSuite with SparkFixture {
     assert(out === "xy xy z")
   }
 
+  test("null-safe join plans as a hash join, not a nested loop") {
+    val plan = graft.operators.Relational.qJoinNullSafe.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join physical op for EqualNullSafe:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"EqualNullSafe degraded to a nested loop:\n$plan")
+  }
+
   test("bpe train round 1 equals the single-pass counter's top pair") {
     val trained = graft.operators.Llm.qBpeTrain.fn(spark, sfDir).collect()
     assert(trained.length == 3)
