@@ -43,6 +43,59 @@ object Skew {
       .drop("_salt")
   }
 
+  /** LEFT-outer variant of saltedInnerJoin: the preserved (probe) side is
+    * the salted big side, and the build side is replicated over every
+    * salt — so for any fact row with salt s, the replica set contains a
+    * salt-s copy of every matching dim row, making match EXISTENCE
+    * per-salt identical to the unsalted join: unmatched fact rows keep
+    * their nulls, matched ones their full match multiplicity.
+    * Row-identical to `big.join(small, ..., "left")` (pinned in R12Spec).
+    */
+  def saltedLeftJoin(big: DataFrame, small: DataFrame,
+                     bigKey: String, smallKey: String,
+                     salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts))
+        .cast("int"))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig
+      .join(replicatedSmall,
+        col(bigKey) === col(smallKey) &&
+          saltedBig("_salt") === replicatedSmall("_salt"), "left")
+      .drop("_salt")
+  }
+
+  /** The skew doctrine's OUTER-join face: a hot fact key must not
+    * serialize the left join either, and naive salting breaks outer
+    * semantics if the salt rides the dim side alone — this is the
+    * replicate-dim form that provably preserves them. Dim pruned to one
+    * priority so the null (unmatched) class is populated and counted.
+    * Oracle = the plain unsalted LEFT JOIN (salting is a pure
+    * partitioning change).
+    */
+  val qJoinLeftSalted = Q(
+    "q_join_left_salted",
+    (s, dir) => {
+      val dim = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      saltedLeftJoin(Tables.lineitem(s, dir), dim,
+        "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy(coalesce(col("o_orderpriority"), lit("none")).as("pri"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_extendedprice")).as("sum_px"))
+        .orderBy("pri")
+    },
+    Some(s"""SELECT coalesce(o_orderpriority, 'none') AS pri,
+                    count(*) AS n,
+                    ${Det.sqlSum("l_extendedprice")} AS sum_px
+             FROM lineitem LEFT JOIN
+               (SELECT o_orderkey, o_orderpriority FROM orders
+                WHERE o_orderpriority = '1-URGENT') o
+               ON l_orderkey = o_orderkey
+             GROUP BY 1 ORDER BY 1"""))
+
   /** Skewed-key aggregation: two-phase (salted partial → final) so one hot
     * group key cannot serialize into a single reducer. Equivalent to
     * groupBy(key).agg(sum) but the first shuffle spreads each key over
@@ -103,5 +156,5 @@ object Skew {
     Some(s"""SELECT l_returnflag, ${Det.sqlSum("l_extendedprice")} AS sum_px
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(qJoinInnerSalted, qAggSumSalted)
+  val all: Seq[Q] = Seq(qJoinInnerSalted, qAggSumSalted, qJoinLeftSalted)
 }

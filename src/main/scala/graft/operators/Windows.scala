@@ -268,6 +268,61 @@ object Windows {
             SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1996
             ORDER BY k"""))
 
+  /** MULTISET difference (`EXCEPT ALL`) — multiplicity-preserving, unlike
+    * q_except_missing's set EXCEPT: a customer with 3 orders in 1995 and
+    * 1 in 1996 survives TWICE (the per-occurrence reconciliation shape:
+    * un-refunded purchases, unmatched ledger entries). Result aggregated
+    * to (k, cnt) so the preserved multiplicities are the visible,
+    * hash-checked artifact. Spark plans exceptAll as a
+    * generate-count/replicate rewrite over hash aggregates — shuffle on
+    * k, no sort, scale-clean.
+    */
+  val qExceptAllMulti = Q(
+    "q_except_all_multi",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.where(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("k"))
+        .exceptAll(
+          o.where(year(col("o_orderdate")) === 1996)
+            .select(col("o_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy("k")
+    },
+    Some("""WITH d AS (
+              SELECT o_custkey AS k FROM orders
+              WHERE year(o_orderdate) = 1995
+              EXCEPT ALL
+              SELECT o_custkey AS k FROM orders
+              WHERE year(o_orderdate) = 1996)
+            SELECT k, count(*) AS cnt FROM d GROUP BY k ORDER BY k"""))
+
+  /** MULTISET intersection (`INTERSECT ALL`): min-multiplicity matching —
+    * a key with m occurrences on one side and n on the other survives
+    * min(m, n) times (the both-sides-matched volume of a reconciliation,
+    * not just the key overlap of q_intersect_common). Same aggregated
+    * output doctrine as q_except_all_multi.
+    */
+  val qIntersectAllMulti = Q(
+    "q_intersect_all_multi",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.where(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("k"))
+        .intersectAll(
+          o.where(year(col("o_orderdate")) === 1996)
+            .select(col("o_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy("k")
+    },
+    Some("""WITH d AS (
+              SELECT o_custkey AS k FROM orders
+              WHERE year(o_orderdate) = 1995
+              INTERSECT ALL
+              SELECT o_custkey AS k FROM orders
+              WHERE year(o_orderdate) = 1996)
+            SELECT k, count(*) AS cnt FROM d GROUP BY k ORDER BY k"""))
+
   /** Subset dedupe with a DETERMINISTIC survivor: earliest order per
     * (customer, year). Bare dropDuplicates picks an arbitrary survivor —
     * t2 variant goes through row_number (§7.2 rule 3).
@@ -1606,6 +1661,7 @@ object Windows {
     qScd2Asof, qWinRatioToReport, qWinDenseRank,
     qSortMultikey, qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset,
+    qExceptAllMulti, qIntersectAllMulti,
     qWinIntervalMerge, qMarkovTransitions, qCalendarSpine,
     qWinRollingMedian)
 }

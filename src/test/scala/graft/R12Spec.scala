@@ -46,6 +46,27 @@ class R12Spec extends AnyFunSuite with SparkFixture {
     assert(out === "xy xy z")
   }
 
+  test("saltedLeftJoin is row-identical to the plain left join") {
+    val s = spark
+    import s.implicits._
+    // hot key 1 (5 rows), unmatched keys 3 & 4 — exercises both the skew
+    // spread and the null-preserving outer class
+    val big = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"), (1L, "e"),
+      (2L, "f"), (3L, "g"), (4L, "h")).toDF("k", "v")
+    val dim = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("dk", "dv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "dk", "dv").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)), Option(r.get(3))))
+        .sortBy(_.toString)
+    val salted = canon(graft.operators.Skew.saltedLeftJoin(
+      big, dim, "k", "dk", salts = 4))
+    val plain = canon(big.join(dim, col("k") === col("dk"), "left"))
+    assert(salted.toSeq == plain.toSeq)
+    // the outer class survived: keys 3 and 4 present with null dim side
+    assert(plain.count(_._3.isEmpty) == 2)
+  }
+
   test("null-safe join plans as a hash join, not a nested loop") {
     val plan = graft.operators.Relational.qJoinNullSafe.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
