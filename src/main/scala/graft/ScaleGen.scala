@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal corpus generator (committed this time — the r11
+  * rehearsal's generator was ad hoc and its output evaporated with /tmp).
+  * Replicates the sf0.1 facts into a clone-degenerate 10× corpus:
+  *  - lineitem ×10 with l_orderkey/l_partkey/l_suppkey offset per replica
+  *    (the part–supplier graph genuinely grows 10×);
+  *  - documents ×10 with doc_id offsets (every doc gains 9 exact clones —
+  *    the dup-heavy-crawl worst case for pair generation);
+  *  - embeddings ×5 with vec_id offsets (25× pairs);
+  *  - other tables copied 1× (queries reading only those scale ~1× by
+  *    construction — mark them when reporting).
+  * Each replicated table lands as a multi-file parquet DIRECTORY so scans
+  * get real file parallelism. Usage: runMain graft.ScaleGen <src> <out>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val (src, out) = (args(0), args(1))
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(table: String, copies: Int, keys: Seq[String]): Unit = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      val offs = keys.map { k =>
+        k -> (df.agg(max(col(k))).collect()(0).getLong(0) + 1L)
+      }
+      val parts = (0 until copies).map { i =>
+        offs.foldLeft(df) { case (d, (k, off)) =>
+          d.withColumn(k, col(k) + lit(i * off))
+        }
+      }
+      parts.reduce(_.unionAll(_))
+        .repartition(copies)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scalegen] $table x$copies done")
+    }
+    def copy(table: String): Unit = {
+      spark.read.parquet(s"$src/$table.parquet")
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scalegen] $table x1 copied")
+    }
+
+    replicate("lineitem", 10, Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("documents", 10, Seq("doc_id"))
+    replicate("embeddings", 5, Seq("vec_id"))
+    Seq("orders", "customer", "supplier", "part", "nation", "region",
+      "events").foreach(copy)
+    spark.stop()
+  }
+}
