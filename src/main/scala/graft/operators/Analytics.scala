@@ -827,9 +827,69 @@ object Analytics {
                    CAST(max(d) AS TIMESTAMP) AS max_d
             FROM p GROUP BY status ORDER BY status"""))
 
+  /** χ² independence test — the categorical-dependence readout next to
+    * the numeric family (corr, covar matrix, regression): the full
+    * (market segment × order priority) contingency table with observed
+    * count, expected count under independence, and the cell's χ²
+    * contribution. All counting is exact integers; the only floats are
+    * SHARED formula text per cell — expected = (R·C)/N is one division
+    * of exact ints (R·C ≤ 2.25e10 < 2^53, so the double operands are
+    * exact), contrib = (d·d)/(N·R·C) with d = O·N − R·C (each IEEE op
+    * correctly rounded over identical operands → bit-identical across
+    * engines; d² may exceed 2^53 so it must NOT be computed in int64 —
+    * long overflow — nor demanded exact). The cell grid is bounded
+    * (|segments|·|priorities|), so the row/col/grand totals are
+    * broadcast joins, never a partition-less window. Consumers sum
+    * `contrib` for the statistic (25 cells — or fold in sorted order if
+    * bit-exactness of the sum matters, per the §7.2 doctrine).
+    */
+  val qAggChi2 = Q(
+    "q_agg_chi2",
+    (s, dir) => {
+      val joined = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"))
+      val cells = joined.groupBy("seg", "pri")
+        .agg(count(lit(1)).as("o"))
+      val rowTot = cells.groupBy("seg").agg(sum(col("o")).as("r"))
+      val colTot = cells.groupBy("pri").agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("n"))
+      cells
+        .join(broadcast(rowTot), "seg")
+        .join(broadcast(colTot), "pri")
+        .crossJoin(broadcast(n))
+        .withColumn("expected",
+          expr("CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("contrib", expr(
+          "CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)" +
+            " / CAST(n * r * c AS DOUBLE)"))
+        .select(col("seg"), col("pri"), col("o"), col("expected"),
+          col("contrib"))
+        .orderBy("seg", "pri")
+    },
+    Some("""WITH j AS (SELECT c_mktsegment AS seg,
+                    o_orderpriority AS pri
+                  FROM orders JOIN customer ON o_custkey = c_custkey),
+             cells AS (SELECT seg, pri, count(*) AS o FROM j
+                       GROUP BY seg, pri),
+             rt AS (SELECT seg, sum(o) AS r FROM cells GROUP BY seg),
+             ct AS (SELECT pri, sum(o) AS c FROM cells GROUP BY pri),
+             nt AS (SELECT sum(o) AS n FROM cells)
+            SELECT cells.seg, cells.pri, o,
+                   CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+                   CAST(o * n - r * c AS DOUBLE)
+                     * CAST(o * n - r * c AS DOUBLE)
+                     / CAST(n * r * c AS DOUBLE) AS contrib
+            FROM cells JOIN rt ON cells.seg = rt.seg
+                       JOIN ct ON cells.pri = ct.pri
+                       CROSS JOIN nt
+            ORDER BY cells.seg, cells.pri"""))
+
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
-    qWinHampel, qSourceFixedWidth)
+    qWinHampel, qSourceFixedWidth, qAggChi2)
 }
