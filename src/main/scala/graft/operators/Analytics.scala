@@ -887,9 +887,80 @@ object Analytics {
                        CROSS JOIN nt
             ORDER BY cells.seg, cells.pri"""))
 
+  /** Two-sample Kolmogorov–Smirnov test — the distribution-shift
+    * readout over CONTINUOUS values (corpus_drift's TV distance is its
+    * categorical sibling): D = sup_x |F₁(x) − F₂(x)| between the
+    * returned ('R') and never-returned ('N') price distributions.
+    * Everything up to the final division is EXACT integers: at each
+    * distinct value, |n₂·C₁(x) − n₁·C₂(x)| (counts ≤ 2²⁶ even at 100 TB
+    * partitions, products fit int64), the sup is an integer max, D is
+    * ONE shared-text division, and the max's location is min(v) at the
+    * argmax (deterministic tie-break). The cumulative counts C_g(x) ride
+    * Prefix.runningSum (64 monotone range buckets — NO partition-less
+    * window; the oracle keeps the naive single-window cumsum, so the
+    * hash match re-proves the decomposition exact on long-sum carriers
+    * just as q_win_pareto_abc proves it on decimals). One extra trick:
+    * both groups' cumsums ride ONE bucketed frame (two runningSum
+    * passes), so the value axis is scanned once.
+    */
+  val qAggKsTest = Q(
+    "q_agg_ks_test",
+    (s, dir) => {
+      val pv = Tables.lineitem(s, dir)
+        .where(col("l_returnflag").isin("R", "N"))
+        .select(col("l_extendedprice").as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("g1"),
+          when(col("l_returnflag") === "N", 1L).otherwise(0L).as("g2"))
+        .groupBy("v")
+        .agg(sum(col("g1")).as("c1"), sum(col("g2")).as("c2"))
+      val bucketed = Prefix.withRangeBucket(pv, col("v"), 64, "__b")
+      val cum = Prefix.runningSum(
+        Prefix.runningSum(bucketed, "__b", Seq(col("v")),
+          bucketDesc = false, col("c1"), "c1c"),
+        "__b", Seq(col("v")), bucketDesc = false, col("c2"), "c2c")
+      val n = pv.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val d = cum.crossJoin(broadcast(n))
+        .withColumn("dnum",
+          abs(col("n2") * col("c1c") - col("n1") * col("c2c")))
+      val maxd = d.agg(max(col("dnum")).as("d_num"))
+      d.join(broadcast(maxd), col("dnum") === col("d_num"))
+        .groupBy("n1", "n2", "d_num")
+        .agg(min(col("v")).as("at_v"))
+        .withColumn("d", expr(
+          "CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"))
+        .select("n1", "n2", "d_num", "d", "at_v")
+    },
+    Some("""WITH x AS (SELECT l_extendedprice AS v,
+                    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1,
+                    CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS g2
+                  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+             pv AS (SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+                          CAST(sum(g2) AS BIGINT) AS c2
+                    FROM x GROUP BY v),
+             cum AS (SELECT v,
+                       CAST(sum(c1) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS c1c,
+                       CAST(sum(c2) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS c2c
+                     FROM pv),
+             n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                          CAST(sum(c2) AS BIGINT) AS n2 FROM pv),
+             dd AS (SELECT v,
+                      CAST(abs(n2 * c1c - n1 * c2c) AS BIGINT) AS dnum
+                    FROM cum CROSS JOIN n),
+             md AS (SELECT CAST(max(dnum) AS BIGINT) AS d_num FROM dd)
+            SELECT n1, n2, d_num,
+                   CAST(d_num AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d,
+                   min(v) AS at_v
+            FROM dd JOIN md ON dd.dnum = md.d_num CROSS JOIN n
+            GROUP BY n1, n2, d_num"""))
+
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
-    qWinHampel, qSourceFixedWidth, qAggChi2)
+    qWinHampel, qSourceFixedWidth, qAggChi2, qAggKsTest)
 }

@@ -41,7 +41,10 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q_inventory_backlog" ->
       "running sum over the calendar-day axis — O(days), dataset-bounded",
     "q_win_running_frame" ->
-      "running total over daily rollups — O(days), dataset-bounded")
+      "running total over daily rollups — O(days), dataset-bounded",
+    "q_agg_ks_test" ->
+      "2x Prefix.runningSum bucket-offset prefixes over 64 range-bucket " +
+        "totals (the un-collapsed logical plan shows each twice)")
 
   private val cartesianOk: Set[String] = Set.empty
 
