@@ -43,8 +43,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q_win_running_frame" ->
       "running total over daily rollups — O(days), dataset-bounded",
     "q_agg_ks_test" ->
-      "2x Prefix.runningSum bucket-offset prefixes over 64 range-bucket " +
-        "totals (the un-collapsed logical plan shows each twice)")
+      ("2x Prefix.runningSum bucket-offset prefixes over 64 range-bucket " +
+        "totals (the un-collapsed logical plan shows each twice)"))
 
   private val cartesianOk: Set[String] = Set.empty
 
