@@ -604,6 +604,98 @@ object Multimodal {
                    CAST(max(v) AS INT) AS max_s
             FROM sm GROUP BY asset_id, n ORDER BY asset_id"""))
 
+  /** Per-pixel luminance row of the pHash pipeline. */
+  final case class PhashPix(asset_id: Long, x: Int, y: Int, lum: Long)
+
+  /** Image NEAR-DUP detection via perceptual average-hash — the visual
+    * counterpart of q_dedup_exact_hash (byte-identical files miss
+    * re-encoded/brightness-shifted copies; aHash catches them): 20 base
+    * rasters each with a +16-brightness variant (bounded ramp channels,
+    * so no clamping — a uniform shift provably preserves every
+    * cell-vs-mean comparison, hence the exact hash), REAL PNG encode →
+    * ImageIO decode per asset in batched mapPartitions, then the whole
+    * hash pipeline in DataFrame ops: integer luminance (r+g+b) div 3,
+    * 8×8 block sums, bit = cell_sum·64 > total (the integer-exact
+    * spelling of cell_mean > global_mean), 64-char bit-string hash,
+    * self-join on hash for dup pairs. The oracle recomputes every pixel
+    * ANALYTICALLY from the ramp formula — DuckDB never sees a PNG — so
+    * the hash match proves codec round-trip + downsample + threshold +
+    * bit assembly end-to-end. Scale: decode is row-local;
+    * per-asset pixel fan-out is bounded by the fixed 32×24 raster (a
+    * production pHash downsamples inside the decoder — same shape);
+    * the pair join keys on the 64-bit hash, the same bucketed-dedup
+    * shuffle as every exact-dup query.
+    */
+  val qMultimodalPhash = Q(
+    "q_multimodal_phash",
+    (s, dir) => {
+      import s.implicits._
+      val nBase = 20L
+      val px = s.range(2L * nBase).repartition(8).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val base = id / 2
+            val delta = (id % 2).toInt * 16
+            val rgb = (x: Int, y: Int) => {
+              val r = ((base * 13 + 3 * x + 5 * y) % 200).toInt + delta
+              val g = ((2 * base + 7 * x + y) % 200).toInt + delta
+              val b = ((5 * base + x + 11 * y) % 200).toInt + delta
+              (r << 16) | (g << 8) | b
+            }
+            val img = decodeImage(encodePng(32, 24, rgb))
+            for { y <- 0 until 24; x <- 0 until 32 } yield {
+              val p = img.getRGB(x, y)
+              val lum =
+                (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              PhashPix(id, x, y, lum.toLong)
+            }
+          }
+        }.toDF()
+      val cells = px
+        .groupBy(col("asset_id"), expr("x div 4").cast(IntegerType).as("i"),
+          expr("y div 3").cast(IntegerType).as("j"))
+        .agg(sum(col("lum")).as("cs"))
+      val tots = cells.groupBy("asset_id").agg(sum(col("cs")).as("tot"))
+      val hashes = cells.join(tots, "asset_id")
+        .withColumn("bit",
+          when(col("cs") * 64 > col("tot"), lit("1")).otherwise(lit("0")))
+        .groupBy("asset_id")
+        .agg(expr("array_join(transform(" +
+          "array_sort(collect_list(struct(i, j, bit))), s -> s.bit), '')")
+          .as("ahash"))
+      hashes.toDF("a", "ha")
+        .join(hashes.toDF("b", "hb"),
+          col("ha") === col("hb") && col("a") < col("b"))
+        .select(col("a"), col("b"), col("ha").as("ahash"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH ids AS (SELECT unnest(range(0, 40)) AS id),
+             px AS (SELECT ids.id, CAST(xs.x AS INT) AS x,
+                           CAST(ys.y AS INT) AS y
+                    FROM ids CROSS JOIN range(32) xs(x)
+                             CROSS JOIN range(24) ys(y)),
+             lum AS (SELECT id, x, y,
+                      ((((id // 2) * 13 + 3 * x + 5 * y) % 200
+                          + (id % 2) * 16)
+                       + ((2 * (id // 2) + 7 * x + y) % 200
+                          + (id % 2) * 16)
+                       + ((5 * (id // 2) + x + 11 * y) % 200
+                          + (id % 2) * 16)) // 3 AS l
+                     FROM px),
+             cells AS (SELECT id, x // 4 AS i, y // 3 AS j,
+                         CAST(sum(l) AS BIGINT) AS cs
+                       FROM lum GROUP BY 1, 2, 3),
+             tots AS (SELECT id, CAST(sum(cs) AS BIGINT) AS tot
+                      FROM cells GROUP BY id),
+             bits AS (SELECT c.id, i, j,
+                        CASE WHEN cs * 64 > tot THEN '1' ELSE '0' END AS bit
+                      FROM cells c JOIN tots t ON c.id = t.id),
+             h AS (SELECT id, string_agg(bit, '' ORDER BY i, j) AS ahash
+                   FROM bits GROUP BY id)
+            SELECT a.id AS a, b.id AS b, a.ahash
+            FROM h a JOIN h b ON a.ahash = b.ahash AND a.id < b.id
+            ORDER BY a, b"""))
+
   val all: Seq[Q] = Seq(qMultimodalFeatures, qMultimodalFrames,
-    qMultimodalDecode, qMultimodalAudioDecode)
+    qMultimodalDecode, qMultimodalAudioDecode, qMultimodalPhash)
 }
