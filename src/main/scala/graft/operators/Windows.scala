@@ -1537,6 +1537,84 @@ object Windows {
                    ($bollMid) + CAST(2.0 AS DOUBLE) * ($bollSd) AS upper
             FROM f ORDER BY flag, d"""))
 
+  /** Rolling 7-row Pearson correlation between the daily revenue and
+    * daily volume series per return flag — the co-movement monitor
+    * (price/volume regimes, metric-pair drift alerting) extending the
+    * bollinger/rolling-median family from one series to two. All five
+    * frame sums (Σx, Σy, Σxy, Σx², Σy²) are EXACT over integer daily
+    * cents/counts — Spark rides DECIMAL(38,0), DuckDB int128 for the
+    * products (the q_win_bollinger carrier split) — and r is ONE shared
+    * formula text: (nΣxy − ΣxΣy) / (sqrt(nΣx² − Σx²)·sqrt(nΣy² − Σy²)),
+    * NULL-guarded when either variance term is ≤ 0 (a constant series
+    * has no correlation — emitted as NULL, not NaN, in both engines).
+    * Scale: same shape as bollinger — one exchange on flag, O(7) frame
+    * state over the bounded daily rollup.
+    */
+  val qWinRollingCorr = Q(
+    "q_win_rolling_corr",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wFrame = Window.partitionBy("flag").orderBy("d").rowsBetween(-6, 0)
+      val corrFml =
+        "CASE WHEN n * sxx - sx * sx <= CAST(0 AS DOUBLE) " +
+          "OR n * syy - sy * sy <= CAST(0 AS DOUBLE) THEN NULL " +
+          "ELSE (n * sxy - sx * sy) / " +
+          "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END"
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)").cast(Dec0))
+          .cast(Dec0).as("x"),
+          count(lit(1)).cast(Dec0).as("y"))
+        .withColumn("nn", count(lit(1)).over(wFrame))
+        .withColumn("sxd", sum(col("x")).over(wFrame))
+        .withColumn("syd", sum(col("y")).over(wFrame))
+        .withColumn("sxyd", sum(col("x") * col("y")).over(wFrame))
+        .withColumn("sxxd", sum(col("x") * col("x")).over(wFrame))
+        .withColumn("syyd", sum(col("y") * col("y")).over(wFrame))
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("nn").as("n_days"),
+          expr("CAST(nn AS DOUBLE)").as("n"),
+          expr("CAST(sxd AS DOUBLE)").as("sx"),
+          expr("CAST(syd AS DOUBLE)").as("sy"),
+          expr("CAST(sxyd AS DOUBLE)").as("sxy"),
+          expr("CAST(sxxd AS DOUBLE)").as("sxx"),
+          expr("CAST(syyd AS DOUBLE)").as("syy"))
+        .select(col("flag"), col("d"), col("n_days"),
+          expr(corrFml).as("r"))
+        .orderBy("flag", "d")
+    },
+    Some {
+      val corrFml =
+        """CASE WHEN n * sxx - sx * sx <= CAST(0 AS DOUBLE)
+             OR n * syy - sy * sy <= CAST(0 AS DOUBLE) THEN NULL
+           ELSE (n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END"""
+      s"""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS HUGEINT) AS x,
+                CAST(count(*) AS HUGEINT) AS y
+              FROM lineitem GROUP BY 1, 2),
+             f AS (SELECT flag, d,
+                 count(*) OVER w AS n_days,
+                 CAST(count(*) OVER w AS DOUBLE) AS n,
+                 CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+                 CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+                 CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+               FROM daily
+               WINDOW w AS (PARTITION BY flag ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+            SELECT flag, CAST(d AS TIMESTAMP) AS d, n_days,
+                   $corrFml AS r
+            FROM f ORDER BY flag, d"""
+    })
+
   /** Rolling active users — the DAU/WAU engagement curve (stickiness =
     * DAU/WAU is the first product metric any events pipeline serves):
     * per-day exact distinct users, and trailing-7-day distinct via a
@@ -1651,7 +1729,8 @@ object Windows {
             FROM r HAVING count(*) > 0"""))
 
   val all: Seq[Q] = Seq(
-    qInterarrival, qWinVwap, qWinBollinger, qActiveUsersRolling,
+    qInterarrival, qWinVwap, qWinBollinger, qWinRollingCorr,
+    qActiveUsersRolling,
     qTimeToConvert,
     qWinDrawdown, qAttributionLastTouch, qWinParetoAbc, qInventoryBacklog,
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
