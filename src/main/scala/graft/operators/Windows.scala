@@ -1245,6 +1245,90 @@ object Windows {
             FROM t WHERE event_type = 'purchase'
             GROUP BY 1 ORDER BY touch_type"""))
 
+  /** LINEAR multi-touch attribution — the equal-split complement of
+    * q_attribution_last_touch (last-touch over-credits the final click;
+    * linear spreads each conversion's value across every same-day prior
+    * touch): purchase value in integer micro-units (cents·1000), each
+    * touch TYPE's share = (micro · type_touches) div n_touches —
+    * deterministic integer truncation (≤1 micro-unit lost per
+    * purchase-type, the alloc_proration trade documented there), summed
+    * exactly; purchases with no same-day prior touch credit '(organic)'
+    * in full. The touch join is (user, day)-keyed with a strict
+    * (ts, event_id) tuple order — per-day fan-out bounds the pair count
+    * (the classic attribution-window bound; an unbounded lookback joins
+    * the user's whole history). Final money column is ONE shared-text
+    * division of the exact micro sum.
+    */
+  val qAttributionLinear = Q(
+    "q_attribution_linear",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          to_date(col("ts")).as("day"), col("event_type"),
+          expr("CAST(floor(value * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("c"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("day"),
+          col("ts").as("pts"), col("c"))
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("day"), col("ts").as("tts"),
+          col("event_id").as("tid"), col("event_type").as("touch_type"))
+      val pairs = purchases.join(touches, Seq("user_id", "day"))
+        .where(col("tts") < col("pts") ||
+          (col("tts") === col("pts") && col("tid") < col("pid")))
+      val byType = pairs.groupBy("pid", "c", "touch_type")
+        .agg(count(lit(1)).as("ct"))
+      val totals = byType.groupBy("pid")
+        .agg(sum(col("ct")).as("n"))
+      val credited = byType.join(totals, "pid")
+        .select(col("touch_type"),
+          expr("(c * 1000 * ct) div n").as("micro"), col("pid"))
+      val organic = purchases
+        .join(pairs.select("pid").distinct(), Seq("pid"), "left_anti")
+        .select(lit("(organic)").as("touch_type"),
+          (col("c") * 1000).as("micro"), col("pid"))
+      credited.unionByName(organic)
+        .groupBy("touch_type")
+        .agg(countDistinct(col("pid")).as("n_conversions"),
+          sum(col("micro")).as("credit_micro"))
+        .withColumn("credit", expr(
+          "CAST(credit_micro AS DOUBLE) / CAST(100000 AS DOUBLE)"))
+        .orderBy("touch_type")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, ts,
+                    CAST(ts AS DATE) AS day, event_type,
+                    CAST(floor(value * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+                  FROM events),
+             p AS (SELECT event_id AS pid, user_id, day, ts AS pts, c
+                   FROM ev WHERE event_type = 'purchase'),
+             t AS (SELECT user_id, day, ts AS tts, event_id AS tid,
+                          event_type AS touch_type
+                   FROM ev WHERE event_type IN ('click', 'view')),
+             pairs AS (SELECT p.pid, p.c, t.touch_type, t.tts, t.tid
+                       FROM p JOIN t ON p.user_id = t.user_id
+                         AND p.day = t.day
+                         AND (t.tts < p.pts
+                              OR (t.tts = p.pts AND t.tid < p.pid))),
+             bt AS (SELECT pid, c, touch_type,
+                           CAST(count(*) AS BIGINT) AS ct
+                    FROM pairs GROUP BY pid, c, touch_type),
+             tot AS (SELECT pid, CAST(sum(ct) AS BIGINT) AS n
+                     FROM bt GROUP BY pid),
+             credited AS (SELECT touch_type,
+                            (c * 1000 * ct) // n AS micro, bt.pid
+                          FROM bt JOIN tot ON bt.pid = tot.pid),
+             organic AS (SELECT '(organic)' AS touch_type,
+                           c * 1000 AS micro, pid
+                         FROM p WHERE pid NOT IN (SELECT pid FROM pairs)),
+             u AS (SELECT * FROM credited UNION ALL SELECT * FROM organic)
+            SELECT touch_type,
+                   CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions,
+                   CAST(sum(micro) AS BIGINT) AS credit_micro,
+                   CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE)
+                     / CAST(100000 AS DOUBLE) AS credit
+            FROM u GROUP BY touch_type ORDER BY touch_type"""))
+
   /** Pareto / ABC classification — the 80-20 curve inventory and revenue
     * analytics run over a CATALOG-bounded entity table (parts, SKUs,
     * accounts): rank parts by revenue, cumulative revenue share, class
@@ -1732,7 +1816,8 @@ object Windows {
     qInterarrival, qWinVwap, qWinBollinger, qWinRollingCorr,
     qActiveUsersRolling,
     qTimeToConvert,
-    qWinDrawdown, qAttributionLastTouch, qWinParetoAbc, qInventoryBacklog,
+    qWinDrawdown, qAttributionLastTouch, qAttributionLinear,
+    qWinParetoAbc, qInventoryBacklog,
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,
     qTimeInterpLinear, qScd2Dim,
