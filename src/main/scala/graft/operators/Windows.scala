@@ -1276,15 +1276,20 @@ object Windows {
       val pairs = purchases.join(touches, Seq("user_id", "day"))
         .where(col("tts") < col("pts") ||
           (col("tts") === col("pts") && col("tid") < col("pid")))
+      // the (purchase, type) counts are O(purchases·|types|) — checkpoint
+      // them so the day-bounded pair join (the expensive subtree) runs
+      // ONCE for its three consumers (credits, totals, organic anti-join)
+      // instead of being re-derived per consumer
       val byType = pairs.groupBy("pid", "c", "touch_type")
         .agg(count(lit(1)).as("ct"))
+        .localCheckpoint(true)
       val totals = byType.groupBy("pid")
         .agg(sum(col("ct")).as("n"))
       val credited = byType.join(totals, "pid")
         .select(col("touch_type"),
           expr("(c * 1000 * ct) div n").as("micro"), col("pid"))
       val organic = purchases
-        .join(pairs.select("pid").distinct(), Seq("pid"), "left_anti")
+        .join(byType.select("pid").distinct(), Seq("pid"), "left_anti")
         .select(lit("(organic)").as("touch_type"),
           (col("c") * 1000).as("micro"), col("pid"))
       credited.unionByName(organic)
