@@ -958,9 +958,88 @@ object Analytics {
             FROM dd JOIN md ON dd.dnum = md.d_num CROSS JOIN n
             GROUP BY n1, n2, d_num"""))
 
+  /** CUSUM change-point detection — the TIME-axis sibling of
+    * q_agg_ks_test (KS asks "are two cohorts' distributions different";
+    * CUSUM asks "WHEN did this series' level shift" — the alert every
+    * metric monitor and corpus-drift tracker wants): per return flag,
+    * the maximum excursion of the centered cumulative sum of daily
+    * revenue, in the integer-exact normalization E_k = |n·S_k − k·S_n|
+    * (≡ n·S_n · |CUSUM_k| without any division — the same cross-multiply
+    * trick as KS), argmax located as min(day) at the max, and the
+    * normalized statistic is ONE shared-text division at the end.
+    * NOTE (constant-cardinality partitions): the window partitions on
+    * the flag domain but each partition is the CALENDAR-day axis —
+    * O(days), dataset-bounded (the inventory_backlog justification);
+    * int64 carries n·S_k up to ~10¹⁶ at these scales — swap to
+    * DECIMAL(38,0) carriers if a deployment's day-sums push past 10¹⁵.
+    */
+  val qChangepointCusum = Q(
+    "q_changepoint_cusum",
+    (s, dir) => {
+      val win = Window.partitionBy("flag").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
+      val pref = daily
+        .withColumn("sk", sum(col("v")).over(win))
+        .withColumn("k", row_number().over(
+          Window.partitionBy("flag").orderBy("d")))
+      val tot = daily.groupBy("flag")
+        .agg(sum(col("v")).as("sn"), count(lit(1)).as("n"))
+      val exc = pref.join(broadcast(tot), "flag")
+        .withColumn("e", abs(col("n") * col("sk") - col("k") * col("sn")))
+      val emax = exc.groupBy("flag").agg(max(col("e")).as("e_max"))
+        .withColumnRenamed("flag", "mflag")
+      exc.join(broadcast(emax),
+          col("flag") === col("mflag") && col("e") === col("e_max"))
+        .groupBy(col("flag"), col("e_max"), col("n").as("n_days"),
+          col("sn"))
+        .agg(min(col("d")).as("at_d"))
+        .select(col("flag"), col("n_days"),
+          col("at_d").cast(org.apache.spark.sql.types.TimestampType)
+            .as("at_d"),
+          col("e_max"),
+          expr("CAST(e_max AS DOUBLE) / " +
+            "(CAST(n_days AS DOUBLE) * CAST(sn AS DOUBLE))").as("stat"))
+        .orderBy("flag")
+    },
+    Some("""WITH daily AS (SELECT l_returnflag AS flag,
+                    CAST(l_shipdate AS DATE) AS d,
+                    CAST(SUM(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS v
+                  FROM lineitem GROUP BY 1, 2),
+             pref AS (SELECT flag, d, v,
+                 CAST(sum(v) OVER (PARTITION BY flag ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sk,
+                 CAST(row_number() OVER (PARTITION BY flag ORDER BY d)
+                   AS BIGINT) AS k
+               FROM daily),
+             tot AS (SELECT flag, CAST(sum(v) AS BIGINT) AS sn,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM daily GROUP BY flag),
+             exc AS (SELECT p.flag, p.d,
+                       CAST(abs(t.n * p.sk - p.k * t.sn) AS BIGINT) AS e,
+                       t.n, t.sn
+                     FROM pref p JOIN tot t ON p.flag = t.flag),
+             em AS (SELECT flag, CAST(max(e) AS BIGINT) AS e_max
+                    FROM exc GROUP BY flag)
+            SELECT exc.flag, n AS n_days,
+                   CAST(min(d) AS TIMESTAMP) AS at_d, em.e_max,
+                   CAST(em.e_max AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(sn AS DOUBLE)) AS stat
+            FROM exc JOIN em ON exc.flag = em.flag AND exc.e = em.e_max
+            GROUP BY exc.flag, n, sn, em.e_max
+            ORDER BY exc.flag"""))
+
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
-    qWinHampel, qSourceFixedWidth, qAggChi2, qAggKsTest)
+    qWinHampel, qSourceFixedWidth, qAggChi2, qAggKsTest,
+    qChangepointCusum)
 }
