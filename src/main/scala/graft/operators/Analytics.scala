@@ -1036,10 +1036,68 @@ object Analytics {
             GROUP BY exc.flag, n, sn, em.e_max
             ORDER BY exc.flag"""))
 
+  /** Day-of-week seasonal decomposition (STL-lite) — the
+    * detrend-then-average seasonality readout behind weekly-pattern
+    * normalization (staffing curves, "is Monday really slower" — and
+    * de-weekending a metric before change-point/trend tests): per
+    * flag×weekday, the mean DETRENDED daily revenue, where the trend is
+    * a centered 7-day moving average and the residual is kept
+    * integer-exact by the scaling trick residual·7 = 7·v − Σ₇v (no
+    * per-row division, no float accumulation — the CUSUM/KS
+    * cross-multiply doctrine on the window axis). Edge days (partial
+    * 7-frames) are EXCLUDED (n7 = 7 filter) so the scale factor is a
+    * constant and the final seasonal index is ONE shared-text division
+    * Σ(7v − Σ₇v) / (7·n). Same calendar-bounded partition posture as
+    * q_changepoint_cusum.
+    */
+  val qSeasonalDow = Q(
+    "q_seasonal_dow",
+    (s, dir) => {
+      val frame = Window.partitionBy("flag").orderBy("d").rowsBetween(-3, 3)
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
+      daily
+        .withColumn("s7", sum(col("v")).over(frame))
+        .withColumn("n7", count(lit(1)).over(frame))
+        .where(col("n7") === 7)
+        .groupBy(col("flag"), weekday(col("d")).as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("v") * 7 - col("s7")).as("resid7"))
+        .withColumn("seasonal", expr(
+          "CAST(resid7 AS DOUBLE) / (CAST(7 AS DOUBLE) " +
+            "* CAST(n_days AS DOUBLE))"))
+        .select("flag", "dow", "n_days", "resid7", "seasonal")
+        .orderBy("flag", "dow")
+    },
+    Some("""WITH daily AS (SELECT l_returnflag AS flag,
+                    CAST(l_shipdate AS DATE) AS d,
+                    CAST(SUM(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS v
+                  FROM lineitem GROUP BY 1, 2),
+             f AS (SELECT flag, d, v,
+                 CAST(sum(v) OVER w AS BIGINT) AS s7,
+                 count(*) OVER w AS n7
+               FROM daily
+               WINDOW w AS (PARTITION BY flag ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+            SELECT flag, CAST(isodow(d) - 1 AS INT) AS dow,
+                   count(*) AS n_days,
+                   CAST(sum(v * 7 - s7) AS BIGINT) AS resid7,
+                   CAST(CAST(sum(v * 7 - s7) AS BIGINT) AS DOUBLE)
+                     / (CAST(7 AS DOUBLE) * CAST(count(*) AS DOUBLE))
+                     AS seasonal
+            FROM f WHERE n7 = 7
+            GROUP BY flag, isodow(d)
+            ORDER BY flag, dow"""))
+
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
     qWinHampel, qSourceFixedWidth, qAggChi2, qAggKsTest,
-    qChangepointCusum)
+    qChangepointCusum, qSeasonalDow)
 }

@@ -2538,6 +2538,37 @@ object Llm {
                    FROM documents)
              WHERE rk <= 20 ORDER BY source, rk"""))
 
+  /** SYSTEMATIC sampling — every k-th element of a total order (the
+    * audit/eval-slice draw when you want guaranteed coverage of the
+    * whole quality range, where uniform hashing clusters and stratified
+    * needs strata): rank customers by (acctbal desc, custkey), keep
+    * rank ≡ 1 (mod 50). The global rank rides Prefix.globalRank (64
+    * monotone range buckets + broadcast offsets — NO partition-less
+    * window over the entity table; the only global window touches the
+    * 64 bucket counts), while the oracle uses the naive single-window
+    * row_number — the hash match proves the decomposition yet again on
+    * a third consumer shape (after pareto's sums and ks's counts).
+    */
+  val qSampleSystematic = Q(
+    "q_sample_systematic",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"))
+      Prefix.globalRank(
+        Prefix.withRangeBucket(c, col("c_acctbal"), 64, "__b"),
+        "__b", Seq(col("c_acctbal").desc, col("c_custkey")),
+        bucketDesc = true, "rk")
+        .where(pmod(col("rk"), lit(50)) === 1)
+        .select(col("rk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("rk")
+    },
+    Some("""SELECT rk, c_custkey, c_acctbal
+            FROM (SELECT c_custkey, c_acctbal,
+                    CAST(row_number() OVER (
+                      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rk
+                  FROM customer)
+            WHERE rk % 50 = 1 ORDER BY rk"""))
+
   /** Bigram language-model scoring — the statistical-fluency quality
     * signal (a cheap perplexity proxy): per document, the average and
     * minimum corpus-MLE transition probability
@@ -3127,7 +3158,8 @@ object Llm {
 
   val all: Seq[Q] = Seq(
     qBpePairCounts, qBpeEncode, qBpeTrain, qUrlCanonical, qArrayStats,
-    qSampleStratified, qTextNgramLm, qCorpusPack, qCorpusMixture,
+    qSampleStratified, qSampleSystematic, qTextNgramLm, qCorpusPack,
+    qCorpusMixture,
     qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupContainment, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate, qGraphTriangles,

@@ -44,7 +44,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
       "running total over daily rollups — O(days), dataset-bounded",
     "q_agg_ks_test" ->
       ("2x Prefix.runningSum bucket-offset prefixes over 64 range-bucket " +
-        "totals (the un-collapsed logical plan shows each twice)"))
+        "totals (the un-collapsed logical plan shows each twice)"),
+    "q_sample_systematic" ->
+      "Prefix.globalRank bucket-offset prefix over 64 range-bucket counts")
 
   private val cartesianOk: Set[String] = Set.empty
 
