@@ -1094,10 +1094,86 @@ object Analytics {
             GROUP BY flag, isodow(d)
             ORDER BY flag, dow"""))
 
+  /** Welch's two-sample t — the unequal-variance mean-difference test
+    * (the workhorse behind every A/B readout on a continuous metric;
+    * q_ab_lift's z covers proportions, this covers means): BUILDING-vs-
+    * MACHINERY segments' order totals in integer cents, one grouped pass
+    * collecting the exact moments (n, Σx, Σx² on DECIMAL(38,0) — cents²
+    * overflows int64), then every statistic is shared formula text over
+    * the correctly-rounded double casts: mean, sample variance
+    * s² = (nΣx² − (Σx)²)/(n(n−1)), t = (m₁−m₂)/sqrt(s₁²/n₁ + s₂²/n₂),
+    * and the Welch–Satterthwaite df. One scan, 2-row aggregate, 1-row
+    * output — map-side combinable like a plain sum.
+    */
+  val qAggTtest = Q(
+    "q_agg_ttest",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cents = "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)" +
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+      val m = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr(cents).cast(Dec0)).cast(Dec0).as("sx"),
+          sum((expr(cents).cast(Dec0) * expr(cents).cast(Dec0)))
+            .cast(Dec0).as("sxx"))
+        .withColumn("nn", expr("CAST(n AS DOUBLE)"))
+        .withColumn("mean", expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("vr", expr(
+          "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+            "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) " +
+            "- CAST(1 AS DOUBLE)))"))
+      val a = m.where(col("seg") === "BUILDING")
+        .select(col("n").as("n1"), col("nn").as("nn1"),
+          col("mean").as("m1"), col("vr").as("v1"))
+      val b = m.where(col("seg") === "MACHINERY")
+        .select(col("n").as("n2"), col("nn").as("nn2"),
+          col("mean").as("m2"), col("vr").as("v2"))
+      a.crossJoin(broadcast(b))
+        .withColumn("se2", expr("v1 / nn1 + v2 / nn2"))
+        .select(col("n1"), col("n2"), col("m1"), col("m2"),
+          expr("(m1 - m2) / sqrt(se2)").as("t"),
+          expr("se2 * se2 / (v1 * v1 / (nn1 * nn1 * (nn1 " +
+            "- CAST(1 AS DOUBLE))) + v2 * v2 / (nn2 * nn2 * (nn2 " +
+            "- CAST(1 AS DOUBLE))))").as("df"))
+    },
+    Some("""WITH j AS (SELECT c_mktsegment AS seg,
+                    CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+             m AS (SELECT seg, count(*) AS n,
+                     CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sx,
+                     CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                       AS HUGEINT) AS sxx
+                   FROM j GROUP BY seg),
+             mm AS (SELECT seg, n, CAST(n AS DOUBLE) AS nn,
+                      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                        - CAST(1 AS DOUBLE))) AS vr
+                    FROM m),
+             ab AS (SELECT a.n AS n1, b.n AS n2, a.nn AS nn1, b.nn AS nn2,
+                      a.mean AS m1, b.mean AS m2, a.vr AS v1, b.vr AS v2,
+                      a.vr / a.nn + b.vr / b.nn AS se2
+                    FROM mm a CROSS JOIN mm b
+                    WHERE a.seg = 'BUILDING' AND b.seg = 'MACHINERY')
+            SELECT n1, n2, m1, m2,
+                   (m1 - m2) / sqrt(se2) AS t,
+                   se2 * se2 / (v1 * v1 / (nn1 * nn1 * (nn1
+                     - CAST(1 AS DOUBLE))) + v2 * v2 / (nn2 * nn2 * (nn2
+                     - CAST(1 AS DOUBLE)))) AS df
+            FROM ab"""))
+
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
     qWinHampel, qSourceFixedWidth, qAggChi2, qAggKsTest,
-    qChangepointCusum, qSeasonalDow)
+    qChangepointCusum, qSeasonalDow, qAggTtest)
 }
