@@ -186,6 +186,9 @@ object Graph {
                       damping: Double = 0.85): DataFrame = {
     val nodes = deg.select(col("src").as("node"), col("deg"))
     val nN = nodes.count().toDouble
+    // empty graph: 1/N would raise under ANSI — the rank table is empty
+    // either way, so return it directly (empty-partition robustness)
+    if (nN == 0) return nodes.select(col("node"), lit(0.0).as("r"))
     var ranks = nodes.withColumn("r", lit(1.0) / lit(nN))
     for (_ <- 0 until iters) {
       val contrib = und

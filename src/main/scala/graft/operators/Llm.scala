@@ -1576,18 +1576,33 @@ object Llm {
           array_to_vector(col("embedding").cast("array<double>")))
         .withColumn("ns", expr("vec_dot(embedding, embedding)"))
       val fitInput = emb.select("features").cache()
-      val model =
-        try new KMeans().setK(k).setSeed(42L).setMaxIter(5).fit(fitInput)
-        finally fitInput.unpersist(blocking = false)
-      model.transform(emb)
-        .select(col("vec_id"), col("embedding"), col("ns"),
-          col("prediction").as("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(cellsOut)
-      s.createDataFrame(
-        model.clusterCenters.zipWithIndex.map { case (c, i) =>
-          (i, c.toArray.map(_.toFloat))
-        }.toIndexedSeq).toDF("cell_c", "cvec")
-        .write.mode("overwrite").parquet(centOut)
+      if (fitInput.isEmpty) {
+        // empty corpus: KMeans.fit would throw — materialize empty index
+        // stores with the right schemas instead (the empty-day-partition
+        // robustness class); probes over them return zero rows cleanly
+        fitInput.unpersist(blocking = false)
+        // unpartitioned: a partitionBy write of zero rows leaves no
+        // parquet footer to read schema from
+        emb.select(col("vec_id"), col("embedding"), col("ns"),
+            lit(0).as("cell")).limit(0)
+          .write.mode("overwrite").parquet(cellsOut)
+        s.createDataFrame(Seq.empty[(Int, Array[Float])])
+          .toDF("cell_c", "cvec")
+          .write.mode("overwrite").parquet(centOut)
+      } else {
+        val model =
+          try new KMeans().setK(k).setSeed(42L).setMaxIter(5).fit(fitInput)
+          finally fitInput.unpersist(blocking = false)
+        model.transform(emb)
+          .select(col("vec_id"), col("embedding"), col("ns"),
+            col("prediction").as("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(cellsOut)
+        s.createDataFrame(
+          model.clusterCenters.zipWithIndex.map { case (c, i) =>
+            (i, c.toArray.map(_.toFloat))
+          }.toIndexedSeq).toDF("cell_c", "cvec")
+          .write.mode("overwrite").parquet(centOut)
+      }
     }
     (s.read.parquet(cellsOut), s.read.parquet(centOut))
   }
@@ -2963,12 +2978,18 @@ object Llm {
           expr("filter(split(text, ' '), t -> t != '')").as("toks"))
         .localCheckpoint(true)
       val learned = Seq.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to rounds) {
-        val top = toks.select(explode(expr(pairGen)).as("p"))
+      var exhausted = false
+      for (r <- 1 to rounds if !exhausted) {
+        val tops = toks.select(explode(expr(pairGen)).as("p"))
           .select(col("p.a").as("a"), col("p.b").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-          .collect()(0)
+          .collect()
+        // an empty/singleton-doc corpus has no adjacent pairs: training
+        // simply stops early (the empty-day-partition robustness class)
+        if (tops.isEmpty) exhausted = true
+        else {
+        val top = tops(0)
         val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
         learned += ((r, a, b, n))
         if (r < rounds) {
@@ -2981,6 +3002,7 @@ object Llm {
               lit("]["), lit(" ")), lit("[]")), " ").as("toks"))
             .localCheckpoint(true)
           Graph.release(prev)
+        }
         }
       }
       val out = learned.result()

@@ -655,7 +655,10 @@ object SourcesSinks {
       if (!Incremental.isFresh(s, Seq(dir + "/orders.parquet"), path))
         Tables.orders(s, dir).write.mode("overwrite")
           .partitionBy("o_orderstatus").parquet(path)
-      s.read.parquet(path)
+      // explicit schema: a partitioned write of an EMPTY table leaves no
+      // footers to infer from (empty-partition robustness); with real
+      // data the named-column access below is layout-order-independent
+      s.read.schema(Tables.ordersSchema).parquet(path)
         .where(col("o_orderstatus") === "F")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
