@@ -47,10 +47,11 @@ object SourcesSinks {
     * SHOULD die on first corruption.
     */
   def readCsvPermissive(spark: SparkSession, path: String,
-                        schema: StructType): DataFrame =
+                        schema: StructType,
+                        header: Boolean = true): DataFrame =
     spark.read
       .schema(schema.add(StructField("_corrupt_record", StringType)))
-      .option("header", "true")
+      .option("header", header.toString)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
@@ -995,8 +996,59 @@ object SourcesSinks {
                                  ELSE 0 END) AS BIGINT) AS size_sum
             FROM part GROUP BY p_brand ORDER BY p_brand"""))
 
+  /** Malformed-record ingestion — the dirty-feed reality every CSV load
+    * meets (truncated lines, non-numeric junk in numeric columns): a
+    * text feed is synthesized IN-PLAN with deterministic corruption
+    * (key ≡ 0 mod 7 → wrong arity; key ≡ 3 mod 7 → unparseable numeric)
+    * and read back through the PERMISSIVE path (explicit schema +
+    * `_corrupt_record`), proving the quarantine contract: corrupt rows
+    * are captured, not dropped or fatal, and good rows parse fully. The
+    * oracle never reads the CSV — it recomputes the good/corrupt census
+    * ANALYTICALLY from the corruption rule (the multimodal-decode oracle
+    * doctrine applied to the text-ingest seam). Scale: text write/read
+    * and the classifying aggregate are embarrassingly parallel; the
+    * quarantine column rides the scan, no second pass.
+    */
+  val qSourceCsvMalformed = Q(
+    "q_source_csv_malformed",
+    (s, dir) => {
+      val path = dirKeyedTempPath(s, dir, "csv_malformed")
+      if (!Incremental.isFresh(s, Seq(s"$dir/customer.parquet"), path))
+        Tables.customer(s, dir).select(expr(
+          "CASE WHEN c_custkey % 7 = 0 THEN CAST(c_custkey AS STRING) " +
+            "WHEN c_custkey % 7 = 3 THEN concat(CAST(c_custkey AS STRING)," +
+            " ',cust_', CAST(c_custkey AS STRING), ',notanumber') " +
+            "ELSE concat(CAST(c_custkey AS STRING), ',cust_', " +
+            "CAST(c_custkey AS STRING), ',', " +
+            "CAST(c_custkey * 17 % 100000 AS STRING)) END").as("value"))
+          .write.mode("overwrite").text(path)
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("name", StringType),
+        StructField("cents", LongType)))
+      // classification keys on the FIELD (cents is never null in a clean
+      // row by construction): _corrupt_record captures only the
+      // wrong-arity class in Spark's parser, while a failed numeric
+      // conversion nulls the field — cents IS NULL covers both classes
+      // engine-independently (the unit-level _corrupt_record contract is
+      // pinned in SourcesSinksSpec)
+      readCsvPermissive(s, path, schema, header = false)
+        .agg(
+          count(col("cents")).as("n_good"),
+          count(when(col("cents").isNull, lit(1))).as("n_corrupt"),
+          sum(col("cents")).as("good_cents"))
+    },
+    Some("""SELECT
+              CAST(count(CASE WHEN c_custkey % 7 NOT IN (0, 3) THEN 1 END)
+                AS BIGINT) AS n_good,
+              CAST(count(CASE WHEN c_custkey % 7 IN (0, 3) THEN 1 END)
+                AS BIGINT) AS n_corrupt,
+              CAST(sum(CASE WHEN c_custkey % 7 NOT IN (0, 3)
+                       THEN c_custkey * 17 % 100000 END)
+                AS BIGINT) AS good_cents
+            FROM customer"""))
+
   val all: Seq[Q] =
-    Seq(qSourceMergeSchema,
+    Seq(qSourceMergeSchema, qSourceCsvMalformed,
       qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
       qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,
       qSourceCsvRoundtrip, qSourceJsonlRoundtrip,
