@@ -1170,10 +1170,90 @@ object Analytics {
                      - CAST(1 AS DOUBLE)))) AS df
             FROM ab"""))
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample
+    * test closing the inferential family (t assumes normal-ish means,
+    * KS is distribution-sup; U is the rank-based "does one group
+    * stochastically dominate" workhorse for skewed metrics): returned
+    * ('R') vs never-returned ('N') price ranks. Ties use midranks, kept
+    * integer-exact by the ×2 trick: 2·midrank(v) = 2·C(<v) + cnt(v) + 1,
+    * so 2R₁ = Σ_v c₁(v)·(2·C(<v) + cnt(v) + 1) is an exact int64 sum and
+    * U₁ = R₁ − n₁(n₁+1)/2 halves exactly (2R₁ and n₁(n₁+1) are both
+    * even-adjusted in one expression). The exclusive cumulative C(<v)
+    * rides Prefix.runningSum over the distinct-value axis — the same
+    * decomposed scan as q_agg_ks_test (one bucketed frame serves both
+    * tests' shape). The normal-approx z (with tie correction) is shared
+    * formula text: one sqrt over exact-integer operands.
+    */
+  val qAggMannwhitney = Q(
+    "q_agg_mannwhitney",
+    (s, dir) => {
+      val pv = Tables.lineitem(s, dir)
+        .where(col("l_returnflag").isin("R", "N"))
+        .select(col("l_extendedprice").as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("g1"),
+          when(col("l_returnflag") === "N", 1L).otherwise(0L).as("g2"))
+        .groupBy("v")
+        .agg(sum(col("g1")).as("c1"), sum(col("g2")).as("c2"))
+        .withColumn("cnt", col("c1") + col("c2"))
+      val cum = Prefix.runningSum(
+        Prefix.withRangeBucket(pv, col("v"), 64, "__b"),
+        "__b", Seq(col("v")), bucketDesc = false, col("cnt"), "cle")
+        .withColumn("clt", col("cle") - col("cnt"))
+      val agg = cum.agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * (col("clt") * 2 + col("cnt") + 1)).as("r1x2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+      agg.select(col("n1"), col("n2"),
+          expr("(r1x2 - n1 * (n1 + 1)) div 2").as("u1"),
+          col("r1x2"), col("ties"))
+        .withColumn("z", expr(
+          "(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE) " +
+            "- CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) " +
+            "/ CAST(2 AS DOUBLE)) " +
+            "/ sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) " +
+            "/ CAST(12 AS DOUBLE) * ((CAST(n1 AS DOUBLE) " +
+            "+ CAST(n2 AS DOUBLE) + CAST(1 AS DOUBLE)) " +
+            "- CAST(ties AS DOUBLE) / ((CAST(n1 AS DOUBLE) " +
+            "+ CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) " +
+            "+ CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE)))))"))
+        .select("n1", "n2", "u1", "z")
+    },
+    Some("""WITH x AS (SELECT l_extendedprice AS v,
+                    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1,
+                    CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS g2
+                  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+             pv AS (SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+                          CAST(sum(g2) AS BIGINT) AS c2,
+                          CAST(sum(g1) + sum(g2) AS BIGINT) AS cnt
+                    FROM x GROUP BY v),
+             cum AS (SELECT v, c1, c2, cnt,
+                       CAST(sum(cnt) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) - cnt AS clt
+                     FROM pv),
+             agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                       CAST(sum(c2) AS BIGINT) AS n2,
+                       CAST(sum(c1 * (clt * 2 + cnt + 1)) AS BIGINT)
+                         AS r1x2,
+                       CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+                     FROM cum)
+            SELECT n1, n2, (r1x2 - n1 * (n1 + 1)) // 2 AS u1,
+                   (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+                      / CAST(2 AS DOUBLE)
+                    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      / CAST(2 AS DOUBLE))
+                   / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     / CAST(12 AS DOUBLE) * ((CAST(n1 AS DOUBLE)
+                     + CAST(n2 AS DOUBLE) + CAST(1 AS DOUBLE))
+                     - CAST(ties AS DOUBLE) / ((CAST(n1 AS DOUBLE)
+                     + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE)
+                     + CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE))))) AS z
+            FROM agg"""))
+
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
     qWinHampel, qSourceFixedWidth, qAggChi2, qAggKsTest,
-    qChangepointCusum, qSeasonalDow, qAggTtest)
+    qChangepointCusum, qSeasonalDow, qAggTtest, qAggMannwhitney)
 }

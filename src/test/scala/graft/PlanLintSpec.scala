@@ -46,7 +46,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
       ("2x Prefix.runningSum bucket-offset prefixes over 64 range-bucket " +
         "totals (the un-collapsed logical plan shows each twice)"),
     "q_sample_systematic" ->
-      "Prefix.globalRank bucket-offset prefix over 64 range-bucket counts")
+      "Prefix.globalRank bucket-offset prefix over 64 range-bucket counts",
+    "q_agg_mannwhitney" ->
+      "Prefix.runningSum bucket-offset prefix over 64 range-bucket totals")
 
   private val cartesianOk: Set[String] = Set.empty
 
