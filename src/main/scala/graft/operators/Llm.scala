@@ -1182,6 +1182,68 @@ object Llm {
              FROM s JOIN proto p ON s.label = p.label
              ORDER BY s.vec_id"""))
 
+  /** Global mean-centering + renorm readout — the standard embedding
+    * PREPROCESSING step before ANN/clustering (an off-center embedding
+    * cloud wrecks cosine contrast; centering restores it — the
+    * whitening-lite every retrieval pipeline runs): per vector, the norm
+    * before/after subtracting the corpus-mean vector and the cosine to
+    * the mean. No centered vector is materialized — the centered norm is
+    * the EXPANSION ‖x−μ‖² = x·x − 2·x·μ + μ·μ over three vec_dot
+    * products (bit-exact: the semdedup doctrine — μ assembled from
+    * 6-decimal Dec12 per-dim means, every dot a sequential fold ≡
+    * list_dot_product; the combination is shared-formula IEEE, clamped
+    * at 0 so rounding can't NaN the sqrt). Scale: one 64-key explode
+    * aggregate for μ, then a broadcast of one array row onto the corpus
+    * scan — scoring is a single codegen pass, zero per-vector shuffle.
+    */
+  val qEmbedCenter = Q(
+    "q_embed_center",
+    (s, dir) => {
+      graft.plans.VectorFunctions.register(s)
+      val ex = Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")))
+        .select(col("pos").cast(IntegerType).as("dim"),
+          col("col").cast(DoubleType).as("x"))
+      val mu = ex.groupBy("dim")
+        .agg(round(Det.davg12(col("x")), 6).as("mu"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(dim, mu))), s -> s.mu)")
+          .as("mva"))
+        .withColumn("dmm", expr("vec_dot(mva, mva)"))
+      Tables.embeddings(s, dir).crossJoin(broadcast(mu))
+        .select(col("vec_id"),
+          expr("vec_dot(embedding, embedding)").as("dxx"),
+          expr("vec_dot(embedding, mva)").as("dxm"),
+          col("dmm"))
+        .select(col("vec_id"),
+          sqrt(col("dxx")).as("norm_before"),
+          sqrt(greatest(
+            col("dxx") - lit(2.0) * col("dxm") + col("dmm"),
+            lit(0.0))).as("norm_after"),
+          (col("dxm") / (sqrt(col("dxx")) * sqrt(col("dmm"))))
+            .as("cos_to_mean"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ex AS (SELECT vec_id,
+                    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+                    unnest(embedding) AS x
+                  FROM embeddings),
+                 cent AS (SELECT dim, round(${Det.sqlAvg12("x")}, 6) AS mu
+                          FROM ex GROUP BY dim),
+                 mv AS (SELECT list(mu ORDER BY dim) AS mva FROM cent),
+                 d AS (SELECT e.vec_id,
+                         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS dxx,
+                         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                           mva) AS dxm,
+                         list_dot_product(mva, mva) AS dmm
+                       FROM embeddings e CROSS JOIN mv)
+             SELECT vec_id, sqrt(dxx) AS norm_before,
+                    sqrt(greatest(dxx - 2.0 * dxm + dmm, 0.0))
+                      AS norm_after,
+                    dxm / (sqrt(dxx) * sqrt(dmm)) AS cos_to_mean
+             FROM d ORDER BY vec_id"""))
+
   /** Int8 scalar quantization of the embedding store — the memory shape
     * that makes a 100 TB vector corpus searchable (4 bytes → 1 byte per
     * component; IVF/LSH candidates re-rank against these codes, full floats
@@ -3186,7 +3248,7 @@ object Llm {
     qDedupExactHash, qDedupJaccardPairs, qDedupContainment, qDedupClusters,
     qDedupClustersBigstar, qCorpusCurate, qGraphTriangles,
     qDedupMinhashLsh, qDedupSimhash, qDedupSubstrSpans,
-    qEmbedCentroids, qEmbedSemdedup, qEmbedQuantize,
+    qEmbedCentroids, qEmbedSemdedup, qEmbedQuantize, qEmbedCenter,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
     qSimGraphBeam,
     qSimCosineQuantized, qDedupEmbedClusters,
