@@ -1703,16 +1703,24 @@ object Llm {
         .withColumn("ns", expr("vec_dot(embedding, embedding)"))
       val nodes = emb.where(col("vec_id") < 400)
         .select(col("vec_id"), col("embedding"), col("ns"))
-      val graph = nodes.toDF("a", "va", "nsa")
-        .join(broadcast(nodes.toDF("b", "vb", "nsb")), col("a") =!= col("b"))
-        .withColumn("score", round(
-          expr("vec_dot(va, vb)") / (sqrt(col("nsa")) * sqrt(col("nsb"))),
-          6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("a").orderBy(col("score").desc, col("b"))))
-        .where(col("rn") <= kNbr)
-        .select(col("a").as("node"), col("b").as("nbr"))
-        .localCheckpoint(true)
+      // the kNN graph is a WRITE-PATH artifact, not a query-time cost —
+      // materialized once per (session, dir) through the Incremental
+      // seam like the IVF index and the pagerank adjacency store; warm
+      // searches pay walk cost only (the HNSW build/search split)
+      val (graph, _) = graft.sources.Incremental.materialize(s,
+        Seq(s"$dir/embeddings.parquet"),
+        graft.sources.SourcesSinks.dirKeyedTempPath(s, dir, "knn_graph")) {
+        nodes.toDF("a", "va", "nsa")
+          .join(broadcast(nodes.toDF("b", "vb", "nsb")),
+            col("a") =!= col("b"))
+          .withColumn("score", round(
+            expr("vec_dot(va, vb)") /
+              (sqrt(col("nsa")) * sqrt(col("nsb"))), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("a").orderBy(col("score").desc, col("b"))))
+          .where(col("rn") <= kNbr)
+          .select(col("a").as("node"), col("b").as("nbr"))
+      }
       val probes = emb
         .where(col("vec_id") >= 400 && col("vec_id") < 410)
         .select(col("vec_id").as("probe"), col("embedding").as("pv"),
