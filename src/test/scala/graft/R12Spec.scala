@@ -89,6 +89,18 @@ class R12Spec extends AnyFunSuite with SparkFixture {
       (counted.getString(0), counted.getString(1)))
   }
 
+  test("beam search reuses its materialized kNN graph store on re-run") {
+    graft.operators.Llm.qSimGraphBeam.fn(spark, sfDir).count()
+    val store = new java.io.File(
+      graft.sources.SourcesSinks.dirKeyedTempPath(spark, sfDir, "knn_graph"),
+      "_SUCCESS")
+    assert(store.exists, "store was not materialized")
+    val mtime = store.lastModified
+    graft.operators.Llm.qSimGraphBeam.fn(spark, sfDir).count()
+    assert(store.lastModified == mtime,
+      "second invocation rebuilt the kNN graph store (reuse seam broken)")
+  }
+
   test("graph beam search: recall@3 >= 0.8 vs brute-force truth") {
     graft.plans.VectorFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
