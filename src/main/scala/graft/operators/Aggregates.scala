@@ -1386,7 +1386,80 @@ object Aggregates {
                      AS cum_share
             FROM r ORDER BY rk"""))
 
-  val all: Seq[Q] = Seq(qAbLift, qAggWeightedMedian, qRfmSegments,
+  /** Deterministic bootstrap confidence interval — uncertainty
+    * quantification at corpus scale (every point estimate a pipeline
+    * reports should carry one; classic bootstrap resampling is
+    * rand()-driven and §7.2-banned): B=32 Poisson-style resamples whose
+    * per-(row, b) weight ∈ {0,1,2,3} comes from the PORTABLE md5 hash
+    * (P = 6/16, 6/16, 3/16, 1/16 — mean 15/16, variance ≈ 0.93, the
+    * standard Poisson(1) approximation with a bounded support both
+    * engines evaluate identically), so the whole CI is a pure function
+    * of the data. Each resample mean is exact-integer Σw·c / Σw (one
+    * shared division); the 95%-ish band is the 2nd/31st order statistic
+    * of the 32 means (sorted-array pick — no interpolation ambiguity).
+    * Scale: the B× explode fan-out feeds ONE map-side-combinable
+    * aggregate with B bounded keys — the textbook distributed Poisson
+    * bootstrap; B rides a literal, not a shuffle dimension.
+    */
+  val qAggBootstrap = Q(
+    "q_agg_bootstrap",
+    (s, dir) => {
+      val B = 32
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("c"))
+      val means = rows
+        .select(col("k"), col("c"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("h", pmod(Det.pHash32(
+          concat(col("k").cast(org.apache.spark.sql.types.StringType),
+            lit("_"),
+            col("b").cast(org.apache.spark.sql.types.StringType))),
+          lit(16)))
+        .withColumn("w",
+          when(col("h") < 6, 0L).when(col("h") < 12, 1L)
+            .when(col("h") < 15, 2L).otherwise(3L))
+        .groupBy("b")
+        .agg(sum(col("w") * col("c")).as("swc"), sum(col("w")).as("sw"))
+        .withColumn("mean_b",
+          expr("CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE)"))
+        .agg(sort_array(collect_list(col("mean_b"))).as("ms"))
+        .select(element_at(col("ms"), 2).as("ci_lo"),
+          element_at(col("ms"), 31).as("ci_hi"))
+      val point = rows.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        .withColumn("mean", expr("CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)"))
+      point.crossJoin(broadcast(means))
+        .select("n", "mean", "ci_lo", "ci_hi")
+    },
+    Some("""WITH rows_ AS (SELECT o_orderkey AS k,
+                    CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+                  FROM orders),
+             fan AS (SELECT k, c, CAST(t.b AS INT) AS b
+                     FROM rows_, unnest(range(0, 32)) AS t(b)),
+             wts AS (SELECT b, c,
+                       (('0x' || substr(md5(CAST(k AS VARCHAR) || '_'
+                          || CAST(b AS VARCHAR)), 1, 8))::BIGINT) % 16
+                         AS h
+                     FROM fan),
+             ws AS (SELECT b, c,
+                      CASE WHEN h < 6 THEN 0 WHEN h < 12 THEN 1
+                           WHEN h < 15 THEN 2 ELSE 3 END AS w
+                    FROM wts),
+             m AS (SELECT b,
+                     CAST(CAST(sum(w * c) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean_b
+                   FROM ws GROUP BY b),
+             ci AS (SELECT list(mean_b ORDER BY mean_b) AS ms FROM m),
+             pt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) AS mean
+                    FROM rows_)
+            SELECT n, mean, ms[2] AS ci_lo, ms[31] AS ci_hi
+            FROM pt CROSS JOIN ci"""))
+
+  val all: Seq[Q] = Seq(qAggBootstrap,qAbLift, qAggWeightedMedian, qRfmSegments,
     qAggRegression, qAggHhi, qAnomalyIqr, qAggTopnShare,
     qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
     qAggSkewKurt, qAggMad, qTimeOhlc, qProfileColumns, qAggGini,
