@@ -1459,7 +1459,103 @@ object Aggregates {
             SELECT n, mean, ms[2] AS ci_lo, ms[31] AS ci_hi
             FROM pt CROSS JOIN ci"""))
 
-  val all: Seq[Q] = Seq(qAggBootstrap,qAbLift, qAggWeightedMedian, qRfmSegments,
+  /** Deterministic randomization test — the assumption-free significance
+    * readout completing the resampling family (bootstrap = CI around an
+    * estimate; this = "could the observed group difference be chance?"
+    * without t's normality or U's rank model): B=64 pseudo-label
+    * reassignments, each row's group redrawn from the portable md5 hash
+    * of (key, b) — the standard large-n binomial approximation of label
+    * permutation, and like q_agg_bootstrap a pure function of the data.
+    * Per resample the mean difference uses exact-integer sums and ONE
+    * shared division per side; the p-estimate is the count of resamples
+    * whose |diff| ≥ |observed| (comparisons on identically-computed
+    * doubles) over B. Same scale shape as bootstrap: B× explode into one
+    * map-side-combinable B-key aggregate.
+    */
+  val qAggPermutationTest = Q(
+    "q_agg_permutation_test",
+    (s, dir) => {
+      val B = 64
+      val rows = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("o_orderkey").as("k"),
+          (col("c_mktsegment") === "BUILDING").as("g"),
+          expr("CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("c"))
+      val dFml = "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) " +
+        "- CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+      val obs = rows.agg(
+        sum(when(col("g"), col("c"))).as("s1"),
+        count(when(col("g"), lit(1))).as("n1"),
+        sum(when(!col("g"), col("c"))).as("s0"),
+        count(when(!col("g"), lit(1))).as("n0"))
+        .withColumn("diff_obs", expr(dFml))
+        .select("n1", "n0", "diff_obs")
+      val resampled = rows
+        .select(col("k"), col("c"),
+          explode(sequence(lit(1), lit(B))).as("b"))
+        .withColumn("rg", pmod(Det.pHash32(
+          concat(col("k").cast(org.apache.spark.sql.types.StringType),
+            lit("_"),
+            col("b").cast(org.apache.spark.sql.types.StringType))),
+          lit(2)) === 1)
+        .groupBy("b")
+        .agg(sum(when(col("rg"), col("c"))).as("s1"),
+          count(when(col("rg"), lit(1))).as("n1"),
+          sum(when(!col("rg"), col("c"))).as("s0"),
+          count(when(!col("rg"), lit(1))).as("n0"))
+        .withColumn("diff_b", expr(dFml))
+        .select("b", "diff_b")
+      obs.crossJoin(resampled)
+        .groupBy("n1", "n0", "diff_obs")
+        .agg(count(when(abs(col("diff_b")) >= abs(col("diff_obs")),
+          lit(1))).as("n_extreme"),
+          count(lit(1)).as("n_resamples"))
+        .select("n1", "n0", "diff_obs", "n_extreme", "n_resamples")
+    },
+    Some("""WITH rows_ AS (SELECT o_orderkey AS k,
+                    c_mktsegment = 'BUILDING' AS g,
+                    CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+             obs AS (SELECT
+                 CAST(count(CASE WHEN g THEN 1 END) AS BIGINT) AS n1,
+                 CAST(count(CASE WHEN NOT g THEN 1 END) AS BIGINT) AS n0,
+                 CAST(CAST(sum(CASE WHEN g THEN c END) AS BIGINT)
+                   AS DOUBLE)
+                   / CAST(count(CASE WHEN g THEN 1 END) AS DOUBLE)
+                 - CAST(CAST(sum(CASE WHEN NOT g THEN c END) AS BIGINT)
+                   AS DOUBLE)
+                   / CAST(count(CASE WHEN NOT g THEN 1 END) AS DOUBLE)
+                   AS diff_obs
+               FROM rows_),
+             fan AS (SELECT k, c, CAST(t.b AS INT) AS b
+                     FROM rows_, unnest(range(1, 65)) AS t(b)),
+             rg AS (SELECT b, c,
+                      (('0x' || substr(md5(CAST(k AS VARCHAR) || '_'
+                         || CAST(b AS VARCHAR)), 1, 8))::BIGINT) % 2 = 1
+                        AS rg
+                    FROM fan),
+             m AS (SELECT b,
+                     CAST(CAST(sum(CASE WHEN rg THEN c END) AS BIGINT)
+                       AS DOUBLE)
+                       / CAST(count(CASE WHEN rg THEN 1 END) AS DOUBLE)
+                     - CAST(CAST(sum(CASE WHEN NOT rg THEN c END)
+                       AS BIGINT) AS DOUBLE)
+                       / CAST(count(CASE WHEN NOT rg THEN 1 END)
+                         AS DOUBLE) AS diff_b
+                   FROM rg GROUP BY b)
+            SELECT n1, n0, diff_obs,
+                   CAST(count(CASE WHEN abs(diff_b) >= abs(diff_obs)
+                              THEN 1 END) AS BIGINT) AS n_extreme,
+                   CAST(count(*) AS BIGINT) AS n_resamples
+            FROM obs CROSS JOIN m
+            GROUP BY n1, n0, diff_obs"""))
+
+  val all: Seq[Q] = Seq(qAggBootstrap, qAggPermutationTest,qAbLift, qAggWeightedMedian, qRfmSegments,
     qAggRegression, qAggHhi, qAnomalyIqr, qAggTopnShare,
     qAggCorr, qAggMode, qAggIncrMerge, qCohortRetention,
     qAggSkewKurt, qAggMad, qTimeOhlc, qProfileColumns, qAggGini,
