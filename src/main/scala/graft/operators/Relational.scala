@@ -380,6 +380,44 @@ object Relational {
               ON p.user_id = s.user_id AND p.ts >= s.ts
             ORDER BY p.event_id"""))
 
+  /** FORWARD as-of join — the other time direction ([[qJoinAsof]] binds
+    * the latest event AT OR BEFORE; this binds the earliest AT OR AFTER:
+    * next-scheduled-maintenance, next price re-mark, time-to-next-
+    * purchase): each click joined to the user's next purchase. Same
+    * linear union+window core (one user_id shuffle, no pairwise join) —
+    * `first(ignoreNulls)` over the FOLLOWING frame instead of `last`
+    * over the preceding one; purchases tag-sort after clicks at equal
+    * ts so an exactly-simultaneous purchase matches (mirroring the
+    * oracle's `c.ts <= p.ts` ASOF inequality).
+    */
+  val qJoinAsofForward = Q(
+    "q_join_asof_forward",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("timestamp").as("p_ts"), lit(0).as("tag"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("ts").as("p_ts"), lit(1).as("tag"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      clicks.unionByName(purchases)
+        .withColumn("next_purchase_ts",
+          first(col("p_ts"), ignoreNulls = true).over(w))
+        .where(col("tag") === 0)
+        .select("event_id", "user_id", "ts", "next_purchase_ts")
+        .orderBy("event_id")
+    },
+    Some("""SELECT c.event_id, c.user_id, c.ts, p.ts AS next_purchase_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
+            ORDER BY c.event_id"""))
+
   /** As-of join WITH TOLERANCE — the merge_asof(tolerance=…) semantics a
     * feature pipeline needs when a stale match is worse than no match
     * (sensor fusion, price marks, sessionized context): the same
@@ -1448,5 +1486,5 @@ object Relational {
     qMergeUpsert, qCdcApply, qGraphPagerank, qDqChecks, qCompositeShipping,
     qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup,
     qGraphSssp, qAllocProration, qJoinAsofTolerance, qGraphDegreeHist,
-    qJoinNullSafe)
+    qJoinNullSafe, qJoinAsofForward)
 }
