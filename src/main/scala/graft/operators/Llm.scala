@@ -2623,6 +2623,78 @@ object Llm {
                    FROM documents)
              WHERE rk <= 20 ORDER BY source, rk"""))
 
+  /** Keyphrase mining — frequent multi-word expression extraction (the
+    * collocation/glossary step of corpus analysis; q_text_cooccur scores
+    * token PAIRS anywhere in a doc, this finds CONTIGUOUS phrases):
+    * stopwords are DATA-DRIVEN (the corpus top-5 tokens — no external
+    * list, so the operator ports to any language the pipeline meets),
+    * candidate phrases are the maximal stopword-free token runs per doc
+    * (run id = running stopword count over the position axis — one
+    * doc-partitioned window), and the output is the top-20 phrases of
+    * length ≥ 2 by exact corpus frequency, (n desc, phrase) tie-broken.
+    * Scale: the run segmentation is a per-doc window (position axis,
+    * doc-bounded); phrase counting is one hash aggregate on the phrase
+    * string; the stopword table is a bounded top-k broadcast.
+    */
+  val qTextKeyphrases = Q(
+    "q_text_keyphrases",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(expr("filter(split(text, ' '), t -> t != '')")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      val stop = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(5)
+        .select(col("tok").as("stok"), lit(true).as("is_stop"))
+      val runs = tok.join(broadcast(stop),
+          col("tok") === col("stok"), "left")
+        .withColumn("run_id", sum(
+          when(col("is_stop"), 1).otherwise(0)).over(
+          Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("is_stop").isNull)
+      val phrases = runs.groupBy("doc_id", "run_id")
+        .agg(expr("array_join(transform(" +
+          "array_sort(collect_list(struct(pos, tok))), s -> s.tok), ' ')")
+          .as("phrase"),
+          count(lit(1)).as("len"))
+        .where(col("len") >= 2)
+      phrases.groupBy("phrase", "len")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("phrase"))
+        .limit(20)
+    },
+    Some("""WITH tok AS (SELECT doc_id, CAST(t.i AS INT) - 1 AS pos,
+                    toks[CAST(t.i AS INT)] AS tok
+                  FROM (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                            x -> x <> '') AS toks
+                        FROM documents),
+                       unnest(range(1, len(toks) + 1)) AS t(i)),
+             stop AS (SELECT tok FROM (
+                 SELECT tok, count(*) AS n FROM tok GROUP BY tok
+                 ORDER BY n DESC, tok LIMIT 5)),
+             marked AS (SELECT doc_id, pos, tok,
+                          tok IN (SELECT tok FROM stop) AS is_stop
+                        FROM tok),
+             runs AS (SELECT doc_id, pos, tok,
+                        CAST(sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS run_id,
+                        is_stop
+                      FROM marked),
+             phrases AS (SELECT doc_id, run_id,
+                           string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                           CAST(count(*) AS BIGINT) AS len
+                         FROM runs WHERE NOT is_stop
+                         GROUP BY doc_id, run_id
+                         HAVING count(*) >= 2)
+            SELECT phrase, len, count(*) AS n
+            FROM phrases GROUP BY phrase, len
+            ORDER BY n DESC, phrase LIMIT 20"""))
+
   /** SYSTEMATIC sampling — every k-th element of a total order (the
     * audit/eval-slice draw when you want guaranteed coverage of the
     * whole quality range, where uniform hashing clusters and stratified
@@ -3266,5 +3338,6 @@ object Llm {
     qTextLangId,
     qTextPiiMask,
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,
-    qTextRepetition, qContamination, qTextEntropy, qTextReadability)
+    qTextRepetition, qContamination, qTextEntropy, qTextReadability,
+    qTextKeyphrases)
 }
