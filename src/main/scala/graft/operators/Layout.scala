@@ -154,7 +154,10 @@ object Layout {
         .dirKeyedTempPath(s, dir, "compact_big")
       val inputs = Seq(s"$dir/orders.parquet")
       if (!graft.sources.Incremental.isFresh(s, inputs, smallOut) ||
-          !graft.sources.Incremental.isFresh(s, inputs, bigOut)) {
+          !graft.sources.Incremental.isFresh(s, inputs, bigOut))
+        graft.sources.Incremental.withBuildLock(bigOut) {
+        if (!graft.sources.Incremental.isFresh(s, inputs, smallOut) ||
+            !graft.sources.Incremental.isFresh(s, inputs, bigOut)) {
         Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderstatus"),
             round(col("o_totalprice") * 100)
@@ -167,6 +170,7 @@ object Layout {
         // — already minimal, nothing to reduce (empty-partition class)
         require(nAfter < nBefore || nBefore <= 1,
           s"compaction did not reduce file count ($nBefore -> $nAfter)")
+      }
       }
       s.read.parquet(bigOut)
         .groupBy("o_orderstatus")

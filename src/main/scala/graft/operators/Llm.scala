@@ -1631,6 +1631,7 @@ object Llm {
     val centOut =
       graft.sources.SourcesSinks.dirKeyedTempPath(s, dir, "ivf_centroids")
     val inputs = Seq(s"$dir/embeddings.parquet")
+    graft.sources.Incremental.withBuildLock(cellsOut) {
     if (!graft.sources.Incremental.isFresh(s, inputs, cellsOut) ||
         !graft.sources.Incremental.isFresh(s, inputs, centOut)) {
       val emb = Tables.embeddings(s, dir)
@@ -1665,6 +1666,7 @@ object Llm {
           }.toIndexedSeq).toDF("cell_c", "cvec")
           .write.mode("overwrite").parquet(centOut)
       }
+    }
     }
     (s.read.parquet(cellsOut), s.read.parquet(centOut))
   }

@@ -47,7 +47,11 @@ object Bucketing {
     * rewrite is merely slow.
     */
   def ensureBucketed(df: DataFrame, table: String, key: String,
-                     buckets: Int, inputs: Seq[String]): Unit = {
+                     buckets: Int, inputs: Seq[String]): Unit =
+    // per-table build lock + double-checked freshness: two queries
+    // sharing one bucketed store (pagerank/sssp on the adjacency) must
+    // not race the DROP/delete/rewrite — see Incremental.withBuildLock
+    Incremental.withBuildLock(s"bucketed:$table") {
     val spark = df.sparkSession
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString

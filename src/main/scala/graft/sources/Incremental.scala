@@ -58,12 +58,33 @@ object Incremental {
     */
   def materialize(spark: SparkSession, inputs: Seq[String], outPath: String)
                  (build: => DataFrame): (DataFrame, Boolean) = {
-    val rebuilt =
+    val rebuilt = withBuildLock(outPath) {
+      // double-checked inside the lock: the loser of a build race must
+      // see the winner's fresh output, not rebuild (or worse, overwrite
+      // files the winner is still writing)
       if (isFresh(spark, inputs, outPath)) false
       else {
         BuildTimer.timed { build.write.mode("overwrite").parquet(outPath) }
         true
       }
+    }
     (spark.read.parquet(outPath), rebuilt)
+  }
+
+  /** Serialize store BUILDS per artifact key within this JVM. Two
+    * concurrent queries sharing a dir-keyed store (the pagerank/sssp
+    * adjacency, the dedup pair table) otherwise both see "stale" and race
+    * `mode(overwrite)` writes — one deletes the directory under the other
+    * (caught by ConcurrencySpec, exactly the multi-tenant hazard of a
+    * shared warehouse). Same-JVM is the local[] scope; on a real cluster
+    * the equivalent is the workflow manager's task-level mutual exclusion
+    * or an atomic-rename commit protocol — this lock is the single-driver
+    * analog of that contract.
+    */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withBuildLock[T](key: String)(body: => T): T = {
+    val lock = buildLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized(body)
   }
 }
