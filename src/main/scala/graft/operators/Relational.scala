@@ -1106,6 +1106,36 @@ object Relational {
              GROUP BY o1.o_orderpriority
              ORDER BY o1.o_orderpriority"""))
 
+  /** Verbatim-SQL WINDOW surface — ONE query text executed unchanged by
+    * BOTH engines (`spark.sql` over the registered views; the oracle IS
+    * the same string), certifying dialect compatibility for the window
+    * corner the way q_filter_above_avg certifies correlated subqueries:
+    * partitioned row_number top-k, lag delta, and an explicit
+    * ROWS-framed running sum in one statement. The only non-ANSI-shared
+    * spelling hazards (count's return type, window-sum widening) are
+    * pinned with CASTs inside the shared text. NOTE (constant-
+    * cardinality partitions): the window partitions on the 5-value
+    * priority key over the YEAR axis — O(years) per partition,
+    * dataset-bounded (calendar-axis justification).
+    */
+  val qSqlWindowVerbatim: Q = {
+    val sqlText =
+      """SELECT o_orderpriority, yr, n,
+                n - lag(n) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY yr) AS delta,
+                CAST(sum(n) OVER (PARTITION BY o_orderpriority ORDER BY yr
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+         FROM (SELECT o_orderpriority,
+                      CAST(year(o_orderdate) AS INTEGER) AS yr,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1, 2) d
+         ORDER BY o_orderpriority, yr"""
+    Q("q_sql_window_verbatim",
+      (s, dir) => { Tables.createViews(s, dir); s.sql(sqlText) },
+      Some(sqlText))
+  }
+
   /** Data-quality constraint suite — the validation pass an ingestion
     * pipeline runs before accepting a drop (the reference ships validation
     * scripts for exactly this role; SURVEY §7.6). Four constraint
@@ -1486,5 +1516,5 @@ object Relational {
     qMergeUpsert, qCdcApply, qGraphPagerank, qDqChecks, qCompositeShipping,
     qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup,
     qGraphSssp, qAllocProration, qJoinAsofTolerance, qGraphDegreeHist,
-    qJoinNullSafe, qJoinAsofForward)
+    qJoinNullSafe, qJoinAsofForward, qSqlWindowVerbatim)
 }
