@@ -1054,6 +1054,77 @@ object Llm {
              FROM q LEFT JOIN dupb d ON q.doc_id = d.doc_id
              ORDER BY q.doc_id"""))
 
+  /** Dedup SURVIVOR ELECTION — the actionable manifest the dedup family
+    * exists to produce (pairs and clusters are diagnostics; a pipeline
+    * keeps exactly one doc per duplicate cluster and needs to know
+    * WHICH): per connected near-dup cluster, the member with the highest
+    * curation quality wins (tie → min doc_id — deterministic), emitted
+    * with the cluster census (members, dropped). Quality is the
+    * q_corpus_curate formula verbatim; clusters are the q_dedup_clusters
+    * fixpoint (shared pair store — this query adds only the election
+    * joins). The argmax is max-then-equality-join + min tie-break, NOT
+    * max_by (tie-unspecified) and NOT a per-cluster window (the semdedup
+    * scale posture). Oracle: the recursive-CTE clusters composed with
+    * the same quality text.
+    */
+  val qDedupSurvivors = Q(
+    "q_dedup_survivors",
+    (s, dir) => {
+      val clusters = qDedupClusters.fn(s, dir)
+      val q = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast(LongType)
+            .as("n_types"))
+        .withColumn("quality", round(
+          least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) *
+            (col("n_types").cast(DoubleType) /
+              col("n_tokens").cast(DoubleType)), 6))
+        .select("doc_id", "quality")
+      val scored = clusters.join(q, "doc_id")
+      val mx = scored.groupBy("cluster_id")
+        .agg(max(col("quality")).as("best_quality"),
+          count(lit(1)).as("n_members"))
+      scored.join(mx, "cluster_id")
+        .where(col("quality") === col("best_quality"))
+        .groupBy("cluster_id", "best_quality", "n_members")
+        .agg(min(col("doc_id")).as("survivor"))
+        .select(col("cluster_id"), col("survivor"), col("n_members"),
+          (col("n_members") - 1).as("n_dropped"), col("best_quality"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE
+               pairs AS (${qDedupJaccardPairs.oracle.get}),
+               edges AS (SELECT a AS src, b AS dst FROM pairs
+                         UNION ALL SELECT b, a FROM pairs),
+               reach(doc_id, lbl) AS (
+                 SELECT doc_id, doc_id FROM documents
+                 UNION
+                 SELECT e.dst, r.lbl
+                 FROM reach r JOIN edges e ON e.src = r.doc_id),
+               clusters AS (SELECT doc_id, min(lbl) AS cluster_id
+                            FROM reach GROUP BY doc_id),
+               q AS (SELECT doc_id,
+                       round(least(CAST(len(string_split(text, ' '))
+                           AS DOUBLE) / 100.0, 1.0)
+                         * (CAST(len(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE)
+                            / CAST(len(string_split(text, ' '))
+                              AS DOUBLE)), 6) AS quality
+                     FROM documents),
+               scored AS (SELECT c.doc_id, c.cluster_id, q.quality
+                          FROM clusters c JOIN q ON c.doc_id = q.doc_id),
+               mx AS (SELECT cluster_id, max(quality) AS best_quality,
+                        CAST(count(*) AS BIGINT) AS n_members
+                      FROM scored GROUP BY cluster_id)
+             SELECT s.cluster_id, min(s.doc_id) AS survivor,
+                    m.n_members, m.n_members - 1 AS n_dropped,
+                    m.best_quality
+             FROM scored s JOIN mx m ON s.cluster_id = m.cluster_id
+               AND s.quality = m.best_quality
+             GROUP BY s.cluster_id, m.n_members, m.best_quality
+             ORDER BY s.cluster_id"""))
+
   // ------------------------------------------------------- similarity
 
   /** Per-label centroid embeddings in long form (label, dim, n, mu) — the
@@ -3328,7 +3399,7 @@ object Llm {
     qCorpusMixture,
     qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupContainment, qDedupClusters,
-    qDedupClustersBigstar, qCorpusCurate, qGraphTriangles,
+    qDedupClustersBigstar, qDedupSurvivors, qCorpusCurate, qGraphTriangles,
     qDedupMinhashLsh, qDedupSimhash, qDedupSubstrSpans,
     qEmbedCentroids, qEmbedSemdedup, qEmbedQuantize, qEmbedCenter,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
