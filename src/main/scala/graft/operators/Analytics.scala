@@ -1250,7 +1250,80 @@ object Analytics {
                      + CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE))))) AS z
             FROM agg"""))
 
-  val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing,
+  /** Mutual information I(X;Y) between two categorical columns (nation ×
+    * market segment) — the information-theoretic dependence readout next
+    * to q_agg_chi2's frequentist one (χ² answers "is there dependence?",
+    * MI answers "how many nats does knowing X tell you about Y?" — the
+    * feature-selection ranking signal). All counting is exact integers on
+    * the bounded cell grid (χ² doctrine: row/col/grand totals are
+    * broadcast joins, never a partition-less window); each cell's term
+    * (o/n)·ln(o·n/(r·c)) is a double over identical operands, and the
+    * SUM of terms rides the entropy doctrine (per-term DECIMAL(38,12)
+    * cast → order-free exact sum → double). Output also carries the
+    * marginal entropies and NMI = I/√(H(X)·H(Y)) from one shared formula.
+    * 100 TB: one hash aggregate over the pair column, then O(cells)
+    * arithmetic — map-side combinable end to end.
+    */
+  val qAggMutualInfo = Q(
+    "q_agg_mutual_info",
+    (s, dir) => {
+      val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val base = Tables.customer(s, dir)
+        .select(col("c_nationkey").as("x"), col("c_mktsegment").as("y"))
+      val cells = base.groupBy("x", "y").agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy("x").agg(sum(col("o")).as("r"))
+      val ct = cells.groupBy("y").agg(sum(col("o")).as("c"))
+      val nt = cells.agg(sum(col("o")).as("n"))
+      val miTerm =
+        "(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+          "ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) / " +
+          "(CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))"
+      def entTerm(tot: String) =
+        s"-(CAST($tot AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+          s"ln(CAST($tot AS DOUBLE) / CAST(n AS DOUBLE))"
+      val mi = cells.join(broadcast(rt), "x").join(broadcast(ct), "y")
+        .crossJoin(broadcast(nt))
+        .agg(sum(expr(miTerm).cast(Dec12)).cast("double").as("mi"))
+      val hx = rt.crossJoin(broadcast(nt))
+        .agg(sum(expr(entTerm("r")).cast(Dec12)).cast("double").as("h_x"))
+      val hy = ct.crossJoin(broadcast(nt))
+        .agg(sum(expr(entTerm("c")).cast(Dec12)).cast("double").as("h_y"))
+      nt.crossJoin(broadcast(mi)).crossJoin(broadcast(hx))
+        .crossJoin(broadcast(hy))
+        .select(col("n"), col("mi"), col("h_x"), col("h_y"),
+          expr("CASE WHEN h_x * h_y > CAST(0 AS DOUBLE) " +
+            "THEN mi / sqrt(h_x * h_y) ELSE NULL END").as("nmi"))
+    },
+    Some("""WITH base AS (SELECT c_nationkey AS x, c_mktsegment AS y
+                  FROM customer),
+             cells AS (SELECT x, y, count(*) AS o FROM base GROUP BY x, y),
+             rt AS (SELECT x, sum(o) AS r FROM cells GROUP BY x),
+             ct AS (SELECT y, sum(o) AS c FROM cells GROUP BY y),
+             nt AS (SELECT sum(o) AS n FROM cells),
+             mi AS (SELECT CAST(sum(CAST(
+                      (CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) *
+                      ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) /
+                         (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS mi
+                    FROM cells JOIN rt ON cells.x = rt.x
+                               JOIN ct ON cells.y = ct.y
+                               CROSS JOIN nt),
+             hx AS (SELECT CAST(sum(CAST(
+                      -(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+                      ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS h_x
+                    FROM rt CROSS JOIN nt),
+             hy AS (SELECT CAST(sum(CAST(
+                      -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS h_y
+                    FROM ct CROSS JOIN nt)
+            SELECT CAST(n AS BIGINT) AS n, mi, h_x, h_y,
+                   CASE WHEN h_x * h_y > CAST(0 AS DOUBLE)
+                        THEN mi / sqrt(h_x * h_y) ELSE NULL END AS nmi
+            FROM nt CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy"""))
+
+  val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,

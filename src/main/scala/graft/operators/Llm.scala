@@ -2799,6 +2799,48 @@ object Llm {
                   FROM customer)
             WHERE rk % 50 = 1 ORDER BY rk"""))
 
+  /** Deterministic WEIGHTED sampling without replacement — Efraimidis–
+    * Spirakis A-ES over a weight column (here n_chars: length-
+    * proportional document draws, the token-budget-aware corpus sample;
+    * stratified = per-group quotas, systematic = coverage of a total
+    * order, THIS = probability ∝ weight). Each row's priority is
+    * ln(u)/w with u ∈ (0,1) derived from the portable md5 hash (§7.2 —
+    * no rand()), w = the row weight; the sample is the global top-20 by
+    * priority, which is EXACTLY a weighted draw without replacement
+    * (the A-ES theorem), reproducible bit-for-bit in both engines.
+    * Scale: priority is stateless per-row arithmetic; top-20 plans as
+    * TakeOrderedAndProject (bounded heap per partition + driver merge of
+    * k) — no global sort, no window.
+    */
+  val qSampleWeighted = Q(
+    "q_sample_weighted",
+    (s, dir) => {
+      val u = "((CAST(pmod(h, 1073741824) AS DOUBLE) + CAST(0.5 AS DOUBLE))" +
+        " / CAST(1073741824 AS DOUBLE))"
+      Tables.documents(s, dir)
+        .where(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          Det.pHash60(concat_ws("#", lit("ws"), col("doc_id"))).as("h"))
+        // Dec12 re-quantization: glibc and JVM ln() differ in the last
+        // ulp on some inputs; 12-decimal priorities are engine-identical
+        // and still carry ~8 significant digits at the |pr| ~ 1e-4 scale
+        .select(col("doc_id"), col("n_chars"),
+          expr(s"CAST(CAST(ln($u) / CAST(n_chars AS DOUBLE)" +
+            " AS DECIMAL(38,12)) AS DOUBLE)").as("pr"))
+        .orderBy(col("pr").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some {
+      val h = Det.sqlPHash60("concat_ws('#', 'ws', doc_id)")
+      val u = s"((CAST(($h) % 1073741824 AS DOUBLE) + CAST(0.5 AS DOUBLE))" +
+        " / CAST(1073741824 AS DOUBLE))"
+      s"""SELECT doc_id, n_chars,
+                 CAST(CAST(ln($u) / CAST(n_chars AS DOUBLE)
+                   AS DECIMAL(38,12)) AS DOUBLE) AS pr
+          FROM documents WHERE n_chars > 0
+          ORDER BY pr DESC, doc_id LIMIT 20"""
+    })
+
   /** Bigram language-model scoring — the statistical-fluency quality
     * signal (a cheap perplexity proxy): per document, the average and
     * minimum corpus-MLE transition probability
@@ -3395,7 +3437,8 @@ object Llm {
 
   val all: Seq[Q] = Seq(
     qBpePairCounts, qBpeEncode, qBpeTrain, qUrlCanonical, qArrayStats,
-    qSampleStratified, qSampleSystematic, qTextNgramLm, qCorpusPack,
+    qSampleStratified, qSampleSystematic, qSampleWeighted,
+    qTextNgramLm, qCorpusPack,
     qCorpusMixture,
     qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupContainment, qDedupClusters,

@@ -1507,8 +1507,83 @@ object Relational {
             SELECT * FROM r1 UNION ALL SELECT * FROM r2
             UNION ALL SELECT * FROM r3 ORDER BY relationship"""))
 
+  /** Bloom-prefiltered fact⋈dim join — the RUNTIME-FILTER pattern for the
+    * regime where the dim's key set is too large to broadcast as a hash
+    * join but a fixed-size bitset summary of it is not: build a 2^18-bit
+    * / k=3 Bloom filter over the filtered dim keys as ≤4096 (word, mask)
+    * rows via ONE bounded aggregate, broadcast it, and pre-filter the
+    * fact side with pure bitwise column ops (xxhash64 positions, shiftleft
+    * bit tests — all codegen) BEFORE the shuffle join. The exact join then
+    * eliminates Bloom false positives, so the result is identical to the
+    * plain join — the filter only cuts the fact side's shuffle volume (to
+    * ~p + (1−p)·fpp of rows; fpp ≈ (1−e^(−kn/m))^k ≈ 0.03 at n=3·10⁴).
+    * This is Spark's own injected-runtime-bloom-filter idea expressed as
+    * an explicit operator the pipeline controls: at 100 TB the dim side's
+    * keys (say 10⁹ urgent orders) can never broadcast, but the 32 KB word
+    * table always can. The final join is pinned SHUFFLE-merge to model
+    * exactly that regime (a broadcastable dim would make the Bloom moot).
+    * Oracle = the plain join (no Bloom replication needed: no false
+    * negatives by construction, false positives provably removed).
+    */
+  /** The Bloom-passed fact rows (exposed for the R12b spec's selectivity
+    * and no-false-negative pins; see qJoinBloomPrefilter for doctrine).
+    */
+  def bloomPrefilteredLines(s: SparkSession, dir: String): DataFrame = {
+    val mBits = 262144L // 2^18 bits -> <=4096 longs ~ 32 KB broadcast
+    val keys = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    def bpos(seed: Int, key: org.apache.spark.sql.Column) =
+      pmod(xxhash64(lit(seed), key), lit(mBits))
+    val bloom = keys
+      .select(explode(array(
+        (0 until 3).map(sd => bpos(sd, col("o_orderkey"))): _*)).as("p"))
+      .select((col("p") / 64).cast("int").as("word"),
+        (col("p") % 64).cast("int").as("bit"))
+      .groupBy("word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("mask"))
+    var probed = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    for (i <- 0 until 3) {
+      val b = bloom.select(col("word").as(s"w$i"), col("mask").as(s"m$i"))
+      probed = probed
+        .withColumn(s"p$i", bpos(i, col("l_orderkey")))
+        .join(broadcast(b),
+          (col(s"p$i") / 64).cast("int") === col(s"w$i"), "left")
+    }
+    probed.where((0 until 3).map { i =>
+      col(s"m$i").isNotNull && (col(s"m$i")
+        .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(p$i % 64 AS INT))")) =!= lit(0L))
+    }.reduce(_ && _))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+  }
+
+  val qJoinBloomPrefilter = Q(
+    "q_join_bloom_prefilter",
+    (s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      bloomPrefilteredLines(s, dir)
+        .join(urgent.hint("shuffle_merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_lines"),
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("m")
+    },
+    Some(s"""SELECT date_trunc('month', o_orderdate) AS m,
+                    count(*) AS n_lines,
+                    ${Det.sqlSum("l_extendedprice * (1 - l_discount)")}
+                      AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderpriority = '1-URGENT'
+             GROUP BY 1 ORDER BY m"""))
+
   val all: Seq[Q] = Seq(
-    qSnapshotDiff, qDqReferential,
+    qSnapshotDiff, qDqReferential, qJoinBloomPrefilter,
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,

@@ -636,6 +636,34 @@ object Windows {
     (num, den)
   }
 
+  /** 8-tap truncated kernels for Brown's double smoothing (α=1/2; see
+    * qWinEwmaDouble). Tap j weights: S1 = 1/2^j, S2 = (j+1)/2^j — exact
+    * binary fractions, so the literals below are exactly representable
+    * and both engines fold identical doubles. Generated (not hand-typed)
+    * so numerator and denominator tap order is identical text.
+    */
+  private val ewmaDoubleFormulas: (String, String, String, String) = {
+    // exact decimal strings for 1/2^j, j = 0..7
+    val pow2 = Seq("1.0", "0.5", "0.25", "0.125", "0.0625", "0.03125",
+      "0.015625", "0.0078125")
+    def taps(wts: Seq[String]): (String, String) = {
+      val terms = wts.zipWithIndex.map { case (wt, j) =>
+        if (j == 0) s"$wt * v" else s"$wt * COALESCE(l$j, 0.0)"
+      }
+      val dens = wts.zipWithIndex.map { case (wt, j) =>
+        if (j == 0) wt
+        else s"(CASE WHEN l$j IS NULL THEN 0.0 ELSE $wt END)"
+      }
+      (terms.mkString(" + "), dens.mkString(" + "))
+    }
+    val (n1, d1) = taps(pow2)
+    val (n2, d2) = taps(pow2.zipWithIndex.map { case (p, j) =>
+      // (j+1)/2^j as an exact product of two exact literals
+      s"(${j + 1}.0 * $p)"
+    })
+    (n1, d1, n2, d2)
+  }
+
   val qWinEwma = Q(
     "q_win_ewma",
     (s, dir) => {
@@ -1704,6 +1732,133 @@ object Windows {
             FROM f ORDER BY flag, d"""
     })
 
+  /** Brown's DOUBLE exponential smoothing + one-step forecast — the
+    * trend-aware member of the smoothing family (q_win_ewma tracks level
+    * only and lags any trend; Brown's S2 = EWMA(EWMA) cancels that lag:
+    * level = 2S1−S2, trend = S1−S2 at α=1/2, forecast@+1 = 3S1−2S2).
+    * Same doctrine as q_win_ewma: the infinite kernels are truncated to
+    * an 8-tap lag chain with EXACT power-of-two weights (S1: 1/2^j; S2:
+    * (j+1)/2^j — the analytic kernel of the composed smoother), each
+    * normalized by the PRESENT-tap weight sum, so both engines fold the
+    * identical finite formula text over identical doubles (max truncation
+    * weight-loss < 4%, stated not hidden). Forecast is ONE shared
+    * expression over the two smoothed columns. Scale: one exchange on
+    * user_id, O(8) lag state per row.
+    */
+  val qWinEwmaDouble = Q(
+    "q_win_ewma_double",
+    (s, dir) => {
+      val (n1, d1, n2, d2) = ewmaDoubleFormulas
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      var df = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").as("v"))
+      for (j <- 1 to 7)
+        df = df.withColumn(s"l$j", lag(col("v"), j).over(w))
+      df
+        .withColumn("s1", expr(s"($n1) / ($d1)"))
+        .withColumn("s2", expr(s"($n2) / ($d2)"))
+        .select(col("user_id"), col("event_id"), col("s1"), col("s2"),
+          expr("3.0 * s1 - 2.0 * s2").as("forecast"))
+        .orderBy("user_id", "event_id")
+    },
+    Some {
+      val (n1, d1, n2, d2) = ewmaDoubleFormulas
+      s"""WITH p AS (SELECT user_id, event_id, ts, value AS v
+                  FROM events WHERE event_type = 'purchase'),
+             l AS (SELECT user_id, event_id, v,
+                      ${(1 to 7).map(j =>
+                        s"lag(v, $j) OVER w AS l$j").mkString(", ")}
+                   FROM p
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             sm AS (SELECT user_id, event_id,
+                      (($n1) / ($d1)) AS s1, (($n2) / ($d2)) AS s2
+                    FROM l)
+          SELECT user_id, event_id, s1, s2,
+                 3.0 * s1 - 2.0 * s2 AS forecast
+          FROM sm ORDER BY user_id, event_id"""
+    })
+
+  /** Rolling 7-row OLS trend — slope + intercept of daily revenue against
+    * the calendar-day axis per flag (the local trend detector next to the
+    * family's other frames: bollinger = dispersion, rolling_corr =
+    * co-movement, this = direction/rate): x = exact epoch-day integer,
+    * y = exact daily revenue cents (Dec0 in Spark, HUGEINT in DuckDB —
+    * the rolling_corr carrier split), five frame sums (n, Σx, Σy, Σxy,
+    * Σx²) all integer-exact, then slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    * and intercept = (Σy − slope·Σx)/n as ONE shared formula text over
+    * identical doubles. Degenerate frames (n=1 ⇒ zero x-variance) yield
+    * NULL. Same scale shape as rolling_corr: one exchange on flag,
+    * constant-cardinality partitions over the calendar-bounded daily
+    * rollup (O(days) rows per flag — dataset-bounded, NOT O(input)).
+    */
+  val qWinRollingOls = Q(
+    "q_win_rolling_ols",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wFrame = Window.partitionBy("flag").orderBy("d").rowsBetween(-6, 0)
+      val slopeFml =
+        "CASE WHEN n * sxx - sx * sx <= CAST(0 AS DOUBLE) THEN NULL " +
+          "ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END"
+      val interceptFml =
+        s"CASE WHEN ($slopeFml) IS NULL THEN NULL " +
+          s"ELSE (sy - ($slopeFml) * sx) / n END"
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)").cast(Dec0))
+          .cast(Dec0).as("y"))
+        .withColumn("x",
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast(Dec0))
+        .withColumn("nn", count(lit(1)).over(wFrame))
+        .withColumn("sxd", sum(col("x")).over(wFrame))
+        .withColumn("syd", sum(col("y")).over(wFrame))
+        .withColumn("sxyd", sum(col("x") * col("y")).over(wFrame))
+        .withColumn("sxxd", sum(col("x") * col("x")).over(wFrame))
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("nn").as("n_days"),
+          expr("CAST(nn AS DOUBLE)").as("n"),
+          expr("CAST(sxd AS DOUBLE)").as("sx"),
+          expr("CAST(syd AS DOUBLE)").as("sy"),
+          expr("CAST(sxyd AS DOUBLE)").as("sxy"),
+          expr("CAST(sxxd AS DOUBLE)").as("sxx"))
+        .select(col("flag"), col("d"), col("n_days"),
+          expr(slopeFml).as("slope"), expr(interceptFml).as("intercept"))
+        .orderBy("flag", "d")
+    },
+    Some {
+      val slopeFml =
+        """CASE WHEN n * sxx - sx * sx <= CAST(0 AS DOUBLE) THEN NULL
+           ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END"""
+      val interceptFml =
+        s"""CASE WHEN ($slopeFml) IS NULL THEN NULL
+            ELSE (sy - ($slopeFml) * sx) / n END"""
+      s"""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS HUGEINT) AS y,
+                CAST(datediff('day', DATE '1970-01-01',
+                  CAST(l_shipdate AS DATE)) AS HUGEINT) AS x
+              FROM lineitem GROUP BY 1, 2, 4),
+             f AS (SELECT flag, d,
+                 count(*) OVER w AS n_days,
+                 CAST(count(*) OVER w AS DOUBLE) AS n,
+                 CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+                 CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx
+               FROM daily
+               WINDOW w AS (PARTITION BY flag ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+            SELECT flag, CAST(d AS TIMESTAMP) AS d, n_days,
+                   $slopeFml AS slope, $interceptFml AS intercept
+            FROM f ORDER BY flag, d"""
+    })
+
   /** Rolling active users — the DAU/WAU engagement curve (stickiness =
     * DAU/WAU is the first product metric any events pipeline serves):
     * per-day exact distinct users, and trailing-7-day distinct via a
@@ -1819,14 +1974,15 @@ object Windows {
 
   val all: Seq[Q] = Seq(
     qInterarrival, qWinVwap, qWinBollinger, qWinRollingCorr,
-    qActiveUsersRolling,
+    qWinRollingOls, qActiveUsersRolling,
     qTimeToConvert,
     qWinDrawdown, qAttributionLastTouch, qAttributionLinear,
     qWinParetoAbc, qInventoryBacklog,
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,
     qTimeInterpLinear, qScd2Dim,
-    qWinEwma, qFunnelSteps, qSessionStats, qWinCumeDist, qWinStreak,
+    qWinEwma, qWinEwmaDouble, qFunnelSteps, qSessionStats, qWinCumeDist,
+    qWinStreak,
     qScd2Asof, qWinRatioToReport, qWinDenseRank,
     qSortMultikey, qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset,
