@@ -1323,7 +1323,115 @@ object Analytics {
                         THEN mi / sqrt(h_x * h_y) ELSE NULL END AS nmi
             FROM nt CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy"""))
 
+  /** LTTB-style time-series downsampling — the dashboard/visualization
+    * reducer (ship 12 points that preserve the SHAPE of a 10⁶-point
+    * series, where uniform sampling clips peaks): first/last points kept,
+    * interior days split into 10 equal-width TIME buckets, each bucket
+    * represented by the point maximizing the triangle area against the
+    * NEIGHBOR-BUCKET MEAN anchors ((xa−xc)(y−ya) − (xa−x)(yc−ya), the
+    * LTTB effective-area formula). This is the parallel mean-anchor
+    * variant of Steinarsson's LTTB: strict LTTB chains each bucket's pick
+    * to the PREVIOUS PICK (inherently sequential); anchoring on bucket
+    * means instead makes every bucket's argmax independent — one pass,
+    * map-side combinable — at a small, documented fidelity delta.
+    * Determinism: anchors are Dec-exact means cast to double, area is ONE
+    * shared formula, argmax tie-breaks (area desc, t asc) via a struct
+    * max; boundary buckets anchor on the exact endpoints. Scale: bucket
+    * count is fixed (10), so the avg and argmax aggregates are bounded
+    * hash aggs; the daily rollup is the only exchange.
+    */
+  val qTimeLttb = Q(
+    "q_time_lttb",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(floor(value * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
+        .select(datediff(col("d"), lit("1970-01-01").cast("date"))
+          .cast("long").as("t"), col("y"))
+      val g = daily.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"),
+        expr("min_by(y, t)").as("y0"), expr("max_by(y, t)").as("yn"))
+      val interior = daily.crossJoin(broadcast(g))
+        .where(col("t") > col("tmin") && col("t") < col("tmax"))
+        .withColumn("b",
+          expr("CASE WHEN tmax - tmin >= 2 THEN " +
+            "((t - tmin - 1) * 10) DIV (tmax - tmin - 1) ELSE 0 END"))
+      val bavg = interior.groupBy("b")
+        .agg(Det.davg(col("t")).as("ax"), Det.davg(col("y")).as("ay"))
+      val areaFml =
+        "abs((xa - xc) * (CAST(y AS DOUBLE) - ya) - " +
+          "(xa - CAST(t AS DOUBLE)) * (yc - ya))"
+      val picks = interior
+        .join(broadcast(bavg.select((col("b") + 1).as("b"),
+          col("ax").as("pax"), col("ay").as("pay"))), Seq("b"), "left")
+        .join(broadcast(bavg.select((col("b") - 1).as("b"),
+          col("ax").as("nax"), col("ay").as("nay"))), Seq("b"), "left")
+        .withColumn("xa", coalesce(col("pax"),
+          col("tmin").cast("double")))
+        .withColumn("ya", coalesce(col("pay"), col("y0").cast("double")))
+        .withColumn("xc", coalesce(col("nax"),
+          col("tmax").cast("double")))
+        .withColumn("yc", coalesce(col("nay"), col("yn").cast("double")))
+        .withColumn("area", expr(areaFml))
+        .groupBy("b")
+        .agg(max(struct(col("area"), (-col("t")).as("nt"),
+          col("t"), col("y"))).as("m"))
+        .select(col("m.t").as("t_day"), col("m.y").as("y_cents"),
+          lit("bucket").as("tag"), col("m.area").as("area"))
+      val endpoints = daily.crossJoin(broadcast(g))
+        .where(col("t") === col("tmin") || col("t") === col("tmax"))
+        .select(col("t").as("t_day"), col("y").as("y_cents"),
+          lit("endpoint").as("tag"),
+          lit(null).cast("double").as("area"))
+      endpoints.union(picks).orderBy("t_day")
+    },
+    Some("""WITH daily AS (SELECT
+                    CAST(datediff('day', DATE '1970-01-01',
+                      CAST(ts AS DATE)) AS BIGINT) AS t,
+                    CAST(SUM(CAST(floor(value * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS y
+                  FROM events GROUP BY 1),
+             g AS (SELECT min(t) AS tmin, max(t) AS tmax,
+                     min_by(y, t) AS y0, max_by(y, t) AS yn FROM daily),
+             interior AS (SELECT t, y,
+                     CASE WHEN tmax - tmin >= 2 THEN
+                       ((t - tmin - 1) * 10) // (tmax - tmin - 1)
+                     ELSE 0 END AS b, tmin, tmax, y0, yn
+                   FROM daily CROSS JOIN g
+                   WHERE t > tmin AND t < tmax),
+             bavg AS (SELECT b,
+                     CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE)
+                       / CAST(COUNT(t) AS DOUBLE) AS ax,
+                     CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE)
+                       / CAST(COUNT(y) AS DOUBLE) AS ay
+                   FROM interior GROUP BY b),
+             anch AS (SELECT i.t, i.y, i.b,
+                     COALESCE(p.ax, CAST(i.tmin AS DOUBLE)) AS xa,
+                     COALESCE(p.ay, CAST(i.y0 AS DOUBLE)) AS ya,
+                     COALESCE(nx.ax, CAST(i.tmax AS DOUBLE)) AS xc,
+                     COALESCE(nx.ay, CAST(i.yn AS DOUBLE)) AS yc
+                   FROM interior i
+                   LEFT JOIN bavg p ON p.b = i.b - 1
+                   LEFT JOIN bavg nx ON nx.b = i.b + 1),
+             scored AS (SELECT t, y, b,
+                     abs((xa - xc) * (CAST(y AS DOUBLE) - ya) -
+                         (xa - CAST(t AS DOUBLE)) * (yc - ya)) AS area
+                   FROM anch),
+             picks AS (SELECT t AS t_day, y AS y_cents,
+                     'bucket' AS tag, area
+                   FROM (SELECT t, y, b, area, row_number() OVER (
+                           PARTITION BY b ORDER BY area DESC, t) AS rn
+                         FROM scored)
+                   WHERE rn = 1),
+             ends AS (SELECT t AS t_day, y AS y_cents, 'endpoint' AS tag,
+                     CAST(NULL AS DOUBLE) AS area
+                   FROM daily CROSS JOIN g
+                   WHERE t = tmin OR t = tmax)
+            SELECT * FROM ends UNION ALL SELECT * FROM picks
+            ORDER BY t_day"""))
+
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
+    qTimeLttb,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,

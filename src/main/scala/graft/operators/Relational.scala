@@ -1582,8 +1582,67 @@ object Relational {
              WHERE o_orderpriority = '1-URGENT'
              GROUP BY 1 ORDER BY m"""))
 
+  /** Community detection via SYNCHRONOUS label propagation (2 rounds) —
+    * the modularity-flavored member of the graph family (CC finds
+    * connectivity, pagerank finds centrality; LP finds densely-linked
+    * GROUPS): every node starts labeled with its own id, then each round
+    * simultaneously adopts the most frequent label among its neighbors
+    * (tie → smallest label — fully deterministic, unlike the textbook's
+    * random tie-break, so the 2-round snapshot is oracle-checkable via
+    * unrolled CTEs). Output = the top-50 community census. Semantics
+    * note: sync LP on a bipartite graph oscillates rather than
+    * converges — the operator is the fixed-round SNAPSHOT, stated as
+    * such. Scale: per round, one equi-join of the label table against
+    * the bucketed adjacency (edge side exchange-free) + two hash
+    * aggregates; the per-node argmax is a struct max (map-side
+    * combinable), never a per-node window.
+    */
+  val qGraphLabelProp = Q(
+    "q_graph_label_prop",
+    (s, dir) => {
+      val und = graphUnd(s, dir)
+      var labels = und.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node"))
+      for (_ <- 1 to 2) {
+        labels = und
+          .join(labels, col("dst") === col("node"))
+          .groupBy(col("src"), col("lab"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("cnt"), (-col("lab")).as("nl"),
+            col("lab"))).as("m"))
+          .select(col("src").as("node"), col("m.lab").as("lab"))
+      }
+      labels.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(50)
+    },
+    Some("""WITH e AS (SELECT DISTINCT l_partkey * 2 AS a,
+                    l_suppkey * 2 + 1 AS b FROM lineitem),
+             und AS (SELECT a AS src, b AS dst FROM e
+                     UNION ALL SELECT b, a FROM e),
+             l0 AS (SELECT DISTINCT src AS node, src AS lab FROM und),
+             n1 AS (SELECT u.src, l.lab, count(*) AS cnt
+                    FROM und u JOIN l0 l ON u.dst = l.node
+                    GROUP BY u.src, l.lab),
+             l1 AS (SELECT src AS node, lab
+                    FROM (SELECT src, lab, row_number() OVER (
+                            PARTITION BY src ORDER BY cnt DESC, lab) AS rn
+                          FROM n1) WHERE rn = 1),
+             n2 AS (SELECT u.src, l.lab, count(*) AS cnt
+                    FROM und u JOIN l1 l ON u.dst = l.node
+                    GROUP BY u.src, l.lab),
+             l2 AS (SELECT src AS node, lab
+                    FROM (SELECT src, lab, row_number() OVER (
+                            PARTITION BY src ORDER BY cnt DESC, lab) AS rn
+                          FROM n2) WHERE rn = 1)
+            SELECT lab AS community, count(*) AS n_nodes
+            FROM l2 GROUP BY lab
+            ORDER BY n_nodes DESC, community LIMIT 50"""))
+
   val all: Seq[Q] = Seq(
-    qSnapshotDiff, qDqReferential, qJoinBloomPrefilter,
+    qSnapshotDiff, qDqReferential, qJoinBloomPrefilter, qGraphLabelProp,
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
