@@ -727,6 +727,126 @@ object Analytics {
                    ${covFml("syz", "sy", "sz")} AS cov_price_disc
             FROM m"""))
 
+  /** Shared formula text for the PCA power iteration (see qAggPcaPower):
+    * one symmetric 3×3 matrix-vector multiply plus the L2 normalizer.
+    * Generated once and spliced into BOTH engines so every double op is
+    * textually identical (all ops are IEEE correctly-rounded *, +, /,
+    * sqrt — bit-exact across engines over identical operands).
+    */
+  private val pcaMul = Seq(
+    "c11 * v1 + c12 * v2 + c13 * v3",
+    "c12 * v1 + c22 * v2 + c23 * v3",
+    "c13 * v1 + c23 * v2 + c33 * v3")
+  private val pcaNrm = "sqrt(w1 * w1 + w2 * w2 + w3 * w3)"
+
+  /** Principal component via POWER ITERATION — PCA's top factor without
+    * any ML library (the dimensionality/anomaly-axis readout the covar
+    * matrix feeds): the exact-integer moment row (q_agg_covar_matrix
+    * doctrine — ONE map-side-combinable aggregate) yields the 3×3
+    * population covariance of (quantity, price cents, discount
+    * permille); 8 in-plan power steps v ← normalize(C·v) from the fixed
+    * start (1,1,1)/√3 run on that SINGLE row as column arithmetic —
+    * each step is a projection, so the whole iteration is O(1) work
+    * after the one scan; λ = v·Cv (Rayleigh), var share = λ/trace.
+    * Determinism: every step is shared formula text over identical
+    * doubles (no ln — *, +, /, sqrt are correctly rounded in both
+    * engines), so the output is bit-exact with no Dec12 rounding needed.
+    * The fixed positive start + dominant-eigenvalue gap make the sign
+    * and the 8-step trajectory fully deterministic.
+    */
+  val qAggPcaPower = Q(
+    "q_agg_pca_power",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def dsum(e: String) = sum(expr(e).cast(Dec0))
+      val moments = Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("x"),
+          expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("y"),
+          expr("CAST(floor(l_discount * CAST(1000.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("z"))
+        .agg(count(lit(1)).as("n"),
+          dsum("x").as("sx"), dsum("y").as("sy"), dsum("z").as("sz"),
+          dsum("x * x").as("sxx"), dsum("y * y").as("syy"),
+          dsum("z * z").as("szz"), dsum("x * y").as("sxy"),
+          dsum("x * z").as("sxz"), dsum("y * z").as("syz"))
+      var it = moments.select(col("n"),
+        expr(covFml("sxx", "sx", "sx")).as("c11"),
+        expr(covFml("syy", "sy", "sy")).as("c22"),
+        expr(covFml("szz", "sz", "sz")).as("c33"),
+        expr(covFml("sxy", "sx", "sy")).as("c12"),
+        expr(covFml("sxz", "sx", "sz")).as("c13"),
+        expr(covFml("syz", "sy", "sz")).as("c23"))
+        .withColumn("v1", expr("1.0 / sqrt(3.0)"))
+        .withColumn("v2", expr("1.0 / sqrt(3.0)"))
+        .withColumn("v3", expr("1.0 / sqrt(3.0)"))
+      for (_ <- 1 to 8) {
+        it = it
+          .withColumn("w1", expr(pcaMul(0)))
+          .withColumn("w2", expr(pcaMul(1)))
+          .withColumn("w3", expr(pcaMul(2)))
+          .withColumn("nrm", expr(pcaNrm))
+          .withColumn("v1", expr("w1 / nrm"))
+          .withColumn("v2", expr("w2 / nrm"))
+          .withColumn("v3", expr("w3 / nrm"))
+          .drop("w1", "w2", "w3", "nrm")
+      }
+      it
+        .withColumn("w1", expr(pcaMul(0)))
+        .withColumn("w2", expr(pcaMul(1)))
+        .withColumn("w3", expr(pcaMul(2)))
+        .select(col("n"),
+          expr("w1 * v1 + w2 * v2 + w3 * v3").as("lam"),
+          col("v1"), col("v2"), col("v3"),
+          expr("(w1 * v1 + w2 * v2 + w3 * v3) / (c11 + c22 + c33)")
+            .as("var_frac"))
+    },
+    Some {
+      val iterCtes = (1 to 8).map { k =>
+        val prev = if (k == 1) "it0" else s"it${k - 1}"
+        s"""it$k AS (SELECT n, c11, c22, c33, c12, c13, c23,
+                 w1 / nrm AS v1, w2 / nrm AS v2, w3 / nrm AS v3
+               FROM (SELECT *, $pcaNrm AS nrm
+                     FROM (SELECT *, ${pcaMul(0)} AS w1,
+                             ${pcaMul(1)} AS w2, ${pcaMul(2)} AS w3
+                           FROM $prev)))"""
+      }.mkString(",\n             ")
+      s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                    CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y,
+                    CAST(floor(l_discount * CAST(1000.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS z
+                  FROM lineitem),
+             m AS (SELECT count(*) AS n,
+                     SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                     SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                     SUM(CAST(z AS DECIMAL(38,0))) AS sz,
+                     SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                     SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                     SUM(CAST(z * z AS DECIMAL(38,0))) AS szz,
+                     SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                     SUM(CAST(x * z AS DECIMAL(38,0))) AS sxz,
+                     SUM(CAST(y * z AS DECIMAL(38,0))) AS syz
+                   FROM b),
+             it0 AS (SELECT n,
+                     ${covFml("sxx", "sx", "sx")} AS c11,
+                     ${covFml("syy", "sy", "sy")} AS c22,
+                     ${covFml("szz", "sz", "sz")} AS c33,
+                     ${covFml("sxy", "sx", "sy")} AS c12,
+                     ${covFml("sxz", "sx", "sz")} AS c13,
+                     ${covFml("syz", "sy", "sz")} AS c23,
+                     1.0 / sqrt(3.0) AS v1, 1.0 / sqrt(3.0) AS v2,
+                     1.0 / sqrt(3.0) AS v3
+                   FROM m),
+             $iterCtes
+            SELECT n, w1 * v1 + w2 * v2 + w3 * v3 AS lam, v1, v2, v3,
+                   (w1 * v1 + w2 * v2 + w3 * v3) / (c11 + c22 + c33)
+                     AS var_frac
+            FROM (SELECT *, ${pcaMul(0)} AS w1, ${pcaMul(1)} AS w2,
+                    ${pcaMul(2)} AS w3
+                  FROM it8)"""
+    })
+
   /** Hampel filter — the robust rolling outlier detector (median ± MAD
     * over a centered 7-day frame; the despike step before any
     * time-series model, immune to the outliers a rolling mean ± σ is
@@ -1431,7 +1551,7 @@ object Analytics {
             ORDER BY t_day"""))
 
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
-    qTimeLttb,
+    qTimeLttb, qAggPcaPower,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,

@@ -2505,6 +2505,50 @@ object Llm {
                     count(*) AS n_shingles
              FROM r GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Boilerplate / template detection — the corpus-frequency dedup signal
+    * CCNet/RefinedWeb-style pipelines run BEFORE pair dedup (headers,
+    * nav bars, license blocks repeat across thousands of pages; pairwise
+    * jaccard never isolates them, and they poison MinHash buckets — see
+    * MaxBucket): a shingle appearing in ≥ 4 DISTINCT documents is
+    * boilerplate, and each doc is scored by its boilerplate-shingle
+    * ratio (the drop/clean decision input). Reuses the 3-token shingle
+    * axis of q_text_fingerprint so the two signals are comparable.
+    * Scale: shingle→df is one hash aggregate; the doc score is one
+    * equi-join on the shingle key (bounded fan-in — df counts, not
+    * postings) + one per-doc aggregate; no windows, no pair fan-out.
+    */
+  val qTextBoilerplate = Q(
+    "q_text_boilerplate",
+    (s, dir) => {
+      val ss = shingleSets(Tables.documents(s, dir))
+      val dfc = ss.groupBy("shingle").agg(count(lit(1)).as("df"))
+      ss.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 4, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          expr("CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE)")
+            .as("boiler_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents
+                  WHERE len(string_split(text, ' ')) >= 3),
+             sh AS (SELECT DISTINCT doc_id,
+                      unnest([array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, greatest(len(toks)-1, 1))])
+                        AS shingle
+                    FROM d),
+             dfc AS (SELECT shingle, count(*) AS df FROM sh
+                     GROUP BY shingle)
+            SELECT doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN df >= 4 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_boiler,
+                   CAST(sum(CASE WHEN df >= 4 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_ratio
+            FROM sh JOIN dfc USING (shingle)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Language-ID heuristic: build per-language top-5 token profiles from
     * the corpus, then classify each doc by profile-token overlap
     * (tie-break: lexicographically smallest language).
@@ -3455,5 +3499,5 @@ object Llm {
     qTextPiiMask,
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,
     qTextRepetition, qContamination, qTextEntropy, qTextReadability,
-    qTextKeyphrases)
+    qTextKeyphrases, qTextBoilerplate)
 }

@@ -671,6 +671,46 @@ object SourcesSinks {
              FROM orders WHERE o_orderstatus = 'F'
              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** DYNAMIC partition pruning — the join-driven sibling of
+    * q_scan_partition_pruned's static prune: the fact side is the same
+    * dir-keyed orders store partitioned by o_orderstatus, but the status
+    * filter is NOT a literal — it is the distinct l_linestatus values of
+    * returned lineitems, known only at RUNTIME. Catalyst's DPP inserts a
+    * `dynamicpruningexpression` subquery into the scan's PartitionFilters
+    * (reusing the broadcast of the dim side), so only the matching
+    * status partitions are ever read — at 100 TB the difference between
+    * scanning one partition and scanning the table. The R12b spec
+    * asserts the pruning expression is actually planted; the oracle is
+    * the plain join over the logical tables (partitioning is layout, not
+    * semantics).
+    */
+  val qJoinDpp = Q(
+    "q_join_dpp",
+    (s, dir) => {
+      val path = dirKeyedTempPath(s, dir, "orders_by_status")
+      if (!Incremental.isFresh(s, Seq(dir + "/orders.parquet"), path))
+        Tables.orders(s, dir).write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(path)
+      val facts = s.read.schema(Tables.ordersSchema).parquet(path)
+      val dim = Tables.lineitem(s, dir)
+        .where(col("l_returnflag") === "R")
+        .select(col("l_linestatus").as("status")).distinct()
+      facts
+        .join(broadcast(dim), col("o_orderstatus") === col("status"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                    ${graft.Det.sqlSum("o_totalprice")} AS sum_price
+             FROM orders
+             JOIN (SELECT DISTINCT l_linestatus AS status FROM lineitem
+                   WHERE l_returnflag = 'R') d
+               ON o_orderstatus = d.status
+             GROUP BY o_orderstatus, o_orderpriority
+             ORDER BY o_orderstatus, o_orderpriority"""))
+
   /** The t2 BINARY-FILE query: the raw-bytes ingest path a multimodal
     * pipeline starts from (image/audio blobs land as FILES, not rows —
     * `binaryFile` is Spark's source for them; see Multimodal for the
@@ -1052,6 +1092,7 @@ object SourcesSinks {
       qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
       qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,
       qSourceCsvRoundtrip, qSourceJsonlRoundtrip,
-      qScanPartitionPruned, qSourceBinaryfileRoundtrip, qGeoTilePyramid,
+      qScanPartitionPruned, qJoinDpp, qSourceBinaryfileRoundtrip,
+      qGeoTilePyramid,
       qGeoPointInPolygon, qGeoCentroidWeighted)
 }

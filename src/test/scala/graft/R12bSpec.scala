@@ -57,6 +57,16 @@ class R12bSpec extends AnyFunSuite with SparkFixture {
     assert(viaBloom === plain)
   }
 
+  test("q_join_dpp plants a dynamic pruning expression on the fact scan") {
+    val df = SparkEntry.queries("q_join_dpp")(spark, sfDir)
+    df.count() // materialize the partitioned store + run once
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected a dynamicpruningexpression PartitionFilter on the " +
+        s"partitioned orders scan:\n$p")
+  }
+
   test("bloom word-table joins broadcast; final join is shuffle-merge") {
     val p = simplePlan(
       SparkEntry.queries("q_join_bloom_prefilter")(spark, sfDir))
