@@ -271,6 +271,53 @@ object Aggregates {
                    round(quantile_cont(l_quantity, 0.95), 6) AS p95
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Winsorized mean — the robust location estimate finance/metrics
+    * pipelines report when a handful of fat-tail rows would otherwise own
+    * the average (MAD despikes, trimmed/winsorized means re-center):
+    * per-group exact P05/P95 price fences (the q_agg_percentile surface,
+    * rounded to 6 decimals so the FENCE is engine-identical), every value
+    * clipped into [p05, p95] by one least/greatest expression, and the
+    * clipped mean via the §7.2 decimal sum next to the raw mean for
+    * contrast, plus the clipped-row census. Scale: the fences are a
+    * 3-row broadcast back onto the fact scan; the mean is one map-side-
+    * combinable aggregate (the exact percentile itself carries the
+    * documented percentile_approx swap at 100 TB).
+    */
+  val qAggWinsorize = Q(
+    "q_agg_winsorize",
+    (s, dir) => {
+      val fences = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("p05"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"))
+        .join(broadcast(fences), "flag")
+        .withColumn("cv", expr("least(greatest(v, p05), p95)"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") < col("p05") || col("v") > col("p95"), 1L)
+            .otherwise(0L)).as("n_clipped"),
+          Det.davg(col("v")).as("mean_raw"),
+          Det.davg(col("cv")).as("mean_winsor"))
+        .orderBy("flag")
+    },
+    Some(s"""WITH fences AS (SELECT l_returnflag AS flag,
+                    round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+                    round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+                  FROM lineitem GROUP BY 1),
+             v AS (SELECT l_returnflag AS flag, l_extendedprice AS v
+                   FROM lineitem)
+            SELECT v.flag, count(*) AS n,
+                   CAST(sum(CASE WHEN v < p05 OR v > p95 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clipped,
+                   ${Det.sqlAvg("v")} AS mean_raw,
+                   ${Det.sqlAvg("least(greatest(v, p05), p95)")}
+                     AS mean_winsor
+            FROM v JOIN fences ON v.flag = fences.flag
+            GROUP BY v.flag ORDER BY v.flag"""))
+
   /** The 100 TB swap for q_agg_percentile — SURVEY.md §7.3's documented
     * scale variant, now a query instead of prose. Exact `percentile` sorts
     * every group's values; `percentile_approx` (Greenwald-Khanna / KLL-style
@@ -1563,5 +1610,6 @@ object Aggregates {
     qAggArgmax, qAggDistinctMulti,
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
-    qAggPercentileApprox, qAggHistogram, qAggMinmaxBbox, qAggCollectSorted)
+    qAggPercentileApprox, qAggHistogram, qAggMinmaxBbox, qAggCollectSorted,
+    qAggWinsorize)
 }

@@ -185,5 +185,63 @@ object Layout {
                    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  val all: Seq[Q] = Seq(qLayoutZorder, qLayoutCompact)
+  /** Encoding advisor — run-length statistics of a low-cardinality column
+    * under the table's write order (the read-side complement of zorder:
+    * zorder decides WHERE rows go, this measures what an encoding gains
+    * once they're there — parquet RLE/dictionary pages compress runs, so
+    * runs-per-row IS the size estimate a layout decision needs): within
+    * each (flag, ship-day) segment, rows ordered by the natural write key
+    * (orderkey, linenumber), a run boundary is any l_linestatus change
+    * (lag ≠ current, first row of a segment starts one); rolled up per
+    * flag as n_rows, n_runs, mean run length and the RLE entry ratio.
+    * Day-segmented by design (the changepoint_cusum calendar-day
+    * justification): run counts are exact per segment and the partition
+    * axis is O(days), never O(rows); a run spanning a day boundary counts
+    * once per segment, which the oracle mirrors — segmentation is the
+    * operator's stated contract, not an approximation of a global count.
+    */
+  val qLayoutRleStats = Q(
+    "q_layout_rle_stats",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("flag"), col("d"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("v"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_linestatus").as("v"))
+        .withColumn("brk",
+          when(lag(col("v"), 1).over(w).isNull ||
+            lag(col("v"), 1).over(w) =!= col("v"), 1L).otherwise(0L))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_rows"), sum(col("brk")).as("n_runs"))
+        .select(col("flag"), col("n_rows"), col("n_runs"),
+          expr("CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE)")
+            .as("mean_run_len"),
+          expr("CAST(n_runs AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+            .as("rle_ratio"))
+        .orderBy("flag")
+    },
+    Some("""WITH seg AS (SELECT l_returnflag AS flag,
+                    CAST(l_shipdate AS DATE) AS d,
+                    l_orderkey, l_linenumber, l_linestatus AS v
+                  FROM lineitem),
+             b AS (SELECT flag,
+                     CASE WHEN lag(v, 1) OVER w IS NULL
+                            OR lag(v, 1) OVER w <> v
+                          THEN 1 ELSE 0 END AS brk
+                   FROM seg
+                   WINDOW w AS (PARTITION BY flag, d
+                     ORDER BY l_orderkey, l_linenumber, v))
+            SELECT flag, count(*) AS n_rows,
+                   CAST(sum(brk) AS BIGINT) AS n_runs,
+                   CAST(count(*) AS DOUBLE) / CAST(sum(brk) AS DOUBLE)
+                     AS mean_run_len,
+                   CAST(sum(brk) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS rle_ratio
+            FROM b GROUP BY flag ORDER BY flag"""))
+
+  val all: Seq[Q] = Seq(qLayoutZorder, qLayoutCompact, qLayoutRleStats)
 }

@@ -1582,6 +1582,78 @@ object Relational {
              WHERE o_orderpriority = '1-URGENT'
              GROUP BY 1 ORDER BY m"""))
 
+  /** NEAREST as-of join — completes the as-of family's third direction
+    * (backward = latest at-or-before, forward = earliest after, THIS =
+    * whichever is closer in absolute time; the sensor-alignment /
+    * closest-quote semantics): each purchase binds the user's nearest
+    * click. ONE union+window pass computes BOTH directional candidates
+    * (backward: `last(ignoreNulls)` over the preceding frame, tag order
+    * admitting the simultaneous click; forward: `first(ignoreNulls)`
+    * over the following frame, which that same tag order keeps from
+    * double-counting the simultaneous click), then the pick is a pure
+    * CASE on the two integer-microsecond gaps — tie → backward, so an
+    * exactly-simultaneous click (gap 0) always resolves backward, which
+    * is also why the oracle's equality-inclusive forward ASOF cannot
+    * diverge. Linear: one user_id exchange, no pairwise join.
+    */
+  val qJoinAsofNearest = Q(
+    "q_join_asof_nearest",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("ts").as("c_ts"), lit(0).as("tag"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("timestamp").as("c_ts"), lit(1).as("tag"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      clicks.unionByName(purchases)
+        .withColumn("back_ts", last(col("c_ts"), ignoreNulls = true).over(wb))
+        .withColumn("fwd_ts", first(col("c_ts"), ignoreNulls = true).over(wf))
+        .where(col("tag") === 1)
+        .withColumn("db", unix_micros(col("ts")) - unix_micros(col("back_ts")))
+        .withColumn("df", unix_micros(col("fwd_ts")) - unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL " +
+            "WHEN fwd_ts IS NULL THEN back_ts " +
+            "WHEN back_ts IS NULL THEN fwd_ts " +
+            "WHEN db <= df THEN back_ts ELSE fwd_ts END").as("nearest_ts"),
+          expr("CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL " +
+            "WHEN fwd_ts IS NULL THEN -db " +
+            "WHEN back_ts IS NULL THEN df " +
+            "WHEN db <= df THEN -db ELSE df END").as("delta_us"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, p.ts,
+                   CASE WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL
+                        WHEN f.ts IS NULL THEN b.ts
+                        WHEN b.ts IS NULL THEN f.ts
+                        WHEN epoch_us(p.ts) - epoch_us(b.ts)
+                          <= epoch_us(f.ts) - epoch_us(p.ts) THEN b.ts
+                        ELSE f.ts END AS nearest_ts,
+                   CASE WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL
+                        WHEN f.ts IS NULL
+                          THEN -(epoch_us(p.ts) - epoch_us(b.ts))
+                        WHEN b.ts IS NULL
+                          THEN epoch_us(f.ts) - epoch_us(p.ts)
+                        WHEN epoch_us(p.ts) - epoch_us(b.ts)
+                          <= epoch_us(f.ts) - epoch_us(p.ts)
+                          THEN -(epoch_us(p.ts) - epoch_us(b.ts))
+                        ELSE epoch_us(f.ts) - epoch_us(p.ts)
+                        END AS delta_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') b
+              ON p.user_id = b.user_id AND p.ts >= b.ts
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') f
+              ON p.user_id = f.user_id AND p.ts <= f.ts
+            ORDER BY p.event_id"""))
+
   /** Community detection via SYNCHRONOUS label propagation (2 rounds) —
     * the modularity-flavored member of the graph family (CC finds
     * connectivity, pagerank finds centrality; LP finds densely-linked
@@ -1650,5 +1722,5 @@ object Relational {
     qMergeUpsert, qCdcApply, qGraphPagerank, qDqChecks, qCompositeShipping,
     qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup,
     qGraphSssp, qAllocProration, qJoinAsofTolerance, qGraphDegreeHist,
-    qJoinNullSafe, qJoinAsofForward, qSqlWindowVerbatim)
+    qJoinNullSafe, qJoinAsofForward, qJoinAsofNearest, qSqlWindowVerbatim)
 }

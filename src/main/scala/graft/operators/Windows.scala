@@ -1732,6 +1732,67 @@ object Windows {
             FROM f ORDER BY flag, d"""
     })
 
+  /** Peak concurrency via interval stabbing — the +1/−1 sweep that
+    * answers "how many sessions were open AT ONCE" (capacity planning /
+    * peak-load sizing; q_win_interval_merge coalesces overlaps, this
+    * COUNTS them): each user-day activity interval [first ts, last ts)
+    * emits +1 at its start and −1 at its end, deltas are net-merged per
+    * instant (equivalent for the max under half-open semantics: the
+    * −1-first tie order only ever lowers intermediate values), and the
+    * running sum over the day's time axis is the live-session count;
+    * peak = max, located at its earliest instant (struct-max argmax).
+    * Scale: the per-day prefix rides Prefix.groupedRunningSum (64 time
+    * buckets per day + bucket offsets — a day's stab events never sort
+    * in one task); everything else is hash aggregates. Degenerate
+    * single-instant intervals are excluded (half-open [s,s) is empty).
+    */
+  val qWinConcurrency = Q(
+    "q_win_concurrency",
+    (s, dir) => {
+      val iv = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        .where(col("en") > col("st"))
+      val stabs = iv.select(col("d"), col("st").as("t"), lit(1L).as("delta"))
+        .unionByName(
+          iv.select(col("d"), col("en").as("t"), lit(-1L).as("delta")))
+        .groupBy("d", "t").agg(sum(col("delta")).as("delta"))
+        .withColumn("tm", unix_micros(col("t")))
+      val run = Prefix.groupedRunningSum(
+        Prefix.withGroupRangeBucket(stabs, Seq("d"), col("tm"), 64, "__b"),
+        Seq("d"), "__b", Seq(col("tm")), bucketDesc = false,
+        col("delta"), "run")
+      val peaks = run.groupBy("d")
+        .agg(max(struct(col("run"), (-col("tm")).as("nt"), col("t")))
+          .as("m"))
+        .select(col("d"), col("m.run").as("peak"), col("m.t").as("peak_at"))
+      iv.groupBy("d").agg(count(lit(1)).as("n_intervals"))
+        .join(peaks, "d")
+        .select(col("d").cast(org.apache.spark.sql.types.TimestampType)
+          .as("d"), col("n_intervals"), col("peak"), col("peak_at"))
+        .orderBy("d")
+    },
+    Some("""WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                    min(ts) AS st, max(ts) AS en
+                  FROM events GROUP BY 1, 2 HAVING max(ts) > min(ts)),
+             stabs AS (SELECT d, t, CAST(SUM(delta) AS BIGINT) AS delta
+                   FROM (SELECT d, st AS t, 1 AS delta FROM iv
+                         UNION ALL SELECT d, en, -1 FROM iv)
+                   GROUP BY d, t),
+             run AS (SELECT d, t,
+                     CAST(SUM(delta) OVER (PARTITION BY d ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS run
+                   FROM stabs),
+             pk AS (SELECT d, run AS peak, t AS peak_at
+                   FROM (SELECT d, run, t, row_number() OVER (
+                           PARTITION BY d ORDER BY run DESC, t) AS rn
+                         FROM run) WHERE rn = 1),
+             n AS (SELECT d, count(*) AS n_intervals FROM iv GROUP BY d)
+            SELECT CAST(n.d AS TIMESTAMP) AS d, n_intervals, peak, peak_at
+            FROM n JOIN pk ON n.d = pk.d
+            ORDER BY d"""))
+
   /** Brown's DOUBLE exponential smoothing + one-step forecast — the
     * trend-aware member of the smoothing family (q_win_ewma tracks level
     * only and lags any trend; Brown's S2 = EWMA(EWMA) cancels that lag:
@@ -1981,7 +2042,8 @@ object Windows {
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,
     qTimeInterpLinear, qScd2Dim,
-    qWinEwma, qWinEwmaDouble, qFunnelSteps, qSessionStats, qWinCumeDist,
+    qWinEwma, qWinEwmaDouble, qWinConcurrency, qFunnelSteps, qSessionStats,
+    qWinCumeDist,
     qWinStreak,
     qScd2Asof, qWinRatioToReport, qWinDenseRank,
     qSortMultikey, qTopkGlobal, qLimitOffset,
