@@ -727,6 +727,92 @@ object Analytics {
                    ${covFml("syz", "sy", "sz")} AS cov_price_disc
             FROM m"""))
 
+  /** Wald–Wolfowitz runs test — the RANDOMNESS member of the inferential
+    * family (t = means, U = dominance, KS = shape, χ² = categorical,
+    * CUSUM = when; this asks IS THE SEQUENCE RANDOM AT ALL — trending
+    * and oscillating series both fail it): per flag, daily revenue
+    * classified above/below the flag's median (6-decimal-rounded fence,
+    * winsorize doctrine; exact-median days dropped, the standard
+    * treatment), R = count of sign runs via a lag window over the
+    * calendar-day axis, and the large-sample z from the classic
+    * μ = 2n₁n₂/(n₁+n₂)+1 / σ² formulas as ONE shared text over doubles
+    * of exact integers. Scale: daily rollup is the only exchange; the
+    * run count is an O(days) flag-partitioned lag; totals are one
+    * bounded aggregate.
+    */
+  val qAggRunsTest = Q(
+    "q_agg_runs_test",
+    (s, dir) => {
+      val zFml =
+        "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE " +
+          "(CAST(r AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) / " +
+          "sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) / " +
+          "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))) END"
+      val w = Window.partitionBy("flag").orderBy("d")
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
+      val fences = daily.groupBy("flag")
+        .agg(round(expr("percentile(y, 0.5)"), 6).as("med"))
+      daily.join(broadcast(fences), "flag")
+        .where(expr("CAST(y AS DOUBLE) <> med"))
+        .withColumn("sgn",
+          expr("CASE WHEN CAST(y AS DOUBLE) > med THEN 1 ELSE 0 END"))
+        .withColumn("brk",
+          when(lag(col("sgn"), 1).over(w).isNull ||
+            lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L).otherwise(0L))
+        .groupBy("flag")
+        .agg(sum(expr("CAST(sgn AS BIGINT)")).as("n1l"),
+          sum(expr("CAST(1 - sgn AS BIGINT)")).as("n2l"),
+          sum(col("brk")).as("r"))
+        .select(col("flag"), col("n1l").as("n_above"),
+          col("n2l").as("n_below"), col("r").as("runs"),
+          expr("CAST(n1l AS DOUBLE)").as("n1"),
+          expr("CAST(n2l AS DOUBLE)").as("n2"), col("r"))
+        .select(col("flag"), col("n_above"), col("n_below"), col("runs"),
+          expr(zFml).as("z"))
+        .orderBy("flag")
+    },
+    Some {
+      val zFml =
+        """CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+           (CAST(r AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+           sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) /
+           ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))) END"""
+      s"""WITH daily AS (SELECT l_returnflag AS flag,
+                    CAST(l_shipdate AS DATE) AS d,
+                    CAST(SUM(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS y
+                  FROM lineitem GROUP BY 1, 2),
+             fences AS (SELECT flag,
+                    round(quantile_cont(y, 0.5), 6) AS med
+                  FROM daily GROUP BY flag),
+             cls AS (SELECT daily.flag, d,
+                    CASE WHEN CAST(y AS DOUBLE) > med THEN 1 ELSE 0 END
+                      AS sgn
+                  FROM daily JOIN fences ON daily.flag = fences.flag
+                  WHERE CAST(y AS DOUBLE) <> med),
+             b AS (SELECT flag, sgn,
+                    CASE WHEN lag(sgn, 1) OVER w IS NULL
+                           OR lag(sgn, 1) OVER w <> sgn
+                         THEN 1 ELSE 0 END AS brk
+                  FROM cls
+                  WINDOW w AS (PARTITION BY flag ORDER BY d)),
+             t AS (SELECT flag,
+                    CAST(sum(sgn) AS BIGINT) AS n_above,
+                    CAST(sum(1 - sgn) AS BIGINT) AS n_below,
+                    CAST(sum(brk) AS BIGINT) AS runs,
+                    CAST(sum(sgn) AS DOUBLE) AS n1,
+                    CAST(sum(1 - sgn) AS DOUBLE) AS n2,
+                    CAST(sum(brk) AS BIGINT) AS r
+                  FROM b GROUP BY flag)
+            SELECT flag, n_above, n_below, runs, $zFml AS z
+            FROM t ORDER BY flag"""
+    })
+
   /** Shared formula text for the PCA power iteration (see qAggPcaPower):
     * one symmetric 3×3 matrix-vector multiply plus the L2 normalizer.
     * Generated once and spliced into BOTH engines so every double op is
@@ -1556,5 +1642,6 @@ object Analytics {
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
     qWinHampel, qSourceFixedWidth, qAggChi2, qAggKsTest,
-    qChangepointCusum, qSeasonalDow, qAggTtest, qAggMannwhitney)
+    qChangepointCusum, qSeasonalDow, qAggTtest, qAggMannwhitney,
+    qAggRunsTest)
 }

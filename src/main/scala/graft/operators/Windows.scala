@@ -1732,6 +1732,90 @@ object Windows {
             FROM f ORDER BY flag, d"""
     })
 
+  /** Autocorrelation function (ACF, lags 1–7) — the seasonality DETECTOR
+    * (q_seasonal_dow assumes the week; ACF measures which lag actually
+    * repeats, the input to that assumption): per flag, Pearson r between
+    * the daily-revenue series and its lag-k shift over the overlapping
+    * days, k = 1..7. Doctrine is rolling_corr's, applied per lag: exact
+    * Dec0 cents (HUGEINT in DuckDB), the five pair sums as exact
+    * integers, r as ONE shared formula. The 7 lag columns ride a single
+    * flag-partitioned window pass over the calendar-bounded daily rollup
+    * and stack into (flag, k) rows via posexplode — one scan, one
+    * exchange, bounded output (|flags|·7).
+    */
+  val qTimeAutocorr = Q(
+    "q_time_autocorr",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.partitionBy("flag").orderBy("d")
+      val corrFml =
+        "CASE WHEN n * sxx - sx * sx <= CAST(0 AS DOUBLE) " +
+          "OR n * syy - sy * sy <= CAST(0 AS DOUBLE) THEN NULL " +
+          "ELSE (n * sxy - sx * sy) / " +
+          "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END"
+      var daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)").cast(Dec0))
+          .cast(Dec0).as("y"))
+      for (k <- 1 to 7)
+        daily = daily.withColumn(s"l$k", lag(col("y"), k).over(w))
+      daily
+        .select(col("flag"), col("y"),
+          posexplode(array((1 to 7).map(k => col(s"l$k")): _*)))
+        .select(col("flag"), (col("pos") + 1).as("k"),
+          col("y"), col("col").as("x"))
+        .where(col("x").isNotNull)
+        .groupBy("flag", "k")
+        .agg(count(lit(1)).as("nn"),
+          sum(col("x")).as("sxd"), sum(col("y")).as("syd"),
+          sum(col("x") * col("y")).as("sxyd"),
+          sum(col("x") * col("x")).as("sxxd"),
+          sum(col("y") * col("y")).as("syyd"))
+        .select(col("flag"), col("k"), col("nn").as("n_pairs"),
+          expr("CAST(nn AS DOUBLE)").as("n"),
+          expr("CAST(sxd AS DOUBLE)").as("sx"),
+          expr("CAST(syd AS DOUBLE)").as("sy"),
+          expr("CAST(sxyd AS DOUBLE)").as("sxy"),
+          expr("CAST(sxxd AS DOUBLE)").as("sxx"),
+          expr("CAST(syyd AS DOUBLE)").as("syy"))
+        .select(col("flag"), col("k"), col("n_pairs"),
+          expr(corrFml).as("acf"))
+        .orderBy("flag", "k")
+    },
+    Some {
+      val corrFml =
+        """CASE WHEN n * sxx - sx * sx <= CAST(0 AS DOUBLE)
+             OR n * syy - sy * sy <= CAST(0 AS DOUBLE) THEN NULL
+           ELSE (n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END"""
+      val lagCols = (1 to 7).map(k => s"lag(y, $k) OVER w AS l$k")
+        .mkString(", ")
+      val unions = (1 to 7).map(k =>
+        s"SELECT flag, $k AS k, y, l$k AS x FROM l WHERE l$k IS NOT NULL")
+        .mkString(" UNION ALL ")
+      s"""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS HUGEINT) AS y
+              FROM lineitem GROUP BY 1, 2),
+             l AS (SELECT flag, y, $lagCols FROM daily
+                   WINDOW w AS (PARTITION BY flag ORDER BY d)),
+             st AS (SELECT flag, k, y, x FROM ($unions)),
+             f AS (SELECT flag, k, count(*) AS n_pairs,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(SUM(x) AS DOUBLE) AS sx,
+                     CAST(SUM(y) AS DOUBLE) AS sy,
+                     CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                     CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                     CAST(SUM(y * y) AS DOUBLE) AS syy
+                   FROM st GROUP BY flag, k)
+            SELECT flag, k, n_pairs, $corrFml AS acf
+            FROM f ORDER BY flag, k"""
+    })
+
   /** Peak concurrency via interval stabbing — the +1/−1 sweep that
     * answers "how many sessions were open AT ONCE" (capacity planning /
     * peak-load sizing; q_win_interval_merge coalesces overlaps, this
@@ -2035,7 +2119,7 @@ object Windows {
 
   val all: Seq[Q] = Seq(
     qInterarrival, qWinVwap, qWinBollinger, qWinRollingCorr,
-    qWinRollingOls, qActiveUsersRolling,
+    qWinRollingOls, qTimeAutocorr, qActiveUsersRolling,
     qTimeToConvert,
     qWinDrawdown, qAttributionLastTouch, qAttributionLinear,
     qWinParetoAbc, qInventoryBacklog,
