@@ -226,6 +226,189 @@ object Analytics {
             SELECT st.flag, n_days, s_stat, $mkTau AS tau
             FROM st JOIN nd ON st.flag = nd.flag ORDER BY st.flag"""))
 
+  /** Kaplan–Meier survival curve — time-to-conversion WITH censoring (the
+    * estimator q_time_to_convert silently forgoes: users who signed up
+    * but have not purchased by the observation end are CENSORED, not
+    * failures, and dropping them biases every delay statistic downward):
+    * per signup user, the day-granular delay to first purchase or the
+    * censoring day at the corpus's last event; at each event day t,
+    * n_at_risk = signups − prior conversions − prior censorings, and
+    * S(t) = Π_{d≤t, conv days}(1 − d_i/n_i) computed as exp of a Dec12
+    * cumulative log-sum (the engines' ln/exp last-ulp split — §7.2 —
+    * quantized at both the term and the final exp). The day axis is
+    * bounded by the observation window (≤ ~30 rows), so its running
+    * sums are a justified global window (PlanLint allowlist). Scale:
+    * two per-user aggregates (one user_id exchange), then O(days)
+    * arithmetic.
+    */
+  val qAggSurvivalKm = Q(
+    "q_agg_survival_km",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val su = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+      val pu = ev.where(col("event_type") === "purchase")
+        .join(su, "user_id").where(col("ts") >= col("s_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      val obsEnd = ev.agg(max(col("ts")).as("end_ts"))
+      val users = su.join(pu, Seq("user_id"), "left")
+        .crossJoin(broadcast(obsEnd))
+        .select(
+          expr("CAST((unix_micros(p_ts) - unix_micros(s_ts)) " +
+            "DIV 86400000000 AS BIGINT)").as("delay_d"),
+          expr("CAST((unix_micros(end_ts) - unix_micros(s_ts)) " +
+            "DIV 86400000000 AS BIGINT)").as("cens_d"))
+      val byDay = users
+        .select(coalesce(col("delay_d"), col("cens_d")).as("t"),
+          when(col("delay_d").isNotNull, 1L).otherwise(0L).as("conv"),
+          when(col("delay_d").isNull, 1L).otherwise(0L).as("cens"))
+        .groupBy("t")
+        .agg(sum(col("conv")).as("d_conv"), sum(col("cens")).as("c_cens"))
+      val w = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wx = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byDay
+        .crossJoin(broadcast(users.agg(count(lit(1)).as("n_total"))))
+        .withColumn("prior",
+          coalesce(sum(col("d_conv") + col("c_cens")).over(wx), lit(0L)))
+        .withColumn("n_at_risk", col("n_total") - col("prior"))
+        .withColumn("lnterm", expr(
+          "CAST(CASE WHEN d_conv = 0 OR d_conv >= n_at_risk THEN 0.0 " +
+            "ELSE " +
+            "ln(1.0 - CAST(d_conv AS DOUBLE) / CAST(n_at_risk AS DOUBLE))" +
+            " END AS DECIMAL(38,12))"))
+        .withColumn("cumln", sum(col("lnterm")).over(w))
+        // a day that exhausts the risk set has no finite ln term — S hits
+        // exactly 0 there and stays 0, tracked by a running flag (a NULL
+        // term would just be SKIPPED by window SUM in both engines)
+        .withColumn("zflag", max(
+          when(col("d_conv") >= col("n_at_risk"), 1L).otherwise(0L))
+          .over(w))
+        .select(col("t"), col("n_at_risk"), col("d_conv"), col("c_cens"),
+          expr("CASE WHEN zflag = 1 THEN 0.0 ELSE " +
+            "CAST(CAST(exp(CAST(cumln AS DOUBLE)) AS DECIMAL(38,12)) " +
+            "AS DOUBLE) END").as("survival"))
+        .orderBy("t")
+    },
+    Some("""WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+             pu AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+                  JOIN su ON e.user_id = su.user_id AND e.ts >= su.s_ts
+                  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+             oe AS (SELECT max(ts) AS end_ts FROM events),
+             users AS (SELECT
+                    CAST((epoch_us(p_ts) - epoch_us(s_ts)) // 86400000000
+                      AS BIGINT) AS delay_d,
+                    CAST((epoch_us(end_ts) - epoch_us(s_ts)) // 86400000000
+                      AS BIGINT) AS cens_d
+                  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+                  CROSS JOIN oe),
+             byday AS (SELECT coalesce(delay_d, cens_d) AS t,
+                    CAST(sum(CASE WHEN delay_d IS NOT NULL THEN 1 ELSE 0
+                      END) AS BIGINT) AS d_conv,
+                    CAST(sum(CASE WHEN delay_d IS NULL THEN 1 ELSE 0
+                      END) AS BIGINT) AS c_cens
+                  FROM users GROUP BY 1),
+             nt AS (SELECT count(*) AS n_total FROM users),
+             r AS (SELECT t, d_conv, c_cens,
+                    n_total - coalesce(sum(d_conv + c_cens) OVER (
+                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS n_at_risk
+                  FROM byday CROSS JOIN nt),
+             lt AS (SELECT t, n_at_risk, d_conv, c_cens,
+                    CAST(CASE WHEN d_conv = 0 OR d_conv >= n_at_risk
+                      THEN 0.0 ELSE
+                      ln(1.0 - CAST(d_conv AS DOUBLE)
+                        / CAST(n_at_risk AS DOUBLE)) END
+                      AS DECIMAL(38,12)) AS lnterm
+                  FROM r),
+             cl AS (SELECT t, n_at_risk, d_conv, c_cens,
+                    sum(lnterm) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cumln,
+                    max(CASE WHEN d_conv >= n_at_risk THEN 1 ELSE 0 END)
+                      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS zflag
+                  FROM lt)
+            SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_conv,
+                   c_cens,
+                   CASE WHEN zflag = 1 THEN 0.0 ELSE
+                     CAST(CAST(exp(CAST(cumln AS DOUBLE))
+                       AS DECIMAL(38,12)) AS DOUBLE) END AS survival
+            FROM cl ORDER BY t"""))
+
+  /** Theil–Sen robust trend — the MAGNITUDE companion to Mann–Kendall's
+    * direction test (MK says "is there a monotone trend"; Theil–Sen says
+    * "how steep", immune to the outlier days that drag OLS): per flag,
+    * the median of all O(days²) pairwise slopes over the daily-cents
+    * series, plus the median-residual intercept. Same distribution shape
+    * as Mann–Kendall: the calendar-bounded daily rollup broadcasts, so
+    * the pair fan-out spreads across the big side's partitions (never 3
+    * flag-keyed tasks); each slope is ONE division of exact integers
+    * (identical in both engines), medians are the 6-decimal-rounded
+    * exact-percentile surface (winsorize doctrine; percentile_approx is
+    * the documented 100 TB swap). Days² stays bounded by the calendar —
+    * rows per day grow at scale, days do not.
+    */
+  val qAggTheilSen = Q(
+    "q_agg_theil_sen",
+    (s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr(
+          "CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
+        .withColumn("x",
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+      val a = daily.select(col("flag"), col("x").as("xi"), col("y").as("yi"))
+      val b = daily.select(col("flag"), col("x").as("xj"), col("y").as("yj"))
+      val med = b.join(broadcast(a), Seq("flag"))
+        .where(col("xi") < col("xj"))
+        .select(col("flag"),
+          expr("CAST(yj - yi AS DOUBLE) / CAST(xj - xi AS DOUBLE)")
+            .as("slope"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("slope_med"))
+      daily.join(broadcast(med), "flag")
+        .groupBy(col("flag"))
+        .agg(round(expr(
+          "percentile(CAST(y AS DOUBLE) - slope_med * CAST(x AS DOUBLE)," +
+            " 0.5)"), 6).as("intercept_med"),
+          first(col("n_pairs")).as("n_pairs"),
+          first(col("slope_med")).as("slope_med"))
+        .select(col("flag"), col("n_pairs"), col("slope_med"),
+          col("intercept_med"))
+        .orderBy("flag")
+    },
+    Some("""WITH daily AS (SELECT l_returnflag AS flag,
+                    CAST(l_shipdate AS DATE) AS d,
+                    CAST(sum(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS y,
+                    CAST(datediff('day', DATE '1970-01-01',
+                      CAST(l_shipdate AS DATE)) AS BIGINT) AS x
+                  FROM lineitem GROUP BY 1, 2, 4),
+             sl AS (SELECT a.flag,
+                     CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                       AS slope
+                   FROM daily a JOIN daily b
+                     ON a.flag = b.flag AND a.x < b.x),
+             med AS (SELECT flag, count(*) AS n_pairs,
+                     round(quantile_cont(slope, 0.5), 6) AS slope_med
+                   FROM sl GROUP BY flag),
+             ic AS (SELECT daily.flag,
+                     round(quantile_cont(CAST(y AS DOUBLE)
+                       - slope_med * CAST(x AS DOUBLE), 0.5), 6)
+                       AS intercept_med
+                   FROM daily JOIN med ON daily.flag = med.flag
+                   GROUP BY daily.flag)
+            SELECT med.flag, n_pairs, slope_med, intercept_med
+            FROM med JOIN ic ON med.flag = ic.flag
+            ORDER BY med.flag"""))
+
   /** 2-D skyline (Pareto frontier) — the classic "maximal vectors"
     * operator (best tradeoff shortlists: no other point is ≥ in both
     * dimensions and > in one): per market segment, the customers maximal
@@ -1643,5 +1826,5 @@ object Analytics {
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
     qWinHampel, qSourceFixedWidth, qAggChi2, qAggKsTest,
     qChangepointCusum, qSeasonalDow, qAggTtest, qAggMannwhitney,
-    qAggRunsTest)
+    qAggRunsTest, qAggTheilSen, qAggSurvivalKm)
 }

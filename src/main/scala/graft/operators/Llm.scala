@@ -2505,6 +2505,73 @@ object Llm {
                     count(*) AS n_shingles
              FROM r GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Zipf-law fit — the corpus-health scalar behind q_text_tokens_top's
+    * raw list (natural language sits near exponent −1 on the rank–
+    * frequency log-log line; word salad, templated spam, and truncated
+    * vocabularies all bend it — a one-number pretraining-corpus triage):
+    * log-log OLS over the top-100 token ranks. Rank rides a row_number
+    * on the LIMIT-100 result (bounded by construction — the topn_share
+    * allowlist class); each ln() is Dec12-quantized BEFORE the moment
+    * products and every sum is an order-free decimal sum (the engines'
+    * ln() differs in the last ulp — §7.2), slope/intercept are ONE
+    * shared formula. One vocabulary-bounded aggregate + O(100) rows.
+    */
+  val qTextZipfFit = Q(
+    "q_text_zipf_fit",
+    (s, dir) => {
+      val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val q12 = (e: String) => s"CAST(CAST(($e) AS DECIMAL(38,12)) AS DOUBLE)"
+      val top = tokens(Tables.documents(s, dir))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("tok")).limit(100)
+      val ranked = top.withColumn("rk", row_number().over(
+        Window.orderBy(col("f").desc, col("tok"))))
+        .select(
+          expr(q12("ln(CAST(rk AS DOUBLE))")).as("lx"),
+          expr(q12("ln(CAST(f AS DOUBLE))")).as("ly"))
+      ranked
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(expr("CAST(lx AS DECIMAL(38,12))")).cast("double").as("sx"),
+          sum(expr("CAST(ly AS DECIMAL(38,12))")).cast("double").as("sy"),
+          sum(expr("CAST(lx * ly AS DECIMAL(38,12))")).cast("double")
+            .as("sxy"),
+          sum(expr("CAST(lx * lx AS DECIMAL(38,12))")).cast("double")
+            .as("sxx"))
+        .select(col("n_tokens"),
+          expr("(CAST(n_tokens AS DOUBLE) * sxy - sx * sy) / " +
+            "(CAST(n_tokens AS DOUBLE) * sxx - sx * sx)").as("zipf_slope"),
+          expr("(sy - ((CAST(n_tokens AS DOUBLE) * sxy - sx * sy) / " +
+            "(CAST(n_tokens AS DOUBLE) * sxx - sx * sx)) * sx) / " +
+            "CAST(n_tokens AS DOUBLE)").as("zipf_intercept"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, w
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                        FROM documents) WHERE w <> ''),
+             top AS (SELECT w AS tok, count(*) AS f FROM tok
+                     GROUP BY w ORDER BY f DESC, tok LIMIT 100),
+             ranked AS (SELECT
+                    CAST(CAST(ln(CAST(row_number() OVER (
+                        ORDER BY f DESC, tok) AS DOUBLE))
+                      AS DECIMAL(38,12)) AS DOUBLE) AS lx,
+                    CAST(CAST(ln(CAST(f AS DOUBLE))
+                      AS DECIMAL(38,12)) AS DOUBLE) AS ly
+                  FROM top),
+             m AS (SELECT count(*) AS n_tokens,
+                    CAST(sum(CAST(lx AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                    CAST(sum(CAST(ly AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+                    CAST(sum(CAST(lx * ly AS DECIMAL(38,12))) AS DOUBLE)
+                      AS sxy,
+                    CAST(sum(CAST(lx * lx AS DECIMAL(38,12))) AS DOUBLE)
+                      AS sxx
+                  FROM ranked)
+            SELECT n_tokens,
+                   (CAST(n_tokens AS DOUBLE) * sxy - sx * sy) /
+                   (CAST(n_tokens AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+                   (sy - ((CAST(n_tokens AS DOUBLE) * sxy - sx * sy) /
+                   (CAST(n_tokens AS DOUBLE) * sxx - sx * sx)) * sx) /
+                   CAST(n_tokens AS DOUBLE) AS zipf_intercept
+            FROM m"""))
+
   /** Boilerplate / template detection — the corpus-frequency dedup signal
     * CCNet/RefinedWeb-style pipelines run BEFORE pair dedup (headers,
     * nav bars, license blocks repeat across thousands of pages; pairwise
@@ -3499,5 +3566,5 @@ object Llm {
     qTextPiiMask,
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,
     qTextRepetition, qContamination, qTextEntropy, qTextReadability,
-    qTextKeyphrases, qTextBoilerplate)
+    qTextKeyphrases, qTextBoilerplate, qTextZipfFit)
 }

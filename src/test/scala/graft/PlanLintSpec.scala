@@ -48,7 +48,12 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q_sample_systematic" ->
       "Prefix.globalRank bucket-offset prefix over 64 range-bucket counts",
     "q_agg_mannwhitney" ->
-      "Prefix.runningSum bucket-offset prefix over 64 range-bucket totals")
+      "Prefix.runningSum bucket-offset prefix over 64 range-bucket totals",
+    "q_text_zipf_fit" ->
+      "rank over a LIMIT-100 result — 100 rows by construction",
+    "q_agg_survival_km" ->
+      ("running sums over the day-granular event axis — bounded by the " +
+        "~30-day observation window by construction"))
 
   private val cartesianOk: Set[String] = Set.empty
 
