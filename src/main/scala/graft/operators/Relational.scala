@@ -1582,6 +1582,54 @@ object Relational {
              WHERE o_orderpriority = '1-URGENT'
              GROUP BY 1 ORDER BY m"""))
 
+  /** Banded theta join WITHOUT an equi key — the bucket-expansion trick
+    * that keeps a pure band predicate (|x − y| ≤ w) out of
+    * nested-loop/cartesian territory (every other range join in the
+    * suite rides an equi component; when there is none, THIS is the
+    * standard rewrite): each probe row lands in bucket ⌊v/w⌋ and the
+    * build side replicates into {b−1, b, b+1}, so the band match is an
+    * EQUI join on the bucket key + a residual integer filter — hash
+    * join, map-side prunable, ×3 replication of the SMALL side only.
+    * Every matching pair meets exactly once (the probe's single bucket
+    * is covered by exactly one of the build row's three), so no dedup
+    * pass. Values ride exact integer cents with a +2·10⁷ shift before
+    * the integer division (Spark's DIV truncates toward zero, DuckDB's
+    * // floors — negatives would disagree; non-negative operands make
+    * them identical). Oracle = the plain quadratic theta join.
+    */
+  val qJoinRangeBucketed = Q(
+    "q_join_range_bucketed",
+    (s, dir) => {
+      val W = 10000L // band half-width in cents (= $100)
+      def cents(c: String) =
+        expr(s"CAST(floor($c * CAST(100.0 AS DOUBLE) " +
+          s"+ CAST(0.5 AS DOUBLE)) AS BIGINT) + 20000000")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), cents("c_acctbal").as("cc"))
+        .withColumn("b", expr(s"cc DIV $W"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          cents("s_acctbal").as("sc"))
+        .withColumn("b0", expr(s"sc DIV $W"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("sc"),
+          explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("b"))
+      cust.join(broadcast(sup), Seq("b"))
+        .where(abs(col("cc") - col("sc")) <= lit(W))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey, count(*) AS n_pairs,
+                   count(DISTINCT c_custkey) AS n_customers
+            FROM customer JOIN supplier
+              ON abs((CAST(floor(c_acctbal * CAST(100.0 AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)) AS BIGINT) + 20000000)
+                 - (CAST(floor(s_acctbal * CAST(100.0 AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)) AS BIGINT) + 20000000))
+                 <= 10000
+            GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   /** NEAREST as-of join — completes the as-of family's third direction
     * (backward = latest at-or-before, forward = earliest after, THIS =
     * whichever is closer in absolute time; the sensor-alignment /
@@ -1722,5 +1770,6 @@ object Relational {
     qMergeUpsert, qCdcApply, qGraphPagerank, qDqChecks, qCompositeShipping,
     qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup,
     qGraphSssp, qAllocProration, qJoinAsofTolerance, qGraphDegreeHist,
-    qJoinNullSafe, qJoinAsofForward, qJoinAsofNearest, qSqlWindowVerbatim)
+    qJoinNullSafe, qJoinAsofForward, qJoinAsofNearest, qJoinRangeBucketed,
+    qSqlWindowVerbatim)
 }
