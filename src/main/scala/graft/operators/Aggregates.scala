@@ -106,6 +106,95 @@ object Aggregates {
         .orderBy("o_orderstatus"),
     None)
 
+  /** MERGEABLE distinct-count sketches across shards — the incremental-
+    * rollup shape that makes approximate distinct USEFUL at 100 TB
+    * (q_agg_approx_distinct computes one estimate in one pass; real
+    * pipelines store a per-shard/per-day SKETCH and merge at query time,
+    * so yesterday's partitions are never rescanned): per (flag, shard)
+    * DataSketches HLL sketches over the part key (hll_sketch_agg — the
+    * same Apache DataSketches binary format Druid/Hive/BigQuery-style
+    * stores exchange), merged per flag with hll_union_agg, estimate via
+    * hll_sketch_estimate. No DuckDB oracle BY DESIGN (sketch merge order
+    * is engine-internal, the approx-distinct precedent); R12bSpec bounds
+    * the estimate within ±5% of the exact distinct and pins the
+    * sharded-merge estimate EQUAL to the unsharded sketch's (union of
+    * per-shard sketches ≡ one global sketch — the mergeability law).
+    */
+  val qAggHllShards = Q(
+    "q_agg_hll_shards",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          pmod(col("l_orderkey"), lit(8)).as("shard"), col("l_partkey"))
+        .groupBy("flag", "shard")
+        .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_shards"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("n_parts_est"))
+        .orderBy("flag"),
+    None)
+
+  /** Pythagorean means + RMS — the mean family beyond the arithmetic one
+    * (geometric = the only correct average of ratios/growth rates,
+    * harmonic = the only correct average of rates per unit, RMS = the
+    * energy/magnitude mean): per flag over price, each as ONE shared
+    * formula over order-free decimal term sums (ln terms Dec12-quantized
+    * — the engines' ln() last-ulp split; reciprocals Dec12-quantized for
+    * the same reason as a sum carrier; squares exact integer cents², the
+    * covar doctrine); the exp() final is round-6 fenced — at ~1e4
+    * magnitudes 12 decimals is FINER than a double ulp, so a Dec12 cast
+    * absorbs nothing there. One map-side-combinable aggregate.
+    */
+  val qAggMeanVariants = Q(
+    "q_agg_mean_variants",
+    (s, dir) => {
+      val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"),
+          expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("c"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          Det.davg(col("v")).as("mean_arith"),
+          sum(expr("CAST(ln(v) AS DECIMAL(38,12))")).cast("double")
+            .as("sln"),
+          sum(expr("CAST(1.0 / v AS DECIMAL(38,12))")).cast("double")
+            .as("srec"),
+          sum(col("c").cast(Dec0) * col("c").cast(Dec0)).cast("double")
+            .as("ssq"))
+        .select(col("flag"), col("n"), col("mean_arith"),
+          // round-6, not Dec12: at ~4e4 magnitude 12 decimals is FINER
+          // than a double ulp, so a Dec12 cast absorbs nothing — the
+          // engines' exp() last-ulp split needs a coarser fence
+          expr("round(exp(sln / CAST(n AS DOUBLE)), 6)").as("mean_geo"),
+          expr("CAST(n AS DOUBLE) / srec").as("mean_harm"),
+          expr("sqrt(ssq / CAST(n AS DOUBLE)) / CAST(100.0 AS DOUBLE)")
+            .as("mean_rms"))
+        .orderBy("flag")
+    },
+    Some(s"""WITH b AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+                    CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+                  FROM lineitem),
+             m AS (SELECT flag, count(*) AS n,
+                    ${Det.sqlAvg("v")} AS mean_arith,
+                    CAST(sum(CAST(ln(v) AS DECIMAL(38,12))) AS DOUBLE)
+                      AS sln,
+                    CAST(sum(CAST(1.0 / v AS DECIMAL(38,12))) AS DOUBLE)
+                      AS srec,
+                    CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                      AS DOUBLE) AS ssq
+                  FROM b GROUP BY flag)
+            SELECT flag, n, mean_arith,
+                   round(exp(sln / CAST(n AS DOUBLE)), 6) AS mean_geo,
+                   CAST(n AS DOUBLE) / srec AS mean_harm,
+                   sqrt(ssq / CAST(n AS DOUBLE)) / CAST(100.0 AS DOUBLE)
+                     AS mean_rms
+            FROM m ORDER BY flag"""))
+
   /** Rollup subtotals (county→state→national aggregation analog). */
   val qAggRollup = Q(
     "q_agg_rollup",
@@ -1611,5 +1700,5 @@ object Aggregates {
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
     qAggPercentileApprox, qAggHistogram, qAggMinmaxBbox, qAggCollectSorted,
-    qAggWinsorize)
+    qAggWinsorize, qAggHllShards, qAggMeanVariants)
 }

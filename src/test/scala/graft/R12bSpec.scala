@@ -146,6 +146,29 @@ class R12bSpec extends AnyFunSuite with SparkFixture {
       x.getDouble(4) == 3.0 * x.getDouble(2) - 2.0 * x.getDouble(3)))
   }
 
+  test("HLL shard merge: estimate ≈ exact and ≡ the unsharded sketch") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_agg_hll_shards")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((flag, ex) <- exact) {
+      val est = out(flag).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05,
+        s"$flag: HLL estimate $est vs exact $ex off by more than 5%")
+    }
+    // mergeability law: union of per-shard sketches ≡ one global sketch
+    val unsharded = li
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))")
+        .as("est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === unsharded,
+      "sharded-merge estimates must equal the unsharded sketch's")
+  }
+
   test("q_join_dpp plants a dynamic pruning expression on the fact scan") {
     val df = SparkEntry.queries("q_join_dpp")(spark, sfDir)
     df.count() // materialize the partitioned store + run once
