@@ -146,6 +146,40 @@ class R12bSpec extends AnyFunSuite with SparkFixture {
       x.getDouble(4) == 3.0 * x.getDouble(2) - 2.0 * x.getDouble(3)))
   }
 
+  test("weighted sampling plans a bounded top-k heap, not a global sort") {
+    val p = simplePlan(SparkEntry.queries("q_sample_weighted")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-ES top-20 must ride the bounded heap:\n$p")
+    assert(!p.contains("Window"), s"no window should appear:\n$p")
+  }
+
+  test("Theil-Sen pair fan-out broadcasts the calendar-bounded side") {
+    val p = simplePlan(SparkEntry.queries("q_agg_theil_sen")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"daily rollup must broadcast so pairs spread across partitions:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("autocorrelation rides ONE window pass for all 7 lags") {
+    val df = SparkEntry.queries("q_time_autocorr")(spark, sfDir)
+    val nWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(nWindows === 1,
+      s"7 lag columns must share one window pass, found $nWindows")
+  }
+
+  test("banded theta join plans as a hash equi-join on the bucket key") {
+    val p = simplePlan(
+      SparkEntry.queries("q_join_range_bucketed")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"),
+      s"bucket expansion must yield an equi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"the band predicate must not fall back to a loop join:\n$p")
+  }
+
   test("HLL shard merge: estimate ≈ exact and ≡ the unsharded sketch") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q_agg_hll_shards")(spark, sfDir)
