@@ -226,6 +226,108 @@ object Analytics {
             SELECT st.flag, n_days, s_stat, $mkTau AS tau
             FROM st JOIN nd ON st.flag = nd.flag ORDER BY st.flag"""))
 
+  /** Benjamini–Hochberg FDR correction — the MULTIPLE-TESTING layer the
+    * inferential family needs the moment you run it per segment (25
+    * nation-level tests at α=0.1 expect 2–3 false positives; BH is the
+    * standard step-up that caps the false-discovery RATE): per nation, a
+    * one-sample z of its customers' mean balance against the corpus
+    * (exact integer-cent moments, shared z formula), two-sided p via the
+    * Abramowitz–Stegun 26.2.17 polynomial Φ approximation — SHARED
+    * formula text (|err| < 7.5e-8, far under decision scales; exp's
+    * last-ulp split fenced by a round-10 on p), BH rank over the
+    * 25-row hypothesis family (bounded — allowlisted), step-up cutoff
+    * kmax = max rank with p ≤ rank·α/m via one bounded aggregate
+    * broadcast back. Scale: one exact-moment aggregate per nation (ONE
+    * customer-table pass), then O(25) arithmetic.
+    */
+  val qAggFdrBh = Q(
+    "q_agg_fdr_bh",
+    (s, dir) => {
+      // A&S 26.2.17 upper-tail Q(z) for z >= 0, as shared text over `az`
+      val phi = "exp(-(az * az) / 2.0) / sqrt(2.0 * pi())"
+      val tt = "1.0 / (1.0 + 0.2316419 * az)"
+      val qz = s"(($phi) * ((((((((1.330274429 * ($tt)) - 1.821255978) " +
+        s"* ($tt)) + 1.781477937) * ($tt)) - 0.356563782) * ($tt)) " +
+        s"+ 0.319381530) * ($tt))"
+      val cents = "CAST(floor(c_acctbal * CAST(100.0 AS DOUBLE) " +
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+      val c = Tables.customer(s, dir)
+        .select(col("c_nationkey").as("nation"),
+          expr(cents).as("c"))
+      val per = c.groupBy("nation")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sc"))
+      val glob = c.agg(count(lit(1)).as("ng"),
+        sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("scg"),
+        sum((col("c") * col("c"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sqg"))
+      val zp = per.crossJoin(broadcast(glob))
+        .withColumn("z", expr(
+          "(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) " +
+            "- CAST(scg AS DOUBLE) / CAST(ng AS DOUBLE)) / " +
+            "(sqrt((CAST(ng AS DOUBLE) * CAST(sqg AS DOUBLE) " +
+            "- CAST(scg AS DOUBLE) * CAST(scg AS DOUBLE)) / " +
+            "(CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE))) " +
+            "/ sqrt(CAST(n AS DOUBLE)))"))
+        .withColumn("az", abs(col("z")))
+        .withColumn("p", expr(s"round(2.0 * ($qz), 10)"))
+      val m = lit(25.0)
+      val ranked = zp.withColumn("rk", row_number().over(
+        Window.orderBy(col("p"), col("nation"))))
+        .withColumn("cond",
+          when(col("p") <= col("rk").cast("double") * lit(0.1) / m, 1L)
+            .otherwise(0L))
+      val kmax = ranked.agg(
+        max(col("cond") * col("rk")).as("kmax"))
+      ranked.crossJoin(broadcast(kmax))
+        .select(col("nation"), col("n"), col("z"), col("p"),
+          col("rk").cast("long").as("rk"),
+          (col("rk") <= col("kmax")).as("rejected"))
+        .orderBy("rk", "nation")
+    },
+    Some {
+      val phi = "exp(-(az * az) / 2.0) / sqrt(2.0 * pi())"
+      val tt = "1.0 / (1.0 + 0.2316419 * az)"
+      val qz = s"(($phi) * ((((((((1.330274429 * ($tt)) - 1.821255978) " +
+        s"* ($tt)) + 1.781477937) * ($tt)) - 0.356563782) * ($tt)) " +
+        s"+ 0.319381530) * ($tt))"
+      s"""WITH c AS (SELECT c_nationkey AS nation,
+                    CAST(floor(c_acctbal * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+                  FROM customer),
+             per AS (SELECT nation, count(*) AS n,
+                    SUM(CAST(c AS DECIMAL(38,0))) AS sc
+                  FROM c GROUP BY nation),
+             gtot AS (SELECT count(*) AS ng,
+                    SUM(CAST(c AS DECIMAL(38,0))) AS scg,
+                    SUM(CAST(c * c AS DECIMAL(38,0))) AS sqg
+                  FROM c),
+             zp AS (SELECT nation, n,
+                    (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(scg AS DOUBLE) / CAST(ng AS DOUBLE)) /
+                    (sqrt((CAST(ng AS DOUBLE) * CAST(sqg AS DOUBLE)
+                      - CAST(scg AS DOUBLE) * CAST(scg AS DOUBLE)) /
+                      (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE)))
+                      / sqrt(CAST(n AS DOUBLE))) AS z
+                  FROM per CROSS JOIN gtot),
+             pz AS (SELECT nation, n, z, abs(z) AS az FROM zp),
+             pv AS (SELECT nation, n, z,
+                    round(2.0 * ($qz), 10) AS p
+                  FROM pz),
+             rkd AS (SELECT nation, n, z, p,
+                    CAST(row_number() OVER (ORDER BY p, nation) AS BIGINT)
+                      AS rk
+                  FROM pv),
+             km AS (SELECT max(CASE WHEN p <= CAST(rk AS DOUBLE) * 0.1
+                      / 25.0 THEN rk ELSE 0 END) AS kmax
+                  FROM rkd)
+            SELECT nation, n, z, p, rk, rk <= kmax AS rejected
+            FROM rkd CROSS JOIN km
+            ORDER BY rk, nation"""
+    })
+
   /** Kaplan–Meier survival curve — time-to-conversion WITH censoring (the
     * estimator q_time_to_convert silently forgoes: users who signed up
     * but have not purchased by the observation end are CENSORED, not
@@ -1826,5 +1928,5 @@ object Analytics {
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
     qWinHampel, qSourceFixedWidth, qAggChi2, qAggKsTest,
     qChangepointCusum, qSeasonalDow, qAggTtest, qAggMannwhitney,
-    qAggRunsTest, qAggTheilSen, qAggSurvivalKm)
+    qAggRunsTest, qAggTheilSen, qAggSurvivalKm, qAggFdrBh)
 }

@@ -53,7 +53,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
       "rank over a LIMIT-100 result — 100 rows by construction",
     "q_agg_survival_km" ->
       ("running sums over the day-granular event axis — bounded by the " +
-        "~30-day observation window by construction"))
+        "~30-day observation window by construction"),
+    "q_agg_fdr_bh" ->
+      "BH rank over the 25-nation hypothesis family — bounded by construction")
 
   private val cartesianOk: Set[String] = Set.empty
 
