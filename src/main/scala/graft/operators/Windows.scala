@@ -1287,6 +1287,170 @@ object Windows {
     * the user's whole history). Final money column is ONE shared-text
     * division of the exact micro sum.
     */
+  // ── Markov removal-effect attribution: shared text generators ──
+  // Transient channel states (code -> raw event_type); CV/NU are the
+  // absorbing conversion / dropout states, S the start pseudo-state.
+  private val mkStates =
+    Seq("vw" -> "view", "ck" -> "click", "su" -> "signup", "er" -> "error")
+  private val mkSrcs = "S" +: mkStates.map(_._1)
+  private val mkDsts = mkStates.map(_._1) ++ Seq("CV", "NU")
+  private val mkVariants = "full" +: mkStates.map(_._1)
+  private val mkProbNames =
+    for (s0 <- mkSrcs; d <- mkDsts) yield s"p_${s0}_$d"
+
+  private def mkCountExprs: Seq[String] =
+    for (s0 <- mkSrcs; d <- mkDsts) yield
+      s"CAST(SUM(CASE WHEN src = '$s0' AND dst = '$d' THEN 1 ELSE 0 END)" +
+        s" AS BIGINT) AS c_${s0}_$d"
+
+  private def mkTotExprs: Seq[String] =
+    mkSrcs.map(s0 =>
+      mkDsts.map(d => s"c_${s0}_$d").mkString(" + ") + s" AS tot_$s0")
+
+  private def mkProbExprs: Seq[String] =
+    for (s0 <- mkSrcs; d <- mkDsts) yield
+      s"CASE WHEN tot_$s0 > 0 THEN CAST(c_${s0}_$d AS DOUBLE) " +
+        s"/ CAST(tot_$s0 AS DOUBLE) ELSE 0.0 END AS p_${s0}_$d"
+
+  /** v_<variant>_<state> = transient mass, cv_<variant> = absorbed
+    * conversion mass; variant r removes channel r (its inbound edges
+    * redirect to dropout — mass entering it is simply never created).
+    */
+  private def mkInitExprs: Seq[String] =
+    mkVariants.flatMap { r =>
+      mkStates.map(_._1).map { j =>
+        val e = if (j == r) "0.0" else s"p_S_$j"
+        s"$e AS v_${r}_$j"
+      } :+ s"p_S_CV AS cv_$r"
+    }
+
+  private def mkIterExprs: Seq[String] =
+    mkVariants.flatMap { r =>
+      val ts = mkStates.map(_._1)
+      ts.map { j =>
+        val e =
+          if (j == r) "0.0"
+          else ts.map(i => s"v_${r}_$i * p_${i}_$j").mkString(" + ")
+        s"($e) AS v_${r}_$j"
+      } :+ (s"(cv_$r + " +
+        ts.map(i => s"v_${r}_$i * p_${i}_CV").mkString(" + ") +
+        s") AS cv_$r")
+    }
+
+  private def mkReExprs: Seq[String] =
+    mkStates.map(_._1).map(r =>
+      s"CASE WHEN cv_full > CAST(0 AS DOUBLE) " +
+        s"THEN 1.0 - cv_$r / cv_full ELSE 0.0 END AS re_$r") :+
+      (mkStates.map(_._1).map(r => s"(CASE WHEN cv_full > " +
+        s"CAST(0 AS DOUBLE) THEN 1.0 - cv_$r / cv_full ELSE 0.0 END)")
+        .mkString(" + ") + " AS retot")
+
+  private val mkSrcCode =
+    "CASE event_type WHEN 'view' THEN 'vw' WHEN 'click' THEN 'ck' " +
+      "WHEN 'signup' THEN 'su' WHEN 'error' THEN 'er' END"
+  private val mkDstCode =
+    "CASE WHEN nxt IS NULL THEN 'NU' WHEN nxt = 'purchase' THEN 'CV' " +
+      "WHEN nxt = 'view' THEN 'vw' WHEN nxt = 'click' THEN 'ck' " +
+      "WHEN nxt = 'signup' THEN 'su' ELSE 'er' END"
+
+  /** Markov-chain (removal-effect) attribution — the DATA-DRIVEN
+    * multi-touch model next to the suite's positional ones (last-touch
+    * credits recency, linear splits equally; the Markov model credits a
+    * channel by HOW MUCH CONVERSION DISAPPEARS WITHOUT IT — the standard
+    * removal-effect formulation): user journeys (events to first
+    * purchase, else dropout) become a first-order chain over
+    * {view, click, signup, error} with absorbing CONV/NULL; absorption
+    * probability is computed by a K=12-step truncated power iteration ON
+    * THE SINGLE transition-probability row — the PCA doctrine at 5
+    * variants (full chain + each channel removed), all generated shared
+    * formula text over exact-count-derived doubles, so both engines walk
+    * the identical arithmetic (semantics ARE the K-step truncation,
+    * stated). Removal effect r = 1 − P_conv(without r)/P_conv(full);
+    * attribution share normalizes them. Scale: journey extraction is
+    * one user_id exchange; everything after the bounded (5×6) count
+    * aggregate is O(1) row arithmetic.
+    */
+  val qAttributionMarkov = Q(
+    "q_attribution_markov",
+    (s, dir) => {
+      val types = Seq("view", "click", "signup", "error", "purchase")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = Tables.events(s, dir)
+        .where(col("event_type").isin(types: _*))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(w))
+      val firstP = base.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("rn")).as("prn"))
+      val kept = base.join(firstP, Seq("user_id"), "left")
+        .where(col("prn").isNull || col("rn") <= col("prn"))
+      val w2 = Window.partitionBy("user_id").orderBy("rn")
+      val steps = kept
+        .withColumn("nxt", lead(col("event_type"), 1).over(w2))
+        .where(col("event_type") =!= "purchase")
+        .select(expr(mkSrcCode).as("src"), expr(mkDstCode).as("dst"))
+      val starts = kept.where(col("rn") === 1)
+        .select(lit("S").as("src"),
+          expr("CASE WHEN event_type = 'purchase' THEN 'CV' ELSE " +
+            s"($mkSrcCode) END").as("dst"))
+      var frame = steps.unionByName(starts)
+        .agg(expr(mkCountExprs.head),
+          mkCountExprs.tail.map(e => expr(e)): _*)
+      frame = frame.selectExpr(("*" +: mkTotExprs): _*)
+        .selectExpr(mkProbExprs: _*)
+        .selectExpr(("*" +: mkInitExprs): _*)
+      for (_ <- 1 to 12)
+        frame = frame.selectExpr(
+          (mkProbNames ++ mkIterExprs): _*)
+      val fin = frame.selectExpr(("*" +: mkReExprs): _*)
+      mkStates.map { case (code, name) =>
+        fin.selectExpr(s"'$name' AS channel", "cv_full AS p_conv_full",
+          s"cv_$code AS p_conv_removed", s"re_$code AS removal_effect",
+          s"CASE WHEN retot > CAST(0 AS DOUBLE) THEN re_$code / retot " +
+            "ELSE NULL END AS share")
+      }.reduce(_ unionByName _).orderBy("channel")
+    },
+    Some {
+      val iters = (1 to 12).map { k =>
+        val prev = if (k == 1) "it0" else s"it${k - 1}"
+        s"it$k AS (SELECT ${(mkProbNames ++ mkIterExprs).mkString(", ")} " +
+          s"FROM $prev)"
+      }.mkString(",\n             ")
+      val rows = mkStates.map { case (code, name) =>
+        s"SELECT '$name' AS channel, cv_full AS p_conv_full, " +
+          s"cv_$code AS p_conv_removed, re_$code AS removal_effect, " +
+          s"CASE WHEN retot > CAST(0 AS DOUBLE) THEN re_$code / retot " +
+          s"ELSE NULL END AS share FROM fin"
+      }.mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT user_id, ts, event_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS rn
+                  FROM events WHERE event_type IN
+                    ('view','click','signup','error','purchase')),
+             fp AS (SELECT user_id, min(rn) AS prn FROM base
+                    WHERE event_type = 'purchase' GROUP BY user_id),
+             kept AS (SELECT base.*, prn FROM base
+                      LEFT JOIN fp ON base.user_id = fp.user_id
+                      WHERE prn IS NULL OR rn <= prn),
+             stp AS (SELECT event_type, lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY rn) AS nxt
+                     FROM kept),
+             steps AS (SELECT $mkSrcCode AS src, $mkDstCode AS dst
+                       FROM stp WHERE event_type <> 'purchase'),
+             starts AS (SELECT 'S' AS src,
+                     CASE WHEN event_type = 'purchase' THEN 'CV'
+                          ELSE ($mkSrcCode) END AS dst
+                   FROM kept WHERE rn = 1),
+             tr AS (SELECT * FROM steps UNION ALL SELECT * FROM starts),
+             cnt AS (SELECT ${mkCountExprs.mkString(", ")} FROM tr),
+             tot AS (SELECT *, ${mkTotExprs.mkString(", ")} FROM cnt),
+             prb AS (SELECT ${mkProbExprs.mkString(", ")} FROM tot),
+             it0 AS (SELECT *, ${mkInitExprs.mkString(", ")} FROM prb),
+             $iters,
+             fin AS (SELECT *, ${mkReExprs.mkString(", ")} FROM it12)
+            SELECT * FROM ($rows) ORDER BY channel"""
+    })
+
   val qAttributionLinear = Q(
     "q_attribution_linear",
     (s, dir) => {
@@ -2122,6 +2286,7 @@ object Windows {
     qWinRollingOls, qTimeAutocorr, qActiveUsersRolling,
     qTimeToConvert,
     qWinDrawdown, qAttributionLastTouch, qAttributionLinear,
+    qAttributionMarkov,
     qWinParetoAbc, qInventoryBacklog,
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,
