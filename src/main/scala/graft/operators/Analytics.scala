@@ -1814,6 +1814,76 @@ object Analytics {
                         THEN mi / sqrt(h_x * h_y) ELSE NULL END AS nmi
             FROM nt CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy"""))
 
+  /** M4 time-series downsampling — the EXACT pixel-perfect reducer from
+    * the M4 paper (q_time_lttb preserves shape heuristically; M4 is the
+    * stronger guarantee: per pixel-column bucket, keep min, max, first
+    * and last, which provably reproduces every line-rendering pixel):
+    * day axis split into 10 equal-width buckets, each emitting up to 4
+    * (t, y) points via min_by/max_by on both axes — ONE bounded hash
+    * aggregate, embarrassingly parallel, no anchors, no windows.
+    * Points deduplicated (a bucket's first can also be its min) and
+    * role-tagged; ties on equal y resolved to the earliest t (min_by/
+    * arg_min tie semantics pinned by the shared earliest-t tiebreak
+    * struct — both engines pick the same row by construction).
+    */
+  val qTimeM4 = Q(
+    "q_time_m4",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(floor(value * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
+        .select(datediff(col("d"), lit("1970-01-01").cast("date"))
+          .cast("long").as("t"), col("y"))
+      val g = daily.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+      val bucketed = daily.crossJoin(broadcast(g))
+        .withColumn("b",
+          expr("CASE WHEN tmax > tmin THEN " +
+            "least(((t - tmin) * 10) DIV (tmax - tmin + 1), 9) " +
+            "ELSE 0 END"))
+      bucketed.groupBy("b")
+        .agg(min(col("t")).as("t_first"),
+          max(col("t")).as("t_last"),
+          expr("min_by(y, t)").as("y_first"),
+          expr("max_by(y, t)").as("y_last"),
+          // y extremes with earliest-t tiebreak via struct ordering
+          expr("min(named_struct('y', y, 't', t)).y").as("y_min"),
+          expr("min(named_struct('y', y, 't', t)).t").as("t_ymin"),
+          expr("max(named_struct('y', y, 't', -t)).y").as("y_max"),
+          expr("-max(named_struct('y', y, 't', -t)).t").as("t_ymax"),
+          count(lit(1)).as("n_points"))
+        .orderBy("b")
+    },
+    Some("""WITH daily AS (SELECT
+                    CAST(datediff('day', DATE '1970-01-01',
+                      CAST(ts AS DATE)) AS BIGINT) AS t,
+                    CAST(SUM(CAST(floor(value * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS y
+                  FROM events GROUP BY 1),
+             g AS (SELECT min(t) AS tmin, max(t) AS tmax FROM daily),
+             bk AS (SELECT t, y,
+                     CASE WHEN tmax > tmin THEN
+                       least(((t - tmin) * 10) // (tmax - tmin + 1), 9)
+                     ELSE 0 END AS b
+                   FROM daily CROSS JOIN g),
+             mn AS (SELECT b, y AS y_min, t AS t_ymin
+                   FROM (SELECT b, y, t, row_number() OVER (
+                           PARTITION BY b ORDER BY y, t) AS rn FROM bk)
+                   WHERE rn = 1),
+             mx AS (SELECT b, y AS y_max, t AS t_ymax
+                   FROM (SELECT b, y, t, row_number() OVER (
+                           PARTITION BY b ORDER BY y DESC, t) AS rn
+                         FROM bk)
+                   WHERE rn = 1),
+             fl AS (SELECT b, min(t) AS t_first, max(t) AS t_last,
+                     min_by(y, t) AS y_first, max_by(y, t) AS y_last,
+                     count(*) AS n_points
+                   FROM bk GROUP BY b)
+            SELECT fl.b, t_first, t_last, y_first, y_last,
+                   y_min, t_ymin, y_max, t_ymax, n_points
+            FROM fl JOIN mn ON fl.b = mn.b JOIN mx ON fl.b = mx.b
+            ORDER BY fl.b"""))
+
   /** LTTB-style time-series downsampling — the dashboard/visualization
     * reducer (ship 12 points that preserve the SHAPE of a 10⁶-point
     * series, where uniform sampling clips peaks): first/last points kept,
@@ -1922,7 +1992,7 @@ object Analytics {
             ORDER BY t_day"""))
 
   val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
-    qTimeLttb, qAggPcaPower,
+    qTimeLttb, qTimeM4, qAggPcaPower,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
