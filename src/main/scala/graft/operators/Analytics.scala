@@ -1012,6 +1012,268 @@ object Analytics {
                    ${covFml("syz", "sy", "sz")} AS cov_price_disc
             FROM m"""))
 
+  /** Candidate-key profiling — the uniqueness census a schema/DQ audit
+    * runs before anyone declares a primary key or dedup key (this
+    * fixture's own gotcha is the motivating case: (l_orderkey,
+    * l_linenumber) LOOKS like the TPC-H key and is NOT unique in the
+    * synthetic data — the survey's parity doctrine exists because of
+    * it; this operator turns that class of assumption into a measured
+    * row): for each candidate key, n_rows, n_distinct keys, duplicated
+    * key count and dup row share — each ONE map-combinable aggregate
+    * over a key-grouped count, unioned into the report. Scale: one
+    * hash aggregate per candidate (shuffle on the candidate key — the
+    * same cost ANY dedup on that key would pay).
+    */
+  val qDqUniqueness = Q(
+    "q_dq_uniqueness",
+    (s, dir) => {
+      def profile(name: String, df: DataFrame,
+                  keys: Seq[String]): DataFrame =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("k"))
+          .agg(lit(name).as("candidate_key"),
+            sum(col("k")).as("n_rows"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+            sum(when(col("k") > 1, col("k")).otherwise(0L))
+              .as("n_dup_rows"))
+          .select(col("candidate_key"), col("n_rows"), col("n_distinct"),
+            col("n_dup_keys"),
+            expr("CAST(n_dup_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+              .as("dup_row_share"))
+      val li = Tables.lineitem(s, dir)
+      Seq(
+        profile("orders.o_orderkey", Tables.orders(s, dir),
+          Seq("o_orderkey")),
+        profile("customer.c_custkey", Tables.customer(s, dir),
+          Seq("c_custkey")),
+        profile("lineitem.(l_orderkey,l_linenumber)", li,
+          Seq("l_orderkey", "l_linenumber")),
+        profile("lineitem.(l_orderkey,l_partkey,l_suppkey,l_linenumber)",
+          li, Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")))
+        .reduce(_ unionByName _)
+        .orderBy("candidate_key")
+    },
+    Some {
+      def prof(name: String, table: String, keys: String) =
+        s"""SELECT '$name' AS candidate_key,
+               CAST(sum(k) AS BIGINT) AS n_rows,
+               count(*) AS n_distinct,
+               CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_keys,
+               CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(k) AS DOUBLE) AS dup_row_share
+            FROM (SELECT count(*) AS k FROM $table GROUP BY $keys)"""
+      Seq(
+        prof("orders.o_orderkey", "orders", "o_orderkey"),
+        prof("customer.c_custkey", "customer", "c_custkey"),
+        prof("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+          "l_orderkey, l_linenumber"),
+        prof("lineitem.(l_orderkey,l_partkey,l_suppkey,l_linenumber)",
+          "lineitem", "l_orderkey, l_partkey, l_suppkey, l_linenumber"))
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY candidate_key")
+    })
+
+  /** Lorenz curve — the distribution CURVE behind q_agg_gini's scalar
+    * (gini says HOW concentrated; the Lorenz deciles say WHERE — "the
+    * top decile holds 40% of revenue" is the actionable readout):
+    * customers ranked by exact lifetime cents via Prefix.globalRank (64
+    * range buckets — no partition-less window over the entity table),
+    * decile = integer rank math, per-decile exact cent sums, cumulative
+    * share via a 10-row prefix (bounded — the decile axis). Shares are
+    * single divisions of exact integers.
+    */
+  val qAggLorenz = Q(
+    "q_agg_lorenz",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("c"))
+      val ranked = Prefix.globalRank(
+        Prefix.withRangeBucket(spend, col("c"), 64, "__b"),
+        "__b", Seq(col("c"), col("o_custkey")), bucketDesc = false, "rk")
+      val n = spend.agg(count(lit(1)).as("n_cust"),
+        sum(col("c")).as("tot"))
+      val dec = ranked.crossJoin(broadcast(n))
+        .withColumn("decile", expr(
+          "least(((rk - 1) * 10) DIV n_cust, 9)"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_in_decile"), sum(col("c")).as("dc"),
+          first(col("tot")).as("tot"))
+      val w10 = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec
+        .withColumn("cum", sum(col("dc")).over(w10))
+        .select(col("decile"), col("n_in_decile"),
+          expr("CAST(dc AS DOUBLE) / CAST(tot AS DOUBLE)")
+            .as("decile_share"),
+          expr("CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)")
+            .as("cum_share"))
+        .orderBy("decile")
+    },
+    Some("""WITH spend AS (SELECT o_custkey,
+                    CAST(SUM(CAST(floor(o_totalprice * CAST(100.0
+                      AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                      AS BIGINT) AS c
+                  FROM orders GROUP BY o_custkey),
+             rkd AS (SELECT c, CAST(row_number() OVER (
+                       ORDER BY c, o_custkey) AS BIGINT) AS rk
+                     FROM spend),
+             nt AS (SELECT count(*) AS n_cust,
+                      CAST(sum(c) AS HUGEINT) AS tot FROM spend),
+             dec AS (SELECT least(((rk - 1) * 10) // n_cust, 9) AS decile,
+                       count(*) AS n_in_decile,
+                       CAST(sum(c) AS HUGEINT) AS dc, first(tot) AS tot
+                     FROM rkd CROSS JOIN nt GROUP BY 1)
+            SELECT decile, n_in_decile,
+                   CAST(dc AS DOUBLE) / CAST(tot AS DOUBLE)
+                     AS decile_share,
+                   CAST(sum(dc) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+            FROM dec ORDER BY decile"""))
+
+  /** Cramér's V — the EFFECT-SIZE companion to q_agg_chi2 (χ² says
+    * "dependence exists" and grows with N; V = √(χ²/(N·(min(r,c)−1)))
+    * is the 0..1 strength that is comparable ACROSS datasets — the
+    * number a feature-selection report actually ranks by): reuses the
+    * exact-integer contingency math, per-cell contributions Dec12-
+    * quantized so their SUM is order-free (q_agg_chi2 leaves per-cell
+    * rows for consumers precisely because a raw double fold is order-
+    * dependent — this operator IS that consumer, done by doctrine),
+    * dims counted exactly, one shared final formula.
+    */
+  val qAggCramersV = Q(
+    "q_agg_cramers_v",
+    (s, dir) => {
+      val joined = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"))
+      val cells = joined.groupBy("seg", "pri")
+        .agg(count(lit(1)).as("o"))
+      val rowTot = cells.groupBy("seg").agg(sum(col("o")).as("r"))
+      val colTot = cells.groupBy("pri").agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("seg")).as("nr"),
+        countDistinct(col("pri")).as("nc"))
+      cells
+        .join(broadcast(rowTot), "seg")
+        .join(broadcast(colTot), "pri")
+        .crossJoin(broadcast(n))
+        .agg(
+          sum(expr(
+            "CAST(CAST(o * n - r * c AS DOUBLE) " +
+              "* CAST(o * n - r * c AS DOUBLE) " +
+              "/ CAST(n * r * c AS DOUBLE) AS DECIMAL(38,12))")
+          ).cast("double").as("chi2"),
+          first(col("n")).as("n"), first(col("nr")).as("nr"),
+          first(col("nc")).as("nc"))
+        .select(expr("CAST(n AS BIGINT)").as("n"),
+          col("chi2"),
+          expr("sqrt(chi2 / (CAST(n AS DOUBLE) * " +
+            "CAST(least(nr, nc) - 1 AS DOUBLE)))").as("cramers_v"))
+    },
+    Some("""WITH j AS (SELECT c_mktsegment AS seg,
+                    o_orderpriority AS pri
+                  FROM orders JOIN customer ON o_custkey = c_custkey),
+             cells AS (SELECT seg, pri, count(*) AS o FROM j
+                       GROUP BY seg, pri),
+             rt AS (SELECT seg, sum(o) AS r FROM cells GROUP BY seg),
+             ct AS (SELECT pri, sum(o) AS c FROM cells GROUP BY pri),
+             nt AS (SELECT sum(o) AS n, count(DISTINCT seg) AS nr,
+                      count(DISTINCT pri) AS nc FROM cells),
+             x AS (SELECT
+                    CAST(sum(CAST(
+                      CAST(o * n - r * c AS DOUBLE)
+                      * CAST(o * n - r * c AS DOUBLE)
+                      / CAST(n * r * c AS DOUBLE)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+                    first(n) AS n, first(nr) AS nr, first(nc) AS nc
+                  FROM cells JOIN rt ON cells.seg = rt.seg
+                             JOIN ct ON cells.pri = ct.pri
+                             CROSS JOIN nt)
+            SELECT CAST(n AS BIGINT) AS n, chi2,
+                   sqrt(chi2 / (CAST(n AS DOUBLE) *
+                     CAST(least(nr, nc) - 1 AS DOUBLE))) AS cramers_v
+            FROM x"""))
+
+  /** Token burstiness — the dispersion index D = variance/mean of a
+    * token's per-document counts (the corpus-linguistics signal that
+    * separates TOPICAL terms, which cluster in few docs (D ≫ 1), from
+    * FUNCTION words spread evenly (D ≈ 1 under Poisson) — a tf-idf-
+    * orthogonal keyword/stopword discriminator): for the corpus top-20
+    * tokens, exact integer sums of per-doc counts and squares over ALL
+    * docs (absent docs contribute exact zeros through n_docs, never a
+    * scan of the zero set), population variance via the covar-doctrine
+    * cross-multiply, D as ONE shared division. Vocabulary-bounded aggs
+    * + a broadcast top-k semi-join.
+    */
+  val qTextBurstiness = Q(
+    "q_text_burstiness",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val perDoc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+      val top = perDoc.groupBy("tok").agg(sum(col("k")).as("f"))
+        .orderBy(col("f").desc, col("tok")).limit(20)
+        .select(col("tok"), col("f"))
+      val nd = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      perDoc.join(broadcast(top), "tok")
+        .groupBy("tok")
+        .agg(first(col("f")).as("f"),
+          count(lit(1)).as("n_docs_with"),
+          sum(col("k")).as("sk"),
+          sum(col("k") * col("k")).as("skk"))
+        .crossJoin(broadcast(nd))
+        .select(col("tok"), col("f"), col("n_docs_with"),
+          expr("CAST(sk AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("mean_k"),
+          expr("(CAST(n_docs AS DOUBLE) * CAST(skk AS DOUBLE) " +
+            "- CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)) " +
+            "/ (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))")
+            .as("var_k"),
+          expr("CASE WHEN sk > 0 THEN " +
+            "((CAST(n_docs AS DOUBLE) * CAST(skk AS DOUBLE) " +
+            "- CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)) " +
+            "/ (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) " +
+            "/ (CAST(sk AS DOUBLE) / CAST(n_docs AS DOUBLE)) " +
+            "ELSE NULL END").as("burstiness"))
+        .orderBy(col("f").desc, col("tok"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, w AS tok
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                        FROM documents) WHERE w <> ''),
+             pd AS (SELECT doc_id, tok, count(*) AS k FROM tok
+                    GROUP BY doc_id, tok),
+             top AS (SELECT tok, CAST(sum(k) AS BIGINT) AS f FROM pd
+                     GROUP BY tok ORDER BY f DESC, tok LIMIT 20),
+             nd AS (SELECT count(DISTINCT doc_id) AS n_docs
+                    FROM documents),
+             m AS (SELECT pd.tok, first(f) AS f,
+                     count(*) AS n_docs_with,
+                     CAST(sum(k) AS BIGINT) AS sk,
+                     CAST(sum(k * k) AS BIGINT) AS skk
+                   FROM pd JOIN top ON pd.tok = top.tok
+                   GROUP BY pd.tok)
+            SELECT tok, f, n_docs_with,
+                   CAST(sk AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_k,
+                   (CAST(n_docs AS DOUBLE) * CAST(skk AS DOUBLE)
+                     - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+                     / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                     AS var_k,
+                   CASE WHEN sk > 0 THEN
+                     ((CAST(n_docs AS DOUBLE) * CAST(skk AS DOUBLE)
+                       - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+                       / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                     / (CAST(sk AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                   ELSE NULL END AS burstiness
+            FROM m CROSS JOIN nd
+            ORDER BY f DESC, tok"""))
+
   /** Wald–Wolfowitz runs test — the RANDOMNESS member of the inferential
     * family (t = means, U = dominance, KS = shape, χ² = categorical,
     * CUSUM = when; this asks IS THE SEQUENCE RANDOM AT ALL — trending
@@ -1998,5 +2260,6 @@ object Analytics {
     qChecksumTable, qGraph2hopHubs, qInvertedIndex, qAggCovarMatrix,
     qWinHampel, qSourceFixedWidth, qAggChi2, qAggKsTest,
     qChangepointCusum, qSeasonalDow, qAggTtest, qAggMannwhitney,
-    qAggRunsTest, qAggTheilSen, qAggSurvivalKm, qAggFdrBh)
+    qAggRunsTest, qAggTheilSen, qAggSurvivalKm, qAggFdrBh,
+    qAggCramersV, qTextBurstiness, qDqUniqueness, qAggLorenz)
 }

@@ -1375,14 +1375,20 @@ object Windows {
     (s, dir) => {
       val types = Seq("view", "click", "signup", "error", "purchase")
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // first-purchase cut as a same-pass window min (NOT a self-join:
+      // one user_id exchange serves rn, prn and the lead below — the
+      // events table is scanned once)
+      val wAll = Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val base = Tables.events(s, dir)
         .where(col("event_type").isin(types: _*))
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
         .withColumn("rn", row_number().over(w))
-      val firstP = base.where(col("event_type") === "purchase")
-        .groupBy("user_id").agg(min(col("rn")).as("prn"))
-      val kept = base.join(firstP, Seq("user_id"), "left")
+        .withColumn("prn", min(
+          when(col("event_type") === "purchase", col("rn"))).over(wAll))
+      val kept = base
         .where(col("prn").isNull || col("rn") <= col("prn"))
       val w2 = Window.partitionBy("user_id").orderBy("rn")
       val steps = kept

@@ -55,7 +55,10 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
       ("running sums over the day-granular event axis — bounded by the " +
         "~30-day observation window by construction"),
     "q_agg_fdr_bh" ->
-      "BH rank over the 25-nation hypothesis family — bounded by construction")
+      "BH rank over the 25-nation hypothesis family — bounded by construction",
+    "q_agg_lorenz" ->
+      ("Prefix.globalRank bucket-offset prefix over 64 range-bucket " +
+        "counts + cumulative share over the 10-row decile axis"))
 
   private val cartesianOk: Set[String] = Set.empty
 
