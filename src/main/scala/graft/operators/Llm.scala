@@ -2620,9 +2620,10 @@ object Llm {
     * the corpus, then classify each doc by profile-token overlap
     * (tie-break: lexicographically smallest language).
     */
-  val qTextLangId = Q(
-    "q_text_lang_id",
-    (s, dir) => {
+  /** The lang-id prediction pipeline (doc_id, pred_lang, hits) — shared
+    * by q_text_lang_id and the q_eval_lang_confusion evaluation readout.
+    */
+  private def langIdPredictions(s: SparkSession, dir: String): DataFrame = {
       val docs = Tables.documents(s, dir)
       val tok = tokens(docs)
       val langTok = tok.join(docs.select("doc_id", "lang"), "doc_id")
@@ -2644,8 +2645,11 @@ object Llm {
         .where(col("rk") === 1)
         .select(col("doc_id"), col("profile_lang").as("pred_lang"),
           col("hits"))
-        .orderBy("doc_id")
-    },
+  }
+
+  val qTextLangId = Q(
+    "q_text_lang_id",
+    (s, dir) => langIdPredictions(s, dir).orderBy("doc_id"),
     Some("""WITH tok AS (SELECT DISTINCT doc_id, tok
                          FROM (SELECT doc_id,
                                  unnest(string_split(text, ' ')) AS tok
@@ -2670,6 +2674,186 @@ object Llm {
             FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                     ORDER BY hits DESC, profile_lang) AS rk FROM votes)
             WHERE rk = 1 ORDER BY doc_id"""))
+
+  /** Classifier evaluation: the lang-id CONFUSION MATRIX — the readout
+    * that closes any classifier loop (q_text_lang_id emits predictions;
+    * until they are scored against truth the operator is a demo, not a
+    * component): per (true_lang, pred_lang) cell count, correctness
+    * flag, and the cell's share of its true class (the per-class recall
+    * decomposition); docs the voter abstains on (no profile token hits)
+    * surface as pred 'none' rather than vanishing. Bounded |langs|²
+    * grid; marginals are broadcast joins (χ² doctrine).
+    */
+  val qEvalLangConfusion = Q(
+    "q_eval_lang_confusion",
+    (s, dir) => {
+      val pred = langIdPredictions(s, dir).select("doc_id", "pred_lang")
+      val truth = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("true_lang"))
+      val cells = truth.join(pred, Seq("doc_id"), "left")
+        .select(col("true_lang"),
+          coalesce(col("pred_lang"), lit("none")).as("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+      val rowTot = cells.groupBy("true_lang").agg(sum(col("n")).as("rt"))
+      cells.join(broadcast(rowTot), "true_lang")
+        .select(col("true_lang"), col("pred_lang"), col("n"),
+          (col("true_lang") === col("pred_lang")).as("is_correct"),
+          expr("CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)")
+            .as("share_of_true"))
+        .orderBy("true_lang", "pred_lang")
+    },
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, tok
+                  FROM (SELECT doc_id,
+                          unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  WHERE tok <> ''),
+             tokall AS (SELECT doc_id, tok
+                  FROM (SELECT doc_id,
+                          unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  WHERE tok <> ''),
+             lt AS (SELECT d.lang, t.tok, count(*) AS n
+                    FROM tokall t JOIN documents d USING (doc_id)
+                    GROUP BY d.lang, t.tok),
+             prof AS (SELECT lang AS profile_lang, tok
+                      FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                              ORDER BY n DESC, tok) AS rk FROM lt)
+                      WHERE rk <= 5),
+             votes AS (SELECT t.doc_id, p.profile_lang, count(*) AS hits
+                       FROM tok t JOIN prof p USING (tok)
+                       GROUP BY t.doc_id, p.profile_lang),
+             pred AS (SELECT doc_id, profile_lang AS pred_lang
+                      FROM (SELECT *, row_number() OVER (
+                              PARTITION BY doc_id
+                              ORDER BY hits DESC, profile_lang) AS rk
+                            FROM votes)
+                      WHERE rk = 1),
+             cells AS (SELECT d.lang AS true_lang,
+                     coalesce(p.pred_lang, 'none') AS pred_lang,
+                     count(*) AS n
+                   FROM documents d LEFT JOIN pred p USING (doc_id)
+                   GROUP BY 1, 2),
+             rt AS (SELECT true_lang, sum(n) AS rt FROM cells
+                    GROUP BY true_lang)
+            SELECT cells.true_lang, pred_lang, n,
+                   cells.true_lang = pred_lang AS is_correct,
+                   CAST(n AS DOUBLE) / CAST(rt.rt AS DOUBLE)
+                     AS share_of_true
+            FROM cells JOIN rt ON cells.true_lang = rt.true_lang
+            ORDER BY cells.true_lang, pred_lang"""))
+
+  /** Retrieval evaluation: P@k / recall / MRR / NDCG for the BM25 ranker
+    * against a deterministic pseudo-qrel (relevant = doc contains ALL
+    * three query terms — the conjunctive-containment label that needs no
+    * human judgments and is identically computable in both engines).
+    * Same closing-the-loop rationale as the confusion matrix, for the
+    * search family: rankers without metrics are demos. Ranks ride the
+    * LIMIT-20 BM25 surface (bounded — allowlisted window class); DCG
+    * terms rel/log2(rk+1) are Dec12-quantized before the order-free
+    * decimal sum (last-ulp log2 doctrine), IDCG folds the same quantized
+    * terms over the first min(10, |rel|) ideal positions via an exploded
+    * bounded sequence; MRR/precisions are single divisions of exact
+    * integers. Output: ONE summary row.
+    */
+  val qEvalRetrieval = Q(
+    "q_eval_retrieval",
+    (s, dir) => {
+      val q12 = (e: String) => s"CAST(CAST(($e) AS DECIMAL(38,12)) AS DOUBLE)"
+      val bm = scoreDocs(retrievalStats(s, dir), bm25Fml, "bm25")
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      val ranked = bm.withColumn("rk", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val rel = tokens(Tables.documents(s, dir))
+        .where(col("tok").isin("join", "window", "scan"))
+        .select(col("doc_id"), col("tok")).distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        .where(col("nt") === 3)
+        .select(col("doc_id"), lit(1L).as("rel"))
+      val nRel = rel.agg(count(lit(1)).as("n_rel"))
+      val scored = ranked.join(rel, Seq("doc_id"), "left")
+        .withColumn("r", coalesce(col("rel"), lit(0L)))
+      val dcg = scored.agg(
+        sum(when(col("rk") <= 5, col("r")).otherwise(0L)).as("hits5"),
+        sum(when(col("rk") <= 10, col("r")).otherwise(0L)).as("hits10"),
+        sum(col("r")).as("hits20"),
+        min(when(col("r") === 1, col("rk"))).as("first_rel_rk"),
+        sum(expr(q12("CASE WHEN rk <= 10 THEN CAST(r AS DOUBLE) " +
+          "/ log2(CAST(rk + 1 AS DOUBLE)) ELSE 0.0 END"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double").as("dcg10"))
+      val idcg = nRel.select(col("n_rel"),
+        explode(expr("sequence(1, greatest(least(n_rel, 10), 1))"))
+          .as("i"))
+        .groupBy("n_rel")
+        .agg(sum(expr(q12("CASE WHEN n_rel > 0 THEN 1.0 " +
+          "/ log2(CAST(i + 1 AS DOUBLE)) ELSE 0.0 END"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double").as("idcg10"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(col("n_rel"),
+          expr("CAST(hits5 AS DOUBLE) / 5.0").as("p_at_5"),
+          expr("CAST(hits10 AS DOUBLE) / 10.0").as("p_at_10"),
+          expr("CASE WHEN n_rel > 0 THEN CAST(hits20 AS DOUBLE) " +
+            "/ CAST(n_rel AS DOUBLE) ELSE NULL END").as("recall_at_20"),
+          expr("CASE WHEN first_rel_rk IS NULL THEN 0.0 ELSE " +
+            "1.0 / CAST(first_rel_rk AS DOUBLE) END").as("mrr"),
+          expr("CASE WHEN idcg10 > CAST(0 AS DOUBLE) " +
+            "THEN round(dcg10 / idcg10, 10) ELSE NULL END")
+            .as("ndcg_at_10"))
+    },
+    Some(s"""WITH $retrievalStatsCte,
+             ${scoreDocsCte(bm25Fml, "bm25", "bm")},
+             top AS (SELECT doc_id, bm25 FROM bm
+                     ORDER BY bm25 DESC, doc_id LIMIT 20),
+             ranked AS (SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS INT) AS rk
+                   FROM top),
+             rel AS (SELECT doc_id, 1 AS rel
+                   FROM (SELECT doc_id, count(DISTINCT tok) AS nt
+                         FROM tc
+                         WHERE tok IN ('join', 'window', 'scan')
+                         GROUP BY doc_id)
+                   WHERE nt = 3),
+             nr AS (SELECT count(*) AS n_rel FROM rel),
+             scored AS (SELECT rk, coalesce(rel, 0) AS r
+                   FROM ranked LEFT JOIN rel USING (doc_id)),
+             d AS (SELECT
+                     CAST(sum(CASE WHEN rk <= 5 THEN r ELSE 0 END)
+                       AS BIGINT) AS hits5,
+                     CAST(sum(CASE WHEN rk <= 10 THEN r ELSE 0 END)
+                       AS BIGINT) AS hits10,
+                     CAST(sum(r) AS BIGINT) AS hits20,
+                     min(CASE WHEN r = 1 THEN rk END) AS first_rel_rk,
+                     CAST(sum(CAST(CAST(
+                       CASE WHEN rk <= 10 THEN CAST(r AS DOUBLE)
+                         / log2(CAST(rk + 1 AS DOUBLE)) ELSE 0.0 END
+                       AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS DOUBLE)
+                       AS dcg10
+                   FROM scored),
+             ig AS (SELECT n_rel,
+                     CAST(sum(CAST(CAST(
+                       CASE WHEN n_rel > 0 THEN 1.0
+                         / log2(CAST(i + 1 AS DOUBLE)) ELSE 0.0 END
+                       AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS DOUBLE)
+                       AS idcg10
+                   FROM (SELECT n_rel,
+                           unnest(range(1,
+                             greatest(least(n_rel, 10), 1) + 1)) AS i
+                         FROM nr)
+                   GROUP BY n_rel)
+            SELECT CAST(n_rel AS BIGINT) AS n_rel,
+                   CAST(hits5 AS DOUBLE) / 5.0 AS p_at_5,
+                   CAST(hits10 AS DOUBLE) / 10.0 AS p_at_10,
+                   CASE WHEN n_rel > 0 THEN CAST(hits20 AS DOUBLE)
+                     / CAST(n_rel AS DOUBLE) ELSE NULL END AS recall_at_20,
+                   CASE WHEN first_rel_rk IS NULL THEN 0.0 ELSE
+                     1.0 / CAST(first_rel_rk AS DOUBLE) END AS mrr,
+                   CASE WHEN idcg10 > CAST(0 AS DOUBLE)
+                     THEN round(dcg10 / idcg10, 10) ELSE NULL END
+                     AS ndcg_at_10
+            FROM d CROSS JOIN ig"""))
 
   /** Repetition quality signals (the "repetitious text" family of the
     * Gopher/MassiveText filter rules, computed here at word granularity):
@@ -3566,5 +3750,6 @@ object Llm {
     qTextPiiMask,
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,
     qTextRepetition, qContamination, qTextEntropy, qTextReadability,
-    qTextKeyphrases, qTextBoilerplate, qTextZipfFit)
+    qTextKeyphrases, qTextBoilerplate, qTextZipfFit,
+    qEvalLangConfusion, qEvalRetrieval)
 }

@@ -58,7 +58,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
       "BH rank over the 25-nation hypothesis family — bounded by construction",
     "q_agg_lorenz" ->
       ("Prefix.globalRank bucket-offset prefix over 64 range-bucket " +
-        "counts + cumulative share over the 10-row decile axis"))
+        "counts + cumulative share over the 10-row decile axis"),
+    "q_eval_retrieval" ->
+      "rank over the LIMIT-20 BM25 result — 20 rows by construction")
 
   private val cartesianOk: Set[String] = Set.empty
 
