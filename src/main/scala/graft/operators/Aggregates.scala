@@ -106,6 +106,37 @@ object Aggregates {
         .orderBy("o_orderstatus"),
     None)
 
+  /** 2-D histogram (heatmap binning) — the joint-distribution readout
+    * behind every density heatmap (the 1-D q_agg_histogram shows each
+    * margin; the 2-D grid shows the CORRELATION STRUCTURE a margin
+    * hides): quantity × price binned on exact integer axes (quantity is
+    * already integral; price in whole dollars DIV 1000 — pure integer
+    * bucket math, no float boundaries), count + exact revenue cents per
+    * cell. One map-side-combinable aggregate on the bounded grid key.
+    */
+  val qAggHistogram2d = Q(
+    "q_agg_histogram_2d",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(expr("CAST(l_quantity AS BIGINT) DIV 10").as("qty_bin"),
+          expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT) DIV 1000000").as("price_bin"),
+          expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("c"))
+        .groupBy("qty_bin", "price_bin")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"))
+        .orderBy("qty_bin", "price_bin"),
+    Some("""SELECT CAST(l_quantity AS BIGINT) // 10 AS qty_bin,
+                   CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT) // 1000000
+                     AS price_bin,
+                   count(*) AS n,
+                   CAST(SUM(CAST(floor(l_extendedprice
+                     * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM lineitem
+            GROUP BY 1, 2 ORDER BY qty_bin, price_bin"""))
+
   /** MERGEABLE distinct-count sketches across shards — the incremental-
     * rollup shape that makes approximate distinct USEFUL at 100 TB
     * (q_agg_approx_distinct computes one estimate in one pass; real
@@ -1700,5 +1731,5 @@ object Aggregates {
     qAggHash, qAggWeightedRate, qAggDistinct, qAggApproxDistinct, qAggRollup,
     qAggCube, qAggGroupingSets, qAggPivot, qAggUnpivot, qAggPercentile,
     qAggPercentileApprox, qAggHistogram, qAggMinmaxBbox, qAggCollectSorted,
-    qAggWinsorize, qAggHllShards, qAggMeanVariants)
+    qAggWinsorize, qAggHllShards, qAggMeanVariants, qAggHistogram2d)
 }

@@ -1582,6 +1582,71 @@ object Relational {
              WHERE o_orderpriority = '1-URGENT'
              GROUP BY 1 ORDER BY m"""))
 
+  /** k-core decomposition (fixed k=25, 4 synchronous peels) — the graph
+    * DENSITY filter (degree counts popularity, pagerank counts
+    * influence; the k-core keeps only nodes embedded in a subgraph
+    * where EVERYONE has ≥ k neighbors — the standard spam/bot/noise
+    * peel before community analysis): each peel drops nodes whose
+    * CURRENT degree (within the surviving subgraph) is < k, exactly the
+    * textbook iterated-peeling semantics, unrolled to 4 synchronous
+    * rounds (the fixed-round SNAPSHOT contract of label_prop — fully
+    * oracle-checkable; convergence-to-fixpoint is the same loop with a
+    * liveness probe, per the Graph.cc driver-loop doctrine). Output is
+    * the survivor census per peel round — the shrinking curve IS the
+    * density readout (on this bipartite fixture the peel converges in
+    * ONE round — supplier hubs anchor every surviving part's degree —
+    * and the flat tail is the visible fixpoint proof). Scale: each peel is one semi-join of the edge set
+    * against the surviving nodes + one degree aggregate — the edge side
+    * reads from the bucketed store, exchange-free.
+    */
+  val qGraphKcore = Q(
+    "q_graph_kcore",
+    (s, dir) => {
+      val k = 25
+      val und = graphUnd(s, dir)
+      var nodes = und.select(col("src").as("node")).distinct()
+      val censusParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      censusParts += nodes.agg(lit(0).as("round"),
+        count(lit(1)).as("n_nodes"))
+      for (r <- 1 to 4) {
+        val deg = und
+          .join(nodes.select(col("node").as("src")), Seq("src"))
+          .join(nodes.select(col("node").as("dst")), Seq("dst"))
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+        nodes = deg.where(col("deg") >= k).select(col("src").as("node"))
+        censusParts += nodes.agg(lit(r).as("round"),
+          count(lit(1)).as("n_nodes"))
+      }
+      censusParts.reduce(_ unionByName _)
+        .select(col("round"), coalesce(col("n_nodes"), lit(0L))
+          .as("n_nodes"))
+        .orderBy("round")
+    },
+    Some {
+      val peels = (1 to 4).map { r =>
+        val prev = if (r == 1) "n0" else s"n${r - 1}"
+        s"""n$r AS (SELECT src AS node FROM (
+                 SELECT u.src, count(*) AS deg FROM und u
+                 JOIN $prev a ON u.src = a.node
+                 JOIN $prev b ON u.dst = b.node
+                 GROUP BY u.src)
+               WHERE deg >= 25)"""
+      }.mkString(",\n             ")
+      s"""WITH e AS (SELECT DISTINCT l_partkey * 2 AS a,
+                    l_suppkey * 2 + 1 AS b FROM lineitem),
+             und AS (SELECT a AS src, b AS dst FROM e
+                     UNION ALL SELECT b, a FROM e),
+             n0 AS (SELECT DISTINCT src AS node FROM und),
+             $peels
+            SELECT * FROM (
+              SELECT 0 AS round, count(*) AS n_nodes FROM n0
+              UNION ALL SELECT 1, count(*) FROM n1
+              UNION ALL SELECT 2, count(*) FROM n2
+              UNION ALL SELECT 3, count(*) FROM n3
+              UNION ALL SELECT 4, count(*) FROM n4)
+            ORDER BY round"""
+    })
+
   /** Banded theta join WITHOUT an equi key — the bucket-expansion trick
     * that keeps a pure band predicate (|x − y| ≤ w) out of
     * nested-loop/cartesian territory (every other range join in the
@@ -1763,6 +1828,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     qSnapshotDiff, qDqReferential, qJoinBloomPrefilter, qGraphLabelProp,
+    qGraphKcore,
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
