@@ -1012,6 +1012,102 @@ object Analytics {
                    ${covFml("syz", "sy", "sz")} AS cov_price_disc
             FROM m"""))
 
+  /** Population Stability Index — THE model-monitoring drift metric
+    * (every scorecard/feature-store alert pipeline computes PSI between
+    * a baseline window and today; corpus_drift's TV distance is the
+    * categorical sibling — PSI is the BINNED-CONTINUOUS standard with
+    * the industry's 0.1/0.25 alert fences): price distribution of the
+    * first half of the order calendar vs the second, binned by the
+    * BASELINE's exact deciles (percentile fences, winsorize doctrine —
+    * engine-identical), PSI = Σ (p₂−p₁)·ln(p₂/p₁) with Laplace-
+    * smoothed shares (zero-proof, stated) as Dec12-quantized order-free
+    * terms. Output: per-bin shares + the PSI scalar on every row (the
+    * dashboard shape). Scale: fences are a bounded broadcast; binning
+    * is one scan; everything else is O(10) arithmetic.
+    */
+  val qDqDriftPsi = Q(
+    "q_dq_drift_psi",
+    (s, dir) => {
+      val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val priced = Tables.orders(s, dir)
+        .select(col("o_totalprice").as("v"), col("o_orderdate").as("ts"))
+      val mid = priced.agg(
+        round(expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.5)"), 6)
+          .as("mid_us"))
+      val tagged = priced.crossJoin(broadcast(mid))
+        .withColumn("half",
+          when(expr("CAST(unix_micros(ts) AS DOUBLE) <= mid_us"), 1)
+            .otherwise(2))
+      val fenceCols = (1 to 9).map(d =>
+        round(expr(s"percentile(v, 0.$d)"), 6).as(s"f$d"))
+      val fences = tagged.where(col("half") === 1)
+        .agg(fenceCols.head, fenceCols.tail: _*)
+      val binFml = "CASE " + (1 to 9).map(d =>
+        s"WHEN v <= f$d THEN $d").mkString(" ") + " ELSE 10 END"
+      val binned = tagged.crossJoin(broadcast(fences))
+        .withColumn("bin", expr(binFml))
+        .groupBy("bin")
+        .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("half") === 2, 1L).otherwise(0L)).as("n2"))
+      val tot = binned.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+      val shares = binned.crossJoin(broadcast(tot))
+        .withColumn("p1", expr("(CAST(n1 AS DOUBLE) + 0.5) " +
+          "/ (CAST(t1 AS DOUBLE) + 5.0)"))
+        .withColumn("p2", expr("(CAST(n2 AS DOUBLE) + 0.5) " +
+          "/ (CAST(t2 AS DOUBLE) + 5.0)"))
+        .withColumn("term",
+          expr("CAST((p2 - p1) * ln(p2 / p1) AS DECIMAL(38,12))"))
+      val psi = shares.agg(sum(col("term")).cast("double").as("psi"))
+      shares.crossJoin(broadcast(psi))
+        .select(col("bin"), col("n1"), col("n2"), col("p1"), col("p2"),
+          col("term").cast("double").as("psi_term"), col("psi"))
+        .orderBy("bin")
+    },
+    Some {
+      val binFml = "CASE " + (1 to 9).map(d =>
+        s"WHEN v <= f$d THEN $d").mkString(" ") + " ELSE 10 END"
+      val fenceSel = (1 to 9).map(d =>
+        s"round(quantile_cont(v, 0.$d), 6) AS f$d").mkString(", ")
+      s"""WITH priced AS (SELECT o_totalprice AS v, o_orderdate AS ts
+                  FROM orders),
+             mid AS (SELECT round(quantile_cont(
+                       CAST(epoch_us(ts) AS DOUBLE), 0.5), 6) AS mid_us
+                  FROM priced),
+             tagged AS (SELECT v,
+                     CASE WHEN CAST(epoch_us(ts) AS DOUBLE) <= mid_us
+                          THEN 1 ELSE 2 END AS half
+                   FROM priced CROSS JOIN mid),
+             fences AS (SELECT $fenceSel FROM tagged WHERE half = 1),
+             binned AS (SELECT $binFml AS bin,
+                     CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n2
+                   FROM tagged CROSS JOIN fences GROUP BY 1),
+             tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+                       CAST(sum(n2) AS BIGINT) AS t2 FROM binned),
+             shares AS (SELECT bin, n1, n2,
+                     (CAST(n1 AS DOUBLE) + 0.5)
+                       / (CAST(t1 AS DOUBLE) + 5.0) AS p1,
+                     (CAST(n2 AS DOUBLE) + 0.5)
+                       / (CAST(t2 AS DOUBLE) + 5.0) AS p2,
+                     CAST((((CAST(n2 AS DOUBLE) + 0.5)
+                         / (CAST(t2 AS DOUBLE) + 5.0))
+                       - ((CAST(n1 AS DOUBLE) + 0.5)
+                         / (CAST(t1 AS DOUBLE) + 5.0)))
+                       * ln(((CAST(n2 AS DOUBLE) + 0.5)
+                         / (CAST(t2 AS DOUBLE) + 5.0))
+                       / ((CAST(n1 AS DOUBLE) + 0.5)
+                         / (CAST(t1 AS DOUBLE) + 5.0)))
+                       AS DECIMAL(38,12)) AS term
+                   FROM binned CROSS JOIN tot),
+             psi AS (SELECT CAST(sum(term) AS DOUBLE) AS psi FROM shares)
+            SELECT bin, n1, n2, p1, p2,
+                   CAST(term AS DOUBLE) AS psi_term, psi
+            FROM shares CROSS JOIN psi
+            ORDER BY bin"""
+    })
+
   /** Candidate-key profiling — the uniqueness census a schema/DQ audit
     * runs before anyone declares a primary key or dedup key (this
     * fixture's own gotcha is the motivating case: (l_orderkey,
@@ -2261,5 +2357,6 @@ object Analytics {
     qWinHampel, qSourceFixedWidth, qAggChi2, qAggKsTest,
     qChangepointCusum, qSeasonalDow, qAggTtest, qAggMannwhitney,
     qAggRunsTest, qAggTheilSen, qAggSurvivalKm, qAggFdrBh,
-    qAggCramersV, qTextBurstiness, qDqUniqueness, qAggLorenz)
+    qAggCramersV, qTextBurstiness, qDqUniqueness, qAggLorenz,
+    qDqDriftPsi)
 }
