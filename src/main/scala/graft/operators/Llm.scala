@@ -3361,6 +3361,97 @@ object Llm {
           FROM embeddings WHERE vec_id < 200 ORDER BY vec_id"""
     }))
 
+  /** Grid-density DBSCAN (core-cell variant) over the JL-projected
+    * embedding plane — DENSITY clustering next to the centroid family
+    * (k-means assigns EVERY point and needs k; DBSCAN discovers cluster
+    * COUNT and leaves sparse noise unassigned — the outlier-tolerant
+    * shape detector): points land in unit grid cells of the
+    * deterministic 2-D JL projection (the classic grid approximation of
+    * DBSCAN's ε-ball: a cell with ≥ minPts points is a core CELL, core
+    * cells connect through 8-neighborhood into clusters; points in
+    * non-core cells are noise — the cell-census simplification is the
+    * stated contract, border-point re-assignment is the refinement).
+    * Spark side runs Graph.connectedComponents (large-star/small-star)
+    * over the bounded core-cell adjacency; the oracle chains the same
+    * cells into the recursive-CTE reachability q_dedup_clusters proved.
+    * Scale: the projection is stateless codegen; the cell census is one
+    * hash agg; CC iterates over CELLS (bounded by the grid, not the
+    * corpus).
+    */
+  val qEmbedDbscanGrid = Q(
+    "q_embed_dbscan_grid",
+    (s, dir) => {
+      val minPts = 8
+      val pts = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr(jlComponent(0, d => s"element_at(embedding, $d)")).as("x"),
+          expr(jlComponent(1, d => s"element_at(embedding, $d)")).as("y"))
+        .select(col("vec_id"),
+          expr("CAST(floor(x * 8.0) AS BIGINT)").as("cx"),
+          expr("CAST(floor(y * 8.0) AS BIGINT)").as("cy"))
+      val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .withColumn("cell", expr("(cx + 512) * 4096 + (cy + 512)"))
+      val core = cells.where(col("n") >= minPts)
+      val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+        (1, -1), (1, 0), (1, 1))
+      val nbr = core.select(col("cell").as("a"),
+        explode(array(offs.map { case (dx, dy) =>
+          expr(s"(cx + $dx + 512) * 4096 + (cy + $dy + 512)")
+        }: _*)).as("b"))
+        .join(core.select(col("cell").as("b")), Seq("b"))
+      val cc = Graph.connectedComponents(nbr.select(col("a"), col("b")))
+      // isolated core cells (no core neighbor) are their own clusters
+      val lone = core.select(col("cell"))
+        .join(cc.select(col("node")), col("cell") === col("node"),
+          "left_anti")
+        .select(col("cell").as("node"), col("cell").as("component"))
+      val labels = cc.select(col("node"), col("component")).union(lone)
+      val clustered = core.join(labels, col("cell") === col("node"))
+        .groupBy(col("component").as("cluster_id"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
+      val noise = cells.join(labels, col("cell") === col("node"),
+        "left_anti")
+        .agg(lit(-1L).as("cluster_id"), count(lit(1)).as("n_cells"),
+          coalesce(sum(col("n")), lit(0L)).as("n_points"))
+      clustered.unionByName(noise)
+        .orderBy(col("n_points").desc, col("cluster_id"))
+    },
+    Some {
+      val p0 = jlComponent(0, d => s"embedding[$d]")
+      val p1 = jlComponent(1, d => s"embedding[$d]")
+      s"""WITH RECURSIVE
+             pts AS (SELECT vec_id,
+                     CAST(floor(($p0) * 8.0) AS BIGINT) AS cx,
+                     CAST(floor(($p1) * 8.0) AS BIGINT) AS cy
+                   FROM embeddings),
+             cells AS (SELECT cx, cy, count(*) AS n,
+                     (cx + 512) * 4096 + (cy + 512) AS cell
+                   FROM pts GROUP BY cx, cy),
+             core AS (SELECT * FROM cells WHERE n >= 8),
+             nbr AS (SELECT a.cell AS src, b.cell AS dst
+                   FROM core a JOIN core b
+                     ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+                     AND a.cell <> b.cell),
+             reach(cell, lbl) AS (
+                 SELECT cell, cell FROM core
+                 UNION
+                 SELECT e.dst, r.lbl
+                 FROM reach r JOIN nbr e ON e.src = r.cell),
+             labels AS (SELECT cell, min(lbl) AS component
+                   FROM reach GROUP BY cell),
+             clustered AS (SELECT component AS cluster_id,
+                     count(*) AS n_cells, CAST(sum(n) AS BIGINT)
+                       AS n_points
+                   FROM core JOIN labels USING (cell)
+                   GROUP BY component),
+             noise AS (SELECT -1 AS cluster_id, count(*) AS n_cells,
+                     CAST(coalesce(sum(n), 0) AS BIGINT) AS n_points
+                   FROM cells WHERE cell NOT IN (SELECT cell FROM labels))
+            SELECT cluster_id, n_cells, n_points
+            FROM (SELECT * FROM clustered UNION ALL SELECT * FROM noise)
+            ORDER BY n_points DESC, cluster_id"""
+    })
+
   /** BPE pair counting — the inner loop of byte-pair-encoding tokenizer
     * TRAINING (the single most-run corpus statistic in LLM data work:
     * every merge round of BPE/WordPiece recounts adjacent-pair
@@ -3751,5 +3842,5 @@ object Llm {
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit,
     qTextRepetition, qContamination, qTextEntropy, qTextReadability,
     qTextKeyphrases, qTextBoilerplate, qTextZipfFit,
-    qEvalLangConfusion, qEvalRetrieval)
+    qEvalLangConfusion, qEvalRetrieval, qEmbedDbscanGrid)
 }
