@@ -1582,6 +1582,153 @@ object Relational {
              WHERE o_orderpriority = '1-URGENT'
              GROUP BY 1 ORDER BY m"""))
 
+  /** Point-in-time multi-FEATURE join — the feature-store operator (at
+    * training-set build time every feature must be its value AS OF the
+    * label event, or the model trains on the future — "PIT correctness"
+    * is the defining property of a feature store; q_join_asof binds ONE
+    * stream, a real feature store binds many): each purchase (the label
+    * spine) picks up (a) the user's last click VALUE at-or-before the
+    * purchase and (b) the user's cumulative view COUNT so far — BOTH
+    * features from ONE tagged union + window pass (features tag-sort
+    * before the label at equal ts, so exactly-simultaneous features are
+    * visible — the as-of inclusion contract), i.e. one user_id exchange
+    * TOTAL regardless of feature count. The leakage-free property is
+    * the construction: a preceding frame cannot see rows after the
+    * label.
+    */
+  val qJoinPitFeatures = Q(
+    "q_join_pit_features",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("click_val"), lit(0L).as("is_view"),
+          lit(0).as("tag"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("double").as("click_val"), lit(1L).as("is_view"),
+          lit(0).as("tag"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("double").as("click_val"), lit(0L).as("is_view"),
+          lit(1).as("tag"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(views).unionByName(purchases)
+        .withColumn("f_click_val",
+          last(col("click_val"), ignoreNulls = true).over(w))
+        .withColumn("f_views_so_far", sum(col("is_view")).over(w))
+        .where(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("f_click_val"), col("f_views_so_far"))
+        .orderBy("event_id")
+    },
+    Some("""WITH u AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_type = 'click' THEN value END
+                       AS click_val,
+                     CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                       AS is_view,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS tag
+              FROM events
+              WHERE event_type IN ('click', 'view', 'purchase')),
+             f AS (SELECT event_id, user_id, ts, tag,
+                     last_value(click_val IGNORE NULLS) OVER w
+                       AS f_click_val,
+                     CAST(sum(is_view) OVER w AS BIGINT) AS f_views_so_far
+                   FROM u
+                   WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, ts, f_click_val, f_views_so_far
+            FROM f WHERE tag = 1 ORDER BY event_id"""))
+
+  /** Deletion-cascade audit (right-to-be-forgotten) — the compliance
+    * operator every data platform runs before a GDPR/CCPA erasure batch
+    * (how many rows does this delete-set touch, across every table that
+    * references it, INCLUDING transitive references?): a deterministic
+    * delete-set of customers (custkey ≡ 0 mod 97) cascades customer →
+    * orders (FK custkey) → lineitem (FK orderkey — the 2-hop edge where
+    * naive per-table filters silently miss rows, since lineitem never
+    * mentions custkey), and events by the matching user ids. Census per
+    * table: total, affected, remaining — the erasure work order and its
+    * post-delete verification in one result. Scale: each hop is a
+    * semi-join on the FK (broadcastable delete-set at any realistic
+    * erasure batch size); counts are map-side combinable.
+    */
+  val qDqDeleteCascade = Q(
+    "q_dq_delete_cascade",
+    (s, dir) => {
+      val delCust = Tables.customer(s, dir)
+        .where(pmod(col("c_custkey"), lit(97)) === 0)
+        .select(col("c_custkey"))
+      val delOrders = Tables.orders(s, dir)
+        .join(broadcast(delCust), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select(col("o_orderkey"))
+      def census(table: String, df: DataFrame,
+                 affected: DataFrame): DataFrame = {
+        val t = df.agg(count(lit(1)).as("n_total"))
+        val a = affected.agg(count(lit(1)).as("n_affected"))
+        t.crossJoin(broadcast(a))
+          .select(lit(table).as("table_name"), col("n_total"),
+            col("n_affected"),
+            (col("n_total") - col("n_affected")).as("n_remaining"))
+      }
+      val cust = Tables.customer(s, dir)
+      val ords = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val evs = Tables.events(s, dir)
+      Seq(
+        census("customer", cust,
+          cust.where(pmod(col("c_custkey"), lit(97)) === 0)),
+        census("orders", ords,
+          ords.join(broadcast(delCust),
+            col("o_custkey") === col("c_custkey"), "left_semi")),
+        census("lineitem", li,
+          li.join(delOrders.hint("broadcast"),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")),
+        census("events", evs,
+          evs.where(pmod(col("user_id"), lit(97)) === 0)))
+        .reduce(_ unionByName _)
+        .orderBy("table_name")
+    },
+    Some("""WITH delc AS (SELECT c_custkey FROM customer
+                  WHERE c_custkey % 97 = 0),
+             delo AS (SELECT o_orderkey FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM delc))
+            SELECT * FROM (
+              SELECT 'customer' AS table_name,
+                     (SELECT count(*) FROM customer) AS n_total,
+                     (SELECT count(*) FROM delc) AS n_affected,
+                     (SELECT count(*) FROM customer)
+                       - (SELECT count(*) FROM delc) AS n_remaining
+              UNION ALL
+              SELECT 'orders', (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM delo),
+                     (SELECT count(*) FROM orders)
+                       - (SELECT count(*) FROM delo)
+              UNION ALL
+              SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_orderkey IN
+                        (SELECT o_orderkey FROM delo)),
+                     (SELECT count(*) FROM lineitem)
+                       - (SELECT count(*) FROM lineitem
+                          WHERE l_orderkey IN
+                            (SELECT o_orderkey FROM delo))
+              UNION ALL
+              SELECT 'events', (SELECT count(*) FROM events),
+                     (SELECT count(*) FROM events
+                      WHERE user_id % 97 = 0),
+                     (SELECT count(*) FROM events)
+                       - (SELECT count(*) FROM events
+                          WHERE user_id % 97 = 0))
+            ORDER BY table_name"""))
+
   /** k-core decomposition (fixed k=25, 4 synchronous peels) — the graph
     * DENSITY filter (degree counts popularity, pagerank counts
     * influence; the k-core keeps only nodes embedded in a subgraph
@@ -1837,5 +1984,5 @@ object Relational {
     qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup,
     qGraphSssp, qAllocProration, qJoinAsofTolerance, qGraphDegreeHist,
     qJoinNullSafe, qJoinAsofForward, qJoinAsofNearest, qJoinRangeBucketed,
-    qSqlWindowVerbatim)
+    qJoinPitFeatures, qDqDeleteCascade, qSqlWindowVerbatim)
 }
