@@ -1012,6 +1012,97 @@ object Analytics {
                    ${covFml("syz", "sy", "sz")} AS cov_price_disc
             FROM m"""))
 
+  /** Generalized ESD (extreme studentized deviate, 3 unrolled rounds) —
+    * the ITERATIVE outlier test (q_anomaly_iqr and hampel flag points
+    * against FIXED fences; ESD re-estimates mean/σ after removing each
+    * extreme, which is what makes it valid when outliers mask each
+    * other — the masking problem is the reason ESD exists): over the
+    * global daily-revenue series, each round computes exact-moment
+    * mean/σ of the SURVIVING days, studentizes, and removes the max
+    * |z| day (tie → earliest); output = the 3 extracted candidates with
+    * their round-local z (the consumer applies the λ_i critical values).
+    * All counting exact (Dec0 moments), z ONE shared formula per round,
+    * argmax a struct max broadcast back as an anti-filter — each round
+    * is one aggregate + one broadcast, no windows.
+    */
+  val qAnomalyEsd = Q(
+    "q_anomaly_esd",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val zFml = "(CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) " +
+        "/ CAST(n AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) " +
+        "* CAST(ss AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))" +
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
+        .withColumn("t",
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+      var surv = daily
+      var picks = Seq.empty[DataFrame]
+      for (r <- 1 to 3) {
+        val m = surv.agg(count(lit(1)).as("n"),
+          sum(col("y").cast(Dec0)).as("sy"),
+          sum((col("y").cast(Dec0) * col("y").cast(Dec0))).as("ss"))
+        val scored = surv.crossJoin(broadcast(m))
+          .withColumn("z", expr(zFml))
+          .withColumn("az", abs(col("z")))
+        val pick = scored
+          .agg(max(struct(col("az"), (-col("t")).as("nt"), col("t"),
+            col("d"), col("y"), col("z"))).as("m"))
+          .select(lit(r).as("round"), col("m.d").as("d"),
+            col("m.y").as("y"), col("m.z").as("z"), col("m.t").as("t"))
+        picks = picks :+ pick
+        surv = surv.crossJoin(broadcast(pick.select(col("t").as("pt"))))
+          .where(col("t") =!= col("pt")).drop("pt")
+      }
+      // round-10 output fence: the moment-formula double chain differs
+      // from DuckDB's in the last ulps (decimal->double conversions of
+      // >2^53 exact integers take different internal paths); ranking is
+      // unaffected (continuous az), only the reported z is fenced
+      picks.map(_.select(col("round"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("y"), round(col("z"), 10).as("z")))
+        .reduce(_ unionByName _)
+        .orderBy("round")
+    },
+    Some {
+      val zFml = """(CAST(y AS DOUBLE) - CAST(sy AS DOUBLE)
+        / CAST(n AS DOUBLE)) / sqrt((CAST(n AS DOUBLE)
+        * CAST(ss AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"""
+      val rounds = (1 to 3).map { r =>
+        val prev = if (r == 1) "daily" else s"surv${r - 1}"
+        s"""m$r AS (SELECT count(*) AS n,
+                 SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS ss
+               FROM $prev),
+             sc$r AS (SELECT t, d, y, $zFml AS z, abs($zFml) AS az
+                   FROM $prev CROSS JOIN m$r),
+             pk$r AS (SELECT $r AS round, d, y, z, t
+                   FROM (SELECT *, row_number() OVER (
+                           ORDER BY az DESC, t) AS rn FROM sc$r)
+                   WHERE rn = 1),
+             surv$r AS (SELECT p.t, p.d, p.y FROM $prev p
+                   WHERE p.t NOT IN (SELECT t FROM pk$r))"""
+      }.mkString(",\n             ")
+      s"""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                    CAST(SUM(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS y,
+                    CAST(datediff('day', DATE '1970-01-01',
+                      CAST(l_shipdate AS DATE)) AS BIGINT) AS t
+                  FROM lineitem GROUP BY 1, 3),
+             $rounds
+            SELECT round, CAST(d AS TIMESTAMP) AS d, y,
+                   round(z, 10) AS z
+            FROM (SELECT * FROM pk1 UNION ALL SELECT * FROM pk2
+                  UNION ALL SELECT * FROM pk3)
+            ORDER BY round"""
+    })
+
   /** Population Stability Index — THE model-monitoring drift metric
     * (every scorecard/feature-store alert pipeline computes PSI between
     * a baseline window and today; corpus_drift's TV distance is the
@@ -2358,5 +2449,5 @@ object Analytics {
     qChangepointCusum, qSeasonalDow, qAggTtest, qAggMannwhitney,
     qAggRunsTest, qAggTheilSen, qAggSurvivalKm, qAggFdrBh,
     qAggCramersV, qTextBurstiness, qDqUniqueness, qAggLorenz,
-    qDqDriftPsi)
+    qDqDriftPsi, qAnomalyEsd)
 }
