@@ -1986,6 +1986,122 @@ object Windows {
             FROM f ORDER BY flag, k"""
     })
 
+  // MACD truncated-kernel text: EMA(n) tap j carries weight
+  // α(1−α)^j with α = 2/(n+1), every factor written as an exact
+  // fraction-of-literals product chain (no pow(), whose last-ulp
+  // behavior differs across engines) — both engines fold the identical
+  // double sequence. Normalized by the present-tap weight sum like
+  // q_win_ewma.
+  private def macdKernel(n: Int, taps: Int,
+                         src: Int => String): (String, String) = {
+    // CAST AS DOUBLE on every literal: both engines parse bare x.y
+    // literals as DECIMAL, and decimal division silently truncates the
+    // kernel weights at a few digits (found by a 1e-6-relative parity
+    // miss on the fold)
+    val a = s"(CAST(2.0 AS DOUBLE) / CAST(${n + 1}.0 AS DOUBLE))"
+    val r = s"(CAST(${n - 1}.0 AS DOUBLE) / CAST(${n + 1}.0 AS DOUBLE))"
+    def w(j: Int): String =
+      if (j == 0) a else s"($a * ${Seq.fill(j)(r).mkString(" * ")})"
+    val num = (0 until taps).map(j => s"${w(j)} * ${src(j)}")
+      .mkString(" + ")
+    val den = (0 until taps).map { j =>
+      if (j == 0) w(j)
+      else s"(CASE WHEN ${src(j)} IS NULL THEN 0.0 ELSE ${w(j)} END)"
+    }.mkString(" + ")
+    (num, den)
+  }
+
+  /** MACD — the momentum indicator completing the finance family (vwap =
+    * volume-weighted level, bollinger = dispersion, drawdown = loss
+    * depth, EWMA/Brown = smoothing; MACD = fast-vs-slow-trend DIVERGENCE,
+    * the classic crossover signal): EMA12 − EMA26 of the daily close
+    * (last price of day), with the EMA9 signal line over the MACD series
+    * and the histogram as their gap. Doctrine: every EMA is the
+    * truncated-tap kernel (q_win_ewma), weights as exact-literal product
+    * chains — no pow(), whose rounding differs across engines — with
+    * present-tap normalization; MACD needs 16 taps of the close, the
+    * signal rides a SECOND lag pass over the computed MACD column (the
+    * composed kernel stays a shared-text linear form end to end).
+    * Scale: two flag-partitioned window passes over the calendar-bounded
+    * daily rollup, O(16)+O(9) state.
+    */
+  val qWinMacd = Q(
+    "q_win_macd",
+    (s, dir) => {
+      val w = Window.partitionBy("flag").orderBy("d")
+      val close = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(expr("max_by(l_extendedprice, struct(l_shipdate, " +
+          "l_orderkey, l_linenumber, l_extendedprice))").as("v"))
+      var df = close
+      for (j <- 1 until 16)
+        df = df.withColumn(s"l$j", lag(col("v"), j).over(w))
+      def tapNull(j: Int) = if (j == 0) "v" else s"l$j"
+      val (n12, _) = macdKernel(12, 16,
+        j => s"COALESCE(${tapNull(j)}, 0.0)")
+      val (_, d12d) = macdKernel(12, 16, tapNull)
+      val (n26, _) = macdKernel(26, 16,
+        j => s"COALESCE(${tapNull(j)}, 0.0)")
+      val (_, d26d) = macdKernel(26, 16, tapNull)
+      df = df
+        .withColumn("ema12", expr(s"($n12) / ($d12d)"))
+        .withColumn("ema26", expr(s"($n26) / ($d26d)"))
+        .withColumn("macd", expr("ema12 - ema26"))
+      for (j <- 1 until 9)
+        df = df.withColumn(s"m$j", lag(col("macd"), j).over(w))
+      val (n9, _) = macdKernel(9, 9,
+        j => s"COALESCE(${if (j == 0) "macd" else s"m$j"}, 0.0)")
+      val (_, d9d) = macdKernel(9, 9,
+        j => if (j == 0) "macd" else s"m$j")
+      df
+        .withColumn("signal", expr(s"($n9) / ($d9d)"))
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("macd"), col("signal"),
+          expr("macd - signal").as("histogram"))
+        .orderBy("flag", "d")
+    },
+    Some {
+      val tapNull = (j: Int) => if (j == 0) "v" else s"l$j"
+      val (n12, _) = macdKernel(12, 16,
+        j => s"COALESCE(${tapNull(j)}, 0.0)")
+      val (_, d12d) = macdKernel(12, 16, tapNull)
+      val (n26, _) = macdKernel(26, 16,
+        j => s"COALESCE(${tapNull(j)}, 0.0)")
+      val (_, d26d) = macdKernel(26, 16, tapNull)
+      val (n9, _) = macdKernel(9, 9,
+        j => s"COALESCE(${if (j == 0) "macd" else s"m$j"}, 0.0)")
+      val (_, d9d) = macdKernel(9, 9,
+        j => if (j == 0) "macd" else s"m$j")
+      val lagCols = (1 until 16).map(j =>
+        s"lag(v, $j) OVER w AS l$j").mkString(", ")
+      val mlagCols = (1 until 9).map(j =>
+        s"lag(macd, $j) OVER w AS m$j").mkString(", ")
+      s"""WITH close AS (
+              SELECT flag, d, v FROM (
+                SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                  l_extendedprice AS v,
+                  row_number() OVER (
+                    PARTITION BY l_returnflag, CAST(l_shipdate AS DATE)
+                    ORDER BY l_shipdate DESC, l_orderkey DESC,
+                      l_linenumber DESC, l_extendedprice DESC) AS rn
+                FROM lineitem)
+              WHERE rn = 1),
+             lagged AS (SELECT flag, d, v, $lagCols FROM close
+                   WINDOW w AS (PARTITION BY flag ORDER BY d)),
+             m AS (SELECT flag, d,
+                     (($n12) / ($d12d)) - (($n26) / ($d26d)) AS macd
+                   FROM lagged),
+             ml AS (SELECT flag, d, macd, $mlagCols FROM m
+                   WINDOW w AS (PARTITION BY flag ORDER BY d)),
+             sg AS (SELECT flag, d, macd, (($n9) / ($d9d)) AS signal
+                   FROM ml)
+            SELECT flag, CAST(d AS TIMESTAMP) AS d, macd, signal,
+                   macd - signal AS histogram
+            FROM sg ORDER BY flag, d"""
+    })
+
   /** Peak concurrency via interval stabbing — the +1/−1 sweep that
     * answers "how many sessions were open AT ONCE" (capacity planning /
     * peak-load sizing; q_win_interval_merge coalesces overlaps, this
@@ -2297,7 +2413,8 @@ object Windows {
     qWinRankTopn, qWinRownumDedupe, qWinLagYoy, qWinRunningFrame, qWinNtile,
     qWinRangeFrame, qWinFirstLast, qWinPercentRank, qWinGapFill,
     qTimeInterpLinear, qScd2Dim,
-    qWinEwma, qWinEwmaDouble, qWinConcurrency, qFunnelSteps, qSessionStats,
+    qWinEwma, qWinEwmaDouble, qWinMacd, qWinConcurrency, qFunnelSteps,
+    qSessionStats,
     qWinCumeDist,
     qWinStreak,
     qScd2Asof, qWinRatioToReport, qWinDenseRank,
