@@ -34,6 +34,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibStart = math.min(calib(), calib()) // min-of-2: load adds only
+    // Disk-write probe, reported alongside the CPU calibration but NOT in
+    // the gate. Root-cause of BENCH_r12's q_join_bucketed 54.8 s store
+    // build (vs 2.2-2.9 s reproduced isolated AND after the graph-store
+    // family in r13): an I/O writeback stall during the sweep's load
+    // spike. The CPU+shuffle calib workload is blind to disk stalls, so a
+    // 2.4x CPU envelope could never explain a 21x write-path number. This
+    // probe makes the disk state visible in the artifact so the next such
+    // anomaly is attributable on read instead of needing a re-time session.
+    def calibIo(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_io_probe")
+      val buf = new Array[Byte](4 << 20)
+      java.util.Arrays.fill(buf, 0x5a.toByte)
+      val t0 = System.nanoTime()
+      val f = dir.resolve("probe.bin")
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var i = 0
+        while (i < 16) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+        ch.force(false) // 64 MB written + fsync'd: samples writeback, not cache
+      } finally ch.close()
+      val dt = (System.nanoTime() - t0) / 1e9
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(dir)
+      dt
+    }
+    val calibIoStart = calibIo()
     // optional args = run only these queries (local perf iteration; the
     // driver invokes with no args → full run)
     val only = args.toSet
@@ -163,6 +191,35 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_PRIOR.tsv: $e")
     }
+    // Full per-query detail artifact (r12 verdict #2): the driver's
+    // BENCH_r{N}.json keeps only a bounded stdout tail, which at 283
+    // queries truncates ~3/4 of the per-query map — regressions were
+    // invisible in the committed artifact. BENCH_DETAIL.tsv carries every
+    // query's wall AND build seconds, replacing this sf's rows in place
+    // each sweep (other sfs' rows kept), and is committed with the round.
+    try {
+      val detailPath = repoRoot.resolve("BENCH_DETAIL.tsv")
+      val header = "sf_dir\tquery\twall_s\tbuild_s"
+      val keepDetail =
+        if (!java.nio.file.Files.exists(detailPath)) Seq.empty
+        else scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(detailPath)).asScala.toSeq
+          .filter { l =>
+            val cols = l.split('\t')
+            cols.length == 4 && cols(0) != "sf_dir" && cols(0) != sfDir
+          }
+      val buildsAll = results.map { case (k, (_, b)) => k -> b }.toMap
+      val mineDetail = wall.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"$sfDir\t$k\t${f3(v)}\t${f3(buildsAll.getOrElse(k, 0.0))}"
+      } ++ Seq(s"$sfDir\t__calib__\t${f3(math.min(calibStart, calibEnd))}" +
+               s"\t${f3(calibIoStart)}")
+      val detailBody = (Seq(header) ++ (keepDetail ++ mineDetail).sorted)
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.write(detailPath,
+        detailBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_DETAIL.tsv: $e")
+    }
     val qs = wall.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -182,7 +239,7 @@ object Bench {
     // states across rounds.
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"store_builds","queries":$bs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_count":${wall.size},"calib_start_s":${f3(calibStart)},"calib_end_s":${f3(calibEnd)},"calib_ratio_vs_prior":${f3(calRatio)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_count":${wall.size},"calib_start_s":${f3(calibStart)},"calib_end_s":${f3(calibEnd)},"calib_ratio_vs_prior":${f3(calRatio)},"calib_io_start_s":${f3(calibIoStart)},"calib_io_end_s":${f3(calibIo())},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
