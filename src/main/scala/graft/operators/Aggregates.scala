@@ -110,7 +110,8 @@ object Aggregates {
     * behind every density heatmap (the 1-D q_agg_histogram shows each
     * margin; the 2-D grid shows the CORRELATION STRUCTURE a margin
     * hides): quantity × price binned on exact integer axes (quantity is
-    * already integral; price in whole dollars DIV 1000 — pure integer
+    * already integral; price in exact cents DIV 1 000 000, i.e.
+    * $10,000-wide bins — pure integer
     * bucket math, no float boundaries), count + exact revenue cents per
     * cell. One map-side-combinable aggregate on the bounded grid key.
     */

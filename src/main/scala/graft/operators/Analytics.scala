@@ -235,8 +235,9 @@ object Analytics {
     * Abramowitz–Stegun 26.2.17 polynomial Φ approximation — SHARED
     * formula text (|err| < 7.5e-8, far under decision scales; exp's
     * last-ulp split fenced by a round-10 on p), BH rank over the
-    * 25-row hypothesis family (bounded — allowlisted), step-up cutoff
-    * kmax = max rank with p ≤ rank·α/m via one bounded aggregate
+    * nation-bounded hypothesis family (bounded — allowlisted), step-up
+    * cutoff kmax = max rank with p ≤ rank·α/m — m is the OBSERVED
+    * nation count, not a literal — via one bounded aggregate
     * broadcast back. Scale: one exact-moment aggregate per nation (ONE
     * customer-table pass), then O(25) arithmetic.
     */
@@ -258,11 +259,16 @@ object Analytics {
         .agg(count(lit(1)).as("n"),
           sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .as("sc"))
+      // m = the OBSERVED hypothesis count (ADVICE r12): the literal 25
+      // silently ran BH against the wrong (larger) family when a small
+      // scale factor covers fewer nations — conservative but mismatched
+      // with the actual number of tests in both engines.
       val glob = c.agg(count(lit(1)).as("ng"),
         sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .as("scg"),
         sum((col("c") * col("c"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sqg"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sqg"),
+        countDistinct(col("nation")).as("m"))
       val zp = per.crossJoin(broadcast(glob))
         .withColumn("z", expr(
           "(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) " +
@@ -273,11 +279,11 @@ object Analytics {
             "/ sqrt(CAST(n AS DOUBLE)))"))
         .withColumn("az", abs(col("z")))
         .withColumn("p", expr(s"round(2.0 * ($qz), 10)"))
-      val m = lit(25.0)
       val ranked = zp.withColumn("rk", row_number().over(
         Window.orderBy(col("p"), col("nation"))))
         .withColumn("cond",
-          when(col("p") <= col("rk").cast("double") * lit(0.1) / m, 1L)
+          when(col("p") <= col("rk").cast("double") * lit(0.1)
+            / col("m").cast("double"), 1L)
             .otherwise(0L))
       val kmax = ranked.agg(
         max(col("cond") * col("rk")).as("kmax"))
@@ -302,9 +308,10 @@ object Analytics {
                   FROM c GROUP BY nation),
              gtot AS (SELECT count(*) AS ng,
                     SUM(CAST(c AS DECIMAL(38,0))) AS scg,
-                    SUM(CAST(c * c AS DECIMAL(38,0))) AS sqg
+                    SUM(CAST(c * c AS DECIMAL(38,0))) AS sqg,
+                    count(DISTINCT nation) AS m
                   FROM c),
-             zp AS (SELECT nation, n,
+             zp AS (SELECT nation, n, m,
                     (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
                       - CAST(scg AS DOUBLE) / CAST(ng AS DOUBLE)) /
                     (sqrt((CAST(ng AS DOUBLE) * CAST(sqg AS DOUBLE)
@@ -312,16 +319,16 @@ object Analytics {
                       (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE)))
                       / sqrt(CAST(n AS DOUBLE))) AS z
                   FROM per CROSS JOIN gtot),
-             pz AS (SELECT nation, n, z, abs(z) AS az FROM zp),
-             pv AS (SELECT nation, n, z,
+             pz AS (SELECT nation, n, m, z, abs(z) AS az FROM zp),
+             pv AS (SELECT nation, n, m, z,
                     round(2.0 * ($qz), 10) AS p
                   FROM pz),
-             rkd AS (SELECT nation, n, z, p,
+             rkd AS (SELECT nation, n, m, z, p,
                     CAST(row_number() OVER (ORDER BY p, nation) AS BIGINT)
                       AS rk
                   FROM pv),
              km AS (SELECT max(CASE WHEN p <= CAST(rk AS DOUBLE) * 0.1
-                      / 25.0 THEN rk ELSE 0 END) AS kmax
+                      / CAST(m AS DOUBLE) THEN rk ELSE 0 END) AS kmax
                   FROM rkd)
             SELECT nation, n, z, p, rk, rk <= kmax AS rejected
             FROM rkd CROSS JOIN km
@@ -1018,7 +1025,8 @@ object Analytics {
     * extreme, which is what makes it valid when outliers mask each
     * other — the masking problem is the reason ESD exists): over the
     * global daily-revenue series, each round computes exact-moment
-    * mean/σ of the SURVIVING days, studentizes, and removes the max
+    * mean/SAMPLE-σ (n−1 — the denominator the λ_i critical-value
+    * tables assume) of the SURVIVING days, studentizes, and removes the max
     * |z| day (tie → earliest); output = the 3 extracted candidates with
     * their round-local z (the consumer applies the λ_i critical values).
     * All counting exact (Dec0 moments), z ONE shared formula per round,
@@ -1029,10 +1037,14 @@ object Analytics {
     "q_anomaly_esd",
     (s, dir) => {
       val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      // SAMPLE σ (n−1 denominator, ADVICE r12): the canonical R_i
+      // statistic the λ_i critical-value tables are defined against —
+      // var_s = (n·ss − sy²)/(n·(n−1)); the population form inflated z
+      // by √(n/(n−1)) relative to the tables consumers apply.
       val zFml = "(CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) " +
         "/ CAST(n AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) " +
         "* CAST(ss AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))" +
-        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0D)))"
       val daily = Tables.lineitem(s, dir)
         .groupBy(to_date(col("l_shipdate")).as("d"))
         .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
@@ -1071,7 +1083,7 @@ object Analytics {
       val zFml = """(CAST(y AS DOUBLE) - CAST(sy AS DOUBLE)
         / CAST(n AS DOUBLE)) / sqrt((CAST(n AS DOUBLE)
         * CAST(ss AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
-        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"""
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"""
       val rounds = (1 to 3).map { r =>
         val prev = if (r == 1) "daily" else s"surv${r - 1}"
         s"""m$r AS (SELECT count(*) AS n,
@@ -1135,11 +1147,21 @@ object Analytics {
         .agg(fenceCols.head, fenceCols.tail: _*)
       val binFml = "CASE " + (1 to 9).map(d =>
         s"WHEN v <= f$d THEN $d").mkString(" ") + " ELSE 10 END"
-      val binned = tagged.crossJoin(broadcast(fences))
+      val counted = tagged.crossJoin(broadcast(fences))
         .withColumn("bin", expr(binFml))
         .groupBy("bin")
         .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"),
           sum(when(col("half") === 2, 1L).otherwise(0L)).as("n2"))
+      // explicit 10-bin spine (ADVICE r12): a decile bin empty in BOTH
+      // halves otherwise produces no row, so the +5.0 (= 0.5 × 10 bins)
+      // Laplace denominator no longer matches the smoothed-share count —
+      // shares stop summing to 1 and the empty bin's PSI term vanishes.
+      // With the spine every bin appears (n=0 → smoothed share 0.5/(t+5)).
+      val binned = s.range(1, 11)
+        .select(col("id").cast("int").as("bin"))
+        .join(counted, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"))
       val tot = binned.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
       val shares = binned.crossJoin(broadcast(tot))
         .withColumn("p1", expr("(CAST(n1 AS DOUBLE) + 0.5) " +
@@ -1169,12 +1191,17 @@ object Analytics {
                           THEN 1 ELSE 2 END AS half
                    FROM priced CROSS JOIN mid),
              fences AS (SELECT $fenceSel FROM tagged WHERE half = 1),
-             binned AS (SELECT $binFml AS bin,
+             counted AS (SELECT $binFml AS bin,
                      CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
                        AS BIGINT) AS n1,
                      CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)
                        AS BIGINT) AS n2
                    FROM tagged CROSS JOIN fences GROUP BY 1),
+             binned AS (SELECT CAST(sp.range AS INTEGER) AS bin,
+                     CAST(COALESCE(c.n1, 0) AS BIGINT) AS n1,
+                     CAST(COALESCE(c.n2, 0) AS BIGINT) AS n2
+                   FROM range(1, 11) sp
+                   LEFT JOIN counted c ON CAST(sp.range AS INTEGER) = c.bin),
              tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
                        CAST(sum(n2) AS BIGINT) AS t2 FROM binned),
              shares AS (SELECT bin, n1, n2,
@@ -1351,10 +1378,17 @@ object Analytics {
         .join(broadcast(colTot), "pri")
         .crossJoin(broadcast(n))
         .agg(
+          // operands promoted to DOUBLE BEFORE multiplying (ADVICE r12):
+          // o*n and n*r*c in BIGINT wrap past 2^63 (reachable at large N)
+          // while DuckDB's sum() promotes to HUGEINT and doesn't — both
+          // engines must take the same double-arithmetic path.
           sum(expr(
-            "CAST(CAST(o * n - r * c AS DOUBLE) " +
-              "* CAST(o * n - r * c AS DOUBLE) " +
-              "/ CAST(n * r * c AS DOUBLE) AS DECIMAL(38,12))")
+            "CAST((CAST(o AS DOUBLE) * CAST(n AS DOUBLE) " +
+              "- CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) " +
+              "* (CAST(o AS DOUBLE) * CAST(n AS DOUBLE) " +
+              "- CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) " +
+              "/ (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) " +
+              "* CAST(c AS DOUBLE)) AS DECIMAL(38,12))")
           ).cast("double").as("chi2"),
           first(col("n")).as("n"), first(col("nr")).as("nr"),
           first(col("nc")).as("nc"))
@@ -1374,9 +1408,12 @@ object Analytics {
                       count(DISTINCT pri) AS nc FROM cells),
              x AS (SELECT
                     CAST(sum(CAST(
-                      CAST(o * n - r * c AS DOUBLE)
-                      * CAST(o * n - r * c AS DOUBLE)
-                      / CAST(n * r * c AS DOUBLE)
+                      (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+                      * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                         - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                         * CAST(c AS DOUBLE))
                       AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
                     first(n) AS n, first(nr) AS nr, first(nc) AS nc
                   FROM cells JOIN rt ON cells.seg = rt.seg
