@@ -3368,15 +3368,21 @@ object Llm {
     * shape detector): points land in unit grid cells of the
     * deterministic 2-D JL projection (the classic grid approximation of
     * DBSCAN's ε-ball: a cell with ≥ minPts points is a core CELL, core
-    * cells connect through 8-neighborhood into clusters; points in
-    * non-core cells are noise — the cell-census simplification is the
-    * stated contract, border-point re-assignment is the refinement).
-    * Spark side runs Graph.connectedComponents (large-star/small-star)
-    * over the bounded core-cell adjacency; the oracle chains the same
-    * cells into the recursive-CTE reachability q_dedup_clusters proved.
-    * Scale: the projection is stateless codegen; the cell census is one
-    * hash agg; CC iterates over CELLS (bounded by the grid, not the
-    * corpus).
+    * cells connect through 8-neighborhood into clusters; non-core cells
+    * ADJACENT to a core cell are BORDER cells whose points join the
+    * nearest core cluster — nearest by center distance, then densest
+    * core neighbor, then smallest cell id, a total order — and only
+    * non-core cells with NO core neighbor remain noise: the full
+    * core/border/noise trichotomy of the original algorithm, r12
+    * verdict #6). Spark side runs Graph.connectedComponents
+    * (large-star/small-star) over the bounded core-cell adjacency, then
+    * assigns border cells with ONE equi-join of the 8-exploded non-core
+    * frontier against the bounded labeled-core table; the oracle chains
+    * the same cells into the recursive-CTE reachability q_dedup_clusters
+    * proved and replays the same assignment rank. Scale: the projection
+    * is stateless codegen; the cell census is one hash agg; CC iterates
+    * over CELLS (bounded by the grid, not the corpus); border assignment
+    * is grid-bounded ×8 expansion + equi-join.
     */
   val qEmbedDbscanGrid = Q(
     "q_embed_dbscan_grid",
@@ -3406,14 +3412,46 @@ object Llm {
           "left_anti")
         .select(col("cell").as("node"), col("cell").as("component"))
       val labels = cc.select(col("node"), col("component")).union(lone)
+      // border assignment: each non-core cell explodes its 8 neighbor
+      // ids (grid-bounded), equi-joins the labeled core table, and keeps
+      // ONE deterministic winner — nearest (d² 1 before 2), then densest
+      // core neighbor, then smallest cell id — via a struct argmax
+      val nonCore = cells.where(col("n") < minPts)
+      val bnbr = nonCore.select(col("cell").as("bcell"),
+        col("n").as("bn"),
+        explode(array(offs.map { case (dx, dy) =>
+          struct(expr(s"(cx + $dx + 512) * 4096 + (cy + $dy + 512)")
+            .as("ncell"), lit(dx * dx + dy * dy).as("d2"))
+        }: _*)).as("o"))
+        .select(col("bcell"), col("bn"), col("o.ncell"), col("o.d2"))
+      val coreLab = core.join(labels, col("cell") === col("node"))
+        .select(col("cell").as("ncell"), col("n").as("cn"),
+          col("component"))
+      val assign = bnbr.join(coreLab, Seq("ncell"))
+        .groupBy(col("bcell"), col("bn"))
+        .agg(max(struct((-col("d2")).as("nd2"), col("cn"),
+          (-col("ncell")).as("nc"), col("component"))).as("m"))
+        .select(col("bcell"), col("bn"),
+          col("m.component").as("component"))
       val clustered = core.join(labels, col("cell") === col("node"))
         .groupBy(col("component").as("cluster_id"))
         .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
+      val borderAgg = assign.groupBy(col("component").as("cluster_id"))
+        .agg(count(lit(1)).as("n_border_cells"),
+          sum(col("bn")).as("n_border_points"))
+      val merged = clustered.join(borderAgg, Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("n_cells"),
+          coalesce(col("n_border_cells"), lit(0L)).as("n_border_cells"),
+          (col("n_points") + coalesce(col("n_border_points"), lit(0L)))
+            .as("n_points"))
       val noise = cells.join(labels, col("cell") === col("node"),
         "left_anti")
+        .join(assign.select(col("bcell")), col("cell") === col("bcell"),
+          "left_anti")
         .agg(lit(-1L).as("cluster_id"), count(lit(1)).as("n_cells"),
+          lit(0L).as("n_border_cells"),
           coalesce(sum(col("n")), lit(0L)).as("n_points"))
-      clustered.unionByName(noise)
+      merged.unionByName(noise)
         .orderBy(col("n_points").desc, col("cluster_id"))
     },
     Some {
@@ -3439,16 +3477,41 @@ object Llm {
                  FROM reach r JOIN nbr e ON e.src = r.cell),
              labels AS (SELECT cell, min(lbl) AS component
                    FROM reach GROUP BY cell),
+             cand AS (SELECT b.cell AS bcell, b.n AS bn,
+                     (b.cx - c.cx) * (b.cx - c.cx)
+                       + (b.cy - c.cy) * (b.cy - c.cy) AS d2,
+                     c.n AS cn, c.cell AS ncell, l.component
+                   FROM cells b
+                   JOIN core c ON abs(b.cx - c.cx) <= 1
+                     AND abs(b.cy - c.cy) <= 1
+                   JOIN labels l ON l.cell = c.cell
+                   WHERE b.n < 8),
+             assign AS (SELECT bcell, bn, component FROM (
+                     SELECT *, row_number() OVER (PARTITION BY bcell
+                       ORDER BY d2, cn DESC, ncell) AS rn FROM cand)
+                   WHERE rn = 1),
              clustered AS (SELECT component AS cluster_id,
                      count(*) AS n_cells, CAST(sum(n) AS BIGINT)
                        AS n_points
                    FROM core JOIN labels USING (cell)
                    GROUP BY component),
+             bagg AS (SELECT component AS cluster_id,
+                     count(*) AS n_border_cells,
+                     CAST(sum(bn) AS BIGINT) AS n_border_points
+                   FROM assign GROUP BY component),
+             merged AS (SELECT c.cluster_id, c.n_cells,
+                     CAST(COALESCE(b.n_border_cells, 0) AS BIGINT)
+                       AS n_border_cells,
+                     CAST(c.n_points + COALESCE(b.n_border_points, 0)
+                       AS BIGINT) AS n_points
+                   FROM clustered c LEFT JOIN bagg b USING (cluster_id)),
              noise AS (SELECT -1 AS cluster_id, count(*) AS n_cells,
+                     CAST(0 AS BIGINT) AS n_border_cells,
                      CAST(coalesce(sum(n), 0) AS BIGINT) AS n_points
-                   FROM cells WHERE cell NOT IN (SELECT cell FROM labels))
-            SELECT cluster_id, n_cells, n_points
-            FROM (SELECT * FROM clustered UNION ALL SELECT * FROM noise)
+                   FROM cells WHERE cell NOT IN (SELECT cell FROM labels)
+                     AND cell NOT IN (SELECT bcell FROM assign))
+            SELECT cluster_id, n_cells, n_border_cells, n_points
+            FROM (SELECT * FROM merged UNION ALL SELECT * FROM noise)
             ORDER BY n_points DESC, cluster_id"""
     })
 
@@ -3600,11 +3663,22 @@ object Llm {
     * parameterize the next round's plan — the same
     * iterative-parameterization posture as KMeans' centroids or Graph's
     * frontier probes, NOT a data collect; per-round lineage is cut with
-    * localCheckpoint (Graph doctrine). Scale: a round = one bounded
-    * vocab² pair-count shuffle + one row-local rewrite; real tokenizers
-    * run 32k rounds of exactly this shape (with delta-counting to avoid
-    * full recounts — noted, out of scope). Oracle: the 3 rounds unrolled
-    * as CTEs, each recount/argmax/rewrite in SQL.
+    * localCheckpoint (Graph doctrine). Scale — DELTA COUNTING (the real-
+    * tokenizer shape, r12 verdict #5): the pair-count table is
+    * MATERIALIZED once up front and then maintained incrementally — each
+    * round's argmax reads the bounded counts table (not the corpus), and
+    * after a merge only the documents actually CONTAINING the merged
+    * pair are re-paired; their old-vs-new pair-count diff is applied to
+    * the counts table (subtract consumed (x,a)/(a,b)/(b,y), add the new
+    * (x,ab)/(ab,y) — computed as a whole-document diff so overlapping
+    * occurrences like 'a b a b' get exactly the left-to-right greedy
+    * semantics of the rewrite itself, for free). Per-round shuffle cost
+    * is thus proportional to the affected-document subset (which shrinks
+    * as training consumes ever-rarer pairs), not the corpus; the one
+    * remaining corpus-wide touch is a shuffle-free map-side contains()
+    * screen. Oracle: the 3 rounds unrolled as CTEs, each full
+    * recount/argmax/rewrite in SQL — delta maintenance must be
+    * indistinguishable from recount, which is exactly what parity pins.
     */
   val qBpeTrain = Q(
     "q_bpe_train",
@@ -3616,16 +3690,21 @@ object Llm {
           "i -> struct(element_at(toks, i) AS a, " +
           "element_at(toks, i + 1) AS b)) " +
           "ELSE array() END"
+      def pairCounts(df: DataFrame): DataFrame =
+        df.select(explode(expr(pairGen)).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
       var toks = Tables.documents(s, dir)
         .select(col("doc_id"),
           expr("filter(split(text, ' '), t -> t != '')").as("toks"))
         .localCheckpoint(true)
+      // the ONE corpus-wide pair count; every later round maintains it
+      // by affected-document diff instead of recounting
+      var counts = pairCounts(toks).localCheckpoint(true)
       val learned = Seq.newBuilder[(Int, String, String, Long)]
       var exhausted = false
       for (r <- 1 to rounds if !exhausted) {
-        val tops = toks.select(explode(expr(pairGen)).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        val tops = counts
           .orderBy(col("n").desc, col("a"), col("b")).limit(1)
           .collect()
         // an empty/singleton-doc corpus has no adjacent pairs: training
@@ -3636,15 +3715,38 @@ object Llm {
         val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
         learned += ((r, a, b, n))
         if (r < rounds) {
-          val prev = toks
-          toks = toks.select(col("doc_id"),
+          val prevToks = toks
+          val prevCounts = counts
+          val bracket =
+            concat(lit("["), array_join(col("toks"), "]["), lit("]"))
+          // map-side screen: only documents CONTAINING the merged pair
+          // change their pair multiset — everything else is untouched
+          val hit = instr(bracket, s"[$a][$b]") > 0
+          val affected = toks.where(hit)
+          val merged = affected.select(col("doc_id"),
             split(btrim(replace(
-              replace(
-                concat(lit("["), array_join(col("toks"), "]["), lit("]")),
+              replace(bracket,
                 lit(s"[$a][$b]"), lit(s"[$a$b]")),
               lit("]["), lit(" ")), lit("[]")), " ").as("toks"))
+          val delta = pairCounts(affected)
+            .select(col("a"), col("b"), col("n").as("n_old"))
+            .join(pairCounts(merged)
+              .select(col("a"), col("b"), col("n").as("n_new")),
+              Seq("a", "b"), "full")
+            .select(col("a"), col("b"),
+              (coalesce(col("n_new"), lit(0L))
+                - coalesce(col("n_old"), lit(0L))).as("d"))
+            .where(col("d") =!= 0L)
+          counts = counts.join(delta, Seq("a", "b"), "full")
+            .select(col("a"), col("b"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L)))
+                .as("n"))
+            .where(col("n") > 0L)
             .localCheckpoint(true)
-          Graph.release(prev)
+          toks = toks.where(!hit).unionByName(merged)
+            .localCheckpoint(true)
+          Graph.release(prevToks)
+          Graph.release(prevCounts)
         }
         }
       }

@@ -1742,27 +1742,42 @@ object Relational {
     * the survivor census per peel round — the shrinking curve IS the
     * density readout (on this bipartite fixture the peel converges in
     * ONE round — supplier hubs anchor every surviving part's degree —
-    * and the flat tail is the visible fixpoint proof). Scale: each peel is one semi-join of the edge set
-    * against the surviving nodes + one degree aggregate — the edge side
-    * reads from the bucketed store, exchange-free.
+    * and the flat tail is the visible fixpoint proof). Scale (r12
+    * verdict #4 — DELTA peeling): round-1 degrees are READ from the
+    * bucketed degree store pagerank/sssp already maintain (the old
+    * shape recomputed them with a double semi-join), and each later
+    * round updates degrees INCREMENTALLY — deg_r(v) = deg_{r-1}(v) −
+    * |edges v→(nodes removed in round r−1)| — via ONE join of the
+    * bucketed edge store against the just-removed set (exchange-free
+    * on the edge side; und is symmetric, so removed-src edges joined
+    * bucket-locally give per-dst losses) + one aggregate over ONLY the
+    * incident-edge subset, which shrinks monotonically. The full node
+    * set is never re-joined twice per round.
     */
   val qGraphKcore = Q(
     "q_graph_kcore",
     (s, dir) => {
       val k = 25
       val und = graphUnd(s, dir)
-      var nodes = und.select(col("src").as("node")).distinct()
+      var deg = graphDeg(s, dir) // deg over ALL nodes = round-1 degrees
       val censusParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      censusParts += nodes.agg(lit(0).as("round"),
+      censusParts += deg.agg(lit(0).as("round"),
         count(lit(1)).as("n_nodes"))
       for (r <- 1 to 4) {
-        val deg = und
-          .join(nodes.select(col("node").as("src")), Seq("src"))
-          .join(nodes.select(col("node").as("dst")), Seq("dst"))
-          .groupBy("src").agg(count(lit(1)).as("deg"))
-        nodes = deg.where(col("deg") >= k).select(col("src").as("node"))
-        censusParts += nodes.agg(lit(r).as("round"),
+        val surv = deg.where(col("deg") >= k)
+        censusParts += surv.agg(lit(r).as("round"),
           count(lit(1)).as("n_nodes"))
+        if (r < 4) {
+          val gone = deg.where(col("deg") < k)
+            .select(col("src").as("gone"))
+          val loss = und.join(gone, col("src") === col("gone"))
+            .groupBy(col("dst")).agg(count(lit(1)).as("lost"))
+            .select(col("dst").as("lnode"), col("lost"))
+          deg = surv.select(col("src"), col("deg"))
+            .join(loss, col("src") === col("lnode"), "left")
+            .select(col("src"),
+              (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+        }
       }
       censusParts.reduce(_ unionByName _)
         .select(col("round"), coalesce(col("n_nodes"), lit(0L))
