@@ -2477,7 +2477,85 @@ object Analytics {
             SELECT * FROM ends UNION ALL SELECT * FROM picks
             ORDER BY t_day"""))
 
-  val all: Seq[Q] = Seq(qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
+  /** Classical additive time-series DECOMPOSITION (trend + seasonal +
+    * residual) — the full-resolution companion to q_seasonal_dow's
+    * seasonal-index readout: per flag and day, trend = centered 7-day
+    * moving average, seasonal = that flag×weekday's mean detrended value
+    * (the q_seasonal_dow index, reused at row grain), residual = what's
+    * left — the de-seasonalized series change-point/anomaly tests should
+    * consume instead of the raw one. Edge days (partial 7-frames) carry
+    * no trend and are excluded, exactly as in q_seasonal_dow, so the
+    * seasonal means see only complete frames. Determinism: daily values
+    * are exact BIGINT cents; trend is ONE division of an exact integer
+    * (s7/7); the seasonal index divides the exact integer Σ(7v−s7) by
+    * 7·n; the residual is two IEEE subtractions on identical operands —
+    * no order-dependent float accumulation anywhere. Scale: one
+    * calendar-bounded daily rollup, flag-partitioned windows over it,
+    * and a broadcast-sized (flag × 7) seasonal join.
+    */
+  val qTimeDecompose = Q(
+    "q_time_decompose",
+    (s, dir) => {
+      val frame = Window.partitionBy("flag").orderBy("d").rowsBetween(-3, 3)
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
+        .withColumn("s7", sum(col("v")).over(frame))
+        .withColumn("n7", count(lit(1)).over(frame))
+        .where(col("n7") === 7)
+        .withColumn("dow", weekday(col("d")))
+      val seas = daily
+        .groupBy("flag", "dow")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("v") * 7 - col("s7")).as("resid7"))
+        .select(col("flag"), col("dow"), expr(
+          "CAST(resid7 AS DOUBLE) / (CAST(7 AS DOUBLE) " +
+            "* CAST(n_days AS DOUBLE))").as("seasonal"))
+      daily
+        .join(broadcast(seas), Seq("flag", "dow"))
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("v").as("v_cents"),
+          expr("CAST(s7 AS DOUBLE) / CAST(7 AS DOUBLE)").as("trend"),
+          col("seasonal"),
+          expr("CAST(v AS DOUBLE) - CAST(s7 AS DOUBLE) " +
+            "/ CAST(7 AS DOUBLE) - seasonal").as("resid"))
+        .orderBy("flag", "d")
+    },
+    Some("""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             fr AS (SELECT flag, d, v,
+                      CAST(sum(v) OVER w AS BIGINT) AS s7,
+                      count(*) OVER w AS n7,
+                      dayofweek(d) AS dw
+                    FROM daily
+                    WINDOW w AS (PARTITION BY flag ORDER BY d
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             full_fr AS (SELECT flag, d, v, s7,
+                      CASE WHEN dw = 0 THEN 6 ELSE dw - 1 END AS dow
+                    FROM fr WHERE n7 = 7),
+             seas AS (SELECT flag, dow,
+                        CAST(CAST(sum(v * 7 - s7) AS BIGINT) AS DOUBLE)
+                          / (CAST(7 AS DOUBLE)
+                             * CAST(count(*) AS DOUBLE)) AS seasonal
+                      FROM full_fr GROUP BY flag, dow)
+            SELECT f.flag, CAST(f.d AS TIMESTAMP) AS d, f.v AS v_cents,
+                   CAST(f.s7 AS DOUBLE) / CAST(7 AS DOUBLE) AS trend,
+                   s.seasonal,
+                   CAST(f.v AS DOUBLE) - CAST(f.s7 AS DOUBLE)
+                     / CAST(7 AS DOUBLE) - s.seasonal AS resid
+            FROM full_fr f JOIN seas s
+              ON f.flag = s.flag AND f.dow = s.dow
+            ORDER BY f.flag, f.d"""))
+
+  val all: Seq[Q] = Seq(qTimeDecompose,
+    qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
     qTimeLttb, qTimeM4, qAggPcaPower,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,
     qNgramNovelty, qAggBenford, qBitmapEngagement, qParseLogline,

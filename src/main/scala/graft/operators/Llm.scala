@@ -627,6 +627,64 @@ object Llm {
              SELECT vec_id, min(lbl) AS cluster_id
              FROM reach GROUP BY vec_id ORDER BY vec_id"""))
 
+  /** Per-node LOCAL clustering coefficient over the near-dup pair graph —
+    * the node-resolution companion to q_graph_triangles' global census:
+    * lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), where tri(v) = edges among
+    * v's neighbors. A doc sitting in a true duplicate clique scores ≈1;
+    * a doc gluing two unrelated clusters (the chained-false-positive
+    * failure mode) scores near 0 — this is the per-doc signal a curation
+    * pipeline uses to cut poisoned components before survivor election.
+    * tri(v) enumerates wedges centered at v (adjacency self-join on the
+    * center, x < y canonical order) and closes them against the (a<b)
+    * edge list — each neighbor-edge counted once per center. Scale: wedge
+    * fan-out is Σ deg², the same bound as q_graph_adamic_adar; on the
+    * near-dup graph degrees are clique-sized by construction. For general
+    * graphs the standard degree-ordered orientation halves the work —
+    * noted, not needed at clique-shaped degrees. All-integer until the
+    * one shared-text coefficient division (deg < 2 → 0.0, no pole).
+    */
+  val qGraphClusteringCoeff = Q(
+    "q_graph_clustering_coeff",
+    (s, dir) => {
+      val e = pairTable(s, dir).select(col("a"), col("b"))
+      val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+        .toDF("n", "x")
+      val deg = und.groupBy("n").agg(count(lit(1)).as("deg"))
+      val tri = und.select(col("n"), col("x").as("a"))
+        .join(und.select(col("n"), col("x").as("b")), Seq("n"))
+        .where(col("a") < col("b"))
+        .join(e, Seq("a", "b"))
+        .groupBy("n").agg(count(lit(1)).as("tri"))
+      deg.join(tri, Seq("n"), "left")
+        .select(col("n").as("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("n_tri"),
+          expr("CASE WHEN deg < 2 THEN CAST(0.0 AS DOUBLE) " +
+            "ELSE CAST(2.0 AS DOUBLE) * CAST(coalesce(tri, 0) AS DOUBLE) " +
+            "/ (CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)) END")
+            .as("lcc"))
+        .orderBy("node")
+    },
+    Some(s"""WITH e AS (SELECT a, b FROM
+                  (${Det.sqlDropOrderBy(qDedupJaccardPairs.oracle.get,
+                     "ORDER BY a, b")})),
+              und AS (SELECT a AS n, b AS x FROM e
+                      UNION ALL SELECT b, a FROM e),
+              deg AS (SELECT n, count(*) AS deg FROM und GROUP BY n),
+              tri AS (SELECT u1.n, count(*) AS tri
+                      FROM und u1 JOIN und u2
+                        ON u1.n = u2.n AND u1.x < u2.x
+                      JOIN e ON e.a = u1.x AND e.b = u2.x
+                      GROUP BY u1.n)
+            SELECT deg.n AS node, deg.deg,
+                   COALESCE(tri.tri, 0) AS n_tri,
+                   CASE WHEN deg.deg < 2 THEN CAST(0.0 AS DOUBLE)
+                        ELSE CAST(2.0 AS DOUBLE)
+                          * CAST(COALESCE(tri.tri, 0) AS DOUBLE)
+                          / (CAST(deg.deg AS DOUBLE)
+                             * CAST(deg.deg - 1 AS DOUBLE)) END AS lcc
+            FROM deg LEFT JOIN tri ON deg.n = tri.n
+            ORDER BY node"""))
+
   /** Triangle census of the near-dup pair graph — the structural health
     * check a dedup pipeline runs on its candidate graph (a true duplicate
     * cluster is a near-clique: many triangles per wedge; a low clustering
@@ -3931,6 +3989,7 @@ object Llm {
     qEmbedProjectJl,
     qDedupExactHash, qDedupJaccardPairs, qDedupContainment, qDedupClusters,
     qDedupClustersBigstar, qDedupSurvivors, qCorpusCurate, qGraphTriangles,
+    qGraphClusteringCoeff,
     qDedupMinhashLsh, qDedupSimhash, qDedupSubstrSpans,
     qEmbedCentroids, qEmbedSemdedup, qEmbedQuantize, qEmbedCenter,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,

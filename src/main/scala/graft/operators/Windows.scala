@@ -2403,7 +2403,199 @@ object Windows {
                      / CAST(max(n) AS DOUBLE) AS mean_us
             FROM r HAVING count(*) > 0"""))
 
+  /** Rolling 30-day DISTINCT active customers per order day — the
+    * trailing-window unique-count KPI (MAU/WAU family) that Spark's
+    * window frames cannot express (no count(DISTINCT) over a frame) and
+    * that naive rewrites solve with a 30× explode + re-distinct. The
+    * scale-correct decomposition: (1) distinct customer-days; (2) each
+    * day opens a 30-day coverage interval, merged per customer with the
+    * q_win_interval_merge break-scan (a customer active every week
+    * collapses to ONE interval, not 4× fan-out); (3) merged intervals
+    * become +1/−1 boundary deltas, aggregated per day — the sweep axis is
+    * calendar-bounded BY CONSTRUCTION after this groupBy; (4) one running
+    * sum over the bounded day axis (allowlisted global window, the
+    * q_inventory_backlog posture), evaluated at each order-day spine
+    * point (spine days enter the axis as delta-0 rows so the running sum
+    * is defined exactly there). All-integer; no distinct over any
+    * exploded set; the oracle is the naive O(days × customer-days)
+    * range-join count-distinct, so the hash match proves the
+    * interval-sweep ≡ the textbook definition.
+    */
+  val qWinDistinctRolling = Q(
+    "q_win_distinct_rolling",
+    (s, dir) => {
+      val win = 30
+      val cd = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("d"))
+        .distinct()
+      val wPrev = Window.partitionBy("c").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("c").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val merged = cd
+        .withColumn("e", col("d") + (win - 1))
+        .withColumn("pmax", max(col("e")).over(wPrev))
+        .withColumn("brk",
+          when(col("pmax").isNull || col("d") > col("pmax"), 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(wRun))
+        .groupBy("c", "sid")
+        .agg(min(col("d")).as("ist"), max(col("e")).as("ien"))
+      val spine = cd.select(col("d")).distinct()
+      val axis = merged.select(col("ist").as("d"), lit(1L).as("delta"))
+        .unionAll(merged.select((col("ien") + 1).as("d"),
+          lit(-1L).as("delta")))
+        .unionAll(spine.select(col("d"), lit(0L).as("delta")))
+        .groupBy("d").agg(sum(col("delta")).as("delta"))
+      val wDay = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      axis
+        .withColumn("n_active", sum(col("delta")).over(wDay))
+        .join(spine, Seq("d"))
+        .select(col("d").as("d_day"), col("n_active"))
+        .orderBy("d_day")
+    },
+    Some("""WITH cd AS (SELECT DISTINCT o_custkey AS c,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                     AS INTEGER) AS d
+                 FROM orders),
+             spine AS (SELECT DISTINCT d FROM cd)
+            SELECT s.d AS d_day,
+                   CAST(count(DISTINCT cd.c) AS BIGINT) AS n_active
+            FROM spine s JOIN cd ON cd.d BETWEEN s.d - 29 AND s.d
+            GROUP BY s.d ORDER BY d_day"""))
+
+  /** Lagged CROSS-correlation between two event streams — the
+    * lead/lag-discovery readout (does marketing `view` volume lead
+    * `purchase` volume, and by how many days?) completing the
+    * q_time_autocorr family with its bivariate member: Pearson r between
+    * daily view counts and purchase counts shifted by k ∈ [−3, 3] days,
+    * over days where both series have the shifted observation. Identical
+    * determinism posture to autocorr: daily counts are exact BIGINTs, all
+    * five sufficient statistics are exact integer sums, and the final r
+    * is the shared-text cross-multiplied formula — doubles appear only in
+    * the one final expression both engines evaluate on identical
+    * operands. Scale: daily rollup is one groupBy (calendar-bounded
+    * output); the 7 lags join against a 7-row broadcast literal, so the
+    * lag fan-out is 7× a calendar-bounded table, then a 7-key aggregate.
+    */
+  val qTimeCrosscorr = Q(
+    "q_time_crosscorr",
+    (s, dir) => {
+      val corrFml =
+        "CASE WHEN n * sxx - sx * sx <= CAST(0 AS DOUBLE) " +
+          "OR n * syy - sy * sy <= CAST(0 AS DOUBLE) THEN NULL " +
+          "ELSE (n * sxy - sx * sy) / " +
+          "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END"
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val xd = daily.select(col("d").as("xd"), col("x"))
+      val yd = daily.select(col("d").as("yd"), col("y"))
+      val lags = s.range(-3, 4)
+        .select(col("id").cast(IntegerType).as("k"))
+      xd.crossJoin(broadcast(lags))
+        .join(yd, col("yd") === date_add(col("xd"), col("k")))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sxl"), sum(col("y")).as("syl"),
+          sum(col("x") * col("y")).as("sxyl"),
+          sum(col("x") * col("x")).as("sxxl"),
+          sum(col("y") * col("y")).as("syyl"))
+        .select(col("k").as("lag"), col("n_days"),
+          expr("CAST(n_days AS DOUBLE)").as("n"),
+          expr("CAST(sxl AS DOUBLE)").as("sx"),
+          expr("CAST(syl AS DOUBLE)").as("sy"),
+          expr("CAST(sxyl AS DOUBLE)").as("sxy"),
+          expr("CAST(sxxl AS DOUBLE)").as("sxx"),
+          expr("CAST(syyl AS DOUBLE)").as("syy"))
+        .select(col("lag"), col("n_days"), expr(corrFml).as("xcf"))
+        .orderBy("lag")
+    },
+    Some {
+      val corrFml =
+        """CASE WHEN n * sxx - sx * sx <= CAST(0 AS DOUBLE)
+             OR n * syy - sy * sy <= CAST(0 AS DOUBLE) THEN NULL
+           ELSE (n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END"""
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                            ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS BIGINT) AS y
+                 FROM events GROUP BY 1),
+             lg AS (SELECT unnest(range(-3, 4)) AS k),
+             j AS (SELECT lg.k, xd.x, yd.y
+                   FROM daily xd CROSS JOIN lg
+                   JOIN daily yd ON yd.d = xd.d + to_days(lg.k::INTEGER)),
+             f AS (SELECT k, count(*) AS n_days,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(SUM(x) AS DOUBLE) AS sx,
+                     CAST(SUM(y) AS DOUBLE) AS sy,
+                     CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                     CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                     CAST(SUM(y * y) AS DOUBLE) AS syy
+                   FROM j GROUP BY k)
+            SELECT CAST(k AS INTEGER) AS lag, n_days, $corrFml AS xcf
+            FROM f ORDER BY lag"""
+    })
+
+  /** Regex PATTERN MATCHING over per-user event sequences — the
+    * MATCH_RECOGNIZE-shaped operator (SQL:2016 row pattern matching;
+    * Spark has no native form): each user's events collapse to an
+    * ordered one-char-per-event string (s/c/e/v/p — the event types'
+    * distinct initials) and behavioral motifs become regexes over it:
+    * `v+p` = a view-run converting directly to purchase, `ee+` = an
+    * error burst (≥2 consecutive errors), `^v*` = the onboarding view
+    * streak. Non-overlapping leftmost-greedy match counts — the
+    * semantics java.util.regex and DuckDB's RE2 share exactly for these
+    * backtrack-free character-class patterns (the q_text_lang_id
+    * contract). Order is total: (ts, event_id) — struct array_sort on
+    * the Spark side, ORDER BY inside string_agg on the oracle side.
+    * Scale: one groupBy(user) shuffle; the per-user sequence is the
+    * per-entity-bounded assumption every sequence operator carries — at
+    * 100 TB sessionize first (q_session_stats) and match per session,
+    * same plan shape with a compound key.
+    */
+  val qSeqPattern = Q(
+    "q_seq_pattern",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("cd"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(expr("transform(array_sort(" +
+            "collect_list(struct(ts, event_id, cd))), x -> x.cd)"), "")
+            .as("seq"))
+        .select(col("user_id"), col("n_events"),
+          expr("CAST(size(regexp_extract_all(seq, 'v+p', 0)) AS BIGINT)")
+            .as("n_view_buy"),
+          expr("CAST(size(regexp_extract_all(seq, 'ee+', 0)) AS BIGINT)")
+            .as("n_err_bursts"),
+          expr("CAST(length(regexp_extract(seq, '^v*', 0)) AS BIGINT)")
+            .as("lead_views"))
+        .orderBy("user_id")
+    },
+    Some("""WITH sq AS (SELECT user_id, count(*) AS n_events,
+                   string_agg(substr(event_type, 1, 1), ''
+                     ORDER BY ts, event_id) AS seq
+                 FROM events GROUP BY user_id)
+            SELECT user_id, n_events,
+                   CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT)
+                     AS n_view_buy,
+                   CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+                     AS n_err_bursts,
+                   CAST(len(regexp_extract(seq, '^v*')) AS BIGINT)
+                     AS lead_views
+            FROM sq ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
+    qWinDistinctRolling, qTimeCrosscorr, qSeqPattern,
     qInterarrival, qWinVwap, qWinBollinger, qWinRollingCorr,
     qWinRollingOls, qTimeAutocorr, qActiveUsersRolling,
     qTimeToConvert,

@@ -60,7 +60,10 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
       ("Prefix.globalRank bucket-offset prefix over 64 range-bucket " +
         "counts + cumulative share over the 10-row decile axis"),
     "q_eval_retrieval" ->
-      "rank over the LIMIT-20 BM25 result — 20 rows by construction")
+      "rank over the LIMIT-20 BM25 result — 20 rows by construction",
+    "q_win_distinct_rolling" ->
+      ("running sum over the boundary-delta day axis — calendar-bounded " +
+        "by construction after the per-day delta aggregate"))
 
   private val cartesianOk: Set[String] = Set.empty
 
