@@ -2554,7 +2554,190 @@ object Analytics {
               ON f.flag = s.flag AND f.dow = s.dow
             ORDER BY f.flag, f.d"""))
 
-  val all: Seq[Q] = Seq(qTimeDecompose,
+  /** Blocked ENTITY RESOLUTION with best-match election — the full ER
+    * pipeline shape (q_str_fuzzy_match is the bounded dim×dim primitive;
+    * this is the production staging): (1) DEDUPLICATE to distinct names
+    * first — the vocabulary is fixed (64 names at every SF here; real
+    * catalogs grow sublinearly) so all fuzzy work runs on the vocab, not
+    * the rows; (2) BLOCK on a cheap key (the trailing noun token) so the
+    * pair space is per-block, the same role LSH bands play before
+    * Jaccard; (3) per-pair Levenshtein inside blocks only; (4) elect ONE
+    * best match per name under the total order (distance, candidate) via
+    * row_number — the survivor-election idiom. Edit distance is an exact
+    * integer DP with identical semantics in both engines; no floats
+    * anywhere. Names whose block holds no candidate within distance 4
+    * are dropped (unresolvable — the honest ER output).
+    */
+  val qErBlocking = Q(
+    "q_er_blocking",
+    (s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+        .select(col("p_name").as("name"),
+          regexp_extract(col("p_name"), "[a-z]+$", 0).as("blk"))
+      val cand = names.select(col("blk"), col("name").as("cand"))
+      val w = Window.partitionBy("name")
+        .orderBy(col("dist"), col("cand"))
+      names.join(cand, Seq("blk"))
+        .where(col("name") =!= col("cand"))
+        .withColumn("dist",
+          levenshtein(col("name"), col("cand")).cast("long"))
+        .where(col("dist") <= 4)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("name"), col("cand").as("best_match"), col("dist"))
+        .orderBy("name")
+    },
+    Some("""WITH names AS (SELECT DISTINCT p_name AS name,
+                   regexp_extract(p_name, '[a-z]+$') AS blk
+                 FROM part),
+             pairs AS (SELECT a.name, b.name AS cand,
+                         CAST(levenshtein(a.name, b.name) AS BIGINT)
+                           AS dist
+                       FROM names a JOIN names b ON a.blk = b.blk
+                       WHERE a.name <> b.name
+                         AND levenshtein(a.name, b.name) <= 4),
+             r AS (SELECT name, cand, dist,
+                     row_number() OVER (PARTITION BY name
+                       ORDER BY dist, cand) AS rn
+                   FROM pairs)
+            SELECT name, cand AS best_match, dist
+            FROM r WHERE rn = 1 ORDER BY name"""))
+
+  /** Leave-one-out TARGET ENCODING with m-estimate smoothing — the
+    * categorical-feature encoder every tabular-ML pipeline runs before
+    * gradient boosting (category → smoothed outcome rate), in the
+    * leakage-safe LOO form: each row's own label is subtracted from its
+    * category's sum so the feature never sees its own target —
+    * enc_i = (S_cat − y_i + m·P) / (n_cat − 1 + m), m = 10, P = the
+    * global prior. Category = the customer's nation; target = order
+    * fully shipped (status 'F'). Determinism: S, n, y are exact
+    * integers; P is one division of exact ints; m·P, the numerator adds
+    * and the final division are shared-text IEEE steps on identical
+    * operands — no order-dependent accumulation. Scale: one fact⋈dim
+    * join on custkey (AQE-skew-splittable), one bounded (25-nation)
+    * aggregate broadcast back, then pure row-local arithmetic — the
+    * encoder is a map-side transform at 100 TB.
+    */
+  val qFeatureTargetEncode = Q(
+    "q_feature_target_encode",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("nat")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("nat"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val glob = o.agg(sum(col("y")).as("sg"), count(lit(1)).as("ng"))
+      val cat = o.groupBy("nat")
+        .agg(sum(col("y")).as("sc"), count(lit(1)).as("nc"))
+      o.join(broadcast(cat), Seq("nat")).crossJoin(broadcast(glob))
+        .select(col("o_orderkey"), col("nat"), col("y"),
+          expr("(CAST(sc - y AS DOUBLE) + CAST(10.0 AS DOUBLE) " +
+            "* (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))) " +
+            "/ CAST(nc - 1 + 10 AS DOUBLE)").as("enc"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH o AS (SELECT o_orderkey, c_nationkey AS nat,
+                   CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS y
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+             g AS (SELECT CAST(sum(y) AS BIGINT) AS sg,
+                          count(*) AS ng FROM o),
+             c AS (SELECT nat, CAST(sum(y) AS BIGINT) AS sc,
+                          count(*) AS nc FROM o GROUP BY nat)
+            SELECT o.o_orderkey, o.nat, o.y,
+                   (CAST(c.sc - o.y AS DOUBLE) + CAST(10.0 AS DOUBLE)
+                     * (CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE)))
+                   / CAST(c.nc - 1 + 10 AS DOUBLE) AS enc
+            FROM o JOIN c ON o.nat = c.nat CROSS JOIN g
+            ORDER BY o.o_orderkey"""))
+
+  /** SAX SYMBOLIZATION (Symbolic Aggregate approXimation) — the classic
+    * time-series-to-string reduction behind motif discovery, series
+    * indexing and anomaly dictionaries (Lin/Keogh's public formulation):
+    * per flag, the daily-revenue series is z-normalized, PAA-compressed
+    * into 16 equal segments, and each segment mean mapped to a 4-letter
+    * alphabet at the standard Gaussian breakpoints ±0.6745 / 0. Segment
+    * assignment is the balanced integer split floor((rn−1)·16/n) — pure
+    * integer, no ntile ambiguity. Determinism: day values are exact
+    * cents in a DECIMAL(38,0) carrier (the q_time_autocorr posture — v²
+    * sums overflow BIGINT at scale), mean/std/PAA/z are shared-formula
+    * IEEE steps on identical operands, and the breakpoint CASE compares
+    * identical doubles. Scale: calendar-bounded rollup, flag-partitioned
+    * rank window, one bounded (flag×16) aggregate.
+    */
+  val qTimeSax = Q(
+    "q_time_sax",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.partitionBy("flag").orderBy("d")
+      val zFml = "(CAST(sseg AS DOUBLE) / CAST(nseg AS DOUBLE) " +
+        "- CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) " +
+        "- CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) " +
+        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)").cast(Dec0))
+          .cast(Dec0).as("v"))
+        .withColumn("rn", row_number().over(w))
+      val st = daily.groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast(Dec0).as("sv"),
+          sum(col("v") * col("v")).cast(Dec0).as("svv"))
+      daily.join(broadcast(st), Seq("flag"))
+        .withColumn("seg", expr("CAST(((rn - 1) * 16) DIV n AS INT)"))
+        .groupBy(col("flag"), col("seg"), col("n"), col("sv"), col("svv"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("v")).cast(Dec0).as("sseg"))
+        .withColumn("nseg", col("n_days"))
+        .select(col("flag"), col("seg"), col("n_days"),
+          expr(zFml).as("z"),
+          expr(s"CASE WHEN $zFml < CAST(-0.6745 AS DOUBLE) THEN 'a' " +
+            s"WHEN $zFml < CAST(0.0 AS DOUBLE) THEN 'b' " +
+            s"WHEN $zFml < CAST(0.6745 AS DOUBLE) THEN 'c' " +
+            "ELSE 'd' END").as("sym"))
+        .orderBy("flag", "seg")
+    },
+    Some {
+      val zFml = """(CAST(sseg AS DOUBLE) / CAST(nseg AS DOUBLE)
+          - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) /
+          sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"""
+      s"""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS HUGEINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             rk AS (SELECT flag, v,
+                      row_number() OVER (PARTITION BY flag ORDER BY d)
+                        AS rn
+                    FROM daily),
+             st AS (SELECT flag, count(*) AS n,
+                      CAST(sum(v) AS HUGEINT) AS sv,
+                      CAST(sum(v * v) AS HUGEINT) AS svv
+                    FROM daily GROUP BY flag),
+             seg AS (SELECT rk.flag, ((rn - 1) * 16) // st.n AS seg,
+                       st.n, st.sv, st.svv, rk.v
+                     FROM rk JOIN st ON rk.flag = st.flag),
+             agg AS (SELECT flag, seg, n, sv, svv,
+                       count(*) AS n_days, count(*) AS nseg,
+                       CAST(sum(v) AS HUGEINT) AS sseg
+                     FROM seg GROUP BY flag, seg, n, sv, svv)
+            SELECT flag, CAST(seg AS INT) AS seg, n_days,
+                   $zFml AS z,
+                   CASE WHEN $zFml < CAST(-0.6745 AS DOUBLE) THEN 'a'
+                        WHEN $zFml < CAST(0.0 AS DOUBLE) THEN 'b'
+                        WHEN $zFml < CAST(0.6745 AS DOUBLE) THEN 'c'
+                        ELSE 'd' END AS sym
+            FROM agg ORDER BY flag, seg"""
+    })
+
+  val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
+    qTimeSax,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
     qTimeLttb, qTimeM4, qAggPcaPower,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,

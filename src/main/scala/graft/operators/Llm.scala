@@ -2475,6 +2475,92 @@ object Llm {
                          FROM documents))
              GROUP BY source, split ORDER BY source, split"""))
 
+  /** Held-out PERPLEXITY scoring under an add-one-smoothed bigram LM —
+    * the model-based quality filter (CCNet/Wikipedia-LM style) next to
+    * q_text_ngram_lm's raw conditional probabilities: the corpus hash-
+    * splits 80/20 (q_corpus_split's portable-hash determinism — NO
+    * rand()), a bigram LM with add-1 smoothing trains on the train
+    * split, and each held-out doc reports its cross-entropy
+    * H = −mean ln p(w2|w1), p = (c2+1)/(c1+V) — low H ≈ fluent/typical,
+    * high H ≈ junk or off-distribution, the ranking signal curation
+    * actually thresholds. Unseen history ⇒ c1 = 0 ⇒ the uniform prior
+    * 1/V, exactly what add-1 defines (left joins + coalesce, no special
+    * case). Determinism: each ln input is a ratio of exact integers, the
+    * term sum rides Dec12 quantization and the final mean is one shared
+    * division, rounded at 9 like q_text_ngram_lm; exp(H) (true
+    * perplexity) is left to consumers — exp's last-ulp behavior across
+    * engines is the one step the doctrine can't pin. Scale: bigram/
+    * unigram tables are vocab-bounded aggregates; scoring is two hash
+    * joins keyed on tokens — broadcast when the vocab fits, shuffle-hash
+    * when it doesn't; never a per-doc loop.
+    */
+  val qTextPerplexity = Q(
+    "q_text_perplexity",
+    (s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS w1, " +
+            "element_at(toks, i + 1) AS w2))")).as("x"))
+        .select(col("doc_id"), col("x.w1").as("w1"), col("x.w2").as("w2"))
+        .withColumn("tr",
+          pmod(Det.pHash60(col("doc_id")), lit(100)) < 80)
+      val c2 = bg.where(col("tr")).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c2"))
+      val c1 = bg.where(col("tr")).groupBy("w1")
+        .agg(count(lit(1)).as("c1"))
+      val v = bg.where(col("tr"))
+        .select(col("w1").as("w")).unionAll(
+          bg.where(col("tr")).select(col("w2").as("w")))
+        .agg(countDistinct(col("w")).as("vsz"))
+      bg.where(!col("tr"))
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          expr("CAST(ln((CAST(coalesce(c2, 0) + 1 AS DOUBLE)) / " +
+            "(CAST(coalesce(c1, 0) AS DOUBLE) + CAST(vsz AS DOUBLE))) " +
+            "AS DECIMAL(38,12))").as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round((-sum(col("term")).cast("double")) /
+            count(lit(1)).cast("double"), 9).as("cross_entropy"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                    ((${Det.sqlPHash60("doc_id")}) % 100 + 100) % 100 < 80
+                      AS tr
+                  FROM documents
+                  WHERE len(string_split(text, ' ')) >= 2),
+              b AS (SELECT doc_id, tr,
+                      unnest([{'w1': toks[i], 'w2': toks[i + 1]}
+                              FOR i IN range(1, len(toks))]) AS x
+                    FROM d),
+              bg AS (SELECT doc_id, tr, x.w1 AS w1, x.w2 AS w2 FROM b),
+              c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg
+                     WHERE tr GROUP BY w1, w2),
+              c1 AS (SELECT w1, count(*) AS c1 FROM bg
+                     WHERE tr GROUP BY w1),
+              v AS (SELECT count(DISTINCT w) AS vsz FROM
+                      (SELECT w1 AS w FROM bg WHERE tr
+                       UNION ALL SELECT w2 FROM bg WHERE tr)),
+              t AS (SELECT bg.doc_id,
+                      CAST(ln((CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE))
+                        / (CAST(COALESCE(c1.c1, 0) AS DOUBLE)
+                           + CAST(v.vsz AS DOUBLE)))
+                        AS DECIMAL(38,12)) AS term
+                    FROM bg
+                    LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+                    LEFT JOIN c1 ON bg.w1 = c1.w1
+                    CROSS JOIN v
+                    WHERE NOT bg.tr)
+             SELECT doc_id, count(*) AS n_bigrams,
+                    round(-CAST(sum(term) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 9) AS cross_entropy
+             FROM t GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Markup stripping — the first stage of any web-corpus cleaning
     * pipeline. Same synthesis doctrine as q_text_pii_mask (the corpus has
     * no organic HTML, so a deterministic wrapper is built from doc fields
@@ -4000,7 +4086,7 @@ object Llm {
     qCorpusDrift, qTextHapax, qTextFingerprint,
     qTextLangId,
     qTextPiiMask,
-    qTextStripMarkup, qTextUrlDomains, qCorpusSplit,
+    qTextStripMarkup, qTextUrlDomains, qCorpusSplit, qTextPerplexity,
     qTextRepetition, qContamination, qTextEntropy, qTextReadability,
     qTextKeyphrases, qTextBoilerplate, qTextZipfFit,
     qEvalLangConfusion, qEvalRetrieval, qEmbedDbscanGrid)
