@@ -2485,7 +2485,10 @@ object Analytics {
     * left — the de-seasonalized series change-point/anomaly tests should
     * consume instead of the raw one. Edge days (partial 7-frames) carry
     * no trend and are excluded, exactly as in q_seasonal_dow, so the
-    * seasonal means see only complete frames. Determinism: daily values
+    * seasonal means see only complete frames; a frame is complete only
+    * when its 7 ROWS also span exactly 7 calendar days (max−min = 6) —
+    * ROWS frames count observations, not days, so a date gap would
+    * otherwise silently widen the trend window (ADVICE r13). Determinism: daily values
     * are exact BIGINT cents; trend is ONE division of an exact integer
     * (s7/7); the seasonal index divides the exact integer Σ(7v−s7) by
     * 7·n; the residual is two IEEE subtractions on identical operands —
@@ -2504,7 +2507,13 @@ object Analytics {
           " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
         .withColumn("s7", sum(col("v")).over(frame))
         .withColumn("n7", count(lit(1)).over(frame))
-        .where(col("n7") === 7)
+        // Frame-span check (ADVICE r13): 7 ROWS spans 7 observations,
+        // not 7 calendar days — a date gap would silently widen the
+        // trend window, so a frame only counts when its 7 rows cover
+        // exactly 7 consecutive days (max-min = 6).
+        .withColumn("span7", datediff(max(col("d")).over(frame),
+          min(col("d")).over(frame)))
+        .where(col("n7") === 7 && col("span7") === 6)
         .withColumn("dow", weekday(col("d")))
       val seas = daily
         .groupBy("flag", "dow")
@@ -2533,13 +2542,14 @@ object Analytics {
              fr AS (SELECT flag, d, v,
                       CAST(sum(v) OVER w AS BIGINT) AS s7,
                       count(*) OVER w AS n7,
+                      max(d) OVER w - min(d) OVER w AS span7,
                       dayofweek(d) AS dw
                     FROM daily
                     WINDOW w AS (PARTITION BY flag ORDER BY d
                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
              full_fr AS (SELECT flag, d, v, s7,
                       CASE WHEN dw = 0 THEN 6 ELSE dw - 1 END AS dow
-                    FROM fr WHERE n7 = 7),
+                    FROM fr WHERE n7 = 7 AND span7 = 6),
              seas AS (SELECT flag, dow,
                         CAST(CAST(sum(v * 7 - s7) AS BIGINT) AS DOUBLE)
                           / (CAST(7 AS DOUBLE)
@@ -2671,11 +2681,18 @@ object Analytics {
     (s, dir) => {
       val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
       val w = Window.partitionBy("flag").orderBy("d")
-      val zFml = "(CAST(sseg AS DOUBLE) / CAST(nseg AS DOUBLE) " +
+      val varFml = "(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) " +
+        "- CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"
+      val zCore = "(CAST(sseg AS DOUBLE) / CAST(nseg AS DOUBLE) " +
         "- CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / " +
-        "sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) " +
-        "- CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) " +
+        s"sqrt($varFml " +
         "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+      // Zero-variance guard (ADVICE r13): a constant series would hit
+      // 0/0 (NaN) or x/0 (Inf) — IEEE in Spark but setting-dependent in
+      // DuckDB — so degenerate flags report NULL z / NULL sym, the
+      // q_time_crosscorr posture.
+      val zFml = s"CASE WHEN $varFml <= CAST(0.0 AS DOUBLE) " +
+        s"THEN NULL ELSE $zCore END"
       val daily = Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag").as("flag"),
           to_date(col("l_shipdate")).as("d"))
@@ -2694,18 +2711,22 @@ object Analytics {
         .withColumn("nseg", col("n_days"))
         .select(col("flag"), col("seg"), col("n_days"),
           expr(zFml).as("z"),
-          expr(s"CASE WHEN $zFml < CAST(-0.6745 AS DOUBLE) THEN 'a' " +
-            s"WHEN $zFml < CAST(0.0 AS DOUBLE) THEN 'b' " +
-            s"WHEN $zFml < CAST(0.6745 AS DOUBLE) THEN 'c' " +
+          expr(s"CASE WHEN $varFml <= CAST(0.0 AS DOUBLE) THEN NULL " +
+            s"WHEN $zCore < CAST(-0.6745 AS DOUBLE) THEN 'a' " +
+            s"WHEN $zCore < CAST(0.0 AS DOUBLE) THEN 'b' " +
+            s"WHEN $zCore < CAST(0.6745 AS DOUBLE) THEN 'c' " +
             "ELSE 'd' END").as("sym"))
         .orderBy("flag", "seg")
     },
     Some {
-      val zFml = """(CAST(sseg AS DOUBLE) / CAST(nseg AS DOUBLE)
+      val varFml = """(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"""
+      val zCore = s"""(CAST(sseg AS DOUBLE) / CAST(nseg AS DOUBLE)
           - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) /
-          sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
-          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+          sqrt($varFml
           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"""
+      val zFml = s"""CASE WHEN $varFml <= CAST(0.0 AS DOUBLE)
+          THEN NULL ELSE $zCore END"""
       s"""WITH daily AS (
               SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
                 CAST(SUM(CAST(floor(l_extendedprice
@@ -2729,9 +2750,10 @@ object Analytics {
                      FROM seg GROUP BY flag, seg, n, sv, svv)
             SELECT flag, CAST(seg AS INT) AS seg, n_days,
                    $zFml AS z,
-                   CASE WHEN $zFml < CAST(-0.6745 AS DOUBLE) THEN 'a'
-                        WHEN $zFml < CAST(0.0 AS DOUBLE) THEN 'b'
-                        WHEN $zFml < CAST(0.6745 AS DOUBLE) THEN 'c'
+                   CASE WHEN $varFml <= CAST(0.0 AS DOUBLE) THEN NULL
+                        WHEN $zCore < CAST(-0.6745 AS DOUBLE) THEN 'a'
+                        WHEN $zCore < CAST(0.0 AS DOUBLE) THEN 'b'
+                        WHEN $zCore < CAST(0.6745 AS DOUBLE) THEN 'c'
                         ELSE 'd' END AS sym
             FROM agg ORDER BY flag, seg"""
     })

@@ -90,6 +90,103 @@ class R13Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ER blocking elects exactly one in-block best match per name") {
+    val rows = SparkEntry.queries("q_er_blocking")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val names = rows.map(_.getString(0))
+    assert(names.distinct.length == names.length,
+      "best-match election must be unique per name")
+    def blk(s: String) = "[a-z]+$".r.findFirstIn(s).getOrElse("")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      val (n, m, dst) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(n != m, "a name cannot match itself")
+      assert(blk(n) == blk(m), "match must come from the same block")
+      assert(dst >= 1 && dst <= 4, s"distance $dst outside (0, 4]")
+      assert(lev(n, m).toLong == dst,
+        s"reported distance must be the exact edit distance for $n/$m")
+    }
+  }
+
+  test("LOO target encoding is leakage-free and within (0, 1)") {
+    val rows = SparkEntry.queries("q_feature_target_encode")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // rebuild category sufficient stats from the output itself
+    val byNat = rows.groupBy(_.getInt(1)).map { case (nat, rs) =>
+      nat -> (rs.map(_.getLong(2)).sum, rs.length.toLong)
+    }
+    val sg = rows.map(_.getLong(2)).sum.toDouble
+    val ng = rows.length.toDouble
+    // NOTE: output rows ARE the full fact set (every order scored), so
+    // the rebuilt stats equal the operator's own. P is the global prior.
+    val p = sg / ng
+    rows.foreach { r =>
+      val (nat, y, enc) = (r.getInt(1), r.getLong(2), r.getDouble(3))
+      val (sc, nc) = byNat(nat)
+      val want = ((sc - y).toDouble + 10.0 * p) / (nc - 1 + 10).toDouble
+      assert(math.abs(enc - want) < 1e-12,
+        s"nat $nat: enc $enc != LOO m-estimate $want")
+      assert(enc > 0.0 && enc < 1.0, s"m-smoothed rate out of (0,1): $enc")
+      // leakage-free: flipping this row's own label must move enc
+      val leaky = (sc.toDouble + 10.0 * p) / (nc + 10).toDouble
+      assert(enc != leaky || y == 0,
+        "positive rows must not see their own label")
+    }
+  }
+
+  test("SAX symbols respect breakpoints and z is a valid PAA z-score") {
+    val rows = SparkEntry.queries("q_time_sax")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (flag, rs) =>
+      val segs = rs.map(_.getInt(1)).sorted
+      assert(segs.head >= 0 && segs.last <= 15,
+        s"flag $flag: segment ids outside [0,15]")
+      assert(segs.distinct.length == segs.length)
+      // weighted mean of segment z-scores is 0: sum(nseg * z) = 0
+      val wsum = rs.collect {
+        case r if !r.isNullAt(3) => r.getLong(2) * r.getDouble(3)
+      }.sum
+      assert(math.abs(wsum) < 1e-6,
+        s"flag $flag: PAA z-scores must be centered, got $wsum")
+    }
+    rows.foreach { r =>
+      if (r.isNullAt(3)) assert(r.isNullAt(4),
+        "zero-variance guard must null z and sym together")
+      else {
+        val (z, sym) = (r.getDouble(3), r.getString(4))
+        val want =
+          if (z < -0.6745) "a" else if (z < 0.0) "b"
+          else if (z < 0.6745) "c" else "d"
+        assert(sym == want, s"z=$z mapped to '$sym', expected '$want'")
+      }
+    }
+  }
+
+  test("bigram perplexity: H >= 0 and only held-out docs are scored") {
+    val rows = SparkEntry.queries("q_text_perplexity")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "scored docs need at least one bigram")
+      val h = r.getDouble(2)
+      assert(h >= 0.0, s"cross-entropy must be non-negative, got $h")
+      assert(!h.isNaN && !h.isInfinite)
+    }
+    // the 80/20 hash split: scored docs are a strict minority subset
+    val total = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.length < total / 2,
+      "held-out split must be the ~20% side of the hash split")
+  }
+
   test("sequence pattern counts agree with a driver-side regex re-run") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q_seq_pattern")(spark, sfDir)
