@@ -2594,7 +2594,202 @@ object Windows {
                      AS lead_views
             FROM sq ORDER BY user_id"""))
 
+  /** 14-day RSI (Cutler's SMA form) per return flag — the classic
+    * momentum oscillator, in the simple-moving-average formulation
+    * (Wilder's original smoothing is an α=1/14 recursive EWMA — an
+    * unbounded recurrence the cross-engine doctrine can't pin; Cutler's
+    * SMA variant is the standard window-expressible equivalent and is
+    * scale-invariant where Wilder's depends on the series start). Daily
+    * revenue is exact BIGINT cents; delta/gain/loss stay integer; the
+    * 14-delta frame sums Σgain and Σloss are exact; RSI = 100·Σg/(Σg+Σl)
+    * is ONE shared-text IEEE division, NULL when the frame is flat
+    * (Σg+Σl = 0 — the division would be 0/0). Only complete 14-delta
+    * frames report. Scale: one exchange on flag, O(14) frame state over
+    * the calendar-bounded daily rollup — identical shape to bollinger.
+    */
+  val qWinRsi = Q(
+    "q_win_rsi",
+    (s, dir) => {
+      val wLag = Window.partitionBy("flag").orderBy("d")
+      val wFrame = wLag.rowsBetween(-13, 0)
+      val rsiFml = "CASE WHEN sg + sl = 0 THEN NULL " +
+        "ELSE CAST(100.0 AS DOUBLE) * CAST(sg AS DOUBLE) " +
+        "/ (CAST(sg AS DOUBLE) + CAST(sl AS DOUBLE)) END"
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
+        .withColumn("delta", col("v") - lag(col("v"), 1).over(wLag))
+        .where(col("delta").isNotNull)
+        .withColumn("n14", count(lit(1)).over(wFrame))
+        .withColumn("sg",
+          sum(greatest(col("delta"), lit(0L))).over(wFrame))
+        .withColumn("sl",
+          sum(greatest(-col("delta"), lit(0L))).over(wFrame))
+        .where(col("n14") === 14)
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("sg"), col("sl"), expr(rsiFml).as("rsi"))
+        .orderBy("flag", "d")
+    },
+    Some("""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             dl AS (SELECT flag, d,
+                      v - lag(v, 1) OVER (PARTITION BY flag ORDER BY d)
+                        AS delta
+                    FROM daily),
+             fr AS (SELECT flag, d,
+                      count(*) OVER w AS n14,
+                      CAST(sum(greatest(delta, 0)) OVER w AS BIGINT) AS sg,
+                      CAST(sum(greatest(-delta, 0)) OVER w AS BIGINT) AS sl
+                    FROM dl WHERE delta IS NOT NULL
+                    WINDOW w AS (PARTITION BY flag ORDER BY d
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+            SELECT flag, CAST(d AS TIMESTAMP) AS d, sg, sl,
+                   CASE WHEN sg + sl = 0 THEN NULL
+                        ELSE CAST(100.0 AS DOUBLE) * CAST(sg AS DOUBLE)
+                          / (CAST(sg AS DOUBLE) + CAST(sl AS DOUBLE)) END
+                     AS rsi
+            FROM fr WHERE n14 = 14 ORDER BY flag, d"""))
+
+  /** 14-day STOCHASTIC OSCILLATOR (%K / %D) per return flag — the
+    * range-position momentum pair: %K = 100·(v − min₁₄)/(max₁₄ − min₁₄)
+    * over the trailing 14-day frame, %D = the 3-day SMA of %K. min/max/v
+    * are exact integer cents so %K is one shared-text IEEE formula,
+    * NULL-guarded when the frame range is zero; %D deliberately AVOIDS a
+    * windowed double sum (DuckDB's segment-tree accumulation order
+    * differs — SURVEY §7.6 doctrine) and instead uses the bounded
+    * LAG-CHAIN (k + lag(k,1) + lag(k,2))/3 — a fixed textual add order
+    * both engines evaluate identically; any NULL in the chain (edge or
+    * flat frame) nulls %D, the honest answer. Lags are taken over the
+    * complete-frame rows only, so the chain never crosses a partial
+    * frame. Scale: two flag-partitioned window passes over the bounded
+    * daily rollup — no extra exchange (same partitioning).
+    */
+  val qWinStochastic = Q(
+    "q_win_stochastic",
+    (s, dir) => {
+      val wLag = Window.partitionBy("flag").orderBy("d")
+      val wFrame = wLag.rowsBetween(-13, 0)
+      val kFml = "CASE WHEN hi - lo = 0 THEN NULL " +
+        "ELSE CAST(100.0 AS DOUBLE) * (CAST(v AS DOUBLE) " +
+        "- CAST(lo AS DOUBLE)) / (CAST(hi AS DOUBLE) " +
+        "- CAST(lo AS DOUBLE)) END"
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
+        .withColumn("n14", count(lit(1)).over(wFrame))
+        .withColumn("lo", min(col("v")).over(wFrame))
+        .withColumn("hi", max(col("v")).over(wFrame))
+        .where(col("n14") === 14)
+        .withColumn("k", expr(kFml))
+        .withColumn("pct_d", expr(
+          "(k + lag(k, 1) OVER (PARTITION BY flag ORDER BY d) " +
+            "+ lag(k, 2) OVER (PARTITION BY flag ORDER BY d)) " +
+            "/ CAST(3.0 AS DOUBLE)"))
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("lo"), col("hi"), col("k").as("pct_k"), col("pct_d"))
+        .orderBy("flag", "d")
+    },
+    Some("""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             fr AS (SELECT flag, d, v,
+                      count(*) OVER w AS n14,
+                      CAST(min(v) OVER w AS BIGINT) AS lo,
+                      CAST(max(v) OVER w AS BIGINT) AS hi
+                    FROM daily
+                    WINDOW w AS (PARTITION BY flag ORDER BY d
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+             kk AS (SELECT flag, d, lo, hi,
+                      CASE WHEN hi - lo = 0 THEN NULL
+                           ELSE CAST(100.0 AS DOUBLE) * (CAST(v AS DOUBLE)
+                             - CAST(lo AS DOUBLE)) / (CAST(hi AS DOUBLE)
+                             - CAST(lo AS DOUBLE)) END AS k
+                    FROM fr WHERE n14 = 14)
+            SELECT flag, CAST(d AS TIMESTAMP) AS d, lo, hi, k AS pct_k,
+                   (k + lag(k, 1) OVER (PARTITION BY flag ORDER BY d)
+                      + lag(k, 2) OVER (PARTITION BY flag ORDER BY d))
+                     / CAST(3.0 AS DOUBLE) AS pct_d
+            FROM kk ORDER BY flag, d"""))
+
+  /** 14-day ATR (Average True Range, SMA form) per order priority — the
+    * volatility band behind position sizing and breakout filters. The
+    * daily OHLC bar comes from orders (high/low = max/min total-price
+    * cents, close = the day's LAST order under the o_orderkey total
+    * order via max_by — deterministic, keys are unique); true range =
+    * greatest(hi−lo, |hi−prevClose|, |lo−prevClose|) is PURE INTEGER
+    * arithmetic, the 14-frame ΣTR is an exact BIGINT window sum, and ATR
+    * = ΣTR/14 is the single shared-text IEEE division. First bar (no
+    * prev close) and partial frames are excluded. Scale: one exchange on
+    * priority, O(14) frame state over the calendar-bounded daily bars.
+    */
+  val qWinAtr = Q(
+    "q_win_atr",
+    (s, dir) => {
+      val wLag = Window.partitionBy("pr").orderBy("d")
+      val wFrame = wLag.rowsBetween(-13, 0)
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pr"),
+          to_date(col("o_orderdate")).as("d"), col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("cents"))
+        .groupBy("pr", "d")
+        .agg(max(col("cents")).as("hi"), min(col("cents")).as("lo"),
+          max_by(col("cents"), col("o_orderkey")).as("cl"))
+        .withColumn("pc", lag(col("cl"), 1).over(wLag))
+        .where(col("pc").isNotNull)
+        .withColumn("tr", greatest(col("hi") - col("lo"),
+          abs(col("hi") - col("pc")), abs(col("lo") - col("pc"))))
+        .withColumn("n14", count(lit(1)).over(wFrame))
+        .withColumn("str", sum(col("tr")).over(wFrame))
+        .where(col("n14") === 14)
+        .select(col("pr"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("tr"),
+          expr("CAST(str AS DOUBLE) / CAST(14.0 AS DOUBLE)").as("atr"))
+        .orderBy("pr", "d")
+    },
+    Some("""WITH bars AS (
+              SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS d,
+                CAST(max(cents) AS BIGINT) AS hi,
+                CAST(min(cents) AS BIGINT) AS lo,
+                CAST(max_by(cents, o_orderkey) AS BIGINT) AS cl
+              FROM (SELECT o_orderpriority, o_orderdate, o_orderkey,
+                      CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+                    FROM orders)
+              GROUP BY 1, 2),
+             tr AS (SELECT pr, d,
+                      greatest(hi - lo, abs(hi - pc), abs(lo - pc)) AS tr
+                    FROM (SELECT pr, d, hi, lo,
+                            lag(cl, 1) OVER (PARTITION BY pr ORDER BY d)
+                              AS pc
+                          FROM bars)
+                    WHERE pc IS NOT NULL),
+             fr AS (SELECT pr, d, tr,
+                      count(*) OVER w AS n14,
+                      CAST(sum(tr) OVER w AS BIGINT) AS str
+                    FROM tr
+                    WINDOW w AS (PARTITION BY pr ORDER BY d
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+            SELECT pr, CAST(d AS TIMESTAMP) AS d, tr,
+                   CAST(str AS DOUBLE) / CAST(14.0 AS DOUBLE) AS atr
+            FROM fr WHERE n14 = 14 ORDER BY pr, d"""))
+
   val all: Seq[Q] = Seq(
+    qWinRsi, qWinStochastic, qWinAtr,
     qWinDistinctRolling, qTimeCrosscorr, qSeqPattern,
     qInterarrival, qWinVwap, qWinBollinger, qWinRollingCorr,
     qWinRollingOls, qTimeAutocorr, qActiveUsersRolling,
