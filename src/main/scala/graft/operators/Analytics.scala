@@ -2758,8 +2758,97 @@ object Analytics {
             FROM agg ORDER BY flag, seg"""
     })
 
+  /** BATCH PERCEPTRON training, 3 epochs, ALL-INTEGER — the in-plan
+    * iterative-learning member of the ML family (q_agg_regression is the
+    * closed form; q_feature_target_encode the encoder): y = ±1 on
+    * returnflag 'R', integer features (bias, quantity, discount-cents),
+    * batch update w += Σ_{misclassified} y·x where misclassified means
+    * margin y·(w·x) ≤ 0. With integer features and w₀ = 0 every weight,
+    * margin and update stays an exact BIGINT — the perceptron is the
+    * one classic trainable model with NO float anywhere, which is
+    * exactly why it's the doctrine-safe iterative trainer (logistic GD
+    * needs per-row exp() — the last-ulp class Dec12 can only
+    * probabilistically pin). Each epoch is ONE scan + global aggregate
+    * with the 1-row weight vector broadcast back — at 100 TB, 3 epochs
+    * = 3 scans, no driver-side data movement beyond 3 longs. Output:
+    * final weights + training error census (one shared division).
+    */
+  val qMlPerceptron = Q(
+    "q_ml_perceptron",
+    (s, dir) => {
+      val x = Tables.lineitem(s, dir).select(
+        expr("CASE WHEN l_returnflag = 'R' THEN CAST(1 AS BIGINT) " +
+          "ELSE CAST(-1 AS BIGINT) END").as("y"),
+        expr("CAST(l_quantity AS BIGINT)").as("x1"),
+        expr("CAST(floor(l_discount * CAST(100.0 AS DOUBLE) " +
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("x2"))
+      var w = s.range(1).select(lit(0L).as("w0"), lit(0L).as("w1"),
+        lit(0L).as("w2"))
+      for (_ <- 1 to 3) {
+        val upd = x.crossJoin(broadcast(w))
+          .where(col("y") * (col("w0") + col("w1") * col("x1")
+            + col("w2") * col("x2")) <= 0)
+          .agg(coalesce(sum(col("y")), lit(0L)).as("d0"),
+            coalesce(sum(col("y") * col("x1")), lit(0L)).as("d1"),
+            coalesce(sum(col("y") * col("x2")), lit(0L)).as("d2"))
+        w = w.crossJoin(broadcast(upd))
+          .select((col("w0") + col("d0")).as("w0"),
+            (col("w1") + col("d1")).as("w1"),
+            (col("w2") + col("d2")).as("w2"))
+      }
+      x.crossJoin(broadcast(w))
+        .groupBy("w0", "w1", "w2")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("y") * (col("w0") + col("w1") * col("x1")
+            + col("w2") * col("x2")) <= 0, 1L).otherwise(0L))
+            .as("n_errors"))
+        .select(col("w0"), col("w1"), col("w2"), col("n_rows"),
+          col("n_errors"),
+          expr("CAST(n_errors AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+            .as("error_rate"))
+    },
+    Some("""WITH x AS (SELECT
+                   CASE WHEN l_returnflag = 'R' THEN CAST(1 AS BIGINT)
+                        ELSE CAST(-1 AS BIGINT) END AS y,
+                   CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(floor(l_discount * CAST(100.0 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x2
+                 FROM lineitem),
+             w1 AS (SELECT
+                   CAST(COALESCE(sum(y), 0) AS BIGINT) AS w0,
+                   CAST(COALESCE(sum(y * x1), 0) AS BIGINT) AS w1,
+                   CAST(COALESCE(sum(y * x2), 0) AS BIGINT) AS w2
+                 FROM x WHERE y * (0 + 0 * x1 + 0 * x2) <= 0),
+             w2 AS (SELECT
+                   w.w0 + CAST(COALESCE(sum(x.y), 0) AS BIGINT) AS w0,
+                   w.w1 + CAST(COALESCE(sum(x.y * x.x1), 0) AS BIGINT)
+                     AS w1,
+                   w.w2 + CAST(COALESCE(sum(x.y * x.x2), 0) AS BIGINT)
+                     AS w2
+                 FROM x CROSS JOIN w1 w
+                 WHERE x.y * (w.w0 + w.w1 * x.x1 + w.w2 * x.x2) <= 0
+                 GROUP BY w.w0, w.w1, w.w2),
+             w3 AS (SELECT
+                   w.w0 + CAST(COALESCE(sum(x.y), 0) AS BIGINT) AS w0,
+                   w.w1 + CAST(COALESCE(sum(x.y * x.x1), 0) AS BIGINT)
+                     AS w1,
+                   w.w2 + CAST(COALESCE(sum(x.y * x.x2), 0) AS BIGINT)
+                     AS w2
+                 FROM x CROSS JOIN w2 w
+                 WHERE x.y * (w.w0 + w.w1 * x.x1 + w.w2 * x.x2) <= 0
+                 GROUP BY w.w0, w.w1, w.w2)
+            SELECT w.w0, w.w1, w.w2, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN x.y * (w.w0 + w.w1 * x.x1
+                       + w.w2 * x.x2) <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_errors,
+                   CAST(sum(CASE WHEN x.y * (w.w0 + w.w1 * x.x1
+                       + w.w2 * x.x2) <= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS error_rate
+            FROM x CROSS JOIN w3 w
+            GROUP BY w.w0, w.w1, w.w2"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
-    qTimeSax,
+    qTimeSax, qMlPerceptron,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
     qTimeLttb, qTimeM4, qAggPcaPower,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,

@@ -4067,7 +4067,127 @@ object Llm {
                      list_aggregate(embedding, 'max')) AS INT) AS amax_idx
             FROM embeddings ORDER BY vec_id"""))
 
+  /** MULTINOMIAL NAIVE BAYES source classification — the classic
+    * generative text classifier (McCallum/Nigam's event model) as an
+    * in-plan train+score pipeline: the corpus hash-splits 80/20
+    * (q_corpus_split determinism), per-class token counts + class priors
+    * train on the 80, and each held-out doc is scored
+    * ln P(c) + Σ_tok ln((c_tc+1)/(tot_c+V)) with add-1 smoothing,
+    * predicted class = argmax. The algebraic key: the score decomposes
+    * as ln P(c) − n_tok·ln(tot_c+V) + Σ ln(c_tc+1), and unseen tokens
+    * contribute ln(0+1) = 0 — so the Σ runs over JOIN HITS ONLY (an
+    * inner join on token, never a dense doc×vocab product). Every ln
+    * output is Dec12-quantized (glibc/JVM last-ulp doctrine) and all
+    * adds/multiplies stay exact DECIMAL, so the per-(doc, class) score
+    * is EXACT and the argmax (score desc, class asc) is deterministic.
+    * Scale: count tables are vocab×class-bounded aggregates; scoring is
+    * one hash join on token + a broadcast class spine (20 classes);
+    * the argmax window partitions BY DOC — millions of partitions, no
+    * global window. Output: per-doc prediction vs actual + hit flag.
+    */
+  val qMlNaiveBayes = Q(
+    "q_ml_naive_bayes",
+    (s, dir) => {
+      val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          (pmod(Det.pHash60(col("doc_id")), lit(100)) < 80).as("tr"),
+          expr("CAST(size(filter(split(text, ' '), t -> t <> '')) " +
+            "AS BIGINT)").as("n_tok"))
+      val toks = docs.select(col("doc_id"), col("source"), col("tr"),
+        explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val tc = toks.where(col("tr")).groupBy("source", "tok")
+        .agg(count(lit(1)).as("c"))
+        .select(col("source").as("cls"), col("tok"), col("c"))
+      val cl = toks.where(col("tr")).groupBy("source")
+        .agg(count(lit(1)).as("tot"),
+          countDistinct(col("doc_id")).as("ndocs"))
+        .select(col("source").as("cls"), col("tot"), col("ndocs"))
+      val glob = cl.agg(sum(col("ndocs")).as("n_train"))
+        .crossJoin(toks.where(col("tr"))
+          .agg(countDistinct(col("tok")).as("v")))
+      val hits = toks.where(!col("tr"))
+        .join(tc.hint("shuffle_hash"), Seq("tok"))
+        .groupBy("doc_id", "cls")
+        .agg(sum(expr("CAST(ln(CAST(c + 1 AS DOUBLE)) AS DECIMAL(38,12))"))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 12))
+          .as("shits"))
+      docs.where(!col("tr"))
+        .select(col("doc_id"), col("source").as("actual"), col("n_tok"))
+        .crossJoin(broadcast(cl.crossJoin(glob)))
+        .join(hits, Seq("doc_id", "cls"), "left")
+        // Exact-decimal arithmetic under Spark's 38-digit cap: every
+        // operand is sized so no product or sum needs >38 digits —
+        // (6,0)×(20,12)=(27,12); (20,12)−(27,12)=(28,12);
+        // +(30,12)=(31,12). A (38,12) operand anywhere would trip
+        // Spark's precision-loss scale reduction (to s=11 on the add,
+        // s=6 on the multiply) and silently diverge from DuckDB at
+        // ~1e-11 — observed, not hypothetical.
+        .select(col("doc_id"), col("actual"), col("cls"),
+          (expr("CAST(ln(CAST(ndocs AS DOUBLE) / CAST(n_train AS DOUBLE))" +
+            " AS DECIMAL(20,12))")
+            - expr("CAST(n_tok AS DECIMAL(6,0)) * CAST(ln(CAST(tot AS " +
+              "DOUBLE) + CAST(v AS DOUBLE)) AS DECIMAL(20,12))")
+            + coalesce(col("shits"),
+              lit(0).cast(org.apache.spark.sql.types.DecimalType(30, 12))))
+            .cast(Dec12).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("cls"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("cls").as("predicted"), col("actual"),
+          when(col("cls") === col("actual"), 1L).otherwise(0L).as("hit"),
+          col("score").cast(DoubleType).as("score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source, text,
+                    ((${Det.sqlPHash60("doc_id")}) % 100 + 100) % 100 < 80
+                      AS tr,
+                    CAST(len(list_filter(string_split(text, ' '),
+                      t -> t <> '')) AS BIGINT) AS n_tok
+                  FROM documents),
+              tk AS (SELECT doc_id, source, tr, t.tok
+                     FROM d, unnest(string_split(text, ' ')) AS t(tok)
+                     WHERE t.tok <> ''),
+              tc AS (SELECT source AS cls, tok, count(*) AS c
+                     FROM tk WHERE tr GROUP BY 1, 2),
+              cl AS (SELECT source AS cls, count(*) AS tot,
+                       count(DISTINCT doc_id) AS ndocs
+                     FROM tk WHERE tr GROUP BY 1),
+              g AS (SELECT (SELECT CAST(sum(ndocs) AS BIGINT) FROM cl)
+                       AS n_train,
+                     (SELECT count(DISTINCT tok) FROM tk WHERE tr) AS v),
+              hits AS (SELECT tk.doc_id, tc.cls,
+                         CAST(sum(CAST(ln(CAST(tc.c + 1 AS DOUBLE))
+                           AS DECIMAL(38,12))) AS DECIMAL(30,12)) AS shits
+                       FROM tk JOIN tc ON tk.tok = tc.tok
+                       WHERE NOT tk.tr GROUP BY 1, 2),
+              sc AS (SELECT d.doc_id, d.source AS actual, cl.cls,
+                       CAST(CAST(ln(CAST(cl.ndocs AS DOUBLE)
+                           / CAST(g.n_train AS DOUBLE)) AS DECIMAL(20,12))
+                         - CAST(d.n_tok AS DECIMAL(6,0))
+                           * CAST(ln(CAST(cl.tot AS DOUBLE)
+                           + CAST(g.v AS DOUBLE)) AS DECIMAL(20,12))
+                         + COALESCE(hits.shits,
+                             CAST(0 AS DECIMAL(30,12)))
+                         AS DECIMAL(38,12)) AS score
+                     FROM d CROSS JOIN cl CROSS JOIN g
+                     LEFT JOIN hits ON hits.doc_id = d.doc_id
+                       AND hits.cls = cl.cls
+                     WHERE NOT d.tr),
+              rk AS (SELECT doc_id, actual, cls, score,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, cls) AS rn
+                     FROM sc)
+            SELECT doc_id, cls AS predicted, actual,
+                   CASE WHEN cls = actual THEN CAST(1 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS hit,
+                   CAST(score AS DOUBLE) AS score
+            FROM rk WHERE rn = 1 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
+    qMlNaiveBayes,
     qBpePairCounts, qBpeEncode, qBpeTrain, qUrlCanonical, qArrayStats,
     qSampleStratified, qSampleSystematic, qSampleWeighted,
     qTextNgramLm, qCorpusPack,

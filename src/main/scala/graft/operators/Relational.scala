@@ -2051,9 +2051,123 @@ object Relational {
             GROUP BY a, b
             ORDER BY sum(w.w) DESC, a, b LIMIT 20"""))
 
+  /** JACCARD link prediction over the part↔supplier graph — the set-
+    * overlap member of the shared-neighbor family next to
+    * q_graph_adamic_adar's hub-discounted scoring: J(a,b) =
+    * |N(a)∩N(b)| / (deg(a)+deg(b)−|N(a)∩N(b)|). Wedges enumerate from
+    * the low-degree (part) side exactly as adamic-adar does (Σ deg²
+    * bound), so |∩| is the wedge count and the union re-derives from two
+    * degree lookups — never a neighbor-set materialization. All-integer
+    * until ONE shared-text division; candidate pairs tie-break on
+    * (a, b) under the exact double (identical operands both engines).
+    * The degree joins are SHUFFLE_HASH-hinted on the store side:
+    * Catalyst's static estimate of the pair aggregate is tiny, so left
+    * alone it would broadcast the O(pairs) side (the r11 OOM class).
+    */
+  val qGraphJaccard = Q(
+    "q_graph_jaccard",
+    (s, dir) => {
+      val und = graphUnd(s, dir)
+      val ctr = und.where(pmod(col("src"), lit(2)) === 0)
+      val deg = graphDeg(s, dir)
+        .where(pmod(col("src"), lit(2)) === 1)
+        .select(col("src"), col("deg"))
+      ctr.select(col("src").as("n"), col("dst").as("a"))
+        .join(ctr.select(col("src").as("n"), col("dst").as("b")), Seq("n"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"))
+        .join(deg.toDF("a", "da").hint("shuffle_hash"), "a")
+        .join(deg.toDF("b", "db").hint("shuffle_hash"), "b")
+        .select(col("a"), col("b"), col("n_common"),
+          (col("da") + col("db") - col("n_common")).as("uni"),
+          expr("CAST(n_common AS DOUBLE) " +
+            "/ CAST(da + db - n_common AS DOUBLE)").as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT DISTINCT l_partkey * 2 AS a,
+                    l_suppkey * 2 + 1 AS b FROM lineitem),
+              und AS (SELECT a AS src, b AS dst FROM e
+                      UNION ALL SELECT b, a FROM e),
+              deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+              ctr AS (SELECT src AS n, dst FROM und WHERE src % 2 = 0),
+              pr AS (SELECT c1.dst AS a, c2.dst AS b,
+                       count(*) AS n_common
+                     FROM ctr c1 JOIN ctr c2 ON c1.n = c2.n
+                     WHERE c1.dst < c2.dst GROUP BY 1, 2)
+            SELECT pr.a, pr.b, n_common,
+                   da.deg + db.deg - n_common AS uni,
+                   CAST(n_common AS DOUBLE)
+                     / CAST(da.deg + db.deg - n_common AS DOUBLE)
+                     AS jaccard
+            FROM pr JOIN deg da ON pr.a = da.src
+                    JOIN deg db ON pr.b = db.src
+            ORDER BY jaccard DESC, a, b LIMIT 20"""))
+
+  /** HITS hubs & authorities (Kleinberg's public formulation) on the
+    * DIRECTED part→supplier graph — the bipartite mutual-reinforcement
+    * ranking next to q_graph_pagerank's random-walk one: auth(b) =
+    * Σ_{a→b} hub(a), hub(a) = Σ_{a→b} auth(b), two full iterations from
+    * hub₀ ≡ 1. The doctrinal trick: normalization does not change HITS
+    * ORDER, so the iteration runs UNNORMALIZED — every hub/auth value
+    * stays an exact BIGINT (sums of sums of integer degrees; bounded by
+    * edges·maxdeg³ ≪ 2⁶³ here, re-derive the bound before raising
+    * iters) — and the single L1 normalization happens once at the end
+    * as one shared-text division per row. Zero float accumulation
+    * anywhere. Scale: each half-step is one join + one aggregate on the
+    * bucketed edge store (the pagerank shape); top-20 per side via two
+    * distributed top-k sorts, not a 2-partition window.
+    */
+  val qGraphHits = Q(
+    "q_graph_hits",
+    (s, dir) => {
+      val ed = graphUnd(s, dir)
+        .where(pmod(col("src"), lit(2)) === 0)
+      val a1 = ed.groupBy("dst").agg(count(lit(1)).cast("long").as("a"))
+      val h1 = ed.join(a1, "dst").groupBy("src").agg(sum("a").as("h"))
+      val a2 = ed.join(h1, "src").groupBy("dst").agg(sum("h").as("a"))
+      val h2 = ed.join(a2, "dst").groupBy("src").agg(sum("a").as("h"))
+      val na = a2.agg(sum(col("a")).as("na"))
+      val nh = h2.agg(sum(col("h")).as("nh"))
+      val topA = a2.orderBy(col("a").desc, col("dst")).limit(20)
+        .crossJoin(broadcast(na))
+        .select(lit("auth").as("side"), col("dst").as("node"),
+          col("a").as("raw"),
+          expr("CAST(a AS DOUBLE) / CAST(na AS DOUBLE)").as("score"))
+      val topH = h2.orderBy(col("h").desc, col("src")).limit(20)
+        .crossJoin(broadcast(nh))
+        .select(lit("hub").as("side"), col("src").as("node"),
+          col("h").as("raw"),
+          expr("CAST(h AS DOUBLE) / CAST(nh AS DOUBLE)").as("score"))
+      topA.unionAll(topH).orderBy(col("side"), col("raw").desc, col("node"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT l_partkey * 2 AS src,
+                    l_suppkey * 2 + 1 AS dst FROM lineitem),
+              a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a
+                     FROM e GROUP BY dst),
+              h1 AS (SELECT e.src, CAST(sum(a1.a) AS BIGINT) AS h
+                     FROM e JOIN a1 ON e.dst = a1.dst GROUP BY e.src),
+              a2 AS (SELECT e.dst, CAST(sum(h1.h) AS BIGINT) AS a
+                     FROM e JOIN h1 ON e.src = h1.src GROUP BY e.dst),
+              h2 AS (SELECT e.src, CAST(sum(a2.a) AS BIGINT) AS h
+                     FROM e JOIN a2 ON e.dst = a2.dst GROUP BY e.src),
+              na AS (SELECT CAST(sum(a) AS BIGINT) AS na FROM a2),
+              nh AS (SELECT CAST(sum(h) AS BIGINT) AS nh FROM h2),
+              ta AS (SELECT 'auth' AS side, dst AS node, a AS raw,
+                       CAST(a AS DOUBLE) / CAST(na AS DOUBLE) AS score
+                     FROM a2 CROSS JOIN na
+                     ORDER BY a DESC, dst LIMIT 20),
+              th AS (SELECT 'hub' AS side, src AS node, h AS raw,
+                       CAST(h AS DOUBLE) / CAST(nh AS DOUBLE) AS score
+                     FROM h2 CROSS JOIN nh
+                     ORDER BY h DESC, src LIMIT 20)
+            SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+            ORDER BY side, raw DESC, node"""))
+
   val all: Seq[Q] = Seq(
     qSnapshotDiff, qDqReferential, qJoinBloomPrefilter, qGraphLabelProp,
-    qGraphKcore, qGraphAdamicAdar,
+    qGraphKcore, qGraphAdamicAdar, qGraphJaccard, qGraphHits,
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,
     qFilterInSubquery, qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi,
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
