@@ -69,5 +69,69 @@ object Sketches {
             GROUP BY tok
             ORDER BY n_exact DESC, tok LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(qSketchHeavyHitters)
+  /** PORTABLE Count-Min sketch, built and queried ENTIRELY IN-PLAN —
+    * the oracle-reproducible counterpart to q_sketch_heavy_hitters
+    * (whose JVM CountMinSketch DuckDB cannot run): depth 4 × width 256
+    * counters, row-d cell = pHash60(d‖':'‖token) mod 256, estimate =
+    * min over the 4 rows. Because the hash is the portable md5-prefix
+    * (Det.pHash60), DuckDB rebuilds the IDENTICAL sketch and the parity
+    * gate certifies construction + query, not just a bound. The CMS
+    * contract est ≥ exact is pinned in SketchesSpec. Scale: the build is
+    * one groupBy over (d, cell) — 1 024 counters, map-side partial
+    * aggregation collapses each partition to ≤1 024 rows before the
+    * shuffle, the textbook mergeable-summary shape; the exact top-25 is
+    * the certification truth path (production keeps only the sketch).
+    */
+  val qSketchCmsPortable = Q(
+    "q_sketch_cms_portable",
+    (s, dir) => {
+      val toks = graft.operators.Llm.tokens(
+        graft.sources.Tables.documents(s, dir))
+      val depths = s.range(4).select(col("id").cast("int").as("d"))
+      val cells = toks.crossJoin(broadcast(depths))
+        .select(col("d"), pmod(graft.Det.pHash60(
+          concat(col("d").cast("string"), lit(":"), col("tok"))),
+          lit(256)).as("cell"))
+        .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(25)
+      top.crossJoin(broadcast(depths))
+        .select(col("tok"), col("n_exact"), col("d"),
+          pmod(graft.Det.pHash60(
+            concat(col("d").cast("string"), lit(":"), col("tok"))),
+            lit(256)).as("cell"))
+        .join(broadcast(cells), Seq("d", "cell"))
+        .groupBy("tok", "n_exact")
+        .agg(min(col("cnt")).as("n_cms"))
+        .select(col("tok"), col("n_exact"), col("n_cms"),
+          (col("n_cms") - col("n_exact")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("tok"))
+    },
+    Some {
+      val h = (e: String) => graft.Det.sqlPHash60(e)
+      s"""WITH toks AS (SELECT tok FROM
+                   (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents) WHERE tok <> ''),
+              depths AS (SELECT unnest(range(0, 4)) AS d),
+              cells AS (SELECT d,
+                     ((${h("CAST(d AS VARCHAR) || ':' || tok")}) % 256
+                       + 256) % 256 AS cell,
+                     count(*) AS cnt
+                   FROM toks CROSS JOIN depths GROUP BY 1, 2),
+              top AS (SELECT tok, count(*) AS n_exact FROM toks
+                      GROUP BY tok
+                      ORDER BY n_exact DESC, tok LIMIT 25),
+              q AS (SELECT top.tok, top.n_exact, depths.d,
+                      ((${h("CAST(depths.d AS VARCHAR) || ':' || top.tok")})
+                        % 256 + 256) % 256 AS cell
+                    FROM top CROSS JOIN depths)
+            SELECT q.tok, q.n_exact,
+                   CAST(min(cells.cnt) AS BIGINT) AS n_cms,
+                   CAST(min(cells.cnt) - q.n_exact AS BIGINT) AS overcount
+            FROM q JOIN cells ON q.d = cells.d AND q.cell = cells.cell
+            GROUP BY q.tok, q.n_exact
+            ORDER BY q.n_exact DESC, q.tok"""
+    })
+
+  val all: Seq[Q] = Seq(qSketchHeavyHitters, qSketchCmsPortable)
 }

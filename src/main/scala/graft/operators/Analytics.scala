@@ -2847,8 +2847,103 @@ object Analytics {
             FROM x CROSS JOIN w3 w
             GROUP BY w.w0, w.w1, w.w2"""))
 
+  /** DFT PERIODOGRAM with dominant-period election — the spectral
+    * member of the seasonality family (q_seasonal_dow assumes the
+    * period is 7; this one FINDS it): per flag, the daily-revenue
+    * series is probed at candidate periods p ∈ [2,14] with the naive
+    * DFT power P(p) = (Σ v·cos(2πt/p))² + (Σ v·sin(2πt/p))², t = the
+    * per-flag day rank. Naive O(days·periods) is the right shape here —
+    * the candidate set is bounded and each (flag, p) sum is one
+    * map-side-combining aggregate; an FFT's butterfly is all-to-all and
+    * buys nothing for 13 periods. Determinism: cos/sin differ across
+    * libm's, so the angle is FIRST reduced exactly in integers
+    * (t mod p — the trig input never leaves [0, 2π), where libm's agree
+    * to ~1 ulp; see the inline note), each factor quantized to
+    * DECIMAL(8,6), and the carrier coarsened to whole dollars (exact
+    * integer DIV) so the sums' internal integer stays < 2⁵³ — products
+    * and sums stay EXACT in both engines AND the decimal→double
+    * readout is single-rounding-representable; power is two shared-text
+    * IEEE multiplies + one add on identical doubles. Dominant period = row_number over the bounded
+    * 13-row per-flag spectrum (power desc, p asc). Scale:
+    * calendar-bounded rollup × 13-row broadcast fan-out, one aggregate.
+    */
+  val qTimePeriodogram = Q(
+    "q_time_periodogram",
+    (s, dir) => {
+      val wRk = Window.partitionBy("flag").orderBy("d")
+      // EXACT integer argument reduction: cos(2pi t/p) depends only on
+      // t mod p, so the trig input stays in [0, 2pi) where libm
+      // implementations agree to ~1 ulp -- at the raw t (args up to
+      // ~300 rad) JVM and glibc argument reduction diverges enough to
+      // flip 1e-12 quantization boundaries on ~1/3 of the spectrum rows
+      // (observed). Also collapses the evaluations to <= Sigma p = 104
+      // distinct values. Scale 10 keeps the residual boundary
+      // probability at ~1e-6 per value.
+      val arg = "CAST(2.0 AS DOUBLE) * pi() * CAST(t % p AS DOUBLE) " +
+        "/ CAST(p AS DOUBLE)"
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
+        .withColumn("t", row_number().over(wRk) - 1)
+      val periods = s.range(2, 15).select(col("id").cast("int").as("p"))
+      daily.crossJoin(broadcast(periods))
+        .groupBy("flag", "p")
+        .agg(count(lit(1)).as("n_days"),
+          // v in whole DOLLARS (exact integer DIV) + scale-6 trig keeps
+          // the sums' internal integer < 2^53: DuckDB converts decimal
+          // to double as int128/10^s (two roundings) where Spark's
+          // BigDecimal converts in one -- they agree only when the
+          // decimal is exactly representable. At 100 TB coarsen the
+          // carrier (v DIV 1e4) the same way.
+          sum(expr(s"CAST(v DIV 100 AS DECIMAL(18,0)) " +
+            s"* CAST(cos($arg) AS DECIMAL(8,6))")).as("sxd"),
+          sum(expr(s"CAST(v DIV 100 AS DECIMAL(18,0)) " +
+            s"* CAST(sin($arg) AS DECIMAL(8,6))")).as("syd"))
+        .select(col("flag"), col("p"), col("n_days"),
+          expr("CAST(sxd AS DOUBLE)").as("sx"),
+          expr("CAST(syd AS DOUBLE)").as("sy"))
+        .select(col("flag"), col("p"), col("n_days"),
+          expr("sx * sx + sy * sy").as("power"))
+        .withColumn("is_peak",
+          when(row_number().over(Window.partitionBy("flag")
+            .orderBy(col("power").desc, col("p"))) === 1, 1L)
+            .otherwise(0L))
+        .orderBy("flag", "p")
+    },
+    Some("""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             rk AS (SELECT flag, v,
+                      row_number() OVER (PARTITION BY flag ORDER BY d) - 1
+                        AS t
+                    FROM daily),
+             pp AS (SELECT CAST(unnest(range(2, 15)) AS INT) AS p),
+             f AS (SELECT flag, p, count(*) AS n_days,
+                     CAST(SUM(CAST(v // 100 AS DECIMAL(24,0))
+                       * CAST(cos(CAST(2.0 AS DOUBLE) * pi()
+                           * CAST(t % p AS DOUBLE) / CAST(p AS DOUBLE))
+                         AS DECIMAL(8,6))) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(v // 100 AS DECIMAL(24,0))
+                       * CAST(sin(CAST(2.0 AS DOUBLE) * pi()
+                           * CAST(t % p AS DOUBLE) / CAST(p AS DOUBLE))
+                         AS DECIMAL(8,6))) AS DOUBLE) AS sy
+                   FROM rk CROSS JOIN pp GROUP BY flag, p),
+             pw AS (SELECT flag, p, n_days, sx * sx + sy * sy AS power
+                    FROM f)
+            SELECT flag, p, n_days, power,
+                   CASE WHEN row_number() OVER (PARTITION BY flag
+                       ORDER BY power DESC, p) = 1
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                     AS is_peak
+            FROM pw ORDER BY flag, p"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
-    qTimeSax, qMlPerceptron,
+    qTimeSax, qMlPerceptron, qTimePeriodogram,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
     qTimeLttb, qTimeM4, qAggPcaPower,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,

@@ -128,6 +128,31 @@ class R14Spec extends AnyFunSuite with SparkFixture {
     assert((w0, w1, w2) == w, s"weights ($w0,$w1,$w2) != replay $w")
   }
 
+  test("portable CMS never undercounts (the count-min contract)") {
+    val rows = SparkEntry.queries("q_sketch_cms_portable")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS undercounted: est $est < exact $exact")
+      assert(over == est - exact)
+    }
+  }
+
+  test("periodogram: 13 periods per flag, one peak, peak has max power") {
+    val rows = SparkEntry.queries("q_time_periodogram")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (flag, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (2 to 14),
+        s"flag $flag: period axis must be exactly [2,14]")
+      rs.foreach(r => assert(r.getDouble(3) >= 0.0, "power is a square sum"))
+      val peaks = rs.filter(_.getLong(4) == 1L)
+      assert(peaks.length == 1, s"flag $flag: exactly one dominant period")
+      assert(peaks.head.getDouble(3) == rs.map(_.getDouble(3)).max)
+    }
+  }
+
   test("naive Bayes scores every held-out doc exactly once") {
     val rows = SparkEntry.queries("q_ml_naive_bayes")(spark, sfDir)
       .collect()
