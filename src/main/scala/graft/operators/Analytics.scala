@@ -2942,8 +2942,73 @@ object Analytics {
                      AS is_peak
             FROM pw ORDER BY flag, p"""))
 
+  /** GROUPED FEATURE SCALING (z-score + min-max) — the
+    * StandardScaler/MinMaxScaler preprocessing stage every tabular-ML
+    * pipeline runs, per-group (nation) so each segment normalizes
+    * against its own distribution: z = (x−μ)/σ with the population σ,
+    * mm = (x−min)/(max−min), both NULL-guarded for degenerate groups
+    * (zero variance / zero range — the SAX r13-ADVICE posture). Balance
+    * cents ride the DECIMAL(38,0) carrier (sums of squares overflow
+    * BIGINT at scale); μ, σ, z are ONE shared formula on identical
+    * operands (scale-0 decimals convert to double in a single rounding
+    * in both engines — no 10^s division). Scale: one bounded (25-row)
+    * stats aggregate broadcast back onto the fact scan — the scaler is
+    * a map-side transform, the q_feature_target_encode shape.
+    */
+  val qFeatureScale = Q(
+    "q_feature_scale",
+    (s, dir) => {
+      val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val varFml = "(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) " +
+        "- CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"
+      val zFml = s"CASE WHEN $varFml <= CAST(0.0 AS DOUBLE) THEN NULL " +
+        "ELSE (CAST(x AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))" +
+        s" / sqrt($varFml / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END"
+      val mmFml = "CASE WHEN mx - mn = 0 THEN NULL " +
+        "ELSE (CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) " +
+        "/ (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) END"
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nat"),
+          expr("CAST(floor(c_acctbal * CAST(100.0 AS DOUBLE) " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("x"))
+      val st = c.groupBy("nat")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(Dec0)).cast(Dec0).as("sv"),
+          sum((col("x") * col("x")).cast(Dec0)).cast(Dec0).as("svv"),
+          min(col("x")).as("mn"), max(col("x")).as("mx"))
+      c.join(broadcast(st), Seq("nat"))
+        .select(col("c_custkey"), col("nat"), col("x").as("cents"),
+          expr(zFml).as("z"), expr(mmFml).as("mm"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_nationkey AS nat,
+                    CAST(floor(c_acctbal * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x
+                  FROM customer),
+             st AS (SELECT nat, count(*) AS n,
+                      CAST(sum(x) AS HUGEINT) AS sv,
+                      CAST(sum(x * x) AS HUGEINT) AS svv,
+                      min(x) AS mn, max(x) AS mx
+                    FROM c GROUP BY nat)
+            SELECT c.c_custkey, c.nat, c.x AS cents,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                       <= CAST(0.0 AS DOUBLE) THEN NULL
+                     ELSE (CAST(x AS DOUBLE)
+                       - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END
+                     AS z,
+                   CASE WHEN mx - mn = 0 THEN NULL
+                     ELSE (CAST(x AS DOUBLE) - CAST(mn AS DOUBLE))
+                       / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) END
+                     AS mm
+            FROM c JOIN st ON c.nat = st.nat
+            ORDER BY c.c_custkey"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
-    qTimeSax, qMlPerceptron, qTimePeriodogram,
+    qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
     qTimeLttb, qTimeM4, qAggPcaPower,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,

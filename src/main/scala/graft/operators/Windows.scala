@@ -1099,6 +1099,53 @@ object Windows {
             SELECT src, dst, n, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
             FROM tt ORDER BY src, dst"""))
 
+  /** SECOND-ORDER Markov transitions — the (state₋₂, state₋₁) → next
+    * trigram model over per-user event sequences, the memory-2 upgrade
+    * of q_markov_transitions' bigram chain (the standard test for
+    * whether a funnel is actually first-order Markov: compare
+    * p(c | a,b) against p(c | b)). Same total order (ts, event_id),
+    * two leads instead of one, counts exact, conditional probability =
+    * one shared division against the (a, b) context total. Scale: one
+    * user-partitioned window pass + a bounded (|types|³ ≤ 125-row)
+    * aggregate; the context-total window runs over that bounded result.
+    */
+  val qSeqMarkov2 = Q(
+    "q_seq_markov2",
+    (s, dir) => {
+      val wNext = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("s2"))
+        .withColumn("s1", lead(col("s2"), 1).over(wNext))
+        .withColumn("nxt", lead(col("s2"), 2).over(wNext))
+        .where(col("nxt").isNotNull)
+        .groupBy("s2", "s1", "nxt")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot",
+          sum(col("n")).over(Window.partitionBy("s2", "s1")))
+        .select(col("s2").as("prev2"), col("s1").as("prev1"),
+          col("nxt").as("next_state"), col("n"),
+          (col("n").cast(org.apache.spark.sql.types.DoubleType) /
+            col("tot").cast(org.apache.spark.sql.types.DoubleType))
+            .as("p"))
+        .orderBy("prev2", "prev1", "next_state")
+    },
+    Some("""WITH seq AS (SELECT event_type AS s2,
+                    lead(event_type, 1) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS s1,
+                    lead(event_type, 2) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS nxt
+                  FROM events),
+             t AS (SELECT s2, s1, nxt, count(*) AS n
+                   FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+             tt AS (SELECT s2, s1, nxt, n,
+                      CAST(sum(n) OVER (PARTITION BY s2, s1) AS BIGINT)
+                        AS tot
+                    FROM t)
+            SELECT s2 AS prev2, s1 AS prev1, nxt AS next_state, n,
+                   CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+            FROM tt ORDER BY prev2, prev1, next_state"""))
+
   /** Dense calendar spine — the densification step every time-series
     * rollup needs before resampling/joining (BI calendars, SLA windows,
     * forecasting frames): generate EVERY day in the data's own [min, max]
@@ -2789,7 +2836,7 @@ object Windows {
             FROM fr WHERE n14 = 14 ORDER BY pr, d"""))
 
   val all: Seq[Q] = Seq(
-    qWinRsi, qWinStochastic, qWinAtr,
+    qWinRsi, qWinStochastic, qWinAtr, qSeqMarkov2,
     qWinDistinctRolling, qTimeCrosscorr, qSeqPattern,
     qInterarrival, qWinVwap, qWinBollinger, qWinRollingCorr,
     qWinRollingOls, qTimeAutocorr, qActiveUsersRolling,

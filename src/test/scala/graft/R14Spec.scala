@@ -153,6 +153,44 @@ class R14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("second-order Markov rows are proper conditionals per context") {
+    val rows = SparkEntry.queries("q_seq_markov2")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1)
+      val p = r.getDouble(4)
+      assert(p > 0.0 && p <= 1.0)
+    }
+    rows.groupBy(r => (r.getString(0), r.getString(1))).foreach {
+      case (ctx, rs) =>
+        val tot = rs.map(_.getDouble(4)).sum
+        assert(math.abs(tot - 1.0) < 1e-9,
+          s"context $ctx: conditional probabilities sum to $tot, not 1")
+    }
+  }
+
+  test("feature scaling: z centers per group, min-max lands in [0,1]") {
+    val rows = SparkEntry.queries("q_feature_scale")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(4)) {
+        val mm = r.getDouble(4)
+        assert(mm >= 0.0 && mm <= 1.0, s"min-max out of range: $mm")
+      }
+    }
+    rows.groupBy(_.getInt(1)).foreach { case (nat, rs) =>
+      val zs = rs.collect { case r if !r.isNullAt(3) => r.getDouble(3) }
+      if (zs.nonEmpty) {
+        assert(math.abs(zs.sum) < 1e-6 * zs.length,
+          s"nation $nat: z-scores must center at 0")
+        val zvar = zs.map(z => z * z).sum / zs.length
+        assert(math.abs(zvar - 1.0) < 1e-6,
+          s"nation $nat: z variance $zvar != 1")
+      }
+    }
+  }
+
   test("naive Bayes scores every held-out doc exactly once") {
     val rows = SparkEntry.queries("q_ml_naive_bayes")(spark, sfDir)
       .collect()
