@@ -3007,8 +3007,125 @@ object Analytics {
             FROM c JOIN st ON c.nat = st.nat
             ORDER BY c.c_custkey"""))
 
+  /** DYNAMIC TIME WARPING distance between the per-flag daily-revenue
+    * series, every flag pair — the elastic-alignment similarity measure
+    * (Sakoe–Chiba's public formulation) behind series clustering and
+    * motif search, a whole-operator semantics Spark has no primitive
+    * for. Shape: each series is first PAA-compressed to 64 balanced
+    * integer segments (the q_time_sax split — floor((rn−1)·64/n), exact
+    * sums), so the DP is a BOUNDED 64×64 program per pair and the
+    * full-resolution series never leaves its partition; the classic
+    * Sakoe–Chiba band is the further scale knob (unneeded at 64²). The
+    * DP itself runs IN-PLAN as a nested `aggregate` higher-order fold —
+    * outer fold over ys carrying the DP row, inner fold over xs
+    * building the next row from cost |x−y| + min(left, up, diag) — no
+    * collect, no driver loop, no UDF: pure Catalyst expressions over an
+    * ALL-BIGINT state, so the distance is exact in both engines. The
+    * DuckDB oracle cannot fold with a list accumulator; it replays the
+    * identical recurrence as a recursive CTE over j using the
+    * prefix-min reformulation new[i] = P[i] + min_{k≤i}(M[k] − P[k−1])
+    * (M[k] = min(old[k], old[k−1])) — different mechanics, same exact
+    * integers, which is the point of an integer DP. try_element_at +
+    * ANSI-safe guards handle the row edges (index 0 throws under ANSI).
+    */
+  val qTimeDtw = Q(
+    "q_time_dtw",
+    (s, dir) => {
+      val wRk = Window.partitionBy("flag").orderBy("d")
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
+        .withColumn("rn", row_number().over(wRk))
+      val n = daily.groupBy("flag").agg(count(lit(1)).as("n_days"))
+      val ser = daily.join(broadcast(n), Seq("flag"))
+        .withColumn("seg", expr("CAST(((rn - 1) * 64) DIV n_days AS INT)"))
+        .groupBy("flag", "n_days", "seg")
+        .agg(sum(col("v")).as("sv"))
+        .groupBy("flag", "n_days")
+        .agg(expr("transform(sort_array(collect_list(struct(seg, sv))), " +
+          "x -> x.sv)").as("arr"))
+      val dpFml =
+        """aggregate(
+             slice(ys, 2, greatest(size(ys) - 1, 0)),
+             aggregate(xs, CAST(array() AS ARRAY<BIGINT>),
+               (acc, x) -> concat(acc, array(
+                 coalesce(try_element_at(acc, -1), CAST(0 AS BIGINT))
+                   + abs(x - try_element_at(ys, 1))))),
+             (old, yj) -> aggregate(xs, CAST(array() AS ARRAY<BIGINT>),
+               (acc, x) -> concat(acc, array(
+                 abs(x - yj) + least(
+                   try_element_at(acc, -1),
+                   if(size(acc) = 0, CAST(NULL AS BIGINT),
+                      try_element_at(old, size(acc))),
+                   try_element_at(old, size(acc) + 1))))))"""
+      ser.select(col("flag").as("flag_a"), col("n_days").as("n_a"),
+          col("arr").as("xs"))
+        .join(broadcast(ser.select(col("flag").as("flag_b"),
+          col("n_days").as("n_b"), col("arr").as("ys"))),
+          col("flag_a") < col("flag_b"))
+        .select(col("flag_a"), col("flag_b"), col("n_a"), col("n_b"),
+          expr(s"try_element_at($dpFml, -1)").as("dtw"),
+          expr(s"CAST(try_element_at($dpFml, -1) AS DOUBLE) " +
+            "/ CAST(size(xs) + size(ys) AS DOUBLE)").as("dtw_per_step"))
+        .orderBy("flag_a", "flag_b")
+    },
+    Some {
+      // oracle-side helpers, inlined below: cost[t], its prefix sums and
+      // the prefix-min reformulation -- all exact BIGINT list math
+      val cost = "([abs(xs[t] - ys[j + 1]) FOR t IN range(1, len(xs) + 1)])"
+      s"""WITH RECURSIVE daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             rk AS (SELECT flag, v,
+                      row_number() OVER (PARTITION BY flag ORDER BY d)
+                        AS rn,
+                      count(*) OVER (PARTITION BY flag) AS n_days
+                    FROM daily),
+             paa AS (SELECT flag, n_days,
+                       ((rn - 1) * 64) // n_days AS seg,
+                       CAST(sum(v) AS BIGINT) AS sv
+                     FROM rk GROUP BY flag, n_days, ((rn - 1) * 64)
+                       // n_days),
+             ser AS (SELECT flag, n_days,
+                       list(sv ORDER BY seg) AS arr
+                     FROM paa GROUP BY flag, n_days),
+             pairs AS (SELECT a.flag AS fa, b.flag AS fb,
+                         a.n_days AS n_a, b.n_days AS n_b,
+                         a.arr AS xs, b.arr AS ys
+                       FROM ser a JOIN ser b ON a.flag < b.flag),
+             dp AS (
+               SELECT fa, fb, n_a, n_b, xs, ys, 1 AS j,
+                 [CAST(list_sum([abs(xs[t] - ys[1])
+                            FOR t IN range(1, i + 1)]) AS BIGINT)
+                  FOR i IN range(1, len(xs) + 1)] AS row
+               FROM pairs
+               UNION ALL
+               SELECT fa, fb, n_a, n_b, xs, ys, j + 1,
+                 [CAST(list_sum($cost[1:i])
+                    + list_min([
+                        CAST((CASE WHEN k = 1 THEN row[1]
+                              ELSE least(row[k], row[k - 1]) END)
+                        - (CASE WHEN k = 1 THEN 0
+                                ELSE list_sum($cost[1:k - 1]) END)
+                          AS BIGINT)
+                        FOR k IN range(1, i + 1)]) AS BIGINT)
+                  FOR i IN range(1, len(xs) + 1)] AS row
+               FROM dp WHERE j < len(ys))
+            SELECT fa AS flag_a, fb AS flag_b, n_a, n_b,
+                   row[len(xs)] AS dtw,
+                   CAST(row[len(xs)] AS DOUBLE)
+                     / CAST(len(xs) + len(ys) AS DOUBLE) AS dtw_per_step
+            FROM dp WHERE j = len(ys)
+            ORDER BY flag_a, flag_b"""
+    })
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
-    qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale,
+    qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
     qTimeLttb, qTimeM4, qAggPcaPower,
     qKnnClassify, qTrendMannKendall, qSkyline2d, qVocabCoverage,

@@ -191,6 +191,46 @@ class R14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("DTW matches a driver-side replay of the banded-free 64-PAA DP") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_time_dtw")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(out.nonEmpty)
+    // rebuild the PAA series independently and re-run the DP in Scala
+    val daily = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("flag"),
+        to_date(col("l_shipdate")).as("d"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100.0 + 0.5) " +
+        "AS BIGINT)")).as("v"))
+      .orderBy("flag", "d").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val series = daily.groupBy(_._1).map { case (f, rs) =>
+      val vs = rs.map(_._2)
+      val n = vs.length
+      val segs = Array.fill(64)(0L)
+      vs.zipWithIndex.foreach { case (v, i) => segs((i * 64) / n) += v }
+      f -> segs.take(math.min(64, n))
+    }
+    def dtw(xs: Array[Long], ys: Array[Long]): Long = {
+      var old = xs.scanLeft(0L)((a, x) => a + math.abs(x - ys(0))).drop(1)
+      for (j <- 1 until ys.length) {
+        val nw = new Array[Long](xs.length)
+        for (i <- xs.indices) {
+          val best =
+            if (i == 0) old(0)
+            else math.min(nw(i - 1), math.min(old(i), old(i - 1)))
+          nw(i) = math.abs(xs(i) - ys(j)) + best
+        }
+        old = nw
+      }
+      old.last
+    }
+    out.foreach { case ((a, b), got) =>
+      val want = dtw(series(a), series(b))
+      assert(got == want, s"pair ($a,$b): engine $got != replay $want")
+    }
+  }
+
   test("naive Bayes scores every held-out doc exactly once") {
     val rows = SparkEntry.queries("q_ml_naive_bayes")(spark, sfDir)
       .collect()
