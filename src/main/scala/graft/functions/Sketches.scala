@@ -133,5 +133,75 @@ object Sketches {
             ORDER BY q.n_exact DESC, q.tok"""
     })
 
-  val all: Seq[Q] = Seq(qSketchHeavyHitters, qSketchCmsPortable)
+  /** PORTABLE Bloom filter, built and queried ENTIRELY IN-PLAN — the
+    * membership member of the portable-sketch family next to the CMS
+    * (frequency): m = 65 536 bits × k = 4 salted md5-prefix hashes
+    * (Det.pHash60, the cross-engine workhorse), member set = customer
+    * names of the BUILDING segment, probe set = EVERY distinct
+    * customer name. Build = distinct (bit) over members×salts — a
+    * bounded ≤m-row set, the textbook mergeable membership summary
+    * (bit-OR union is a distinct-union here); query = 4-way probe
+    * expansion left-joined to the bit set, hit ⇔ all 4 present.
+    * Output is the confusion census (is_member × bloom_hit): the
+    * no-false-negatives LAW materializes as the structural absence of
+    * the (true, false) row — certified by DuckDB rebuilding the
+    * IDENTICAL filter, and pinned engine-side in SketchesSpec. Scale:
+    * probes shuffle on the bit id against a ≤m-row build side; in
+    * production the bit set broadcasts (64 KB) and the probe is a
+    * map-side semi-join — exactly how q_join_bloom_prefilter uses its
+    * JVM bitset, here with full oracle parity instead.
+    */
+  val qSketchBloomPortable = Q(
+    "q_sketch_bloom_portable",
+    (s, dir) => {
+      val cust = graft.sources.Tables.customer(s, dir)
+      val salts = s.range(4).select(col("id").cast("int").as("d"))
+      def cell(nameCol: String) = pmod(graft.Det.pHash60(
+        concat(col("d").cast("string"), lit(":"), col(nameCol))),
+        lit(65536)).as("cell")
+      val bits = cust.where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_name")).distinct()
+        .crossJoin(broadcast(salts))
+        .select(cell("c_name")).distinct()
+      val probes = cust.select(col("c_name"),
+          (col("c_mktsegment") === "BUILDING").as("m"))
+        .groupBy("c_name").agg(max(col("m")).as("is_member"))
+      val probed = probes.crossJoin(broadcast(salts))
+        .select(col("c_name"), col("is_member"), cell("c_name"))
+        .join(broadcast(bits.withColumn("present", lit(1L))),
+          Seq("cell"), "left")
+        .groupBy("c_name", "is_member")
+        .agg((sum(coalesce(col("present"), lit(0L))) === 4L)
+          .as("bloom_hit"))
+      probed.groupBy("is_member", "bloom_hit")
+        .agg(count(lit(1)).as("n_names"))
+        .orderBy("is_member", "bloom_hit")
+    },
+    Some {
+      val h = (e: String) => graft.Det.sqlPHash60(e)
+      s"""WITH salts AS (SELECT unnest(range(0, 4)) AS d),
+              bits AS (SELECT DISTINCT
+                     ((${h("CAST(d AS VARCHAR) || ':' || c_name")})
+                       % 65536 + 65536) % 65536 AS cell
+                   FROM (SELECT DISTINCT c_name FROM customer
+                         WHERE c_mktsegment = 'BUILDING')
+                   CROSS JOIN salts),
+              probes AS (SELECT c_name,
+                       max(c_mktsegment = 'BUILDING') AS is_member
+                     FROM customer GROUP BY c_name),
+              probed AS (SELECT p.c_name, p.is_member,
+                       CAST(sum(CASE WHEN bits.cell IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) = 4
+                         AS bloom_hit
+                     FROM probes p CROSS JOIN salts
+                     LEFT JOIN bits ON bits.cell =
+                       ((${h("CAST(d AS VARCHAR) || ':' || p.c_name")})
+                         % 65536 + 65536) % 65536
+                     GROUP BY p.c_name, p.is_member)
+            SELECT is_member, bloom_hit, count(*) AS n_names
+            FROM probed GROUP BY 1, 2 ORDER BY is_member, bloom_hit"""
+    })
+
+  val all: Seq[Q] = Seq(qSketchHeavyHitters, qSketchCmsPortable,
+    qSketchBloomPortable)
 }

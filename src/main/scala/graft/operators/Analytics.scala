@@ -3124,6 +3124,1498 @@ object Analytics {
             ORDER BY flag_a, flag_b"""
     })
 
+  /** Per-stream FRESHNESS audit — the staleness readout every ingestion
+    * SLA monitors (which event streams have stopped flowing, and for
+    * how long?): per event type, row count, last-seen timestamp, lag
+    * behind the corpus watermark (the GLOBAL max — a deterministic
+    * reference; wall-clock "now" is banned by the determinism
+    * doctrine) in exact integer µs and whole days, and the >7-day
+    * stale flag. All integer timestamp arithmetic (µs since epoch —
+    * the events loader's normalization contract), no floats anywhere.
+    * Scale: ONE map-combining aggregate + a 1-row watermark broadcast
+    * — the audit costs a scan regardless of stream count.
+    */
+  val qDqFreshness = Q(
+    "q_dq_freshness",
+    (s, dir) => {
+      val perType = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("last_seen"))
+      val wm = perType.agg(max(col("last_seen")).as("watermark"))
+      perType.crossJoin(broadcast(wm))
+        .select(col("event_type"), col("n"), col("last_seen"),
+          col("watermark"),
+          expr("unix_micros(watermark) - unix_micros(last_seen)")
+            .as("lag_us"))
+        .withColumn("lag_days", expr("lag_us DIV 86400000000"))
+        .withColumn("is_stale", col("lag_days") > 7)
+        .orderBy("event_type")
+    },
+    Some("""WITH pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    max(ts) AS last_seen
+                  FROM events GROUP BY event_type),
+             wm AS (SELECT max(last_seen) AS watermark FROM pt)
+            SELECT event_type, n, last_seen, watermark,
+                   epoch_us(watermark) - epoch_us(last_seen) AS lag_us,
+                   (epoch_us(watermark) - epoch_us(last_seen))
+                     // 86400000000 AS lag_days,
+                   (epoch_us(watermark) - epoch_us(last_seen))
+                     // 86400000000 > 7 AS is_stale
+            FROM pt, wm ORDER BY event_type"""))
+
+  /** Newman–Girvan MODULARITY of the brand partition over the
+    * co-purchase graph — "is this catalog taxonomy a real community
+    * structure?" (the quality score label-propagation/Louvain
+    * maximize, here evaluated for a GIVEN partition): nodes = parts,
+    * weighted edges = the MaxBasket-capped a<b basket self-join
+    * (q_basket_pairs' graph), Q = Σ_c (e_c/m − (d_c/2m)²) from exact
+    * integer sufficient statistics — intra-community edge weight e_c,
+    * community strength d_c, total weight m — with per-community
+    * contributions Dec12-quantized before the bounded ≤|brands| sum.
+    * Brand lookups ride SHUFFLE_HASH (part is O(catalog) at 100 TB,
+    * not broadcastable; the aggregate-fed sides carry tiny static
+    * estimates — §7.6 trap). Output: per-community diagnostics + the
+    * global Q on every row.
+    */
+  val qGraphModularity = Q(
+    "q_graph_modularity",
+    (s, dir) => {
+      val wBasket = Window.partitionBy(col("okey")).orderBy(col("part"))
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+        .withColumn("rn", row_number().over(wBasket))
+        .where(col("rn") <= graft.operators.Relational.MaxBasket)
+        .select("okey", "part")
+      val edges = items.toDF("okey", "pa")
+        .join(items.toDF("okey2", "pb"),
+          col("okey") === col("okey2") && col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      val brand = Tables.part(s, dir)
+        .select(col("p_partkey").as("pk"), col("p_brand").as("c"))
+      val eb = edges
+        .join(brand.toDF("pa", "ca").hint("shuffle_hash"), "pa")
+        .join(brand.toDF("pb", "cb").hint("shuffle_hash"), "pb")
+      val m = eb.agg(sum(col("w")).as("m"))
+      val ec = eb.where(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(sum(col("w")).as("e_c"))
+      val strength = eb.select(col("ca").as("c"), col("w"))
+        .union(eb.select(col("cb").as("c"), col("w")))
+        .groupBy("c").agg(sum(col("w")).as("d_c"))
+      val rows = strength.join(ec, Seq("c"), "left")
+        .select(col("c"), coalesce(col("e_c"), lit(0L)).as("e_c"),
+          col("d_c"))
+        .crossJoin(broadcast(m))
+        .withColumn("contrib", expr(
+          "CAST(e_c AS DOUBLE) / CAST(m AS DOUBLE)" +
+            " - (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))" +
+            " * (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))"))
+      val q = rows.agg(sum(expr("CAST(contrib AS DECIMAL(38,12))"))
+        .cast("double").as("q_mod"))
+      rows.crossJoin(broadcast(q))
+        .select(col("c").as("community"), col("e_c"), col("d_c"),
+          col("contrib"), col("q_mod"))
+        .orderBy("community")
+    },
+    Some(s"""WITH items AS (
+              SELECT okey, part FROM (
+                SELECT okey, part,
+                       row_number() OVER (PARTITION BY okey ORDER BY part)
+                         AS rn
+                FROM (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+                      FROM lineitem))
+              WHERE rn <= ${graft.operators.Relational.MaxBasket}),
+             edges AS (SELECT x.part AS pa, y.part AS pb,
+                         CAST(count(*) AS BIGINT) AS w
+                       FROM items x JOIN items y
+                         ON x.okey = y.okey AND x.part < y.part
+                       GROUP BY 1, 2),
+             eb AS (SELECT pa, pb, w, ba.p_brand AS ca, bb.p_brand AS cb
+                    FROM edges JOIN part ba ON pa = ba.p_partkey
+                               JOIN part bb ON pb = bb.p_partkey),
+             m AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM eb),
+             ec AS (SELECT ca AS c, CAST(sum(w) AS BIGINT) AS e_c
+                    FROM eb WHERE ca = cb GROUP BY ca),
+             st AS (SELECT c, CAST(sum(w) AS BIGINT) AS d_c
+                    FROM (SELECT ca AS c, w FROM eb
+                          UNION ALL SELECT cb AS c, w FROM eb)
+                    GROUP BY c),
+             rows_ AS (SELECT j.c, j.e_c, j.d_c,
+                         CAST(j.e_c AS DOUBLE) / CAST(m.m AS DOUBLE)
+                           - (CAST(j.d_c AS DOUBLE)
+                              / (2.0 * CAST(m.m AS DOUBLE)))
+                           * (CAST(j.d_c AS DOUBLE)
+                              / (2.0 * CAST(m.m AS DOUBLE))) AS contrib
+                       FROM (SELECT st.c, COALESCE(ec.e_c, 0) AS e_c,
+                               st.d_c
+                             FROM st LEFT JOIN ec ON st.c = ec.c) j, m),
+             q AS (SELECT CAST(sum(CAST(contrib AS DECIMAL(38,12)))
+                     AS DOUBLE) AS q_mod FROM rows_)
+            SELECT c AS community, e_c, d_c, contrib, q_mod
+            FROM rows_, q ORDER BY community"""))
+
+  /** Delta-method ratio metric with confidence interval — revenue per
+    * unit (Σprice/Σqty) per returnflag with the asymptotic SE every
+    * A/B readout needs for a RATIO (naive per-row averaging of x/y is
+    * a different, wrong estimand): SE² = (σ²_x + R²σ²_y − 2Rσ_xy)
+    * / (n·ȳ²), all from ONE map-combining aggregate of exact integer
+    * moments (Σx² rides DECIMAL(38,0) — the q_agg_ols_multi carrier,
+    * scale-0 readout verified representation-consistent), R/SE/CI as
+    * shared-text finals with degenerate guards. The ±1.96 normal
+    * quantile is a shared literal. Scale: one scan, one 3-row output —
+    * the sufficient-statistics pattern, no resampling (q_agg_bootstrap
+    * is the small-n alternative).
+    */
+  val qAggDeltaMethod = Q(
+    "q_agg_delta_method",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+            .as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("flag"), col("n"),
+          expr("CASE WHEN sy = 0 THEN NULL" +
+            " ELSE CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) END")
+            .as("ratio"),
+          expr("""CASE WHEN sy = 0 OR n <= 1 THEN NULL ELSE
+                   sqrt(greatest(CAST(0 AS DOUBLE),
+                     ((CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                      + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                        * (CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                      - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                        * (CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(n AS DOUBLE)))
+                     / (CAST(n AS DOUBLE)
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))))
+                  END""").as("se"))
+        .select(col("flag"), col("n"), col("ratio"), col("se"),
+          expr("ratio - 1.96 * se").as("ci_lo"),
+          expr("ratio + 1.96 * se").as("ci_hi"))
+        .orderBy("flag")
+    },
+    Some("""WITH m AS (SELECT l_returnflag AS flag,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS sx,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+                    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS DECIMAL(38,0))
+                        * CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               AS DECIMAL(38,0))) AS sxx,
+                    CAST(sum(CAST(l_quantity AS BIGINT)
+                             * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                      AS syy,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                      AS sxy
+                  FROM lineitem GROUP BY 1),
+             d AS (SELECT flag, n,
+                     CASE WHEN sy = 0 THEN NULL
+                       ELSE CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) END
+                       AS ratio,
+                     CASE WHEN sy = 0 OR n <= 1 THEN NULL ELSE
+                       sqrt(greatest(CAST(0 AS DOUBLE),
+                         ((CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                          + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                            * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                            * (CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                          - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                            * (CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                 / CAST(n AS DOUBLE)))
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))))
+                       END AS se
+                   FROM m)
+            SELECT flag, n, ratio, se,
+                   ratio - 1.96 * se AS ci_lo,
+                   ratio + 1.96 * se AS ci_hi
+            FROM d ORDER BY flag"""))
+
+  /** Levene's test in the Brown–Forsythe form — equal-VARIANCE check
+    * across part brands (the assumption q_agg_anova quietly makes;
+    * run this first, trust F after): W = the one-way ANOVA F computed
+    * on absolute deviations from the GROUP MEDIAN (median, not mean —
+    * the robust variant that survives heavy tails). Never touches a
+    * row twice: ONE fact aggregate to the bounded (brand × quantity)
+    * value grid; group medians come from the grid's cumulative
+    * self-join (lower median min{v : cum ≥ ⌈n/2⌉}, deterministic
+    * integer, same spelling both engines); deviations z = c·|v−med|
+    * stay ALL-INTEGER (z ≤ 49, Σz² ≪ 2⁵³ at the quantity carrier);
+    * then the exact q_agg_anova assembly (Dec12 per-group terms, one
+    * shared F). Scale: the fact table contributes one map-combining
+    * aggregate — medians and moments live on ≤50·|brands| cells.
+    */
+  val qAggLevene = Q(
+    "q_agg_levene",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("int").as("v"))
+      val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val cells = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("g"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val b = cells.select(col("g").as("bg"), col("v").as("bv"),
+        col("c").as("bc"))
+      val cum = cells.join(b, col("g") === col("bg") && col("bv") <= col("v"))
+        .groupBy(col("g"), col("v"))
+        .agg(sum(col("bc")).as("cum"))
+      val ng = cells.groupBy("g").agg(sum(col("c")).as("ng"))
+      val med = cum.join(ng, "g")
+        .where(expr("cum >= (ng + 1) DIV 2"))
+        .groupBy("g").agg(min(col("v")).as("med"))
+      val zstats = cells.join(broadcast(med), "g")
+        .groupBy("g")
+        .agg(sum(col("c")).as("ngr"),
+          sum(col("c") * abs(col("v") - col("med"))).as("sz"),
+          sum(col("c") * (col("v") - col("med"))
+            * (col("v") - col("med"))).as("szz"))
+      zstats.agg(
+        count(lit(1)).as("k"),
+        sum(col("ngr")).as("n"),
+        sum(col("sz")).as("s"),
+        sum(col("szz")).as("ss"),
+        sum(expr("CAST(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)" +
+          " / CAST(ngr AS DOUBLE) AS DECIMAL(38,12))")).as("tbq"))
+        .select(col("k"), col("n"),
+          expr("CAST(tbq AS DOUBLE)" +
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")
+            .as("ssb"),
+          expr("CAST(ss AS DOUBLE) - CAST(tbq AS DOUBLE)").as("ssw"))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"),
+          expr("CASE WHEN ssw <= 0 OR n <= k OR k <= 1 THEN NULL" +
+            " ELSE (ssb / CAST(k - 1 AS DOUBLE))" +
+            " / (ssw / CAST(n - k AS DOUBLE)) END").as("w_stat"))
+    },
+    Some("""WITH cells AS (SELECT p_brand AS g,
+                    CAST(l_quantity AS INTEGER) AS v,
+                    CAST(count(*) AS BIGINT) AS c
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  GROUP BY 1, 2),
+             cum AS (SELECT a.g, a.v, CAST(sum(b.c) AS BIGINT) AS cum
+                     FROM cells a JOIN cells b
+                       ON a.g = b.g AND b.v <= a.v
+                     GROUP BY a.g, a.v),
+             ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+                    FROM cells GROUP BY g),
+             med AS (SELECT cum.g, min(cum.v) AS med
+                     FROM cum JOIN ng ON cum.g = ng.g
+                     WHERE cum >= (ng + 1) // 2
+                     GROUP BY cum.g),
+             z AS (SELECT cells.g, CAST(sum(c) AS BIGINT) AS ngr,
+                     CAST(sum(c * abs(v - med)) AS BIGINT) AS sz,
+                     CAST(sum(c * (v - med) * (v - med)) AS BIGINT) AS szz
+                   FROM cells JOIN med ON cells.g = med.g
+                   GROUP BY cells.g),
+             t AS (SELECT count(*) AS k, CAST(sum(ngr) AS BIGINT) AS n,
+                     CAST(sum(sz) AS BIGINT) AS s,
+                     CAST(sum(szz) AS BIGINT) AS ss,
+                     sum(CAST(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                         / CAST(ngr AS DOUBLE) AS DECIMAL(38,12))) AS tbq
+                   FROM z),
+             d AS (SELECT k, n,
+                     CAST(tbq AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE) AS ssb,
+                     CAST(ss AS DOUBLE) - CAST(tbq AS DOUBLE) AS ssw
+                   FROM t)
+            SELECT k, n, ssb, ssw,
+                   CASE WHEN ssw <= 0 OR n <= k OR k <= 1 THEN NULL
+                     ELSE (ssb / CAST(k - 1 AS DOUBLE))
+                       / (ssw / CAST(n - k AS DOUBLE)) END AS w_stat
+            FROM d"""))
+
+  /** Hodges–Lehmann pseudo-median of line-item quantity per returnflag
+    * — the rank-based location estimator (median of all pairwise Walsh
+    * averages, the robust point estimate tied to the Wilcoxon test).
+    * The naive form is O(n²) pairs; on a bounded value domain it
+    * collapses to WEIGHTED cells: Walsh sum w = vᵢ+vⱼ with weight
+    * cᵢ·cⱼ (i<j) or cᵢ·(cᵢ+1)/2 (i=j) — ≤99 distinct sums per flag —
+    * and HL = (lower weighted median of w)/2, the one shared division.
+    * Everything else is exact integers: pair weights ≤ n², total
+    * T = n(n+1)/2, median position (T+1) DIV 2, cumulative weights via
+    * the bounded w≤w' self-join. Scale: ONE map-combining fact
+    * aggregate; the quadratic lives on the 50-value grid, never the
+    * corpus — the q_agg_kendall posture applied to location
+    * estimation.
+    */
+  val qAggHodgesLehmann = Q(
+    "q_agg_hodges_lehmann",
+    (s, dir) => {
+      val vals = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("v"))
+        .groupBy("flag", "v").agg(count(lit(1)).as("c"))
+      val b = vals.select(col("flag").as("bf"), col("v").as("bv"),
+        col("c").as("bc"))
+      val walsh = vals.join(b, col("flag") === col("bf") &&
+          col("bv") >= col("v"))
+        .select(col("flag"), (col("v") + col("bv")).as("w"),
+          expr("CASE WHEN bv = v THEN c * (c + 1) DIV 2" +
+            " ELSE c * bc END").as("wt"))
+        .groupBy("flag", "w").agg(sum(col("wt")).as("wt"))
+      val wb = walsh.select(col("flag").as("wf"), col("w").as("ww"),
+        col("wt").as("wwt"))
+      val cum = walsh.join(wb, col("flag") === col("wf") &&
+          col("ww") <= col("w"))
+        .groupBy(col("flag"), col("w"))
+        .agg(sum(col("wwt")).as("cum"))
+      val tot = walsh.groupBy("flag").agg(sum(col("wt")).as("t"))
+      val nn = vals.groupBy("flag").agg(sum(col("c")).as("n"))
+      cum.join(tot, "flag")
+        .where(expr("cum >= (t + 1) DIV 2"))
+        .groupBy("flag")
+        .agg(min(col("w")).as("w_med"))
+        .join(nn, "flag").join(tot, "flag")
+        .select(col("flag"), col("n"), col("t").as("t_pairs"),
+          col("w_med"),
+          expr("CAST(w_med AS DOUBLE) / 2.0").as("hl"))
+        .orderBy("flag")
+    },
+    Some("""WITH vals AS (SELECT l_returnflag AS flag,
+                    CAST(l_quantity AS BIGINT) AS v,
+                    CAST(count(*) AS BIGINT) AS c
+                  FROM lineitem GROUP BY 1, 2),
+             walsh AS (SELECT a.flag, a.v + b.v AS w,
+                         CAST(sum(CASE WHEN a.v = b.v
+                              THEN a.c * (a.c + 1) // 2
+                              ELSE a.c * b.c END) AS BIGINT) AS wt
+                       FROM vals a JOIN vals b
+                         ON a.flag = b.flag AND b.v >= a.v
+                       GROUP BY a.flag, a.v + b.v),
+             cum AS (SELECT x.flag, x.w, CAST(sum(y.wt) AS BIGINT) AS cum
+                     FROM walsh x JOIN walsh y
+                       ON x.flag = y.flag AND y.w <= x.w
+                     GROUP BY x.flag, x.w),
+             tot AS (SELECT flag, CAST(sum(wt) AS BIGINT) AS t
+                     FROM walsh GROUP BY flag),
+             nn AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n
+                    FROM vals GROUP BY flag),
+             med AS (SELECT cum.flag, min(cum.w) AS w_med
+                     FROM cum JOIN tot ON cum.flag = tot.flag
+                     WHERE cum >= (t + 1) // 2
+                     GROUP BY cum.flag)
+            SELECT med.flag, n, t AS t_pairs, w_med,
+                   CAST(w_med AS DOUBLE) / 2.0 AS hl
+            FROM med JOIN nn ON med.flag = nn.flag
+                     JOIN tot ON med.flag = tot.flag
+            ORDER BY med.flag"""))
+
+  /** Precision–recall curve + average precision — the imbalanced-class
+    * companion to q_eval_auc (ROC flatters a 1%-positive problem; PR
+    * does not): same ONE-aggregate ≤11-level cell machinery,
+    * cumulative TP/FP via the bounded b≥a self-join, and AP by the
+    * step identity AP = Σ_v (pos_v/P)·precision(v) — the recall
+    * increment at threshold v IS pos_v/P, so no lag/window is needed
+    * on the bounded table. Per-level AP terms are shared IEEE products
+    * of two exact-int divisions, Dec12-quantized before the bounded
+    * sum (§7.2); precision/recall NULL-guarded. Scale: fact scan +
+    * O(levels²) bounded arithmetic, the q_eval_auc posture.
+    */
+  val qEvalPrCurve = Q(
+    "q_eval_pr_curve",
+    (s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .select(round(col("l_discount") * 100).cast("int").as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("v")
+        .agg(sum(col("y")).as("pos"),
+          (count(lit(1)) - sum(col("y"))).as("neg"))
+      val bb = cells.select(col("v").as("bv"), col("pos").as("bpos"),
+        col("neg").as("bneg"))
+      val cum = cells.join(bb, col("bv") >= col("v"))
+        .groupBy(col("v"), col("pos"), col("neg"))
+        .agg(sum(col("bpos")).as("tp"), sum(col("bneg")).as("fp"))
+      val tot = cells.agg(sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+      val terms = cum.crossJoin(broadcast(tot))
+        .withColumn("prec", expr("CASE WHEN tp + fp = 0 THEN NULL" +
+          " ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END"))
+        .withColumn("rec", expr("CASE WHEN p = 0 THEN NULL" +
+          " ELSE CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) END"))
+      val ap = terms
+        .agg(sum(expr("CASE WHEN prec IS NULL OR p = 0" +
+          " THEN CAST(0 AS DECIMAL(38,12))" +
+          " ELSE CAST((CAST(pos AS DOUBLE) / CAST(p AS DOUBLE)) * prec" +
+          " AS DECIMAL(38,12)) END")).as("apq"))
+        .select(expr("CAST(apq AS DOUBLE)").as("ap"))
+      terms.crossJoin(broadcast(ap))
+        .select(col("v").as("thr"), col("tp"), col("fp"), col("prec"),
+          col("rec"), col("ap"))
+        .orderBy("thr")
+    },
+    Some("""WITH cells AS (SELECT CAST(round(l_discount * 100) AS INTEGER)
+                      AS v,
+                    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                             ELSE 0 END) AS BIGINT) AS pos,
+                    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0
+                             ELSE 1 END) AS BIGINT) AS neg
+                  FROM lineitem GROUP BY 1),
+             cum AS (SELECT a.v, a.pos, a.neg,
+                       CAST(sum(b.pos) AS BIGINT) AS tp,
+                       CAST(sum(b.neg) AS BIGINT) AS fp
+                     FROM cells a JOIN cells b ON b.v >= a.v
+                     GROUP BY a.v, a.pos, a.neg),
+             tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                       CAST(sum(neg) AS BIGINT) AS n FROM cells),
+             terms AS (SELECT v, pos, tp, fp, p,
+                         CASE WHEN tp + fp = 0 THEN NULL
+                           ELSE CAST(tp AS DOUBLE)
+                             / CAST(tp + fp AS DOUBLE) END AS prec,
+                         CASE WHEN p = 0 THEN NULL
+                           ELSE CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) END
+                           AS rec
+                       FROM cum, tot),
+             ap AS (SELECT CAST(sum(CASE WHEN prec IS NULL OR p = 0
+                       THEN CAST(0 AS DECIMAL(38,12))
+                       ELSE CAST((CAST(pos AS DOUBLE) / CAST(p AS DOUBLE))
+                            * prec AS DECIMAL(38,12)) END) AS DOUBLE) AS ap
+                    FROM terms)
+            SELECT v AS thr, tp, fp, prec, rec, ap
+            FROM terms, ap ORDER BY thr"""))
+
+  /** Mutual-information FEATURE RANKING against the returned-flag label
+    * — the filter-method feature selector (the step before any model
+    * training at 100 TB: rank cheap, train on the survivors): five
+    * categorical featurizations of the fact row (discount level,
+    * quantity decile, linestatus, tax level, ship month) are unpivoted
+    * by stack() so ONE scan feeds one map-combining aggregate to the
+    * bounded (feature × value × label) cell table; per-feature
+    * MI/H(X)/H(Y)/NMI follow q_agg_mutual_info's exact doctrine
+    * (integer counts, Dec12-quantized ln terms, shared finals).
+    * Output ordered by MI descending (identical doubles both engines,
+    * feature-name tiebreak) — the selection order IS the result.
+    * Scale: the 5× stack fan-out is the honest cost of scoring 5
+    * features in one pass; everything after lives on ≤100 cells.
+    */
+  val qFeatureSelectMi = Q(
+    "q_feature_select_mi",
+    (s, dir) => {
+      val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val base = Tables.lineitem(s, dir)
+        .select(expr("stack(5," +
+          " 'discount', CAST(CAST(round(l_discount * 100) AS INT)" +
+          "   AS STRING)," +
+          " 'quantity_decile', CAST(CAST(l_quantity AS INT) DIV 10" +
+          "   AS STRING)," +
+          " 'linestatus', l_linestatus," +
+          " 'tax', CAST(CAST(round(l_tax * 100) AS INT) AS STRING)," +
+          " 'ship_month', CAST(month(l_shipdate) AS STRING))" +
+          " AS (feature, xv)"),
+          when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))
+      val cells = base.groupBy("feature", "xv", "y")
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy("feature", "xv").agg(sum(col("o")).as("r"))
+      val ct = cells.groupBy("feature", "y").agg(sum(col("o")).as("c"))
+      val nt = cells.groupBy("feature").agg(sum(col("o")).as("n"))
+      val miTerm =
+        "(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+          "ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) / " +
+          "(CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))"
+      def entTerm(tot: String) =
+        s"-(CAST($tot AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+          s"ln(CAST($tot AS DOUBLE) / CAST(n AS DOUBLE))"
+      val mi = cells
+        .join(broadcast(rt), Seq("feature", "xv"))
+        .join(broadcast(ct), Seq("feature", "y"))
+        .join(broadcast(nt), Seq("feature"))
+        .groupBy("feature")
+        .agg(sum(expr(miTerm).cast(Dec12)).cast("double").as("mi"))
+      val hx = rt.join(broadcast(nt), Seq("feature")).groupBy("feature")
+        .agg(sum(expr(entTerm("r")).cast(Dec12)).cast("double").as("h_x"))
+      val hy = ct.join(broadcast(nt), Seq("feature")).groupBy("feature")
+        .agg(sum(expr(entTerm("c")).cast(Dec12)).cast("double").as("h_y"))
+      nt.join(broadcast(mi), "feature").join(broadcast(hx), "feature")
+        .join(broadcast(hy), "feature")
+        .select(col("feature"), col("n"), col("mi"), col("h_x"),
+          col("h_y"),
+          expr("CASE WHEN h_x * h_y > CAST(0 AS DOUBLE) " +
+            "THEN mi / sqrt(h_x * h_y) ELSE NULL END").as("nmi"))
+        .orderBy(col("mi").desc, col("feature"))
+    },
+    Some("""WITH base AS (
+              SELECT feature, xv,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+              FROM lineitem, LATERAL (VALUES
+                ('discount',
+                 CAST(CAST(round(l_discount * 100) AS INTEGER) AS VARCHAR)),
+                ('quantity_decile',
+                 CAST(CAST(l_quantity AS INTEGER) // 10 AS VARCHAR)),
+                ('linestatus', l_linestatus),
+                ('tax',
+                 CAST(CAST(round(l_tax * 100) AS INTEGER) AS VARCHAR)),
+                ('ship_month',
+                 CAST(month(CAST(l_shipdate AS DATE)) AS VARCHAR)))
+                AS t(feature, xv)),
+             cells AS (SELECT feature, xv, y, count(*) AS o
+                       FROM base GROUP BY 1, 2, 3),
+             rt AS (SELECT feature, xv, sum(o) AS r
+                    FROM cells GROUP BY 1, 2),
+             ct AS (SELECT feature, y, sum(o) AS c
+                    FROM cells GROUP BY 1, 2),
+             nt AS (SELECT feature, sum(o) AS n FROM cells GROUP BY 1),
+             mi AS (SELECT cells.feature, CAST(sum(CAST(
+                      (CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) *
+                      ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) /
+                         (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS mi
+                    FROM cells
+                    JOIN rt ON cells.feature = rt.feature
+                           AND cells.xv = rt.xv
+                    JOIN ct ON cells.feature = ct.feature
+                           AND cells.y = ct.y
+                    JOIN nt ON cells.feature = nt.feature
+                    GROUP BY cells.feature),
+             hx AS (SELECT rt.feature, CAST(sum(CAST(
+                      -(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) *
+                      ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS h_x
+                    FROM rt JOIN nt ON rt.feature = nt.feature
+                    GROUP BY rt.feature),
+             hy AS (SELECT ct.feature, CAST(sum(CAST(
+                      -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS h_y
+                    FROM ct JOIN nt ON ct.feature = nt.feature
+                    GROUP BY ct.feature)
+            SELECT nt.feature, CAST(n AS BIGINT) AS n, mi, h_x, h_y,
+                   CASE WHEN h_x * h_y > CAST(0 AS DOUBLE)
+                        THEN mi / sqrt(h_x * h_y) ELSE NULL END AS nmi
+            FROM nt JOIN mi ON nt.feature = mi.feature
+                    JOIN hx ON nt.feature = hx.feature
+                    JOIN hy ON nt.feature = hy.feature
+            ORDER BY mi DESC, nt.feature"""))
+
+  /** Calibration curve + expected calibration error (ECE) — the
+    * "are the probabilities HONEST" evaluation next to q_eval_auc's
+    * "is the ranking right": train/test split by the portable 80/20
+    * row hash (leakage-safe by construction — the predicted rate per
+    * score level comes from TRAIN rows only), per-level p̂ =
+    * pos_tr/n_tr vs the TEST empirical rate, ECE = Σ (n_te/N)·|p̂ −
+    * rate| over the ≤11 bounded levels with Dec12-quantized terms
+    * (§7.2: a bare double sum over the level table would be
+    * order-dependent). Levels empty on either side report NULL and are
+    * excluded from ECE — the honest readout, not a 0-imputation.
+    * Scale: two map-combining aggregates over one scan (the split is a
+    * per-row hash predicate, not a shuffle), bounded arithmetic after.
+    */
+  val qEvalCalibration = Q(
+    "q_eval_calibration",
+    (s, dir) => {
+      val base = Tables.lineitem(s, dir)
+        .select(round(col("l_discount") * 100).cast("int").as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+          (pmod(graft.Det.pHash60(concat(col("l_orderkey"), lit(":"),
+            col("l_linenumber"))), lit(5)) === 0).as("is_test"))
+      val tr = base.where(!col("is_test")).groupBy("v")
+        .agg(count(lit(1)).as("n_tr"), sum(col("y")).as("pos_tr"))
+      val te = base.where(col("is_test")).groupBy("v")
+        .agg(count(lit(1)).as("n_te"), sum(col("y")).as("pos_te"))
+      val bins = tr.join(te, Seq("v"), "full")
+        .select(col("v"),
+          coalesce(col("n_tr"), lit(0L)).as("n_tr"),
+          coalesce(col("pos_tr"), lit(0L)).as("pos_tr"),
+          coalesce(col("n_te"), lit(0L)).as("n_te"),
+          coalesce(col("pos_te"), lit(0L)).as("pos_te"))
+        .withColumn("p_hat", expr("CASE WHEN n_tr = 0 THEN NULL" +
+          " ELSE CAST(pos_tr AS DOUBLE) / CAST(n_tr AS DOUBLE) END"))
+        .withColumn("rate_te", expr("CASE WHEN n_te = 0 THEN NULL" +
+          " ELSE CAST(pos_te AS DOUBLE) / CAST(n_te AS DOUBLE) END"))
+        .withColumn("abs_gap", expr("abs(p_hat - rate_te)"))
+      val ece = bins
+        .agg(sum(expr("CASE WHEN abs_gap IS NULL THEN CAST(0 AS BIGINT)" +
+          " ELSE n_te END")).as("n_used"),
+          sum(expr("CAST(CAST(n_te AS DOUBLE) * abs_gap" +
+            " AS DECIMAL(38,12))")).as("wsum"))
+        .select(expr("CASE WHEN n_used = 0 THEN NULL" +
+          " ELSE CAST(wsum AS DOUBLE) / CAST(n_used AS DOUBLE) END")
+          .as("ece"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("v"), col("n_tr"), col("p_hat"), col("n_te"),
+          col("rate_te"), col("abs_gap"), col("ece"))
+        .orderBy("v")
+    },
+    Some(s"""WITH base AS (SELECT
+                    CAST(round(l_discount * 100) AS INTEGER) AS v,
+                    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                    ((${graft.Det.sqlPHash60(
+                      "CAST(l_orderkey AS VARCHAR) || ':' " +
+                        "|| CAST(l_linenumber AS VARCHAR)")}) % 5 + 5) % 5
+                      = 0 AS is_test
+                  FROM lineitem),
+             tr AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tr,
+                      CAST(sum(y) AS BIGINT) AS pos_tr
+                    FROM base WHERE NOT is_test GROUP BY v),
+             te AS (SELECT v, CAST(count(*) AS BIGINT) AS n_te,
+                      CAST(sum(y) AS BIGINT) AS pos_te
+                    FROM base WHERE is_test GROUP BY v),
+             bins AS (SELECT COALESCE(tr.v, te.v) AS v,
+                        COALESCE(n_tr, 0) AS n_tr,
+                        COALESCE(pos_tr, 0) AS pos_tr,
+                        COALESCE(n_te, 0) AS n_te,
+                        COALESCE(pos_te, 0) AS pos_te
+                      FROM tr FULL JOIN te ON tr.v = te.v),
+             b2 AS (SELECT v, n_tr, n_te,
+                      CASE WHEN n_tr = 0 THEN NULL
+                        ELSE CAST(pos_tr AS DOUBLE) / CAST(n_tr AS DOUBLE)
+                        END AS p_hat,
+                      CASE WHEN n_te = 0 THEN NULL
+                        ELSE CAST(pos_te AS DOUBLE) / CAST(n_te AS DOUBLE)
+                        END AS rate_te
+                    FROM bins),
+             b3 AS (SELECT *, abs(p_hat - rate_te) AS abs_gap FROM b2),
+             ece AS (SELECT CASE WHEN n_used = 0 THEN NULL
+                       ELSE CAST(wsum AS DOUBLE) / CAST(n_used AS DOUBLE)
+                       END AS ece
+                     FROM (SELECT CAST(sum(CASE WHEN abs_gap IS NULL
+                               THEN 0 ELSE n_te END) AS BIGINT) AS n_used,
+                             sum(CAST(CAST(n_te AS DOUBLE) * abs_gap
+                                 AS DECIMAL(38,12))) AS wsum
+                           FROM b3))
+            SELECT v, n_tr, p_hat, n_te, rate_te, abs_gap, ece
+            FROM b3, ece ORDER BY v"""))
+
+  /** Degree assortativity of the part–supplier trade graph — do
+    * high-degree parts trade with high-degree suppliers? (Newman's
+    * edge-degree correlation, the one-number mixing summary next to
+    * the degree histogram): Pearson r between deg(part) and deg(supp)
+    * across DISTINCT edges. ALL-INTEGER moments (degrees are bounded
+    * by the per-key edge fanout; products ≪ 2⁶³), one shared final
+    * formula. Both degree joins ride SHUFFLE_HASH — the degree tables
+    * are aggregate-fed (tiny static estimate, §7.6 broadcast trap) and
+    * O(parts)/O(suppliers) at 100 TB, so the honest shape is a
+    * shuffled hash join on the edge keys. One row out.
+    */
+  val qGraphAssortativity = Q(
+    "q_graph_assortativity",
+    (s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      val dp = edges.groupBy("p").agg(count(lit(1)).as("dx"))
+      val ds = edges.groupBy("sk").agg(count(lit(1)).as("dy"))
+      edges
+        .join(dp.hint("shuffle_hash"), "p")
+        .join(ds.hint("shuffle_hash"), "sk")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("n_edges"),
+          expr("CAST(sx AS DOUBLE) / CAST(n_edges AS DOUBLE)")
+            .as("mean_deg_part"),
+          expr("CAST(sy AS DOUBLE) / CAST(n_edges AS DOUBLE)")
+            .as("mean_deg_supp"),
+          expr("""CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+                    OR (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+                   THEN NULL
+                   ELSE (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END""")
+            .as("assortativity"))
+    },
+    Some("""WITH edges AS (SELECT DISTINCT l_partkey AS p,
+                    l_suppkey AS sk FROM lineitem),
+             dp AS (SELECT p, CAST(count(*) AS BIGINT) AS dx
+                    FROM edges GROUP BY p),
+             ds AS (SELECT sk, CAST(count(*) AS BIGINT) AS dy
+                    FROM edges GROUP BY sk),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                     CAST(sum(dx) AS BIGINT) AS sx,
+                     CAST(sum(dy) AS BIGINT) AS sy,
+                     CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                     CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                     CAST(sum(dy * dy) AS BIGINT) AS syy
+                   FROM edges JOIN dp ON edges.p = dp.p
+                     JOIN ds ON edges.sk = ds.sk)
+            SELECT n_edges,
+                   CAST(sx AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                     AS mean_deg_part,
+                   CAST(sy AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                     AS mean_deg_supp,
+                   CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+                       OR (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+                     THEN NULL
+                     ELSE (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END
+                     AS assortativity
+            FROM m"""))
+
+  /** Forecast backtest: seasonal-naive (ŷ_t = y_{t−7}) vs naive
+    * (ŷ_t = y_{t−1}) on the per-flag daily-revenue series, scored by
+    * MAE and the scale-free MASE = MAE_snaive/MAE_naive (Hyndman &
+    * Koehler's public measure; < 1 ⇒ weekly seasonality carries real
+    * signal) — the evaluation harness every forecasting pipeline needs
+    * before any model ships. Errors are exact integer cents summed
+    * exactly; the two MAEs and MASE are shared-text finals over rows
+    * where BOTH forecasts exist (same eval window — comparing MAEs on
+    * different windows is the classic backtest bug). Row-lag frames on
+    * the rollup axis (dense TPC-H calendar — the q_time_decompose
+    * caveat applies and is documented). Scale: one rollup + one
+    * flag-partitioned window pass, bounded output.
+    */
+  val qTimeForecastEval = Q(
+    "q_time_forecast_eval",
+    (s, dir) => {
+      val wLag = Window.partitionBy("flag").orderBy("d")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
+        .withColumn("f_naive", lag(col("v"), 1).over(wLag))
+        .withColumn("f_snaive", lag(col("v"), 7).over(wLag))
+        .where(col("f_naive").isNotNull && col("f_snaive").isNotNull)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("v") - col("f_naive"))).as("ae_naive"),
+          sum(abs(col("v") - col("f_snaive"))).as("ae_snaive"))
+        .select(col("flag"), col("n_eval"),
+          expr("CAST(ae_naive AS DOUBLE) / CAST(n_eval AS DOUBLE)")
+            .as("mae_naive"),
+          expr("CAST(ae_snaive AS DOUBLE) / CAST(n_eval AS DOUBLE)")
+            .as("mae_snaive"),
+          expr("CASE WHEN ae_naive = 0 THEN NULL" +
+            " ELSE CAST(ae_snaive AS DOUBLE) / CAST(ae_naive AS DOUBLE)" +
+            " END").as("mase"))
+        .orderBy("flag")
+    },
+    Some("""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             lagged AS (SELECT flag, d, v,
+                      lag(v, 1) OVER (PARTITION BY flag ORDER BY d)
+                        AS f_naive,
+                      lag(v, 7) OVER (PARTITION BY flag ORDER BY d)
+                        AS f_snaive
+                    FROM daily),
+             agg AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_eval,
+                       CAST(sum(abs(v - f_naive)) AS BIGINT) AS ae_naive,
+                       CAST(sum(abs(v - f_snaive)) AS BIGINT) AS ae_snaive
+                     FROM lagged
+                     WHERE f_naive IS NOT NULL AND f_snaive IS NOT NULL
+                     GROUP BY flag)
+            SELECT flag, n_eval,
+                   CAST(ae_naive AS DOUBLE) / CAST(n_eval AS DOUBLE)
+                     AS mae_naive,
+                   CAST(ae_snaive AS DOUBLE) / CAST(n_eval AS DOUBLE)
+                     AS mae_snaive,
+                   CASE WHEN ae_naive = 0 THEN NULL
+                     ELSE CAST(ae_snaive AS DOUBLE)
+                       / CAST(ae_naive AS DOUBLE) END AS mase
+            FROM agg ORDER BY flag"""))
+
+  /** LCSS similarity (longest common subsequence with tolerance — the
+    * Vlachos/Keogh elastic measure) between the per-flag daily-revenue
+    * series, every flag pair — the noise-ROBUST member of the elastic
+    * family next to q_time_dtw: DTW must align EVERY point so one
+    * outlier day taxes the distance; LCSS simply declines to match it.
+    * Same bounded shape as DTW: PAA-compress to 64 balanced integer
+    * segments first, then the 64×64 DP runs IN-PLAN as a nested
+    * `aggregate` fold (outer over ys carrying the DP row, inner over
+    * xs; recurrence L[i][j] = max(L[i−1][j], L[i][j−1],
+    * L[i−1][j−1] + m) with the ALL-INTEGER 10%-relative match predicate
+    * 10·|x−y| ≤ max(|x|,|y|) — no float epsilon anywhere). The DuckDB
+    * oracle replays the identical recurrence as a recursive CTE via the
+    * prefix-max reformulation new[i] = max(prev[i],
+    * max_{k≤i}(prev[k−1] + m_k)) — valid because LCSS rows are
+    * monotone non-decreasing; different mechanics, same exact
+    * integers. similarity = lcss/min(|xs|,|ys|), the one shared final.
+    */
+  val qTimeLcss = Q(
+    "q_time_lcss",
+    (s, dir) => {
+      val wRk = Window.partitionBy("flag").orderBy("d")
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
+        .withColumn("rn", row_number().over(wRk))
+      val n = daily.groupBy("flag").agg(count(lit(1)).as("n_days"))
+      val ser = daily.join(broadcast(n), Seq("flag"))
+        .withColumn("seg", expr("CAST(((rn - 1) * 64) DIV n_days AS INT)"))
+        .groupBy("flag", "n_days", "seg")
+        .agg(sum(col("v")).as("sv"))
+        .groupBy("flag", "n_days")
+        .agg(expr("transform(sort_array(collect_list(struct(seg, sv))), " +
+          "x -> x.sv)").as("arr"))
+      val m = "IF(10 * abs(%s - %s) <= greatest(abs(%s), abs(%s)), " +
+        "CAST(1 AS BIGINT), CAST(0 AS BIGINT))"
+      val mX = m.format("x", "try_element_at(ys, 1)",
+        "x", "try_element_at(ys, 1)")
+      val mXj = m.format("x", "yj", "x", "yj")
+      val dpFml =
+        s"""aggregate(
+             slice(ys, 2, greatest(size(ys) - 1, 0)),
+             aggregate(xs, CAST(array() AS ARRAY<BIGINT>),
+               (acc, x) -> concat(acc, array(
+                 greatest(coalesce(try_element_at(acc, -1),
+                   CAST(0 AS BIGINT)), $mX)))),
+             (old, yj) -> aggregate(xs, CAST(array() AS ARRAY<BIGINT>),
+               (acc, x) -> concat(acc, array(
+                 greatest(
+                   try_element_at(old, size(acc) + 1),
+                   coalesce(try_element_at(acc, -1), CAST(0 AS BIGINT)),
+                   coalesce(if(size(acc) = 0, CAST(0 AS BIGINT),
+                     try_element_at(old, size(acc))), CAST(0 AS BIGINT))
+                     + $mXj)))))"""
+      ser.select(col("flag").as("flag_a"), col("n_days").as("n_a"),
+          col("arr").as("xs"))
+        .join(broadcast(ser.select(col("flag").as("flag_b"),
+          col("n_days").as("n_b"), col("arr").as("ys"))),
+          col("flag_a") < col("flag_b"))
+        .select(col("flag_a"), col("flag_b"), col("n_a"), col("n_b"),
+          expr(s"try_element_at($dpFml, -1)").as("lcss"),
+          expr(s"CAST(try_element_at($dpFml, -1) AS DOUBLE) " +
+            "/ CAST(least(size(xs), size(ys)) AS DOUBLE)").as("similarity"))
+        .orderBy("flag_a", "flag_b")
+    },
+    Some {
+      val mk = "(CASE WHEN 10 * abs(xs[k] - ys[j + 1])" +
+        " <= greatest(abs(xs[k]), abs(ys[j + 1])) THEN 1 ELSE 0 END)"
+      val mt = "(CASE WHEN 10 * abs(xs[t] - ys[1])" +
+        " <= greatest(abs(xs[t]), abs(ys[1])) THEN 1 ELSE 0 END)"
+      s"""WITH RECURSIVE daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             rk AS (SELECT flag, v,
+                      row_number() OVER (PARTITION BY flag ORDER BY d)
+                        AS rn,
+                      count(*) OVER (PARTITION BY flag) AS n_days
+                    FROM daily),
+             paa AS (SELECT flag, n_days,
+                       ((rn - 1) * 64) // n_days AS seg,
+                       CAST(sum(v) AS BIGINT) AS sv
+                     FROM rk GROUP BY flag, n_days, ((rn - 1) * 64)
+                       // n_days),
+             ser AS (SELECT flag, n_days,
+                       list(sv ORDER BY seg) AS arr
+                     FROM paa GROUP BY flag, n_days),
+             pairs AS (SELECT a.flag AS fa, b.flag AS fb,
+                         a.n_days AS n_a, b.n_days AS n_b,
+                         a.arr AS xs, b.arr AS ys
+                       FROM ser a JOIN ser b ON a.flag < b.flag),
+             dp AS (
+               SELECT fa, fb, n_a, n_b, xs, ys, 1 AS j,
+                 [CAST(list_max([$mt FOR t IN range(1, i + 1)]) AS BIGINT)
+                  FOR i IN range(1, len(xs) + 1)] AS row
+               FROM pairs
+               UNION ALL
+               SELECT fa, fb, n_a, n_b, xs, ys, j + 1,
+                 [CAST(greatest(row[i], list_max([
+                      (CASE WHEN k = 1 THEN 0 ELSE row[k - 1] END) + $mk
+                      FOR k IN range(1, i + 1)])) AS BIGINT)
+                  FOR i IN range(1, len(xs) + 1)] AS row
+               FROM dp WHERE j < len(ys))
+            SELECT fa AS flag_a, fb AS flag_b, n_a, n_b,
+                   row[len(xs)] AS lcss,
+                   CAST(row[len(xs)] AS DOUBLE)
+                     / CAST(least(len(xs), len(ys)) AS DOUBLE) AS similarity
+            FROM dp WHERE j = len(ys)
+            ORDER BY flag_a, flag_b"""
+    })
+
+  /** One-way ANOVA F — the k-group mean-difference test completing the
+    * two-sample family (t-test = its k=2 special case): does mean
+    * line-item quantity differ across part brands? Decomposition
+    * SST = SSB + SSW from exact-integer sufficient statistics only —
+    * quantity is integer 1..50 so n, Σq, Σq² are all exact BIGINT
+    * (Σq² ≤ 2500·|lineitem| ≪ 2⁵³, the carrier choice that keeps the
+    * decimal→double readout representation-exact; cents² would not).
+    * Per-group terms S_g²/n_g are one shared IEEE formula over exact
+    * operands, Dec12-quantized before the 25-row sum (a bare double sum
+    * over the bounded group table would be reduction-order-dependent —
+    * §7.2 doctrine); SSB/SSW/F are shared-text finals, F NULL-guarded
+    * on zero within-variance. Scale: fact⋈dim equi-join + ONE
+    * map-combining aggregate to 25 rows; the F assembly is O(k) row
+    * arithmetic on a bounded table — 100 TB cost is the scan.
+    */
+  val qAggAnova = Q(
+    "q_agg_anova",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("int").as("q"))
+      val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val grp = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("ng"), sum(col("q")).cast("long").as("sg"),
+          sum(col("q") * col("q")).cast("long").as("ssg"))
+      grp.agg(
+        count(lit(1)).as("k"),
+        sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"),
+        sum(col("ssg")).as("ss"),
+        sum(expr("CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)" +
+          " / CAST(ng AS DOUBLE) AS DECIMAL(38,12))")).as("tbq"))
+        .select(col("k"), col("n"),
+          expr("CAST(tbq AS DOUBLE)" +
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")
+            .as("ssb"),
+          expr("CAST(ss AS DOUBLE) - CAST(tbq AS DOUBLE)").as("ssw"))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"),
+          expr("CASE WHEN ssw <= 0 OR n <= k OR k <= 1 THEN NULL" +
+            " ELSE (ssb / CAST(k - 1 AS DOUBLE))" +
+            " / (ssw / CAST(n - k AS DOUBLE)) END").as("f_stat"))
+    },
+    Some("""WITH g AS (SELECT p_brand, count(*) AS ng,
+                    CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sg,
+                    CAST(sum(CAST(l_quantity AS INTEGER)
+                             * CAST(l_quantity AS INTEGER)) AS BIGINT) AS ssg
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  GROUP BY p_brand),
+             t AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                     CAST(sum(sg) AS BIGINT) AS s,
+                     CAST(sum(ssg) AS BIGINT) AS ss,
+                     sum(CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                         / CAST(ng AS DOUBLE) AS DECIMAL(38,12))) AS tbq
+                   FROM g),
+             d AS (SELECT k, n,
+                     CAST(tbq AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE) AS ssb,
+                     CAST(ss AS DOUBLE) - CAST(tbq AS DOUBLE) AS ssw
+                   FROM t)
+            SELECT k, n, ssb, ssw,
+                   CASE WHEN ssw <= 0 OR n <= k OR k <= 1 THEN NULL
+                     ELSE (ssb / CAST(k - 1 AS DOUBLE))
+                       / (ssw / CAST(n - k AS DOUBLE)) END AS f_stat
+            FROM d"""))
+
+  /** Spearman rank correlation quantity↔discount per returnflag — the
+    * monotone-association member of the correlation family (Pearson =
+    * q_agg_corr measures LINEAR association; Spearman is Pearson over
+    * tie-averaged ranks, robust to any monotone transform). The naive
+    * formulation sorts the fact table twice; this one never ranks a
+    * row: both variables are LOW-CARDINALITY (quantity 1..50, discount
+    * cents 0..10), so ranks live on the bounded value tables — cell
+    * counts (flag×50×11), marginals, prefix counts via a bounded a>b
+    * self-join (no partition-less window), tie-averaged rank
+    * r = cum + (c+1)/2 exact in doubles (< 2⁵²). Weighted Pearson over
+    * cells: per-cell moment terms are shared IEEE products over exact
+    * operands, Dec12-quantized before the bounded sum (§7.2), one
+    * shared final formula. Scale: ONE map-combining aggregate to ≤550
+    * cells; everything after is O(1). The general-cardinality fallback
+    * is the q_agg_theil_sen posture (value-rollup first, always).
+    */
+  val qAggSpearman = Q(
+    "q_agg_spearman",
+    (s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("int").as("qv"),
+          round(col("l_discount") * 100).cast("int").as("dv"))
+        .groupBy("flag", "qv", "dv").agg(count(lit(1)).as("c"))
+      def rankTab(vcol: String, cnt: String, cum: String, rk: String) = {
+        val m = cells.groupBy("flag", vcol)
+          .agg(sum(col("c")).cast("long").as(cnt))
+        val mb = m.select(col("flag").as("bf"), col(vcol).as("bv"),
+          col(cnt).as("bc"))
+        m.join(mb, col("flag") === col("bf") && col("bv") < col(vcol),
+            "left")
+          .groupBy(col("flag"), col(vcol), col(cnt))
+          .agg(coalesce(sum(col("bc")), lit(0L)).as(cum))
+          .withColumn(rk, expr(s"CAST($cum AS DOUBLE)" +
+            s" + (CAST($cnt AS DOUBLE) + 1.0) / 2.0"))
+      }
+      val rx = rankTab("qv", "cx", "cumx", "rx")
+        .select(col("flag").as("fx"), col("qv").as("jqv"), col("rx"))
+      val ry = rankTab("dv", "cy", "cumy", "ry")
+        .select(col("flag").as("fy"), col("dv").as("jdv"), col("ry"))
+      cells
+        .join(rx, col("flag") === col("fx") && col("qv") === col("jqv"))
+        .join(ry, col("flag") === col("fy") && col("dv") === col("jdv"))
+        .groupBy("flag")
+        .agg(sum(col("c")).as("n"),
+          sum(expr("CAST(CAST(c AS DOUBLE) * rx AS DECIMAL(38,12))"))
+            .as("sx"),
+          sum(expr("CAST(CAST(c AS DOUBLE) * ry AS DECIMAL(38,12))"))
+            .as("sy"),
+          sum(expr("CAST(CAST(c AS DOUBLE) * rx * ry AS DECIMAL(38,12))"))
+            .as("sxy"),
+          sum(expr("CAST(CAST(c AS DOUBLE) * rx * rx AS DECIMAL(38,12))"))
+            .as("sxx"),
+          sum(expr("CAST(CAST(c AS DOUBLE) * ry * ry AS DECIMAL(38,12))"))
+            .as("syy"))
+        .select(col("flag"), col("n"),
+          expr("""CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+                    OR (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+                   THEN NULL
+                   ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END""")
+            .as("rho"))
+        .orderBy("flag")
+    },
+    Some("""WITH cells AS (SELECT l_returnflag AS flag,
+                    CAST(l_quantity AS INTEGER) AS qv,
+                    CAST(round(l_discount * 100) AS INTEGER) AS dv,
+                    count(*) AS c
+                  FROM lineitem GROUP BY 1, 2, 3),
+             mx AS (SELECT flag, qv, CAST(sum(c) AS BIGINT) AS cx
+                    FROM cells GROUP BY 1, 2),
+             rxt AS (SELECT a.flag, a.qv, a.cx,
+                       COALESCE(CAST(sum(b.cx) AS BIGINT), 0) AS cumx
+                     FROM mx a LEFT JOIN mx b
+                       ON a.flag = b.flag AND b.qv < a.qv
+                     GROUP BY a.flag, a.qv, a.cx),
+             rx AS (SELECT flag, qv, CAST(cumx AS DOUBLE)
+                      + (CAST(cx AS DOUBLE) + 1.0) / 2.0 AS rx
+                    FROM rxt),
+             my AS (SELECT flag, dv, CAST(sum(c) AS BIGINT) AS cy
+                    FROM cells GROUP BY 1, 2),
+             ryt AS (SELECT a.flag, a.dv, a.cy,
+                       COALESCE(CAST(sum(b.cy) AS BIGINT), 0) AS cumy
+                     FROM my a LEFT JOIN my b
+                       ON a.flag = b.flag AND b.dv < a.dv
+                     GROUP BY a.flag, a.dv, a.cy),
+             ry AS (SELECT flag, dv, CAST(cumy AS DOUBLE)
+                      + (CAST(cy AS DOUBLE) + 1.0) / 2.0 AS ry
+                    FROM ryt),
+             m AS (SELECT c.flag, CAST(sum(c.c) AS BIGINT) AS n,
+                     sum(CAST(CAST(c.c AS DOUBLE) * rx AS DECIMAL(38,12)))
+                       AS sx,
+                     sum(CAST(CAST(c.c AS DOUBLE) * ry AS DECIMAL(38,12)))
+                       AS sy,
+                     sum(CAST(CAST(c.c AS DOUBLE) * rx * ry
+                         AS DECIMAL(38,12))) AS sxy,
+                     sum(CAST(CAST(c.c AS DOUBLE) * rx * rx
+                         AS DECIMAL(38,12))) AS sxx,
+                     sum(CAST(CAST(c.c AS DOUBLE) * ry * ry
+                         AS DECIMAL(38,12))) AS syy
+                   FROM cells c
+                   JOIN rx ON c.flag = rx.flag AND c.qv = rx.qv
+                   JOIN ry ON c.flag = ry.flag AND c.dv = ry.dv
+                   GROUP BY c.flag)
+            SELECT flag, n,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+                       OR (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+                     THEN NULL
+                     ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END
+                     AS rho
+            FROM m ORDER BY flag"""))
+
+  /** Kendall tau-b quantity↔discount per returnflag — the pair-order
+    * member of the rank-correlation family (Spearman weighs rank
+    * DISPLACEMENT, tau counts pair INVERSIONS; tau-b is the
+    * tie-corrected form). O(n²) pair enumeration is replaced by the
+    * cell-grid identity: on the bounded (flag×50×11) contingency table,
+    * concordant/discordant pair counts are Σ c_i·c_j over cell pairs
+    * with strictly-ordered values — a ≤550×550 bounded self-join, ALL
+    * INTEGER (products ≤ n², sums ≤ n²/2 ≪ 2⁶³). Tie terms n1, n2 from
+    * the marginals with exact integer halving (c·(c−1) is even); tau-b
+    * = one shared final over exact-int-to-double casts. Scale: the
+    * fact table contributes ONE map-combining aggregate; the quadratic
+    * lives on the value grid, which is cardinality-bounded by
+    * construction — the only honest way to run tau at 100 TB.
+    */
+  val qAggKendall = Q(
+    "q_agg_kendall",
+    (s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("int").as("qv"),
+          round(col("l_discount") * 100).cast("int").as("dv"))
+        .groupBy("flag", "qv", "dv")
+        .agg(count(lit(1)).cast("long").as("c"))
+      val b = cells.select(col("flag").as("bf"), col("qv").as("bqv"),
+        col("dv").as("bdv"), col("c").as("bc"))
+      val cd = cells.join(b,
+          col("flag") === col("bf") && col("qv") < col("bqv"))
+        .groupBy("flag")
+        .agg(sum(when(col("bdv") > col("dv"), col("c") * col("bc"))
+            .otherwise(lit(0L))).as("conc"),
+          sum(when(col("bdv") < col("dv"), col("c") * col("bc"))
+            .otherwise(lit(0L))).as("disc"))
+      val ties = cells.groupBy("flag")
+        .agg(sum(col("c")).as("n"),
+          expr("CAST(sum(c * c) AS BIGINT)").as("scc"))
+      val tx = cells.groupBy("flag", "qv").agg(sum(col("c")).as("cx"))
+        .groupBy("flag")
+        .agg(expr("sum(cx * (cx - 1) DIV 2)").as("n1"))
+      val ty = cells.groupBy("flag", "dv").agg(sum(col("c")).as("cy"))
+        .groupBy("flag")
+        .agg(expr("sum(cy * (cy - 1) DIV 2)").as("n2"))
+      cd.join(ties, "flag").join(tx, "flag").join(ty, "flag")
+        .select(col("flag"), col("n"), col("conc"), col("disc"),
+          expr("n * (n - 1) DIV 2").as("n0"), col("n1"), col("n2"))
+        .select(col("flag"), col("n"), col("conc"), col("disc"),
+          expr("""CASE WHEN n0 - n1 <= 0 OR n0 - n2 <= 0 THEN NULL
+                   ELSE CAST(conc - disc AS DOUBLE)
+                     / sqrt(CAST(n0 - n1 AS DOUBLE)
+                            * CAST(n0 - n2 AS DOUBLE)) END""").as("tau_b"))
+        .orderBy("flag")
+    },
+    Some("""WITH cells AS (SELECT l_returnflag AS flag,
+                    CAST(l_quantity AS INTEGER) AS qv,
+                    CAST(round(l_discount * 100) AS INTEGER) AS dv,
+                    CAST(count(*) AS BIGINT) AS c
+                  FROM lineitem GROUP BY 1, 2, 3),
+             cd AS (SELECT a.flag,
+                      CAST(sum(CASE WHEN b.dv > a.dv
+                               THEN a.c * b.c ELSE 0 END) AS BIGINT)
+                        AS conc,
+                      CAST(sum(CASE WHEN b.dv < a.dv
+                               THEN a.c * b.c ELSE 0 END) AS BIGINT)
+                        AS disc
+                    FROM cells a JOIN cells b
+                      ON a.flag = b.flag AND a.qv < b.qv
+                    GROUP BY a.flag),
+             nn AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n
+                    FROM cells GROUP BY flag),
+             tx AS (SELECT flag, CAST(sum((cx * (cx - 1)) // 2) AS BIGINT)
+                      AS n1
+                    FROM (SELECT flag, qv, CAST(sum(c) AS BIGINT) AS cx
+                          FROM cells GROUP BY 1, 2) GROUP BY flag),
+             ty AS (SELECT flag, CAST(sum((cy * (cy - 1)) // 2) AS BIGINT)
+                      AS n2
+                    FROM (SELECT flag, dv, CAST(sum(c) AS BIGINT) AS cy
+                          FROM cells GROUP BY 1, 2) GROUP BY flag),
+             j AS (SELECT cd.flag, n, conc, disc,
+                     (n * (n - 1)) // 2 AS n0, n1, n2
+                   FROM cd JOIN nn ON cd.flag = nn.flag
+                     JOIN tx ON cd.flag = tx.flag
+                     JOIN ty ON cd.flag = ty.flag)
+            SELECT flag, n, conc, disc,
+                   CASE WHEN n0 - n1 <= 0 OR n0 - n2 <= 0 THEN NULL
+                     ELSE CAST(conc - disc AS DOUBLE)
+                       / sqrt(CAST(n0 - n1 AS DOUBLE)
+                              * CAST(n0 - n2 AS DOUBLE)) END AS tau_b
+            FROM j ORDER BY flag"""))
+
+  /** ROC curve + AUC for a discrete scorer — the threshold-free
+    * classifier evaluation next to q_eval_lang_confusion's
+    * fixed-threshold census: label = (returnflag = 'R'), score =
+    * discount cents (11 levels — every real scorecard bins to bounded
+    * levels before evaluation; the continuous fallback is
+    * quantile-binning first, the q_agg_percentile posture). Whole curve
+    * from ONE map-combining aggregate to ≤11 (score, pos, neg) cells:
+    * cumulative TP/FP per threshold via the bounded b≥a self-join (no
+    * partition-less window), rates are shared IEEE divisions of exact
+    * ints. AUC by the rank identity AUC = Σ_v pos(v)·(negBelow(v) +
+    * neg(v)/2)/(P·N) — doubled to stay ALL-INTEGER (num2 ≤ 2·P·N ≪
+    * 2⁶³) with ONE shared final division; ties handled exactly, no
+    * trapezoid float accumulation. Scale: fact scan + O(levels²)
+    * bounded arithmetic — the 100 TB cost is the scan.
+    */
+  val qEvalAuc = Q(
+    "q_eval_auc",
+    (s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .select(round(col("l_discount") * 100).cast("int").as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("v")
+        .agg(sum(col("y")).as("pos"),
+          (count(lit(1)) - sum(col("y"))).as("neg"))
+      val b = cells.select(col("v").as("bv"), col("pos").as("bpos"),
+        col("neg").as("bneg"))
+      val cum = cells.join(b, col("bv") >= col("v"))
+        .groupBy(col("v"), col("pos"), col("neg"))
+        .agg(sum(col("bpos")).as("tp"), sum(col("bneg")).as("fp"))
+      val tot = cells.agg(sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+      val blo = cells.join(
+          b.select(col("bv"), col("bneg")), col("bv") < col("v"), "left")
+        .groupBy(col("v"), col("pos"), col("neg"))
+        .agg(coalesce(sum(col("bneg")), lit(0L)).as("negbelow"))
+      val auc = blo
+        .agg(sum(expr("pos * (2 * negbelow + neg)")).as("num2"))
+        .crossJoin(tot)
+        .select(expr("CASE WHEN p = 0 OR n = 0 THEN NULL" +
+          " ELSE CAST(num2 AS DOUBLE)" +
+          " / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) END").as("auc"))
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(auc))
+        .select(col("v").as("thr"), col("tp"), col("fp"),
+          (col("p") - col("tp")).as("fn"), (col("n") - col("fp")).as("tn"),
+          expr("CASE WHEN p = 0 THEN NULL" +
+            " ELSE CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) END").as("tpr"),
+          expr("CASE WHEN n = 0 THEN NULL" +
+            " ELSE CAST(fp AS DOUBLE) / CAST(n AS DOUBLE) END").as("fpr"),
+          expr("CASE WHEN tp + fp = 0 THEN NULL" +
+            " ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END")
+            .as("precision"),
+          col("auc"))
+        .orderBy("thr")
+    },
+    Some("""WITH cells AS (SELECT CAST(round(l_discount * 100) AS INTEGER)
+                      AS v,
+                    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                             ELSE 0 END) AS BIGINT) AS pos,
+                    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0
+                             ELSE 1 END) AS BIGINT) AS neg
+                  FROM lineitem GROUP BY 1),
+             cum AS (SELECT a.v, a.pos, a.neg,
+                       CAST(sum(b.pos) AS BIGINT) AS tp,
+                       CAST(sum(b.neg) AS BIGINT) AS fp
+                     FROM cells a JOIN cells b ON b.v >= a.v
+                     GROUP BY a.v, a.pos, a.neg),
+             tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                       CAST(sum(neg) AS BIGINT) AS n FROM cells),
+             blo AS (SELECT a.v, a.pos, a.neg,
+                       COALESCE(CAST(sum(b.neg) AS BIGINT), 0) AS negbelow
+                     FROM cells a LEFT JOIN cells b ON b.v < a.v
+                     GROUP BY a.v, a.pos, a.neg),
+             auc AS (SELECT CASE WHEN p = 0 OR n = 0 THEN NULL
+                       ELSE CAST(num2 AS DOUBLE)
+                         / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) END
+                       AS auc
+                     FROM (SELECT CAST(sum(pos * (2 * negbelow + neg))
+                                  AS BIGINT) AS num2 FROM blo), tot)
+            SELECT cum.v AS thr, tp, fp, p - tp AS fn, n - fp AS tn,
+                   CASE WHEN p = 0 THEN NULL
+                     ELSE CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) END AS tpr,
+                   CASE WHEN n = 0 THEN NULL
+                     ELSE CAST(fp AS DOUBLE) / CAST(n AS DOUBLE) END AS fpr,
+                   CASE WHEN tp + fp = 0 THEN NULL
+                     ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+                     AS precision,
+                   auc
+            FROM cum, tot, auc ORDER BY thr"""))
+
+  /** Decision stump (depth-1 CART) on quantity → returned? — the
+    * trainable-model family's split-search member next to the
+    * perceptron (linear) and naive Bayes (probabilistic): for every
+    * candidate threshold t, split the corpus into q ≤ t / q > t and
+    * score the split by weighted Gini impurity; elect the minimizer.
+    * The naive form sorts the fact table per threshold; this one never
+    * re-scans: ONE aggregate to the 50-value table (n, pos per
+    * quantity), cumulative counts via the bounded b≤a self-join,
+    * impurity w(t) = (2·pos_le·neg_le/n_le + 2·pos_gt·neg_gt/n_gt)/N
+    * as ONE shared IEEE formula over exact ints (products ≤ n² ≪ 2⁵³
+    * at the integer-carrier bound). Election is window-free: the
+    * 1-row min(w) broadcast back, best = (w = min, smallest t) — double
+    * equality is sound because both sides are the identical computed
+    * value. Output = the full split diagnostic, is_best marking the
+    * trained stump. Scale: fact scan + O(values²) bounded arithmetic.
+    */
+  val qMlStump = Q(
+    "q_ml_stump",
+    (s, dir) => {
+      val vals = Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("int").as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("v")
+        .agg(count(lit(1)).as("nv"), sum(col("y")).as("posv"))
+      val b = vals.select(col("v").as("bv"), col("nv").as("bn"),
+        col("posv").as("bp"))
+      val cum = vals.join(b, col("bv") <= col("v"))
+        .groupBy(col("v"))
+        .agg(sum(col("bn")).as("n_le"), sum(col("bp")).as("pos_le"))
+      val tot = vals.agg(sum(col("nv")).as("n"), sum(col("posv")).as("pos"))
+      // no WHERE on the degenerate edge: ANSI Spark proved willing to
+      // evaluate the projection's division for a row the filter later
+      // drops (speculative eval inside the fused stage), so the guard
+      // must live IN the expression — which is also the better
+      // semantics: every threshold reports, the empty-side ones with
+      // NULL impurity (excluded from the election by min()'s NULL skip)
+      val scored = cum.crossJoin(broadcast(tot))
+        .select(col("v").as("thr"), col("n_le"), col("pos_le"),
+          (col("n") - col("n_le")).as("n_gt"),
+          (col("pos") - col("pos_le")).as("pos_gt"), col("n"))
+        .withColumn("impurity", expr(
+          "CASE WHEN n_le = 0 OR n_gt = 0 THEN NULL ELSE" +
+            " (2.0 * CAST(pos_le AS DOUBLE)" +
+            " * CAST(n_le - pos_le AS DOUBLE) / CAST(n_le AS DOUBLE)" +
+            " + 2.0 * CAST(pos_gt AS DOUBLE)" +
+            " * CAST(n_gt - pos_gt AS DOUBLE) / CAST(n_gt AS DOUBLE))" +
+            " / CAST(n AS DOUBLE) END"))
+      val best = scored.agg(min(col("impurity")).as("w_min"))
+      val bestT = scored.crossJoin(broadcast(best))
+        .where(col("impurity") === col("w_min"))
+        .agg(min(col("thr")).as("t_best"))
+      scored.crossJoin(broadcast(bestT))
+        .select(col("thr"), col("n_le"), col("pos_le"), col("n_gt"),
+          col("pos_gt"), col("impurity"),
+          (col("thr") === col("t_best")).as("is_best"))
+        .orderBy("thr")
+    },
+    Some("""WITH vals AS (SELECT CAST(l_quantity AS INTEGER) AS v,
+                    CAST(count(*) AS BIGINT) AS nv,
+                    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                             ELSE 0 END) AS BIGINT) AS posv
+                  FROM lineitem GROUP BY 1),
+             cum AS (SELECT a.v, CAST(sum(b.nv) AS BIGINT) AS n_le,
+                       CAST(sum(b.posv) AS BIGINT) AS pos_le
+                     FROM vals a JOIN vals b ON b.v <= a.v GROUP BY a.v),
+             tot AS (SELECT CAST(sum(nv) AS BIGINT) AS n,
+                       CAST(sum(posv) AS BIGINT) AS pos FROM vals),
+             scored AS (SELECT v AS thr, n_le, pos_le, n - n_le AS n_gt,
+                          pos - pos_le AS pos_gt, n,
+                          CASE WHEN n_le = 0 OR n - n_le = 0 THEN NULL ELSE
+                          (2.0 * CAST(pos_le AS DOUBLE)
+                            * CAST(n_le - pos_le AS DOUBLE)
+                            / CAST(n_le AS DOUBLE)
+                           + 2.0 * CAST(pos - pos_le AS DOUBLE)
+                            * CAST((n - n_le) - (pos - pos_le) AS DOUBLE)
+                            / CAST(n - n_le AS DOUBLE))
+                          / CAST(n AS DOUBLE) END AS impurity
+                        FROM cum, tot),
+             best AS (SELECT min(impurity) AS w_min FROM scored),
+             bt AS (SELECT min(thr) AS t_best FROM scored, best
+                    WHERE impurity = w_min)
+            SELECT thr, n_le, pos_le, n_gt, pos_gt, impurity,
+                   thr = t_best AS is_best
+            FROM scored, bt ORDER BY thr"""))
+
+  /** Two-feature closed-form OLS (price ~ quantity + discount) via
+    * Cramer's rule on the 3×3 normal equations — the multivariate
+    * upgrade of q_agg_regression's simple OLS, the shape every
+    * feature-attribution readout needs: all nine moment sums are exact
+    * integers (y = extendedprice cents ≤ ~1.1e7, x₁ = quantity ≤ 50,
+    * x₂ = discount cents ≤ 10; the mixed moments stay < 2⁵³ at test
+    * scale, Σy² rides DECIMAL(38,0) — scale-0 decimal→double is ONE
+    * int→double rounding in both engines, no 10^s division), the six
+    * 3×3 determinants and β/R² are ONE shared IEEE formula text over
+    * those casts, NULL-guarded on a singular system. Scale: ONE
+    * map-combining aggregate to a single moment row; the solve is O(1)
+    * driver-free row arithmetic — the classic "sufficient statistics,
+    * not gradient descent" pattern that makes closed-form regression
+    * free at 100 TB.
+    */
+  val qAggOlsMulti = Q(
+    "q_agg_ols_multi",
+    (s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("x1"),
+          round(col("l_discount") * 100).cast("long").as("x2"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("n0"),
+          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+          sum(col("y")).as("sy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))"))
+            .as("syy"))
+      val d = m.select(
+        col("n0"),
+        expr("CAST(n0 AS DOUBLE)").as("n"),
+        expr("CAST(s1 AS DOUBLE)").as("a1"),
+        expr("CAST(s2 AS DOUBLE)").as("a2"),
+        expr("CAST(sy AS DOUBLE)").as("ay"),
+        expr("CAST(s11 AS DOUBLE)").as("a11"),
+        expr("CAST(s22 AS DOUBLE)").as("a22"),
+        expr("CAST(s12 AS DOUBLE)").as("a12"),
+        expr("CAST(s1y AS DOUBLE)").as("a1y"),
+        expr("CAST(s2y AS DOUBLE)").as("a2y"),
+        expr("CAST(syy AS DOUBLE)").as("ayy"))
+        .withColumn("det", expr(
+          "n * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)" +
+            " + a2 * (a1 * a12 - a11 * a2)"))
+        .withColumn("det0", expr(
+          "ay * (a11 * a22 - a12 * a12) - a1 * (a1y * a22 - a12 * a2y)" +
+            " + a2 * (a1y * a12 - a11 * a2y)"))
+        .withColumn("det1", expr(
+          "n * (a1y * a22 - a12 * a2y) - ay * (a1 * a22 - a12 * a2)" +
+            " + a2 * (a1 * a2y - a1y * a2)"))
+        .withColumn("det2", expr(
+          "n * (a11 * a2y - a1y * a12) - a1 * (a1 * a2y - a1y * a2)" +
+            " + ay * (a1 * a12 - a11 * a2)"))
+      d.select(col("n0").as("n"),
+        expr("CASE WHEN det = 0 THEN NULL ELSE det0 / det END").as("b0"),
+        expr("CASE WHEN det = 0 THEN NULL ELSE det1 / det END").as("b1"),
+        expr("CASE WHEN det = 0 THEN NULL ELSE det2 / det END").as("b2"),
+        expr("""CASE WHEN det = 0 OR ayy - ay * ay / n <= 0 THEN NULL
+                 ELSE 1.0 - (ayy - (det0 / det) * ay - (det1 / det) * a1y
+                             - (det2 / det) * a2y)
+                  / (ayy - ay * ay / n) END""").as("r2"))
+    },
+    Some("""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+                    CAST(sum(x1) AS BIGINT) AS s1,
+                    CAST(sum(x2) AS BIGINT) AS s2,
+                    CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+                    sum(CAST(y AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0))) AS syy
+                  FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                          CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                        FROM lineitem)),
+             d AS (SELECT n0, CAST(n0 AS DOUBLE) AS n,
+                     CAST(s1 AS DOUBLE) AS a1, CAST(s2 AS DOUBLE) AS a2,
+                     CAST(sy AS DOUBLE) AS ay, CAST(s11 AS DOUBLE) AS a11,
+                     CAST(s22 AS DOUBLE) AS a22, CAST(s12 AS DOUBLE) AS a12,
+                     CAST(s1y AS DOUBLE) AS a1y, CAST(s2y AS DOUBLE) AS a2y,
+                     CAST(syy AS DOUBLE) AS ayy
+                   FROM m),
+             e AS (SELECT *,
+                     n * (a11 * a22 - a12 * a12)
+                       - a1 * (a1 * a22 - a12 * a2)
+                       + a2 * (a1 * a12 - a11 * a2) AS det,
+                     ay * (a11 * a22 - a12 * a12)
+                       - a1 * (a1y * a22 - a12 * a2y)
+                       + a2 * (a1y * a12 - a11 * a2y) AS det0,
+                     n * (a1y * a22 - a12 * a2y)
+                       - ay * (a1 * a22 - a12 * a2)
+                       + a2 * (a1 * a2y - a1y * a2) AS det1,
+                     n * (a11 * a2y - a1y * a12)
+                       - a1 * (a1 * a2y - a1y * a2)
+                       + ay * (a1 * a12 - a11 * a2) AS det2
+                   FROM d)
+            SELECT n0 AS n,
+                   CASE WHEN det = 0 THEN NULL ELSE det0 / det END AS b0,
+                   CASE WHEN det = 0 THEN NULL ELSE det1 / det END AS b1,
+                   CASE WHEN det = 0 THEN NULL ELSE det2 / det END AS b2,
+                   CASE WHEN det = 0 OR ayy - ay * ay / n <= 0 THEN NULL
+                     ELSE 1.0 - (ayy - (det0 / det) * ay
+                                 - (det1 / det) * a1y
+                                 - (det2 / det) * a2y)
+                      / (ayy - ay * ay / n) END AS r2
+            FROM e"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -3135,5 +4627,9 @@ object Analytics {
     qChangepointCusum, qSeasonalDow, qAggTtest, qAggMannwhitney,
     qAggRunsTest, qAggTheilSen, qAggSurvivalKm, qAggFdrBh,
     qAggCramersV, qTextBurstiness, qDqUniqueness, qAggLorenz,
-    qDqDriftPsi, qAnomalyEsd)
+    qDqDriftPsi, qAnomalyEsd, qAggAnova, qAggSpearman, qAggKendall,
+    qEvalAuc, qMlStump, qAggOlsMulti, qTimeLcss,
+    qEvalCalibration, qGraphAssortativity, qTimeForecastEval,
+    qFeatureSelectMi, qAggLevene, qAggHodgesLehmann, qEvalPrCurve,
+    qGraphModularity, qAggDeltaMethod, qDqFreshness)
 }

@@ -186,6 +186,140 @@ object Llm {
                     / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
             ORDER BY a, b"""))
 
+  /** S-stemmer vocabulary folding (Harman's public 3-rule stemmer —
+    * the conservative plural collapser IR systems use when Porter is
+    * too aggressive): ies→y (unless aies/eies), es→e (unless
+    * aes/ees/oes), trailing s dropped (unless us/ss). The rules are a
+    * pure CASE cascade over right()/substr() — no regex engine
+    * semantics in play at all, so cross-engine agreement is by
+    * construction. Output: top-20 stems with token volume and the
+    * number of distinct surface forms folded (n_forms > 1 rows are the
+    * stemmer earning its keep). Scale: stateless map + one
+    * map-combining aggregate; the distinct-form count shuffles on the
+    * stem key — the vocabulary, not the corpus.
+    */
+  val qTextStem = Q(
+    "q_text_stem",
+    (s, dir) => {
+      val stemFml =
+        """CASE
+             WHEN length(tok) > 4 AND right(tok, 3) = 'ies'
+                  AND right(tok, 4) NOT IN ('aies', 'eies')
+               THEN concat(substr(tok, 1, length(tok) - 3), 'y')
+             WHEN length(tok) > 3 AND right(tok, 2) = 'es'
+                  AND right(tok, 3) NOT IN ('aes', 'ees', 'oes')
+               THEN substr(tok, 1, length(tok) - 1)
+             WHEN length(tok) > 2 AND right(tok, 1) = 's'
+                  AND right(tok, 2) NOT IN ('us', 'ss')
+               THEN substr(tok, 1, length(tok) - 1)
+             ELSE tok END"""
+      tokens(Tables.documents(s, dir))
+        .select(lower(col("tok")).as("tok"))
+        .withColumn("stem", expr(stemFml))
+        .groupBy("stem")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_forms"))
+        .orderBy(col("n_tokens").desc, col("stem"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT lower(tok) AS tok FROM
+                   (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents) WHERE tok <> ''),
+             st AS (SELECT tok,
+                      CASE
+                        WHEN length(tok) > 4 AND right(tok, 3) = 'ies'
+                             AND right(tok, 4) NOT IN ('aies', 'eies')
+                          THEN substr(tok, 1, length(tok) - 3) || 'y'
+                        WHEN length(tok) > 3 AND right(tok, 2) = 'es'
+                             AND right(tok, 3) NOT IN ('aes', 'ees', 'oes')
+                          THEN substr(tok, 1, length(tok) - 1)
+                        WHEN length(tok) > 2 AND right(tok, 1) = 's'
+                             AND right(tok, 2) NOT IN ('us', 'ss')
+                          THEN substr(tok, 1, length(tok) - 1)
+                        ELSE tok END AS stem
+                    FROM toks)
+            SELECT stem, count(*) AS n_tokens,
+                   count(DISTINCT tok) AS n_forms
+            FROM st GROUP BY stem
+            ORDER BY n_tokens DESC, stem LIMIT 20"""))
+
+  /** PPJoin-style PREFIX-FILTERED similarity join (Xiao/Wang/Lin's
+    * public prefix-filtering principle) — the SCALE PATH for exact
+    * Jaccard ≥ τ that q_dedup_jaccard_pairs computes by brute postings
+    * expansion: under ANY consistent global token order, two sets with
+    * J ≥ τ MUST share a token inside their first |x| − ⌈τ·|x|⌉ + 1
+    * tokens (pigeonhole), so candidates are generated from PREFIXES
+    * ONLY and the full intersection is counted just for candidate
+    * pairs. Ordering tokens by ASCENDING document frequency puts the
+    * corpus's hot shingles (boilerplate, stop phrases) at the BACK of
+    * every prefix — the quadratic bucket blowup the uncapped truth
+    * query risks simply never materializes, with ZERO recall loss
+    * (unlike MinHash-LSH, this is exact). τ = 0.5 spelled as the
+    * integer predicate 3·inter ≥ na+nb — no float boundary; the
+    * reported jac is one shared division. The global order is
+    * (df, shingle-hash) — engine-local but used consistently on both
+    * join sides, which is all the theorem needs; the oracle is the
+    * NAIVE all-pairs join, so parity certifies the filter loses
+    * nothing. Result ≡ q_dedup_jaccard_pairs by construction (pinned
+    * in R14Spec). Scale: prefix postings are df-ascending, so bucket
+    * fanout is bounded by rare-token df; verification is
+    * candidate-bounded; sizes ride SHUFFLE_HASH (the §7.6 broadcast
+    * trap).
+    */
+  val qDedupPpjoin = Q(
+    "q_dedup_ppjoin",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = shinglesWithPos(Tables.documents(s, dir))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
+      val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val wDoc = Window.partitionBy("doc_id").orderBy("df", "h")
+      val prefix = sh.join(dfreq, "h")
+        .join(sizes.hint("shuffle_hash"), "doc_id")
+        .withColumn("rn", row_number().over(wDoc))
+        .where(col("rn") <= expr("n DIV 2 + 1"))
+        .select("doc_id", "h")
+      val cand = prefix.toDF("a", "h")
+        .join(prefix.toDF("b", "h2"),
+          col("h") === col("h2") && col("a") < col("b"))
+        .select("a", "b").distinct()
+      val shA = sh.select(col("doc_id").as("a"), col("h").as("ha"))
+      val shB = sh.select(col("doc_id").as("b"), col("h").as("hb"))
+      val inter2 = cand.join(shA, "a")
+        .join(shB, Seq("b"), "inner")
+        .where(col("ha") === col("hb"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter2
+        .join(sizes.toDF("a", "na").hint("shuffle_hash"), "a")
+        .join(sizes.toDF("b", "nb").hint("shuffle_hash"), "b")
+        .where(expr("3 * inter >= na + nb"))
+        .withColumn("jac", col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType))
+        .select("a", "b", "inter", "na", "nb", "jac")
+        .orderBy("a", "b")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+                 sh AS (SELECT DISTINCT doc_id,
+                          unnest([array_to_string(toks[i:i+2], ' ')
+                                  FOR i IN range(1, greatest(len(toks)-1, 1))])
+                            AS shingle
+                        FROM d),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                       FROM sh x JOIN sh y
+                         ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                       GROUP BY 1, 2)
+            SELECT a, b, inter, sa.n AS na, sb.n AS nb,
+                   CAST(inter AS DOUBLE)
+                     / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+            FROM p JOIN sz sa ON p.a = sa.doc_id
+                   JOIN sz sb ON p.b = sb.doc_id
+            WHERE 3 * inter >= sa.n + sb.n
+            ORDER BY a, b"""))
+
   /** ASYMMETRIC shingle containment — the quote/excerpt detector Jaccard
     * structurally misses: a short doc fully embedded in a long one has
     * tiny Jaccard (union is dominated by the long doc) but containment
@@ -4193,7 +4327,8 @@ object Llm {
     qTextNgramLm, qCorpusPack,
     qCorpusMixture,
     qEmbedProjectJl,
-    qDedupExactHash, qDedupJaccardPairs, qDedupContainment, qDedupClusters,
+    qDedupExactHash, qDedupJaccardPairs, qDedupPpjoin, qDedupContainment,
+    qDedupClusters,
     qDedupClustersBigstar, qDedupSurvivors, qCorpusCurate, qGraphTriangles,
     qGraphClusteringCoeff,
     qDedupMinhashLsh, qDedupSimhash, qDedupSubstrSpans,
@@ -4201,6 +4336,7 @@ object Llm {
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
     qSimGraphBeam,
     qSimCosineQuantized, qDedupEmbedClusters,
+    qTextStem,
     qTextTokensTop, qTextLangStats, qTextQuality, qTextTokenCount,
     qTextTfidfTop, qTextBm25, qSearchRrf, qTextChunk, qTextCooccur,
     qCorpusDrift, qTextHapax, qTextFingerprint,

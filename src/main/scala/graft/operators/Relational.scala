@@ -1303,6 +1303,73 @@ object Relational {
                   GROUP BY pa, pb)
             ORDER BY n_orders DESC, pa, pb LIMIT 20"""))
 
+  /** Item-item collaborative filtering (cosine over co-purchase
+    * vectors) — the RECOMMENDER reading of the basket data
+    * q_basket_pairs counts raw: each part's vector is its basket
+    * membership, cosine(a,b) = co(a,b)/√(n_a·n_b), so a pair of niche
+    * parts that always co-occur outranks a popular pair that co-occurs
+    * by volume (the normalization IS the operator — raw co-occurrence
+    * is popularity-biased). Same capped a<b self-join as
+    * q_basket_pairs ([[MaxBasket]] guard); item supports come from the
+    * SAME items relation; both support joins are SHUFFLE_HASH-hinted —
+    * the pair aggregate's static estimate is tiny and Catalyst would
+    * otherwise broadcast the O(parts) side (§7.6 standing fact 4).
+    * co/n_a/n_b are exact ints, cosine is one shared IEEE expression,
+    * top-20 under the (cosine DESC, pa, pb) total order. Scale: fanout
+    * is quadratic only in basket size; supports are O(|part|) —
+    * everything shuffles on item keys, nothing collects.
+    */
+  val qRecItemCosine = Q(
+    "q_rec_item_cosine",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wBasket = Window.partitionBy(col("okey")).orderBy(col("part"))
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+        .withColumn("rn", row_number().over(wBasket))
+        .where(col("rn") <= MaxBasket)
+        .select("okey", "part")
+      val support = items.groupBy("part")
+        .agg(count(lit(1)).as("n"))
+      val co = items.toDF("okey", "pa")
+        .join(items.toDF("okey2", "pb"),
+          col("okey") === col("okey2") && col("pa") < col("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("co"))
+      co
+        .join(support.toDF("pa", "na").hint("shuffle_hash"), "pa")
+        .join(support.toDF("pb", "nb").hint("shuffle_hash"), "pb")
+        .select(col("pa"), col("pb"), col("co"), col("na"), col("nb"),
+          expr("CAST(co AS DOUBLE)" +
+            " / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))")
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+    Some(s"""WITH items AS (
+              SELECT okey, part FROM (
+                SELECT okey, part,
+                       row_number() OVER (PARTITION BY okey ORDER BY part)
+                         AS rn
+                FROM (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+                      FROM lineitem))
+              WHERE rn <= $MaxBasket),
+             support AS (SELECT part, CAST(count(*) AS BIGINT) AS n
+                         FROM items GROUP BY part),
+             co AS (SELECT x.part AS pa, y.part AS pb,
+                      CAST(count(*) AS BIGINT) AS co
+                    FROM items x JOIN items y
+                      ON x.okey = y.okey AND x.part < y.part
+                    GROUP BY 1, 2)
+            SELECT pa, pb, co, sa.n AS na, sb.n AS nb,
+                   CAST(co AS DOUBLE)
+                     / sqrt(CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE))
+                     AS cosine
+            FROM co JOIN support sa ON co.pa = sa.part
+                    JOIN support sb ON co.pb = sb.part
+            ORDER BY cosine DESC, pa, pb LIMIT 20"""))
+
   // whole-cents total via the bit-portable nearest-int (§7.2: floor(x+0.5)
   // is pure IEEE in both engines; engine round() diverges at ties)
   private val centsFml =
@@ -2173,7 +2240,8 @@ object Relational {
     qJoinAnti, qJoinMultiwayStar, qJoinThetaSelf, qJoinSubstringParent,
     qJoinAsof, qJoinRange, qJoinLateral, qGeoGridJoin, qJoinFull, qJoinKnn,
     qMergeUpsert, qCdcApply, qGraphPagerank, qDqChecks, qCompositeShipping,
-    qBasketPairs, qFilterAboveAvg, qJoinRight, qHierarchyRollup,
+    qBasketPairs, qRecItemCosine, qFilterAboveAvg, qJoinRight,
+    qHierarchyRollup,
     qGraphSssp, qAllocProration, qJoinAsofTolerance, qGraphDegreeHist,
     qJoinNullSafe, qJoinAsofForward, qJoinAsofNearest, qJoinRangeBucketed,
     qJoinPitFeatures, qDqDeleteCascade, qSqlWindowVerbatim)

@@ -2835,7 +2835,61 @@ object Windows {
                    CAST(str AS DOUBLE) / CAST(14.0 AS DOUBLE) AS atr
             FROM fr WHERE n14 = 14 ORDER BY pr, d"""))
 
+  /** ON-BALANCE VOLUME per return flag — the volume-flow accumulator
+    * completing the indicator family (RSI/stochastic/ATR/MACD read
+    * PRICE; OBV reads whether volume arrives on up-days or down-days):
+    * daily close = exact revenue cents, daily volume = line count,
+    * signed flow = sign(Δclose)·volume (flat or first day → 0), OBV =
+    * the running sum of signed flow. The running sum is ALL-INTEGER, so
+    * the windowed accumulation is order-safe in both engines (the §7.6
+    * segment-tree hazard is double-only) and sits in the allowlisted
+    * flag-partitioned class. Scale: one map-combining rollup to the
+    * bounded calendar axis + two passes over the SAME flag
+    * partitioning (lag, then running sum) — zero extra exchanges.
+    */
+  val qWinObv = Q(
+    "q_win_obv",
+    (s, dir) => {
+      val wLag = Window.partitionBy("flag").orderBy("d")
+      val wRun = wLag.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"),
+          count(lit(1)).as("vol"))
+        .withColumn("delta", col("v") - lag(col("v"), 1).over(wLag))
+        .withColumn("flow", expr("CASE WHEN delta IS NULL OR delta = 0" +
+          " THEN 0 WHEN delta > 0 THEN vol ELSE -vol END"))
+        .withColumn("obv", sum(col("flow")).over(wRun))
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("v"), col("vol"), col("flow"), col("obv"))
+        .orderBy("flag", "d")
+    },
+    Some("""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS v,
+                CAST(count(*) AS BIGINT) AS vol
+              FROM lineitem GROUP BY 1, 2),
+             dl AS (SELECT flag, d, v, vol,
+                      v - lag(v, 1) OVER (PARTITION BY flag ORDER BY d)
+                        AS delta
+                    FROM daily),
+             fl AS (SELECT flag, d, v, vol,
+                      CASE WHEN delta IS NULL OR delta = 0 THEN 0
+                        WHEN delta > 0 THEN vol ELSE -vol END AS flow
+                    FROM dl)
+            SELECT flag, CAST(d AS TIMESTAMP) AS d, v, vol, flow,
+                   CAST(sum(flow) OVER (PARTITION BY flag ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS obv
+            FROM fl ORDER BY flag, d"""))
+
   val all: Seq[Q] = Seq(
+    qWinObv,
     qWinRsi, qWinStochastic, qWinAtr, qSeqMarkov2,
     qWinDistinctRolling, qTimeCrosscorr, qSeqPattern,
     qInterarrival, qWinVwap, qWinBollinger, qWinRollingCorr,

@@ -247,4 +247,400 @@ class R14Spec extends AnyFunSuite with SparkFixture {
     val acc = rows.map(_.getLong(3)).sum.toDouble / rows.length
     assert(acc >= 0.0 && acc <= 1.0)
   }
+
+  test("ANOVA: SSB + SSW = SST and F reassembles from the parts") {
+    val r = SparkEntry.queries("q_agg_anova")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (k, n) = (r(0).getLong(0), r(0).getLong(1))
+    val (ssb, ssw) = (r(0).getDouble(2), r(0).getDouble(3))
+    assert(k >= 2 && n > k)
+    assert(ssb >= 0.0 && ssw >= 0.0)
+    if (!r(0).isNullAt(4)) {
+      val f = r(0).getDouble(4)
+      assert(f == (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble),
+        "F must be the exact shared-formula reassembly")
+      assert(f > 0.0)
+    }
+  }
+
+  test("Spearman and Kendall lie in [-1,1] and agree in sign") {
+    val sp = SparkEntry.queries("q_agg_spearman")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val kd = SparkEntry.queries("q_agg_kendall")(spark, sfDir).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(sp.nonEmpty && kd.keySet == sp.keySet)
+    sp.foreach { case (f, rho) =>
+      assert(rho >= -1.0 && rho <= 1.0, s"$f: rho=$rho")
+      val (conc, disc, tau) = kd(f)
+      assert(tau >= -1.0 && tau <= 1.0, s"$f: tau=$tau")
+      assert(math.signum(tau) == math.signum((conc - disc).toDouble),
+        "tau sign must follow the concordance balance")
+      // both measure monotone association of the same pair — same sign
+      if (math.abs(rho) > 1e-3 && math.abs(tau) > 1e-3)
+        assert(math.signum(rho) == math.signum(tau))
+    }
+  }
+
+  test("AUC equals the trapezoid over the ROC curve and curve is monotone") {
+    val rows = SparkEntry.queries("q_eval_auc")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val auc = rows.head.getDouble(8)
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(rows.forall(_.getDouble(8) == auc), "auc is a single global value")
+    // rows ordered by ascending threshold → tpr/fpr non-increasing
+    val curve = rows.map(r => (r.getDouble(6), r.getDouble(5))) // (fpr,tpr)
+    curve.sliding(2).foreach { case Array((f1, t1), (f2, t2)) =>
+      assert(f2 <= f1 && t2 <= t1, "ROC must be monotone in threshold")
+    case _ => ()
+    }
+    // rank-identity AUC == trapezoid over ((0,0) .. curve .. (1,1))
+    val pts =
+      ((0.0, 0.0) +: curve.sortBy(_._1) :+ (1.0, 1.0)).distinct.toList
+    val trap = pts.sliding(2).collect {
+      case List((f1, t1), (f2, t2)) => (f2 - f1) * (t1 + t2) / 2.0
+    }.sum
+    assert(math.abs(trap - auc) < 1e-12,
+      s"rank AUC $auc != trapezoid $trap")
+  }
+
+  test("stump: one winner, NULL impurity only on empty splits") {
+    val rows = SparkEntry.queries("q_ml_stump")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.count(_.getBoolean(6)) == 1, "exactly one elected stump")
+    var prevNle = 0L
+    rows.foreach { r =>
+      val (nle, ngt) = (r.getLong(1), r.getLong(3))
+      assert(nle > prevNle, "cumulative counts strictly increase")
+      prevNle = nle
+      if (r.isNullAt(5)) assert(nle == 0 || ngt == 0)
+      else {
+        val w = r.getDouble(5)
+        assert(w >= 0.0 && w <= 0.5 + 1e-12, s"Gini impurity range: $w")
+        assert(!r.getBoolean(6) ||
+          rows.filter(!_.isNullAt(5)).map(_.getDouble(5)).min == w)
+      }
+    }
+  }
+
+  test("multi-OLS R2 in [0,1] and betas finite") {
+    val r = SparkEntry.queries("q_agg_ols_multi")(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(!r(0).isNullAt(1) && !r(0).isNullAt(2) && !r(0).isNullAt(3))
+    Seq(1, 2, 3).foreach(i =>
+      assert(!r(0).getDouble(i).isNaN && !r(0).getDouble(i).isInfinite))
+    val r2 = r(0).getDouble(4)
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2=$r2")
+    // the real pin: the Cramer solution satisfies the normal equations
+    // X'X b = X'y (moments recomputed independently here)
+    val m = spark.sql(
+      s"""SELECT CAST(count(*) AS DOUBLE) n,
+            CAST(sum(x1) AS DOUBLE) s1, CAST(sum(x2) AS DOUBLE) s2,
+            CAST(sum(y) AS DOUBLE) sy, CAST(sum(x1*x1) AS DOUBLE) s11,
+            CAST(sum(x2*x2) AS DOUBLE) s22, CAST(sum(x1*x2) AS DOUBLE) s12,
+            CAST(sum(x1*y) AS DOUBLE) s1y, CAST(sum(x2*y) AS DOUBLE) s2y
+          FROM (SELECT CAST(l_quantity AS BIGINT) x1,
+                  CAST(round(l_discount*100) AS BIGINT) x2,
+                  CAST(round(l_extendedprice*100) AS BIGINT) y
+                FROM parquet.`$sfDir/lineitem.parquet`)""").collect()(0)
+    val (b0, b1, b2) =
+      (r(0).getDouble(1), r(0).getDouble(2), r(0).getDouble(3))
+    def rel(a: Double, b: Double) =
+      math.abs(a - b) / math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    assert(rel(m.getDouble(0) * b0 + m.getDouble(1) * b1
+      + m.getDouble(2) * b2, m.getDouble(3)) < 1e-9)
+    assert(rel(m.getDouble(1) * b0 + m.getDouble(4) * b1
+      + m.getDouble(6) * b2, m.getDouble(7)) < 1e-9)
+    assert(rel(m.getDouble(2) * b0 + m.getDouble(6) * b1
+      + m.getDouble(5) * b2, m.getDouble(8)) < 1e-9)
+  }
+
+  test("item cosine: normalized, bounded by overlap, totally ordered") {
+    val rows = SparkEntry.queries("q_rec_item_cosine")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val (co, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val cos = r.getDouble(5)
+      assert(co >= 1 && co <= math.min(na, nb), "overlap bound")
+      assert(cos > 0.0 && cos <= 1.0 + 1e-12)
+      assert(cos <= prev, "descending cosine order")
+      prev = cos
+    }
+  }
+
+  test("LCSS replays against a reference DP and is bounded") {
+    val out = SparkEntry.queries("q_time_lcss")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // rebuild the per-flag PAA series exactly as the query does
+    val daily = spark.sql(
+      s"""SELECT l_returnflag f, CAST(l_shipdate AS DATE) d,
+            CAST(SUM(CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) v
+          FROM parquet.`$sfDir/lineitem.parquet` GROUP BY 1, 2""")
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val series = daily.groupBy(_._1).map { case (f, rows) =>
+      val vs = rows.sortBy(_._2.toString).map(_._3)
+      val n = vs.length
+      val segs = new Array[Long](math.min(64, n))
+      vs.zipWithIndex.foreach { case (v, i) => segs((i * 64) / n) += v }
+      f -> segs
+    }
+    def m(x: Long, y: Long): Long =
+      if (10 * math.abs(x - y) <= math.max(math.abs(x), math.abs(y))) 1L
+      else 0L
+    def lcss(xs: Array[Long], ys: Array[Long]): Long = {
+      var old = new Array[Long](xs.length)
+      var run = 0L
+      for (i <- xs.indices) {
+        run = math.max(run, m(xs(i), ys(0))); old(i) = run
+      }
+      for (j <- 1 until ys.length) {
+        val nw = new Array[Long](xs.length)
+        for (i <- xs.indices) {
+          val diag = if (i == 0) 0L else old(i - 1)
+          val left = if (i == 0) 0L else nw(i - 1)
+          nw(i) = math.max(old(i), math.max(left, diag + m(xs(i), ys(j))))
+        }
+        old = nw
+      }
+      old.last
+    }
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val got = r.getLong(4)
+      val want = lcss(series(a), series(b))
+      assert(got == want, s"pair ($a,$b): engine $got != replay $want")
+      val sim = r.getDouble(5)
+      assert(sim >= 0.0 && sim <= 1.0)
+      assert(got <= math.min(series(a).length, series(b).length))
+    }
+  }
+
+  test("PPJoin returns exactly the brute-force Jaccard pairs") {
+    val pp = SparkEntry.queries("q_dedup_ppjoin")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = SparkEntry.queries("q_dedup_jaccard_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pp.nonEmpty, "corpus must contain near-dup pairs")
+    assert(pp.toSet == brute.toSet,
+      "prefix filtering must lose (and invent) nothing vs brute force")
+  }
+
+  test("Bloom census: no false negatives, counts cover every name") {
+    val rows = SparkEntry.queries("q_sketch_bloom_portable")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (member, hit) = (r.getBoolean(0), r.getBoolean(1))
+      assert(!(member && !hit),
+        "a Bloom filter can NEVER miss a member (false negative)")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val names = spark.sql(
+      s"""SELECT count(DISTINCT c_name) c
+          FROM parquet.`$sfDir/customer.parquet`""").collect()(0).getLong(0)
+    assert(total == names, "census must cover every distinct name once")
+  }
+
+  test("calibration: gaps reassemble, ECE is their weighted mean") {
+    val rows = SparkEntry.queries("q_eval_calibration")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ece = rows.head.getDouble(6)
+    assert(rows.forall(_.getDouble(6) == ece), "one global ECE")
+    assert(ece >= 0.0 && ece <= 1.0)
+    var wsum = BigDecimal(0); var nUsed = 0L
+    rows.foreach { r =>
+      if (!r.isNullAt(5)) {
+        val gap = r.getDouble(5)
+        assert(gap >= 0.0 && gap <= 1.0)
+        assert(gap == math.abs(r.getDouble(2) - r.getDouble(4)))
+        // replay the query's exact arithmetic: IEEE product, then Dec12
+        wsum += BigDecimal(r.getLong(3).toDouble * gap)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        nUsed += r.getLong(3)
+      }
+    }
+    val want = wsum.toDouble / nUsed.toDouble
+    assert(want == ece, s"ECE replay $want vs $ece")
+  }
+
+  test("assortativity is a correlation in [-1,1] over real edges") {
+    val r = SparkEntry.queries("q_graph_assortativity")(spark, sfDir)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) > 0)
+    assert(r(0).getDouble(1) >= 1.0 && r(0).getDouble(2) >= 1.0,
+      "mean degree of a non-empty graph is at least 1")
+    if (!r(0).isNullAt(3)) {
+      val a = r(0).getDouble(3)
+      assert(a >= -1.0 && a <= 1.0, s"assortativity $a")
+    }
+  }
+
+  test("forecast eval: MASE reassembles from the two MAEs") {
+    val rows = SparkEntry.queries("q_time_forecast_eval")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, maeN, maeS) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n > 0 && maeN >= 0.0 && maeS >= 0.0)
+      if (!r.isNullAt(4))
+        assert(math.abs(r.getDouble(4) - maeS / maeN) < 1e-12,
+          "MASE must be the exact MAE ratio")
+    }
+  }
+
+  test("feature MI: nonnegative, bounded by marginal entropies, sorted") {
+    val rows = SparkEntry.queries("q_feature_select_mi")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5, "five features scored")
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val (mi, hx, hy) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mi >= -1e-9, s"MI must be nonnegative: $mi")
+      assert(mi <= math.min(hx, hy) + 1e-9, "MI <= min(H(X), H(Y))")
+      assert(mi <= prev, "output must be the selection order")
+      prev = mi
+      if (!r.isNullAt(5)) {
+        val nmi = r.getDouble(5)
+        assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("stemmer is idempotent on its own output") {
+    val rows = SparkEntry.queries("q_text_stem")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val lits = rows.map(r => s"'${r.getString(0)}'").mkString(",")
+    val stems = spark.sql(s"SELECT explode(array($lits)) AS tok")
+    val restem = stems.selectExpr(
+      """CASE
+           WHEN length(tok) > 4 AND right(tok, 3) = 'ies'
+                AND right(tok, 4) NOT IN ('aies', 'eies')
+             THEN concat(substr(tok, 1, length(tok) - 3), 'y')
+           WHEN length(tok) > 3 AND right(tok, 2) = 'es'
+                AND right(tok, 3) NOT IN ('aes', 'ees', 'oes')
+             THEN substr(tok, 1, length(tok) - 1)
+           WHEN length(tok) > 2 AND right(tok, 1) = 's'
+                AND right(tok, 2) NOT IN ('us', 'ss')
+             THEN substr(tok, 1, length(tok) - 1)
+           ELSE tok END AS s2""").collect().map(_.getString(0))
+    assert(restem.toSeq == rows.map(_.getString(0)).toSeq,
+      "stem(stem(x)) must equal stem(x)")
+    rows.foreach(r => assert(r.getLong(2) >= 1, "n_forms >= 1"))
+  }
+
+  test("Levene W reassembles and is nonnegative") {
+    val r = SparkEntry.queries("q_agg_levene")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (k, n) = (r(0).getLong(0), r(0).getLong(1))
+    val (ssb, ssw) = (r(0).getDouble(2), r(0).getDouble(3))
+    assert(k >= 2 && n > k)
+    assert(ssb >= -1e-6 && ssw >= 0.0)
+    if (!r(0).isNullAt(4))
+      assert(r(0).getDouble(4) ==
+        (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble))
+  }
+
+  test("Hodges-Lehmann sits inside the value range, T = n(n+1)/2") {
+    val rows = SparkEntry.queries("q_agg_hodges_lehmann")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, t, wmed, hl) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(t == n * (n + 1) / 2, "Walsh pair count identity")
+      assert(hl == wmed / 2.0)
+      assert(hl >= 1.0 && hl <= 50.0, "pseudo-median inside value domain")
+    }
+  }
+
+  test("PR curve: recall hits 1 at the lowest threshold, AP replays") {
+    val rows = SparkEntry.queries("q_eval_pr_curve")(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.nonEmpty)
+    val ap = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == ap), "one global AP")
+    assert(ap >= 0.0 && ap <= 1.0)
+    assert(rows.head.getDouble(4) == 1.0,
+      "lowest threshold predicts everything positive -> recall 1")
+    // replay AP from tp deltas: pos_v = tp_v - tp_(next higher thr)
+    val p = rows.head.getLong(1) // tp at lowest thr = P
+    var apSum = BigDecimal(0)
+    rows.indices.foreach { i =>
+      val tp = rows(i).getLong(1)
+      val tpNext = if (i + 1 < rows.length) rows(i + 1).getLong(1) else 0L
+      val pos = tp - tpNext
+      assert(pos >= 0, "tp non-increasing in threshold")
+      if (!rows(i).isNullAt(3)) {
+        val term = (pos.toDouble / p.toDouble) * rows(i).getDouble(3)
+        apSum += BigDecimal(term)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    assert(apSum.toDouble == ap, s"AP replay ${apSum.toDouble} vs $ap")
+  }
+
+  test("modularity: contributions sum to Q, Q in [-0.5, 1]") {
+    val rows = SparkEntry.queries("q_graph_modularity")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val q = rows.head.getDouble(4)
+    assert(rows.forall(_.getDouble(4) == q), "one global Q")
+    assert(q >= -0.5 && q <= 1.0, s"modularity range: $q")
+    var sum = BigDecimal(0)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(2) >= r.getLong(1),
+        "intra-community weight cannot exceed community strength")
+      sum += BigDecimal(r.getDouble(3))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    assert(sum.toDouble == q, "contributions must reassemble Q exactly")
+  }
+
+  test("delta method: CI brackets the ratio symmetrically") {
+    val rows = SparkEntry.queries("q_agg_delta_method")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ratio, se) = (r.getDouble(2), r.getDouble(3))
+      assert(ratio > 0.0 && se >= 0.0)
+      assert(r.getDouble(4) == ratio - 1.96 * se)
+      assert(r.getDouble(5) == ratio + 1.96 * se)
+      // revenue cents per unit must be in a sane physical band
+      assert(ratio > 100.0, "cents per unit > $1")
+    }
+  }
+
+  test("freshness: watermark stream has zero lag, lags nonnegative") {
+    val rows = SparkEntry.queries("q_dq_freshness")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(4) == 0L),
+      "some stream defines the watermark")
+    rows.foreach { r =>
+      val (lagUs, lagDays) = (r.getLong(4), r.getLong(5))
+      assert(lagUs >= 0L)
+      assert(lagDays == lagUs / 86400000000L)
+      assert(r.getBoolean(6) == (lagDays > 7))
+    }
+  }
+
+  test("OBV is the exact running sum of signed flows") {
+    val rows = SparkEntry.queries("q_win_obv")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      var acc = 0L
+      rs.foreach { r =>
+        val (vol, flow, obv) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(math.abs(flow) == vol || flow == 0L)
+        acc += flow
+        assert(obv == acc, "OBV must replay as the prefix sum")
+      }
+    }
+  }
 }
