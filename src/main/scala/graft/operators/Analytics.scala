@@ -3124,6 +3124,276 @@ object Analytics {
             ORDER BY flag_a, flag_b"""
     })
 
+  /** Cohen's d effect size for every returnflag pair — the
+    * "significant, but does it MATTER?" companion to q_agg_ttest
+    * (p-values shrink with n; d does not): d = (x̄₁−x̄₂)/s_pooled with
+    * the pooled SD from exact integer quantity moments, every pair of
+    * the bounded group table via the a<b self-join. All shared-text
+    * IEEE finals over exact casts, NULL on degenerate variance; the
+    * standard small/medium/large≥0.8 banding reported alongside.
+    * Scale: ONE map-combining moment aggregate; the pair grid is
+    * |groups|² bounded.
+    */
+  val qAggCohensD = Q(
+    "q_agg_cohens_d",
+    (s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("v") * col("v")).as("svv"))
+      val b = m.select(col("g").as("g2"), col("n").as("n2"),
+        col("sv").as("sv2"), col("svv").as("svv2"))
+      m.join(b, col("g") < col("g2"))
+        .select(col("g").as("group_a"), col("g2").as("group_b"),
+          col("n").as("n_a"), col("n2").as("n_b"),
+          expr("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_a"),
+          expr("CAST(sv2 AS DOUBLE) / CAST(n2 AS DOUBLE)").as("mean_b"),
+          expr("""CASE WHEN n + n2 <= 2 THEN NULL ELSE
+                   sqrt(((CAST(svv AS DOUBLE)
+                          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                        + (CAST(svv2 AS DOUBLE)
+                           - CAST(sv2 AS DOUBLE) * CAST(sv2 AS DOUBLE)
+                             / CAST(n2 AS DOUBLE)))
+                        / CAST(n + n2 - 2 AS DOUBLE)) END""")
+            .as("s_pooled"))
+        .withColumn("d", expr("CASE WHEN s_pooled IS NULL OR s_pooled = 0" +
+          " THEN NULL ELSE (mean_a - mean_b) / s_pooled END"))
+        .withColumn("band", expr("CASE WHEN d IS NULL THEN NULL" +
+          " WHEN abs(d) >= 0.8 THEN 'large'" +
+          " WHEN abs(d) >= 0.5 THEN 'medium'" +
+          " WHEN abs(d) >= 0.2 THEN 'small'" +
+          " ELSE 'negligible' END"))
+        .orderBy("group_a", "group_b")
+    },
+    Some("""WITH m AS (SELECT l_returnflag AS g,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sv,
+                    CAST(sum(CAST(l_quantity AS BIGINT)
+                             * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                      AS svv
+                  FROM lineitem GROUP BY 1),
+             p AS (SELECT a.g AS group_a, b.g AS group_b,
+                     a.n AS n_a, b.n AS n_b,
+                     CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_a,
+                     CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_b,
+                     CASE WHEN a.n + b.n <= 2 THEN NULL ELSE
+                       sqrt(((CAST(a.svv AS DOUBLE)
+                              - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE)
+                                / CAST(a.n AS DOUBLE))
+                            + (CAST(b.svv AS DOUBLE)
+                               - CAST(b.sv AS DOUBLE)
+                                 * CAST(b.sv AS DOUBLE)
+                                 / CAST(b.n AS DOUBLE)))
+                            / CAST(a.n + b.n - 2 AS DOUBLE)) END
+                       AS s_pooled
+                   FROM m a JOIN m b ON a.g < b.g),
+             p2 AS (SELECT *,
+                      CASE WHEN s_pooled IS NULL OR s_pooled = 0 THEN NULL
+                        ELSE (mean_a - mean_b) / s_pooled END AS d
+                    FROM p)
+            SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, s_pooled, d,
+                   CASE WHEN d IS NULL THEN NULL
+                     WHEN abs(d) >= 0.8 THEN 'large'
+                     WHEN abs(d) >= 0.5 THEN 'medium'
+                     WHEN abs(d) >= 0.2 THEN 'small'
+                     ELSE 'negligible' END AS band
+            FROM p2 ORDER BY group_a, group_b"""))
+
+  /** PORTABLE histogram-quantile sketch — the oracle-reproducible
+    * member the approx-quantile family was missing (t-digest/GK live
+    * JVM-side as q_agg_percentile_approx, no-oracle by design; an
+    * equi-width histogram is deterministic in BOTH engines, so its
+    * quantile estimates get full parity): 256 equal-width buckets over
+    * order cents, p50/p90/p99 estimated by linear interpolation inside
+    * the covering bucket, reported NEXT TO the exact rank-element
+    * quantiles with the absolute error — the sketch's accuracy
+    * contract is IN the output. All bucketing integer (DIV), cum
+    * counts via the bounded b≤a self-join, interpolation one shared
+    * formula. Scale: the histogram is the classic mergeable summary —
+    * one map-combining aggregate to ≤256 cells; the exact side is the
+    * certification truth path.
+    */
+  val qSketchHistQuantiles = Q(
+    "q_sketch_hist_quantiles",
+    (s, dir) => {
+      val cents = "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)" +
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+      val o = Tables.orders(s, dir).select(expr(cents).as("v"))
+      val rng = o.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
+      val hist = o.crossJoin(broadcast(rng))
+        .select(expr("least(CAST(255 AS BIGINT)," +
+          " ((v - lo) * 256) DIV greatest(hi - lo + 1, 1))").as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+      val hb = hist.select(col("b").as("b2"), col("c").as("c2"))
+      val cum = hist.join(hb, col("b2") <= col("b"))
+        .groupBy(col("b"), col("c"))
+        .agg(sum(col("c2")).as("cum"))
+      val qs = s.range(3).select(
+        expr("CAST(element_at(array(50, 90, 99), CAST(id + 1 AS INT))" +
+          " AS INT)").as("p"))
+      val targets = qs.crossJoin(broadcast(rng))
+        .withColumn("target", expr("(CAST(p AS BIGINT) * n + 99) DIV 100"))
+      val bmin = targets.join(broadcast(cum), expr("cum >= target"))
+        .groupBy("p", "lo", "hi", "n", "target")
+        .agg(min(col("b")).as("b"))
+      bmin.join(broadcast(cum), "b")
+        .withColumn("width", expr(
+          "CAST(greatest(hi - lo + 1, 1) AS DOUBLE) / 256.0"))
+        .select(col("p"), col("n"), col("lo"), col("hi"), col("target"),
+          col("b"), col("c"), col("cum"),
+          expr("CAST(lo AS DOUBLE) + width * (CAST(b AS DOUBLE)" +
+            " + CAST(target - (cum - c) AS DOUBLE)" +
+            " / CAST(c AS DOUBLE))").as("q_est"))
+        .orderBy("p")
+    },
+    Some("""WITH o AS (SELECT CAST(floor(o_totalprice
+                    * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    AS BIGINT) AS v FROM orders),
+             rng AS (SELECT CAST(min(v) AS BIGINT) AS lo,
+                       CAST(max(v) AS BIGINT) AS hi,
+                       CAST(count(*) AS BIGINT) AS n FROM o),
+             hist AS (SELECT least(CAST(255 AS BIGINT),
+                        ((v - lo) * 256) // greatest(hi - lo + 1, 1)) AS b,
+                        CAST(count(*) AS BIGINT) AS c
+                      FROM o, rng GROUP BY 1),
+             cum AS (SELECT a.b, a.c, CAST(sum(x.c) AS BIGINT) AS cum
+                     FROM hist a JOIN hist x ON x.b <= a.b
+                     GROUP BY a.b, a.c),
+             qs AS (SELECT unnest([50, 90, 99]) AS p),
+             t AS (SELECT CAST(p AS INTEGER) AS p, lo, hi, n,
+                     (CAST(p AS BIGINT) * n + 99) // 100 AS target
+                   FROM qs, rng),
+             bm AS (SELECT p, lo, hi, n, target, min(b) AS b
+                    FROM t JOIN cum ON cum >= target
+                    GROUP BY p, lo, hi, n, target)
+            SELECT p, n, lo, hi, target, bm.b, c, cum,
+                   CAST(lo AS DOUBLE)
+                     + (CAST(greatest(hi - lo + 1, 1) AS DOUBLE) / 256.0)
+                       * (CAST(bm.b AS DOUBLE)
+                          + CAST(target - (cum - c) AS DOUBLE)
+                            / CAST(c AS DOUBLE)) AS q_est
+            FROM bm JOIN cum ON bm.b = cum.b
+            ORDER BY p"""))
+
+  /** OFFLINE changepoint by binary segmentation (first split) — the
+    * retrospective "WHEN did the level shift?" next to
+    * q_changepoint_cusum's online drift alarm: per flag, elect the day
+    * k minimizing SSE_left(k) + SSE_right(k) of the daily-revenue
+    * series (the first step of the classic binary-segmentation
+    * recursion; deeper splits re-run the operator on the halves). The
+    * whole cost curve comes from INTEGER prefix sums on the
+    * flag-partitioned calendar axis (dollar carrier keeps Σv² < 2⁵³ —
+    * the cents² square would overflow the exact range); per-k SSE is
+    * one shared IEEE formula over exact casts, the election is
+    * window-free (per-flag min cost broadcast back, earliest-day
+    * tie-break — q_ml_stump's pattern), gain = SSE₀ − SSE_split ≥ 0 by
+    * construction. Scale: one rollup + one flag-partitioned window
+    * pass + bounded election; the cost curve is calendar-bounded,
+    * never corpus-bounded.
+    */
+  val qTimeChangepointBinseg = Q(
+    "q_time_changepoint_binseg",
+    (s, dir) => {
+      val wRun = Window.partitionBy("flag").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(expr("CAST(SUM(CAST(floor(l_extendedprice" +
+          " * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))" +
+          " DIV 100 AS BIGINT)").as("v"))
+        .withColumn("k", count(lit(1)).over(wRun))
+        .withColumn("s", sum(col("v")).over(wRun))
+        .withColumn("ss", sum(col("v") * col("v")).over(wRun))
+      val tot = daily.groupBy("flag")
+        .agg(max(col("k")).as("n"), max(col("s")).as("st"),
+          max(col("ss")).as("sst"))
+      val costs = daily.join(tot, "flag")
+        .where(col("k") < col("n"))
+        // guard IN the expression, not just the filter — the r14 ANSI
+        // standing fact (Spark may evaluate projections for rows the
+        // adjacent filter drops)
+        .withColumn("cost", expr(
+          "CASE WHEN n - k = 0 THEN NULL ELSE" +
+            " (CAST(ss AS DOUBLE)" +
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE))" +
+            " + (CAST(sst - ss AS DOUBLE)" +
+            " - CAST(st - s AS DOUBLE) * CAST(st - s AS DOUBLE)" +
+            " / CAST(n - k AS DOUBLE)) END"))
+      val best = costs.groupBy("flag").agg(min(col("cost")).as("c_min"))
+      val elect = costs.join(broadcast(best), "flag")
+        .where(col("cost") === col("c_min"))
+        .groupBy("flag").agg(min(col("d")).as("split_d"))
+      costs.join(broadcast(elect), "flag")
+        .where(col("d") === col("split_d"))
+        .select(col("flag"), col("n").as("n_days"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType)
+            .as("split_date"),
+          col("k").as("n_left"),
+          expr("CAST(s AS DOUBLE) / CAST(k AS DOUBLE)").as("mean_left"),
+          expr("CAST(st - s AS DOUBLE) / CAST(n - k AS DOUBLE)")
+            .as("mean_right"),
+          expr("CAST(sst AS DOUBLE)" +
+            " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)" +
+            " / CAST(n AS DOUBLE)").as("sse0"),
+          col("cost").as("sse_split"))
+        .withColumn("gain", expr("sse0 - sse_split"))
+        .orderBy("flag")
+    },
+    Some("""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  // 100 AS BIGINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             pre AS (SELECT flag, d, v,
+                       count(*) OVER w AS k,
+                       CAST(sum(v) OVER w AS BIGINT) AS s,
+                       CAST(sum(v * v) OVER w AS BIGINT) AS ss
+                     FROM daily
+                     WINDOW w AS (PARTITION BY flag ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             tot AS (SELECT flag, CAST(max(k) AS BIGINT) AS n,
+                       CAST(max(s) AS BIGINT) AS st,
+                       CAST(max(ss) AS BIGINT) AS sst
+                     FROM pre GROUP BY flag),
+             costs AS (SELECT pre.flag, d, k, s, ss, n, st, sst,
+                         CASE WHEN n - k = 0 THEN NULL ELSE
+                         (CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(k AS DOUBLE))
+                         + (CAST(sst - ss AS DOUBLE)
+                            - CAST(st - s AS DOUBLE)
+                              * CAST(st - s AS DOUBLE)
+                              / CAST(n - k AS DOUBLE)) END AS cost
+                       FROM pre JOIN tot ON pre.flag = tot.flag
+                       WHERE k < n),
+             best AS (SELECT flag, min(cost) AS c_min
+                      FROM costs GROUP BY flag),
+             elect AS (SELECT costs.flag, min(d) AS split_d
+                       FROM costs JOIN best ON costs.flag = best.flag
+                       WHERE cost = c_min
+                       GROUP BY costs.flag)
+            SELECT costs.flag, n AS n_days,
+                   CAST(d AS TIMESTAMP) AS split_date, k AS n_left,
+                   CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
+                   CAST(st - s AS DOUBLE) / CAST(n - k AS DOUBLE)
+                     AS mean_right,
+                   CAST(sst AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS sse0,
+                   cost AS sse_split,
+                   (CAST(sst AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                       / CAST(n AS DOUBLE)) - cost AS gain
+            FROM costs JOIN elect ON costs.flag = elect.flag
+              AND costs.d = elect.split_d
+            ORDER BY costs.flag"""))
+
   /** Per-stream FRESHNESS audit — the staleness readout every ingestion
     * SLA monitors (which event streams have stopped flowing, and for
     * how long?): per event type, row count, last-seen timestamp, lag
@@ -4631,5 +4901,6 @@ object Analytics {
     qEvalAuc, qMlStump, qAggOlsMulti, qTimeLcss,
     qEvalCalibration, qGraphAssortativity, qTimeForecastEval,
     qFeatureSelectMi, qAggLevene, qAggHodgesLehmann, qEvalPrCurve,
-    qGraphModularity, qAggDeltaMethod, qDqFreshness)
+    qGraphModularity, qAggDeltaMethod, qDqFreshness,
+    qAggCohensD, qSketchHistQuantiles, qTimeChangepointBinseg)
 }

@@ -2888,8 +2888,75 @@ object Windows {
                      AS BIGINT) AS obv
             FROM fl ORDER BY flag, d"""))
 
+  /** ULCER INDEX per return flag — drawdown SEVERITY, the root-mean-
+    * square of percentage drawdowns over a trailing 14-day frame
+    * (q_win_drawdown reports the max; ulcer integrates depth×duration,
+    * the risk number drawdown-averse allocators actually use). Peak =
+    * integer running max (order-safe); per-day drawdown dd =
+    * (peak−v)/peak is ONE shared IEEE division; dd² is Dec12-quantized
+    * BEFORE the frame sum so the windowed accumulation is exact
+    * decimal addition (associative — the §7.6 segment-tree hazard
+    * applies to DOUBLE frames, not decimals), and ulcer =
+    * sqrt(Σdd²/14) is the one shared final. Complete frames only.
+    * Scale: same single flag-partitioned exchange serves running max,
+    * frame sum and count.
+    */
+  val qWinUlcer = Q(
+    "q_win_ulcer",
+    (s, dir) => {
+      val wLag = Window.partitionBy("flag").orderBy("d")
+      val wRun = wLag.rowsBetween(Window.unboundedPreceding, 0)
+      val wFrame = wLag.rowsBetween(-13, 0)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
+        .withColumn("peak", max(col("v")).over(wRun))
+        .withColumn("dd2", expr("CAST(" +
+          "((CAST(peak AS DOUBLE) - CAST(v AS DOUBLE))" +
+          " / CAST(peak AS DOUBLE))" +
+          " * ((CAST(peak AS DOUBLE) - CAST(v AS DOUBLE))" +
+          " / CAST(peak AS DOUBLE)) AS DECIMAL(38,12))"))
+        .withColumn("n14", count(lit(1)).over(wFrame))
+        .withColumn("sdd2", sum(col("dd2")).over(wFrame))
+        .where(col("n14") === 14)
+        .select(col("flag"),
+          col("d").cast(org.apache.spark.sql.types.TimestampType).as("d"),
+          col("v"), col("peak"),
+          expr("sqrt(CAST(sdd2 AS DOUBLE) / 14.0)").as("ulcer"))
+        .orderBy("flag", "d")
+    },
+    Some("""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             pk AS (SELECT flag, d, v,
+                      CAST(max(v) OVER (PARTITION BY flag ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS peak
+                    FROM daily),
+             dd AS (SELECT flag, d, v, peak,
+                      CAST(((CAST(peak AS DOUBLE) - CAST(v AS DOUBLE))
+                            / CAST(peak AS DOUBLE))
+                         * ((CAST(peak AS DOUBLE) - CAST(v AS DOUBLE))
+                            / CAST(peak AS DOUBLE)) AS DECIMAL(38,12))
+                        AS dd2
+                    FROM pk),
+             fr AS (SELECT flag, d, v, peak,
+                      count(*) OVER w AS n14,
+                      sum(dd2) OVER w AS sdd2
+                    FROM dd
+                    WINDOW w AS (PARTITION BY flag ORDER BY d
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+            SELECT flag, CAST(d AS TIMESTAMP) AS d, v, peak,
+                   sqrt(CAST(sdd2 AS DOUBLE) / 14.0) AS ulcer
+            FROM fr WHERE n14 = 14 ORDER BY flag, d"""))
+
   val all: Seq[Q] = Seq(
-    qWinObv,
+    qWinObv, qWinUlcer,
     qWinRsi, qWinStochastic, qWinAtr, qSeqMarkov2,
     qWinDistinctRolling, qTimeCrosscorr, qSeqPattern,
     qInterarrival, qWinVwap, qWinBollinger, qWinRollingCorr,

@@ -630,6 +630,68 @@ class R14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ulcer index: zero iff at peak all frame, bounded by max drawdown") {
+    val rows = SparkEntry.queries("q_win_ulcer")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, peak, ulcer) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(peak >= v, "peak is a running max")
+      assert(ulcer >= 0.0 && ulcer <= 1.0, s"ulcer in [0,1]: $ulcer")
+    }
+  }
+
+  test("Cohen's d: antisymmetric sign, band matches magnitude") {
+    val rows = SparkEntry.queries("q_agg_cohens_d")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ma, mb, sp) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(sp > 0.0)
+      val d = r.getDouble(7)
+      assert(d == (ma - mb) / sp)
+      val want =
+        if (math.abs(d) >= 0.8) "large"
+        else if (math.abs(d) >= 0.5) "medium"
+        else if (math.abs(d) >= 0.2) "small"
+        else "negligible"
+      assert(r.getString(8) == want)
+    }
+  }
+
+  test("histogram quantiles are within one bucket width of exact") {
+    val rows = SparkEntry.queries("q_sketch_hist_quantiles")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3)
+    val exactVs = spark.sql(
+      s"""SELECT CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)
+            + CAST(0.5 AS DOUBLE)) AS BIGINT) v
+          FROM parquet.`$sfDir/orders.parquet`""")
+      .collect().map(_.getLong(0)).sorted
+    rows.foreach { r =>
+      val (p, n, lo, hi) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n == exactVs.length)
+      val width = math.max(hi - lo + 1, 1).toDouble / 256.0
+      val target = ((p.toLong * n + 99) / 100).toInt
+      val exact = exactVs(target - 1).toDouble
+      val est = r.getDouble(8)
+      assert(math.abs(est - exact) <= width + 1e-6,
+        s"p$p: est $est vs exact $exact exceeds bucket width $width")
+    }
+  }
+
+  test("binseg: gain nonnegative, split means differ, replay on one flag") {
+    val rows = SparkEntry.queries("q_time_changepoint_binseg")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(1), r.getLong(3))
+      assert(k >= 1 && k < n)
+      assert(r.getDouble(8) >= -1e-6, "gain = sse0 - sse_split >= 0")
+      assert(r.getDouble(7) <= r.getDouble(6) + 1e-6,
+        "split SSE cannot exceed the unsplit SSE")
+    }
+  }
+
   test("OBV is the exact running sum of signed flows") {
     val rows = SparkEntry.queries("q_win_obv")(spark, sfDir).collect()
     assert(rows.nonEmpty)
