@@ -3124,6 +3124,475 @@ object Analytics {
             ORDER BY flag_a, flag_b"""
     })
 
+  /** Wald's SPRT sequential monitor per order priority — the
+    * peeking-safe A/B machinery (fixed-n tests forbid looking early;
+    * the SPRT's log-likelihood random walk has exact error control at
+    * EVERY day): per priority-stream, daily (orders, high-value
+    * orders) counts feed the LLR increment k·ln(p₁/p₀) +
+    * (n−k)·ln((1−p₁)/(1−p₀)) with the two ln constants CAST-to-DOUBLE
+    * literals (the bare-decimal-literal trap — ebe114f) rounded to 6
+    * and carried as DECIMAL(18,6), so the priority-partitioned running
+    * LLR is an EXACT decimal sum (order-safe); boundaries ±ln(19)
+    * (α=β=0.05) compared on the exact carrier (LLR·10⁶ ≪ 2⁵³ — the
+    * decimal→double readout is representation-exact). Output per
+    * stream: decision, first crossing day each way, final LLR. Scale:
+    * one rollup + one partitioned window + bounded min-aggregates.
+    */
+  val qAbSequentialSprt = Q(
+    "q_ab_sequential_sprt",
+    (s, dir) => {
+      val wRun = Window.partitionBy("pri").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val lnA = "CAST(round(ln(CAST(0.35 AS DOUBLE)" +
+        " / CAST(0.30 AS DOUBLE)), 6) AS DECIMAL(18,6))"
+      val lnB = "CAST(round(ln(CAST(0.65 AS DOUBLE)" +
+        " / CAST(0.70 AS DOUBLE)), 6) AS DECIMAL(18,6))"
+      val bound = "CAST(round(ln(CAST(0.95 AS DOUBLE)" +
+        " / CAST(0.05 AS DOUBLE)), 6) AS DECIMAL(18,6))"
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") > 150000.0, 1L).otherwise(0L))
+            .as("k"))
+        .withColumn("inc", expr(s"k * $lnA + (n - k) * $lnB"))
+        .withColumn("llr", sum(col("inc")).over(wRun))
+      daily.groupBy("pri")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n")).as("n_orders"),
+          min(when(expr(s"llr >= $bound"), col("d"))).as("first_up"),
+          min(when(expr(s"llr <= -$bound"), col("d"))).as("first_down"),
+          max(col("d")).as("last_d"))
+        .join(daily.select(col("pri").as("p2"), col("d").as("d2"),
+          col("llr").cast(DoubleType).as("final_llr")),
+          col("pri") === col("p2") && col("last_d") === col("d2"))
+        .select(col("pri"), col("n_days"), col("n_orders"),
+          expr("CASE WHEN first_up IS NOT NULL AND (first_down IS NULL" +
+            " OR first_up <= first_down) THEN 'accept_h1'" +
+            " WHEN first_down IS NOT NULL THEN 'accept_h0'" +
+            " ELSE 'continue' END").as("decision"),
+          col("first_up").cast(org.apache.spark.sql.types.TimestampType)
+            .as("first_up"),
+          col("first_down").cast(org.apache.spark.sql.types.TimestampType)
+            .as("first_down"),
+          col("final_llr"))
+        .orderBy("pri")
+    },
+    Some("""WITH daily AS (
+              SELECT o_orderpriority AS pri,
+                     CAST(o_orderdate AS DATE) AS d,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN o_totalprice > 150000.0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS k
+              FROM orders GROUP BY 1, 2),
+             inc AS (SELECT pri, d, n, k,
+                       k * CAST(round(ln(CAST(0.35 AS DOUBLE)
+                             / CAST(0.30 AS DOUBLE)), 6) AS DECIMAL(18,6))
+                       + (n - k) * CAST(round(ln(CAST(0.65 AS DOUBLE)
+                             / CAST(0.70 AS DOUBLE)), 6) AS DECIMAL(18,6))
+                         AS inc
+                     FROM daily),
+             run AS (SELECT pri, d, n,
+                       sum(inc) OVER (PARTITION BY pri ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS llr
+                     FROM inc),
+             agg AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_days,
+                       CAST(sum(n) AS BIGINT) AS n_orders,
+                       min(CASE WHEN llr >=
+                             CAST(round(ln(CAST(0.95 AS DOUBLE)
+                               / CAST(0.05 AS DOUBLE)), 6)
+                               AS DECIMAL(18,6))
+                           THEN d END) AS first_up,
+                       min(CASE WHEN llr <=
+                             -CAST(round(ln(CAST(0.95 AS DOUBLE)
+                               / CAST(0.05 AS DOUBLE)), 6)
+                               AS DECIMAL(18,6))
+                           THEN d END) AS first_down,
+                       max(d) AS last_d
+                     FROM run GROUP BY pri)
+            SELECT agg.pri, n_days, n_orders,
+                   CASE WHEN first_up IS NOT NULL AND (first_down IS NULL
+                       OR first_up <= first_down) THEN 'accept_h1'
+                     WHEN first_down IS NOT NULL THEN 'accept_h0'
+                     ELSE 'continue' END AS decision,
+                   CAST(first_up AS TIMESTAMP) AS first_up,
+                   CAST(first_down AS TIMESTAMP) AS first_down,
+                   CAST(llr AS DOUBLE) AS final_llr
+            FROM agg JOIN run ON agg.pri = run.pri AND agg.last_d = run.d
+            ORDER BY agg.pri"""))
+
+  /** Lincoln–Petersen / Chapman CAPTURE–RECAPTURE estimate of
+    * vocabulary size — the mark-recapture estimator ecology uses for
+    * population counts, here answering a corpus question sampling
+    * answers cheaply at 100 TB: "how many distinct tokens does the
+    * corpus hold?" from TWO disjoint hash-halves and their overlap
+    * (Chapman: N̂ = (n₁+1)(n₂+1)/(m+1) − 1, bias-corrected and
+    * division-safe by construction). The ACTUAL distinct count rides
+    * along so the estimate's error is IN the output — at 100 TB one
+    * keeps only the halves. All exact integers, one shared final;
+    * the doc split is the portable doc-id hash. Scale: two
+    * vocab-keyed distincts + one overlap join — vocabulary-bounded,
+    * not corpus-bounded.
+    */
+  val qAggCaptureRecapture = Q(
+    "q_agg_capture_recapture",
+    (s, dir) => {
+      val toks = graft.operators.Llm.tokens(Tables.documents(s, dir))
+        .withColumn("sample",
+          pmod(graft.Det.pHash60(col("doc_id")), lit(2)))
+        .select(col("sample"), col("tok")).distinct()
+      val a = toks.where(col("sample") === 0).select(col("tok"))
+      val b = toks.where(col("sample") === 1).select(col("tok").as("tb"))
+      val n1 = a.agg(count(lit(1)).as("n1"))
+      val n2 = b.agg(count(lit(1)).as("n2"))
+      val m = a.join(b, col("tok") === col("tb"))
+        .agg(count(lit(1)).as("m"))
+      val actual = toks.select("tok").distinct()
+        .agg(count(lit(1)).as("actual"))
+      n1.crossJoin(n2).crossJoin(m).crossJoin(actual)
+        .withColumn("estimate", expr(
+          "CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE)" +
+            " - 1.0"))
+        .withColumn("rel_error", expr(
+          "(estimate - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE)"))
+    },
+    Some(s"""WITH toks AS (SELECT DISTINCT
+                    ((${graft.Det.sqlPHash60("doc_id")}) % 2 + 2) % 2
+                      AS sample, tok
+                  FROM (SELECT doc_id,
+                          unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  WHERE tok <> ''),
+             n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM toks
+                    WHERE sample = 0),
+             n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM toks
+                    WHERE sample = 1),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS m
+                   FROM (SELECT tok FROM toks WHERE sample = 0) a
+                   JOIN (SELECT tok AS tb FROM toks WHERE sample = 1) b
+                     ON a.tok = b.tb),
+             act AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS actual
+                     FROM toks)
+            SELECT n1, n2, m, actual,
+                   CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                     / CAST(m + 1 AS DOUBLE) - 1.0 AS estimate,
+                   (CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                      / CAST(m + 1 AS DOUBLE) - 1.0
+                    - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE)
+                     AS rel_error
+            FROM n1, n2, m, act"""))
+
+  /** PARTITION-KEY ADVISOR — the layout-planning readout that turns
+    * the library's own partitioning doctrine into a query (choose the
+    * key BEFORE writing 100 TB, not after the small-files incident):
+    * for each candidate column the census every planner needs —
+    * distinct-partition count, largest-partition share, and a verdict
+    * from the two failure axes (too few partitions → no parallelism /
+    * no pruning; too many → small-files death; skewed → straggler
+    * partitions). One stack() unpivot feeds ONE map-combining
+    * aggregate to (candidate × value) cells; everything after is
+    * per-candidate arithmetic. The thresholds are explicit constants
+    * in the output's verdict CASE — policy visible, not buried.
+    */
+  val qLayoutPartitionAdvisor = Q(
+    "q_layout_partition_advisor",
+    (s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .select(expr("stack(5," +
+          " 'returnflag', l_returnflag," +
+          " 'linestatus', l_linestatus," +
+          " 'ship_month', CAST(month(l_shipdate) AS STRING)," +
+          " 'ship_date', CAST(CAST(l_shipdate AS DATE) AS STRING)," +
+          " 'suppkey', CAST(l_suppkey AS STRING))" +
+          " AS (feature, xv)"))
+        .groupBy("feature", "xv").agg(count(lit(1)).as("c"))
+      cells.groupBy("feature")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_cnt"))
+        .withColumn("max_share", expr(
+          "CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)"))
+        .withColumn("verdict", expr(
+          "CASE WHEN n_distinct < 4 THEN 'too_few_partitions'" +
+            " WHEN n_distinct > 10000 THEN 'too_many_partitions'" +
+            " WHEN max_share > 0.2 THEN 'skewed'" +
+            " ELSE 'good' END"))
+        .orderBy("feature")
+    },
+    Some("""WITH base AS (
+              SELECT feature, xv FROM lineitem, LATERAL (VALUES
+                ('returnflag', l_returnflag),
+                ('linestatus', l_linestatus),
+                ('ship_month',
+                 CAST(month(CAST(l_shipdate AS DATE)) AS VARCHAR)),
+                ('ship_date', CAST(CAST(l_shipdate AS DATE) AS VARCHAR)),
+                ('suppkey', CAST(l_suppkey AS VARCHAR)))
+                AS t(feature, xv)),
+             cells AS (SELECT feature, xv, CAST(count(*) AS BIGINT) AS c
+                       FROM base GROUP BY 1, 2),
+             agg AS (SELECT feature,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(sum(c) AS BIGINT) AS n_rows,
+                       CAST(max(c) AS BIGINT) AS max_cnt
+                     FROM cells GROUP BY feature)
+            SELECT feature, n_distinct, n_rows, max_cnt,
+                   CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                     AS max_share,
+                   CASE WHEN n_distinct < 4 THEN 'too_few_partitions'
+                     WHEN n_distinct > 10000 THEN 'too_many_partitions'
+                     WHEN CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                          > 0.2 THEN 'skewed'
+                     ELSE 'good' END AS verdict
+            FROM agg ORDER BY feature"""))
+
+  /** Gumbel fit over monthly block maxima (extreme-value theory's
+    * method-of-moments entry point) — "how big is the 1-in-12-month
+    * day?" is a question about the MAXIMA distribution, which
+    * ordinary moments of the daily series cannot answer: per flag,
+    * daily revenue → monthly block maxima (the classic EVT blocking),
+    * Gumbel parameters β = s·√6/π, µ = m̄ − γ·β (Euler–Mascheroni γ
+    * as a shared literal), and the T=12 return level
+    * µ − β·ln(−ln(1 − 1/12)). Maxima ride the dollar carrier (cents²
+    * of a max day would exceed 2⁵³); moments are exact integers over
+    * the bounded month axis; β/µ/return level are one shared formula
+    * text. Scale: two bounded rollups (day, then month) — the fit is
+    * O(months), the scan is the cost.
+    */
+  val qAggGumbelFit = Q(
+    "q_agg_gumbel_fit",
+    (s, dir) => {
+      val maxima = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(expr("CAST(SUM(CAST(floor(l_extendedprice" +
+          " * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))" +
+          " DIV 100 AS BIGINT)").as("v"))
+        .groupBy(col("flag"), trunc(col("d"), "month").as("m"))
+        .agg(max(col("v")).as("mx"))
+      maxima.groupBy("flag")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("mx")).as("s"),
+          sum(col("mx") * col("mx")).as("ss"))
+        .select(col("flag"), col("n_blocks"),
+          expr("CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE)")
+            .as("mean_max"),
+          expr("""CASE WHEN n_blocks <= 1 THEN NULL ELSE
+                   sqrt((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n_blocks AS DOUBLE))
+                        / CAST(n_blocks - 1 AS DOUBLE)) END""")
+            .as("sd_max"))
+        .select(col("flag"), col("n_blocks"), col("mean_max"),
+          col("sd_max"),
+          expr("sd_max * sqrt(6.0) / pi()").as("beta"))
+        .select(col("flag"), col("n_blocks"), col("mean_max"),
+          col("sd_max"), col("beta"),
+          expr("mean_max - 0.5772156649015329 * beta").as("mu"))
+        .select(col("flag"), col("n_blocks"), col("mean_max"),
+          col("sd_max"), col("beta"), col("mu"),
+          // CAST the literals: bare 1.0/12.0 is DECIMAL division in
+          // Spark (scale-truncated to 0.083333 before ln ever runs —
+          // the ebe114f literal trap, re-caught by parity here)
+          expr("round(mu - beta * ln(-ln(CAST(1.0 AS DOUBLE)" +
+            " - CAST(1.0 AS DOUBLE) / CAST(12.0 AS DOUBLE))), 6)")
+            .as("return_level_12"))
+        .orderBy("flag")
+    },
+    Some("""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  // 100 AS BIGINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             mx AS (SELECT flag, date_trunc('month', d) AS m,
+                      CAST(max(v) AS BIGINT) AS mx
+                    FROM daily GROUP BY 1, 2),
+             mo AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_blocks,
+                      CAST(sum(mx) AS BIGINT) AS s,
+                      CAST(sum(mx * mx) AS BIGINT) AS ss
+                    FROM mx GROUP BY flag),
+             d1 AS (SELECT flag, n_blocks,
+                      CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+                        AS mean_max,
+                      CASE WHEN n_blocks <= 1 THEN NULL ELSE
+                        sqrt((CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n_blocks AS DOUBLE))
+                             / CAST(n_blocks - 1 AS DOUBLE)) END AS sd_max
+                    FROM mo),
+             d2 AS (SELECT *, sd_max * sqrt(6.0) / pi() AS beta FROM d1),
+             d3 AS (SELECT *,
+                      mean_max - 0.5772156649015329 * beta AS mu
+                    FROM d2)
+            SELECT flag, n_blocks, mean_max, sd_max, beta, mu,
+                   round(mu - beta * ln(-ln(CAST(1.0 AS DOUBLE)
+                     - CAST(1.0 AS DOUBLE) / CAST(12.0 AS DOUBLE))), 6)
+                     AS return_level_12
+            FROM d3 ORDER BY flag"""))
+
+  /** Weight-of-Evidence + Information Value of the discount level
+    * against the returned-flag label — the credit-scoring standard for
+    * "how predictive is this binned feature" (the monotone-score
+    * cousin of q_feature_select_mi's MI rank, and the encoding
+    * q_feature_target_encode's smoothed means approximate): WoE_v =
+    * ln((pos_v/P)/(neg_v/N)) with zero-cell levels reporting NULL
+    * (excluded from IV — the honest treatment, not ±∞ or an arbitrary
+    * floor), IV = Σ (pos_v/P − neg_v/N)·WoE_v with Dec12-quantized
+    * terms over the ≤11 bounded levels. The ln rides exact-integer
+    * ratios divided once in shared text. Scale: ONE map-combining
+    * aggregate; everything after is O(levels).
+    */
+  val qFeatureWoeIv = Q(
+    "q_feature_woe_iv",
+    (s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .select(round(col("l_discount") * 100).cast("int").as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("v")
+        .agg(sum(col("y")).as("pos"),
+          (count(lit(1)) - sum(col("y"))).as("neg"))
+      val tot = cells.agg(sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+      val woe = cells.crossJoin(broadcast(tot))
+        .withColumn("woe", expr(
+          "CASE WHEN pos = 0 OR neg = 0 OR p = 0 OR n = 0 THEN NULL" +
+            " ELSE round(ln((CAST(pos AS DOUBLE) / CAST(p AS DOUBLE))" +
+            " / (CAST(neg AS DOUBLE) / CAST(n AS DOUBLE))), 6) END"))
+      val iv = woe.agg(
+        sum(expr("CASE WHEN woe IS NULL THEN CAST(0 AS DECIMAL(38,12))" +
+          " ELSE CAST((CAST(pos AS DOUBLE) / CAST(p AS DOUBLE)" +
+          " - CAST(neg AS DOUBLE) / CAST(n AS DOUBLE)) * woe" +
+          " AS DECIMAL(38,12)) END")).as("ivq"))
+        .select(expr("CAST(ivq AS DOUBLE)").as("iv"))
+      woe.crossJoin(broadcast(iv))
+        .select(col("v"), col("pos"), col("neg"), col("woe"), col("iv"))
+        .orderBy("v")
+    },
+    Some("""WITH cells AS (SELECT CAST(round(l_discount * 100) AS INTEGER)
+                      AS v,
+                    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                             ELSE 0 END) AS BIGINT) AS pos,
+                    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0
+                             ELSE 1 END) AS BIGINT) AS neg
+                  FROM lineitem GROUP BY 1),
+             tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                       CAST(sum(neg) AS BIGINT) AS n FROM cells),
+             w AS (SELECT v, pos, neg, p, n,
+                     CASE WHEN pos = 0 OR neg = 0 OR p = 0 OR n = 0
+                       THEN NULL
+                       ELSE round(
+                         ln((CAST(pos AS DOUBLE) / CAST(p AS DOUBLE))
+                           / (CAST(neg AS DOUBLE) / CAST(n AS DOUBLE))),
+                         6) END AS woe
+                   FROM cells, tot),
+             iv AS (SELECT CAST(sum(CASE WHEN woe IS NULL
+                       THEN CAST(0 AS DECIMAL(38,12))
+                       ELSE CAST((CAST(pos AS DOUBLE) / CAST(p AS DOUBLE)
+                            - CAST(neg AS DOUBLE) / CAST(n AS DOUBLE))
+                            * woe AS DECIMAL(38,12)) END) AS DOUBLE) AS iv
+                    FROM w)
+            SELECT v, pos, neg, woe, iv
+            FROM w, iv ORDER BY v"""))
+
+  /** PARALLEL VARIANCE MERGE (the Chan/Welford shard law) — the
+    * distributed-statistics primitive made oracle-visible: per-nation
+    * moment shards (n, Σx, Σx²) of customer balance cents merge into
+    * per-REGION variance, and the DuckDB oracle aggregates the RAW
+    * rows per region directly — the hash match IS the proof that
+    * shard-merge ≡ direct on exact carriers (integer/decimal sums are
+    * associative; a float-moment shard would NOT satisfy this, which
+    * is why the engine's every moment rides exact carriers). Σx² on
+    * DECIMAL(38,0) (the q_agg_ols_multi readout pattern); mean/var are
+    * shared-text finals. Scale: this is literally the map-side-combine
+    * contract every two-phase aggregate in the library depends on,
+    * here pinned by parity instead of trust.
+    */
+  val qAggVarMerge = Q(
+    "q_agg_var_merge",
+    (s, dir) => {
+      val cents = "CAST(round(c_acctbal * 100) AS BIGINT)"
+      val shards = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey").as("rk"), col("n_nationkey").as("nk"),
+          expr(cents).as("x"))
+        .groupBy("rk", "nk")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+            .as("ss"))
+      shards.groupBy("rk")
+        .agg(count(lit(1)).as("n_shards"), sum(col("n")).as("n"),
+          sum(col("s")).as("s"), sum(col("ss")).as("ss"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("rk") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_shards"), col("n"),
+          expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_cents"),
+          expr("CASE WHEN n <= 1 THEN NULL ELSE" +
+            " (CAST(ss AS DOUBLE)" +
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " / CAST(n AS DOUBLE) END").as("var_pop"))
+        .orderBy("region")
+    },
+    Some("""WITH j AS (SELECT r_name AS region, n_nationkey AS nk,
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS x
+                  FROM customer
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey)
+            SELECT region,
+                   CAST(count(DISTINCT nk) AS BIGINT) AS n_shards,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS mean_cents,
+                   CASE WHEN count(*) <= 1 THEN NULL ELSE
+                     (CAST(sum(CAST(x AS DECIMAL(38,0))
+                               * CAST(x AS DECIMAL(38,0))) AS DOUBLE)
+                      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE))
+                     / CAST(count(*) AS DOUBLE) END AS var_pop
+            FROM j GROUP BY region ORDER BY region"""))
+
+  /** Value-at-Risk + EXPECTED SHORTFALL (CVaR) per order priority — the
+    * coherent tail-risk readout finance reports beyond the quantile
+    * itself (VaR says "the 95th-percentile order size"; CVaR says "and
+    * the MEAN of everything beyond it" — subadditive, tail-sensitive):
+    * VaR = the q_agg_winsorize fence surface (exact percentile rounded
+    * to 6 so the fence is engine-identical), tail census + tail mean
+    * over rows ≥ fence via the §7.2 decimal sum. Scale: 1-row-per-
+    * group fence broadcast back onto one scan; the documented
+    * percentile_approx swap applies at 100 TB.
+    */
+  val qAggCvar = Q(
+    "q_agg_cvar",
+    (s, dir) => {
+      val fences = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(round(expr("percentile(o_totalprice, 0.95)"), 6).as("var95"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pri"),
+          col("o_totalprice").as("v"))
+        .join(broadcast(fences), "pri")
+        .groupBy("pri", "var95")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") >= col("var95"), 1L).otherwise(0L))
+            .as("n_tail"),
+          Det.davg(when(col("v") >= col("var95"), col("v"))).as("cvar95"))
+        .select(col("pri"), col("n"), col("var95"), col("n_tail"),
+          col("cvar95"))
+        .orderBy("pri")
+    },
+    Some(s"""WITH fences AS (SELECT o_orderpriority AS pri,
+                    round(quantile_cont(o_totalprice, 0.95), 6) AS var95
+                  FROM orders GROUP BY 1),
+             v AS (SELECT o_orderpriority AS pri, o_totalprice AS v
+                   FROM orders)
+            SELECT v.pri, count(*) AS n, var95,
+                   CAST(sum(CASE WHEN v >= var95 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_tail,
+                   ${Det.sqlAvg("CASE WHEN v >= var95 THEN v END")}
+                     AS cvar95
+            FROM v JOIN fences ON v.pri = fences.pri
+            GROUP BY v.pri, var95 ORDER BY v.pri"""))
+
   /** Cohen's d effect size for every returnflag pair — the
     * "significant, but does it MATTER?" companion to q_agg_ttest
     * (p-values shrink with n; d does not): d = (x̄₁−x̄₂)/s_pooled with
@@ -4902,5 +5371,7 @@ object Analytics {
     qEvalCalibration, qGraphAssortativity, qTimeForecastEval,
     qFeatureSelectMi, qAggLevene, qAggHodgesLehmann, qEvalPrCurve,
     qGraphModularity, qAggDeltaMethod, qDqFreshness,
-    qAggCohensD, qSketchHistQuantiles, qTimeChangepointBinseg)
+    qAggCohensD, qSketchHistQuantiles, qTimeChangepointBinseg,
+    qAggVarMerge, qAggCvar, qAggGumbelFit, qFeatureWoeIv,
+    qLayoutPartitionAdvisor, qAbSequentialSprt, qAggCaptureRecapture)
 }

@@ -186,6 +186,64 @@ object Llm {
                     / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
             ORDER BY a, b"""))
 
+  /** LABEL-OUTLIER mining over the embedding store — the mislabeled-
+    * point detector (Northcutt-style confident-learning's geometric
+    * cousin): distance from each vector to its OWN label's centroid,
+    * top-20 farthest — the points whose label disagrees most with
+    * their neighborhood, the first candidates for relabeling or
+    * dropping in a training corpus. Per-label centroids from one
+    * posexplode aggregate (davg12 + round-6, the q_embed_center
+    * portability doctrine), broadcast back as a bounded |labels|-row
+    * array table; dist² = ‖x‖² − 2x·µ + ‖µ‖² via the shared
+    * sequential-fold dot product (vec_dot ↔ list_dot_product — same
+    * order, same doubles). Total order (dist² DESC, vec_id). Scale:
+    * centroid table is labels×dims bounded; the scoring pass is
+    * map-side against the broadcast — one scan, no pair join anywhere.
+    */
+  val qEmbedLabelOutliers = Q(
+    "q_embed_label_outliers",
+    (s, dir) => {
+      graft.plans.VectorFunctions.register(s)
+      val ex = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").cast(IntegerType).as("dim"),
+          col("col").cast(DoubleType).as("x"))
+      val mu = ex.groupBy("label", "dim")
+        .agg(round(Det.davg12(col("x")), 6).as("mu"))
+        .groupBy("label")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(dim, mu))), s -> s.mu)")
+          .as("mva"))
+        .withColumn("dmm", expr("vec_dot(mva, mva)"))
+      Tables.embeddings(s, dir)
+        .join(broadcast(mu), "label")
+        .select(col("vec_id"), col("label"),
+          expr("vec_dot(embedding, embedding)" +
+            " - 2.0 * vec_dot(embedding, mva) + dmm").as("dist2"))
+        .withColumn("dist", expr("sqrt(greatest(dist2, 0.0))"))
+        .select(col("vec_id"), col("label"), col("dist"))
+        .orderBy(col("dist").desc, col("vec_id"))
+        .limit(20)
+    },
+    Some(s"""WITH ex AS (SELECT label, vec_id,
+                    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+                    unnest(embedding) AS x
+                  FROM embeddings),
+                 cent AS (SELECT label, dim,
+                            round(${Det.sqlAvg12("x")}, 6) AS mu
+                          FROM ex GROUP BY label, dim),
+                 mv AS (SELECT label, list(mu ORDER BY dim) AS mva
+                        FROM cent GROUP BY label),
+                 d AS (SELECT e.vec_id, e.label,
+                         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[]))
+                         - 2.0 * list_dot_product(
+                             CAST(e.embedding AS DOUBLE[]), mva)
+                         + list_dot_product(mva, mva) AS dist2
+                       FROM embeddings e JOIN mv ON e.label = mv.label)
+             SELECT vec_id, label, sqrt(greatest(dist2, 0.0)) AS dist
+             FROM d ORDER BY dist DESC, vec_id LIMIT 20"""))
+
   /** S-stemmer vocabulary folding (Harman's public 3-rule stemmer —
     * the conservative plural collapser IR systems use when Porter is
     * too aggressive): ies→y (unless aies/eies), es→e (unless
@@ -270,7 +328,28 @@ object Llm {
     "q_dedup_ppjoin",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val sh = shinglesWithPos(Tables.documents(s, dir))
+      // EXACT-DUP COLLAPSE FIRST (the production composition): the r14
+      // 10x rehearsal's clone-degenerate corpus put 63x wall on the
+      // rep-naive form — candidate verification is quadratic in clone
+      // multiplicity, and clones are the one degeneracy a crawl corpus
+      // is GUARANTEED to have. Group identical texts (md5), run the
+      // prefix-filtered join on REPRESENTATIVES only (distinct texts —
+      // scale-invariant under cloning), then expand groups back into
+      // member pairs: intra-group pairs are J=1 by construction,
+      // inter-group pairs inherit the representatives' exact
+      // inter/na/nb. Output identical to the naive all-pairs oracle;
+      // the work is output-bound where the output itself is quadratic.
+      val docs = Tables.documents(s, dir)
+      val members = docs
+        .select(col("doc_id"), md5(col("text")).as("th"))
+        .withColumn("gid", min(col("doc_id"))
+          .over(Window.partitionBy("th")))
+        .select(col("doc_id"), col("gid"))
+      val reps = docs.join(
+        members.where(col("doc_id") === col("gid"))
+          .select(col("doc_id").as("rid")),
+        col("doc_id") === col("rid"))
+      val sh = shinglesWithPos(reps)
         .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
       val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -286,14 +365,41 @@ object Llm {
         .select("a", "b").distinct()
       val shA = sh.select(col("doc_id").as("a"), col("h").as("ha"))
       val shB = sh.select(col("doc_id").as("b"), col("h").as("hb"))
-      val inter2 = cand.join(shA, "a")
+      val repPairs = cand.join(shA, "a")
         .join(shB, Seq("b"), "inner")
         .where(col("ha") === col("hb"))
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      inter2
         .join(sizes.toDF("a", "na").hint("shuffle_hash"), "a")
         .join(sizes.toDF("b", "nb").hint("shuffle_hash"), "b")
         .where(expr("3 * inter >= na + nb"))
+      // inter-group expansion: every member of ga pairs with every
+      // member of gb (sets identical within a group)
+      val inter = repPairs
+        .join(members.select(col("gid").as("a"), col("doc_id").as("da")),
+          "a")
+        .join(members.select(col("gid").as("b"), col("doc_id").as("db")),
+          "b")
+        .select(least(col("da"), col("db")).as("a"),
+          greatest(col("da"), col("db")).as("b"),
+          col("inter"),
+          // sizes follow the doc ids: when the member ids flip the
+          // (a, b) order relative to the rep order, na/nb flip too
+          when(col("da") < col("db"), col("na")).otherwise(col("nb"))
+            .as("na"),
+          when(col("da") < col("db"), col("nb")).otherwise(col("na"))
+            .as("nb"))
+      // intra-group expansion: clone pairs are exact dups (J = 1);
+      // only groups whose representative HAS shingles participate —
+      // shingle-less short docs generate no pairs in the naive join
+      val intra = members
+        .join(sizes.select(col("doc_id").as("gid"), col("n")), "gid")
+        .select(col("gid"), col("doc_id"), col("n"))
+      val intraPairs = intra.toDF("gid", "da", "na")
+        .join(intra.toDF("gid2", "db", "nb"),
+          col("gid") === col("gid2") && col("da") < col("db"))
+        .select(col("da").as("a"), col("db").as("b"),
+          col("na").as("inter"), col("na"), col("nb"))
+      inter.union(intraPairs)
         .withColumn("jac", col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")).cast(DoubleType))
         .select("a", "b", "inter", "na", "nb", "jac")
@@ -4333,6 +4439,7 @@ object Llm {
     qGraphClusteringCoeff,
     qDedupMinhashLsh, qDedupSimhash, qDedupSubstrSpans,
     qEmbedCentroids, qEmbedSemdedup, qEmbedQuantize, qEmbedCenter,
+    qEmbedLabelOutliers,
     qSimCosineTopk, qSimCosineNearDup, qSimCosineAnnLsh, qSimCosineIvf,
     qSimGraphBeam,
     qSimCosineQuantized, qDedupEmbedClusters,

@@ -1099,6 +1099,85 @@ object Windows {
             SELECT src, dst, n, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
             FROM tt ORDER BY src, dst"""))
 
+  /** Held-out NEXT-EVENT PREDICTION accuracy for the Markov chain —
+    * the evaluation that turns q_markov_transitions from a descriptive
+    * table into a scored model: transitions counted on the 80%
+    * TRAIN-user split (portable hash on user_id — split by USER, not
+    * by row, so no user's history leaks across the boundary), the
+    * predictor is argmax count per source state (deterministic
+    * (n DESC, dst) election on the bounded |types|² grid), scored by
+    * top-1 accuracy over TEST-user transitions. Unseen sources predict
+    * NULL and score 0 — the honest treatment, not a silent drop. All
+    * integer counts, two shared divisions (per-source and overall).
+    * Scale: two user-partitioned window passes + bounded grids; the
+    * eval join is per-source against a ≤|types| broadcast.
+    */
+  val qSeqMarkovEval = Q(
+    "q_seq_markov_eval",
+    (s, dir) => {
+      val wNext = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("src"),
+          (pmod(graft.Det.pHash60(col("user_id")), lit(5)) === 0)
+            .as("is_test"))
+        .withColumn("dst", lead(col("src"), 1).over(wNext))
+        .where(col("dst").isNotNull)
+      val pred = base.where(!col("is_test"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy(col("n").desc, col("dst"))))
+        .where(col("rk") === 1)
+        .select(col("src"), col("dst").as("pred"),
+          col("n").as("n_train_top"))
+      val scored = base.where(col("is_test"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .join(broadcast(pred), Seq("src"), "left")
+        .groupBy(col("src"), col("pred"))
+        .agg(sum(col("n")).as("n_test"),
+          sum(when(col("dst") === col("pred"), col("n")).otherwise(0L))
+            .as("n_correct"))
+      val overall = scored.agg(
+        expr("CAST(sum(n_correct) AS DOUBLE) / CAST(sum(n_test) AS DOUBLE)")
+          .as("overall_acc"))
+      scored.crossJoin(broadcast(overall))
+        .select(col("src"), col("pred"), col("n_test"), col("n_correct"),
+          expr("CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE)")
+            .as("acc"),
+          col("overall_acc"))
+        .orderBy("src")
+    },
+    Some(s"""WITH base AS (
+              SELECT user_id, event_type AS src,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS dst,
+                     ((${graft.Det.sqlPHash60("user_id")}) % 5 + 5) % 5 = 0
+                       AS is_test
+              FROM events),
+             b2 AS (SELECT * FROM base WHERE dst IS NOT NULL),
+             tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                    FROM b2 WHERE NOT is_test GROUP BY 1, 2),
+             pred AS (SELECT src, dst AS pred, n AS n_train_top
+                      FROM (SELECT src, dst, n, row_number() OVER (
+                              PARTITION BY src ORDER BY n DESC, dst) AS rk
+                            FROM tr) WHERE rk = 1),
+             te AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                    FROM b2 WHERE is_test GROUP BY 1, 2),
+             scored AS (SELECT te.src, pred,
+                          CAST(sum(n) AS BIGINT) AS n_test,
+                          CAST(sum(CASE WHEN dst = pred THEN n ELSE 0 END)
+                            AS BIGINT) AS n_correct
+                        FROM te LEFT JOIN pred ON te.src = pred.src
+                        GROUP BY te.src, pred),
+             ov AS (SELECT CAST(sum(n_correct) AS DOUBLE)
+                      / CAST(sum(n_test) AS DOUBLE) AS overall_acc
+                    FROM scored)
+            SELECT src, pred, n_test, n_correct,
+                   CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE)
+                     AS acc,
+                   overall_acc
+            FROM scored, ov ORDER BY src"""))
+
   /** SECOND-ORDER Markov transitions — the (state₋₂, state₋₁) → next
     * trigram model over per-user event sequences, the memory-2 upgrade
     * of q_markov_transitions' bigram chain (the standard test for
@@ -2976,6 +3055,6 @@ object Windows {
     qSortMultikey, qTopkGlobal, qLimitOffset,
     qUnionShards, qExceptMissing, qIntersectCommon, qDropdupSubset,
     qExceptAllMulti, qIntersectAllMulti,
-    qWinIntervalMerge, qMarkovTransitions, qCalendarSpine,
+    qWinIntervalMerge, qMarkovTransitions, qSeqMarkovEval, qCalendarSpine,
     qWinRollingMedian)
 }

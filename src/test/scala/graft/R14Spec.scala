@@ -692,6 +692,148 @@ class R14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("variance merge: region variance is nonneg, shards cover nations") {
+    val rows = SparkEntry.queries("q_agg_var_merge")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5, "five regions")
+    assert(rows.map(_.getLong(1)).sum == 25, "25 nation shards total")
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0)
+      if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("CVaR dominates VaR and the tail is ~5% of rows") {
+    val rows = SparkEntry.queries("q_agg_cvar")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v95, nTail, cvar) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(cvar >= v95, "expected shortfall >= VaR by definition")
+      val frac = nTail.toDouble / n
+      assert(frac > 0.0 && frac <= 0.15, s"tail fraction sane: $frac")
+    }
+  }
+
+  test("markov eval: accuracy in [0,1], overall reassembles") {
+    val rows = SparkEntry.queries("q_seq_markov_eval")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val overall = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == overall))
+    var nt = 0L; var nc = 0L
+    rows.foreach { r =>
+      val (test, correct) = (r.getLong(2), r.getLong(3))
+      assert(correct <= test)
+      assert(r.getDouble(4) == correct.toDouble / test)
+      nt += test; nc += correct
+    }
+    assert(overall == nc.toDouble / nt, "overall = pooled accuracy")
+  }
+
+  test("label outliers: descending distance, valid labels") {
+    val rows = SparkEntry.queries("q_embed_label_outliers")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val d = r.getDouble(2)
+      assert(d >= 0.0 && d <= prev)
+      prev = d
+    }
+  }
+
+  test("Gumbel: return level exceeds the mean max, beta positive") {
+    val rows = SparkEntry.queries("q_agg_gumbel_fit")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, mean) = (r.getLong(1), r.getDouble(2))
+      assert(nb >= 2)
+      val (beta, mu, rl) =
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(beta > 0.0)
+      assert(mu < mean, "Gumbel location sits below the mean")
+      assert(rl > mean,
+        "the 1-in-12 return level must exceed the average block max")
+    }
+  }
+
+  test("WoE/IV: IV nonnegative and reassembles from rounded WoE") {
+    val rows = SparkEntry.queries("q_feature_woe_iv")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val iv = rows.head.getDouble(4)
+    assert(rows.forall(_.getDouble(4) == iv))
+    assert(iv >= 0.0 || {
+      // rounding WoE to 6 decimals can push a tiny IV slightly negative
+      math.abs(iv) < 1e-4
+    })
+    val p = rows.map(_.getLong(1)).sum.toDouble
+    val n = rows.map(_.getLong(2)).sum.toDouble
+    var acc = BigDecimal(0)
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val term = (r.getLong(1) / p - r.getLong(2) / n) * r.getDouble(3)
+        acc += BigDecimal(term)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    assert(acc.toDouble == iv, s"IV replay ${acc.toDouble} vs $iv")
+  }
+
+  test("partition advisor: verdicts follow the published thresholds") {
+    val rows = SparkEntry
+      .queries("q_layout_partition_advisor")(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val byName = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(4), r.getString(5))).toMap
+    assert(byName("returnflag")._3 == "too_few_partitions")
+    assert(byName("linestatus")._3 == "too_few_partitions")
+    byName.foreach { case (_, (nd, share, verdict)) =>
+      val want =
+        if (nd < 4) "too_few_partitions"
+        else if (nd > 10000) "too_many_partitions"
+        else if (share > 0.2) "skewed"
+        else "good"
+      assert(verdict == want)
+    }
+  }
+
+  test("SPRT: decision consistent with crossing days") {
+    val rows = SparkEntry.queries("q_ab_sequential_sprt")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dec = r.getString(3)
+      val (up, down) = (r.get(4), r.get(5))
+      dec match {
+        case "accept_h1" => assert(up != null)
+        case "accept_h0" => assert(down != null &&
+          (up == null ||
+            r.getTimestamp(5).compareTo(r.getTimestamp(4)) < 0))
+        case "continue" => assert(up == null && down == null)
+      }
+    }
+  }
+
+  test("capture-recapture: overlap bounds hold and estimate is sane") {
+    val r = SparkEntry.queries("q_agg_capture_recapture")(spark, sfDir)
+      .collect()
+    assert(r.length == 1)
+    val (n1, n2, m, actual) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    assert(m <= math.min(n1, n2), "overlap bounded by both samples")
+    assert(actual == n1 + n2 - m,
+      "token universe is the union of the two samples")
+    val est = r(0).getDouble(4)
+    assert(est >= math.max(n1, n2) - 1, "estimate at least each sample")
+    // the halves are large random samples of a finite vocab -> the
+    // estimate should land within 20% of truth
+    assert(math.abs(r(0).getDouble(5)) < 0.2,
+      s"relative error ${r(0).getDouble(5)}")
+  }
+
   test("OBV is the exact running sum of signed flows") {
     val rows = SparkEntry.queries("q_win_obv")(spark, sfDir).collect()
     assert(rows.nonEmpty)
