@@ -3124,6 +3124,226 @@ object Analytics {
             ORDER BY flag_a, flag_b"""
     })
 
+  /** McNemar's paired test — compare two classifiers on the SAME rows
+    * (the unpaired t/χ² comparison is wrong when predictions share the
+    * rows; only the DISCORDANT cells carry information): rule A
+    * (discount ≥ 5%) vs rule B (quantity ≥ 25) predicting the
+    * returned flag, the full agree/disagree census, and the
+    * continuity-corrected statistic (|b−c|−1)²/(b+c) — one shared
+    * formula over exact integers, NULL when b+c = 0 (identical
+    * classifiers — no evidence either way). Scale: ONE map-combining
+    * aggregate; the census is 4 numbers regardless of corpus size.
+    */
+  val qEvalMcnemar = Q(
+    "q_eval_mcnemar",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(
+          (col("l_returnflag") === "R").as("y"),
+          (round(col("l_discount") * 100).cast("int") >= 5).as("pa"),
+          (col("l_quantity").cast("int") >= 25).as("pb"))
+        .select(
+          (col("pa") === col("y")).as("ca"),
+          (col("pb") === col("y")).as("cb"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ca") && col("cb"), 1L).otherwise(0L))
+            .as("both_right"),
+          sum(when(col("ca") && !col("cb"), 1L).otherwise(0L))
+            .as("only_a"),
+          sum(when(!col("ca") && col("cb"), 1L).otherwise(0L))
+            .as("only_b"),
+          sum(when(!col("ca") && !col("cb"), 1L).otherwise(0L))
+            .as("both_wrong"))
+        .select(col("n"), col("both_right"), col("only_a"), col("only_b"),
+          col("both_wrong"),
+          expr("""CASE WHEN only_a + only_b = 0 THEN NULL ELSE
+                   (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                   * (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                   / CAST(only_a + only_b AS DOUBLE) END""")
+            .as("mcnemar_chi2"))
+    },
+    Some("""WITH p AS (SELECT
+                    (l_returnflag = 'R') AS y,
+                    (CAST(round(l_discount * 100) AS INTEGER) >= 5) AS pa,
+                    (CAST(l_quantity AS INTEGER) >= 25) AS pb
+                  FROM lineitem),
+             c AS (SELECT (pa = y) AS ca, (pb = y) AS cb FROM p),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS both_right,
+                     CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS only_a,
+                     CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS only_b,
+                     CAST(sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0
+                              END) AS BIGINT) AS both_wrong
+                   FROM c)
+            SELECT n, both_right, only_a, only_b, both_wrong,
+                   CASE WHEN only_a + only_b = 0 THEN NULL ELSE
+                     (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                     * (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                     / CAST(only_a + only_b AS DOUBLE) END AS mcnemar_chi2
+            FROM m"""))
+
+  /** CLASS-BALANCED downsampling — the imbalance fix every classifier
+    * pipeline applies before training (a 75/25 corpus teaches the
+    * majority prior, not the signal): per returnflag class, keep
+    * exactly n_min rows (the minority count) elected by the portable
+    * row-hash order — deterministic, engine-reproducible "random"
+    * sampling with a total (hash, key) order, the q_sample_weighted
+    * posture applied to stratification. Output is the census: per
+    * class, rows before, rows kept, kept share — plus the kept-subset
+    * label distribution proving exact balance. Scale: one
+    * class-partitioned rank over the hash (the shuffle is on the
+    * class key; skew = the majority class is the honest cost — at
+    * 100 TB swap in per-class hash-threshold sampling, documented
+    * here, which needs only the bounded class counts broadcast).
+    */
+  val qSampleBalanced = Q(
+    "q_sample_balanced",
+    (s, dir) => {
+      val wCls = Window.partitionBy("cls").orderBy("h", "ok", "ln")
+      val rows = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("cls"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          graft.Det.pHash60(concat(col("l_orderkey"), lit(":"),
+            col("l_linenumber"))).as("h"))
+      val counts = rows.groupBy("cls").agg(count(lit(1)).as("n_before"))
+      val nMin = counts.agg(min(col("n_before")).as("n_min"))
+      rows
+        .withColumn("rk", row_number().over(wCls))
+        .crossJoin(broadcast(nMin))
+        .where(col("rk") <= col("n_min"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_kept"))
+        .join(counts, "cls")
+        .crossJoin(broadcast(nMin))
+        .select(col("cls"), col("n_before"), col("n_kept"),
+          expr("CAST(n_kept AS DOUBLE) / CAST(n_before AS DOUBLE)")
+            .as("kept_share"),
+          (col("n_kept") === col("n_min")).as("is_balanced"))
+        .orderBy("cls")
+    },
+    Some(s"""WITH rows_ AS (SELECT l_returnflag AS cls,
+                    l_orderkey AS ok, l_linenumber AS ln,
+                    (${graft.Det.sqlPHash60(
+                      "CAST(l_orderkey AS VARCHAR) || ':' " +
+                        "|| CAST(l_linenumber AS VARCHAR)")}) AS h
+                  FROM lineitem),
+             counts AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_before
+                        FROM rows_ GROUP BY cls),
+             nmin AS (SELECT CAST(min(n_before) AS BIGINT) AS n_min
+                      FROM counts),
+             rk AS (SELECT cls,
+                      row_number() OVER (PARTITION BY cls
+                        ORDER BY h, ok, ln) AS rk
+                    FROM rows_),
+             kept AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_kept
+                      FROM rk, nmin WHERE rk <= n_min GROUP BY cls)
+            SELECT kept.cls, n_before, n_kept,
+                   CAST(n_kept AS DOUBLE) / CAST(n_before AS DOUBLE)
+                     AS kept_share,
+                   n_kept = n_min AS is_balanced
+            FROM kept JOIN counts ON kept.cls = counts.cls
+            CROSS JOIN nmin
+            ORDER BY kept.cls"""))
+
+  /** FOREIGN-KEY INFERENCE by containment profiling — the schema-
+    * discovery pass every data catalog runs on an unfamiliar lake
+    * (which columns JOIN?): for each candidate (child, parent) column
+    * pair, |distinct(child) ∩ distinct(parent)| / |distinct(child)| —
+    * containment 1.0 means every child value resolves, the FK
+    * signature; a deliberately-wrong pair (suppkey→custkey) rides
+    * along as the negative control. Distinct sets per column, one
+    * overlap join per pair, exact integers, one shared division;
+    * verdict threshold explicit in the CASE. Scale: per-column
+    * distincts shuffle on the VALUE domain (key-bounded, not
+    * row-bounded); the pair list is a bounded literal.
+    */
+  val qDqFkInference = Q(
+    "q_dq_fk_inference",
+    (s, dir) => {
+      def pair(name: String, child: DataFrame, parent: DataFrame) = {
+        val c = child.toDF("v").distinct()
+        val p = parent.toDF("pv").distinct()
+        val nC = c.agg(count(lit(1)).as("n_child"))
+        val ov = c.join(p, col("v") === col("pv"))
+          .agg(count(lit(1)).as("n_match"))
+        nC.crossJoin(ov).select(lit(name).as("candidate"),
+          col("n_child"), col("n_match"))
+      }
+      val li = Tables.lineitem(s, dir)
+      val res = Seq(
+        pair("lineitem.orderkey->orders.orderkey",
+          li.select(col("l_orderkey")),
+          Tables.orders(s, dir).select(col("o_orderkey"))),
+        pair("lineitem.partkey->part.partkey",
+          li.select(col("l_partkey")),
+          Tables.part(s, dir).select(col("p_partkey"))),
+        pair("orders.custkey->customer.custkey",
+          Tables.orders(s, dir).select(col("o_custkey")),
+          Tables.customer(s, dir).select(col("c_custkey"))),
+        pair("lineitem.suppkey->supplier.suppkey",
+          li.select(col("l_suppkey")),
+          Tables.supplier(s, dir).select(col("s_suppkey"))),
+        pair("lineitem.partkey->supplier.suppkey",
+          li.select(col("l_partkey")),
+          Tables.supplier(s, dir).select(col("s_suppkey"))))
+        .reduce(_.unionAll(_))
+      res
+        .withColumn("containment", expr(
+          "CAST(n_match AS DOUBLE) / CAST(n_child AS DOUBLE)"))
+        .withColumn("verdict", expr(
+          "CASE WHEN n_match = n_child THEN 'foreign_key'" +
+            " WHEN containment >= 0.95 THEN 'near_fk'" +
+            " ELSE 'unrelated' END"))
+        .orderBy("candidate")
+    },
+    Some("""WITH c1 AS (SELECT 'lineitem.orderkey->orders.orderkey' AS
+                      candidate,
+                    (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                      AS n_child,
+                    (SELECT count(*) FROM
+                      (SELECT DISTINCT l_orderkey FROM lineitem) c
+                      JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+                        ON c.l_orderkey = p.o_orderkey) AS n_match),
+             c2 AS (SELECT 'lineitem.partkey->part.partkey',
+                    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+                    (SELECT count(*) FROM
+                      (SELECT DISTINCT l_partkey FROM lineitem) c
+                      JOIN (SELECT DISTINCT p_partkey FROM part) p
+                        ON c.l_partkey = p.p_partkey)),
+             c3 AS (SELECT 'orders.custkey->customer.custkey',
+                    (SELECT count(DISTINCT o_custkey) FROM orders),
+                    (SELECT count(*) FROM
+                      (SELECT DISTINCT o_custkey FROM orders) c
+                      JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                        ON c.o_custkey = p.c_custkey)),
+             c4 AS (SELECT 'lineitem.suppkey->supplier.suppkey',
+                    (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+                    (SELECT count(*) FROM
+                      (SELECT DISTINCT l_suppkey FROM lineitem) c
+                      JOIN (SELECT DISTINCT s_suppkey FROM supplier) p
+                        ON c.l_suppkey = p.s_suppkey)),
+             c5 AS (SELECT 'lineitem.partkey->supplier.suppkey',
+                    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+                    (SELECT count(*) FROM
+                      (SELECT DISTINCT l_partkey FROM lineitem) c
+                      JOIN (SELECT DISTINCT s_suppkey FROM supplier) p
+                        ON c.l_partkey = p.s_suppkey)),
+             u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+                   UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+                   UNION ALL SELECT * FROM c5)
+            SELECT candidate, CAST(n_child AS BIGINT) AS n_child,
+                   CAST(n_match AS BIGINT) AS n_match,
+                   CAST(n_match AS DOUBLE) / CAST(n_child AS DOUBLE)
+                     AS containment,
+                   CASE WHEN n_match = n_child THEN 'foreign_key'
+                     WHEN CAST(n_match AS DOUBLE) / CAST(n_child AS DOUBLE)
+                          >= 0.95 THEN 'near_fk'
+                     ELSE 'unrelated' END AS verdict
+            FROM u ORDER BY candidate"""))
+
   /** Wald's SPRT sequential monitor per order priority — the
     * peeking-safe A/B machinery (fixed-n tests forbid looking early;
     * the SPRT's log-likelihood random walk has exact error control at
@@ -5373,5 +5593,6 @@ object Analytics {
     qGraphModularity, qAggDeltaMethod, qDqFreshness,
     qAggCohensD, qSketchHistQuantiles, qTimeChangepointBinseg,
     qAggVarMerge, qAggCvar, qAggGumbelFit, qFeatureWoeIv,
-    qLayoutPartitionAdvisor, qAbSequentialSprt, qAggCaptureRecapture)
+    qLayoutPartitionAdvisor, qAbSequentialSprt, qAggCaptureRecapture,
+    qEvalMcnemar, qSampleBalanced, qDqFkInference)
 }

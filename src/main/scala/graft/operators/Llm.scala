@@ -339,16 +339,17 @@ object Llm {
       // inter-group pairs inherit the representatives' exact
       // inter/na/nb. Output identical to the naive all-pairs oracle;
       // the work is output-bound where the output itself is quadratic.
-      val docs = Tables.documents(s, dir)
-      val members = docs
-        .select(col("doc_id"), md5(col("text")).as("th"))
+      // ONE windowed base serves both branches: members (doc_id → gid)
+      // and representatives (gid rows keep their text) share the same
+      // exchange-on-th subtree, so the second branch is a
+      // ReusedExchange, not a re-scan+join
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), md5(col("text")).as("th"))
         .withColumn("gid", min(col("doc_id"))
           .over(Window.partitionBy("th")))
-        .select(col("doc_id"), col("gid"))
-      val reps = docs.join(
-        members.where(col("doc_id") === col("gid"))
-          .select(col("doc_id").as("rid")),
-        col("doc_id") === col("rid"))
+      val members = base.select(col("doc_id"), col("gid"))
+      val reps = base.where(col("doc_id") === col("gid"))
+        .select(col("doc_id"), col("text"))
       val sh = shinglesWithPos(reps)
         .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
       val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))

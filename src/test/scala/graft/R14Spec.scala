@@ -834,6 +834,53 @@ class R14Spec extends AnyFunSuite with SparkFixture {
       s"relative error ${r(0).getDouble(5)}")
   }
 
+  test("McNemar census partitions n; statistic reassembles") {
+    val r = SparkEntry.queries("q_eval_mcnemar")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (n, br, oa, ob, bw) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    assert(br + oa + ob + bw == n, "census must partition the corpus")
+    if (!r(0).isNullAt(5)) {
+      val chi = r(0).getDouble(5)
+      val want = (math.abs((oa - ob).toDouble) - 1.0) *
+        (math.abs((oa - ob).toDouble) - 1.0) / (oa + ob).toDouble
+      assert(chi == want)
+    }
+  }
+
+  test("balanced sampling: every class kept at exactly the minority count") {
+    val rows = SparkEntry.queries("q_sample_balanced")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val kept = rows.map(_.getLong(2)).distinct
+    assert(kept.length == 1, "all classes keep the same count")
+    rows.foreach { r =>
+      assert(r.getBoolean(4), "is_balanced must hold for every class")
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) <= 1.0)
+    }
+    assert(kept.head == rows.map(_.getLong(1)).min,
+      "kept count is the minority class size")
+  }
+
+  test("FK inference: real keys score 1.0, the control does not") {
+    val rows = SparkEntry.queries("q_dq_fk_inference")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    val by = rows.map(r => r.getString(0) ->
+      (r.getDouble(3), r.getString(4))).toMap
+    Seq("lineitem.orderkey->orders.orderkey",
+      "lineitem.partkey->part.partkey",
+      "orders.custkey->customer.custkey",
+      "lineitem.suppkey->supplier.suppkey").foreach { k =>
+      assert(by(k)._1 == 1.0, s"$k must be fully contained")
+      assert(by(k)._2 == "foreign_key")
+    }
+    val (neg, negV) = by("lineitem.partkey->supplier.suppkey")
+    assert(neg < 0.95, s"negative control containment $neg")
+    assert(negV == "unrelated")
+  }
+
   test("OBV is the exact running sum of signed flows") {
     val rows = SparkEntry.queries("q_win_obv")(spark, sfDir).collect()
     assert(rows.nonEmpty)
