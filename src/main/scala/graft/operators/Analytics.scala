@@ -3124,6 +3124,224 @@ object Analytics {
             ORDER BY flag_a, flag_b"""
     })
 
+  /** Cronbach's alpha — internal-consistency reliability of a 5-item
+    * binary scale (do these indicators measure ONE underlying trait?
+    * — the psychometric gate before anyone averages survey items or
+    * composite risk flags): items are five deterministic lineitem
+    * indicators, α = k/(k−1)·(1 − Σσᵢ²/σ_total²) where every variance
+    * comes from ONE exact-integer moment aggregate (binary items: Σxᵢ
+    * and the item-sum's Σs, Σs² — s ∈ 0..5 so all carriers are tiny),
+    * population variances, one shared final with a zero-variance NULL
+    * guard. Scale: one scan, one row — the sufficient-statistics
+    * pattern again.
+    */
+  val qAggCronbach = Q(
+    "q_agg_cronbach",
+    (s, dir) => {
+      val base = Tables.lineitem(s, dir)
+        .select(
+          when(round(col("l_discount") * 100).cast("int") >= 5, 1L)
+            .otherwise(0L).as("i1"),
+          when(col("l_quantity").cast("int") >= 25, 1L).otherwise(0L)
+            .as("i2"),
+          when(round(col("l_tax") * 100).cast("int") >= 4, 1L)
+            .otherwise(0L).as("i3"),
+          when(col("l_linestatus") === "F", 1L).otherwise(0L).as("i4"),
+          when(expr("month(l_shipdate) >= 7"), 1L).otherwise(0L).as("i5"))
+        .withColumn("s", expr("i1 + i2 + i3 + i4 + i5"))
+      base.agg(count(lit(1)).as("n"),
+        sum(col("i1")).as("s1"), sum(col("i2")).as("s2"),
+        sum(col("i3")).as("s3"), sum(col("i4")).as("s4"),
+        sum(col("i5")).as("s5"),
+        sum(col("s")).as("ss"), sum(col("s") * col("s")).as("sss"))
+        .select(col("n"),
+          expr("""(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                + (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                + (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                + (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+                + (CAST(s5 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(s5 AS DOUBLE) / CAST(n AS DOUBLE))""")
+            .as("sum_item_var"),
+          expr("""CAST(sss AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE))""")
+            .as("var_total"))
+        .select(col("n"), col("sum_item_var"), col("var_total"),
+          expr("CASE WHEN var_total <= 0 THEN NULL" +
+            " ELSE (5.0 / 4.0) * (1.0 - sum_item_var / var_total) END")
+            .as("alpha"))
+    },
+    Some("""WITH b AS (SELECT
+                    CASE WHEN CAST(round(l_discount * 100) AS INTEGER)
+                         >= 5 THEN 1 ELSE 0 END AS i1,
+                    CASE WHEN CAST(l_quantity AS INTEGER) >= 25
+                         THEN 1 ELSE 0 END AS i2,
+                    CASE WHEN CAST(round(l_tax * 100) AS INTEGER) >= 4
+                         THEN 1 ELSE 0 END AS i3,
+                    CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS i4,
+                    CASE WHEN month(CAST(l_shipdate AS DATE)) >= 7
+                         THEN 1 ELSE 0 END AS i5
+                  FROM lineitem),
+             b2 AS (SELECT *, i1 + i2 + i3 + i4 + i5 AS s FROM b),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(i1) AS BIGINT) AS s1,
+                     CAST(sum(i2) AS BIGINT) AS s2,
+                     CAST(sum(i3) AS BIGINT) AS s3,
+                     CAST(sum(i4) AS BIGINT) AS s4,
+                     CAST(sum(i5) AS BIGINT) AS s5,
+                     CAST(sum(s) AS BIGINT) AS ss,
+                     CAST(sum(s * s) AS BIGINT) AS sss
+                   FROM b2),
+             d AS (SELECT n,
+                     (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     + (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                     + (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                     + (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+                     + (CAST(s5 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(s5 AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS sum_item_var,
+                     CAST(sss AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS var_total
+                   FROM m)
+            SELECT n, sum_item_var, var_total,
+                   CASE WHEN var_total <= 0 THEN NULL
+                     ELSE (5.0 / 4.0) * (1.0 - sum_item_var / var_total)
+                     END AS alpha
+            FROM d"""))
+
+  /** ENTROPY RATE of the user-event Markov chain — how predictable is
+    * the next event, in bits-per-step, the single-number sequel to
+    * q_markov_transitions' full grid and q_seq_markov_eval's top-1
+    * accuracy: H = −Σ_s π̂_s Σ_t p_st·log2(p_st) with π̂ the empirical
+    * source distribution over transitions; every term is a shared IEEE
+    * product over exact-integer ratios, Dec12-quantized before the
+    * bounded |types|²-cell sum (the mutual-info doctrine with log2 —
+    * the last-ulp class). Also reports the zeroth-order entropy (the
+    * i.i.d. upper bound) — the GAP is the sequence structure the chain
+    * explains. Scale: one window pass + bounded grids.
+    */
+  val qSeqEntropyRate = Q(
+    "q_seq_entropy_rate",
+    (s, dir) => {
+      val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val wNext = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(wNext))
+        .where(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      val srcTot = trans.groupBy("src").agg(sum(col("c")).as("cs"))
+      val tot = trans.agg(sum(col("c")).as("t"))
+      val hRate = trans.join(broadcast(srcTot), "src")
+        .crossJoin(broadcast(tot))
+        .agg(sum(expr(
+          """CAST(-(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+              * log2(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))
+              AS DECIMAL(38,12))""").cast(Dec12)).cast("double")
+          .as("h_rate"))
+      val h0 = srcTot.crossJoin(broadcast(tot))
+        .agg(sum(expr(
+          """CAST(-(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE))
+              * log2(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE))
+              AS DECIMAL(38,12))""").cast(Dec12)).cast("double")
+          .as("h_zero"))
+      tot.crossJoin(broadcast(hRate)).crossJoin(broadcast(h0))
+        .select(col("t").as("n_transitions"), col("h_rate"),
+          col("h_zero"),
+          expr("h_zero - h_rate").as("structure_gain_bits"))
+    },
+    Some("""WITH seq AS (SELECT event_type AS src,
+                    lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS dst
+                  FROM events),
+             tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+                    FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+             st AS (SELECT src, CAST(sum(c) AS BIGINT) AS cs
+                    FROM tr GROUP BY src),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tr),
+             hr AS (SELECT CAST(sum(CAST(
+                      -(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                      * log2(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS h_rate
+                    FROM tr JOIN st ON tr.src = st.src CROSS JOIN tot),
+             h0 AS (SELECT CAST(sum(CAST(
+                      -(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE))
+                      * log2(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS h_zero
+                    FROM st CROSS JOIN tot)
+            SELECT t AS n_transitions, h_rate, h_zero,
+                   h_zero - h_rate AS structure_gain_bits
+            FROM tot CROSS JOIN hr CROSS JOIN h0"""))
+
+  /** Index of dispersion (variance-to-mean ratio) of daily order
+    * counts per priority — the Poisson-ness check that decides which
+    * model a count series deserves (VMR ≈ 1 Poisson, > 1 overdispersed
+    * → negative-binomial territory, < 1 regular): daily counts are
+    * exact integers on the bounded calendar axis, VMR and the
+    * dispersion statistic (n−1)·s²/x̄ (the χ²_{n−1} test quantity) are
+    * shared finals over one moment aggregate per priority. Scale: two
+    * bounded rollups, 5 rows out.
+    */
+  val qAggDispersion = Q(
+    "q_agg_dispersion",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy("pri")
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("pri"), col("n_days"),
+          expr("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)").as("mean_c"),
+          expr("""CASE WHEN n_days <= 1 THEN NULL ELSE
+                   (CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n_days AS DOUBLE))
+                   / CAST(n_days - 1 AS DOUBLE) END""").as("var_c"))
+        .select(col("pri"), col("n_days"), col("mean_c"), col("var_c"),
+          expr("CASE WHEN mean_c <= 0 OR var_c IS NULL THEN NULL" +
+            " ELSE var_c / mean_c END").as("vmr"),
+          expr("CASE WHEN mean_c <= 0 OR var_c IS NULL THEN NULL" +
+            " ELSE CAST(n_days - 1 AS DOUBLE) * var_c / mean_c END")
+            .as("dispersion_stat"))
+        .orderBy("pri")
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority AS pri,
+                    CAST(o_orderdate AS DATE) AS d,
+                    CAST(count(*) AS BIGINT) AS c
+                  FROM orders GROUP BY 1, 2),
+             m AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(c) AS BIGINT) AS s,
+                     CAST(sum(c * c) AS BIGINT) AS ss
+                   FROM daily GROUP BY pri),
+             d2 AS (SELECT pri, n_days,
+                      CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_c,
+                      CASE WHEN n_days <= 1 THEN NULL ELSE
+                        (CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n_days AS DOUBLE))
+                        / CAST(n_days - 1 AS DOUBLE) END AS var_c
+                    FROM m)
+            SELECT pri, n_days, mean_c, var_c,
+                   CASE WHEN mean_c <= 0 OR var_c IS NULL THEN NULL
+                     ELSE var_c / mean_c END AS vmr,
+                   CASE WHEN mean_c <= 0 OR var_c IS NULL THEN NULL
+                     ELSE CAST(n_days - 1 AS DOUBLE) * var_c / mean_c END
+                     AS dispersion_stat
+            FROM d2 ORDER BY pri"""))
+
   /** McNemar's paired test — compare two classifiers on the SAME rows
     * (the unpaired t/χ² comparison is wrong when predictions share the
     * rows; only the DISCORDANT cells carry information): rule A
@@ -5594,5 +5812,6 @@ object Analytics {
     qAggCohensD, qSketchHistQuantiles, qTimeChangepointBinseg,
     qAggVarMerge, qAggCvar, qAggGumbelFit, qFeatureWoeIv,
     qLayoutPartitionAdvisor, qAbSequentialSprt, qAggCaptureRecapture,
-    qEvalMcnemar, qSampleBalanced, qDqFkInference)
+    qEvalMcnemar, qSampleBalanced, qDqFkInference,
+    qAggCronbach, qSeqEntropyRate, qAggDispersion)
 }

@@ -881,6 +881,44 @@ class R14Spec extends AnyFunSuite with SparkFixture {
     assert(negV == "unrelated")
   }
 
+  test("Cronbach alpha bounded above by 1, variances positive") {
+    val r = SparkEntry.queries("q_agg_cronbach")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (siv, vt) = (r(0).getDouble(1), r(0).getDouble(2))
+    assert(siv > 0.0 && vt > 0.0)
+    if (!r(0).isNullAt(3)) {
+      val a = r(0).getDouble(3)
+      assert(a <= 1.0 + 1e-12, s"alpha cannot exceed 1: $a")
+      assert(a == (5.0 / 4.0) * (1.0 - siv / vt))
+    }
+  }
+
+  test("entropy rate: 0 <= H_rate <= H_0 (conditioning reduces entropy)") {
+    val r = SparkEntry.queries("q_seq_entropy_rate")(spark, sfDir)
+      .collect()
+    assert(r.length == 1)
+    val (hr, h0, gap) =
+      (r(0).getDouble(1), r(0).getDouble(2), r(0).getDouble(3))
+    assert(hr >= -1e-9, "entropy nonnegative")
+    assert(h0 >= hr - 1e-9,
+      "zeroth-order entropy upper-bounds the rate (Jensen)")
+    assert(math.abs(gap - (h0 - hr)) < 1e-12)
+    // 5 event types -> both bounded by log2(5)
+    assert(h0 <= math.log(5.0) / math.log(2.0) + 1e-9)
+  }
+
+  test("dispersion: VMR and chi2 quantity reassemble per priority") {
+    val rows = SparkEntry.queries("q_agg_dispersion")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, v) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n > 1 && mean > 0.0 && v >= 0.0)
+      assert(r.getDouble(4) == v / mean)
+      assert(r.getDouble(5) == (n - 1).toDouble * v / mean)
+    }
+  }
+
   test("OBV is the exact running sum of signed flows") {
     val rows = SparkEntry.queries("q_win_obv")(spark, sfDir).collect()
     assert(rows.nonEmpty)
