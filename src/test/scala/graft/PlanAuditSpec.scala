@@ -497,4 +497,44 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.toLowerCase.contains("join"),
       "raw-moment decomposition needs no second pass / self-join")
   }
+
+  test("item-cosine support joins are SHUFFLE_HASH, not broadcast " +
+    "of the O(parts) side") {
+    // the pair aggregate's static estimate is tiny; without the hint
+    // Catalyst broadcasts the support table — OOM-death at catalog
+    // scale (§7.6 standing fact 4)
+    val p = simplePlan(Relational.qRecItemCosine.fn(spark, sfDir))
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      s"support joins must be shuffled hash joins:\n${p.take(1500)}")
+  }
+
+  test("ppjoin derives members and representatives from ONE exchange") {
+    // AQE resolves exchange reuse at RUNTIME: the static plan shows
+    // both branches; only the executed adaptive plan carries the
+    // ReusedExchange node — so run the query, then read the final plan
+    val df = Llm.qDedupPpjoin.fn(spark, sfDir)
+    df.collect() // count() would execute a DIFFERENT queryExecution
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("ReusedExchange"),
+      s"the dup-collapse branches must share the windowed base " +
+        s"exchange:\n${p.take(1500)}")
+  }
+
+  test("assortativity degree joins are SHUFFLE_HASH") {
+    val p = simplePlan(
+      graft.operators.Analytics.qGraphAssortativity.fn(spark, sfDir))
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      s"degree tables must not broadcast:\n${p.take(1500)}")
+  }
+
+  test("balanced sampling shuffles once on the class key") {
+    // the per-class rank and the census ride the same class
+    // partitioning; extra exchanges mean the window re-shuffled
+    val df = graft.operators.Analytics.qSampleBalanced.fn(spark, sfDir)
+    val p = simplePlan(df)
+    assert(p.contains("Window"),
+      "the hash-rank election must be a partitioned window")
+  }
 }
