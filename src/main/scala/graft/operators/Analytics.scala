@@ -3124,6 +3124,170 @@ object Analytics {
             ORDER BY flag_a, flag_b"""
     })
 
+  /** Lexical diversity per corpus source — type/token ratio and
+    * Herdan's C = ln(types)/ln(tokens), the LENGTH-ROBUST diversity
+    * measure (raw TTR collapses as corpora grow, so cross-source TTR
+    * comparison is meaningless without it): exact type/token census
+    * per source slice from two vocab-keyed aggregates, both ratios
+    * round-6 shared finals (Herdan rides libm ln — the last-ulp
+    * guard). The cross-source readout data curation uses to spot
+    * template-heavy or boilerplate-degenerate slices. Scale:
+    * vocabulary-bounded, not corpus-bounded, after the one scan.
+    */
+  val qTextLexicalDiversity = Q(
+    "q_text_lexical_diversity",
+    (s, dir) => {
+      val toks = graft.operators.Llm.tokens(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          col("source")), "doc_id")
+      toks.groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("round(CAST(n_types AS DOUBLE)" +
+            " / CAST(n_tokens AS DOUBLE), 6)").as("ttr"),
+          expr("CASE WHEN n_tokens <= 1 THEN NULL" +
+            " ELSE round(ln(CAST(n_types AS DOUBLE))" +
+            " / ln(CAST(n_tokens AS DOUBLE)), 6) END").as("herdan_c"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (SELECT t.doc_id, tok, source
+                  FROM (SELECT doc_id,
+                          unnest(string_split(text, ' ')) AS tok
+                        FROM documents) t
+                  JOIN documents d ON t.doc_id = d.doc_id
+                  WHERE tok <> ''),
+             m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+                   FROM toks GROUP BY source)
+            SELECT source, n_tokens, n_types,
+                   round(CAST(n_types AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+                   CASE WHEN n_tokens <= 1 THEN NULL
+                     ELSE round(ln(CAST(n_types AS DOUBLE))
+                       / ln(CAST(n_tokens AS DOUBLE)), 6) END AS herdan_c
+            FROM m ORDER BY source"""))
+
+  /** Trimmed mean per returnflag — the DROP-the-tails robust location
+    * next to q_agg_winsorize's CLIP-the-tails (different bias
+    * trade: trimming discards outlier mass entirely, winsorizing
+    * preserves its count at the fence): same engine-identical round-6
+    * percentile fences, mean over the strictly-inside rows via the
+    * §7.2 decimal sum, trim census alongside raw mean for contrast.
+    * Scale: fence broadcast + one scan, like the winsorize twin.
+    */
+  val qAggTrimmedMean = Q(
+    "q_agg_trimmed_mean",
+    (s, dir) => {
+      val fences = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("p05"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"))
+        .join(broadcast(fences), "flag")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") < col("p05") || col("v") > col("p95"), 1L)
+            .otherwise(0L)).as("n_trimmed"),
+          Det.davg(col("v")).as("mean_raw"),
+          Det.davg(when(col("v") >= col("p05") && col("v") <= col("p95"),
+            col("v"))).as("mean_trimmed"))
+        .orderBy("flag")
+    },
+    Some(s"""WITH fences AS (SELECT l_returnflag AS flag,
+                    round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+                    round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+                  FROM lineitem GROUP BY 1),
+             v AS (SELECT l_returnflag AS flag, l_extendedprice AS v
+                   FROM lineitem)
+            SELECT v.flag, count(*) AS n,
+                   CAST(sum(CASE WHEN v < p05 OR v > p95 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_trimmed,
+                   ${Det.sqlAvg("v")} AS mean_raw,
+                   ${Det.sqlAvg(
+                     "CASE WHEN v >= p05 AND v <= p95 THEN v END")}
+                     AS mean_trimmed
+            FROM v JOIN fences ON v.flag = fences.flag
+            GROUP BY v.flag ORDER BY v.flag"""))
+
+  /** Odds ratio of the 2×2 (deep discount × returned) table with the
+    * Woolf log-CI — epidemiology's effect measure for binary
+    * exposure/outcome (the multiplicative companion to q_ab_lift's
+    * additive lift): OR = ad/bc over exact cell counts, ln OR ±
+    * 1.96·√(1/a+1/b+1/c+1/d) exponentiated back, ln/exp outputs
+    * round-6'd (the libm last-ulp guard), zero-cell NULL (the honest
+    * answer; Haldane's +½ is a POLICY choice left to the caller).
+    * Scale: one census aggregate, one row.
+    */
+  val qAggOddsRatio = Q(
+    "q_agg_odds_ratio",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(
+          (round(col("l_discount") * 100).cast("int") >= 5).as("e"),
+          (col("l_returnflag") === "R").as("y"))
+        .agg(
+          sum(when(col("e") && col("y"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("e") && !col("y"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("e") && col("y"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("e") && !col("y"), 1L).otherwise(0L)).as("d"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          expr("CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL" +
+            " ELSE round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)" +
+            " / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6) END")
+            .as("odds_ratio"),
+          expr("""CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                   ELSE round(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                     / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                     - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                       + 1.0 / CAST(b AS DOUBLE)
+                       + 1.0 / CAST(c AS DOUBLE)
+                       + 1.0 / CAST(d AS DOUBLE))), 6) END""").as("ci_lo"),
+          expr("""CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                   ELSE round(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                     / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                     + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                       + 1.0 / CAST(b AS DOUBLE)
+                       + 1.0 / CAST(c AS DOUBLE)
+                       + 1.0 / CAST(d AS DOUBLE))), 6) END""").as("ci_hi"))
+    },
+    Some("""WITH p AS (SELECT
+                    (CAST(round(l_discount * 100) AS INTEGER) >= 5) AS e,
+                    (l_returnflag = 'R') AS y
+                  FROM lineitem),
+             m AS (SELECT
+                     CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS a,
+                     CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS b,
+                     CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c,
+                     CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS d
+                   FROM p)
+            SELECT a, b, c, d,
+                   CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                     ELSE round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                       / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6) END
+                     AS odds_ratio,
+                   CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                     ELSE round(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                       / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                       - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                         + 1.0 / CAST(b AS DOUBLE)
+                         + 1.0 / CAST(c AS DOUBLE)
+                         + 1.0 / CAST(d AS DOUBLE))), 6) END AS ci_lo,
+                   CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                     ELSE round(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                       / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                       + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                         + 1.0 / CAST(b AS DOUBLE)
+                         + 1.0 / CAST(c AS DOUBLE)
+                         + 1.0 / CAST(d AS DOUBLE))), 6) END AS ci_hi
+            FROM m"""))
+
   /** Cronbach's alpha — internal-consistency reliability of a 5-item
     * binary scale (do these indicators measure ONE underlying trait?
     * — the psychometric gate before anyone averages survey items or
@@ -5813,5 +5977,6 @@ object Analytics {
     qAggVarMerge, qAggCvar, qAggGumbelFit, qFeatureWoeIv,
     qLayoutPartitionAdvisor, qAbSequentialSprt, qAggCaptureRecapture,
     qEvalMcnemar, qSampleBalanced, qDqFkInference,
-    qAggCronbach, qSeqEntropyRate, qAggDispersion)
+    qAggCronbach, qSeqEntropyRate, qAggDispersion,
+    qAggOddsRatio, qTextLexicalDiversity, qAggTrimmedMean)
 }

@@ -919,6 +919,49 @@ class R14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("odds ratio: CI brackets OR, census partitions n") {
+    val r = SparkEntry.queries("q_agg_odds_ratio")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (a, b, c, d) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3))
+    assert(a + b + c + d > 0)
+    if (!r(0).isNullAt(4)) {
+      val (or, lo, hi) =
+        (r(0).getDouble(4), r(0).getDouble(5), r(0).getDouble(6))
+      assert(or > 0.0)
+      assert(lo <= or && or <= hi, "CI must bracket the point estimate")
+    }
+  }
+
+  test("lexical diversity: TTR in (0,1], Herdan C in (0,1]") {
+    val rows = SparkEntry.queries("q_text_lexical_diversity")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, ty) = (r.getLong(1), r.getLong(2))
+      assert(ty <= nt, "types cannot exceed tokens")
+      val ttr = r.getDouble(3)
+      assert(ttr > 0.0 && ttr <= 1.0)
+      if (!r.isNullAt(4)) {
+        val hc = r.getDouble(4)
+        assert(hc > 0.0 && hc <= 1.0 + 1e-9,
+          "ln(types)/ln(tokens) <= 1 since types <= tokens")
+      }
+    }
+  }
+
+  test("trimmed mean sits inside the raw data and trims ~10%") {
+    val rows = SparkEntry.queries("q_agg_trimmed_mean")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, trimmed) = (r.getLong(1), r.getLong(2))
+      val frac = trimmed.toDouble / n
+      assert(frac >= 0.0 && frac <= 0.15, s"trim fraction $frac")
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
   test("OBV is the exact running sum of signed flows") {
     val rows = SparkEntry.queries("q_win_obv")(spark, sfDir).collect()
     assert(rows.nonEmpty)
