@@ -3511,10 +3511,14 @@ object Analytics {
     * rows; only the DISCORDANT cells carry information): rule A
     * (discount ≥ 5%) vs rule B (quantity ≥ 25) predicting the
     * returned flag, the full agree/disagree census, and the
-    * continuity-corrected statistic (|b−c|−1)²/(b+c) — one shared
-    * formula over exact integers, NULL when b+c = 0 (identical
-    * classifiers — no evidence either way). Scale: ONE map-combining
-    * aggregate; the census is 4 numbers regardless of corpus size.
+    * continuity-corrected statistic max(|b−c|−1, 0)²/(b+c) — one
+    * shared formula over exact integers, NULL when b+c = 0 (identical
+    * classifiers — no evidence either way). The clamp matters: at
+    * b = c > 0 the uncorrected |b−c|−1 = −1 would square to a
+    * SPURIOUS positive 1/(b+c); standard practice floors the
+    * corrected difference at 0 so perfect discordance symmetry reads
+    * χ² = 0. Scale: ONE map-combining aggregate; the census is 4
+    * numbers regardless of corpus size.
     */
   val qEvalMcnemar = Q(
     "q_eval_mcnemar",
@@ -3539,8 +3543,8 @@ object Analytics {
         .select(col("n"), col("both_right"), col("only_a"), col("only_b"),
           col("both_wrong"),
           expr("""CASE WHEN only_a + only_b = 0 THEN NULL ELSE
-                   (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
-                   * (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                   greatest(abs(CAST(only_a - only_b AS DOUBLE)) - 1.0, 0.0)
+                   * greatest(abs(CAST(only_a - only_b AS DOUBLE)) - 1.0, 0.0)
                    / CAST(only_a + only_b AS DOUBLE) END""")
             .as("mcnemar_chi2"))
     },
@@ -3562,8 +3566,10 @@ object Analytics {
                    FROM c)
             SELECT n, both_right, only_a, only_b, both_wrong,
                    CASE WHEN only_a + only_b = 0 THEN NULL ELSE
-                     (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
-                     * (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                     greatest(abs(CAST(only_a - only_b AS DOUBLE)) - 1.0,
+                              0.0)
+                     * greatest(abs(CAST(only_a - only_b AS DOUBLE)) - 1.0,
+                                0.0)
                      / CAST(only_a + only_b AS DOUBLE) END AS mcnemar_chi2
             FROM m"""))
 
@@ -4598,14 +4604,21 @@ object Analytics {
   /** Delta-method ratio metric with confidence interval — revenue per
     * unit (Σprice/Σqty) per returnflag with the asymptotic SE every
     * A/B readout needs for a RATIO (naive per-row averaging of x/y is
-    * a different, wrong estimand): SE² = (σ²_x + R²σ²_y − 2Rσ_xy)
-    * / (n·ȳ²), all from ONE map-combining aggregate of exact integer
-    * moments (Σx² rides DECIMAL(38,0) — the q_agg_ols_multi carrier,
-    * scale-0 readout verified representation-consistent), R/SE/CI as
-    * shared-text finals with degenerate guards. The ±1.96 normal
-    * quantile is a shared literal. Scale: one scan, one 3-row output —
-    * the sufficient-statistics pattern, no resampling (q_agg_bootstrap
-    * is the small-n alternative).
+    * a different, wrong estimand): the numerator carries CENTERED sums
+    * of squares/cross-products S_xx + R²S_yy − 2R·S_xy (each S is
+    * n·σ̂²-scaled), so the sample-form denominator is n·(n−1)·ȳ² —
+    * Var(x̄/ȳ) ≈ (s²_x + R²s²_y − 2R·s_xy)/(n·ȳ²) with s² = S/(n−1).
+    * (The r14 text divided by n·ȳ² only, inflating the SE by √n;
+    * R15Spec pins the fixed SE against the algebraically-independent
+    * residual spelling Σ(x−Ry)²/((n−1)·n·ȳ²), exact because
+    * Σx − R·Σy ≡ 0 at R = Σx/Σy.) All moments from ONE map-combining
+    * aggregate of exact integers (Σx² AND Σxy ride DECIMAL(38,0) — at
+    * ~6e11 rows Σ(price_cents·qty) ≈ 3e20 overflows 2⁶³, so the mixed
+    * moment needs the wide carrier as much as the squared one),
+    * R/SE/CI as shared-text finals with degenerate guards. The ±1.96
+    * normal quantile is a shared literal. Scale: one scan, one 3-row
+    * output — the sufficient-statistics pattern, no resampling
+    * (q_agg_bootstrap is the small-n alternative).
     */
   val qAggDeltaMethod = Q(
     "q_agg_delta_method",
@@ -4620,7 +4633,8 @@ object Analytics {
           sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
             .as("sxx"),
           sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+          sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))"))
+            .as("sxy"))
         .select(col("flag"), col("n"),
           expr("CASE WHEN sy = 0 THEN NULL" +
             " ELSE CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) END")
@@ -4639,7 +4653,7 @@ object Analytics {
                         * (CAST(sxy AS DOUBLE)
                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
                              / CAST(n AS DOUBLE)))
-                     / (CAST(n AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))))
                   END""").as("se"))
@@ -4660,9 +4674,10 @@ object Analytics {
                     CAST(sum(CAST(l_quantity AS BIGINT)
                              * CAST(l_quantity AS BIGINT)) AS BIGINT)
                       AS syy,
-                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                             * CAST(l_quantity AS BIGINT)) AS BIGINT)
-                      AS sxy
+                    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS DECIMAL(38,0))
+                        * CAST(CAST(l_quantity AS BIGINT)
+                               AS DECIMAL(38,0))) AS sxy
                   FROM lineitem GROUP BY 1),
              d AS (SELECT flag, n,
                      CASE WHEN sy = 0 THEN NULL
@@ -4682,7 +4697,7 @@ object Analytics {
                             * (CAST(sxy AS DOUBLE)
                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
                                  / CAST(n AS DOUBLE)))
-                         / (CAST(n AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
                             * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
                             * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))))
                        END AS se
@@ -5850,9 +5865,11 @@ object Analytics {
     * upgrade of q_agg_regression's simple OLS, the shape every
     * feature-attribution readout needs: all nine moment sums are exact
     * integers (y = extendedprice cents ≤ ~1.1e7, x₁ = quantity ≤ 50,
-    * x₂ = discount cents ≤ 10; the mixed moments stay < 2⁵³ at test
-    * scale, Σy² rides DECIMAL(38,0) — scale-0 decimal→double is ONE
-    * int→double rounding in both engines, no 10^s division), the six
+    * x₂ = discount cents ≤ 10; Σy², Σx₁y and Σx₂y ride DECIMAL(38,0) —
+    * the y-weighted moments reach ~3e20 > 2⁶³ at ~6e11 rows, so the
+    * wide carrier is a 100 TB requirement, not a nicety; scale-0
+    * decimal→double is ONE int→double rounding in both engines, no
+    * 10^s division; the pure-x moments stay < 2⁵³ outright), the six
     * 3×3 determinants and β/R² are ONE shared IEEE formula text over
     * those casts, NULL-guarded on a singular system. Scale: ONE
     * map-combining aggregate to a single moment row; the solve is O(1)
@@ -5873,8 +5890,10 @@ object Analytics {
           sum(col("x1") * col("x1")).as("s11"),
           sum(col("x2") * col("x2")).as("s22"),
           sum(col("x1") * col("x2")).as("s12"),
-          sum(col("x1") * col("y")).as("s1y"),
-          sum(col("x2") * col("y")).as("s2y"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))"))
+            .as("s1y"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))"))
+            .as("s2y"),
           sum(expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))"))
             .as("syy"))
       val d = m.select(
@@ -5917,8 +5936,10 @@ object Analytics {
                     CAST(sum(x1 * x1) AS BIGINT) AS s11,
                     CAST(sum(x2 * x2) AS BIGINT) AS s22,
                     CAST(sum(x1 * x2) AS BIGINT) AS s12,
-                    CAST(sum(x1 * y) AS BIGINT) AS s1y,
-                    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+                    sum(CAST(x1 AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0))) AS s1y,
+                    sum(CAST(x2 AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0))) AS s2y,
                     sum(CAST(y AS DECIMAL(38,0))
                         * CAST(y AS DECIMAL(38,0))) AS syy
                   FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,

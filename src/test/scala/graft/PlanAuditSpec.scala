@@ -530,11 +530,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("balanced sampling shuffles once on the class key") {
-    // the per-class rank and the census ride the same class
-    // partitioning; extra exchanges mean the window re-shuffled
+    // the per-class rank and the post-filter census ride the same
+    // class partitioning (the window's cls exchange feeds the kept
+    // groupBy with no re-shuffle); the only OTHER hash exchanges are
+    // the bounded pre-counts aggregate and the final 1-row-per-class
+    // joins. Pin the census: a re-shuffle between the rank and the
+    // kept-count shows up as an extra hashpartitioning(cls) exchange.
     val df = graft.operators.Analytics.qSampleBalanced.fn(spark, sfDir)
     val p = simplePlan(df)
     assert(p.contains("Window"),
       "the hash-rank election must be a partitioned window")
+    // exactly 4: ONE for the rank window — the kept-count
+    // HashAggregate sits directly on it (partial+final, no exchange
+    // between, visible in the plan) — plus 3 for the bounded 3-row
+    // pre-counts aggregate, rebuilt at each of its three references
+    // (join build side + the two n_min broadcasts; rebuilding a
+    // 3-row frame beats caching it). A 5th would mean the corpus
+    // re-shuffled between the rank and the census.
+    val n = hashExchangeCount(df)
+    assert(n == 4,
+      s"rank + census must share one cls partitioning " +
+        s"(counts agg + bounded join exchanges only): n=$n\n${p.take(1500)}")
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the round-15 operators and the round-15 fixes —
+  * invariants the DuckDB hash parity can't see (parity proves engine
+  * agreement; these prove the agreed answer has the advertised
+  * mathematical shape). The delta-method pin exists because r14
+  * shipped a √n-inflated SE that parity could NOT catch (both engines
+  * shared the wrong text): the replay here goes through a genuinely
+  * different formula path.
+  */
+class R15Spec extends AnyFunSuite with SparkFixture {
+
+  test("delta method: SE matches the independent residual replay") {
+    // SE² must equal Σ(x − R·y)² / ((n−1)·n·ȳ²). The residual
+    // spelling is algebraically identical to the centered-moment text
+    // (Σx − R·Σy ≡ 0 at R = Σx/Σy) but is computed through raw
+    // per-row residuals in a SECOND pass — an independent path that
+    // would have caught the r14 √n inflation (it was ~√n ≈ 136×
+    // too wide at sf0.01 n≈20k).
+    val base = sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long")
+          .cast("double").as("x"),
+        col("l_quantity").cast("long").cast("double").as("y"))
+    val got = SparkEntry.queries("q_agg_delta_method")(spark, sfDir)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val flag = r.getString(0)
+      val n = r.getLong(1)
+      val (ratio, se) = (r.getDouble(2), r.getDouble(3))
+      val m = base.where(col("flag") === flag)
+        .agg(sum("x").as("sx"), sum("y").as("sy")).head()
+      val bigR = m.getDouble(0) / m.getDouble(1)
+      assert(math.abs(bigR - ratio) <= 1e-9 * math.abs(ratio))
+      val ybar = m.getDouble(1) / n.toDouble
+      val ss = base.where(col("flag") === flag)
+        .agg(sum(pow(col("x") - lit(bigR) * col("y"), 2.0))).head()
+        .getDouble(0)
+      val seCheck =
+        math.sqrt(ss / ((n - 1).toDouble * n.toDouble * ybar * ybar))
+      assert(math.abs(se - seCheck) <= 1e-6 * seCheck,
+        s"flag=$flag se=$se replay=$seCheck — the SE must be the " +
+          s"sample-form delta method, not the r14 √n-inflated one")
+    }
+  }
+
+  test("mcnemar: chi2 replays from the census with the clamp") {
+    val r = SparkEntry.queries("q_eval_mcnemar")(spark, sfDir).head()
+    val (b, c) = (r.getLong(2), r.getLong(3))
+    if (b + c == 0) assert(r.isNullAt(5))
+    else {
+      val d = math.max(math.abs((b - c).toDouble) - 1.0, 0.0)
+      assert(r.getDouble(5) == d * d / (b + c).toDouble,
+        "chi2 must be the CLAMPED continuity-corrected statistic")
+      // the clamp semantics the lineitem census may never exercise:
+      // equal discordance must read zero evidence, not 1/(b+c)
+      val deg = math.max(math.abs(0.0) - 1.0, 0.0)
+      assert(deg * deg == 0.0)
+    }
+  }
+}
