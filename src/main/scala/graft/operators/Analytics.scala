@@ -3132,14 +3132,16 @@ object Analytics {
     * round-6 shared finals (Herdan rides libm ln — the last-ulp
     * guard). The cross-source readout data curation uses to spot
     * template-heavy or boilerplate-degenerate slices. Scale:
-    * vocabulary-bounded, not corpus-bounded, after the one scan.
+    * vocabulary-bounded, not corpus-bounded, after the one scan —
+    * and `source` rides THROUGH the token generator (the r14 text
+    * re-joined the exploded stream to documents on doc_id to recover
+    * it: one whole avoidable shuffle of the token stream, now gone).
     */
   val qTextLexicalDiversity = Q(
     "q_text_lexical_diversity",
     (s, dir) => {
-      val toks = graft.operators.Llm.tokens(Tables.documents(s, dir))
-        .join(Tables.documents(s, dir).select(col("doc_id"),
-          col("source")), "doc_id")
+      val toks = graft.operators.Llm.tokens(
+        Tables.documents(s, dir), "source")
       toks.groupBy("source")
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct(col("tok")).as("n_types"))
@@ -3151,11 +3153,10 @@ object Analytics {
             " / ln(CAST(n_tokens AS DOUBLE)), 6) END").as("herdan_c"))
         .orderBy("source")
     },
-    Some("""WITH toks AS (SELECT t.doc_id, tok, source
-                  FROM (SELECT doc_id,
+    Some("""WITH toks AS (SELECT doc_id, source, tok
+                  FROM (SELECT doc_id, source,
                           unnest(string_split(text, ' ')) AS tok
-                        FROM documents) t
-                  JOIN documents d ON t.doc_id = d.doc_id
+                        FROM documents)
                   WHERE tok <> ''),
              m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
                      CAST(count(DISTINCT tok) AS BIGINT) AS n_types

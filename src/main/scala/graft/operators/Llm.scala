@@ -31,6 +31,20 @@ object Llm {
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .where(col("tok") =!= "")
 
+  /** Tokenize, CARRYING extra per-doc columns through the generator.
+    * The de-join shape (r14 verdict): re-joining the exploded token
+    * stream back to `documents` on doc_id to recover a doc attribute
+    * is a whole corpus×corpus shuffle; the generator projection
+    * carries the column for free (explode duplicates the attribute
+    * per token — a few bytes per row vs an exchange of the entire
+    * token stream at 100 TB). DuckDB mirrors it: unnest in a select
+    * list repeats sibling columns the same way.
+    */
+  def tokens(docs: DataFrame, extraCols: String*): DataFrame =
+    docs.select(col("doc_id") +: extraCols.map(col) :+
+        explode(split(col("text"), " ")).as("tok"): _*)
+      .where(col("tok") =!= "")
+
   /** Distinct 3-gram shingles per doc, with 1-based position retained.
     * Guard: sequence(1, n) with n < 1 would generate a DESCENDING sequence
     * in Spark — docs shorter than 3 tokens are filtered out instead.
@@ -3011,7 +3025,9 @@ object Llm {
   private def langIdPredictions(s: SparkSession, dir: String): DataFrame = {
       val docs = Tables.documents(s, dir)
       val tok = tokens(docs)
-      val langTok = tok.join(docs.select("doc_id", "lang"), "doc_id")
+      // lang rides the generator projection (the de-join shape) — the
+      // r14 text re-joined the token stream to documents on doc_id
+      val langTok = tokens(docs, "lang")
         .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
       val wTop = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc, col("tok"))
@@ -3040,14 +3056,11 @@ object Llm {
                                  unnest(string_split(text, ' ')) AS tok
                                FROM documents)
                          WHERE tok <> ''),
-                 tokall AS (SELECT doc_id, tok
-                            FROM (SELECT doc_id,
-                                    unnest(string_split(text, ' ')) AS tok
-                                  FROM documents)
-                            WHERE tok <> ''),
-                 lt AS (SELECT d.lang, t.tok, count(*) AS n
-                        FROM tokall t JOIN documents d USING (doc_id)
-                        GROUP BY d.lang, t.tok),
+                 lt AS (SELECT lang, tok, count(*) AS n
+                        FROM (SELECT lang,
+                                unnest(string_split(text, ' ')) AS tok
+                              FROM documents)
+                        WHERE tok <> '' GROUP BY lang, tok),
                  prof AS (SELECT lang AS profile_lang, tok
                           FROM (SELECT *, row_number() OVER (PARTITION BY lang
                                   ORDER BY n DESC, tok) AS rk FROM lt)
@@ -3093,14 +3106,11 @@ object Llm {
                           unnest(string_split(text, ' ')) AS tok
                         FROM documents)
                   WHERE tok <> ''),
-             tokall AS (SELECT doc_id, tok
-                  FROM (SELECT doc_id,
-                          unnest(string_split(text, ' ')) AS tok
-                        FROM documents)
-                  WHERE tok <> ''),
-             lt AS (SELECT d.lang, t.tok, count(*) AS n
-                    FROM tokall t JOIN documents d USING (doc_id)
-                    GROUP BY d.lang, t.tok),
+             lt AS (SELECT lang, tok, count(*) AS n
+                    FROM (SELECT lang,
+                            unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    WHERE tok <> '' GROUP BY lang, tok),
              prof AS (SELECT lang AS profile_lang, tok
                       FROM (SELECT *, row_number() OVER (PARTITION BY lang
                               ORDER BY n DESC, tok) AS rk FROM lt)

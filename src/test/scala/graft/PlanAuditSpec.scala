@@ -552,4 +552,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"rank + census must share one cls partitioning " +
         s"(counts agg + bounded join exchanges only): n=$n\n${p.take(1500)}")
   }
+
+  test("lexical diversity carries source through the generator") {
+    // the r14 shape re-joined the exploded token stream to documents
+    // on doc_id to recover `source` — a corpus-square shuffle join.
+    // The generator projection now carries the column: the plan must
+    // contain NO join at all (scan -> generate -> two aggregates).
+    val p = simplePlan(
+      graft.operators.Analytics.qTextLexicalDiversity.fn(spark, sfDir))
+    assert(!p.contains("Join"),
+      s"token stream must not re-join documents:\n${p.take(1500)}")
+  }
+
+  test("lang-id joins only the bounded profile, not documents") {
+    // lang rides the token generator; the sole join left is the
+    // token-vs-top-5-profile broadcast (bounded: 5 rows per language)
+    val p = simplePlan(
+      graft.operators.Llm.qTextLangId.fn(spark, sfDir))
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins == 1 && p.contains("BroadcastHashJoin"),
+      s"expected exactly the one profile broadcast join:\n${p.take(1500)}")
+  }
 }

@@ -24,6 +24,27 @@ class SurveyCoverageSpec extends AnyFunSuite {
         missing.mkString(", ")}")
   }
 
+  test("§2 status-header counts equal the SparkEntry truth") {
+    // the r9/r10 drift class half-survived in PROSE through r14 (the
+    // header said 283 while the truth was 349): the header's counted
+    // claims are now asserted, not reviewed. Format pinned:
+    // "**N queries** in `SparkEntry.queries`, M with DuckDB oracles".
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = """\*\*(\d+) queries\*\* in `SparkEntry\.queries`, (\d+) with[\s>]+DuckDB""".r
+      .findFirstMatchIn(survey)
+    assert(m.isDefined,
+      "SURVEY.md §2 header must carry the pinned count sentence")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"header says ${m.get.group(1)} queries; truth is ${
+        SparkEntry.queries.size} — refresh the §2 STATUS block")
+    assert(m.get.group(2).toInt == SparkEntry.oracleSql.size,
+      s"header says ${m.get.group(2)} oracled; truth is ${
+        SparkEntry.oracleSql.size} — refresh the §2 STATUS block")
+  }
+
   test("every oracle key is also a query key (no orphan oracles)") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
