@@ -202,6 +202,113 @@ object Sketches {
             FROM probed GROUP BY 1, 2 ORDER BY is_member, bloom_hit"""
     })
 
+  /** PORTABLE HyperLogLog, built and queried ENTIRELY IN-PLAN — the
+    * r14 portable-sketch doctrine (CMS = frequency, Bloom =
+    * membership, histogram = quantiles) applied to DISTINCT COUNTING,
+    * which makes the approx-distinct family oracle-visible for the
+    * first time (q_agg_approx_distinct's engine-internal HLL++ can
+    * never get a DuckDB oracle; this one DuckDB rebuilds bit-for-bit).
+    * m = 256 registers: register = pHash60 mod 256, rank ρ = 1 +
+    * trailing-zero count of the remaining 52 bits (w & −w isolates the
+    * lowest set bit — an EXACT power of two ≤ 2⁵³, so log2 of it is
+    * exact in both libms; round() guards the last ulp anyway; ρ = 53
+    * for w = 0). The harmonic mean rides an ALL-INTEGER carrier:
+    * 2^(−ρ) is represented as the BIGINT numerator 2^(53−ρ) (empty
+    * registers contribute 2⁵³ = 2⁰·2⁵³), summed exactly — ≤ 256·2⁵³ =
+    * 2⁶¹ < 2⁶³ — so the only cross-engine float steps are ONE
+    * int→double cast and the shared-text α·m²·2⁵³/S division
+    * (α = 0.7213/(1 + 1.079/m), the standard bias constant; 65536·2⁵³
+    * is a power-of-two product, exact). Linear-counting small-range
+    * correction m·ln(m/V) when E ≤ 2.5m and V > 0 empty registers —
+    * shared text, round-6 (the libm-ln last-ulp guard). Output = the
+    * full register table PLUS estimate vs exact-distinct truth and
+    * rel_error, so the driver's parity gate certifies construction AND
+    * query end-to-end; SketchesSpec bridges to q_agg_approx_distinct
+    * (both estimators must land within their error bounds of the same
+    * truth) and pins mergeability (register max is a semilattice: the
+    * union sketch of two halves equals the whole-corpus sketch).
+    * Scale: ONE map-combining groupBy to ≤256 rows — partials collapse
+    * each partition to ≤256 registers before the shuffle, the textbook
+    * mergeable summary; the exact countDistinct is the certification
+    * truth path (production keeps only the 256 registers).
+    */
+  val qSketchHllPortable = Q(
+    "q_sketch_hll_portable",
+    (s, dir) => {
+      val regs = graft.sources.Tables.lineitem(s, dir)
+        .select(graft.Det.pHash60(col("l_orderkey")).as("h"))
+        .select(pmod(col("h"), lit(256)).as("reg"),
+          expr("h div 256").as("w"))
+        .select(col("reg"), expr(
+          "CASE WHEN w = 0 THEN 53 ELSE CAST(round(log2(" +
+            "CAST((w & (-w)) AS DOUBLE))) AS INTEGER) + 1 END").as("rho"))
+        .groupBy("reg").agg(max(col("rho")).as("rho_max"))
+      val actual = graft.sources.Tables.lineitem(s, dir)
+        .agg(countDistinct(col("l_orderkey")).as("actual"))
+      val summ = regs
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - rho_max)"))
+            .as("sn_p"))
+        .crossJoin(broadcast(actual))
+        .select(col("n_present"), col("actual"),
+          expr("sn_p + (256 - n_present) * 9007199254740992").as("sn"))
+        .select(col("n_present"), col("actual"), expr(
+          "CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)" +
+            " + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))" +
+            " * CAST(65536 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)" +
+            " / CAST(sn AS DOUBLE)").as("est_raw"))
+        .select(col("n_present"), col("actual"), expr(
+          "CASE WHEN est_raw <= CAST(640 AS DOUBLE) AND n_present < 256" +
+            " THEN round(CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE)" +
+            " / CAST(256 - n_present AS DOUBLE)), 6)" +
+            " ELSE round(est_raw, 6) END").as("est"))
+      regs.crossJoin(broadcast(summ))
+        .select(col("reg"), col("rho_max"), col("n_present"),
+          col("est"), col("actual"),
+          expr("round((est - CAST(actual AS DOUBLE))" +
+            " / CAST(actual AS DOUBLE), 6)").as("rel_error"))
+        .orderBy("reg")
+    },
+    Some {
+      val h = graft.Det.sqlPHash60("l_orderkey")
+      s"""WITH hv AS (SELECT ($h) AS h FROM lineitem),
+              rr AS (SELECT ((h % 256) + 256) % 256 AS reg,
+                       CASE WHEN h // 256 = 0 THEN 53 ELSE
+                         CAST(round(log2(CAST(((h // 256) & (-(h // 256)))
+                           AS DOUBLE))) AS INTEGER) + 1 END AS rho
+                     FROM hv),
+              regs AS (SELECT reg, max(rho) AS rho_max
+                       FROM rr GROUP BY reg),
+              act AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                        AS actual FROM lineitem),
+              summ AS (SELECT CAST(count(*) AS BIGINT) AS n_present,
+                         CAST(sum(CAST(1 AS BIGINT) << (53 - rho_max))
+                           AS BIGINT) AS sn_p
+                       FROM regs),
+              sn AS (SELECT n_present, actual,
+                       sn_p + (256 - n_present) * 9007199254740992 AS sn
+                     FROM summ, act),
+              er AS (SELECT n_present, actual,
+                       CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                         + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+                         * CAST(65536 AS DOUBLE)
+                         * CAST(9007199254740992 AS DOUBLE)
+                         / CAST(sn AS DOUBLE) AS est_raw
+                     FROM sn),
+              e AS (SELECT n_present, actual,
+                      CASE WHEN est_raw <= CAST(640 AS DOUBLE)
+                             AND n_present < 256
+                        THEN round(CAST(256 AS DOUBLE)
+                          * ln(CAST(256 AS DOUBLE)
+                               / CAST(256 - n_present AS DOUBLE)), 6)
+                        ELSE round(est_raw, 6) END AS est
+                    FROM er)
+            SELECT reg, rho_max, n_present, est, actual,
+                   round((est - CAST(actual AS DOUBLE))
+                     / CAST(actual AS DOUBLE), 6) AS rel_error
+            FROM regs, e ORDER BY reg"""
+    })
+
   val all: Seq[Q] = Seq(qSketchHeavyHitters, qSketchCmsPortable,
-    qSketchBloomPortable)
+    qSketchBloomPortable, qSketchHllPortable)
 }

@@ -41,4 +41,57 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     val keys = Seq("engine", "data", "the", "query")
     assert(Sketches.estimate(a, keys) == Sketches.estimate(b, keys))
   }
+
+  test("portable HLL: estimate within bound, bridged to engine HLL") {
+    // the r14 no-oracle gap closer: the portable sketch's estimate and
+    // Spark's engine-internal HLL++ (q_agg_approx_distinct's machinery)
+    // must BOTH land within their error envelopes of the same exact
+    // truth — the cross-check that bridges the oracle-certified
+    // construction to the engine-internal path. m=256 => sigma = 1.04/16
+    // = 6.5%; 3 sigma = 19.5% (observed: 4.0% at sf0.01).
+    val rows = Sketches.qSketchHllPortable.fn(spark, sfDir).collect()
+    assert(rows.length == 256 ||
+      rows.length < 256 && rows.length > 0, "register table")
+    val est = rows.head.getDouble(3)
+    val actual = rows.head.getLong(4)
+    val relErr = rows.head.getDouble(5)
+    assert(math.abs(relErr) <= 0.195,
+      s"portable HLL outside 3 sigma: $relErr")
+    assert(relErr == BigDecimal((est - actual) / actual)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val engine = Tables.lineitem(spark, sfDir)
+      .agg(org.apache.spark.sql.functions
+        .approx_count_distinct(org.apache.spark.sql.functions
+          .col("l_orderkey"), 0.05).as("e"))
+      .head().getLong(0)
+    assert(math.abs(engine - actual).toDouble / actual <= 0.15,
+      s"engine HLL++ outside its rsd envelope: $engine vs $actual")
+  }
+
+  test("portable HLL registers merge as a semilattice (mergeability)") {
+    // the property that makes any sketch a SKETCH: max-merge of the
+    // per-half register tables must equal the whole-corpus table —
+    // i.e. partial sketches built on disjoint partitions combine
+    // losslessly, the 100 TB distribution contract.
+    import org.apache.spark.sql.functions._
+    def regsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.Det.pHash60(col("l_orderkey")).as("h"))
+      .select(pmod(col("h"), lit(256)).as("reg"),
+        expr("h div 256").as("w"))
+      .select(col("reg"), expr(
+        "CASE WHEN w = 0 THEN 53 ELSE CAST(round(log2(" +
+          "CAST((w & (-w)) AS DOUBLE))) AS INTEGER) + 1 END").as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("rho_max"))
+    val li = Tables.lineitem(spark, sfDir)
+    val whole = regsOf(li).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = regsOf(li.where(col("l_orderkey") % 2 === 0)).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = regsOf(li.where(col("l_orderkey") % 2 =!= 0)).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).toMap
+    assert(merged == whole,
+      "max-merge of disjoint halves must equal the whole-corpus sketch")
+  }
 }
