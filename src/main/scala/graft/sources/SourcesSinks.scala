@@ -1087,8 +1087,72 @@ object SourcesSinks {
                 AS BIGINT) AS good_cents
             FROM customer"""))
 
+  /** Time travel through the versioned-manifest commit log
+    * (ManifestTable) — three deterministic commits (v1 insert the
+    * orderkey%3=0 slice of orders, v2 APPEND the %3=1 slice, v3
+    * OVERWRITE with the 1-URGENT snapshot), then read EVERY version
+    * back through its manifest and emit per-version row count, exact
+    * cents sum, and distinct-key count. The DuckDB oracle replays
+    * version membership from the same deterministic predicates — a
+    * hash match proves the commit log published exactly the right
+    * file sets AND that snapshot isolation holds (v1/v2 read AFTER
+    * the v3 overwrite still see their own files: overwrite republishes
+    * the manifest, never deletes data). Construction is guarded
+    * (skip when v3 exists, under the build lock) so re-runs in a warm
+    * session read the same three versions instead of appending more.
+    * Scale: commits are manifest metadata — cost independent of data
+    * volume; the three reads plan from explicit file lists.
+    */
+  val qTableTimeTravel = Q(
+    "q_table_time_travel",
+    (s, dir) => {
+      val root = dirKeyedTempPath(s, dir, "ttravel")
+      Incremental.withBuildLock(root) {
+        if (ManifestTable.latestVersion(root) < 3) {
+          val o = Tables.orders(s, dir).select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            col("o_orderpriority").as("pri"))
+          ManifestTable.commit(s, root,
+            o.where(pmod(col("o_orderkey"), lit(3)) === 0),
+            overwrite = false)
+          ManifestTable.commit(s, root,
+            o.where(pmod(col("o_orderkey"), lit(3)) === 1),
+            overwrite = false)
+          ManifestTable.commit(s, root,
+            o.where(col("pri") === "1-URGENT"), overwrite = true)
+        }
+      }
+      (1 to 3).map { v =>
+        ManifestTable.readAt(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("sum_cents"),
+            countDistinct(col("o_orderkey")).as("n_keys"))
+          .select(lit(v).as("version"), col("n_rows"),
+            col("sum_cents"), col("n_keys"))
+      }.reduce(_.unionAll(_)).orderBy("version")
+    },
+    Some("""WITH o AS (SELECT o_orderkey,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                    o_orderpriority AS pri
+                  FROM orders)
+            SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+            FROM o WHERE ((o_orderkey % 3) + 3) % 3 = 0
+            UNION ALL
+            SELECT 2, CAST(count(*) AS BIGINT),
+                   CAST(sum(cents) AS BIGINT),
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT)
+            FROM o WHERE ((o_orderkey % 3) + 3) % 3 IN (0, 1)
+            UNION ALL
+            SELECT 3, CAST(count(*) AS BIGINT),
+                   CAST(sum(cents) AS BIGINT),
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT)
+            FROM o WHERE pri = '1-URGENT'
+            ORDER BY version"""))
+
   val all: Seq[Q] =
-    Seq(qSourceMergeSchema, qSourceCsvMalformed,
+    Seq(qSourceMergeSchema, qSourceCsvMalformed, qTableTimeTravel,
       qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
       qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,
       qSourceCsvRoundtrip, qSourceJsonlRoundtrip,
