@@ -65,6 +65,27 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode a raster as REAL JPEG bytes at an explicit quality — the
+    * third JDK codec (after PNG and WAV) and the first LOSSY one.
+    * Explicit quality (not the writer default) keeps the bytes
+    * deterministic under one JDK.
+    */
+  def encodeJpeg(img: java.awt.image.BufferedImage,
+                 quality: Float = 0.9f): Array[Byte] = {
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
   /** Real image decode: PNG bytes → BufferedImage via the JDK codec. */
   def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     val img = javax.imageio.ImageIO.read(
@@ -696,6 +717,117 @@ object Multimodal {
             FROM h a JOIN h b ON a.ahash = b.ahash AND a.id < b.id
             ORDER BY a, b"""))
 
+  /** Per-pixel luminance row of the cross-format pipeline. */
+  final case class XfmtPix(asset_id: Long, fmt: String, x: Int, y: Int,
+                           lum: Long)
+
+  /** CROSS-FORMAT content identity through a LOSSY codec — the check a
+    * real crawl needs (the same image arrives as somebody's PNG and
+    * somebody else's JPEG re-encode; byte hashes disagree, content
+    * identity must survive): 24 deterministic block rasters (8×8 grid
+    * of flat 0/255 cells, pattern keyed by asset id) are encoded as
+    * real PNG, then RE-ENCODED through the real JDK JPEG writer at
+    * quality 0.9 — a genuinely lossy pass (MultimodalSpec proves
+    * pixels change) — and BOTH decodes run the q_multimodal_phash
+    * average-hash pipeline. Output per asset: the JPEG-side 64-bit
+    * hash, hamming(png, jpeg) for the SAME asset, and hamming(png,
+    * jpeg-of-next-asset) as the negative control. The oracle is fully
+    * analytic (DuckDB never sees a codec): the block design gives
+    * every aHash cell a ≥1000-unit margin over the global mean, so the
+    * LAW under certification is "a quality-0.9 JPEG round trip
+    * preserves the aHash bit-for-bit on block content" — the oracle
+    * states hamming_self = 0 and derives the hash + cross-hamming from
+    * the pattern formula, and any codec-induced bit flip turns the
+    * parity gate red. Scale: decode is row-local mapPartitions (the
+    * codec-context batching shape); the hamming joins key on
+    * (asset, cell) — bounded 64 cells/asset.
+    */
+  val qMultimodalJpeg = Q(
+    "q_multimodal_jpeg",
+    (s, dir) => {
+      import s.implicits._
+      val nBase = 24L
+      val px = s.range(nBase).repartition(8).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val rgb = (x: Int, y: Int) => {
+              val bright = ((x / 4) * 8 + (y / 3) + id) % 3 != 0
+              val v = if (bright) 255 else 0
+              (v << 16) | (v << 8) | v
+            }
+            val png = encodePng(32, 24, rgb)
+            val jpg = encodeJpeg(decodeImage(png))
+            Seq("png" -> png, "jpg" -> jpg).flatMap { case (fmt, bytes) =>
+              val img = decodeImage(bytes)
+              for { y <- 0 until 24; x <- 0 until 32 } yield {
+                val p = img.getRGB(x, y)
+                val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff)
+                  + (p & 0xff)) / 3
+                XfmtPix(id, fmt, x, y, lum.toLong)
+              }
+            }
+          }
+        }.toDF()
+      val cells = px
+        .groupBy(col("asset_id"), col("fmt"),
+          expr("x div 4").cast(IntegerType).as("i"),
+          expr("y div 3").cast(IntegerType).as("j"))
+        .agg(sum(col("lum")).as("cs"))
+      val tots = cells.groupBy("asset_id", "fmt")
+        .agg(sum(col("cs")).as("tot"))
+      val bits = cells.join(tots, Seq("asset_id", "fmt"))
+        .withColumn("bit",
+          when(col("cs") * 64 > col("tot"), lit("1")).otherwise(lit("0")))
+        .select("asset_id", "fmt", "i", "j", "bit")
+      val bitsP = bits.where(col("fmt") === "png")
+        .select(col("asset_id").as("pid"), col("i"), col("j"),
+          col("bit").as("bp"))
+      val bitsJ = bits.where(col("fmt") === "jpg")
+        .select(col("asset_id").as("jid"), col("i"), col("j"),
+          col("bit").as("bj"))
+      val self = bitsP
+        .join(bitsJ, col("pid") === col("jid")
+          && bitsP("i") === bitsJ("i") && bitsP("j") === bitsJ("j"))
+        .groupBy(col("pid").as("asset_id"))
+        .agg(sum(when(col("bp") =!= col("bj"), 1L).otherwise(0L))
+          .as("hamming_self"))
+      val next = bitsP
+        .withColumn("nid", pmod(col("pid") + 1, lit(nBase)))
+        .join(bitsJ, col("nid") === col("jid")
+          && bitsP("i") === bitsJ("i") && bitsP("j") === bitsJ("j"))
+        .groupBy(col("pid").as("asset_id"))
+        .agg(sum(when(col("bp") =!= col("bj"), 1L).otherwise(0L))
+          .as("hamming_next"))
+      val hashes = bits.where(col("fmt") === "jpg")
+        .groupBy(col("asset_id"))
+        .agg(expr("array_join(transform(" +
+          "array_sort(collect_list(struct(i, j, bit))), s -> s.bit), '')")
+          .as("ahash_jpeg"))
+      hashes.join(self, "asset_id").join(next, "asset_id")
+        .select("asset_id", "ahash_jpeg", "hamming_self", "hamming_next")
+        .orderBy("asset_id")
+    },
+    Some("""WITH ids AS (SELECT unnest(range(0, 24)) AS id),
+             cells AS (SELECT id, CAST(ii.i AS INT) AS i,
+                         CAST(jj.j AS INT) AS j,
+                         CASE WHEN ((ii.i * 8 + jj.j + id) % 3) != 0
+                           THEN '1' ELSE '0' END AS bit
+                       FROM ids CROSS JOIN range(8) ii(i)
+                                CROSS JOIN range(8) jj(j)),
+             h AS (SELECT id, string_agg(bit, '' ORDER BY i, j) AS ahash
+                   FROM cells GROUP BY id),
+             hn AS (SELECT a.id,
+                      CAST(sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hamming_next
+                    FROM cells a JOIN cells b
+                      ON ((a.id + 1) % 24) = b.id
+                        AND a.i = b.i AND a.j = b.j
+                    GROUP BY a.id)
+            SELECT h.id AS asset_id, h.ahash AS ahash_jpeg,
+                   CAST(0 AS BIGINT) AS hamming_self, hn.hamming_next
+            FROM h JOIN hn ON h.id = hn.id ORDER BY asset_id"""))
+
   val all: Seq[Q] = Seq(qMultimodalFeatures, qMultimodalFrames,
-    qMultimodalDecode, qMultimodalAudioDecode, qMultimodalPhash)
+    qMultimodalDecode, qMultimodalAudioDecode, qMultimodalPhash,
+    qMultimodalJpeg)
 }

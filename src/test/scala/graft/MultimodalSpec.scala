@@ -92,4 +92,42 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(counts(r.getLong(0)) == expect)
     }
   }
+
+  test("JPEG re-encode is genuinely lossy yet aHash-preserving") {
+    // the cross-format certification is only meaningful if the codec
+    // actually changed pixels: a quality-0.9 JPEG of a 0/255 block
+    // raster must decode to DIFFERENT luminance somewhere (ringing at
+    // block edges), while q_multimodal_jpeg's parity proves the
+    // 64-bit aHash survived bit-for-bit anyway
+    import graft.operators.Multimodal._
+    val rgb = (x: Int, y: Int) => {
+      val v = if (((x / 4) * 8 + (y / 3)) % 3 != 0) 255 else 0
+      (v << 16) | (v << 8) | v
+    }
+    val png = encodePng(32, 24, rgb)
+    val jpg = encodeJpeg(decodeImage(png))
+    val ip = decodeImage(png)
+    val ij = decodeImage(jpg)
+    val diffs = (for { y <- 0 until 24; x <- 0 until 32 } yield {
+      def lum(p: Int) =
+        (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+      math.abs(lum(ip.getRGB(x, y)) - lum(ij.getRGB(x, y)))
+    })
+    assert(diffs.exists(_ > 0),
+      "JPEG round trip changed no pixel — the lossy leg is not lossy")
+    assert(diffs.max < 128,
+      s"JPEG error too large for any hash to survive: max=${diffs.max}")
+  }
+
+  test("cross-format hamming: self zero, negative control far") {
+    val rows = graft.operators.Multimodal.qMultimodalJpeg
+      .fn(spark, sfDir).collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, "png-vs-jpeg hash must match per asset")
+      assert(r.getLong(3) >= 30L,
+        s"different assets must be far apart: ${r.getLong(3)}")
+      assert(r.getString(1).length == 64)
+    }
+  }
 }
