@@ -1755,8 +1755,13 @@ object Relational {
         census("orders", ords,
           ords.join(broadcast(delCust),
             col("o_custkey") === col("c_custkey"), "left_semi")),
+        // SHUFFLE_HASH, not broadcast: delOrders is a 1/97 slice of the
+        // ORDERS fact — it grows with the corpus (r15 broadcast lint:
+        // 24 rows at sf0.001 -> 158 at sf0.01 -> ~1e9 at 100 TB),
+        // exactly the r11 OOM class. The slice is still the smaller
+        // side, so it hash-builds per partition.
         census("lineitem", li,
-          li.join(delOrders.hint("broadcast"),
+          li.join(delOrders.hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"), "left_semi")),
         census("events", evs,
           evs.where(pmod(col("user_id"), lit(97)) === 0)))

@@ -93,6 +93,154 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
       s"allowlisted queries no longer plan a global window: $stale")
   }
 
+  /** (c) the r11 broadcast-OOM class, generalized from per-query
+    * SHUFFLE_HASH pins to a suite-wide invariant: a FORCED broadcast
+    * (an explicit broadcast() hint in OUR code — Spark's own
+    * size-based broadcast picks adapt at real scale via AQE, so only
+    * the hints we hard-code can OOM a 100 TB run) whose hinted side is
+    * NOT bounded by construction. Bounded means the subtree carries a
+    * Limit, or a scalar (grouping-free) aggregate, or reads only
+    * bounded leaves (dim tables, ranges, local relations). A grouping
+    * aggregate or join over a FACT-scale source grows with the corpus
+    * — force-broadcasting it is the exact shape that OOM'd the r11
+    * jaccard degree join.
+    */
+  /** Forced-broadcast sides whose boundedness the structural classifier
+    * can't see (grouping on a bounded DOMAIN, k-capped shortlists, a
+    * fixed sketch size, the calendar axis). Every entry was row-counted
+    * at sf0.001 AND sf0.01 in the r15 audit (BcastProbe) — "flat" means
+    * the counts were identical at both SFs; the two calendar entries
+    * grow at test SF only because the synthetic generator widens the
+    * date range with SF, and are O(flags·days) at a fixed horizon. The
+    * audit also caught one REAL offender (q_dq_delete_cascade's
+    * delOrders broadcast, 24→158 rows — a 1/97 fact slice), fixed to
+    * SHUFFLE_HASH the same round: this lint exists to keep catching
+    * that class.
+    */
+  private val broadcastOk: Map[String, String] = Map(
+    "q_agg_chi2" -> "flat 1/5/5: flagxpriority marginal grids",
+    "q_agg_cramers_v" -> "flat 1/5/5: flagxpriority marginal grids",
+    "q_agg_cvar" -> "flat 5: per-priority VaR fences",
+    "q_agg_levene" -> "flat 25: per-brand medians (bounded brand domain)",
+    "q_agg_mad" -> "flat 3: per-flag medians",
+    "q_agg_runs_test" -> "flat 3: per-flag medians",
+    "q_agg_theil_sen" ->
+      "per-(flag,day) daily rollup - calendar-bounded (O(flags*days))",
+    "q_agg_trimmed_mean" -> "flat 3: per-flag percentile fences",
+    "q_agg_ttest" -> "flat 1: two-group scalar moment row",
+    "q_agg_weighted_median" -> "flat 5: per-priority threshold fences",
+    "q_agg_winsorize" -> "flat 3: per-flag percentile fences",
+    "q_anomaly_iqr" -> "flat 5/5/5: per-priority quartile fences",
+    "q_changepoint_cusum" -> "flat 3/3/3: per-flag stats rows",
+    "q_corpus_drift" -> "flat 1/5: per-epoch profile moments",
+    "q_corpus_pack" -> "flat 64: the 64 hash-bucket totals (Prefix)",
+    "q_embed_label_outliers" -> "flat 10: per-label centroid table",
+    "q_embed_quantize" -> "flat 64: the 8x8 codebook grid",
+    "q_embed_semdedup" -> "flat 10x5: k=10 centroid tables",
+    "q_eval_lang_confusion" -> "flat 5/25/25: langxlang bounded grid",
+    "q_eval_retrieval" -> "flat 1/1/3: query-set-bounded judgments",
+    "q_feature_select_mi" -> "flat <=40: flagxbucket bounded grids",
+    "q_feature_target_encode" -> "flat 1/25: global prior + nation means",
+    "q_join_bloom_prefilter" ->
+      ("bit-word table <= mBits/64 = 4096 rows - the SKETCH size, " +
+        "corpus-independent (747->3636 at test SF is fill-in, not growth)"),
+    "q_join_dpp" -> "flat 2: the pruned partition-key list",
+    "q_knn_classify" -> "flat 20: the labeled probe shortlist",
+    "q_search_rrf" -> "flat 1/3: per-ranker k-capped shortlists",
+    "q_seq_entropy_rate" -> "flat <=5: per-priority scalar rows",
+    "q_seq_markov_eval" -> "flat 1/5/5: priority-bounded transition grid",
+    "q_sim_cosine_ivf" -> "flat 16: the IVF cell-centroid store",
+    "q_sim_cosine_quantized" -> "flat 10/64/64: probes + codebook",
+    "q_sim_cosine_topk" -> "flat 10: the probe shortlist",
+    "q_sim_graph_beam" -> "flat 10/400: probes + bounded beam frontier",
+    "q_sketch_cms_portable" -> "flat <=1024+4: the CMS counter grid",
+    "q_text_bm25" -> "flat 1/3: corpus stats + query-term list",
+    "q_text_cooccur" -> "flat 1/31: scalar totals + top-k term list",
+    "q_text_lang_id" -> "flat 25: the 5x5 language profile",
+    "q_time_changepoint_binseg" -> "flat 3/3: per-flag split rows",
+    "q_time_decompose" -> "flat 21: flagxday-of-week seasonal grid",
+    "q_time_dtw" -> "flat 3/3/3: per-flag bounded series stats",
+    "q_time_lcss" -> "flat 3/3/3: per-flag bounded series stats",
+    "q_time_sax" -> "flat 3: per-flag stats rows",
+    "q_trend_mann_kendall" ->
+      ("per-(flag,day) daily rollup - calendar-bounded (documented in " +
+        "the query's own docstring as the broadcast-safe class)"))
+
+  private def boundedLogical(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val hasLimit = p.collect {
+      case n @ (_: GlobalLimit | _: LocalLimit) => n
+    }.nonEmpty
+    val hasScalarAgg = p.collect {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+    }.nonEmpty
+    lazy val leavesOk = p.collectLeaves().forall {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val loc = r.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+        Seq("region", "nation", "customer", "supplier", "part")
+          .exists(t => loc.contains(t + ".parquet"))
+      case _: Range | _: LocalRelation | _: OneRowRelation => true
+      case _ => false
+    }
+    hasLimit || hasScalarAgg || leavesOk
+  }
+
+  private def offendingBuilds(df: org.apache.spark.sql.DataFrame)
+  : Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+          .collect {
+            case (Some(h), side)
+              if h.strategy.contains(BROADCAST)
+                && !boundedLogical(side) => side.nodeName
+          }
+    }.flatten
+  }
+
+  test("no query broadcasts an unbounded build side") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (broadcastOk.contains(name)) None
+        else {
+          val off = offendingBuilds(fn(spark, sfDir))
+          if (off.nonEmpty) Some(s"$name (${off.mkString(", ")})") else None
+        }
+    }
+    assert(offenders.isEmpty,
+      s"fact-derived broadcast build sides (the r11 OOM class):\n  ${
+        offenders.mkString("\n  ")}")
+  }
+
+  test("broadcast allowlist holds no stale entries") {
+    val stale = broadcastOk.keySet.filterNot { name =>
+      SparkEntry.queries.get(name)
+        .exists(fn => offendingBuilds(fn(spark, sfDir)).nonEmpty)
+    }
+    assert(stale.isEmpty,
+      s"allowlisted queries no longer force-broadcast a flagged side: " +
+        s"$stale")
+  }
+
+  test("the broadcast lint flags a deliberately de-hinted degree join") {
+    // reconstruct the r11 OOM shape: per-token document frequency (a
+    // grouping aggregate over the CORPUS — grows with it) force-
+    // broadcast into a join. The classifier must flag it; if this goes
+    // green the suite-wide invariant above is vacuous.
+    import org.apache.spark.sql.functions._
+    val toks = graft.operators.Llm.tokens(
+      graft.sources.Tables.documents(spark, sfDir))
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df_t"))
+    val bad = toks.join(broadcast(df), "tok")
+    assert(offendingBuilds(bad).nonEmpty,
+      "the lint failed to flag a corpus-scale broadcast build side")
+  }
+
   test("no query plans an unhinted CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
