@@ -56,3 +56,44 @@ object ScaleGen {
     spark.stop()
   }
 }
+
+/** ALL-DISTINCT high-overlap rehearsal corpus — the OTHER PPJoin
+  * degeneracy (r14 rehearsed clone-degenerate, where exact-dup collapse
+  * wins; here collapse buys NOTHING): no two docs share a text, yet
+  * every doc carries a GLOBAL 12-token template block (its shingles hit
+  * df = N — a naive postings join explodes quadratically on those
+  * buckets) plus an 18-token cluster block shared by its 20-doc cluster
+  * (intra-cluster J ≈ 0.82 ≥ τ — the true positives) plus 3 unique
+  * tokens (no exact dups, distinct prefixes). Cross-cluster J ≈ 0.19 <
+  * τ = 0.5, so the CORRECT output is exactly the 190 intra-cluster
+  * pairs per cluster — linear in N — and df-ascending prefixes must
+  * carry the whole filter: template shingles sort LAST and never enter
+  * a prefix, cluster shingles (df = 20) dominate it, bounding candidate
+  * buckets at cluster size by construction. Usage:
+  * runMain graft.ScaleGenOverlap <outDir> <nDocs>
+  */
+object ScaleGenOverlap {
+  def main(args: Array[String]): Unit = {
+    val (out, nDocs) = (args(0), args(1).toInt)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    spark.range(nDocs.toLong).map { id =>
+      val c = id / 20
+      val unique = (0 until 3).map(k => s"u${id}x$k")
+      val cluster = (0 until 18).map(k => s"c${c}t$k")
+      val template = (0 until 12).map(k => s"gtmpl$k")
+      val text = (unique ++ cluster ++ template).mkString(" ")
+      (id, text, "en", "overlap", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[scalegen-overlap] $nDocs all-distinct high-overlap docs")
+    spark.stop()
+  }
+}
