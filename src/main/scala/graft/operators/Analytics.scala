@@ -5979,6 +5979,379 @@ object Analytics {
                       / (ayy - ay * ay / n) END AS r2
             FROM e"""))
 
+  /** Brier score with the Murphy decomposition — the probability-
+    * forecast scorecard next to q_eval_calibration's ECE (ECE measures
+    * honesty only; the decomposition separates it from DISCRIMINATION):
+    * forecaster p = discount cents/10 (11 discrete levels), outcome
+    * y = returned. Brier = Σ(c − 10y)²/(100n) rides an all-integer
+    * numerator ((c−10y)² ≤ 100 — BIGINT-exact at any corpus size);
+    * reliability Σ n_b(p_b−ȳ_b)²/n and resolution Σ n_b(ȳ_b−ȳ)²/n are
+    * per-level exact-rational terms Dec12-summed over the ≤11 levels
+    * (§7.2 — a bare double sum over the level table is
+    * order-dependent); uncertainty = ȳ(1−ȳ). Murphy's identity
+    * BS = REL − RES + UNC holds exactly here because forecasts are
+    * constant within a level (p IS the level value) — pinned in
+    * R15Spec to float tolerance. Scale: ONE map-combining census to
+    * ≤11 rows, bounded arithmetic after.
+    */
+  val qEvalBrier = Q(
+    "q_eval_brier",
+    (s, dir) => {
+      val bins = Tables.lineitem(s, dir)
+        .select(round(col("l_discount") * 100).cast("int").as("c"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("c")
+        .agg(count(lit(1)).as("n_c"), sum(col("y")).as("pos_c"),
+          sum(expr("CAST((c - 10 * y) * (c - 10 * y) AS BIGINT)"))
+            .as("sq_c"))
+      val tot = bins.agg(sum(col("n_c")).as("n"),
+        sum(col("pos_c")).as("pos"), sum(col("sq_c")).as("sq"))
+      val terms = bins.crossJoin(broadcast(tot))
+        .withColumn("rel_t", expr(
+          "CAST(CAST((c * n_c - 10 * pos_c) AS DOUBLE)" +
+            " * CAST((c * n_c - 10 * pos_c) AS DOUBLE)" +
+            " / (CAST(100 AS DOUBLE) * CAST(n_c AS DOUBLE))" +
+            " AS DECIMAL(38,12))"))
+        .withColumn("res_t", expr(
+          "CAST(CAST(n_c AS DOUBLE)" +
+            " * (CAST(pos_c AS DOUBLE) / CAST(n_c AS DOUBLE)" +
+            "    - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " * (CAST(pos_c AS DOUBLE) / CAST(n_c AS DOUBLE)" +
+            "    - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " AS DECIMAL(38,12))"))
+      val summ = terms
+        .groupBy("n", "pos", "sq")
+        .agg(sum(col("rel_t")).as("rel_s"), sum(col("res_t")).as("res_s"))
+        .select(
+          expr("CAST(sq AS DOUBLE) / (CAST(100 AS DOUBLE)" +
+            " * CAST(n AS DOUBLE))").as("brier"),
+          expr("CAST(rel_s AS DOUBLE) / CAST(n AS DOUBLE)")
+            .as("reliability"),
+          expr("CAST(res_s AS DOUBLE) / CAST(n AS DOUBLE)")
+            .as("resolution"),
+          expr("(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " * (CAST(1 AS DOUBLE)" +
+            " - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))")
+            .as("uncertainty"))
+      bins.crossJoin(broadcast(summ))
+        .select(col("c"), col("n_c"), col("pos_c"),
+          expr("CAST(c AS DOUBLE) / CAST(10 AS DOUBLE)").as("p"),
+          expr("CAST(pos_c AS DOUBLE) / CAST(n_c AS DOUBLE)").as("ybar_c"),
+          col("brier"), col("reliability"), col("resolution"),
+          col("uncertainty"))
+        .orderBy("c")
+    },
+    Some("""WITH bins AS (SELECT
+                    CAST(round(l_discount * 100) AS INTEGER) AS c,
+                    CAST(count(*) AS BIGINT) AS n_c,
+                    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                             END) AS BIGINT) AS pos_c,
+                    CAST(sum((CAST(round(l_discount * 100) AS INTEGER)
+                       - 10 * CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                              END)
+                      * (CAST(round(l_discount * 100) AS INTEGER)
+                       - 10 * CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                              END)) AS BIGINT) AS sq_c
+                  FROM lineitem GROUP BY 1),
+             tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n,
+                       CAST(sum(pos_c) AS BIGINT) AS pos,
+                       CAST(sum(sq_c) AS BIGINT) AS sq FROM bins),
+             terms AS (SELECT bins.*, tot.*,
+                     CAST(CAST((c * n_c - 10 * pos_c) AS DOUBLE)
+                       * CAST((c * n_c - 10 * pos_c) AS DOUBLE)
+                       / (CAST(100 AS DOUBLE) * CAST(n_c AS DOUBLE))
+                       AS DECIMAL(38,12)) AS rel_t,
+                     CAST(CAST(n_c AS DOUBLE)
+                       * (CAST(pos_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+                          - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(pos_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+                          - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS DECIMAL(38,12)) AS res_t
+                   FROM bins, tot),
+             summ AS (SELECT
+                     CAST(sq AS DOUBLE) / (CAST(100 AS DOUBLE)
+                       * CAST(n AS DOUBLE)) AS brier,
+                     CAST(sum(rel_t) AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS reliability,
+                     CAST(sum(res_t) AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS resolution,
+                     (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(1 AS DOUBLE)
+                          - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS uncertainty
+                   FROM terms GROUP BY n, pos, sq)
+            SELECT c, n_c, pos_c,
+                   CAST(c AS DOUBLE) / CAST(10 AS DOUBLE) AS p,
+                   CAST(pos_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS ybar_c,
+                   brier, reliability, resolution, uncertainty
+            FROM bins, summ ORDER BY c"""))
+
+  /** Cohen's kappa — chance-corrected inter-RATER agreement between the
+    * two q_eval_mcnemar rules as raters (mcnemar asks "is one BETTER";
+    * kappa asks "do they AGREE beyond chance" — different question,
+    * same census): κ = (p_o − p_e)/(1 − p_e) with p_e from the raters'
+    * marginal propensities. All-integer 2×2 census, p_e's n² products
+    * ride DOUBLE casts of BIGINTs (one rounding each, shared text),
+    * NULL at p_e = 1 (degenerate constant raters). Scale: ONE
+    * map-combining aggregate, 4 numbers.
+    */
+  val qEvalKappa = Q(
+    "q_eval_kappa",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(
+          (round(col("l_discount") * 100).cast("int") >= 5).as("pa"),
+          (col("l_quantity").cast("int") >= 25).as("pb"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pa") && col("pb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("pa") && !col("pb"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("pa") && col("pb"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("pa") && !col("pb"), 1L).otherwise(0L)).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)").as("po"),
+          expr("(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)" +
+            " + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))" +
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))").as("pe"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          col("po"), col("pe"),
+          expr("CASE WHEN pe = CAST(1 AS DOUBLE) THEN NULL" +
+            " ELSE (po - pe) / (CAST(1 AS DOUBLE) - pe) END").as("kappa"))
+    },
+    Some("""WITH c AS (SELECT
+                    (CAST(round(l_discount * 100) AS INTEGER) >= 5) AS pa,
+                    (CAST(l_quantity AS INTEGER) >= 25) AS pb
+                  FROM lineitem),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n11,
+                     CAST(sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n10,
+                     CAST(sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n01,
+                     CAST(sum(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0
+                              END) AS BIGINT) AS n00
+                   FROM c),
+             d AS (SELECT *,
+                     CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+                     (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                      + CAST(n01 + n00 AS DOUBLE)
+                        * CAST(n10 + n00 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+                   FROM m)
+            SELECT n, n11, n10, n01, n00, po, pe,
+                   CASE WHEN pe = CAST(1 AS DOUBLE) THEN NULL
+                     ELSE (po - pe) / (CAST(1 AS DOUBLE) - pe) END AS kappa
+            FROM d"""))
+
+  /** Jarque–Bera normality test per returnflag — the distribution-shape
+    * gate the t/ANOVA family quietly assumes (run THIS before trusting
+    * their p-values): JB = n/6·(S² + K²/4) from exact integer power
+    * sums of l_quantity (q ≤ 50 ⇒ Σq⁴ ≤ 6.25e6·rows < 2⁶³ even at
+    * ~6e11 rows — the rare 4th-moment statistic that is BIGINT-exact
+    * at full 100 TB scale with no decimal carrier), central moments,
+    * skewness and excess kurtosis as shared-text finals, NULL on zero
+    * variance. Scale: ONE map-combining aggregate, 3 rows.
+    */
+  val qAggJarqueBera = Q(
+    "q_agg_jarque_bera",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("x"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .withColumn("mu", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("m2", expr(
+          "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu"))
+        .withColumn("m3", expr(
+          "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)" +
+            " - CAST(3 AS DOUBLE) * mu * CAST(s2 AS DOUBLE)" +
+            " / CAST(n AS DOUBLE) + CAST(2 AS DOUBLE) * mu * mu * mu"))
+        .withColumn("m4", expr(
+          "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)" +
+            " - CAST(4 AS DOUBLE) * mu * CAST(s3 AS DOUBLE)" +
+            " / CAST(n AS DOUBLE)" +
+            " + CAST(6 AS DOUBLE) * mu * mu * CAST(s2 AS DOUBLE)" +
+            " / CAST(n AS DOUBLE)" +
+            " - CAST(3 AS DOUBLE) * mu * mu * mu * mu"))
+        .select(col("flag"), col("n"),
+          expr("CASE WHEN m2 <= CAST(0 AS DOUBLE) THEN NULL" +
+            " ELSE m3 / (m2 * sqrt(m2)) END").as("skewness"),
+          expr("CASE WHEN m2 <= CAST(0 AS DOUBLE) THEN NULL" +
+            " ELSE m4 / (m2 * m2) - CAST(3 AS DOUBLE) END")
+            .as("excess_kurtosis"))
+        .select(col("flag"), col("n"), col("skewness"),
+          col("excess_kurtosis"),
+          expr("CASE WHEN skewness IS NULL THEN NULL" +
+            " ELSE CAST(n AS DOUBLE) / CAST(6 AS DOUBLE)" +
+            " * (skewness * skewness" +
+            "    + excess_kurtosis * excess_kurtosis" +
+            "      / CAST(4 AS DOUBLE)) END").as("jb_stat"))
+        .orderBy("flag")
+    },
+    Some("""WITH m AS (SELECT l_returnflag AS flag,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS s1,
+                    CAST(sum(x * x) AS BIGINT) AS s2,
+                    CAST(sum(x * x * x) AS BIGINT) AS s3,
+                    CAST(sum(x * x * x * x) AS BIGINT) AS s4
+                  FROM (SELECT l_returnflag,
+                          CAST(l_quantity AS BIGINT) AS x FROM lineitem)
+                  GROUP BY 1),
+             d AS (SELECT flag, n,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                     s2, s3, s4 FROM m),
+             e AS (SELECT flag, n, mu,
+                     CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu
+                       AS m2,
+                     CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(3 AS DOUBLE) * mu * CAST(s2 AS DOUBLE)
+                         / CAST(n AS DOUBLE)
+                       + CAST(2 AS DOUBLE) * mu * mu * mu AS m3,
+                     CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(4 AS DOUBLE) * mu * CAST(s3 AS DOUBLE)
+                         / CAST(n AS DOUBLE)
+                       + CAST(6 AS DOUBLE) * mu * mu * CAST(s2 AS DOUBLE)
+                         / CAST(n AS DOUBLE)
+                       - CAST(3 AS DOUBLE) * mu * mu * mu * mu AS m4
+                   FROM d),
+             f AS (SELECT flag, n,
+                     CASE WHEN m2 <= CAST(0 AS DOUBLE) THEN NULL
+                       ELSE m3 / (m2 * sqrt(m2)) END AS skewness,
+                     CASE WHEN m2 <= CAST(0 AS DOUBLE) THEN NULL
+                       ELSE m4 / (m2 * m2) - CAST(3 AS DOUBLE) END
+                       AS excess_kurtosis
+                   FROM e)
+            SELECT flag, n, skewness, excess_kurtosis,
+                   CASE WHEN skewness IS NULL THEN NULL
+                     ELSE CAST(n AS DOUBLE) / CAST(6 AS DOUBLE)
+                       * (skewness * skewness
+                          + excess_kurtosis * excess_kurtosis
+                            / CAST(4 AS DOUBLE)) END AS jb_stat
+            FROM f ORDER BY flag"""))
+
+  /** Grubbs' max-outlier statistic per returnflag — "is the single most
+    * extreme point too extreme" (the one-outlier question next to
+    * q_anomaly_esd's iterated many-outlier sweep; ESD literally
+    * iterates this statistic): G = (x_max − x̄)/s on price cents, both
+    * tails reported. Moments are exact integers (Σx² on the
+    * DECIMAL(38,0) carrier — the §7.2/ols doctrine), sample s, one
+    * shared formula, NULL on zero variance. The 3.0 flag threshold is
+    * an explicit literal (the proper critical value is a t-quantile —
+    * a POLICY constant left visible, not buried). Scale: ONE
+    * map-combining aggregate, 3 rows.
+    */
+  val qAggGrubbs = Q(
+    "q_agg_grubbs",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("x"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+            .as("s2"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+        .withColumn("mu", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("sd", expr(
+          "CASE WHEN n <= 1 THEN NULL ELSE sqrt(greatest(" +
+            "CAST(0 AS DOUBLE), (CAST(s2 AS DOUBLE)" +
+            " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
+            "   / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) END"))
+        .select(col("flag"), col("n"), col("x_min"), col("x_max"),
+          col("mu").as("mean"), col("sd"),
+          expr("CASE WHEN sd IS NULL OR sd = CAST(0 AS DOUBLE) THEN NULL" +
+            " ELSE (CAST(x_max AS DOUBLE) - mu) / sd END").as("g_max"),
+          expr("CASE WHEN sd IS NULL OR sd = CAST(0 AS DOUBLE) THEN NULL" +
+            " ELSE (mu - CAST(x_min AS DOUBLE)) / sd END").as("g_min"))
+        .withColumn("flag_hi",
+          expr("CASE WHEN g_max IS NULL THEN NULL" +
+            " ELSE g_max > CAST(3.0 AS DOUBLE) END"))
+        .orderBy("flag")
+    },
+    Some("""WITH m AS (SELECT l_returnflag AS flag,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS s1,
+                    sum(CAST(x AS DECIMAL(38,0))
+                        * CAST(x AS DECIMAL(38,0))) AS s2,
+                    CAST(min(x) AS BIGINT) AS x_min,
+                    CAST(max(x) AS BIGINT) AS x_max
+                  FROM (SELECT l_returnflag,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS x FROM lineitem)
+                  GROUP BY 1),
+             d AS (SELECT *,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                     CASE WHEN n <= 1 THEN NULL ELSE sqrt(greatest(
+                       CAST(0 AS DOUBLE), (CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                         / CAST(n - 1 AS DOUBLE))) END AS sd
+                   FROM m),
+             e AS (SELECT flag, n, x_min, x_max, mu AS mean, sd,
+                     CASE WHEN sd IS NULL OR sd = CAST(0 AS DOUBLE)
+                       THEN NULL
+                       ELSE (CAST(x_max AS DOUBLE) - mu) / sd END
+                       AS g_max,
+                     CASE WHEN sd IS NULL OR sd = CAST(0 AS DOUBLE)
+                       THEN NULL
+                       ELSE (mu - CAST(x_min AS DOUBLE)) / sd END
+                       AS g_min
+                   FROM d)
+            SELECT *, CASE WHEN g_max IS NULL THEN NULL
+                      ELSE g_max > CAST(3.0 AS DOUBLE) END AS flag_hi
+            FROM e ORDER BY flag"""))
+
+  /** Poisson rate with normal-approximation CI per order priority — the
+    * arrival-rate readout operational dashboards run (orders/day with
+    * an uncertainty band; the count-data companion to
+    * q_agg_delta_method's ratio CI): T = observed day span from the
+    * data itself (max−min+1 — exact integer), rate = n/T, SE = √n/T
+    * (Poisson variance = mean), ±1.96 shared literal, lower bound
+    * clamped at 0 (a rate is nonnegative; the unclamped normal
+    * approximation goes negative at small n — the same clamp doctrine
+    * as mcnemar's correction). Scale: ONE map-combining aggregate.
+    */
+  val qAggRateCi = Q(
+    "q_agg_rate_ci",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"),
+          (datediff(max(col("d")), min(col("d"))) + 1).cast("long")
+            .as("t_days"))
+        .select(col("pri"), col("n"), col("t_days"),
+          expr("CAST(n AS DOUBLE) / CAST(t_days AS DOUBLE)").as("rate"),
+          expr("sqrt(CAST(n AS DOUBLE)) / CAST(t_days AS DOUBLE)")
+            .as("se"))
+        .select(col("pri"), col("n"), col("t_days"), col("rate"),
+          col("se"),
+          expr("greatest(CAST(0 AS DOUBLE), rate - 1.96 * se)")
+            .as("ci_lo"),
+          expr("rate + 1.96 * se").as("ci_hi"))
+        .orderBy("pri")
+    },
+    Some("""WITH m AS (SELECT o_orderpriority AS pri,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(datediff('day', min(CAST(o_orderdate AS DATE)),
+                      max(CAST(o_orderdate AS DATE))) + 1 AS BIGINT)
+                      AS t_days
+                  FROM orders GROUP BY 1),
+             d AS (SELECT pri, n, t_days,
+                     CAST(n AS DOUBLE) / CAST(t_days AS DOUBLE) AS rate,
+                     sqrt(CAST(n AS DOUBLE)) / CAST(t_days AS DOUBLE)
+                       AS se
+                   FROM m)
+            SELECT pri, n, t_days, rate, se,
+                   greatest(CAST(0 AS DOUBLE), rate - 1.96 * se) AS ci_lo,
+                   rate + 1.96 * se AS ci_hi
+            FROM d ORDER BY pri"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -6000,5 +6373,6 @@ object Analytics {
     qLayoutPartitionAdvisor, qAbSequentialSprt, qAggCaptureRecapture,
     qEvalMcnemar, qSampleBalanced, qDqFkInference,
     qAggCronbach, qSeqEntropyRate, qAggDispersion,
-    qAggOddsRatio, qTextLexicalDiversity, qAggTrimmedMean)
+    qAggOddsRatio, qTextLexicalDiversity, qAggTrimmedMean,
+    qEvalBrier, qEvalKappa, qAggJarqueBera, qAggGrubbs, qAggRateCi)
 }

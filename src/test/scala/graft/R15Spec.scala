@@ -48,6 +48,66 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("brier: Murphy identity BS = REL - RES + UNC") {
+    val r = SparkEntry.queries("q_eval_brier")(spark, sfDir).head()
+    val (bs, rel, res, unc) =
+      (r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))
+    assert(math.abs(bs - (rel - res + unc)) <= 1e-9,
+      s"decomposition must reassemble: $bs vs ${rel - res + unc}")
+    assert(bs >= 0.0 && bs <= 1.0 && rel >= 0.0 && res >= 0.0)
+    assert(unc >= 0.0 && unc <= 0.25, "binary uncertainty caps at 1/4")
+  }
+
+  test("kappa: bounded by [-1,1], zero when po equals pe") {
+    val r = SparkEntry.queries("q_eval_kappa")(spark, sfDir).head()
+    val (n, po, pe) = (r.getLong(0), r.getDouble(5), r.getDouble(6))
+    assert(n == r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4))
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    val k = r.getDouble(7)
+    assert(k >= -1.0 && k <= 1.0)
+    assert(math.abs(k - (po - pe) / (1.0 - pe)) <= 1e-12)
+  }
+
+  test("jarque-bera: JB reassembles from skew and kurtosis, nonneg") {
+    val rows = SparkEntry.queries("q_agg_jarque_bera")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s, k, jb) = (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+      assert(jb >= 0.0)
+      assert(jb == n.toDouble / 6.0 * (s * s + k * k / 4.0))
+      // l_quantity is uniform-ish on 1..50: platykurtic, near-symmetric
+      assert(k < 0.0, s"uniform-like data must be platykurtic: $k")
+      assert(math.abs(s) < 0.5, s"near-symmetric: $s")
+    }
+  }
+
+  test("grubbs: G nonneg, max/min consistent, sd replays") {
+    val rows = SparkEntry.queries("q_agg_grubbs")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xMin, xMax) = (r.getLong(2), r.getLong(3))
+      val (mean, sd) = (r.getDouble(4), r.getDouble(5))
+      assert(xMin <= xMax && mean >= xMin && mean <= xMax)
+      val (gMax, gMin) = (r.getDouble(6), r.getDouble(7))
+      assert(gMax >= 0.0 && gMin >= 0.0)
+      assert(gMax == (xMax - mean) / sd && gMin == (mean - xMin) / sd)
+    }
+  }
+
+  test("rate CI: clamped lower bound, bracket contains the rate") {
+    val rows = SparkEntry.queries("q_agg_rate_ci")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, t) = (r.getLong(1), r.getLong(2))
+      val (rate, se) = (r.getDouble(3), r.getDouble(4))
+      assert(rate == n.toDouble / t && se == math.sqrt(n.toDouble) / t)
+      assert(r.getDouble(5) >= 0.0, "lower bound clamped at 0")
+      assert(r.getDouble(5) <= rate && rate <= r.getDouble(6))
+    }
+  }
+
   test("mcnemar: chi2 replays from the census with the clamp") {
     val r = SparkEntry.queries("q_eval_mcnemar")(spark, sfDir).head()
     val (b, c) = (r.getLong(2), r.getLong(3))
