@@ -232,36 +232,89 @@ object Sketches {
     * mergeable summary; the exact countDistinct is the certification
     * truth path (production keeps only the 256 registers).
     */
+  /** The portable-HLL register table of a value column (m = 256;
+    * see qSketchHllPortable for the full doctrine). Exposed so set
+    * ALGEBRA on sketches (union via register max-merge, intersection
+    * via inclusion-exclusion) composes from the same construction.
+    */
+  def hllRegs(df: DataFrame, value: org.apache.spark.sql.Column)
+  : DataFrame =
+    df.select(graft.Det.pHash60(value).as("h"))
+      .select(pmod(col("h"), lit(256)).as("reg"),
+        expr("h div 256").as("w"))
+      .select(col("reg"), expr(
+        "CASE WHEN w = 0 THEN 53 ELSE CAST(round(log2(" +
+          "CAST((w & (-w)) AS DOUBLE))) AS INTEGER) + 1 END").as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("rho_max"))
+
+  /** One-row (est) readout of a portable-HLL register table — the
+    * shared-text harmonic-mean estimate with the linear-counting
+    * small-range branch.
+    */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - rho_max)"))
+          .as("sn_p"))
+      .select(col("n_present"),
+        expr("sn_p + (256 - n_present) * 9007199254740992").as("sn"))
+      .select(col("n_present"), expr(
+        "CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)" +
+          " + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))" +
+          " * CAST(65536 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)" +
+          " / CAST(sn AS DOUBLE)").as("est_raw"))
+      .select(expr(
+        "CASE WHEN est_raw <= CAST(640 AS DOUBLE) AND n_present < 256" +
+          " THEN round(CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE)" +
+          " / CAST(256 - n_present AS DOUBLE)), 6)" +
+          " ELSE round(est_raw, 6) END").as("est"))
+
+  /** Oracle-side spellings of the same helpers: CTE text producing
+    * g_<tag> (register table) and e_<tag> (one-row est_<tag>) from a
+    * source SELECT emitting a single column h.
+    */
+  def sqlHllRegs(tag: String, hSelect: String): String =
+    s"""r_$tag AS (SELECT ((h % 256) + 256) % 256 AS reg,
+                     CASE WHEN h // 256 = 0 THEN 53 ELSE
+                       CAST(round(log2(CAST(((h // 256) & (-(h // 256)))
+                         AS DOUBLE))) AS INTEGER) + 1 END AS rho
+                   FROM ($hSelect)),
+            g_$tag AS (SELECT reg, max(rho) AS rho_max
+                       FROM r_$tag GROUP BY reg)"""
+  def sqlHllEst(tag: String): String =
+    s"""s_$tag AS (SELECT CAST(count(*) AS BIGINT) AS n_present,
+                     CAST(sum(CAST(1 AS BIGINT) << (53 - rho_max))
+                       AS BIGINT) AS sn_p
+                   FROM g_$tag),
+            n_$tag AS (SELECT n_present,
+                         sn_p + (256 - n_present) * 9007199254740992 AS sn
+                       FROM s_$tag),
+            x_$tag AS (SELECT n_present,
+                         CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                           + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+                           * CAST(65536 AS DOUBLE)
+                           * CAST(9007199254740992 AS DOUBLE)
+                           / CAST(sn AS DOUBLE) AS est_raw
+                       FROM n_$tag),
+            e_$tag AS (SELECT
+                         CASE WHEN est_raw <= CAST(640 AS DOUBLE)
+                                AND n_present < 256
+                           THEN round(CAST(256 AS DOUBLE)
+                             * ln(CAST(256 AS DOUBLE)
+                                  / CAST(256 - n_present AS DOUBLE)), 6)
+                           ELSE round(est_raw, 6) END AS est_$tag
+                       FROM x_$tag)"""
+
   val qSketchHllPortable = Q(
     "q_sketch_hll_portable",
     (s, dir) => {
-      val regs = graft.sources.Tables.lineitem(s, dir)
-        .select(graft.Det.pHash60(col("l_orderkey")).as("h"))
-        .select(pmod(col("h"), lit(256)).as("reg"),
-          expr("h div 256").as("w"))
-        .select(col("reg"), expr(
-          "CASE WHEN w = 0 THEN 53 ELSE CAST(round(log2(" +
-            "CAST((w & (-w)) AS DOUBLE))) AS INTEGER) + 1 END").as("rho"))
-        .groupBy("reg").agg(max(col("rho")).as("rho_max"))
+      val regs = hllRegs(graft.sources.Tables.lineitem(s, dir),
+        col("l_orderkey"))
       val actual = graft.sources.Tables.lineitem(s, dir)
         .agg(countDistinct(col("l_orderkey")).as("actual"))
-      val summ = regs
-        .agg(count(lit(1)).as("n_present"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - rho_max)"))
-            .as("sn_p"))
-        .crossJoin(broadcast(actual))
-        .select(col("n_present"), col("actual"),
-          expr("sn_p + (256 - n_present) * 9007199254740992").as("sn"))
-        .select(col("n_present"), col("actual"), expr(
-          "CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)" +
-            " + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))" +
-            " * CAST(65536 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)" +
-            " / CAST(sn AS DOUBLE)").as("est_raw"))
-        .select(col("n_present"), col("actual"), expr(
-          "CASE WHEN est_raw <= CAST(640 AS DOUBLE) AND n_present < 256" +
-            " THEN round(CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE)" +
-            " / CAST(256 - n_present AS DOUBLE)), 6)" +
-            " ELSE round(est_raw, 6) END").as("est"))
+      val np = regs.agg(count(lit(1)).as("n_present"))
+      val summ = hllEstimate(regs)
+        .crossJoin(broadcast(np)).crossJoin(broadcast(actual))
       regs.crossJoin(broadcast(summ))
         .select(col("reg"), col("rho_max"), col("n_present"),
           col("est"), col("actual"),
@@ -309,6 +362,79 @@ object Sketches {
             FROM regs, e ORDER BY reg"""
     })
 
+
+  /** HLL SET ALGEBRA, in-plan and oracle-certified — the operation that
+    * makes a distinct-count sketch a planning tool rather than a
+    * number: |A| and |B| from their own register tables, |A∪B| from
+    * the registers' MAX-MERGE (the semilattice law SketchesSpec pins,
+    * here exercised IN the plan: union + groupBy max), and |A∩B| by
+    * inclusion–exclusion — the audience-overlap / join-cardinality
+    * estimate a 100 TB planner asks before committing to a join. Sets:
+    * order keys of priority {1,2,3} vs {2,3,4} (60% each, 40% true
+    * overlap — inclusion–exclusion is unstable for TINY intersections,
+    * so the fixture exercises the healthy regime; the estimator's
+    * variance caveat is in the docstring, not hidden). Exact truths
+    * ride along; DuckDB rebuilds all three sketches identically.
+    * Scale: three ≤256-row register aggregates off ONE scan shape.
+    */
+  val qSketchHllIntersect = Q(
+    "q_sketch_hll_intersect",
+    (s, dir) => {
+      val o = graft.sources.Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("p"))
+      val ra = hllRegs(o.where(col("p") <= 3), col("k"))
+      val rb = hllRegs(o.where(col("p") >= 2 && col("p") <= 4), col("k"))
+      val ru = ra.union(rb).groupBy("reg")
+        .agg(max(col("rho_max")).as("rho_max"))
+      val estA = hllEstimate(ra).select(col("est").as("est_a"))
+      val estB = hllEstimate(rb).select(col("est").as("est_b"))
+      val estU = hllEstimate(ru).select(col("est").as("est_union"))
+      val act = o.agg(
+        countDistinct(when(col("p") <= 3, col("k"))).as("actual_a"),
+        countDistinct(when(col("p") >= 2 && col("p") <= 4, col("k")))
+          .as("actual_b"),
+        countDistinct(when(col("p") === 2 || col("p") === 3, col("k")))
+          .as("actual_i"))
+      estA.crossJoin(estB).crossJoin(estU).crossJoin(broadcast(act))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          expr("round(est_a + est_b - est_union, 6)").as("est_intersect"),
+          col("actual_a"), col("actual_b"), col("actual_i"),
+          expr("round((round(est_a + est_b - est_union, 6)" +
+            " - CAST(actual_i AS DOUBLE))" +
+            " / CAST(actual_i AS DOUBLE), 6)").as("rel_error_intersect"))
+    },
+    Some {
+      val h = graft.Det.sqlPHash60("k")
+      val src = "SELECT o_orderkey AS k, CAST(substr(o_orderpriority," +
+        " 1, 1) AS INTEGER) AS p FROM orders"
+      s"""WITH o AS ($src),
+            ${sqlHllRegs("a", s"SELECT ($h) AS h FROM o WHERE p <= 3")},
+            ${sqlHllRegs("b",
+              s"SELECT ($h) AS h FROM o WHERE p >= 2 AND p <= 4")},
+            g_u AS (SELECT reg, max(rho_max) AS rho_max
+                    FROM (SELECT * FROM g_a UNION ALL SELECT * FROM g_b)
+                    GROUP BY reg),
+            ${sqlHllEst("a")},
+            ${sqlHllEst("b")},
+            ${sqlHllEst("u")},
+            act AS (SELECT
+                CAST(count(DISTINCT CASE WHEN p <= 3 THEN k END)
+                  AS BIGINT) AS actual_a,
+                CAST(count(DISTINCT CASE WHEN p >= 2 AND p <= 4 THEN k
+                           END) AS BIGINT) AS actual_b,
+                CAST(count(DISTINCT CASE WHEN p = 2 OR p = 3 THEN k END)
+                  AS BIGINT) AS actual_i
+              FROM o)
+            SELECT est_a, est_b, est_u AS est_union,
+                   round(est_a + est_b - est_u, 6) AS est_intersect,
+                   actual_a, actual_b, actual_i,
+                   round((round(est_a + est_b - est_u, 6)
+                     - CAST(actual_i AS DOUBLE))
+                     / CAST(actual_i AS DOUBLE), 6) AS rel_error_intersect
+            FROM e_a, e_b, e_u, act"""
+    })
+
   val all: Seq[Q] = Seq(qSketchHeavyHitters, qSketchCmsPortable,
-    qSketchBloomPortable, qSketchHllPortable)
+    qSketchBloomPortable, qSketchHllPortable, qSketchHllIntersect)
 }

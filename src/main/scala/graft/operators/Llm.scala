@@ -4437,6 +4437,323 @@ object Llm {
                    CAST(score AS DOUBLE) AS score
             FROM rk WHERE rn = 1 ORDER BY doc_id"""))
 
+
+  /** Macro/micro precision-recall-F1 from the lang-id confusion — the
+    * per-class scorecard q_eval_lang_confusion's raw cells feed (cells
+    * without the P/R/F reduction leave the classifier ungraded): per
+    * TRUE class, tp / fp (via the prediction-column total) / fn, with
+    * precision NULL when the class is never predicted (the honest
+    * 0/0), F1 NULL when degenerate; macro-F1 Dec12-averages the
+    * defined per-class F1s (§7.2 — a bare double sum over the class
+    * table is order-dependent), micro-F1 over a single-label
+    * classifier equals accuracy Σtp/N (stated, not hidden).
+    * Abstentions surface as pred 'none' — they cost recall but are
+    * excluded as a scored class. Scale: the cells grid is
+    * |langs|²-bounded after one aggregate.
+    */
+  val qEvalF1 = Q(
+    "q_eval_f1",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pred = langIdPredictions(s, dir).select("doc_id", "pred_lang")
+      val cells = docs.select("doc_id", "lang")
+        .join(pred, Seq("doc_id"), "left")
+        .select(col("lang").as("true_lang"),
+          coalesce(col("pred_lang"), lit("none")).as("pred_lang"))
+      val perTrue = cells.groupBy("true_lang")
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("true_lang") === col("pred_lang"), 1L)
+            .otherwise(0L)).as("tp"))
+      val perPred = cells.groupBy(col("pred_lang").as("true_lang"))
+        .agg(count(lit(1)).as("n_pred"))
+      val base = perTrue.join(perPred, Seq("true_lang"), "left")
+        .select(col("true_lang").as("lang"), col("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("tp"))
+        .withColumn("precision", expr(
+          "CASE WHEN n_pred = 0 THEN NULL" +
+            " ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END"))
+        .withColumn("recall", expr(
+          "CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)"))
+        .withColumn("f1", expr(
+          "CASE WHEN precision IS NULL" +
+            " OR precision + recall = CAST(0 AS DOUBLE) THEN NULL" +
+            " ELSE CAST(2 AS DOUBLE) * precision * recall" +
+            " / (precision + recall) END"))
+      val summ = base.agg(
+        sum(expr("CAST(f1 AS DECIMAL(38,12))")).as("f1s"),
+        sum(expr("CASE WHEN f1 IS NULL THEN 0 ELSE 1 END")).as("kc"),
+        sum(col("tp")).as("tps"), sum(col("n_true")).as("nts"))
+        .select(expr("CASE WHEN kc = 0 THEN NULL" +
+          " ELSE CAST(f1s AS DOUBLE) / CAST(kc AS DOUBLE) END")
+          .as("macro_f1"),
+          expr("CAST(tps AS DOUBLE) / CAST(nts AS DOUBLE)")
+            .as("micro_f1"))
+      base.crossJoin(broadcast(summ))
+        .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+          col("precision"), col("recall"), col("f1"),
+          col("macro_f1"), col("micro_f1"))
+        .orderBy("lang")
+    },
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, tok
+                  FROM (SELECT doc_id,
+                          unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  WHERE tok <> ''),
+             lt AS (SELECT lang, tok, count(*) AS n
+                    FROM (SELECT lang,
+                            unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    WHERE tok <> '' GROUP BY lang, tok),
+             prof AS (SELECT lang AS profile_lang, tok
+                      FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                              ORDER BY n DESC, tok) AS rk FROM lt)
+                      WHERE rk <= 5),
+             votes AS (SELECT t.doc_id, p.profile_lang, count(*) AS hits
+                       FROM tok t JOIN prof p USING (tok)
+                       GROUP BY t.doc_id, p.profile_lang),
+             pred AS (SELECT doc_id, profile_lang AS pred_lang
+                      FROM (SELECT *, row_number() OVER (
+                              PARTITION BY doc_id
+                              ORDER BY hits DESC, profile_lang) AS rk
+                            FROM votes)
+                      WHERE rk = 1),
+             cells AS (SELECT d.lang AS true_lang,
+                     coalesce(p.pred_lang, 'none') AS pred_lang
+                   FROM documents d LEFT JOIN pred p USING (doc_id)),
+             pt AS (SELECT true_lang, CAST(count(*) AS BIGINT) AS n_true,
+                      CAST(sum(CASE WHEN true_lang = pred_lang THEN 1
+                               ELSE 0 END) AS BIGINT) AS tp
+                    FROM cells GROUP BY true_lang),
+             pp AS (SELECT pred_lang AS true_lang,
+                      CAST(count(*) AS BIGINT) AS n_pred
+                    FROM cells GROUP BY pred_lang),
+             base AS (SELECT pt.true_lang AS lang, n_true,
+                     coalesce(n_pred, 0) AS n_pred, tp,
+                     CASE WHEN coalesce(n_pred, 0) = 0 THEN NULL
+                       ELSE CAST(tp AS DOUBLE)
+                         / CAST(n_pred AS DOUBLE) END AS precision,
+                     CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)
+                       AS recall
+                   FROM pt LEFT JOIN pp ON pt.true_lang = pp.true_lang),
+             b2 AS (SELECT *,
+                     CASE WHEN precision IS NULL
+                       OR precision + recall = CAST(0 AS DOUBLE)
+                       THEN NULL
+                       ELSE CAST(2 AS DOUBLE) * precision * recall
+                         / (precision + recall) END AS f1
+                   FROM base),
+             summ AS (SELECT
+                     CASE WHEN sum(CASE WHEN f1 IS NULL THEN 0 ELSE 1
+                                   END) = 0 THEN NULL
+                       ELSE CAST(sum(CAST(f1 AS DECIMAL(38,12)))
+                              AS DOUBLE)
+                         / CAST(sum(CASE WHEN f1 IS NULL THEN 0 ELSE 1
+                                    END) AS DOUBLE) END AS macro_f1,
+                     CAST(sum(tp) AS DOUBLE)
+                       / CAST(sum(n_true) AS DOUBLE) AS micro_f1
+                   FROM b2)
+            SELECT lang, n_true, n_pred, tp, precision, recall, f1,
+                   macro_f1, micro_f1
+            FROM b2, summ ORDER BY lang"""))
+
+  /** Jensen–Shannon divergence per corpus source vs the REST of the
+    * corpus — the symmetric, bounded drift measure LLM data work uses
+    * where q_dq_drift_psi uses the banker's PSI (JSD is defined even
+    * on disjoint supports and caps at ln 2): the full sources × vocab
+    * grid (p = in-source unigram dist, q = rest-of-corpus dist,
+    * m = their midpoint), cell terms ½p·ln(p/m) + ½q·ln(q/m) with
+    * zero-mass sides contributing zero, Dec12-quantized before the
+    * order-free per-source sum (§7.2 libm doctrine), normalized form
+    * jsd/ln 2 round-6. Scale: vocab-keyed joins — the grid is
+    * |sources|·|vocab|, vocabulary-bounded, never corpus-bounded.
+    */
+  val qTextJsd = Q(
+    "q_text_jsd",
+    (s, dir) => {
+      val t = tokens(Tables.documents(s, dir), "source")
+      val srcTok = t.groupBy("source", "tok")
+        .agg(count(lit(1)).as("c_s"))
+      val vocabTot = t.groupBy("tok").agg(count(lit(1)).as("c_t"))
+      val srcTot = t.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val tot = t.agg(count(lit(1)).as("n"))
+      val grid = vocabTot
+        .crossJoin(broadcast(srcTot.select(col("source"), col("n_s"))))
+        .join(srcTok, Seq("source", "tok"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"), col("n"),
+          coalesce(col("c_s"), lit(0L)).as("c_s"), col("c_t"))
+        .withColumn("p", expr(
+          "CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE)"))
+        .withColumn("q", expr(
+          "CAST(c_t - c_s AS DOUBLE) / CAST(n - n_s AS DOUBLE)"))
+        .withColumn("m", expr(
+          "(p + q) / CAST(2 AS DOUBLE)"))
+        .withColumn("term", expr(
+          "CAST((CASE WHEN p > CAST(0 AS DOUBLE)" +
+            " THEN CAST(0.5 AS DOUBLE) * p * ln(p / m)" +
+            " ELSE CAST(0 AS DOUBLE) END)" +
+            " + (CASE WHEN q > CAST(0 AS DOUBLE)" +
+            " THEN CAST(0.5 AS DOUBLE) * q * ln(q / m)" +
+            " ELSE CAST(0 AS DOUBLE) END) AS DECIMAL(38,12))"))
+      grid.groupBy("source")
+        .agg(first(col("n_s")).as("n_tokens"),
+          sum(col("term")).cast(DoubleType).as("jsd_nats"))
+        .select(col("source"), col("n_tokens"), col("jsd_nats"),
+          expr("round(jsd_nats" +
+            " / CAST(0.6931471805599453 AS DOUBLE), 6)").as("jsd_norm"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (SELECT source, tok
+                  FROM (SELECT source,
+                          unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  WHERE tok <> ''),
+             st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_s
+                    FROM t GROUP BY source, tok),
+             vt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_t
+                    FROM t GROUP BY tok),
+             ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                    FROM t GROUP BY source),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+             grid AS (SELECT ns.source, ns.n_s, tot.n,
+                     coalesce(st.c_s, 0) AS c_s, vt.c_t
+                   FROM vt CROSS JOIN ns
+                   LEFT JOIN st ON st.source = ns.source
+                     AND st.tok = vt.tok
+                   CROSS JOIN tot),
+             cells AS (SELECT source, n_s,
+                     CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+                     CAST(c_t - c_s AS DOUBLE)
+                       / CAST(n - n_s AS DOUBLE) AS q
+                   FROM grid),
+             terms AS (SELECT source, n_s,
+                     CAST((CASE WHEN p > CAST(0 AS DOUBLE)
+                        THEN CAST(0.5 AS DOUBLE) * p
+                          * ln(p / ((p + q) / CAST(2 AS DOUBLE)))
+                        ELSE CAST(0 AS DOUBLE) END)
+                      + (CASE WHEN q > CAST(0 AS DOUBLE)
+                        THEN CAST(0.5 AS DOUBLE) * q
+                          * ln(q / ((p + q) / CAST(2 AS DOUBLE)))
+                        ELSE CAST(0 AS DOUBLE) END) AS DECIMAL(38,12))
+                       AS term
+                   FROM cells)
+            SELECT source, CAST(first(n_s) AS BIGINT) AS n_tokens,
+                   CAST(sum(term) AS DOUBLE) AS jsd_nats,
+                   round(CAST(sum(term) AS DOUBLE)
+                     / CAST(0.6931471805599453 AS DOUBLE), 6) AS jsd_norm
+            FROM terms GROUP BY source ORDER BY source"""))
+
+  /** Heaps' law fit — the vocabulary-growth curve V(n) ≈ K·n^β that
+    * sizes tokenizer vocabularies and dedup hash tables before a
+    * crawl is ingested. The unit is the 3-gram SHINGLE, not the raw
+    * token: the synthetic corpus draws words from a CLOSED ~31-word
+    * vocabulary (token-level V saturates in the first checkpoint and
+    * the fit collapses to β = 0 — measured, not assumed), while the
+    * shingle space genuinely grows with the corpus, which is also the
+    * unit the dedup family's hash tables are sized in. 32 checkpoints
+    * along the doc_id axis, V_i = shingles whose FIRST occurrence
+    * (min doc_id — a vocab-keyed aggregate) lands at or before the
+    * checkpoint, n_i = cumulative shingle count; the log-log OLS over
+    * the ≤32 points rides Dec12-quantized ln moments (§7.2),
+    * K = exp(intercept) and β round-6 (libm finals). Scale:
+    * first-occurrence is one vocab-keyed aggregate, checkpoint
+    * censuses are a broadcast-32 conditional fan-out of BOUNDED
+    * per-doc/per-shingle stats — no corpus-axis window anywhere (the
+    * prefix-sum trap).
+    */
+  val qTextHeapsLaw = Q(
+    "q_text_heaps_law",
+    (s, dir) => {
+      val t = shinglesWithPos(Tables.documents(s, dir))
+        .select(col("doc_id"), col("shingle"))
+      val fd = t.groupBy("shingle").agg(min(col("doc_id")).as("fd"))
+      val dl = t.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val mx = Tables.documents(s, dir).agg(max(col("doc_id")).as("mx"))
+      val chk = s.range(32).select(col("id").cast("int").as("i"))
+        .crossJoin(broadcast(mx))
+        .select(col("i"),
+          expr("CAST(i + 1 AS BIGINT) * mx DIV 32").as("chk"))
+      val v = fd.crossJoin(broadcast(chk))
+        .where(col("fd") <= col("chk"))
+        .groupBy("i", "chk").agg(count(lit(1)).as("v_cum"))
+      val n = dl.crossJoin(broadcast(chk))
+        .where(col("doc_id") <= col("chk"))
+        .groupBy("i").agg(sum(col("len")).as("n_cum"))
+      val pts = v.join(n, "i")
+        .where(col("n_cum") > 0 && col("v_cum") > 0)
+        .withColumn("x", expr("ln(CAST(n_cum AS DOUBLE))"))
+        .withColumn("y", expr("ln(CAST(v_cum AS DOUBLE))"))
+      val fit = pts.agg(count(lit(1)).as("k"),
+          sum(expr("CAST(x AS DECIMAL(38,12))")).as("sx"),
+          sum(expr("CAST(y AS DECIMAL(38,12))")).as("sy"),
+          sum(expr("CAST(x * y AS DECIMAL(38,12))")).as("sxy"),
+          sum(expr("CAST(x * x AS DECIMAL(38,12))")).as("sxx"))
+        .select(col("k"),
+          expr("(CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+            " / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))").as("beta_raw"))
+          .crossJoin(broadcast(pts.agg(
+            sum(expr("CAST(y AS DECIMAL(38,12))")).as("sy2"),
+            sum(expr("CAST(x AS DECIMAL(38,12))")).as("sx2"),
+            count(lit(1)).as("k2"))))
+        .select(
+          expr("round(beta_raw, 6)").as("beta"),
+          expr("round(exp((CAST(sy2 AS DOUBLE) - beta_raw" +
+            " * CAST(sx2 AS DOUBLE)) / CAST(k2 AS DOUBLE)), 6)")
+            .as("k_coef"))
+      pts.select(col("i"), col("chk"), col("n_cum"), col("v_cum"))
+        .crossJoin(broadcast(fit))
+        .orderBy("i")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+                    unnest([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks)-1, 1))])
+                      AS shingle
+                  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents
+                        WHERE len(string_split(text, ' ')) >= 3)),
+             fd AS (SELECT shingle, min(doc_id) AS fd
+                    FROM t GROUP BY shingle),
+             dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+                    FROM t GROUP BY doc_id),
+             mx AS (SELECT max(doc_id) AS mx FROM documents),
+             chk AS (SELECT CAST(i AS INTEGER) AS i,
+                       (CAST(i + 1 AS BIGINT) * mx) // 32 AS chk
+                     FROM range(32) r(i), mx),
+             v AS (SELECT i, chk, CAST(count(*) AS BIGINT) AS v_cum
+                   FROM fd, chk WHERE fd <= chk GROUP BY i, chk),
+             n AS (SELECT i, CAST(sum(len) AS BIGINT) AS n_cum
+                   FROM dl, chk WHERE doc_id <= chk GROUP BY i),
+             pts AS (SELECT v.i, chk, n_cum, v_cum,
+                       ln(CAST(n_cum AS DOUBLE)) AS x,
+                       ln(CAST(v_cum AS DOUBLE)) AS y
+                     FROM v JOIN n ON v.i = n.i
+                     WHERE n_cum > 0 AND v_cum > 0),
+             fit AS (SELECT
+                     (CAST(count(*) AS DOUBLE)
+                        * CAST(sum(CAST(x * y AS DECIMAL(38,12)))
+                          AS DOUBLE)
+                      - CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                        * CAST(sum(CAST(y AS DECIMAL(38,12)))
+                          AS DOUBLE))
+                     / (CAST(count(*) AS DOUBLE)
+                        * CAST(sum(CAST(x * x AS DECIMAL(38,12)))
+                          AS DOUBLE)
+                      - CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                        * CAST(sum(CAST(x AS DECIMAL(38,12)))
+                          AS DOUBLE)) AS beta_raw,
+                     CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                       AS syd,
+                     CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                       AS sxd,
+                     CAST(count(*) AS DOUBLE) AS kd
+                   FROM pts)
+            SELECT i, chk, n_cum, v_cum,
+                   round(beta_raw, 6) AS beta,
+                   round(exp((syd - beta_raw * sxd) / kd), 6) AS k_coef
+            FROM pts, fit ORDER BY i"""))
+
   val all: Seq[Q] = Seq(
     qMlNaiveBayes,
     qBpePairCounts, qBpeEncode, qBpeTrain, qUrlCanonical, qArrayStats,
@@ -4463,5 +4780,6 @@ object Llm {
     qTextStripMarkup, qTextUrlDomains, qCorpusSplit, qTextPerplexity,
     qTextRepetition, qContamination, qTextEntropy, qTextReadability,
     qTextKeyphrases, qTextBoilerplate, qTextZipfFit,
-    qEvalLangConfusion, qEvalRetrieval, qEmbedDbscanGrid)
+    qEvalLangConfusion, qEvalRetrieval, qEmbedDbscanGrid,
+    qEvalF1, qTextJsd, qTextHeapsLaw)
 }

@@ -137,7 +137,12 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q_embed_label_outliers" -> "flat 10: per-label centroid table",
     "q_embed_quantize" -> "flat 64: the 8x8 codebook grid",
     "q_embed_semdedup" -> "flat 10x5: k=10 centroid tables",
+    "q_eval_f1" ->
+      ("flat 25 + 1: the 5x5 language profile (langIdPredictions) and " +
+        "the scalar macro/micro summary row"),
     "q_eval_lang_confusion" -> "flat 5/25/25: langxlang bounded grid",
+    "q_text_jsd" ->
+      "flat 20: per-source token totals (bounded source domain)",
     "q_eval_retrieval" -> "flat 1/1/3: query-set-bounded judgments",
     "q_feature_select_mi" -> "flat <=40: flagxbucket bounded grids",
     "q_feature_target_encode" -> "flat 1/25: global prior + nation means",

@@ -108,6 +108,63 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("hll intersect: union est bracketed, inclusion-exclusion sane") {
+    val r = SparkEntry.queries("q_sketch_hll_intersect")(spark, sfDir)
+      .head()
+    val (ea, eb, eu, ei) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    // union of overlapping sets: max(|A|,|B|) <= |A∪B| <= |A|+|B| must
+    // hold for the ESTIMATES too up to sketch error
+    assert(eu >= math.max(ea, eb) * 0.8 && eu <= (ea + eb) * 1.2)
+    assert(ei == BigDecimal(ea + eb - eu)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val ai = r.getLong(6)
+    assert(math.abs(ei - ai) / ai <= 0.35,
+      s"3-sketch inclusion-exclusion outside envelope: $ei vs $ai")
+  }
+
+  test("f1: per-class identities and micro = accuracy") {
+    val rows = SparkEntry.queries("q_eval_f1")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var tpSum = 0L
+    var nSum = 0L
+    rows.foreach { r =>
+      val (nTrue, nPred, tp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tp <= nTrue && tp <= nPred)
+      tpSum += tp; nSum += nTrue
+      if (!r.isNullAt(6)) {
+        val (p, rc, f1) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+        assert(f1 == 2.0 * p * rc / (p + rc))
+        assert(f1 <= math.max(p, rc) && f1 >= math.min(p, rc) * 0.999)
+      }
+    }
+    assert(rows.head.getDouble(8) == tpSum.toDouble / nSum,
+      "micro-F1 of a single-label classifier IS accuracy")
+  }
+
+  test("jsd: bounded by [0, ln2] normalized to [0,1]") {
+    val rows = SparkEntry.queries("q_text_jsd")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 0.6931471805599453)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("heaps: cumulative axes monotone, beta in the textbook band") {
+    val rows = SparkEntry.queries("q_text_heaps_law")(spark, sfDir)
+      .collect()
+    assert(rows.length > 16)
+    val ns = rows.map(_.getLong(2))
+    val vs = rows.map(_.getLong(3))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b })
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+    val beta = rows.head.getDouble(4)
+    // shingle vocab genuinely grows: sublinear but far from saturated
+    assert(beta > 0.3 && beta < 1.0, s"beta out of band: $beta")
+    assert(rows.head.getDouble(5) > 0.0, "K positive")
+  }
+
   test("mcnemar: chi2 replays from the census with the clamp") {
     val r = SparkEntry.queries("q_eval_mcnemar")(spark, sfDir).head()
     val (b, c) = (r.getLong(2), r.getLong(3))
