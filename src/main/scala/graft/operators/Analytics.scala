@@ -6352,6 +6352,186 @@ object Analytics {
                    rate + 1.96 * se AS ci_hi
             FROM d ORDER BY pri"""))
 
+  /** Grouped Q–Q comparison — the distribution-SHAPE diff the mean/
+    * variance tests can't see (two groups can share both moments and
+    * still differ everywhere else): deciles 0.1–0.9 of returned vs
+    * non-returned prices side by side, with per-decile gap and ratio.
+    * One percentile-array aggregate per group (engine-identical
+    * round-6 spelling — the trimmed-mean fence doctrine), the decile
+    * axis exploded from a bounded 9-row range. Scale: two scalar
+    * aggregates, bounded arithmetic after.
+    */
+  val qAggQq = Q(
+    "q_agg_qq",
+    (s, dir) => {
+      val pcts = "array(CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE)," +
+        " CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE)," +
+        " CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE)," +
+        " CAST(0.9 AS DOUBLE))"
+      val li = Tables.lineitem(s, dir)
+      val r = li.where(col("l_returnflag") === "R")
+        .agg(expr(s"percentile(l_extendedprice, $pcts)").as("pr"))
+      val n = li.where(col("l_returnflag") === "N")
+        .agg(expr(s"percentile(l_extendedprice, $pcts)").as("pn"))
+      s.range(9).select((col("id") + 1).cast("int").as("qi"))
+        .crossJoin(broadcast(r)).crossJoin(broadcast(n))
+        .select(col("qi"),
+          expr("CAST(qi AS DOUBLE) / CAST(10 AS DOUBLE)").as("q"),
+          expr("round(element_at(pr, qi), 6)").as("q_returned"),
+          expr("round(element_at(pn, qi), 6)").as("q_kept"))
+        .select(col("qi"), col("q"), col("q_returned"), col("q_kept"),
+          expr("q_returned - q_kept").as("gap"),
+          expr("CASE WHEN q_kept = CAST(0 AS DOUBLE) THEN NULL" +
+            " ELSE round(q_returned / q_kept, 6) END").as("ratio"))
+        .orderBy("qi")
+    },
+    Some("""WITH r AS (SELECT quantile_cont(l_extendedprice,
+                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                      AS pr
+                  FROM lineitem WHERE l_returnflag = 'R'),
+             n AS (SELECT quantile_cont(l_extendedprice,
+                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                      AS pn
+                  FROM lineitem WHERE l_returnflag = 'N'),
+             ax AS (SELECT CAST(i AS INTEGER) AS qi
+                    FROM range(1, 10) t(i)),
+             d AS (SELECT qi,
+                     CAST(qi AS DOUBLE) / CAST(10 AS DOUBLE) AS q,
+                     round(pr[qi], 6) AS q_returned,
+                     round(pn[qi], 6) AS q_kept
+                   FROM ax, r, n)
+            SELECT qi, q, q_returned, q_kept,
+                   q_returned - q_kept AS gap,
+                   CASE WHEN q_kept = CAST(0 AS DOUBLE) THEN NULL
+                     ELSE round(q_returned / q_kept, 6) END AS ratio
+            FROM d ORDER BY qi"""))
+
+  /** Log-log price elasticity per part brand — the demand-curve slope
+    * marketing/pricing teams regress (elasticity = d ln q / d ln p;
+    * < −1 elastic, > −1 inelastic): OLS slope of ln(quantity) on
+    * ln(price) at line granularity, per-row libm ln quantized to
+    * Dec12 BEFORE the order-free moment sums (§7.2 — the entropy/
+    * burstiness precedent: identical doubles through the same libm,
+    * quantized, then exact decimal aggregation), slope/intercept as
+    * shared-text finals round-6, NULL on a degenerate (constant-price)
+    * brand. The part join rides the dim-side broadcast Catalyst picks.
+    * Scale: ONE fact scan, moments map-combine per brand.
+    */
+  val qPriceElasticity = Q(
+    "q_price_elasticity",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          expr("CAST(ln(CAST(l_quantity AS DOUBLE)) AS DECIMAL(38,12))")
+            .as("y"),
+          expr("CAST(ln(l_extendedprice) AS DECIMAL(38,12))").as("x"))
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)" +
+            " AS DECIMAL(38,12))")).as("sxy"),
+          sum(expr("CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)" +
+            " AS DECIMAL(38,12))")).as("sxx"))
+        .select(col("brand"), col("n"),
+          expr("""CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                   = CAST(0 AS DOUBLE) THEN NULL ELSE
+                 round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 END""").as("elasticity"))
+        .select(col("brand"), col("n"), col("elasticity"))
+        .orderBy("brand")
+    },
+    Some("""WITH b AS (SELECT p_brand AS brand,
+                    CAST(ln(CAST(l_quantity AS DOUBLE))
+                      AS DECIMAL(38,12)) AS y,
+                    CAST(ln(l_extendedprice) AS DECIMAL(38,12)) AS x
+                  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             m AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                         AS DECIMAL(38,12))) AS sxy,
+                     sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                         AS DECIMAL(38,12))) AS sxx
+                   FROM b GROUP BY brand)
+            SELECT brand, n,
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                     = CAST(0 AS DOUBLE) THEN NULL ELSE
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   END AS elasticity
+            FROM m ORDER BY brand"""))
+
+  /** Cohort LTV curve — cumulative revenue per customer by cohort age,
+    * the retention economics readout next to q_cohort_retention's
+    * headcount view (retention says WHO came back; LTV says what that
+    * is WORTH): cohort = a customer's first-order month, age = months
+    * since, exact cents summed per (cohort, age), cumulated over the
+    * CALENDAR-BOUNDED age axis (a per-cohort window over ≤ months
+    * rows — the broadcast-safe window class), divided by the cohort's
+    * customer census. Scale: one custkey-keyed first-order aggregate,
+    * one fact join on custkey, month-grid arithmetic after.
+    */
+  val qCohortLtv = Q(
+    "q_cohort_ltv",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").as("ck"),
+          date_trunc("month", col("o_orderdate")).as("m"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val firstM = o.groupBy("ck").agg(min(col("m")).as("cohort"))
+      val sizes = firstM.groupBy("cohort")
+        .agg(count(lit(1)).as("n_customers"))
+      val aged = o.join(firstM, "ck")
+        .select(col("cohort"),
+          months_between(col("m"), col("cohort")).cast("int").as("age"),
+          col("cents"))
+        .groupBy("cohort", "age")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev"))
+      val w = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      aged
+        .withColumn("cum_rev", sum(col("rev")).over(w))
+        .join(sizes, "cohort")
+        .select(col("cohort"), col("age"), col("n_orders"), col("rev"),
+          col("cum_rev"), col("n_customers"),
+          expr("CAST(cum_rev AS DOUBLE) / CAST(n_customers AS DOUBLE)")
+            .as("ltv_cents"))
+        .orderBy("cohort", "age")
+    },
+    Some("""WITH o AS (SELECT o_custkey AS ck,
+                    date_trunc('month', o_orderdate) AS m,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders),
+             fm AS (SELECT ck, min(m) AS cohort FROM o GROUP BY ck),
+             sz AS (SELECT cohort,
+                      CAST(count(*) AS BIGINT) AS n_customers
+                    FROM fm GROUP BY cohort),
+             aged AS (SELECT cohort,
+                     CAST(datediff('month', cohort, m) AS INTEGER)
+                       AS age,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(cents) AS BIGINT) AS rev
+                   FROM o JOIN fm USING (ck)
+                   GROUP BY 1, 2),
+             cum AS (SELECT *,
+                     CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev
+                   FROM aged)
+            SELECT cohort, age, n_orders, rev, cum_rev, n_customers,
+                   CAST(cum_rev AS DOUBLE) / CAST(n_customers AS DOUBLE)
+                     AS ltv_cents
+            FROM cum JOIN sz USING (cohort)
+            ORDER BY cohort, age"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -6374,5 +6554,6 @@ object Analytics {
     qEvalMcnemar, qSampleBalanced, qDqFkInference,
     qAggCronbach, qSeqEntropyRate, qAggDispersion,
     qAggOddsRatio, qTextLexicalDiversity, qAggTrimmedMean,
-    qEvalBrier, qEvalKappa, qAggJarqueBera, qAggGrubbs, qAggRateCi)
+    qEvalBrier, qEvalKappa, qAggJarqueBera, qAggGrubbs, qAggRateCi,
+    qAggQq, qPriceElasticity, qCohortLtv)
 }

@@ -4754,6 +4754,69 @@ object Llm {
                    round(exp((syd - beta_raw * sxd) / kd), 6) AS k_coef
             FROM pts, fit ORDER BY i"""))
 
+  /** ColBERT-style MaxSim late interaction — multi-vector retrieval
+    * scoring (a query is a SET of vectors; a doc is a SET of vectors;
+    * score = Σ over query vectors of the best-matching doc vector):
+    * probe set = vec_ids 0–7, "documents" = 16-vector groups of the
+    * embeddings table, cosine through the codegen FloatVecDot with the
+    * round-6 last-ulp fence, per-(doc, probe) max then a Dec12-exact
+    * sum of the 8 round-6 maxima (order-free), top-10 docs. The
+    * per-probe max is what distinguishes late interaction from
+    * single-vector cosine: a doc scores on its best LOCAL match per
+    * query facet, not a pooled average. Scale: probes broadcast
+    * (8 rows); the scan is ONE pass over vectors with map-combining
+    * (g, probe) maxima — no doc-side materialized vector sets.
+    */
+  val qSimMaxsim = Q(
+    "q_sim_maxsim",
+    (s, dir) => {
+      graft.plans.VectorFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("ns", expr("vec_dot(embedding, embedding)"))
+      val probes = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").as("pvec"), col("ns").as("pns"))
+      val docs = emb.where(col("vec_id") >= 16)
+        .select(expr("vec_id DIV 16").as("g"), col("vec_id"),
+          col("embedding"), col("ns"))
+      val best = docs.crossJoin(broadcast(probes))
+        .withColumn("score", round(
+          expr("vec_dot(pvec, embedding)") /
+            (sqrt(col("pns")) * sqrt(col("ns"))), 6))
+        .groupBy("g", "probe_id")
+        .agg(max(col("score")).as("best"))
+      val sizes = docs.groupBy("g").agg(count(lit(1)).as("n_vecs"))
+      best.groupBy("g")
+        .agg(sum(expr("CAST(best AS DECIMAL(38,12))"))
+          .cast(org.apache.spark.sql.types.DoubleType).as("maxsim"))
+        // no broadcast hint: sizes is one row per 16-vector group —
+        // corpus/16 rows, which GROWS with the corpus (caught by the
+        // r15 forced-broadcast lint); the equi-join on g lets AQE pick
+        .join(sizes, "g")
+        .orderBy(col("maxsim").desc, col("g"))
+        .limit(10)
+        .select(col("g").as("doc_group"), col("n_vecs"), col("maxsim"))
+    },
+    Some("""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec
+                  FROM embeddings WHERE vec_id < 8),
+             docs AS (SELECT vec_id // 16 AS g, vec_id, embedding
+                      FROM embeddings WHERE vec_id >= 16),
+             best AS (SELECT g, probe_id,
+                     max(round(list_cosine_similarity(
+                       CAST(pvec AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])), 6)) AS best
+                   FROM docs CROSS JOIN probes
+                   GROUP BY g, probe_id),
+             sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n_vecs
+                    FROM docs GROUP BY g),
+             sc AS (SELECT g,
+                     CAST(sum(CAST(best AS DECIMAL(38,12))) AS DOUBLE)
+                       AS maxsim
+                   FROM best GROUP BY g)
+            SELECT sc.g AS doc_group, n_vecs, maxsim
+            FROM sc JOIN sz ON sc.g = sz.g
+            ORDER BY maxsim DESC, sc.g LIMIT 10"""))
+
   val all: Seq[Q] = Seq(
     qMlNaiveBayes,
     qBpePairCounts, qBpeEncode, qBpeTrain, qUrlCanonical, qArrayStats,
@@ -4781,5 +4844,5 @@ object Llm {
     qTextRepetition, qContamination, qTextEntropy, qTextReadability,
     qTextKeyphrases, qTextBoilerplate, qTextZipfFit,
     qEvalLangConfusion, qEvalRetrieval, qEmbedDbscanGrid,
-    qEvalF1, qTextJsd, qTextHeapsLaw)
+    qEvalF1, qTextJsd, qTextHeapsLaw, qSimMaxsim)
 }

@@ -3034,7 +3034,147 @@ object Windows {
                    sqrt(CAST(sdd2 AS DOUBLE) / 14.0) AS ulcer
             FROM fr WHERE n14 = 14 ORDER BY flag, d"""))
 
-  val all: Seq[Q] = Seq(
+  /** Budget WATERFALL allocation — ordered consumption of a fixed pot
+    * (grant rounds, ad budgets, debt seniority): each priority class
+    * funds its orders biggest-first from a budget of half its own
+    * revenue; an order gets min(its ask, what's left). The exclusive
+    * prefix that decides "what's left" rides Prefix.groupedRunningSum
+    * (bucket-band decomposition — per-class order flow NEVER sorts
+    * through one task; the oracle's plain partitioned window is
+    * result-identical because the cents-monotone bucket order embeds
+    * in the (cents desc, key) total order). All-integer cents; the
+    * funded/partial/starved census is exact. Scale: one grouped
+    * aggregate for budgets + the decomposed prefix — no global sort,
+    * no corpus-wide window partition.
+    */
+  val qAllocWaterfall = Q(
+    "q_alloc_waterfall",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pri"),
+          col("o_orderkey").as("ok"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val budgets = o.groupBy("pri")
+        .agg(expr("sum(cents) DIV 2").as("budget"))
+      val bucketed = graft.operators.Prefix.withGroupRangeBucket(
+        o, Seq("pri"), col("cents"), 64, "bk")
+      val cum = graft.operators.Prefix.groupedRunningSum(
+        bucketed, Seq("pri"), "bk",
+        Seq(col("cents").desc, col("ok").asc), bucketDesc = true,
+        col("cents"), "cum")
+      cum.join(broadcast(budgets), "pri")
+        .withColumn("alloc", expr(
+          "greatest(CAST(0 AS BIGINT)," +
+            " least(cents, budget - (cum - cents)))"))
+        .groupBy("pri")
+        .agg(first(col("budget")).as("budget_cents"),
+          count(lit(1)).as("n_orders"),
+          sum(when(col("alloc") === col("cents"), 1L).otherwise(0L))
+            .as("n_full"),
+          sum(when(col("alloc") > 0 && col("alloc") < col("cents"), 1L)
+            .otherwise(0L)).as("n_partial"),
+          sum(when(col("alloc") <= 0, 1L).otherwise(0L)).as("n_starved"),
+          sum(greatest(col("alloc"), lit(0L))).as("alloc_cents"))
+        .orderBy("pri")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS pri,
+                    o_orderkey AS ok,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders),
+             b AS (SELECT pri, CAST(sum(cents) // 2 AS BIGINT) AS budget
+                   FROM o GROUP BY pri),
+             c AS (SELECT pri, ok, cents,
+                     CAST(sum(cents) OVER (PARTITION BY pri
+                       ORDER BY cents DESC, ok
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                   FROM o),
+             a AS (SELECT c.pri, cents, budget,
+                     greatest(CAST(0 AS BIGINT),
+                       least(cents, budget - (cum - cents))) AS alloc
+                   FROM c JOIN b ON c.pri = b.pri)
+            SELECT pri, CAST(first(budget) AS BIGINT) AS budget_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN alloc = cents THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_full,
+                   CAST(sum(CASE WHEN alloc > 0 AND alloc < cents
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+                   CAST(sum(CASE WHEN alloc <= 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_starved,
+                   CAST(sum(greatest(alloc, CAST(0 AS BIGINT)))
+                     AS BIGINT) AS alloc_cents
+            FROM a GROUP BY pri ORDER BY pri"""))
+
+  /** FIFO lot matching (inventory COGS / order fulfillment): per part,
+    * supply lots (even-suppkey lines) are consumed in ship-date order
+    * against the part's total demand (odd-suppkey lines) — each lot
+    * yields clamp(demand − cum_before, 0, qty), the two-prefix-sums
+    * form of first-in-first-out. Per-part windows are catalog-bounded
+    * (≤ ~30 lots/part at any SF — lots per SKU are a catalog property,
+    * not a corpus one). The Σ consumed ≡ min(supply, demand) identity
+    * is pinned in R15Spec — the conservation law that catches a wrong
+    * clamp instantly. Census per brand keeps the output bounded.
+    */
+  val qInventoryFifo = Q(
+    "q_inventory_fifo",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val lots = li.where(pmod(col("l_suppkey"), lit(2)) === 0)
+        .select(col("l_partkey").as("pk"), col("l_shipdate").as("sd"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_quantity").cast("long").as("qty"))
+      val demand = li.where(pmod(col("l_suppkey"), lit(2)) === 1)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("dem"))
+      val w = Window.partitionBy("pk")
+        .orderBy(col("sd"), col("ok"), col("ln"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val matched = lots
+        .withColumn("cum_before", coalesce(sum(col("qty")).over(w),
+          lit(0L)))
+        .join(demand, Seq("pk"), "left")
+        .withColumn("d", coalesce(col("dem"), lit(0L)))
+        .withColumn("consumed", expr(
+          "greatest(CAST(0 AS BIGINT)," +
+            " least(qty, d - cum_before))"))
+      matched
+        .join(Tables.part(s, dir).select(col("p_partkey").as("pk"),
+          col("p_brand").as("brand")), "pk")
+        .groupBy("brand")
+        .agg(countDistinct(col("pk")).as("n_parts"),
+          count(lit(1)).as("n_lots"),
+          sum(col("qty")).as("supply_qty"),
+          sum(col("consumed")).as("consumed_qty"))
+        .orderBy("brand")
+    },
+    Some("""WITH lots AS (SELECT l_partkey AS pk, l_shipdate AS sd,
+                    l_orderkey AS ok, l_linenumber AS ln,
+                    CAST(l_quantity AS BIGINT) AS qty
+                  FROM lineitem WHERE l_suppkey % 2 = 0),
+             dm AS (SELECT l_partkey AS pk,
+                      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                        AS dem
+                    FROM lineitem WHERE l_suppkey % 2 = 1
+                    GROUP BY 1),
+             m AS (SELECT lots.pk, qty,
+                     coalesce(CAST(sum(qty) OVER (PARTITION BY lots.pk
+                       ORDER BY sd, ok, ln ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND 1 PRECEDING) AS BIGINT),
+                       CAST(0 AS BIGINT)) AS cum_before,
+                     coalesce(dem, CAST(0 AS BIGINT)) AS d
+                   FROM lots LEFT JOIN dm ON lots.pk = dm.pk),
+             c AS (SELECT pk, qty,
+                     greatest(CAST(0 AS BIGINT),
+                       least(qty, d - cum_before)) AS consumed
+                   FROM m)
+            SELECT p_brand AS brand,
+                   CAST(count(DISTINCT c.pk) AS BIGINT) AS n_parts,
+                   CAST(count(*) AS BIGINT) AS n_lots,
+                   CAST(sum(qty) AS BIGINT) AS supply_qty,
+                   CAST(sum(consumed) AS BIGINT) AS consumed_qty
+            FROM c JOIN part ON c.pk = p_partkey
+            GROUP BY 1 ORDER BY brand"""))
+
+  val all: Seq[Q] = Seq(qAllocWaterfall, qInventoryFifo,
     qWinObv, qWinUlcer,
     qWinRsi, qWinStochastic, qWinAtr, qSeqMarkov2,
     qWinDistinctRolling, qTimeCrosscorr, qSeqPattern,

@@ -1151,8 +1151,89 @@ object SourcesSinks {
             FROM o WHERE pri = '1-URGENT'
             ORDER BY version"""))
 
+  /** Haversine nearest-hub assignment — the great-circle routing /
+    * geofencing primitive the planar geo family can't express (at
+    * continental scale a flat-earth distance misranks hubs):
+    * deterministic customer coordinates and 5 region hubs (synthetic —
+    * the corpus carries no lat/lon; the formula path is the product),
+    * half-angle haversine with the asin argument CLAMPED at 1 (the
+    * float guard — sqrt can land an ulp above), round-6 km distances
+    * (the shared-libm last-ulp fence), argmin via a 5-row bounded
+    * per-customer window with hub tie-break, per-hub census with
+    * Dec12-exact mean distance. Scale: hubs broadcast; the fan-out is
+    * customers × 5, one pass.
+    */
+  val qGeoHaversine = Q(
+    "q_geo_haversine",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.customer(s, dir)
+        .select(col("c_custkey").as("ck"),
+          expr("CAST(c_custkey * 37 % 1600 AS DOUBLE)" +
+            " / CAST(10 AS DOUBLE) - CAST(80 AS DOUBLE)").as("lat"),
+          expr("CAST(c_custkey * 73 % 3600 AS DOUBLE)" +
+            " / CAST(10 AS DOUBLE) - CAST(180 AS DOUBLE)").as("lon"))
+      val hubs = Tables.region(s, dir)
+        .select(col("r_regionkey").as("hub"),
+          expr("CAST(r_regionkey * 31 % 140 AS DOUBLE)" +
+            " - CAST(70 AS DOUBLE)").as("lath"),
+          expr("CAST(r_regionkey * 67 % 360 AS DOUBLE)" +
+            " - CAST(180 AS DOUBLE)").as("lonh"))
+      val hav = "sin(radians((lath - lat) / CAST(2 AS DOUBLE)))" +
+        " * sin(radians((lath - lat) / CAST(2 AS DOUBLE)))" +
+        " + cos(radians(lat)) * cos(radians(lath))" +
+        " * sin(radians((lonh - lon) / CAST(2 AS DOUBLE)))" +
+        " * sin(radians((lonh - lon) / CAST(2 AS DOUBLE)))"
+      val d = pts.crossJoin(broadcast(hubs))
+        .withColumn("dist_km", expr(
+          s"round(CAST(2 AS DOUBLE) * CAST(6371 AS DOUBLE)" +
+            s" * asin(least(CAST(1 AS DOUBLE), sqrt($hav))), 6)"))
+      val w = Window.partitionBy("ck")
+        .orderBy(col("dist_km"), col("hub"))
+      d.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .groupBy("hub")
+        .agg(count(lit(1)).as("n_assigned"),
+          graft.Det.davg(col("dist_km")).as("mean_dist_km"),
+          max(col("dist_km")).as("max_dist_km"))
+        .orderBy("hub")
+    },
+    Some("""WITH pts AS (SELECT c_custkey AS ck,
+                    CAST(c_custkey * 37 % 1600 AS DOUBLE)
+                      / CAST(10 AS DOUBLE) - CAST(80 AS DOUBLE) AS lat,
+                    CAST(c_custkey * 73 % 3600 AS DOUBLE)
+                      / CAST(10 AS DOUBLE) - CAST(180 AS DOUBLE) AS lon
+                  FROM customer),
+             hubs AS (SELECT r_regionkey AS hub,
+                    CAST(r_regionkey * 31 % 140 AS DOUBLE)
+                      - CAST(70 AS DOUBLE) AS lath,
+                    CAST(r_regionkey * 67 % 360 AS DOUBLE)
+                      - CAST(180 AS DOUBLE) AS lonh
+                  FROM region),
+             d AS (SELECT ck, hub,
+                     round(CAST(2 AS DOUBLE) * CAST(6371 AS DOUBLE)
+                       * asin(least(CAST(1 AS DOUBLE), sqrt(
+                         sin(radians((lath - lat) / CAST(2 AS DOUBLE)))
+                         * sin(radians((lath - lat)
+                               / CAST(2 AS DOUBLE)))
+                         + cos(radians(lat)) * cos(radians(lath))
+                         * sin(radians((lonh - lon)
+                               / CAST(2 AS DOUBLE)))
+                         * sin(radians((lonh - lon)
+                               / CAST(2 AS DOUBLE)))))), 6) AS dist_km
+                   FROM pts CROSS JOIN hubs),
+             a AS (SELECT ck, hub, dist_km,
+                     row_number() OVER (PARTITION BY ck
+                       ORDER BY dist_km, hub) AS rk
+                   FROM d)
+            SELECT hub, CAST(count(*) AS BIGINT) AS n_assigned,
+                   CAST(SUM(CAST((dist_km) AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(dist_km) AS DOUBLE) AS mean_dist_km,
+                   max(dist_km) AS max_dist_km
+            FROM a WHERE rk = 1 GROUP BY hub ORDER BY hub"""))
+
   val all: Seq[Q] =
     Seq(qSourceMergeSchema, qSourceCsvMalformed, qTableTimeTravel,
+      qGeoHaversine,
       qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
       qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,
       qSourceCsvRoundtrip, qSourceJsonlRoundtrip,

@@ -119,6 +119,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     */
   private val broadcastOk: Map[String, String] = Map(
     "q_agg_chi2" -> "flat 1/5/5: flagxpriority marginal grids",
+    "q_alloc_waterfall" -> "flat 5: per-priority budget pots",
+    "q_sim_maxsim" -> "flat 8: the probe shortlist (vec_id < 8)",
     "q_agg_cramers_v" -> "flat 1/5/5: flagxpriority marginal grids",
     "q_agg_cvar" -> "flat 5: per-priority VaR fences",
     "q_agg_levene" -> "flat 25: per-brand medians (bounded brand domain)",

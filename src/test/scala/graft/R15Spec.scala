@@ -165,6 +165,95 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     assert(rows.head.getDouble(5) > 0.0, "K positive")
   }
 
+  test("qq: deciles monotone within each group, gap replays") {
+    val rows = SparkEntry.queries("q_agg_qq")(spark, sfDir).collect()
+    assert(rows.length == 9)
+    val qr = rows.map(_.getDouble(2))
+    val qn = rows.map(_.getDouble(3))
+    assert(qr.zip(qr.tail).forall { case (a, b) => a <= b })
+    assert(qn.zip(qn.tail).forall { case (a, b) => a <= b })
+    rows.foreach(r => assert(r.getDouble(4) ==
+      r.getDouble(2) - r.getDouble(3)))
+  }
+
+  test("waterfall: allocation conserves the budget exactly") {
+    val rows = SparkEntry.queries("q_alloc_waterfall")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (budget, nOrders) = (r.getLong(1), r.getLong(2))
+      val (nFull, nPartial, nStarved) =
+        (r.getLong(3), r.getLong(4), r.getLong(5))
+      val alloc = r.getLong(6)
+      assert(nFull + nPartial + nStarved == nOrders)
+      assert(nPartial <= 1,
+        "biggest-first waterfall splits at most ONE order per class")
+      // demand exceeds the half-revenue budget by construction, so the
+      // pot must be spent to the cent
+      assert(alloc == budget, s"alloc $alloc != budget $budget")
+    }
+  }
+
+  test("fifo: consumed == min(supply, demand) conservation per brand") {
+    // replay demand per brand independently and check the clamp law
+    import org.apache.spark.sql.functions._
+    val li = sources.Tables.lineitem(spark, sfDir)
+    val pt = sources.Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))
+    val want = li
+      .select(col("l_partkey").as("pk"),
+        when(pmod(col("l_suppkey"), lit(2)) === 0,
+          col("l_quantity").cast("long")).otherwise(0L).as("sup"),
+        when(pmod(col("l_suppkey"), lit(2)) === 1,
+          col("l_quantity").cast("long")).otherwise(0L).as("dem"))
+      .groupBy("pk").agg(sum("sup").as("sup"), sum("dem").as("dem"))
+      .join(pt, "pk")
+      .groupBy("brand")
+      .agg(sum(least(col("sup"), col("dem"))).as("want"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q_inventory_fifo")(spark, sfDir)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(4) == want(r.getString(0)),
+        s"brand ${r.getString(0)}: consumed must equal " +
+          s"min(supply, demand) summed over parts")
+    }
+  }
+
+  test("maxsim: bounded by 8, dominates any single-probe best") {
+    val rows = SparkEntry.queries("q_sim_maxsim")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= 8.0 && r.getDouble(2) >= -8.0)
+      assert(r.getLong(1) == 16L, "full 16-vector doc groups")
+    }
+  }
+
+  test("haversine: all hubs populated, means within [0, max]") {
+    val rows = SparkEntry.queries("q_geo_haversine")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5, "every hub attracts someone")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= r.getDouble(3))
+      assert(r.getDouble(3) <= 20015.1,
+        "no distance beyond half the great circle")
+    }
+  }
+
+  test("ltv: cumulative revenue monotone per cohort") {
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.get(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      val cums = sorted.map(_.getLong(4))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      assert(sorted.map(_.getLong(3)).sum == cums.last)
+    }
+  }
+
   test("mcnemar: chi2 replays from the census with the clamp") {
     val r = SparkEntry.queries("q_eval_mcnemar")(spark, sfDir).head()
     val (b, c) = (r.getLong(2), r.getLong(3))
