@@ -6532,6 +6532,289 @@ object Analytics {
             FROM cum JOIN sz USING (cohort)
             ORDER BY cohort, age"""))
 
+  /** Tukey–Kramer HSD pairwise contrasts — the post-hoc step q_agg_anova
+    * leaves open (a significant F says SOME group differs; HSD says
+    * WHICH pairs, with the studentized-range SE that keeps the family
+    * error controlled): per-pair q = (x̄_a − x̄_b)/√(MSW/2·(1/n_a+1/n_b))
+    * over price cents, MSW from the same exact integer moments as the
+    * ANOVA (Σx² on DECIMAL(38,0)), the 3-group pair frame is a bounded
+    * self-join. The studentized-range critical value is a table lookup
+    * left to the caller (POLICY, like grubbs' threshold). Scale: ONE
+    * map-combining aggregate; pairs are |groups|²-bounded.
+    */
+  val qAggTukeyHsd = Q(
+    "q_agg_tukey_hsd",
+    (s, dir) => {
+      val g = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("x"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+            .as("s2"))
+      val msw = g.agg(sum(col("n")).as("nn"),
+          count(lit(1)).as("k"),
+          sum(expr("CAST(CAST(s2 AS DOUBLE)" +
+            " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
+            " / CAST(n AS DOUBLE) AS DECIMAL(38,6))")).as("ssw"))
+        .select(expr("CAST(ssw AS DOUBLE) / CAST(nn - k AS DOUBLE)")
+          .as("msw"), expr("nn - k").as("df_w"))
+      val a = g.select(col("flag").as("fa"), col("n").as("na"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").as("ma"))
+      val b = g.select(col("flag").as("fb"), col("n").as("nb"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").as("mb"))
+      a.join(b, col("fa") < col("fb"))
+        .crossJoin(broadcast(msw))
+        .select(col("fa"), col("fb"), col("na"), col("nb"),
+          expr("ma - mb").as("diff_cents"),
+          expr("sqrt(msw / CAST(2 AS DOUBLE)" +
+            " * (CAST(1 AS DOUBLE) / CAST(na AS DOUBLE)" +
+            "    + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE)))").as("se"),
+          col("df_w"))
+        .select(col("fa"), col("fb"), col("na"), col("nb"),
+          col("diff_cents"), col("se"), col("df_w"),
+          expr("abs(diff_cents) / se").as("q_stat"))
+        .orderBy("fa", "fb")
+    },
+    Some("""WITH g AS (SELECT l_returnflag AS flag,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS s1,
+                    sum(CAST(x AS DECIMAL(38,0))
+                        * CAST(x AS DECIMAL(38,0))) AS s2
+                  FROM (SELECT l_returnflag,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS x FROM lineitem)
+                  GROUP BY 1),
+             w AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     CAST(count(*) AS BIGINT) AS k,
+                     sum(CAST(CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n AS DOUBLE) AS DECIMAL(38,6))) AS ssw
+                   FROM g),
+             m AS (SELECT CAST(ssw AS DOUBLE)
+                       / CAST(nn - k AS DOUBLE) AS msw,
+                     nn - k AS df_w FROM w),
+             p AS (SELECT a.flag AS fa, b.flag AS fb,
+                     a.n AS na, b.n AS nb,
+                     CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE)
+                       - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE)
+                       AS diff_cents
+                   FROM g a JOIN g b ON a.flag < b.flag),
+             d AS (SELECT fa, fb, na, nb, diff_cents,
+                     sqrt(msw / CAST(2 AS DOUBLE)
+                       * (CAST(1 AS DOUBLE) / CAST(na AS DOUBLE)
+                          + CAST(1 AS DOUBLE) / CAST(nb AS DOUBLE)))
+                       AS se, df_w
+                   FROM p, m)
+            SELECT fa, fb, na, nb, diff_cents, se, df_w,
+                   abs(diff_cents) / se AS q_stat
+            FROM d ORDER BY fa, fb"""))
+
+  /** Wilson score interval per order priority — the proportion CI that
+    * behaves at the edges the normal approximation botches (p̂ near 0
+    * or 1, small n): p̂ = weekend-order share, center
+    * (p̂ + z²/2n)/(1 + z²/n), half-width z·√(p̂(1−p̂)/n + z²/4n²)/
+    * (1 + z²/n) — never leaves [0,1] by construction (pinned in
+    * R15Spec, unlike q_agg_rate_ci's clamped normal band). Exact
+    * integer census, z = 1.96 shared literal. Scale: ONE map-combining
+    * aggregate.
+    */
+  val qAggWilsonCi = Q(
+    "q_agg_wilson_ci",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pri"),
+          when(dayofweek(col("o_orderdate")).isin(1, 7), 1L)
+            .otherwise(0L).as("wk"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"), sum(col("wk")).as("k"))
+        .withColumn("p", expr("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("z2n", expr(
+          "CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)" +
+            " / CAST(n AS DOUBLE)"))
+        .select(col("pri"), col("n"), col("k"), col("p"),
+          expr("(p + z2n / CAST(2 AS DOUBLE))" +
+            " / (CAST(1 AS DOUBLE) + z2n)").as("center"),
+          expr("CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1 AS DOUBLE) - p)" +
+            " / CAST(n AS DOUBLE)" +
+            " + z2n * z2n / (CAST(4 AS DOUBLE) * z2n * CAST(n AS DOUBLE)))" +
+            " / (CAST(1 AS DOUBLE) + z2n)").as("half"))
+        .select(col("pri"), col("n"), col("k"), col("p"),
+          expr("center - half").as("ci_lo"),
+          expr("center + half").as("ci_hi"))
+        .orderBy("pri")
+    },
+    Some("""WITH m AS (SELECT o_orderpriority AS pri,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN dayofweek(CAST(o_orderdate
+                             AS DATE)) IN (0, 6) THEN 1 ELSE 0 END)
+                      AS BIGINT) AS k
+                  FROM orders GROUP BY 1),
+             d AS (SELECT pri, n, k,
+                     CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                     CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS z2n
+                   FROM m),
+             e AS (SELECT pri, n, k, p,
+                     (p + z2n / CAST(2 AS DOUBLE))
+                       / (CAST(1 AS DOUBLE) + z2n) AS center,
+                     CAST(1.96 AS DOUBLE)
+                       * sqrt(p * (CAST(1 AS DOUBLE) - p)
+                              / CAST(n AS DOUBLE)
+                              + z2n * z2n / (CAST(4 AS DOUBLE) * z2n
+                                * CAST(n AS DOUBLE)))
+                       / (CAST(1 AS DOUBLE) + z2n) AS half
+                   FROM d)
+            SELECT pri, n, k, p, center - half AS ci_lo,
+                   center + half AS ci_hi
+            FROM e ORDER BY pri"""))
+
+  /** Granger-style lagged predictability test (one lag) — "does
+    * yesterday's RETURNED revenue improve today's kept-revenue
+    * forecast beyond its own history": restricted OLS y_t ~ y_{t−1}
+    * vs unrestricted y_t ~ y_{t−1} + x_{t−1}, F = (SSR_r − SSR_u)
+    * ·(T−3)/SSR_u. The daily rollup is ONE conditional-sum pass; lags
+    * ride a partition-less window over the CALENDAR-BOUNDED day axis
+    * (the inventory_backlog allowlist class — O(days), never O(rows));
+    * every second-order moment of the cents series rides DECIMAL(38,0)
+    * (daily cents ≈ 1e9 ⇒ products ≈ 1e18, BIGINT-overflow territory
+    * the moment days accumulate), the centered 2×2 Cramer solve and F
+    * are shared-text finals with singular/degenerate NULL guards.
+    * Not full Granger (one lag, no HAC errors) — stated, not implied.
+    */
+  val qTimeGranger = Q(
+    "q_time_granger",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(
+          sum(when(col("l_returnflag") === "R",
+            round(col("l_extendedprice") * 100).cast("long"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("l_returnflag") === "N",
+            round(col("l_extendedprice") * 100).cast("long"))
+            .otherwise(0L)).as("y"))
+      val w = Window.orderBy("d")
+      val lagged = daily
+        .withColumn("yl", lag(col("y"), 1).over(w))
+        .withColumn("xl", lag(col("x"), 1).over(w))
+        .where(col("yl").isNotNull && col("xl").isNotNull)
+      val dec = (e: String) =>
+        s"CAST(CAST($e AS DECIMAL(38,0)) * CAST($e AS DECIMAL(38,0))" +
+          s" AS DECIMAL(38,0))"
+      val cross = (a: String, b: String) =>
+        s"CAST(CAST($a AS DECIMAL(38,0)) * CAST($b AS DECIMAL(38,0))" +
+          s" AS DECIMAL(38,0))"
+      val m = lagged.agg(count(lit(1)).as("t"),
+        sum(col("y")).as("sy"), sum(col("yl")).as("syl"),
+        sum(col("xl")).as("sxl"),
+        sum(expr(dec("y"))).as("syy"),
+        sum(expr(dec("yl"))).as("sylyl"),
+        sum(expr(dec("xl"))).as("sxlxl"),
+        sum(expr(cross("y", "yl"))).as("syyl"),
+        sum(expr(cross("y", "xl"))).as("syxl"),
+        sum(expr(cross("yl", "xl"))).as("sylxl"))
+      m.select(col("t"),
+          expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)" +
+            " * CAST(sy AS DOUBLE) / CAST(t AS DOUBLE)").as("cyy"),
+          expr("CAST(sylyl AS DOUBLE) - CAST(syl AS DOUBLE)" +
+            " * CAST(syl AS DOUBLE) / CAST(t AS DOUBLE)").as("c11"),
+          expr("CAST(sxlxl AS DOUBLE) - CAST(sxl AS DOUBLE)" +
+            " * CAST(sxl AS DOUBLE) / CAST(t AS DOUBLE)").as("c22"),
+          expr("CAST(sylxl AS DOUBLE) - CAST(syl AS DOUBLE)" +
+            " * CAST(sxl AS DOUBLE) / CAST(t AS DOUBLE)").as("c12"),
+          expr("CAST(syyl AS DOUBLE) - CAST(sy AS DOUBLE)" +
+            " * CAST(syl AS DOUBLE) / CAST(t AS DOUBLE)").as("c1y"),
+          expr("CAST(syxl AS DOUBLE) - CAST(sy AS DOUBLE)" +
+            " * CAST(sxl AS DOUBLE) / CAST(t AS DOUBLE)").as("c2y"))
+        .withColumn("det", expr("c11 * c22 - c12 * c12"))
+        .withColumn("b1", expr("CASE WHEN det = CAST(0 AS DOUBLE)" +
+          " THEN NULL ELSE (c1y * c22 - c2y * c12) / det END"))
+        .withColumn("b2", expr("CASE WHEN det = CAST(0 AS DOUBLE)" +
+          " THEN NULL ELSE (c11 * c2y - c12 * c1y) / det END"))
+        .withColumn("ssr_r", expr("CASE WHEN c11 = CAST(0 AS DOUBLE)" +
+          " THEN NULL ELSE cyy - c1y * c1y / c11 END"))
+        .withColumn("ssr_u", expr("CASE WHEN b1 IS NULL THEN NULL" +
+          " ELSE cyy - b1 * c1y - b2 * c2y END"))
+        .select(col("t"), col("b1"), col("b2"), col("ssr_r"),
+          col("ssr_u"),
+          expr("CASE WHEN ssr_u IS NULL OR ssr_r IS NULL" +
+            " OR ssr_u <= CAST(0 AS DOUBLE) THEN NULL" +
+            " ELSE (ssr_r - ssr_u) * CAST(t - 3 AS DOUBLE) / ssr_u END")
+            .as("f_stat"))
+    },
+    Some("""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                    CAST(sum(CASE WHEN l_returnflag = 'R' THEN
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+                    CAST(sum(CASE WHEN l_returnflag = 'N' THEN
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+                  FROM lineitem GROUP BY 1),
+             lagged AS (SELECT y,
+                     lag(y, 1) OVER (ORDER BY d) AS yl,
+                     lag(x, 1) OVER (ORDER BY d) AS xl
+                   FROM daily),
+             f AS (SELECT * FROM lagged
+                   WHERE yl IS NOT NULL AND xl IS NOT NULL),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS t,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(yl) AS BIGINT) AS syl,
+                     CAST(sum(xl) AS BIGINT) AS sxl,
+                     sum(CAST(CAST(y AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS syy,
+                     sum(CAST(CAST(yl AS DECIMAL(38,0))
+                       * CAST(yl AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sylyl,
+                     sum(CAST(CAST(xl AS DECIMAL(38,0))
+                       * CAST(xl AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sxlxl,
+                     sum(CAST(CAST(y AS DECIMAL(38,0))
+                       * CAST(yl AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS syyl,
+                     sum(CAST(CAST(y AS DECIMAL(38,0))
+                       * CAST(xl AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS syxl,
+                     sum(CAST(CAST(yl AS DECIMAL(38,0))
+                       * CAST(xl AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sylxl
+                   FROM f),
+             c AS (SELECT t,
+                     CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(t AS DOUBLE) AS cyy,
+                     CAST(sylyl AS DOUBLE) - CAST(syl AS DOUBLE)
+                       * CAST(syl AS DOUBLE) / CAST(t AS DOUBLE) AS c11,
+                     CAST(sxlxl AS DOUBLE) - CAST(sxl AS DOUBLE)
+                       * CAST(sxl AS DOUBLE) / CAST(t AS DOUBLE) AS c22,
+                     CAST(sylxl AS DOUBLE) - CAST(syl AS DOUBLE)
+                       * CAST(sxl AS DOUBLE) / CAST(t AS DOUBLE) AS c12,
+                     CAST(syyl AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(syl AS DOUBLE) / CAST(t AS DOUBLE) AS c1y,
+                     CAST(syxl AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sxl AS DOUBLE) / CAST(t AS DOUBLE) AS c2y
+                   FROM m),
+             d2 AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c),
+             b AS (SELECT *,
+                     CASE WHEN det = CAST(0 AS DOUBLE) THEN NULL
+                       ELSE (c1y * c22 - c2y * c12) / det END AS b1,
+                     CASE WHEN det = CAST(0 AS DOUBLE) THEN NULL
+                       ELSE (c11 * c2y - c12 * c1y) / det END AS b2
+                   FROM d2),
+             r AS (SELECT *,
+                     CASE WHEN c11 = CAST(0 AS DOUBLE) THEN NULL
+                       ELSE cyy - c1y * c1y / c11 END AS ssr_r,
+                     CASE WHEN b1 IS NULL THEN NULL
+                       ELSE cyy - b1 * c1y - b2 * c2y END AS ssr_u
+                   FROM b)
+            SELECT t, b1, b2, ssr_r, ssr_u,
+                   CASE WHEN ssr_u IS NULL OR ssr_r IS NULL
+                     OR ssr_u <= CAST(0 AS DOUBLE) THEN NULL
+                     ELSE (ssr_r - ssr_u) * CAST(t - 3 AS DOUBLE)
+                       / ssr_u END AS f_stat
+            FROM r"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -6555,5 +6838,6 @@ object Analytics {
     qAggCronbach, qSeqEntropyRate, qAggDispersion,
     qAggOddsRatio, qTextLexicalDiversity, qAggTrimmedMean,
     qEvalBrier, qEvalKappa, qAggJarqueBera, qAggGrubbs, qAggRateCi,
-    qAggQq, qPriceElasticity, qCohortLtv)
+    qAggQq, qPriceElasticity, qCohortLtv, qAggTukeyHsd, qAggWilsonCi,
+    qTimeGranger)
 }

@@ -4817,6 +4817,95 @@ object Llm {
             FROM sc JOIN sz ON sc.g = sz.g
             ORDER BY maxsim DESC, sc.g LIMIT 10"""))
 
+  /** Content-defined chunking (CDC) dedup census — the PARTIAL-dup
+    * detector byte-level pipelines (rsync/LBFS/backup dedup, and
+    * training-data near-dup at sub-document granularity) build on:
+    * chunk boundaries where a rolling 8-char window's portable hash
+    * ≡ 0 (mod 64) — boundaries move WITH content, so an insertion
+    * early in a doc re-chunks only its neighborhood, unlike
+    * fixed-width blocks where one shift invalidates every block
+    * after it (the property that makes CDC the right unit for
+    * incremental dedup). Chunks assemble via per-doc lead() windows
+    * (doc-length-bounded partitions), identity = md5(chunk), census =
+    * how much chunk mass is SHARED across ≥2 docs. Expected chunk
+    * length ≈ 64 chars (the modulus — a visible policy knob). Scale:
+    * the position fan-out is O(total chars) — the same order as
+    * reading the corpus — and every window is doc-bounded; the census
+    * shuffles on the chunk hash, vocabulary-style.
+    */
+  val qDedupCdcChunks = Q(
+    "q_dedup_cdc_chunks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val pos = docs
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            "sequence(1, greatest(length(text) - 7, 1))")).as("i"))
+      val starts = pos
+        .where(col("i") === 1 ||
+          pmod(graft.Det.pHash60(expr("substring(text, i, 8)")),
+            lit(64)) === 0)
+        .select(col("doc_id"), col("text"), col("i").as("st"))
+      val w = Window.partitionBy("doc_id").orderBy("st")
+      val chunks = starts
+        .withColumn("nxt", lead(col("st"), 1).over(w))
+        .select(col("doc_id"),
+          md5(expr("substring(text, st," +
+            " coalesce(nxt, length(text) + 1) - st)")).as("ch"),
+          expr("coalesce(nxt, length(text) + 1) - st").as("clen"))
+      val perChunk = chunks.groupBy("ch")
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          count(lit(1)).as("occ"), first(col("clen")).as("clen"))
+      perChunk.agg(
+          sum(col("occ")).as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"),
+          sum(when(col("nd") >= 2, col("occ")).otherwise(0L))
+            .as("shared_occ"),
+          sum(col("clen") * col("occ")).as("total_chars"),
+          sum(when(col("nd") >= 2, col("clen") * col("occ"))
+            .otherwise(0L)).as("shared_chars"))
+        .select(col("n_chunks"), col("n_distinct"), col("n_shared"),
+          col("shared_occ"),
+          expr("round(CAST(shared_chars AS DOUBLE)" +
+            " / CAST(total_chars AS DOUBLE), 6)").as("shared_char_ratio"))
+    },
+    Some {
+      val h = graft.Det.sqlPHash60("substr(text, CAST(i AS INTEGER), 8)")
+      s"""WITH pos AS (SELECT doc_id, text,
+                    unnest(range(1, greatest(len(text) - 6, 2))) AS i
+                  FROM documents),
+             st AS (SELECT doc_id, text, CAST(i AS INTEGER) AS st
+                    FROM pos
+                    WHERE i = 1 OR (($h) % 64 + 64) % 64 = 0),
+             ck AS (SELECT doc_id,
+                     md5(substr(text, st,
+                       CAST(coalesce(lead(st, 1) OVER (
+                         PARTITION BY doc_id ORDER BY st),
+                         len(text) + 1) - st AS INTEGER))) AS ch,
+                     CAST(coalesce(lead(st, 1) OVER (
+                       PARTITION BY doc_id ORDER BY st),
+                       len(text) + 1) - st AS BIGINT) AS clen
+                   FROM st),
+             pc AS (SELECT ch,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+                     CAST(count(*) AS BIGINT) AS occ,
+                     CAST(first(clen) AS BIGINT) AS clen
+                   FROM ck GROUP BY ch)
+            SELECT CAST(sum(occ) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_shared,
+                   CAST(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END)
+                     AS BIGINT) AS shared_occ,
+                   round(CAST(sum(CASE WHEN nd >= 2 THEN clen * occ
+                              ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(clen * occ) AS DOUBLE), 6)
+                     AS shared_char_ratio
+            FROM pc"""
+    })
+
   val all: Seq[Q] = Seq(
     qMlNaiveBayes,
     qBpePairCounts, qBpeEncode, qBpeTrain, qUrlCanonical, qArrayStats,
@@ -4844,5 +4933,5 @@ object Llm {
     qTextRepetition, qContamination, qTextEntropy, qTextReadability,
     qTextKeyphrases, qTextBoilerplate, qTextZipfFit,
     qEvalLangConfusion, qEvalRetrieval, qEmbedDbscanGrid,
-    qEvalF1, qTextJsd, qTextHeapsLaw, qSimMaxsim)
+    qEvalF1, qTextJsd, qTextHeapsLaw, qSimMaxsim, qDedupCdcChunks)
 }

@@ -63,7 +63,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
       "rank over the LIMIT-20 BM25 result — 20 rows by construction",
     "q_win_distinct_rolling" ->
       ("running sum over the boundary-delta day axis — calendar-bounded " +
-        "by construction after the per-day delta aggregate"))
+        "by construction after the per-day delta aggregate"),
+    "q_time_granger" ->
+      "lag(1) over the daily rollup — O(days), dataset-bounded")
 
   private val cartesianOk: Set[String] = Set.empty
 

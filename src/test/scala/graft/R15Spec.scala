@@ -268,4 +268,73 @@ class R15Spec extends AnyFunSuite with SparkFixture {
       assert(deg * deg == 0.0)
     }
   }
+
+  test("tukey: q replays from diff and se, pairs cover the groups") {
+    val rows = SparkEntry.queries("q_agg_tukey_hsd")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3, "3 flags -> 3 pairs")
+    rows.foreach { r =>
+      assert(r.getDouble(7) == math.abs(r.getDouble(4)) / r.getDouble(5))
+      assert(r.getDouble(5) > 0.0 && r.getLong(6) > 0)
+    }
+  }
+
+  test("wilson: interval inside [0,1] and contains p-hat") {
+    val rows = SparkEntry.queries("q_agg_wilson_ci")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo >= 0.0 && hi <= 1.0,
+        s"Wilson never leaves the unit interval: [$lo, $hi]")
+      assert(lo <= p && p <= hi)
+    }
+  }
+
+  test("granger: SSR ordering and F nonnegativity") {
+    val r = SparkEntry.queries("q_time_granger")(spark, sfDir).head()
+    val (ssrR, ssrU) = (r.getDouble(3), r.getDouble(4))
+    assert(ssrU <= ssrR,
+      "adding a regressor can never worsen the in-sample fit")
+    assert(r.getDouble(5) >= 0.0)
+    assert(r.getLong(0) > 100, "enough days to regress")
+  }
+
+  test("cdc chunks: censuses consistent, boundaries content-defined") {
+    val r = SparkEntry.queries("q_dedup_cdc_chunks")(spark, sfDir).head()
+    val (nChunks, nDistinct, nShared, sharedOcc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nDistinct <= nChunks && nShared <= nDistinct)
+    assert(sharedOcc >= 2 * nShared,
+      "a shared chunk occurs in at least two docs")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    // the content-defined property: chunking a doc with a PREFIX
+    // insertion re-chunks only the prefix neighborhood — suffix chunk
+    // hashes are preserved (fixed-width blocks lose ALL of them)
+    import org.apache.spark.sql.functions._
+    val s2 = spark
+    import s2.implicits._
+    def chunksOf(text: String): Seq[String] = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val pos = df.select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, greatest(length(text) - 7, 1))"))
+          .as("i"))
+      val st = pos.where(col("i") === 1 ||
+        pmod(graft.Det.pHash60(expr("substring(text, i, 8)")),
+          lit(64)) === 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("st")
+      st.select(col("doc_id"), col("text"), col("i").as("st"))
+        .withColumn("nxt", lead(col("st"), 1).over(w))
+        .select(expr("substring(text, st," +
+          " coalesce(nxt, length(text) + 1) - st)").as("c"))
+        .collect().map(_.getString(0)).toSeq
+    }
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val a = chunksOf(base)
+    val b = chunksOf("INSERTED PREFIX CHANGES THE FRONT " + base)
+    val preserved = a.toSet.intersect(b.toSet)
+    assert(preserved.nonEmpty,
+      "suffix chunks must survive a prefix edit (the CDC property)")
+  }
 }
