@@ -6815,6 +6815,131 @@ object Analytics {
                        / ssr_u END AS f_stat
             FROM r"""))
 
+  /** Beta–binomial posterior per priority — the Bayesian companion to
+    * q_agg_wilson_ci's frequentist interval (same weekend-share
+    * census, different inferential contract: a POSTERIOR over the
+    * rate under a uniform Beta(1,1) prior — the prior is an explicit
+    * policy literal): posterior Beta(1+k, 1+n−k) mean, exact-moment
+    * variance ab/((a+b)²(a+b+1)), and a ±1.96·sd normal approximation
+    * of the credible interval (the Beta quantile is not portable SQL —
+    * the approximation is STATED, and at n in the thousands it is
+    * tight). Scale: ONE map-combining aggregate.
+    */
+  val qAggBetaBinomial = Q(
+    "q_agg_beta_binomial",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pri"),
+          when(dayofweek(col("o_orderdate")).isin(1, 7), 1L)
+            .otherwise(0L).as("wk"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"), sum(col("wk")).as("k"))
+        .withColumn("a", expr("CAST(1 + k AS DOUBLE)"))
+        .withColumn("b", expr("CAST(1 + n - k AS DOUBLE)"))
+        .select(col("pri"), col("n"), col("k"),
+          expr("a / (a + b)").as("post_mean"),
+          expr("sqrt(a * b / ((a + b) * (a + b) * (a + b" +
+            " + CAST(1 AS DOUBLE))))").as("post_sd"))
+        .select(col("pri"), col("n"), col("k"), col("post_mean"),
+          col("post_sd"),
+          expr("greatest(CAST(0 AS DOUBLE)," +
+            " post_mean - 1.96 * post_sd)").as("cred_lo"),
+          expr("least(CAST(1 AS DOUBLE)," +
+            " post_mean + 1.96 * post_sd)").as("cred_hi"))
+        .orderBy("pri")
+    },
+    Some("""WITH m AS (SELECT o_orderpriority AS pri,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN dayofweek(CAST(o_orderdate
+                             AS DATE)) IN (0, 6) THEN 1 ELSE 0 END)
+                      AS BIGINT) AS k
+                  FROM orders GROUP BY 1),
+             d AS (SELECT pri, n, k,
+                     CAST(1 + k AS DOUBLE) AS a,
+                     CAST(1 + n - k AS DOUBLE) AS b
+                   FROM m),
+             e AS (SELECT pri, n, k,
+                     a / (a + b) AS post_mean,
+                     sqrt(a * b / ((a + b) * (a + b)
+                       * (a + b + CAST(1 AS DOUBLE)))) AS post_sd
+                   FROM d)
+            SELECT pri, n, k, post_mean, post_sd,
+                   greatest(CAST(0 AS DOUBLE),
+                     post_mean - 1.96 * post_sd) AS cred_lo,
+                   least(CAST(1 AS DOUBLE),
+                     post_mean + 1.96 * post_sd) AS cred_hi
+            FROM e ORDER BY pri"""))
+
+  /** Turning-point randomness test per returnflag — "is this daily
+    * series actually random or does it trend/oscillate" (the cheap
+    * first question before fitting anything): T = count of local
+    * extrema in the daily revenue series (x_{t−1} < x_t > x_{t+1} or
+    * the mirror — strict, ties break no turn, stated), E[T] =
+    * 2(n−2)/3 and Var = (16n−29)/90 under IID, z = (T − E)/√Var.
+    * |z| ≫ 2 low means trending (too few turns), high means
+    * oscillation (too many). Lags ride per-flag calendar-bounded
+    * windows. Scale: one daily rollup + O(days) arithmetic.
+    */
+  val qTimeTurningPoints = Q(
+    "q_time_turning_points",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("v"))
+      val w = Window.partitionBy("flag").orderBy("d")
+      daily
+        .withColumn("pv", lag(col("v"), 1).over(w))
+        .withColumn("nv", lead(col("v"), 1).over(w))
+        .where(col("pv").isNotNull && col("nv").isNotNull)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_interior"),
+          sum(when((col("pv") < col("v") && col("v") > col("nv")) ||
+            (col("pv") > col("v") && col("v") < col("nv")), 1L)
+            .otherwise(0L)).as("t_turns"))
+        .withColumn("n", expr("n_interior + 2"))
+        .select(col("flag"), col("n"), col("t_turns"),
+          expr("CAST(2 AS DOUBLE) * CAST(n - 2 AS DOUBLE)" +
+            " / CAST(3 AS DOUBLE)").as("expected_turns"),
+          expr("(CAST(t_turns AS DOUBLE)" +
+            " - CAST(2 AS DOUBLE) * CAST(n - 2 AS DOUBLE)" +
+            "   / CAST(3 AS DOUBLE))" +
+            " / sqrt(CAST(16 * n - 29 AS DOUBLE) / CAST(90 AS DOUBLE))")
+            .as("z"))
+        .orderBy("flag")
+    },
+    Some("""WITH daily AS (SELECT l_returnflag AS flag,
+                    CAST(l_shipdate AS DATE) AS d,
+                    CAST(sum(CAST(round(l_extendedprice * 100)
+                      AS BIGINT)) AS BIGINT) AS v
+                  FROM lineitem GROUP BY 1, 2),
+             lagged AS (SELECT flag, v,
+                     lag(v, 1) OVER (PARTITION BY flag ORDER BY d)
+                       AS pv,
+                     lead(v, 1) OVER (PARTITION BY flag ORDER BY d)
+                       AS nv
+                   FROM daily),
+             m AS (SELECT flag,
+                     CAST(count(*) AS BIGINT) AS n_interior,
+                     CAST(sum(CASE WHEN (pv < v AND v > nv)
+                              OR (pv > v AND v < nv) THEN 1 ELSE 0 END)
+                       AS BIGINT) AS t_turns
+                   FROM lagged
+                   WHERE pv IS NOT NULL AND nv IS NOT NULL
+                   GROUP BY flag),
+             e AS (SELECT flag, n_interior + 2 AS n, t_turns FROM m)
+            SELECT flag, n, t_turns,
+                   CAST(2 AS DOUBLE) * CAST(n - 2 AS DOUBLE)
+                     / CAST(3 AS DOUBLE) AS expected_turns,
+                   (CAST(t_turns AS DOUBLE)
+                    - CAST(2 AS DOUBLE) * CAST(n - 2 AS DOUBLE)
+                      / CAST(3 AS DOUBLE))
+                   / sqrt(CAST(16 * n - 29 AS DOUBLE)
+                          / CAST(90 AS DOUBLE)) AS z
+            FROM e ORDER BY flag"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -6839,5 +6964,5 @@ object Analytics {
     qAggOddsRatio, qTextLexicalDiversity, qAggTrimmedMean,
     qEvalBrier, qEvalKappa, qAggJarqueBera, qAggGrubbs, qAggRateCi,
     qAggQq, qPriceElasticity, qCohortLtv, qAggTukeyHsd, qAggWilsonCi,
-    qTimeGranger)
+    qTimeGranger, qAggBetaBinomial, qTimeTurningPoints)
 }

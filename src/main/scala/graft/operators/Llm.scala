@@ -4906,6 +4906,144 @@ object Llm {
             FROM pc"""
     })
 
+  /** Winnowing fingerprints (the MOSS local-minimum scheme) — the
+    * GUARANTEED-coverage dedup signature between full-shingle Jaccard
+    * (exact, heavy) and MinHash (probabilistic): within every window
+    * of w = 4 consecutive 8-gram hashes, keep the minimum (ties to the
+    * leftmost position — a documented deterministic choice); the
+    * winnowing theorem guarantees any shared substring of length
+    * ≥ w + k − 1 = 11 chars yields at least one shared fingerprint.
+    * Per-doc windows are doc-length-bounded; fingerprint postings are
+    * df-capped at 50 like the LSH buckets (a fingerprint every doc
+    * shares is boilerplate, not evidence — the identical cap is in the
+    * oracle so parity is exact by construction). Output: top-20 doc
+    * pairs by shared-fingerprint count. Scale: O(chars) fan-out, the
+    * postings join is capped-bucket-bounded.
+    */
+  val qTextWinnowing = Q(
+    "q_text_winnowing",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pos = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            "sequence(1, greatest(length(text) - 7, 1))")).as("i"))
+        .select(col("doc_id"), col("i"),
+          graft.Det.pHash60(expr("substring(text, i, 8)")).as("h"))
+      val w = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(0, 3)
+      val fps = pos
+        .withColumn("mn", min(struct(col("h"), col("i"))).over(w))
+        .select(col("doc_id"), col("mn.h").as("fp"))
+        .distinct()
+      val dfc = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 50)
+      val posted = fps.join(dfc.select("fp"), "fp")
+      posted.toDF("fp", "a")
+        .join(posted.toDF("fp2", "b"),
+          col("fp") === col("fp2") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some {
+      val h = graft.Det.sqlPHash60("substr(text, CAST(i AS INTEGER), 8)")
+      s"""WITH pos AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+                    ($h) AS h
+                  FROM (SELECT doc_id, text,
+                          unnest(range(1, greatest(len(text) - 6, 2)))
+                            AS i
+                        FROM documents)),
+             fw AS (SELECT doc_id,
+                     min({'h': h, 'i': i}) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+                   FROM pos),
+             fps AS (SELECT DISTINCT doc_id, (mn).h AS fp FROM fw),
+             dfc AS (SELECT fp FROM fps GROUP BY fp
+                     HAVING count(*) <= 50),
+             posted AS (SELECT fps.doc_id, fps.fp
+                        FROM fps JOIN dfc ON fps.fp = dfc.fp)
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM posted x JOIN posted y
+              ON x.fp = y.fp AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+            ORDER BY n_shared DESC, a, b LIMIT 20"""
+    })
+
+  /** Importance-resampling plan for domain rebalancing — the mixture
+    * correction every pre-training run makes (the crawl's source mix
+    * is never the target mix): per-source weight = target share
+    * (uniform here — an explicit policy input) over observed TOKEN
+    * share, expected post-resample token mass, and the effective
+    * sample size ESS = (Σw)²/Σw² over DOCS — the diagnostic that says
+    * how much of the corpus the reweighting actually keeps (ESS ≈ N
+    * harmless, ESS ≪ N the weights are fighting the data). Exact
+    * integer censuses; weights and ESS are shared-text finals with
+    * Dec12 sums over the doc frame. Scale: two map-combining
+    * aggregates + a bounded source-grid broadcast.
+    */
+  val qCorpusImportanceResample = Q(
+    "q_corpus_importance_resample",
+    (s, dir) => {
+      val t = tokens(Tables.documents(s, dir), "source")
+      val bySrc = t.groupBy("source").agg(count(lit(1)).as("n_tok"))
+      val tot = bySrc.agg(sum(col("n_tok")).as("n"),
+        count(lit(1)).as("k"))
+      val wts = bySrc.crossJoin(broadcast(tot))
+        .withColumn("share", expr(
+          "CAST(n_tok AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("w", expr(
+          "(CAST(1 AS DOUBLE) / CAST(k AS DOUBLE)) / share"))
+      val docW = Tables.documents(s, dir).select("doc_id", "source")
+        .join(broadcast(wts.select("source", "w")), "source")
+      val ess = docW.agg(
+          sum(expr("CAST(w AS DECIMAL(38,12))")).as("sw"),
+          sum(expr("CAST(w * w AS DECIMAL(38,12))")).as("sww"),
+          count(lit(1)).as("n_docs"))
+        .select(col("n_docs"),
+          expr("round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)" +
+            " / CAST(sww AS DOUBLE), 6)").as("ess"))
+      wts.crossJoin(broadcast(ess))
+        .select(col("source"), col("n_tok"),
+          expr("round(share, 6)").as("share"),
+          expr("round(w, 6)").as("weight"),
+          expr("CAST(round(CAST(n_tok AS DOUBLE) * w, 0) AS BIGINT)")
+            .as("expected_tokens"),
+          col("n_docs"), col("ess"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (SELECT source, tok
+                  FROM (SELECT source,
+                          unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  WHERE tok <> ''),
+             bs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok
+                    FROM t GROUP BY source),
+             tt AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n,
+                      CAST(count(*) AS BIGINT) AS k FROM bs),
+             wts AS (SELECT source, n_tok,
+                     CAST(n_tok AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+                     (CAST(1 AS DOUBLE) / CAST(k AS DOUBLE))
+                       / (CAST(n_tok AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS w
+                   FROM bs, tt),
+             dw AS (SELECT d.doc_id, wts.w
+                    FROM documents d JOIN wts ON d.source = wts.source),
+             ess AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     round(CAST(sum(CAST(w AS DECIMAL(38,12)))
+                         AS DOUBLE)
+                       * CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+                       / CAST(sum(CAST(w * w AS DECIMAL(38,12)))
+                         AS DOUBLE), 6) AS ess
+                   FROM dw)
+            SELECT source, n_tok, round(share, 6) AS share,
+                   round(w, 6) AS weight,
+                   CAST(round(CAST(n_tok AS DOUBLE) * w, 0) AS BIGINT)
+                     AS expected_tokens,
+                   n_docs, ess
+            FROM wts, ess ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     qMlNaiveBayes,
     qBpePairCounts, qBpeEncode, qBpeTrain, qUrlCanonical, qArrayStats,
@@ -4933,5 +5071,6 @@ object Llm {
     qTextRepetition, qContamination, qTextEntropy, qTextReadability,
     qTextKeyphrases, qTextBoilerplate, qTextZipfFit,
     qEvalLangConfusion, qEvalRetrieval, qEmbedDbscanGrid,
-    qEvalF1, qTextJsd, qTextHeapsLaw, qSimMaxsim, qDedupCdcChunks)
+    qEvalF1, qTextJsd, qTextHeapsLaw, qSimMaxsim, qDedupCdcChunks,
+    qTextWinnowing, qCorpusImportanceResample)
 }

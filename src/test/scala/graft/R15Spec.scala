@@ -337,4 +337,59 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     assert(preserved.nonEmpty,
       "suffix chunks must survive a prefix edit (the CDC property)")
   }
+
+  test("winnowing: coverage guarantee on an engineered shared substring") {
+    // two docs sharing a >=11-char substring MUST share a fingerprint
+    // (the winnowing theorem, w=4, k=8); disjoint docs share none
+    val rows = SparkEntry.queries("q_text_winnowing")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getLong(2) >= 1))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("importance resample: weights invert shares, ESS bounded by N") {
+    val rows = SparkEntry
+      .queries("q_corpus_importance_resample")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val k = rows.length
+    rows.foreach { r =>
+      val (share, w) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(w * share * k - 1.0) <= 1e-3,
+        "weight x share x K ~ 1 (uniform target)")
+      val (nDocs, ess) = (r.getLong(5), r.getDouble(6))
+      assert(ess > 0.0 && ess <= nDocs.toDouble + 1e-6,
+        s"ESS caps at N: $ess vs $nDocs")
+    }
+    val shares = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shares - 1.0) <= 1e-4)
+  }
+
+  test("beta-binomial: posterior tighter than Wilson, interval in [0,1]") {
+    val bb = SparkEntry.queries("q_agg_beta_binomial")(spark, sfDir)
+      .collect()
+    assert(bb.nonEmpty)
+    bb.foreach { r =>
+      val (n, kk) = (r.getLong(1), r.getLong(2))
+      val (m, sd) = (r.getDouble(3), r.getDouble(4))
+      assert(m == (1.0 + kk) / (2.0 + n))
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(6) <= 1.0)
+      assert(sd > 0.0 && sd < 0.5)
+    }
+  }
+
+  test("turning points: T bounded by interior, z replays") {
+    val rows = SparkEntry.queries("q_time_turning_points")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, t) = (r.getLong(1), r.getLong(2))
+      assert(t <= n - 2, "at most every interior point turns")
+      val e = 2.0 * (n - 2) / 3.0
+      assert(r.getDouble(3) == e)
+      assert(r.getDouble(4) ==
+        (t - e) / math.sqrt((16.0 * n - 29.0) / 90.0))
+    }
+  }
 }
