@@ -435,6 +435,129 @@ object Sketches {
             FROM e_a, e_b, e_u, act"""
     })
 
+  /** KMV (k-minimum-values) distinct sketch, in-plan and
+    * oracle-certified — the third portable distinct estimator next to
+    * the HLL register table (q_sketch_hll_portable) and the exact
+    * count: keep the k = 256 smallest DISTINCT 60-bit portable hashes;
+    * the kth minimum's position estimates the hash density, so
+    * D̂ = (k−1)·2⁶⁰/h₍ₖ₎. Unlike HLL the sketch is also a uniform
+    * SAMPLE of the key space (each kept hash is a random key —
+    * the property that powers distinct-JOIN estimates), which is why
+    * engines keep both. Under k distinct keys the sketch is exact (the
+    * guard keeps the estimate = n_k, stated). Scale: the k-smallest is
+    * a TakeOrdered (per-partition top-k + driver merge of 256-row
+    * heads — no global sort), the dedup one hash aggregate.
+    */
+  val qSketchKmv = Q(
+    "q_sketch_kmv",
+    (s, dir) => {
+      val hv = graft.sources.Tables.orders(s, dir)
+        .select(graft.Det.pHash60(col("o_custkey")).as("h")).distinct()
+      val low = hv.orderBy(col("h").asc).limit(256)
+      val kth = low.agg(count(lit(1)).as("n_k"), max(col("h")).as("kth"))
+      val act = graft.sources.Tables.orders(s, dir)
+        .agg(countDistinct(col("o_custkey")).as("actual"))
+      kth.crossJoin(broadcast(act))
+        .select(col("n_k"), col("kth"), col("actual"),
+          expr("CASE WHEN n_k = 256 THEN round(CAST(255 AS DOUBLE)" +
+            " * CAST(1152921504606846976 AS DOUBLE)" +
+            " / CAST(kth AS DOUBLE), 6)" +
+            " ELSE CAST(n_k AS DOUBLE) END").as("est"))
+        .withColumn("rel_error",
+          expr("round((est - CAST(actual AS DOUBLE))" +
+            " / CAST(actual AS DOUBLE), 6)"))
+    },
+    Some {
+      val h = graft.Det.sqlPHash60("o_custkey")
+      s"""WITH hv AS (SELECT DISTINCT ($h) AS h FROM orders),
+              low AS (SELECT h FROM hv ORDER BY h ASC LIMIT 256),
+              kth AS (SELECT CAST(count(*) AS BIGINT) AS n_k,
+                        max(h) AS kth
+                      FROM low),
+              act AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                        AS actual FROM orders),
+              e AS (SELECT n_k, kth, actual,
+                      CASE WHEN n_k = 256 THEN round(CAST(255 AS DOUBLE)
+                          * CAST(1152921504606846976 AS DOUBLE)
+                          / CAST(kth AS DOUBLE), 6)
+                        ELSE CAST(n_k AS DOUBLE) END AS est
+                    FROM kth, act)
+            SELECT n_k, kth, actual, est,
+                   round((est - CAST(actual AS DOUBLE))
+                     / CAST(actual AS DOUBLE), 6) AS rel_error
+            FROM e"""
+    })
+
+  /** AMS F₂ sketch, in-plan and oracle-certified — the second
+    * frequency moment Σf² (≡ self-equi-join size, the cardinality a
+    * join planner wants BEFORE committing to a shuffle) estimated from
+    * 64 sign-hash counters: sign_j(x) = ±1 from bit 0 of the portable
+    * hash of (j:x), counter_j = Σ_x sign_j(x)·f_x (an exact BIGINT —
+    * each is a plain SUM, so the sketch is mergeable map-side), and
+    * F̂₂ = mean_j(counter_j²) (rel. std ≈ √(2/64) ≈ 18%) — E[counter²] = F₂ because cross terms
+    * cancel in expectation. The exact Σf² rides along for the error
+    * readout. Per-row squares are IEEE-exact while |counter| < 2⁵³ᐟ²
+    * ≈ 9·10⁷ (counter is bounded by row count; beyond that carry the
+    * square on DECIMAL(38,0)); the 64-term mean rides the decimal
+    * order-free sum. Scale: one per-key count aggregate + a 64× fanout
+    * of the COUNT table (not the corpus), all map-combining.
+    */
+  val qSketchAmsF2 = Q(
+    "q_sketch_ams_f2",
+    (s, dir) => {
+      val f = graft.sources.Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("key"))
+        .agg(count(lit(1)).as("f"))
+      val rows = f.withColumn("j", explode(sequence(lit(0), lit(63))))
+        .withColumn("sgn",
+          when(graft.Det.pHash60(
+            concat(col("j").cast("string"), lit(":"),
+              col("key").cast("string"))) % 2 === 0, lit(1L))
+            .otherwise(lit(-1L)))
+      val sk = rows.groupBy("j")
+        .agg(sum(col("sgn") * col("f")).as("sk"))
+      val est = sk.agg(
+        count(lit(1)).as("s_rows"),
+        graft.Det.dsum(expr("CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)"))
+          .as("sumsq"))
+        .select(col("s_rows"),
+          expr("sumsq / CAST(s_rows AS DOUBLE)").as("f2_est"))
+      val ex = f.agg(sum(col("f") * col("f")).as("f2_exact"))
+      est.crossJoin(broadcast(ex))
+        .select(col("s_rows"), col("f2_est"), col("f2_exact"),
+          expr("round((f2_est - CAST(f2_exact AS DOUBLE))" +
+            " / CAST(f2_exact AS DOUBLE), 6)").as("rel_error"))
+    },
+    Some {
+      val h = graft.Det.sqlPHash60(
+        "CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR)")
+      s"""WITH f AS (SELECT l_partkey AS key,
+                    CAST(count(*) AS BIGINT) AS f
+                  FROM lineitem GROUP BY 1),
+              rws AS (SELECT f.key, f.f, r.j,
+                        CASE WHEN ($h) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+                      FROM f CROSS JOIN
+                        (SELECT CAST(range AS BIGINT) AS j
+                         FROM range(64)) r),
+              sk AS (SELECT j, CAST(sum(sgn * f) AS BIGINT) AS sk
+                     FROM rws GROUP BY j),
+              e AS (SELECT CAST(count(*) AS BIGINT) AS s_rows,
+                      ${graft.Det.sqlSum(
+                        "CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)")}
+                        AS sumsq
+                    FROM sk),
+              est AS (SELECT s_rows,
+                        sumsq / CAST(s_rows AS DOUBLE) AS f2_est
+                      FROM e),
+              ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact
+                     FROM f)
+            SELECT s_rows, f2_est, f2_exact,
+                   round((f2_est - CAST(f2_exact AS DOUBLE))
+                     / CAST(f2_exact AS DOUBLE), 6) AS rel_error
+            FROM est, ex"""
+    })
+
   val all: Seq[Q] = Seq(qSketchHeavyHitters, qSketchCmsPortable,
-    qSketchBloomPortable, qSketchHllPortable, qSketchHllIntersect)
+    qSketchBloomPortable, qSketchHllPortable, qSketchHllIntersect,
+    qSketchKmv, qSketchAmsF2)
 }

@@ -6940,6 +6940,243 @@ object Analytics {
                           / CAST(90 AS DOUBLE)) AS z
             FROM e ORDER BY flag"""))
 
+  /** Kruskal–Wallis H — the k-group generalization of
+    * q_agg_mannwhitney (one-way ANOVA on ranks; no normality
+    * assumption, unlike q_agg_anova on the same axis): are the
+    * order-total distributions across the five order priorities
+    * shifted? All rank mass is exact integers via the twice-rank trick
+    * (avg tied rank = clt + (cnt+1)/2, so 2·rank is integral): a
+    * per-(value,group) count c contributes c·(2·clt+cnt+1) to TWICE
+    * the group rank-sum. H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) with the
+    * tie correction H* = H / (1 − Σ(t³−t)/(N³−N)); the Σ R_g²/n_g
+    * terms ride the decimal order-free sum. The global value prefix is
+    * the Prefix bucket-offset two-phase form (no partition-less
+    * window); the oracle spells the same prefix as a plain window.
+    * Scale: two hash aggregates on the value axis + O(distinct values)
+    * prefix + O(k) arithmetic. The twice-rank carrier is BIGINT like
+    * q_agg_mannwhitney's (Σ ≤ N·(2N+2) — exact to N ≈ 2·10⁹ rows;
+    * beyond that carry it on DECIMAL(38,0)).
+    */
+  val qAggKruskalWallis = Q(
+    "q_agg_kruskal_wallis",
+    (s, dir) => {
+      val v = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("pri"), expr(cents).as("v"))
+      val pv = v.groupBy("v", "pri").agg(count(lit(1)).as("c"))
+      val vr = pv.groupBy("v").agg(sum(col("c")).as("cnt"))
+      val cum = Prefix.runningSum(
+        Prefix.withRangeBucket(vr, col("v"), 64, "__b"),
+        "__b", Seq(col("v")), bucketDesc = false, col("cnt"), "cle")
+        .withColumn("clt", col("cle") - col("cnt"))
+        .select("v", "cnt", "clt")
+      val g = pv.join(cum, Seq("v"))
+        .groupBy("pri")
+        .agg(sum(col("c")).as("n_g"),
+          sum(col("c") * (col("clt") * 2 + col("cnt") + 1)).as("r2_g"))
+      val tot = cum.agg(
+        sum(col("cnt")).as("n"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+          .as("ties"))
+      val hs = g.agg(
+        count(lit(1)).as("k"),
+        Det.dsum(expr("(CAST(r2_g AS DOUBLE) / CAST(2 AS DOUBLE))" +
+          " * (CAST(r2_g AS DOUBLE) / CAST(2 AS DOUBLE))" +
+          " / CAST(n_g AS DOUBLE)")).as("sr"))
+      val hr = hs.crossJoin(broadcast(tot))
+        .select(col("k"), col("n"), col("ties"),
+          expr("CAST(12 AS DOUBLE) / (CAST(n AS DOUBLE)" +
+            " * CAST(n + 1 AS DOUBLE)) * sr" +
+            " - CAST(3 AS DOUBLE) * CAST(n + 1 AS DOUBLE)").as("h"))
+        .withColumn("h_corr", expr(
+          "h / (CAST(1 AS DOUBLE) - CAST(ties AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)" +
+            " * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"))
+        .select("k", "n", "h", "h_corr")
+      g.crossJoin(broadcast(hr))
+        .select(col("pri"), col("n_g"),
+          expr("CAST(r2_g AS DOUBLE) / CAST(2 AS DOUBLE)")
+            .as("rank_sum"),
+          col("k"), col("n"), col("h"), col("h_corr"))
+        .orderBy("pri")
+    },
+    Some(s"""WITH x AS (SELECT o_orderpriority AS pri, $cents AS v
+                  FROM orders),
+             pv AS (SELECT v, pri, CAST(count(*) AS BIGINT) AS c
+                    FROM x GROUP BY 1, 2),
+             vr AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt
+                    FROM pv GROUP BY v),
+             cum AS (SELECT v, cnt,
+                       CAST(sum(cnt) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) - cnt AS clt
+                     FROM vr),
+             g AS (SELECT pri, CAST(sum(c) AS BIGINT) AS n_g,
+                     CAST(sum(c * (clt * 2 + cnt + 1)) AS BIGINT) AS r2_g
+                   FROM pv JOIN cum USING (v) GROUP BY pri),
+             tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                       CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+                     FROM cum),
+             hs AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                      ${Det.sqlSum(
+                        "(CAST(r2_g AS DOUBLE) / CAST(2 AS DOUBLE))" +
+                        " * (CAST(r2_g AS DOUBLE) / CAST(2 AS DOUBLE))" +
+                        " / CAST(n_g AS DOUBLE)")} AS sr
+                    FROM g),
+             hr AS (SELECT k, n, ties,
+                      CAST(12 AS DOUBLE) / (CAST(n AS DOUBLE)
+                        * CAST(n + 1 AS DOUBLE)) * sr
+                      - CAST(3 AS DOUBLE) * CAST(n + 1 AS DOUBLE) AS h
+                    FROM hs, tot),
+             hc AS (SELECT k, n, h,
+                      h / (CAST(1 AS DOUBLE) - CAST(ties AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                        AS h_corr
+                    FROM hr)
+            SELECT pri, n_g,
+                   CAST(r2_g AS DOUBLE) / CAST(2 AS DOUBLE) AS rank_sum,
+                   k, n, h, h_corr
+            FROM g, hc ORDER BY pri"""))
+
+  /** Wilcoxon signed-rank — the PAIRED companion to q_agg_mannwhitney
+    * (within-subject shift, not between-group): for each customer, the
+    * pair is (first-half-of-year order total, second-half total) —
+    * zero-filled when a half is empty, a stated construction — and the
+    * test asks whether the paired difference is symmetric about 0.
+    * Zero differences drop (standard practice); |d| ranks ride the
+    * same exact twice-rank prefix as Kruskal–Wallis; W⁺ = Σ avg ranks
+    * of positive d; z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+    * Scale: one customer-key aggregate + O(distinct |d|) prefix.
+    */
+  val qAggWilcoxonSigned = Q(
+    "q_agg_wilcoxon_signed",
+    (s, dir) => {
+      val pairs = Tables.orders(s, dir)
+        .select(col("o_custkey").as("ck"), expr(cents).as("cents"),
+          when(month(col("o_orderdate")) <= 6, 1L).otherwise(0L)
+            .as("h1"))
+        .groupBy("ck")
+        .agg(sum(when(col("h1") === 1, col("cents")).otherwise(0L))
+          .as("a"),
+          sum(when(col("h1") === 0, col("cents")).otherwise(0L))
+            .as("b"))
+        .withColumn("d", col("a") - col("b"))
+        .where(col("d") =!= 0)
+        .select(col("d"), abs(col("d")).as("ad"))
+      val grp = pairs.groupBy("ad").agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+      val cum = Prefix.runningSum(
+        Prefix.withRangeBucket(grp, col("ad"), 64, "__b"),
+        "__b", Seq(col("ad")), bucketDesc = false, col("cnt"), "cle")
+        .withColumn("clt", col("cle") - col("cnt"))
+      cum.agg(
+        sum(col("cnt")).as("n"),
+        sum(col("pos") * (col("clt") * 2 + col("cnt") + 1)).as("w2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+          .as("ties"))
+        .select(col("n"),
+          expr("CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE)").as("w_plus"),
+          expr("(CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE)" +
+            " - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)" +
+            " / CAST(4 AS DOUBLE))" +
+            " / sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)" +
+            " * (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)" +
+            " + CAST(1 AS DOUBLE)) / CAST(24 AS DOUBLE)" +
+            " - CAST(ties AS DOUBLE) / CAST(48 AS DOUBLE))").as("z"))
+    },
+    Some(s"""WITH x AS (SELECT o_custkey AS ck, $cents AS cents,
+                    CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END
+                      AS h1
+                  FROM orders),
+             p AS (SELECT ck,
+                     CAST(sum(CASE WHEN h1 = 1 THEN cents ELSE 0 END)
+                       AS BIGINT) AS a,
+                     CAST(sum(CASE WHEN h1 = 0 THEN cents ELSE 0 END)
+                       AS BIGINT) AS b
+                   FROM x GROUP BY ck),
+             d0 AS (SELECT a - b AS d, abs(a - b) AS ad FROM p
+                    WHERE a - b <> 0),
+             grp AS (SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS pos
+                     FROM d0 GROUP BY ad),
+             cum AS (SELECT ad, cnt, pos,
+                       CAST(sum(cnt) OVER (ORDER BY ad
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) - cnt AS clt
+                     FROM grp),
+             agg AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                       CAST(sum(pos * (clt * 2 + cnt + 1)) AS BIGINT)
+                         AS w2,
+                       CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+                     FROM cum)
+            SELECT n,
+                   CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE) AS w_plus,
+                   (CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE)
+                    - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                      / CAST(4 AS DOUBLE))
+                   / sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                     * (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)
+                        + CAST(1 AS DOUBLE)) / CAST(24 AS DOUBLE)
+                     - CAST(ties AS DOUBLE) / CAST(48 AS DOUBLE)) AS z
+            FROM agg"""))
+
+  /** Sign test on day-over-day revenue direction per returnflag — the
+    * weakest-assumption location test (only the SIGN of each change is
+    * used; no symmetry assumption, unlike Wilcoxon): under H₀ ups and
+    * downs are equally likely, pos − neg has variance n, and the
+    * continuity-corrected two-sided z = max(|pos−neg|−1, 0)/√n — the
+    * corrected difference CLAMPS at zero (the q_eval_mcnemar r15-fix
+    * convention, applied here from day one). Zero changes drop.
+    * Scale: one daily rollup + per-flag calendar-bounded lag windows.
+    */
+  val qAggSignTest = Q(
+    "q_agg_sign_test",
+    (s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("v"))
+      val w = Window.partitionBy("flag").orderBy("d")
+      daily.withColumn("pv", lag(col("v"), 1).over(w))
+        .where(col("pv").isNotNull)
+        .groupBy("flag")
+        .agg(sum(when(col("v") > col("pv"), 1L).otherwise(0L))
+          .as("n_pos"),
+          sum(when(col("v") < col("pv"), 1L).otherwise(0L))
+            .as("n_neg"),
+          sum(when(col("v") === col("pv"), 1L).otherwise(0L))
+            .as("n_zero"))
+        .select(col("flag"), col("n_pos"), col("n_neg"), col("n_zero"),
+          expr("greatest(abs(CAST(n_pos - n_neg AS DOUBLE))" +
+            " - CAST(1 AS DOUBLE), CAST(0 AS DOUBLE))" +
+            " / sqrt(CAST(n_pos + n_neg AS DOUBLE))").as("z_abs"))
+        .orderBy("flag")
+    },
+    Some("""WITH daily AS (SELECT l_returnflag AS flag,
+                    CAST(l_shipdate AS DATE) AS d,
+                    CAST(sum(CAST(round(l_extendedprice * 100)
+                      AS BIGINT)) AS BIGINT) AS v
+                  FROM lineitem GROUP BY 1, 2),
+             lagged AS (SELECT flag, v,
+                     lag(v, 1) OVER (PARTITION BY flag ORDER BY d) AS pv
+                   FROM daily),
+             m AS (SELECT flag,
+                     CAST(sum(CASE WHEN v > pv THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_pos,
+                     CAST(sum(CASE WHEN v < pv THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_neg,
+                     CAST(sum(CASE WHEN v = pv THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_zero
+                   FROM lagged WHERE pv IS NOT NULL GROUP BY flag)
+            SELECT flag, n_pos, n_neg, n_zero,
+                   greatest(abs(CAST(n_pos - n_neg AS DOUBLE))
+                     - CAST(1 AS DOUBLE), CAST(0 AS DOUBLE))
+                   / sqrt(CAST(n_pos + n_neg AS DOUBLE)) AS z_abs
+            FROM m ORDER BY flag"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -6964,5 +7201,6 @@ object Analytics {
     qAggOddsRatio, qTextLexicalDiversity, qAggTrimmedMean,
     qEvalBrier, qEvalKappa, qAggJarqueBera, qAggGrubbs, qAggRateCi,
     qAggQq, qPriceElasticity, qCohortLtv, qAggTukeyHsd, qAggWilsonCi,
-    qTimeGranger, qAggBetaBinomial, qTimeTurningPoints)
+    qTimeGranger, qAggBetaBinomial, qTimeTurningPoints,
+    qAggKruskalWallis, qAggWilcoxonSigned, qAggSignTest)
 }

@@ -65,7 +65,12 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
       ("running sum over the boundary-delta day axis — calendar-bounded " +
         "by construction after the per-day delta aggregate"),
     "q_time_granger" ->
-      "lag(1) over the daily rollup — O(days), dataset-bounded")
+      "lag(1) over the daily rollup — O(days), dataset-bounded",
+    "q_agg_kruskal_wallis" ->
+      ("2x Prefix.runningSum bucket-offset prefixes over 64 range-bucket " +
+        "totals (the un-collapsed logical plan shows the shared prefix twice)"),
+    "q_agg_wilcoxon_signed" ->
+      "Prefix.runningSum bucket-offset prefix over 64 range-bucket totals")
 
   private val cartesianOk: Set[String] = Set.empty
 

@@ -392,4 +392,103 @@ class R15Spec extends AnyFunSuite with SparkFixture {
         (t - e) / math.sqrt((16.0 * n - 29.0) / 90.0))
     }
   }
+
+  test("kruskal-wallis: rank mass conserved, correction only inflates") {
+    val rows = SparkEntry.queries("q_agg_kruskal_wallis")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5, "five priority groups")
+    val n = rows.head.getLong(4)
+    // Σ rank sums over the groups must equal N(N+1)/2 — the twice-rank
+    // integer carrier conserves total rank mass exactly
+    val mass = rows.map(_.getDouble(2)).sum
+    assert(mass == n.toDouble * (n + 1) / 2.0,
+      s"rank mass $mass != N(N+1)/2 for N=$n")
+    val (h, hc) = (rows.head.getDouble(5), rows.head.getDouble(6))
+    assert(h >= 0.0, "H is a rank variance ratio")
+    assert(hc >= h, "tie correction divides by ≤1")
+    assert(rows.map(_.getLong(1)).sum == n)
+  }
+
+  test("wilcoxon signed-rank: full independent driver replay") {
+    val r = SparkEntry.queries("q_agg_wilcoxon_signed")(spark, sfDir)
+      .head()
+    val (n, wPlus, z) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    // replay: per-customer half-year cent totals via an independent
+    // aggregation, midranks computed in plain Scala
+    val cents = "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)" +
+      " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val ds = sources.Tables.orders(spark, sfDir)
+      .selectExpr("o_custkey AS ck", s"$cents AS c",
+        "CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END AS h1")
+      .groupBy("ck")
+      .agg(sum(when(col("h1") === 1, col("c")).otherwise(0L)).as("a"),
+        sum(when(col("h1") === 0, col("c")).otherwise(0L)).as("b"))
+      .collect()
+      .map(row => row.getLong(1) - row.getLong(2)).filter(_ != 0L)
+    assert(ds.length.toLong == n)
+    val byAbs = ds.map(d => (math.abs(d), d > 0)).sortBy(_._1)
+    // midranks via grouping runs of equal |d|
+    var idx = 0
+    var w = 0.0
+    while (idx < byAbs.length) {
+      var j = idx
+      while (j < byAbs.length && byAbs(j)._1 == byAbs(idx)._1) j += 1
+      val mid = (idx + 1 + j) / 2.0 // avg of ranks idx+1..j
+      (idx until j).foreach(i => if (byAbs(i)._2) w += mid)
+      idx = j
+    }
+    assert(math.abs(w - wPlus) <= 1e-9 * math.max(1.0, w),
+      s"W+ replay $w vs engine $wPlus")
+    assert(!z.isNaN && math.abs(z) < 50.0)
+  }
+
+  test("sign test: census conserved, z clamped at zero") {
+    val daily = sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("flag"),
+        to_date(col("l_shipdate")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("flag").agg(count(lit(1)).as("days"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q_agg_sign_test")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (flag, pos, neg, zero) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(pos + neg + zero == daily(flag) - 1,
+        "every interior day is classified exactly once")
+      assert(r.getDouble(4) >= 0.0, "clamped continuity correction")
+    }
+  }
+
+  test("kmv: concentration bound holds and ≤k-distinct inputs are exact") {
+    val r = SparkEntry.queries("q_sketch_kmv")(spark, sfDir).head()
+    val (nK, actual, est) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+    if (nK < 256L)
+      // guard regime (sf0.001 has 150 distinct custkeys): the sketch
+      // holds EVERY distinct hash, so the estimate IS the exact count
+      assert(est == actual.toDouble && nK == actual,
+        s"under-k sketch must be exact: n_k=$nK est=$est actual=$actual")
+    else
+      assert(math.abs(est - actual) / actual <= 4.0 / math.sqrt(256.0),
+        s"KMV est $est vs $actual breaches the 4σ band")
+    // the exact-under-k guard: 25 distinct nation keys → est == exact
+    val nk = sources.Tables.nation(spark, sfDir)
+      .select(graft.Det.pHash60(col("n_nationkey")).as("h")).distinct()
+    val small = nk.orderBy(col("h").asc).limit(256)
+      .agg(count(lit(1)).as("n_k")).head().getLong(0)
+    assert(small == 25L, "guard regime: sketch not full → estimate = n_k")
+  }
+
+  test("ams f2: exact truth replays and estimate is within 5σ") {
+    val r = SparkEntry.queries("q_sketch_ams_f2")(spark, sfDir).head()
+    assert(r.getLong(0) == 64L)
+    val (est, exact) = (r.getDouble(1), r.getLong(2))
+    val replay = sources.Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f"))).head().getLong(0)
+    assert(replay == exact, "Σf² truth path must replay")
+    assert(math.abs(est - exact) / exact <= 5.0 * math.sqrt(2.0 / 64.0),
+      s"AMS est $est vs $exact breaches the 5σ band")
+  }
 }
