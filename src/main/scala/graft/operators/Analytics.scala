@@ -7177,6 +7177,367 @@ object Analytics {
                    / sqrt(CAST(n_pos + n_neg AS DOUBLE)) AS z_abs
             FROM m ORDER BY flag"""))
 
+  /** Friedman test — the REPEATED-MEASURES member of the nonparametric
+    * family (Kruskal–Wallis assumes independent groups; Friedman ranks
+    * WITHIN each block, so block-level level-shifts cancel): does order
+    * priority shift revenue once nation-level differences are removed?
+    * Blocks = the 25 nations, treatments = the 5 priorities, cell value
+    * = exact total cents per (nation, priority); only COMPLETE blocks
+    * (all 5 treatments present) enter, the textbook validity rule made
+    * an explicit deterministic filter. Within-block midranks ride the
+    * twice-rank trick on bounded windows (k = 5 rows per block):
+    * 2·midrank = 2·rank() + tiecount − 1, so every rank sum is an exact
+    * BIGINT. χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) spelled on the 2R
+    * carrier as 3·Σ(2R_j)²/(nk(k+1)) − 3n(k+1); the tie correction
+    * divides by 1 − Σ(t³−t)/(n(k³−k)) with a zero guard. Scale: one
+    * orders⋈customer shuffle join + a (25×5)-cell aggregate — every
+    * window is partitioned by block and bounded by k. */
+  val qAggFriedman = Q(
+    "q_agg_friedman",
+    (s, dir) => {
+      val cell = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("b"),
+          col("o_orderpriority").as("pri"))
+        .agg(sum(expr(cents)).as("v"))
+      val fullB = cell.groupBy("b").agg(count(lit(1)).as("kc"))
+        .where(col("kc") === 5).select("b")
+      val kept = cell.join(fullB, Seq("b"))
+      val r = kept.withColumn("rk2",
+        rank().over(Window.partitionBy("b").orderBy("v")) * 2
+          + count(lit(1)).over(Window.partitionBy("b", "v")) - 1)
+      val g = r.groupBy("pri")
+        .agg(sum(col("rk2").cast("long")).as("rank2_sum"))
+      val ties = kept.groupBy("b", "v").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+          lit(0L)).as("ties"))
+      val nb = fullB.agg(count(lit(1)).as("n"))
+      val hh = g.agg(sum(col("rank2_sum") * col("rank2_sum")).as("sr2"))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(ties))
+        .select(col("n"), col("ties"),
+          expr("CASE WHEN n = 0 THEN NULL ELSE" +
+            " CAST(3 AS DOUBLE) * CAST(sr2 AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * CAST(5 AS DOUBLE)" +
+            " * CAST(6 AS DOUBLE))" +
+            " - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE)" +
+            " * CAST(6 AS DOUBLE) END").as("chi2"))
+        .withColumn("chi2_corr", expr(
+          "CASE WHEN n = 0 OR ties = n * 120 THEN NULL ELSE" +
+            " chi2 / (CAST(1 AS DOUBLE) - CAST(ties AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * CAST(120 AS DOUBLE))) END"))
+      g.crossJoin(broadcast(hh))
+        .select("pri", "rank2_sum", "n", "chi2", "chi2_corr")
+        .orderBy("pri")
+    },
+    Some(s"""WITH cell AS (SELECT c_nationkey AS b,
+                    o_orderpriority AS pri,
+                    CAST(sum($cents) AS BIGINT) AS v
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY 1, 2),
+             full_b AS (SELECT b FROM cell GROUP BY b
+                        HAVING count(*) = 5),
+             kept AS (SELECT c.* FROM cell c JOIN full_b USING (b)),
+             r AS (SELECT pri,
+                     CAST(rank() OVER (PARTITION BY b ORDER BY v) * 2
+                       + count(*) OVER (PARTITION BY b, v) - 1
+                       AS BIGINT) AS rk2
+                   FROM kept),
+             g AS (SELECT pri, CAST(sum(rk2) AS BIGINT) AS rank2_sum
+                   FROM r GROUP BY pri),
+             tie AS (SELECT CAST(coalesce(sum(t * t * t - t), 0)
+                       AS BIGINT) AS ties
+                     FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                           FROM kept GROUP BY b, v)),
+             nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM full_b),
+             hh AS (SELECT n, ties,
+                      CASE WHEN n = 0 THEN NULL ELSE
+                        CAST(3 AS DOUBLE) * CAST(sr2 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(5 AS DOUBLE)
+                        * CAST(6 AS DOUBLE))
+                        - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(6 AS DOUBLE) END AS chi2
+                    FROM (SELECT CAST(sum(rank2_sum * rank2_sum)
+                            AS BIGINT) AS sr2 FROM g), nb, tie),
+             h2 AS (SELECT n, ties, chi2,
+                      CASE WHEN n = 0 OR ties = n * 120 THEN NULL ELSE
+                        chi2 / (CAST(1 AS DOUBLE) - CAST(ties AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(120 AS DOUBLE))) END
+                        AS chi2_corr
+                    FROM hh)
+            SELECT pri, rank2_sum, n, chi2, chi2_corr
+            FROM g, h2 ORDER BY pri"""))
+
+  /** Mood's median test — the weakest-assumption k-group location test
+    * (only "above the grand median or not" enters, so it survives
+    * arbitrary heavy tails and censoring where Kruskal–Wallis's rank
+    * variance does not): classify every order as above/at-or-below the
+    * GRAND lower median of total cents, then χ² on the 2×5 table
+    * against the margin-product expectation. The grand median is
+    * percentile_disc-exact on the value axis — smallest v whose
+    * inclusive cumulative count reaches ⌈N/2⌉, spelled integer-exactly
+    * as 2·cum ≥ N — via the Prefix bucket-offset prefix (no
+    * partition-less window over the corpus). Expected cells and the χ²
+    * terms are one shared formula; the all-above / none-above
+    * degenerate table guards to NULL. Scale: one value-axis aggregate +
+    * Prefix + one broadcast scalar join back to the priority rollup. */
+  val qAggMedianTest = Q(
+    "q_agg_median_test",
+    (s, dir) => {
+      val x = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("pri"), expr(cents).as("v"))
+      val pv = x.groupBy("v").agg(count(lit(1)).as("cnt"))
+      val cum = Prefix.runningSum(
+        Prefix.withRangeBucket(pv, col("v"), 64, "__b"),
+        "__b", Seq(col("v")), bucketDesc = false, col("cnt"), "cle")
+        .select("v", "cle")
+      val tot = pv.agg(sum(col("cnt")).as("n"))
+      val med = cum.crossJoin(broadcast(tot))
+        .where(col("cle") * 2 >= col("n"))
+        .agg(min(col("v")).as("med"))
+      val g = x.crossJoin(broadcast(med))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_g"),
+          sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("above"))
+        .withColumn("below", col("n_g") - col("above"))
+      val t2 = g.agg(sum(col("n_g")).as("nn"), sum(col("above")).as("aa"))
+      val chi = g.crossJoin(broadcast(t2))
+        .select(expr(
+          "CASE WHEN aa = 0 OR aa = nn THEN NULL ELSE" +
+            " (CAST(above AS DOUBLE) - CAST(n_g AS DOUBLE)" +
+            " * CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))" +
+            " * (CAST(above AS DOUBLE) - CAST(n_g AS DOUBLE)" +
+            " * CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))" +
+            " / (CAST(n_g AS DOUBLE) * CAST(aa AS DOUBLE)" +
+            " / CAST(nn AS DOUBLE))" +
+            " + (CAST(below AS DOUBLE) - CAST(n_g AS DOUBLE)" +
+            " * CAST(nn - aa AS DOUBLE) / CAST(nn AS DOUBLE))" +
+            " * (CAST(below AS DOUBLE) - CAST(n_g AS DOUBLE)" +
+            " * CAST(nn - aa AS DOUBLE) / CAST(nn AS DOUBLE))" +
+            " / (CAST(n_g AS DOUBLE) * CAST(nn - aa AS DOUBLE)" +
+            " / CAST(nn AS DOUBLE)) END").as("term"))
+        .agg(sum(expr("CAST(term AS DECIMAL(38,12))"))
+          .cast(DoubleType).as("chi2"))
+      g.crossJoin(broadcast(med)).crossJoin(broadcast(chi))
+        .select("pri", "n_g", "above", "below", "med", "chi2")
+        .orderBy("pri")
+    },
+    Some(s"""WITH x AS (SELECT o_orderpriority AS pri, $cents AS v
+                  FROM orders),
+             pv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+                    FROM x GROUP BY v),
+             cum AS (SELECT v,
+                       CAST(sum(cnt) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cle
+                     FROM pv),
+             tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pv),
+             med AS (SELECT min(v) AS med FROM cum, tot
+                     WHERE cle * 2 >= n),
+             g AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END)
+                       AS BIGINT) AS above
+                   FROM x, med GROUP BY pri),
+             g2 AS (SELECT pri, n_g, above,
+                      CAST(n_g - above AS BIGINT) AS below FROM g),
+             t2 AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+                      CAST(sum(above) AS BIGINT) AS aa FROM g2),
+             trm AS (SELECT CASE WHEN aa = 0 OR aa = nn THEN NULL ELSE
+                       (CAST(above AS DOUBLE) - CAST(n_g AS DOUBLE)
+                         * CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+                       * (CAST(above AS DOUBLE) - CAST(n_g AS DOUBLE)
+                         * CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+                       / (CAST(n_g AS DOUBLE) * CAST(aa AS DOUBLE)
+                         / CAST(nn AS DOUBLE))
+                       + (CAST(below AS DOUBLE) - CAST(n_g AS DOUBLE)
+                         * CAST(nn - aa AS DOUBLE) / CAST(nn AS DOUBLE))
+                       * (CAST(below AS DOUBLE) - CAST(n_g AS DOUBLE)
+                         * CAST(nn - aa AS DOUBLE) / CAST(nn AS DOUBLE))
+                       / (CAST(n_g AS DOUBLE) * CAST(nn - aa AS DOUBLE)
+                         / CAST(nn AS DOUBLE)) END AS term
+                     FROM g2, t2),
+             chi AS (SELECT CAST(SUM(CAST(term AS DECIMAL(38,12)))
+                       AS DOUBLE) AS chi2 FROM trm)
+            SELECT pri, n_g, above, below, med, chi2
+            FROM g2, med, chi ORDER BY pri"""))
+
+  /** Cochran's Q — the k-related-samples test for BINARY outcomes
+    * (Friedman's sibling when the measurement is a flag, McNemar's
+    * k-group generalization): did the population of active customers
+    * change its "placed ≥1 order this year" behavior across
+    * 1995/1996/1997? x_ij ∈ {0,1} per (customer, year); subjects with
+    * no order in any of the three years contribute zero to every
+    * moment, so restricting to customers seen at least once is
+    * Q-invariant (stated, not assumed). Q = (k−1)·Σ_j(kC_j − T)² /
+    * (k·(kT − ΣR_i²)) — the margin-scaled spelling keeps every moment
+    * an exact integer (squares ride DECIMAL(38,0), the Granger
+    * carrier, so the 100 TB census does not overflow); one IEEE
+    * division at the end, all-identical / all-different denominators
+    * guard to NULL. Scale: one distinct (customer, year) aggregate +
+    * two bounded moment rollups. */
+  val qAggCochranQ = Q(
+    "q_agg_cochran_q",
+    (s, dir) => {
+      val cy = Tables.orders(s, dir)
+        .where(expr("year(o_orderdate) IN (1995, 1996, 1997)"))
+        .select(col("o_custkey").as("ck"),
+          year(col("o_orderdate")).as("yr"))
+        .distinct()
+      val rm = cy.groupBy("ck").agg(count(lit(1)).as("r"))
+        .agg(count(lit(1)).as("subjects"), sum(col("r")).as("t"),
+          sum(col("r") * col("r")).as("r2"))
+      val ct = cy.groupBy("yr").agg(count(lit(1)).as("c"))
+      ct.crossJoin(broadcast(rm))
+        .agg(
+          max(col("subjects")).as("subjects"),
+          max(col("t")).as("t"), max(col("r2")).as("r2"),
+          sum(expr("CAST(CAST(3 * c - t AS DECIMAL(38,0))" +
+            " * CAST(3 * c - t AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
+            .as("num"),
+          max(when(col("yr") === 1995, col("c"))).as("c95"),
+          max(when(col("yr") === 1996, col("c"))).as("c96"),
+          max(when(col("yr") === 1997, col("c"))).as("c97"))
+        .select(col("subjects"), col("t"), col("r2"),
+          col("c95"), col("c96"), col("c97"),
+          expr("CASE WHEN t IS NULL OR 3 * t - r2 = 0 THEN NULL ELSE" +
+            " CAST(2 AS DOUBLE) * CAST(num AS DOUBLE)" +
+            " / (CAST(3 AS DOUBLE) * CAST(3 * t - r2 AS DOUBLE)) END")
+            .as("q_stat"))
+    },
+    Some("""WITH cy AS (SELECT DISTINCT o_custkey AS ck,
+                    CAST(year(o_orderdate) AS BIGINT) AS yr
+                  FROM orders
+                  WHERE year(o_orderdate) IN (1995, 1996, 1997)),
+             rm AS (SELECT CAST(count(*) AS BIGINT) AS subjects,
+                      CAST(sum(r) AS BIGINT) AS t,
+                      CAST(sum(r * r) AS BIGINT) AS r2
+                    FROM (SELECT CAST(count(*) AS BIGINT) AS r
+                          FROM cy GROUP BY ck)),
+             ct AS (SELECT yr, CAST(count(*) AS BIGINT) AS c
+                    FROM cy GROUP BY yr),
+             a AS (SELECT max(subjects) AS subjects, max(t) AS t,
+                     max(r2) AS r2,
+                     sum(CAST(CAST(3 * c - t AS DECIMAL(38,0))
+                       * CAST(3 * c - t AS DECIMAL(38,0))
+                       AS DECIMAL(38,0))) AS num,
+                     max(CASE WHEN yr = 1995 THEN c END) AS c95,
+                     max(CASE WHEN yr = 1996 THEN c END) AS c96,
+                     max(CASE WHEN yr = 1997 THEN c END) AS c97
+                   FROM ct, rm)
+            SELECT subjects, t, r2, c95, c96, c97,
+                   CASE WHEN t IS NULL OR 3 * t - r2 = 0 THEN NULL ELSE
+                     CAST(2 AS DOUBLE) * CAST(num AS DOUBLE)
+                     / (CAST(3 AS DOUBLE) * CAST(3 * t - r2 AS DOUBLE))
+                     END AS q_stat
+            FROM a"""))
+
+  /** Anderson–Darling test of EXPONENTIALITY — the tail-weighted EDF
+    * test next to q_agg_ks_test's sup-norm one (AD's 1/(F(1−F))
+    * weighting makes it the standard choice when the alternative lives
+    * in the tails, exactly where revenue distributions deviate): is
+    * order total consistent with an exponential at the fitted rate?
+    * The exponential null keeps BOTH logs closed-form-portable:
+    * ln(1−F(x)) = −x/λ̂ exactly, and F uses one shared exp(). The
+    * classic sorted-sample sum Σ(2i−1)[ln F(x_i) + ln(1−F(x_{n+1−i}))]
+    * is regrouped per DISTINCT value — a tie run of count c starting
+    * after clt smaller rows contributes the exact integer coefficients
+    * c·(2·clt+c) on ln F and c·(2·cgt+c) on ln(1−F) (the reversed-index
+    * sum telescopes to the count-greater mirror) — so no per-row rank
+    * is ever materialized; the value-axis prefix rides the Prefix
+    * bucket-offset form. Terms sum order-free on DECIMAL(38,12)
+    * (entropy doctrine); A*² = A²(1+0.6/n) is the exponential-case
+    * small-sample spelling. Coefficient carrier is BIGINT — exact to
+    * n ≈ 2·10⁹ rows, beyond that carry DECIMAL(38,0) (the
+    * q_agg_mannwhitney bound, shared). */
+  val qAggAndersonDarling = Q(
+    "q_agg_anderson_darling",
+    (s, dir) => {
+      val pv = Tables.orders(s, dir).select(expr(cents).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val cum = Prefix.runningSum(
+        Prefix.withRangeBucket(pv, col("v"), 64, "__b"),
+        "__b", Seq(col("v")), bucketDesc = false, col("cnt"), "cle")
+        .withColumn("clt", col("cle") - col("cnt"))
+      val tot = pv.agg(sum(col("cnt")).as("n"),
+        sum(expr("CAST(CAST(v AS DECIMAL(38,0))" +
+          " * CAST(cnt AS DECIMAL(38,0)) AS DECIMAL(38,0))")).as("sv"))
+      val terms = cum.crossJoin(broadcast(tot))
+        .withColumn("lam", expr("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("z", expr("CAST(v AS DOUBLE) / lam"))
+        // exp() and ln() outputs differ from DuckDB's in the last ulp on
+        // ~8% of these inputs (measured 1219/15k at sf0.01 — this query's
+        // z range is far less forgiving than the suite's other ln sites),
+        // so both transcendental OUTPUTS are pinned to a 1e-6 grid (the
+        // engines' round() itself wobbles an ulp, so the quantum must
+        // dwarf BOTH wobbles: 1e-16 against 1e-6 makes a straddle
+        // ~1e-10-probable per row); the deterministic quantization
+        // shifts A² by well under 1e-3·n/λ-scale — beneath the
+        // statistic's resolution, and identically in both engines
+        .withColumn("ez", expr("round(exp(-z), 6)"))
+        .withColumn("lnp",
+          expr("round(ln(CAST(1 AS DOUBLE) - ez), 6)"))
+        .withColumn("term", expr(
+          "CAST(cnt * (2 * clt + cnt) AS DOUBLE) * lnp" +
+            " + CAST(cnt * (2 * (n - cle) + cnt) AS DOUBLE) * (-z)"))
+      terms.agg(
+        max(col("n")).as("n"), max(col("lam")).as("lambda_hat"),
+        sum(expr("CAST(term AS DECIMAL(38,12))"))
+          .cast(DoubleType).as("ssum"))
+        // the Dec12 term-sum accumulates the engines' double→decimal
+        // cast disagreement (Spark rounds the SHORTEST double repr
+        // HALF_UP, DuckDB the exact binary value — measured on 7184 of
+        // 15k casts at sf0.01, net ~1e-10): the final 1e-6 output grid
+        // dwarfs it, the suite-wide convention for decimal-sum finals
+        .select(col("n"), col("lambda_hat"),
+          expr("round(-CAST(n AS DOUBLE) - ssum / CAST(n AS DOUBLE), 6)")
+            .as("a2"))
+        .withColumn("a2_star", expr(
+          "round(a2 * (CAST(1 AS DOUBLE)" +
+            " + CAST(0.6 AS DOUBLE) / CAST(n AS DOUBLE)), 6)"))
+    },
+    Some(s"""WITH pv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+                  FROM (SELECT $cents AS v FROM orders) GROUP BY v),
+             cum AS (SELECT v, cnt,
+                       CAST(sum(cnt) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cle
+                     FROM pv),
+             tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                       sum(CAST(CAST(v AS DECIMAL(38,0))
+                         * CAST(cnt AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                         AS sv
+                     FROM pv),
+             zz AS (SELECT n, cnt, cle,
+                      CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS lam,
+                      CAST(v AS DOUBLE)
+                        / (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) AS z
+                    FROM cum, tot),
+              zq AS (SELECT n, cnt, cle, lam, z,
+                      round(exp(-z), 6) AS ez
+                    FROM zz),
+              zl AS (SELECT n, cnt, cle, lam, z,
+                      round(ln(CAST(1 AS DOUBLE) - ez), 6) AS lnp
+                    FROM zq),
+             trm AS (SELECT n, lam,
+                       CAST(cnt * (2 * (cle - cnt) + cnt) AS DOUBLE)
+                         * lnp
+                       + CAST(cnt * (2 * (n - cle) + cnt) AS DOUBLE)
+                         * (-z) AS term
+                     FROM zl),
+             agg AS (SELECT max(n) AS n, max(lam) AS lambda_hat,
+                       CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+                         AS ssum
+                     FROM trm),
+             f AS (SELECT n, lambda_hat,
+                     round(-CAST(n AS DOUBLE) - ssum / CAST(n AS DOUBLE),
+                       6) AS a2
+                   FROM agg)
+            SELECT n, lambda_hat, a2,
+                   round(a2 * (CAST(1 AS DOUBLE)
+                     + CAST(0.6 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                     AS a2_star
+            FROM f"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -7202,5 +7563,6 @@ object Analytics {
     qEvalBrier, qEvalKappa, qAggJarqueBera, qAggGrubbs, qAggRateCi,
     qAggQq, qPriceElasticity, qCohortLtv, qAggTukeyHsd, qAggWilsonCi,
     qTimeGranger, qAggBetaBinomial, qTimeTurningPoints,
-    qAggKruskalWallis, qAggWilcoxonSigned, qAggSignTest)
+    qAggKruskalWallis, qAggWilcoxonSigned, qAggSignTest,
+    qAggFriedman, qAggMedianTest, qAggCochranQ, qAggAndersonDarling)
 }

@@ -70,6 +70,10 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
       ("2x Prefix.runningSum bucket-offset prefixes over 64 range-bucket " +
         "totals (the un-collapsed logical plan shows the shared prefix twice)"),
     "q_agg_wilcoxon_signed" ->
+      "Prefix.runningSum bucket-offset prefix over 64 range-bucket totals",
+    "q_agg_median_test" ->
+      "Prefix.runningSum bucket-offset prefix over 64 range-bucket totals",
+    "q_agg_anderson_darling" ->
       "Prefix.runningSum bucket-offset prefix over 64 range-bucket totals")
 
   private val cartesianOk: Set[String] = Set.empty

@@ -480,6 +480,86 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     assert(small == 25L, "guard regime: sketch not full → estimate = n_k")
   }
 
+  test("friedman: within-block rank mass conserved, correction inflates") {
+    val rows = SparkEntry.queries("q_agg_friedman")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5, "five treatments")
+    val n = rows.head.getLong(2)
+    // each complete block distributes twice-ranks summing to
+    // 2·(1+…+5) = 30, so Σ_j rank2_sum must equal 30·n exactly
+    assert(rows.map(_.getLong(1)).sum == 30L * n,
+      "twice-rank mass must equal 30 per block")
+    val (chi2, corr) = (rows.head.getDouble(3), rows.head.getDouble(4))
+    assert(chi2 >= 0.0, "Friedman chi2 is a scaled rank variance")
+    assert(corr >= chi2 - 1e-12, "tie correction divides by <= 1")
+  }
+
+  test("median test: census conserved and grand median replays") {
+    val rows = SparkEntry.queries("q_agg_median_test")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    val cents = "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)" +
+      " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val vs = sources.Tables.orders(spark, sfDir)
+      .selectExpr(s"$cents AS v").collect().map(_.getLong(0)).sorted
+    // lower median: value at 1-based position ceil(n/2)
+    val med = vs((vs.length + 1) / 2 - 1)
+    rows.foreach { r =>
+      assert(r.getLong(4) == med, "grand lower median must replay")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "above + below = group size")
+    }
+    assert(rows.map(_.getLong(1)).sum == vs.length.toLong)
+    assert(rows.head.getDouble(5) >= 0.0, "chi2 is a sum of squares")
+  }
+
+  test("cochran q: full independent driver replay") {
+    val r = SparkEntry.queries("q_agg_cochran_q")(spark, sfDir).head()
+    val cy = sources.Tables.orders(spark, sfDir)
+      .where(expr("year(o_orderdate) IN (1995, 1996, 1997)"))
+      .selectExpr("o_custkey AS ck", "year(o_orderdate) AS yr")
+      .distinct().collect()
+      .map(x => (x.getLong(0), x.getInt(1)))
+    val byCk = cy.groupBy(_._1).view.mapValues(_.length)
+    val t = byCk.values.sum.toLong
+    val r2 = byCk.values.map(v => v.toLong * v).sum
+    val cols = cy.groupBy(_._2).view.mapValues(_.length).toMap
+    val num = Seq(1995, 1996, 1997)
+      .map(y => { val d = 3L * cols.getOrElse(y, 0) - t; d * d }).sum
+    val q = 2.0 * num / (3.0 * (3L * t - r2))
+    assert(r.getLong(0) == byCk.size.toLong)
+    assert(r.getLong(1) == t && r.getLong(2) == r2)
+    assert(math.abs(r.getDouble(6) - q) <= 1e-9 * math.max(1.0, q),
+      s"Q replay $q vs engine ${r.getDouble(6)}")
+  }
+
+  test("anderson darling: full independent driver replay") {
+    val r = SparkEntry.queries("q_agg_anderson_darling")(spark, sfDir)
+      .head()
+    val (n, lam, a2) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val cents = "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)" +
+      " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val vs = sources.Tables.orders(spark, sfDir)
+      .selectExpr(s"$cents AS v").collect().map(_.getLong(0)).sorted
+    assert(vs.length.toLong == n)
+    assert(math.abs(lam - vs.map(BigInt(_)).sum.toDouble / n) <= 1e-6)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // classic per-sorted-row spelling — an independent path from the
+    // engine's per-distinct-value regrouped coefficients
+    var ssum = 0.0
+    for (i <- 1 to vs.length) {
+      val z = vs(i - 1).toDouble / lam
+      val zr = vs(vs.length - i).toDouble / lam
+      ssum += (2 * i - 1).toDouble *
+        (r6(math.log(1.0 - r6(math.exp(-z)))) - zr)
+    }
+    val a2replay = -n.toDouble - ssum / n.toDouble
+    assert(math.abs(a2 - a2replay) <= 1e-4 * math.max(1.0, a2.abs),
+      s"A2 replay $a2replay vs engine $a2")
+  }
+
   test("ams f2: exact truth replays and estimate is within 5σ") {
     val r = SparkEntry.queries("q_sketch_ams_f2")(spark, sfDir).head()
     assert(r.getLong(0) == 64L)
