@@ -557,7 +557,83 @@ object Sketches {
             FROM est, ex"""
     })
 
+  /** KMV set ALGEBRA — union size and Jaccard from k-minimum-values
+    * sketches, the property q_sketch_kmv keeps KMV for (each retained
+    * hash is a uniform key-space sample, so the union sketch's members
+    * are an unbiased sample of A∪B and the fraction also in BOTH sets
+    * estimates J(A,B) directly — the estimator behind distinct-join
+    * sizing and audience overlap without HLL's inclusion–exclusion
+    * instability on small intersections). Sets: customers ordering in
+    * H1 (months 1–6) vs H2. Build = one per-hash membership aggregate
+    * (bool-or flags), union sketch = TakeOrdered 256 of the hash axis
+    * (per-partition top-k + 256-row driver merge, no global sort);
+    * Ĵ = |sketch ∩ both| / n_k, D̂(A∪B) = (k−1)·2⁶⁰/h₍ₖ₎ (exact when
+    * the sketch is not full), intersection = Ĵ·D̂ by identity. Exact
+    * truths ride along; DuckDB rebuilds the identical sketch. */
+  val qSketchKmvJaccard = Q(
+    "q_sketch_kmv_jaccard",
+    (s, dir) => {
+      val m = graft.sources.Tables.orders(s, dir)
+        .groupBy(graft.Det.pHash60(col("o_custkey")).as("h"))
+        .agg(
+          max(when(month(col("o_orderdate")) <= 6, 1L).otherwise(0L))
+            .as("a"),
+          max(when(month(col("o_orderdate")) >= 7, 1L).otherwise(0L))
+            .as("b"))
+      val low = m.orderBy(col("h").asc).limit(256)
+      val sk = low.agg(count(lit(1)).as("n_k"), max(col("h")).as("kth"),
+        sum(col("a") * col("b")).as("both_k"))
+      val act = m.agg(count(lit(1)).as("u_true"),
+        sum(col("a") * col("b")).as("i_true"))
+      sk.crossJoin(broadcast(act))
+        .select(col("n_k"), col("both_k"), col("u_true"), col("i_true"),
+          expr("CASE WHEN n_k = 256 THEN round(CAST(255 AS DOUBLE)" +
+            " * CAST(1152921504606846976 AS DOUBLE)" +
+            " / CAST(kth AS DOUBLE), 6)" +
+            " ELSE CAST(n_k AS DOUBLE) END").as("u_est"),
+          expr("CASE WHEN n_k = 0 THEN NULL ELSE" +
+            " CAST(both_k AS DOUBLE) / CAST(n_k AS DOUBLE) END")
+            .as("jac_est"),
+          expr("CASE WHEN u_true = 0 THEN NULL ELSE" +
+            " CAST(i_true AS DOUBLE) / CAST(u_true AS DOUBLE) END")
+            .as("jac_true"))
+        .withColumn("i_est",
+          expr("round(jac_est * u_est, 6)"))
+    },
+    Some {
+      val h = graft.Det.sqlPHash60("o_custkey")
+      s"""WITH m AS (SELECT ($h) AS h,
+                    CAST(max(CASE WHEN month(o_orderdate) <= 6
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                    CAST(max(CASE WHEN month(o_orderdate) >= 7
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b
+                  FROM orders GROUP BY 1),
+              low AS (SELECT * FROM m ORDER BY h ASC LIMIT 256),
+              sk AS (SELECT CAST(count(*) AS BIGINT) AS n_k,
+                       max(h) AS kth,
+                       CAST(sum(a * b) AS BIGINT) AS both_k
+                     FROM low),
+              act AS (SELECT CAST(count(*) AS BIGINT) AS u_true,
+                        CAST(sum(a * b) AS BIGINT) AS i_true
+                      FROM m),
+              e AS (SELECT n_k, both_k, u_true, i_true,
+                      CASE WHEN n_k = 256 THEN round(CAST(255 AS DOUBLE)
+                          * CAST(1152921504606846976 AS DOUBLE)
+                          / CAST(kth AS DOUBLE), 6)
+                        ELSE CAST(n_k AS DOUBLE) END AS u_est,
+                      CASE WHEN n_k = 0 THEN NULL ELSE
+                        CAST(both_k AS DOUBLE) / CAST(n_k AS DOUBLE) END
+                        AS jac_est,
+                      CASE WHEN u_true = 0 THEN NULL ELSE
+                        CAST(i_true AS DOUBLE) / CAST(u_true AS DOUBLE)
+                        END AS jac_true
+                    FROM sk, act)
+            SELECT n_k, both_k, u_true, i_true, u_est, jac_est, jac_true,
+                   round(jac_est * u_est, 6) AS i_est
+            FROM e"""
+    })
+
   val all: Seq[Q] = Seq(qSketchHeavyHitters, qSketchCmsPortable,
     qSketchBloomPortable, qSketchHllPortable, qSketchHllIntersect,
-    qSketchKmv, qSketchAmsF2)
+    qSketchKmv, qSketchAmsF2, qSketchKmvJaccard)
 }

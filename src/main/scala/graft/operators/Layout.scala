@@ -243,5 +243,138 @@ object Layout {
                      AS rle_ratio
             FROM b GROUP BY flag ORDER BY flag"""))
 
-  val all: Seq[Q] = Seq(qLayoutZorder, qLayoutCompact, qLayoutRleStats)
+  /** Zone-map data skipping census — the READ-side proof of the layout
+    * doctrine the file's header states (min/max stats prune a scan only
+    * when the layout clusters the filtered column): 64 synthetic
+    * "files" tile the ship-date range (the same deterministic monotone
+    * bucket Prefix uses — every file is a contiguous date band, i.e. a
+    * date-clustered write), each file carries a two-column zone map
+    * (min/max ship-day AND min/max orderkey). One ~5%-selectivity range
+    * predicate per column then shows both futures at once: the
+    * CLUSTERED column's predicate overlaps ~4 of 64 zones while the
+    * UNCLUSTERED column's stats span everything and prune nothing —
+    * the Delta/Iceberg file-skipping model reduced to an oracle-checked
+    * census (files scanned, rows scanned, rows matched, skip ratio).
+    * Scale: one pass + a 64-row zone table + bounded census arithmetic;
+    * predicate bounds derive from the broadcast global stats, so the
+    * query is scale-factor-independent. */
+  val qLayoutZonemap = Q(
+    "q_layout_zonemap",
+    (s, dir) => {
+      val rows = Tables.lineitem(s, dir).select(
+        datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+          .cast(LongType).as("d"),
+        col("l_orderkey").as("ok"))
+      val st = rows.agg(min("d").as("mnd"), max("d").as("mxd"),
+        min("ok").as("mnk"), max("ok").as("mxk"))
+      val withB = rows.crossJoin(broadcast(st))
+        .withColumn("dhi", expr("mnd + (mxd - mnd) div 20"))
+        .withColumn("khi", expr("mnk + (mxk - mnk) div 20"))
+        .withColumn("f", expr(
+          "CASE WHEN mxd = mnd THEN 0 ELSE" +
+            " least(CAST(floor((CAST(d AS DOUBLE) - CAST(mnd AS DOUBLE))" +
+            " / (CAST(mxd AS DOUBLE) - CAST(mnd AS DOUBLE))" +
+            " * CAST(64 AS DOUBLE)) AS BIGINT), CAST(63 AS BIGINT)) END"))
+      val zones = withB.groupBy("f").agg(
+        count(lit(1)).as("cnt"),
+        min("d").as("zmnd"), max("d").as("zmxd"),
+        min("ok").as("zmnk"), max("ok").as("zmxk"),
+        max("mnd").as("dlo"), max("dhi").as("dhi"),
+        max("mnk").as("klo"), max("khi").as("khi"))
+      val census = zones.agg(
+        count(lit(1)).as("files"),
+        sum(when(col("zmnd") <= col("dhi")
+          && col("zmxd") >= col("dlo"), 1L).otherwise(0L))
+          .as("files_scan_clustered"),
+        sum(when(col("zmnd") <= col("dhi")
+          && col("zmxd") >= col("dlo"), col("cnt")).otherwise(0L))
+          .as("rows_scan_clustered"),
+        sum(when(col("zmnk") <= col("khi")
+          && col("zmxk") >= col("klo"), 1L).otherwise(0L))
+          .as("files_scan_unclustered"),
+        sum(when(col("zmnk") <= col("khi")
+          && col("zmxk") >= col("klo"), col("cnt")).otherwise(0L))
+          .as("rows_scan_unclustered"),
+        sum(col("cnt")).as("rows_total"))
+      val matches = withB.agg(
+        sum(when(col("d") <= col("dhi"), 1L).otherwise(0L))
+          .as("rows_match_clustered"),
+        sum(when(col("ok") <= col("khi"), 1L).otherwise(0L))
+          .as("rows_match_unclustered"))
+      census.crossJoin(broadcast(matches))
+        .select(col("files"), col("files_scan_clustered"),
+          col("rows_scan_clustered"), col("rows_match_clustered"),
+          col("files_scan_unclustered"), col("rows_scan_unclustered"),
+          col("rows_match_unclustered"), col("rows_total"),
+          expr("CASE WHEN rows_total = 0 THEN NULL ELSE" +
+            " round(CAST(1 AS DOUBLE) - CAST(rows_scan_clustered" +
+            " AS DOUBLE) / CAST(rows_total AS DOUBLE), 6) END")
+            .as("skip_ratio_clustered"),
+          expr("CASE WHEN rows_total = 0 THEN NULL ELSE" +
+            " round(CAST(1 AS DOUBLE) - CAST(rows_scan_unclustered" +
+            " AS DOUBLE) / CAST(rows_total AS DOUBLE), 6) END")
+            .as("skip_ratio_unclustered"))
+    },
+    Some("""WITH rows0 AS (SELECT
+                    CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                      AS BIGINT) AS d,
+                    l_orderkey AS ok
+                  FROM lineitem),
+             st AS (SELECT min(d) AS mnd, max(d) AS mxd,
+                      min(ok) AS mnk, max(ok) AS mxk FROM rows0),
+             wb AS (SELECT d, ok, mnd, mnk,
+                      mnd + (mxd - mnd) // 20 AS dhi,
+                      mnk + (mxk - mnk) // 20 AS khi,
+                      CASE WHEN mxd = mnd THEN 0 ELSE
+                        least(CAST(floor((CAST(d AS DOUBLE)
+                          - CAST(mnd AS DOUBLE))
+                          / (CAST(mxd AS DOUBLE) - CAST(mnd AS DOUBLE))
+                          * CAST(64 AS DOUBLE)) AS BIGINT),
+                          CAST(63 AS BIGINT)) END AS f
+                    FROM rows0, st),
+             zones AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt,
+                         min(d) AS zmnd, max(d) AS zmxd,
+                         min(ok) AS zmnk, max(ok) AS zmxk,
+                         max(mnd) AS dlo, max(dhi) AS dhi,
+                         max(mnk) AS klo, max(khi) AS khi
+                       FROM wb GROUP BY f),
+             census AS (SELECT CAST(count(*) AS BIGINT) AS files,
+                          CAST(sum(CASE WHEN zmnd <= dhi AND zmxd >= dlo
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                            AS files_scan_clustered,
+                          CAST(sum(CASE WHEN zmnd <= dhi AND zmxd >= dlo
+                            THEN cnt ELSE 0 END) AS BIGINT)
+                            AS rows_scan_clustered,
+                          CAST(sum(CASE WHEN zmnk <= khi AND zmxk >= klo
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                            AS files_scan_unclustered,
+                          CAST(sum(CASE WHEN zmnk <= khi AND zmxk >= klo
+                            THEN cnt ELSE 0 END) AS BIGINT)
+                            AS rows_scan_unclustered,
+                          CAST(sum(cnt) AS BIGINT) AS rows_total
+                        FROM zones),
+             m AS (SELECT
+                     CAST(sum(CASE WHEN d <= dhi THEN 1 ELSE 0 END)
+                       AS BIGINT) AS rows_match_clustered,
+                     CAST(sum(CASE WHEN ok <= khi THEN 1 ELSE 0 END)
+                       AS BIGINT) AS rows_match_unclustered
+                   FROM wb)
+            SELECT files, files_scan_clustered, rows_scan_clustered,
+                   rows_match_clustered, files_scan_unclustered,
+                   rows_scan_unclustered, rows_match_unclustered,
+                   rows_total,
+                   CASE WHEN rows_total = 0 THEN NULL ELSE
+                     round(CAST(1 AS DOUBLE)
+                       - CAST(rows_scan_clustered AS DOUBLE)
+                       / CAST(rows_total AS DOUBLE), 6) END
+                     AS skip_ratio_clustered,
+                   CASE WHEN rows_total = 0 THEN NULL ELSE
+                     round(CAST(1 AS DOUBLE)
+                       - CAST(rows_scan_unclustered AS DOUBLE)
+                       / CAST(rows_total AS DOUBLE), 6) END
+                     AS skip_ratio_unclustered
+            FROM census, m"""))
+
+  val all: Seq[Q] = Seq(qLayoutZorder, qLayoutCompact, qLayoutRleStats,
+    qLayoutZonemap)
 }

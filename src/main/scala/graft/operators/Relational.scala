@@ -2237,7 +2237,93 @@ object Relational {
             SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
             ORDER BY side, raw DESC, node"""))
 
+  /** Incremental materialized-view maintenance — update a per-priority
+    * (count, revenue) aggregate over a TRAILING-two-year order window
+    * when the as-of date advances six months, WITHOUT rescanning the
+    * base window: inserts = orders that entered the new window's head,
+    * retractions = orders that aged out of its tail, and count/sum are
+    * self-maintainable under both (the additive-delta law Δview =
+    * view ⊕ inserts ⊖ deletes that Delta/Iceberg MERGE-based MV
+    * refresh relies on). The query carries BOTH paths — the maintained
+    * view and the direct recompute of the new window — and emits their
+    * per-group deltas plus an exact-match flag, so the oracle certifies
+    * the maintenance algebra itself, not just one side. Scale: the
+    * incremental path scans ONLY the two six-month delta slices (date
+    * predicates push to the scan); the direct path exists here as the
+    * in-plan certificate. All moments are exact integer cents. */
+  val qViewIncremental = Q(
+    "q_view_incremental",
+    (s, dir) => {
+      val cents = "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)" +
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+      def agg(lo: String, hi: String) = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit(lo).cast("date")
+          && col("o_orderdate") < lit(hi).cast("date"))
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("cnt"), sum(expr(cents)).as("rev"))
+      // view as of 1997-01-01: window [1995-01-01, 1997-01-01)
+      val base = agg("1995-01-01", "1997-01-01")
+      // advance to 1997-07-01: inserts [1997-01-01, 1997-07-01),
+      // retractions [1995-01-01, 1995-07-01)
+      val ins = agg("1997-01-01", "1997-07-01")
+      val del = agg("1995-01-01", "1995-07-01")
+      val incr = base.select(col("pri"), col("cnt"), col("rev"))
+        .unionAll(ins.select(col("pri"), col("cnt"), col("rev")))
+        .unionAll(del.select(col("pri"), -col("cnt"), -col("rev")))
+        .groupBy("pri")
+        .agg(sum(col("cnt")).as("cnt_incr"), sum(col("rev")).as("rev_incr"))
+      val direct = agg("1995-07-01", "1997-07-01")
+        .withColumnRenamed("cnt", "cnt_direct")
+        .withColumnRenamed("rev", "rev_direct")
+      incr.join(direct, Seq("pri"), "full_outer")
+        .select(col("pri"),
+          coalesce(col("cnt_incr"), lit(0L)).as("cnt_incr"),
+          coalesce(col("rev_incr"), lit(0L)).as("rev_incr"),
+          coalesce(col("cnt_direct"), lit(0L)).as("cnt_direct"),
+          coalesce(col("rev_direct"), lit(0L)).as("rev_direct"))
+        .withColumn("maintained_ok",
+          (col("cnt_incr") === col("cnt_direct")
+            && col("rev_incr") === col("rev_direct")).cast("int"))
+        .orderBy("pri")
+    },
+    Some {
+      val cents = "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)" +
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+      def agg(lo: String, hi: String) =
+        s"""SELECT o_orderpriority AS pri,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum($cents) AS BIGINT) AS rev
+            FROM orders
+            WHERE o_orderdate >= DATE '$lo' AND o_orderdate < DATE '$hi'
+            GROUP BY 1"""
+      s"""WITH base AS (${agg("1995-01-01", "1997-01-01")}),
+              ins AS (${agg("1997-01-01", "1997-07-01")}),
+              del AS (${agg("1995-01-01", "1995-07-01")}),
+              incr AS (SELECT pri, CAST(sum(cnt) AS BIGINT) AS cnt_incr,
+                         CAST(sum(rev) AS BIGINT) AS rev_incr
+                       FROM (SELECT pri, cnt, rev FROM base
+                             UNION ALL SELECT pri, cnt, rev FROM ins
+                             UNION ALL SELECT pri, -cnt, -rev FROM del)
+                       GROUP BY pri),
+              direct AS (SELECT pri, cnt AS cnt_direct,
+                           rev AS rev_direct
+                         FROM (${agg("1995-07-01", "1997-07-01")})),
+              j AS (SELECT coalesce(i.pri, d.pri) AS pri,
+                      coalesce(cnt_incr, 0) AS cnt_incr,
+                      coalesce(rev_incr, 0) AS rev_incr,
+                      coalesce(cnt_direct, 0) AS cnt_direct,
+                      coalesce(rev_direct, 0) AS rev_direct
+                    FROM incr i FULL OUTER JOIN direct d
+                      ON i.pri = d.pri)
+            SELECT pri, cnt_incr, rev_incr, cnt_direct, rev_direct,
+                   CAST(CASE WHEN cnt_incr = cnt_direct
+                     AND rev_incr = rev_direct THEN 1 ELSE 0 END AS INT)
+                     AS maintained_ok
+            FROM j ORDER BY pri"""
+    })
+
   val all: Seq[Q] = Seq(
+    qViewIncremental,
     qSnapshotDiff, qDqReferential, qJoinBloomPrefilter, qGraphLabelProp,
     qGraphKcore, qGraphAdamicAdar, qGraphJaccard, qGraphHits,
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,

@@ -560,6 +560,56 @@ class R15Spec extends AnyFunSuite with SparkFixture {
       s"A2 replay $a2replay vs engine $a2")
   }
 
+  test("kmv jaccard: union sample is unbiased and exact under k") {
+    val r = SparkEntry.queries("q_sketch_kmv_jaccard")(spark, sfDir)
+      .head()
+    val (nK, bothK, uTrue, iTrue) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (uEst, jacEst, jacTrue) =
+      (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(math.abs(jacTrue - iTrue.toDouble / uTrue) <= 1e-12)
+    if (nK < 256L) {
+      // under-k regime: the sketch IS the set, so everything is exact
+      assert(nK == uTrue && uEst == uTrue.toDouble)
+      assert(bothK == iTrue && jacEst == jacTrue)
+    } else {
+      assert(math.abs(jacEst - jacTrue) <=
+        4.0 * math.sqrt(jacTrue * (1 - jacTrue) / 256.0) + 1e-12,
+        s"KMV Jaccard $jacEst vs $jacTrue breaches the 4σ band")
+      assert(math.abs(uEst - uTrue) / uTrue <= 4.0 / math.sqrt(256.0))
+    }
+  }
+
+  test("zonemap: clustered column prunes, stats never lose rows") {
+    val r = SparkEntry.queries("q_layout_zonemap")(spark, sfDir).head()
+    val files = r.getLong(0)
+    val (fsC, rsC, rmC) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    val (fsU, rsU, rmU) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    // the zone-map CONTRACT: a scan over the surviving files sees every
+    // matching row (no false negatives), for both predicates
+    assert(rsC >= rmC && rsU >= rmU, "zone maps must never lose rows")
+    // clustered layout: a ~5% date band overlaps only ~4 of 64 date
+    // zones; give slack for boundary zones
+    assert(fsC <= files / 4,
+      s"clustered predicate should prune most files: $fsC of $files")
+    // unclustered column: every file's orderkey span covers the band
+    assert(fsU >= files / 2,
+      s"unclustered stats should prune little: $fsU of $files")
+    assert(r.getDouble(8) > r.getDouble(9),
+      "clustered skip ratio must beat unclustered")
+  }
+
+  test("incremental view: maintenance algebra matches direct recompute") {
+    val rows = SparkEntry.queries("q_view_incremental")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5, "five priorities")
+    rows.foreach { r =>
+      assert(r.getInt(5) == 1, s"maintained_ok failed for ${r.get(0)}")
+      assert(r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(4))
+    }
+    assert(rows.map(_.getLong(3)).sum > 0, "window must be non-empty")
+  }
+
   test("ams f2: exact truth replays and estimate is within 5σ") {
     val r = SparkEntry.queries("q_sketch_ams_f2")(spark, sfDir).head()
     assert(r.getLong(0) == 64L)
