@@ -7538,6 +7538,491 @@ object Analytics {
                      AS a2_star
             FROM f"""))
 
+  /** Hurst exponent via rescaled-range (R/S) analysis — the
+    * long-memory readout of the time family (autocorr sees one lag,
+    * the periodogram one frequency; H says whether shocks PERSIST:
+    * H > ½ trending, < ½ mean-reverting, = ½ random walk): daily
+    * revenue is cut into complete blocks of m ∈ {16,32,64} days; per
+    * block the range of cumulative mean-deviations over the population
+    * std estimates R/S, and H is the log-log slope of mean ln(R/S)
+    * against block size. Every block moment is integer-exact via the
+    * cross-multiply trick: W_t·m = m·P_t − t·T (prefix P, total T) and
+    * S²m² = m·Σy² − T², all on the DECIMAL(38,0) carrier, so the only
+    * IEEE steps are one shared sqrt/division/ln per block. With
+    * log2-spaced sizes the 3-point OLS slope collapses to
+    * (z₆−z₄)/2 and H = slope/ln 2. ln-wobble discipline: per-block ln
+    * terms Dec12-sum order-free, all double OUTPUTS on the 1e-6 grid
+    * (the q_agg_anderson_darling cast-rule lesson). Zero-variance
+    * blocks and trailing partial blocks drop (stated). Scale: the day
+    * axis is dataset-bounded; the per-block windows are partitioned
+    * and ≤64 rows; the one global row_number rides the daily rollup
+    * (granger/running-frame allowlist class). */
+  val qTimeHurst = Q(
+    "q_time_hurst",
+    (s, dir) => {
+      // $100-unit carrier (cents DIV 10000): every decimal moment the
+      // finals cast to double stays < 2^53 through sf1 (the hugeint→
+      // double two-rounding class the periodogram documents); R/S is
+      // scale-invariant so the coarsening only perturbs via truncation
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("yc"))
+        .withColumn("y", expr("yc div 10000")).drop("yc")
+        .withColumn("t", row_number().over(Window.orderBy("d")) - 1)
+      val sizes = s.range(4, 7).select(col("id").cast(IntegerType).as("k"),
+        expr("CAST(1 << CAST(id AS INT) AS INT)").as("m"))
+      val wB = Window.partitionBy("m", "blk").orderBy("pos")
+      val e = daily.crossJoin(broadcast(sizes))
+        .withColumn("blk", expr("t div m"))
+        .withColumn("pos", expr("t % m"))
+        .withColumn("p", sum(col("y")).over(
+          wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tt", sum(col("y")).over(
+          Window.partitionBy("m", "blk")))
+        .withColumn("w", expr(
+          "CAST(CAST(m AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0))" +
+            " - CAST(pos + 1 AS DECIMAL(38,0)) * CAST(tt AS DECIMAL(38,0))" +
+            " AS DECIMAL(38,0))"))
+      val blk = e.groupBy("m", "k", "blk")
+        .agg(count(lit(1)).as("c"),
+          (max(col("w")) - min(col("w"))).as("rm"),
+          sum(col("y")).as("ts"),
+          sum(expr("CAST(CAST(y AS DECIMAL(38,0))" +
+            " * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0))")).as("q2"))
+        .withColumn("den", expr(
+          "CAST(CAST(m AS DECIMAL(38,0)) * q2" +
+            " - CAST(ts AS DECIMAL(38,0)) * CAST(ts AS DECIMAL(38,0))" +
+            " AS DECIMAL(38,0))"))
+        .where(col("c") === col("m")
+          && expr("CAST(den AS DOUBLE) > CAST(0 AS DOUBLE)"))
+        .withColumn("lnrs", expr(
+          "ln(CAST(rm AS DOUBLE) / sqrt(CAST(den AS DOUBLE)))"))
+      val bySize = blk.groupBy("m", "k")
+        .agg(count(lit(1)).as("n_blocks"),
+          (sum(expr("CAST(lnrs AS DECIMAL(38,12))")).cast(DoubleType)
+            / count(lit(1)).cast(DoubleType)).as("z"))
+      val hurst = bySize.agg(expr(
+        "round((max(CASE WHEN k = 6 THEN z END)" +
+          " - max(CASE WHEN k = 4 THEN z END))" +
+          " / (CAST(2 AS DOUBLE) * ln(CAST(2 AS DOUBLE))), 6)")
+        .as("hurst"))
+      bySize.crossJoin(broadcast(hurst))
+        .select(col("m"), col("n_blocks"),
+          expr("round(z, 6)").as("mean_ln_rs"), col("hurst"))
+        .orderBy("m")
+    },
+    Some("""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                    CAST(SUM(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) // 10000 AS BIGINT) AS y
+                  FROM lineitem GROUP BY 1),
+             rk AS (SELECT y,
+                      row_number() OVER (ORDER BY d) - 1 AS t
+                    FROM daily),
+             sz AS (SELECT CAST(k AS INT) AS k,
+                      CAST(1 << k AS INT) AS m
+                    FROM (SELECT unnest(range(4, 7)) AS k)),
+             e AS (SELECT m, k, t // m AS blk, t % m AS pos, y,
+                     CAST(sum(y) OVER (PARTITION BY m, t // m ORDER BY t % m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS p,
+                     CAST(sum(y) OVER (PARTITION BY m, t // m)
+                       AS BIGINT) AS tt
+                   FROM rk CROSS JOIN sz),
+             ew AS (SELECT m, k, blk, pos, y, p, tt,
+                      CAST(CAST(m AS DECIMAL(38,0))
+                        * CAST(p AS DECIMAL(38,0))
+                        - CAST(pos + 1 AS DECIMAL(38,0))
+                        * CAST(tt AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS w
+                    FROM e),
+             blk AS (SELECT m, k, blk, CAST(count(*) AS BIGINT) AS c,
+                       max(w) - min(w) AS rm,
+                       CAST(sum(y) AS BIGINT) AS ts,
+                       sum(CAST(CAST(y AS DECIMAL(38,0))
+                         * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                         AS q2
+                     FROM ew GROUP BY 1, 2, 3),
+             bd AS (SELECT m, k, c, rm,
+                      CAST(CAST(m AS DECIMAL(38,0)) * q2
+                        - CAST(ts AS DECIMAL(38,0))
+                        * CAST(ts AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                        AS den
+                    FROM blk),
+             lb AS (SELECT m, k,
+                      ln(CAST(rm AS DOUBLE) / sqrt(CAST(den AS DOUBLE)))
+                        AS lnrs
+                    FROM bd
+                    WHERE c = m
+                      AND CAST(den AS DOUBLE) > CAST(0 AS DOUBLE)),
+             bys AS (SELECT m, k, CAST(count(*) AS BIGINT) AS n_blocks,
+                       CAST(SUM(CAST(lnrs AS DECIMAL(38,12))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE) AS z
+                     FROM lb GROUP BY 1, 2),
+             h AS (SELECT round((max(CASE WHEN k = 6 THEN z END)
+                       - max(CASE WHEN k = 4 THEN z END))
+                     / (CAST(2 AS DOUBLE) * ln(CAST(2 AS DOUBLE))), 6)
+                     AS hurst
+                   FROM bys)
+            SELECT m, n_blocks, round(z, 6) AS mean_ln_rs, hurst
+            FROM bys, h ORDER BY m"""))
+
+  /** Spectral entropy — how CONCENTRATED the periodogram is (one
+    * number per flag next to q_time_periodogram's full spectrum: ~0 =
+    * one dominant cycle, ~1 = white noise; the regularity feature
+    * anomaly detectors and forecast-model selectors key on): powers at
+    * periods 2..14 via the SAME exact-argument-reduction + scale-6
+    * quantized trig carrier the periodogram pins (t mod p keeps libm
+    * in its agreeing range; decimal products make the sums
+    * engine-identical), then H = −Σ q·ln q / ln K over the normalized
+    * spectrum. ln terms ride the Dec12 order-free sum and the finals
+    * sit on the 1e-6 output grid (cast-rule doctrine). Zero-power
+    * levels contribute zero (stated, the entropy convention); an
+    * all-zero spectrum guards to NULL. */
+  val qTimeSpectralEntropy = Q(
+    "q_time_spectral_entropy",
+    (s, dir) => {
+      val wRk = Window.partitionBy("flag").orderBy("d")
+      val arg = "CAST(2.0 AS DOUBLE) * pi() * CAST(t % p AS DOUBLE) " +
+        "/ CAST(p AS DOUBLE)"
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("v"))
+        .withColumn("t", row_number().over(wRk) - 1)
+      val periods = s.range(2, 15).select(col("id").cast(IntegerType).as("p"))
+      val pw = daily.crossJoin(broadcast(periods))
+        .groupBy("flag", "p")
+        .agg(
+          sum(expr(s"CAST(v DIV 100 AS DECIMAL(18,0)) " +
+            s"* CAST(cos($arg) AS DECIMAL(8,6))")).as("sxd"),
+          sum(expr(s"CAST(v DIV 100 AS DECIMAL(18,0)) " +
+            s"* CAST(sin($arg) AS DECIMAL(8,6))")).as("syd"))
+        .select(col("flag"), col("p"),
+          expr("CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE)" +
+            " + CAST(syd AS DOUBLE) * CAST(syd AS DOUBLE)").as("power"))
+      val tot = pw.groupBy("flag")
+        .agg(count(lit(1)).as("n_periods"),
+          sum(expr("CAST(power AS DECIMAL(38,6))")).cast(DoubleType)
+            .as("total_power"))
+      pw.join(tot, Seq("flag"))
+        .withColumn("term", expr(
+          "CASE WHEN total_power = CAST(0 AS DOUBLE)" +
+            " OR power = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)" +
+            " ELSE -(power / total_power) * ln(power / total_power) END"))
+        .groupBy("flag")
+        .agg(max(col("n_periods")).as("n_periods"),
+          max(col("total_power")).as("total_power"),
+          sum(expr("CAST(term AS DECIMAL(38,12))")).cast(DoubleType)
+            .as("h"))
+        // total_power's decimal→double cast differs ~2e-16 RELATIVE
+        // between engines (hugeint two-rounding) — at 1e14 magnitude
+        // that is absolute ~0.1, so the output rides a millions-scale
+        // 1e-3 grid; the entropy RATIOS shrink the same wobble to
+        // ~1e-15 absolute, far under their 1e-6 grid
+        .select(col("flag"), col("n_periods"),
+          expr("round(total_power / CAST(1000000 AS DOUBLE), 3)")
+            .as("total_power_m"),
+          expr("CASE WHEN total_power = CAST(0 AS DOUBLE) THEN NULL" +
+            " ELSE round(h, 6) END").as("entropy"),
+          expr("CASE WHEN total_power = CAST(0 AS DOUBLE) THEN NULL" +
+            " ELSE round(h / ln(CAST(n_periods AS DOUBLE)), 6) END")
+            .as("entropy_norm"))
+        .orderBy("flag")
+    },
+    Some("""WITH daily AS (
+              SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+                CAST(SUM(CAST(floor(l_extendedprice
+                  * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM lineitem GROUP BY 1, 2),
+             rk AS (SELECT flag, v,
+                      row_number() OVER (PARTITION BY flag ORDER BY d) - 1
+                        AS t
+                    FROM daily),
+             pp AS (SELECT CAST(unnest(range(2, 15)) AS INT) AS p),
+             f AS (SELECT flag, p,
+                     CAST(SUM(CAST(v // 100 AS DECIMAL(24,0))
+                       * CAST(cos(CAST(2.0 AS DOUBLE) * pi()
+                           * CAST(t % p AS DOUBLE) / CAST(p AS DOUBLE))
+                         AS DECIMAL(8,6))) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(v // 100 AS DECIMAL(24,0))
+                       * CAST(sin(CAST(2.0 AS DOUBLE) * pi()
+                           * CAST(t % p AS DOUBLE) / CAST(p AS DOUBLE))
+                         AS DECIMAL(8,6))) AS DOUBLE) AS sy
+                   FROM rk CROSS JOIN pp GROUP BY flag, p),
+             pw AS (SELECT flag, p, sx * sx + sy * sy AS power FROM f),
+             tot AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_periods,
+                       CAST(SUM(CAST(power AS DECIMAL(38,6))) AS DOUBLE)
+                         AS total_power
+                     FROM pw GROUP BY flag),
+             trm AS (SELECT pw.flag, n_periods, total_power,
+                       CASE WHEN total_power = CAST(0 AS DOUBLE)
+                           OR power = CAST(0 AS DOUBLE)
+                         THEN CAST(0 AS DOUBLE)
+                         ELSE -(power / total_power)
+                           * ln(power / total_power) END AS term
+                     FROM pw JOIN tot ON pw.flag = tot.flag),
+             agg AS (SELECT flag, max(n_periods) AS n_periods,
+                       max(total_power) AS total_power,
+                       CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+                         AS h
+                     FROM trm GROUP BY flag)
+            SELECT flag, n_periods,
+                   round(total_power / CAST(1000000 AS DOUBLE), 3)
+                     AS total_power_m,
+                   CASE WHEN total_power = CAST(0 AS DOUBLE) THEN NULL
+                     ELSE round(h, 6) END AS entropy,
+                   CASE WHEN total_power = CAST(0 AS DOUBLE) THEN NULL
+                     ELSE round(h / ln(CAST(n_periods AS DOUBLE)), 6) END
+                     AS entropy_norm
+            FROM agg ORDER BY flag"""))
+
+  /** Theil's U — SCALE-FREE forecast quality (q_time_forecast_eval's
+    * MAE/MASE are level-dependent; U2 < 1 is the universal "beats the
+    * naive benchmark" certificate a backtest harness gates on): per
+    * flag, seasonal-naive (t−7) is scored against naive (t−1) on the
+    * SAME eval window (rows where both forecasts exist — the
+    * forecast_eval window rule shared), U2 = √(Σ(ŷ−y)²/Σ(y₋₁−y)²)
+    * plus U1 = √(Σe²/n)/(√(Σŷ²/n)+√(Σy²/n)) ∈ [0,1]. Every error
+    * moment is an exact integer cent square on DECIMAL(38,0) (Granger
+    * carrier); the finals are shared sqrt formulas on the 1e-6 output
+    * grid. Lags are flag-partitioned over the daily rollup. */
+  val qTimeTheilU = Q(
+    "q_time_theil_u",
+    (s, dir) => {
+      val w = Window.partitionBy("flag").orderBy("d")
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
+      val lagged = daily
+        .withColumn("f7", lag(col("y"), 7).over(w))
+        .withColumn("f1", lag(col("y"), 1).over(w))
+        .where(col("f7").isNotNull && col("f1").isNotNull)
+      val dec2 = (e: String) =>
+        s"CAST(CAST($e AS DECIMAL(38,0)) * CAST($e AS DECIMAL(38,0))" +
+          s" AS DECIMAL(38,0))"
+      lagged.groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr(dec2("f7 - y"))).as("sse_s"),
+          sum(expr(dec2("f1 - y"))).as("sse_n"),
+          sum(expr(dec2("f7"))).as("sf2"),
+          sum(expr(dec2("y"))).as("sy2"))
+        .select(col("flag"), col("n"),
+          expr("CASE WHEN sse_n = 0 THEN NULL ELSE" +
+            " round(sqrt(CAST(sse_s AS DOUBLE) / CAST(sse_n AS DOUBLE))," +
+            " 6) END").as("u2"),
+          expr("CASE WHEN sf2 = 0 AND sy2 = 0 THEN NULL ELSE" +
+            " round(sqrt(CAST(sse_s AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " / (sqrt(CAST(sf2 AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " + sqrt(CAST(sy2 AS DOUBLE) / CAST(n AS DOUBLE))), 6) END")
+            .as("u1"))
+        .orderBy("flag")
+    },
+    Some("""WITH daily AS (SELECT l_returnflag AS flag,
+                    CAST(l_shipdate AS DATE) AS d,
+                    CAST(SUM(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS y
+                  FROM lineitem GROUP BY 1, 2),
+             lagged AS (SELECT flag, y,
+                      lag(y, 7) OVER (PARTITION BY flag ORDER BY d) AS f7,
+                      lag(y, 1) OVER (PARTITION BY flag ORDER BY d) AS f1
+                    FROM daily),
+             f AS (SELECT * FROM lagged
+                   WHERE f7 IS NOT NULL AND f1 IS NOT NULL),
+             m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(CAST(f7 - y AS DECIMAL(38,0))
+                       * CAST(f7 - y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sse_s,
+                     sum(CAST(CAST(f1 - y AS DECIMAL(38,0))
+                       * CAST(f1 - y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sse_n,
+                     sum(CAST(CAST(f7 AS DECIMAL(38,0))
+                       * CAST(f7 AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sf2,
+                     sum(CAST(CAST(y AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sy2
+                   FROM f GROUP BY flag)
+            SELECT flag, n,
+                   CASE WHEN sse_n = 0 THEN NULL ELSE
+                     round(sqrt(CAST(sse_s AS DOUBLE)
+                       / CAST(sse_n AS DOUBLE)), 6) END AS u2,
+                   CASE WHEN sf2 = 0 AND sy2 = 0 THEN NULL ELSE
+                     round(sqrt(CAST(sse_s AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (sqrt(CAST(sf2 AS DOUBLE) / CAST(n AS DOUBLE))
+                       + sqrt(CAST(sy2 AS DOUBLE) / CAST(n AS DOUBLE))),
+                       6) END AS u1
+            FROM m ORDER BY flag"""))
+
+  /** PACF at lags 1–3 via Durbin–Levinson — the AR-ORDER selector
+    * (ACF says "correlated at lag k", PACF says "correlated AFTER
+    * removing shorter lags" — the cutoff pattern that picks p in
+    * AR(p)): global daily revenue, ACF r₁..r₃ with the full-series
+    * mean and denominator in the standard biased spelling, every
+    * moment n²-scaled to exact integers on DECIMAL(38,0)
+    * (n²Σy_t·y_{t+k} − nS(A_k+B_k) + (n−k)S² over n²Σy² − nS²), then
+    * the k ≤ 3 Durbin–Levinson recursion unrolled as ONE shared
+    * rational formula chain (φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²);
+    * φ₂₁ = r₁(1−φ₂₂); φ₃₃ = (r₃−φ₂₁r₂−φ₂₂r₁)/(1−φ₂₁r₁−φ₂₂r₂)) — NO
+    * transcendental anywhere, so the whole chain is
+    * identical-double-exact and needs no output rounding. Degenerate
+    * denominators guard to NULL. The triple lag rides the daily rollup
+    * (dataset-bounded axis, granger allowlist class). */
+  val qTimePacf = Q(
+    "q_time_pacf",
+    (s, dir) => {
+      // $100-unit carrier: the n²-scaled moments cast to double stay
+      // < 2^53 through sf1 (hugeint→double two-rounding class); ACF is
+      // unit-free so only the deterministic truncation perturbs
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("yc"))
+        .withColumn("y", expr("yc div 10000")).drop("yc")
+      val w = Window.orderBy("d")
+      val lagged = daily
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y2", lag(col("y"), 2).over(w))
+        .withColumn("y3", lag(col("y"), 3).over(w))
+      val dd = (a: String, b: String) =>
+        s"CAST(CAST($a AS DECIMAL(38,0)) * CAST($b AS DECIMAL(38,0))" +
+          s" AS DECIMAL(38,0))"
+      val m = lagged.agg(count(lit(1)).as("n"),
+        sum(col("y")).as("s"),
+        sum(expr(dd("y", "y"))).as("syy"),
+        sum(expr(s"CASE WHEN y1 IS NULL THEN CAST(0 AS DECIMAL(38,0))" +
+          s" ELSE ${dd("y", "y1")} END")).as("p1"),
+        sum(expr(s"CASE WHEN y2 IS NULL THEN CAST(0 AS DECIMAL(38,0))" +
+          s" ELSE ${dd("y", "y2")} END")).as("p2"),
+        sum(expr(s"CASE WHEN y3 IS NULL THEN CAST(0 AS DECIMAL(38,0))" +
+          s" ELSE ${dd("y", "y3")} END")).as("p3"),
+        sum(when(col("y1").isNotNull, col("y")).otherwise(0L)).as("b1"),
+        sum(when(col("y2").isNotNull, col("y")).otherwise(0L)).as("b2"),
+        sum(when(col("y3").isNotNull, col("y")).otherwise(0L)).as("b3"),
+        sum(coalesce(col("y1"), lit(0L))).as("a1"),
+        sum(coalesce(col("y2"), lit(0L))).as("a2"),
+        sum(coalesce(col("y3"), lit(0L))).as("a3"))
+      val rk = (k: Int) =>
+        s"CASE WHEN den = CAST(0 AS DOUBLE) THEN NULL ELSE" +
+          s" (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)" +
+          s" * CAST(p$k AS DOUBLE)" +
+          s" - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)" +
+          s" * (CAST(a$k AS DOUBLE) + CAST(b$k AS DOUBLE))" +
+          s" + CAST(n - $k AS DOUBLE) * CAST(s AS DOUBLE)" +
+          s" * CAST(s AS DOUBLE)) / den END"
+      m.withColumn("den", expr(
+        "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
+          " - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)" +
+          " * CAST(s AS DOUBLE)"))
+        .withColumn("r1", expr(rk(1)))
+        .withColumn("r2", expr(rk(2)))
+        .withColumn("r3", expr(rk(3)))
+        .withColumn("pacf1", col("r1"))
+        .withColumn("pacf2", expr(
+          "CASE WHEN CAST(1 AS DOUBLE) - r1 * r1 = CAST(0 AS DOUBLE)" +
+            " THEN NULL ELSE (r2 - r1 * r1)" +
+            " / (CAST(1 AS DOUBLE) - r1 * r1) END"))
+        .withColumn("p21", expr("r1 * (CAST(1 AS DOUBLE) - pacf2)"))
+        .withColumn("pacf3", expr(
+          "CASE WHEN CAST(1 AS DOUBLE) - p21 * r1 - pacf2 * r2" +
+            " = CAST(0 AS DOUBLE) THEN NULL ELSE" +
+            " (r3 - p21 * r2 - pacf2 * r1)" +
+            " / (CAST(1 AS DOUBLE) - p21 * r1 - pacf2 * r2) END"))
+        .select(col("n"), expr("round(r1, 6)").as("r1"),
+          expr("round(r2, 6)").as("r2"), expr("round(r3, 6)").as("r3"),
+          expr("round(pacf1, 6)").as("pacf1"),
+          expr("round(pacf2, 6)").as("pacf2"),
+          expr("round(pacf3, 6)").as("pacf3"))
+    },
+    Some("""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                    CAST(SUM(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) // 10000 AS BIGINT) AS y
+                  FROM lineitem GROUP BY 1),
+             lagged AS (SELECT y,
+                      lag(y, 1) OVER (ORDER BY d) AS y1,
+                      lag(y, 2) OVER (ORDER BY d) AS y2,
+                      lag(y, 3) OVER (ORDER BY d) AS y3
+                    FROM daily),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS s,
+                     sum(CAST(CAST(y AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS syy,
+                     sum(CASE WHEN y1 IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                       ELSE CAST(CAST(y AS DECIMAL(38,0))
+                         * CAST(y1 AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                       END) AS p1,
+                     sum(CASE WHEN y2 IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                       ELSE CAST(CAST(y AS DECIMAL(38,0))
+                         * CAST(y2 AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                       END) AS p2,
+                     sum(CASE WHEN y3 IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                       ELSE CAST(CAST(y AS DECIMAL(38,0))
+                         * CAST(y3 AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                       END) AS p3,
+                     CAST(sum(CASE WHEN y1 IS NOT NULL THEN y ELSE 0 END)
+                       AS BIGINT) AS b1,
+                     CAST(sum(CASE WHEN y2 IS NOT NULL THEN y ELSE 0 END)
+                       AS BIGINT) AS b2,
+                     CAST(sum(CASE WHEN y3 IS NOT NULL THEN y ELSE 0 END)
+                       AS BIGINT) AS b3,
+                     CAST(sum(coalesce(y1, 0)) AS BIGINT) AS a1,
+                     CAST(sum(coalesce(y2, 0)) AS BIGINT) AS a2,
+                     CAST(sum(coalesce(y3, 0)) AS BIGINT) AS a3
+                   FROM lagged),
+             d0 AS (SELECT *,
+                      CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(syy AS DOUBLE)
+                        - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE) AS den
+                    FROM m),
+             r AS (SELECT n,
+                     CASE WHEN den = CAST(0 AS DOUBLE) THEN NULL ELSE
+                       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(p1 AS DOUBLE)
+                        - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                        * (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE))
+                        + CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE)) / den END AS r1,
+                     CASE WHEN den = CAST(0 AS DOUBLE) THEN NULL ELSE
+                       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(p2 AS DOUBLE)
+                        - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                        * (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE))
+                        + CAST(n - 2 AS DOUBLE) * CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE)) / den END AS r2,
+                     CASE WHEN den = CAST(0 AS DOUBLE) THEN NULL ELSE
+                       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(p3 AS DOUBLE)
+                        - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                        * (CAST(a3 AS DOUBLE) + CAST(b3 AS DOUBLE))
+                        + CAST(n - 3 AS DOUBLE) * CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE)) / den END AS r3
+                   FROM d0),
+             f2 AS (SELECT n, r1, r2, r3, r1 AS pacf1,
+                      CASE WHEN CAST(1 AS DOUBLE) - r1 * r1
+                          = CAST(0 AS DOUBLE) THEN NULL ELSE
+                        (r2 - r1 * r1)
+                        / (CAST(1 AS DOUBLE) - r1 * r1) END AS pacf2
+                    FROM r),
+             f3 AS (SELECT *, r1 * (CAST(1 AS DOUBLE) - pacf2) AS p21
+                    FROM f2)
+            SELECT n, round(r1, 6) AS r1, round(r2, 6) AS r2,
+                   round(r3, 6) AS r3, round(pacf1, 6) AS pacf1,
+                   round(pacf2, 6) AS pacf2,
+                   round(CASE WHEN CAST(1 AS DOUBLE) - p21 * r1
+                       - pacf2 * r2 = CAST(0 AS DOUBLE) THEN NULL ELSE
+                     (r3 - p21 * r2 - pacf2 * r1)
+                     / (CAST(1 AS DOUBLE) - p21 * r1 - pacf2 * r2) END,
+                     6) AS pacf3
+            FROM f3"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -7564,5 +8049,6 @@ object Analytics {
     qAggQq, qPriceElasticity, qCohortLtv, qAggTukeyHsd, qAggWilsonCi,
     qTimeGranger, qAggBetaBinomial, qTimeTurningPoints,
     qAggKruskalWallis, qAggWilcoxonSigned, qAggSignTest,
-    qAggFriedman, qAggMedianTest, qAggCochranQ, qAggAndersonDarling)
+    qAggFriedman, qAggMedianTest, qAggCochranQ, qAggAndersonDarling,
+    qTimeHurst, qTimeSpectralEntropy, qTimeTheilU, qTimePacf)
 }

@@ -74,7 +74,11 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q_agg_median_test" ->
       "Prefix.runningSum bucket-offset prefix over 64 range-bucket totals",
     "q_agg_anderson_darling" ->
-      "Prefix.runningSum bucket-offset prefix over 64 range-bucket totals")
+      "Prefix.runningSum bucket-offset prefix over 64 range-bucket totals",
+    "q_time_hurst" ->
+      "row_number over the daily rollup — O(days), dataset-bounded",
+    "q_time_pacf" ->
+      "lag(1..3) over the daily rollup — O(days), dataset-bounded")
 
   private val cartesianOk: Set[String] = Set.empty
 

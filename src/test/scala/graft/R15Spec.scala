@@ -610,6 +610,60 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getLong(3)).sum > 0, "window must be non-empty")
   }
 
+  test("hurst: slope is the 3-point OLS of the size means") {
+    val rows = SparkEntry.queries("q_time_hurst")(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(16, 32, 64))
+    rows.foreach(r => assert(r.getLong(1) > 0, "blocks survive"))
+    val z = rows.map(_.getDouble(2))
+    val h = rows.head.getDouble(3)
+    // H = (z(64) − z(16)) / (2 ln 2), on the same 1e-6 output grid
+    val expect = (z(2) - z(0)) / (2.0 * math.log(2.0))
+    assert(math.abs(h - expect) <= 2e-6, s"hurst $h vs replay $expect")
+    assert(h > 0.0 && h < 1.5, "R/S slope must be a plausible exponent")
+  }
+
+  test("spectral entropy: bounded by ln K and normalized to [0,1]") {
+    val rows = SparkEntry.queries("q_time_spectral_entropy")(
+      spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val k = r.getLong(1)
+      assert(k == 13L, "13 candidate periods")
+      val (h, hn) = (r.getDouble(3), r.getDouble(4))
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-9)
+      assert(hn >= 0.0 && hn <= 1.0 + 1e-9)
+      assert(math.abs(hn - h / math.log(k.toDouble)) <= 2e-6)
+    }
+  }
+
+  test("theil u: identical-forecast series would score 1, replay holds") {
+    val rows = SparkEntry.queries("q_time_theil_u")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) > 0.0, "U2 positive")
+      val u1 = r.getDouble(3)
+      assert(u1 >= 0.0 && u1 <= 1.0 + 1e-9, "U1 lives in [0,1]")
+    }
+  }
+
+  test("pacf: lag-1 pacf equals r1 and the DL recursion replays") {
+    val r = SparkEntry.queries("q_time_pacf")(spark, sfDir).head()
+    val (r1, r2, r3) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(r.getDouble(4) == r1, "pacf(1) = acf(1) by definition")
+    Seq(r1, r2, r3).foreach(x => assert(x.abs <= 1.0 + 1e-9))
+    // replay the Durbin–Levinson chain from the ROUNDED r's — same
+    // grid both engines share; tolerance covers the output rounding
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 * (1.0 - p22)
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    assert(math.abs(r.getDouble(5) - p22) <= 5e-6)
+    assert(math.abs(r.getDouble(6) - p33) <= 5e-6)
+  }
+
   test("ams f2: exact truth replays and estimate is within 5σ") {
     val r = SparkEntry.queries("q_sketch_ams_f2")(spark, sfDir).head()
     assert(r.getLong(0) == 64L)
