@@ -8023,6 +8023,335 @@ object Analytics {
                      6) AS pacf3
             FROM f3"""))
 
+  /** Deming regression — method comparison when BOTH variables carry
+    * error (OLS assumes an error-free x, so regressing one measurement
+    * method on another biases the slope toward 0; Deming's
+    * errors-in-variables slope is the standard instrument-agreement
+    * fit): x = the order's GROSS lineitem revenue, y = its NET
+    * (post-discount) revenue — two measurements of the same order
+    * value whose relation is the discount process itself.
+    * δ = 1 (equal error variances). All moments are exact integer cent
+    * sums/squares on DECIMAL(38,0); the slope
+    * β = [Cyy − Cxx + √((Cyy−Cxx)² + 4Cxy²)] / (2Cxy) and intercept
+    * ȳ − βx̄ are one shared formula (n-scaled centered moments so no
+    * early division), Cxy = 0 guards to NULL, finals ride the 1e-6
+    * output grid (big-moment cast-wobble doctrine). Scale: one
+    * lineitem rollup co-keyed join to orders + one moment aggregate. */
+  val qAggDeming = Q(
+    "q_agg_deming",
+    (s, dir) => {
+      val xy = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("x"),
+          sum(expr("CAST(floor(l_extendedprice" +
+            " * (CAST(1.0 AS DOUBLE) - l_discount)" +
+            " * CAST(100.0 AS DOUBLE)" +
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
+      val dd = (a: String, b: String) =>
+        s"CAST(CAST($a AS DECIMAL(38,0)) * CAST($b AS DECIMAL(38,0))" +
+          s" AS DECIMAL(38,0))"
+      xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr(dd("x", "x"))).as("sxx"),
+        sum(expr(dd("y", "y"))).as("syy"),
+        sum(expr(dd("x", "y"))).as("sxy"))
+        .select(col("n"),
+          expr("CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)").as("cxx"),
+          expr("CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)").as("cyy"),
+          expr("CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)").as("cxy"),
+          expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").as("mx"),
+          expr("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)").as("my"))
+        .withColumn("slope", expr(
+          "CASE WHEN cxy = CAST(0 AS DOUBLE) THEN NULL ELSE" +
+            " (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)" +
+            " + CAST(4 AS DOUBLE) * cxy * cxy))" +
+            " / (CAST(2 AS DOUBLE) * cxy) END"))
+        .select(col("n"), expr("round(slope, 6)").as("slope"),
+          expr("round(my - slope * mx, 6)").as("intercept"),
+          expr("CASE WHEN cxx = CAST(0 AS DOUBLE)" +
+            " OR cyy = CAST(0 AS DOUBLE) THEN NULL ELSE" +
+            " round(cxy / sqrt(cxx * cyy), 6) END").as("pearson_r"))
+    },
+    Some(s"""WITH xy AS (SELECT l_orderkey AS ok,
+                    CAST(sum(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS x,
+                    CAST(sum(CAST(floor(l_extendedprice
+                      * (CAST(1.0 AS DOUBLE) - l_discount)
+                      * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS y
+                  FROM lineitem GROUP BY 1),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     sum(CAST(CAST(x AS DECIMAL(38,0))
+                       * CAST(x AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sxx,
+                     sum(CAST(CAST(y AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS syy,
+                     sum(CAST(CAST(x AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sxy
+                   FROM xy),
+             c AS (SELECT n,
+                     CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+                     CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+                     CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+                     CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                     CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+                   FROM m),
+             sl AS (SELECT *,
+                      CASE WHEN cxy = CAST(0 AS DOUBLE) THEN NULL ELSE
+                        (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                          + CAST(4 AS DOUBLE) * cxy * cxy))
+                        / (CAST(2 AS DOUBLE) * cxy) END AS slope
+                    FROM c)
+            SELECT n, round(slope, 6) AS slope,
+                   round(my - slope * mx, 6) AS intercept,
+                   CASE WHEN cxx = CAST(0 AS DOUBLE)
+                       OR cyy = CAST(0 AS DOUBLE) THEN NULL ELSE
+                     round(cxy / sqrt(cxx * cyy), 6) END AS pearson_r
+            FROM sl"""))
+
+  /** Lin's concordance correlation + Bland–Altman limits of
+    * agreement — the two standard "do two measurements AGREE" readouts
+    * (Pearson r rewards any linear relation; CCC penalizes slope≠1 and
+    * offset≠0; Bland–Altman reports the absolute error band users
+    * actually feel) on the same gross/net measurement pair as
+    * q_agg_deming:
+    * ρc = 2nCxy / (n(Cxx+Cyy) + (Sx−Sy)²) — the n-scaled spelling
+    * keeps numerator and denominator exact integers until ONE
+    * division — and LoA = d̄ ± 1.96·sd(d) with d = x−y carried as its
+    * own exact moment pair. A second broadcast pass censuses the rows
+    * outside the LoA band (the honesty check on the normality
+    * assumption: ~5% expected). Finals on the 1e-6 grid. */
+  val qAggConcordance = Q(
+    "q_agg_concordance",
+    (s, dir) => {
+      val xy = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("x"),
+          sum(expr("CAST(floor(l_extendedprice" +
+            " * (CAST(1.0 AS DOUBLE) - l_discount)" +
+            " * CAST(100.0 AS DOUBLE)" +
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
+        .withColumn("diff", col("x") - col("y"))
+      val dd = (a: String, b: String) =>
+        s"CAST(CAST($a AS DECIMAL(38,0)) * CAST($b AS DECIMAL(38,0))" +
+          s" AS DECIMAL(38,0))"
+      val m = xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr(dd("x", "x"))).as("sxx"),
+        sum(expr(dd("y", "y"))).as("syy"),
+        sum(expr(dd("x", "y"))).as("sxy"),
+        sum(col("diff")).as("sd1"),
+        sum(expr(dd("diff", "diff"))).as("sd2"))
+        .withColumn("ccc", expr(
+          "CASE WHEN CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE)" +
+            " + CAST(syy AS DOUBLE))" +
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)" +
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)" +
+            " + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))" +
+            " * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))" +
+            " = CAST(0 AS DOUBLE) THEN NULL ELSE" +
+            " CAST(2 AS DOUBLE) * (CAST(n AS DOUBLE)" +
+            " * CAST(sxy AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+            " / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE)" +
+            " + CAST(syy AS DOUBLE))" +
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)" +
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)" +
+            " + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))" +
+            " * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))) END"))
+        .withColumn("dbar",
+          expr("CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("sdd", expr(
+          "sqrt((CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE)" +
+            " - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))" +
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"))
+        .withColumn("loa_lo",
+          expr("dbar - CAST(1.96 AS DOUBLE) * sdd"))
+        .withColumn("loa_hi",
+          expr("dbar + CAST(1.96 AS DOUBLE) * sdd"))
+      val outside = xy.crossJoin(broadcast(
+        m.select("loa_lo", "loa_hi")))
+        .agg(sum(when(col("diff").cast(DoubleType) < col("loa_lo")
+          || col("diff").cast(DoubleType) > col("loa_hi"), 1L)
+          .otherwise(0L)).as("n_outside"))
+      m.crossJoin(broadcast(outside))
+        .select(col("n"), expr("round(ccc, 6)").as("ccc"),
+          expr("round(dbar, 6)").as("mean_diff"),
+          expr("round(sdd, 6)").as("sd_diff"),
+          expr("round(loa_lo, 6)").as("loa_lo"),
+          expr("round(loa_hi, 6)").as("loa_hi"),
+          col("n_outside"))
+    },
+    Some(s"""WITH xy AS (SELECT l_orderkey AS ok,
+                    CAST(sum(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS x,
+                    CAST(sum(CAST(floor(l_extendedprice
+                      * (CAST(1.0 AS DOUBLE) - l_discount)
+                      * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS y,
+                    CAST(sum(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) - sum(CAST(floor(l_extendedprice
+                      * (CAST(1.0 AS DOUBLE) - l_discount)
+                      * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                      AS diff
+                  FROM lineitem GROUP BY 1),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     sum(CAST(CAST(x AS DECIMAL(38,0))
+                       * CAST(x AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sxx,
+                     sum(CAST(CAST(y AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS syy,
+                     sum(CAST(CAST(x AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sxy,
+                     CAST(sum(diff) AS BIGINT) AS sd1,
+                     sum(CAST(CAST(diff AS DECIMAL(38,0))
+                       * CAST(diff AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sd2
+                   FROM xy),
+             c AS (SELECT n,
+                     CASE WHEN CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE)
+                         + CAST(syy AS DOUBLE))
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                         + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))
+                         = CAST(0 AS DOUBLE) THEN NULL ELSE
+                       CAST(2 AS DOUBLE) * (CAST(n AS DOUBLE)
+                         * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE)
+                         + CAST(syy AS DOUBLE))
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                         + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE)))
+                       END AS ccc,
+                     CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) AS dbar,
+                     sqrt((CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                       - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                       AS sdd
+                   FROM m),
+             loa AS (SELECT *,
+                       dbar - CAST(1.96 AS DOUBLE) * sdd AS loa_lo,
+                       dbar + CAST(1.96 AS DOUBLE) * sdd AS loa_hi
+                     FROM c),
+             o AS (SELECT CAST(sum(CASE WHEN CAST(diff AS DOUBLE) < loa_lo
+                       OR CAST(diff AS DOUBLE) > loa_hi THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_outside
+                   FROM xy, loa)
+            SELECT n, round(ccc, 6) AS ccc, round(dbar, 6) AS mean_diff,
+                   round(sdd, 6) AS sd_diff, round(loa_lo, 6) AS loa_lo,
+                   round(loa_hi, 6) AS loa_hi, n_outside
+            FROM loa, o"""))
+
+  /** Intraclass correlation ICC(1,1) — "how much of the variance is
+    * BETWEEN groups" (the mixed-model / repeated-measures reliability
+    * number; also exactly the cluster-sampling design-effect input):
+    * one-way ANOVA of order cents across the 25 nations with the
+    * unbalanced-design n₀ = (N − Σn_g²/N)/(k−1), MSB/MSW from exact
+    * integer moments (Σ_g S_g²/n_g rides a per-group one-division
+    * double, Dec12 order-free across the 25 bounded groups), ICC =
+    * (MSB − MSW)/(MSB + (n₀−1)MSW). Degenerate guards (k ≤ 1, N ≤ k,
+    * zero denominator) → NULL; finals on the 1e-6 grid. Scale: one
+    * orders⋈customer shuffle + a 25-row group aggregate. */
+  val qAggIcc = Q(
+    "q_agg_icc",
+    (s, dir) => {
+      val g = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("grp"))
+        .agg(count(lit(1)).as("ng"), sum(expr(cents)).as("sg"),
+          sum(expr(s"CAST(CAST($cents AS DECIMAL(38,0))" +
+            s" * CAST($cents AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
+            .as("qg"))
+      // sg²/ng in double over identical operands, Dec12-quantized
+      // before the bounded 25-group sum — the q_agg_anova doctrine
+      val a = g.agg(count(lit(1)).as("k"),
+        sum(col("ng")).as("nn"), sum(col("sg")).as("ss"),
+        sum(col("qg")).as("qq"),
+        sum(col("ng") * col("ng")).as("n2"),
+        sum(expr("CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)" +
+          " / CAST(ng AS DOUBLE) AS DECIMAL(38,12))")).as("sb_raw"))
+      a.select(col("k"), col("nn"),
+        expr("CAST(sb_raw AS DOUBLE)" +
+          " - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)" +
+          " / CAST(nn AS DOUBLE)").as("ssb"),
+        expr("CAST(qq AS DOUBLE) - CAST(sb_raw AS DOUBLE)").as("ssw"),
+        expr("(CAST(nn AS DOUBLE) - CAST(n2 AS DOUBLE)" +
+          " / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)").as("n0"))
+        .withColumn("msb", expr("ssb / CAST(k - 1 AS DOUBLE)"))
+        .withColumn("msw", expr("ssw / CAST(nn - k AS DOUBLE)"))
+        // msb/msw are ~1e14 cent² — the decimal→double cast wobbles
+        // ~2e-16 RELATIVE, so the raw values ride a millions-scale
+        // 1e-3 grid (spectral-entropy doctrine); icc is a ratio
+        .select(col("k"), col("nn"), expr("round(n0, 6)").as("n0"),
+          expr("round(msb / CAST(1000000 AS DOUBLE), 3)").as("msb_m"),
+          expr("round(msw / CAST(1000000 AS DOUBLE), 3)").as("msw_m"),
+          expr("CASE WHEN msb + (n0 - CAST(1 AS DOUBLE)) * msw" +
+            " = CAST(0 AS DOUBLE) THEN NULL ELSE" +
+            " round((msb - msw) / (msb + (n0 - CAST(1 AS DOUBLE))" +
+            " * msw), 6) END").as("icc"))
+    },
+    Some(s"""WITH x AS (SELECT c_nationkey AS grp, $cents AS v
+                  FROM orders JOIN customer ON o_custkey = c_custkey),
+             g AS (SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+                     CAST(sum(v) AS BIGINT) AS sg,
+                     sum(CAST(CAST(v AS DECIMAL(38,0))
+                       * CAST(v AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS qg
+                   FROM x GROUP BY grp),
+             a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(ng) AS BIGINT) AS nn,
+                     CAST(sum(sg) AS BIGINT) AS ss,
+                     sum(qg) AS qq,
+                     CAST(sum(ng * ng) AS BIGINT) AS n2,
+                     sum(CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                       / CAST(ng AS DOUBLE) AS DECIMAL(38,12))) AS sb_raw
+                   FROM g),
+             c AS (SELECT k, nn,
+                     CAST(sb_raw AS DOUBLE)
+                       - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                       / CAST(nn AS DOUBLE) AS ssb,
+                     CAST(qq AS DOUBLE) - CAST(sb_raw AS DOUBLE) AS ssw,
+                     (CAST(nn AS DOUBLE) - CAST(n2 AS DOUBLE)
+                       / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+                       AS n0
+                   FROM a),
+             ms AS (SELECT k, nn, n0,
+                      ssb / CAST(k - 1 AS DOUBLE) AS msb,
+                      ssw / CAST(nn - k AS DOUBLE) AS msw
+                    FROM c)
+            SELECT k, nn, round(n0, 6) AS n0,
+                   round(msb / CAST(1000000 AS DOUBLE), 3) AS msb_m,
+                   round(msw / CAST(1000000 AS DOUBLE), 3) AS msw_m,
+                   CASE WHEN msb + (n0 - CAST(1 AS DOUBLE)) * msw
+                       = CAST(0 AS DOUBLE) THEN NULL ELSE
+                     round((msb - msw) / (msb + (n0 - CAST(1 AS DOUBLE))
+                       * msw), 6) END AS icc
+            FROM ms"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -8050,5 +8379,6 @@ object Analytics {
     qTimeGranger, qAggBetaBinomial, qTimeTurningPoints,
     qAggKruskalWallis, qAggWilcoxonSigned, qAggSignTest,
     qAggFriedman, qAggMedianTest, qAggCochranQ, qAggAndersonDarling,
-    qTimeHurst, qTimeSpectralEntropy, qTimeTheilU, qTimePacf)
+    qTimeHurst, qTimeSpectralEntropy, qTimeTheilU, qTimePacf,
+    qAggDeming, qAggConcordance, qAggIcc)
 }

@@ -664,6 +664,76 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(6) - p33) <= 5e-6)
   }
 
+  test("deming: attenuation law holds against the OLS slope") {
+    val r = SparkEntry.queries("q_agg_deming")(spark, sfDir).head()
+    val (slope, r2) = (r.getDouble(1), r.getDouble(3))
+    assert(r2 > 0.9, "the two order-value measurements must co-move")
+    assert(slope > 0.5 && slope < 2.0)
+    // independent moment replay + the errors-in-variables attenuation
+    // law: |b_ols| <= |b_deming| (OLS shrinks toward 0 under x-error)
+    val xy = sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("x"),
+        sum(expr("CAST(floor(l_extendedprice" +
+          " * (CAST(1.0 AS DOUBLE) - l_discount)" +
+          " * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
+      .collect().map(x => (x.getLong(1).toDouble, x.getLong(2).toDouble))
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val cxx = xy.map(p => p._1 * p._1).sum - sx * sx / n
+    val cyy = xy.map(p => p._2 * p._2).sum - sy * sy / n
+    val cxy = xy.map(p => p._1 * p._2).sum - sx * sy / n
+    val dem = (cyy - cxx + math.sqrt(
+      (cyy - cxx) * (cyy - cxx) + 4 * cxy * cxy)) / (2 * cxy)
+    assert(math.abs(slope - dem) <= 1e-4 * dem,
+      s"Deming replay $dem vs engine $slope")
+    assert(math.abs(cxy / cxx) <= math.abs(dem) + 1e-12,
+      "OLS slope must not exceed the Deming slope in magnitude")
+  }
+
+  test("concordance: |CCC| <= |r| and the LoA band is ~95%") {
+    val r = SparkEntry.queries("q_agg_concordance")(spark, sfDir).head()
+    val (n, ccc) = (r.getLong(0), r.getDouble(1))
+    val dem = SparkEntry.queries("q_agg_deming")(spark, sfDir).head()
+    assert(ccc.abs <= dem.getDouble(3).abs + 1e-9,
+      "CCC is Pearson r times an accuracy factor <= 1")
+    assert(ccc >= -1.0 && ccc <= 1.0)
+    assert(r.getDouble(5) > r.getDouble(4), "loa_hi > loa_lo")
+    val outsideFrac = r.getLong(6).toDouble / n
+    assert(outsideFrac < 0.2,
+      s"LoA should cover the bulk of diffs (outside=$outsideFrac)")
+  }
+
+  test("icc: full independent driver replay") {
+    val r = SparkEntry.queries("q_agg_icc")(spark, sfDir).head()
+    val (k, nn) = (r.getLong(0), r.getLong(1))
+    val cents = "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)" +
+      " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val rows = sources.Tables.orders(spark, sfDir)
+      .join(sources.Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_nationkey AS g", s"$cents AS v")
+      .collect().map(x => (x.getAs[Number](0).longValue, x.getLong(1)))
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(k == byG.size.toLong && nn == rows.length.toLong)
+    val nD = rows.length.toDouble
+    val ss = rows.map(_._2.toDouble).sum
+    val qq = rows.map(v => v._2.toDouble * v._2.toDouble).sum
+    val sbRaw = byG.values.map { vs =>
+      val s = vs.map(_.toDouble).sum; s * s / vs.length
+    }.sum
+    val (ssb, ssw) = (sbRaw - ss * ss / nD, qq - sbRaw)
+    val n2 = byG.values.map(v => v.length.toDouble * v.length).sum
+    val n0 = (nD - n2 / nD) / (k - 1)
+    val (msb, msw) = (ssb / (k - 1), ssw / (nn - k))
+    val icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    assert(math.abs(r.getDouble(5) - icc) <= 1e-6 + 1e-6 * icc.abs,
+      s"ICC replay $icc vs engine ${r.getDouble(5)}")
+    assert(icc.abs <= 1.0)
+  }
+
   test("ams f2: exact truth replays and estimate is within 5σ") {
     val r = SparkEntry.queries("q_sketch_ams_f2")(spark, sfDir).head()
     assert(r.getLong(0) == 64L)
