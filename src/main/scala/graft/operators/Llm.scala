@@ -5044,7 +5044,121 @@ object Llm {
                    n_docs, ess
             FROM wts, ess ORDER BY source"""))
 
+  /** Cross-source n-gram overlap matrix — the corpus CONTAMINATION MAP
+    * (q_contamination checks one train/test split; this scores every
+    * source pair, the audit a mixture designer runs before weighting
+    * sources that might be mirrors of each other): distinct (source,
+    * 3-shingle) sets — the source column carried THROUGH the generator
+    * (de-join doctrine, r14 verdict), never re-joined — then a
+    * shingle-keyed self-join produces pair co-occurrence counts and
+    * J = c/(n_a+n_b−c) per unordered pair. Scale: the self-join fanout
+    * per shingle is bounded by sources² (≤400 here), NOT by corpus
+    * size — a shared shingle contributes one row per source pair, so
+    * the pair table is |distinct shingles|·O(k²) worst-case and the
+    * output is the k(k−1)/2 matrix. */
+  val qTextSourceOverlap = Q(
+    "q_text_source_overlap",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+      val sh = d.select(col("source"),
+        explode(expr("transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))")).as("shingle"))
+        .distinct()
+      val n = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("common"))
+      // no broadcast hint: the margin table is one row per distinct
+      // source — small here but NOT bounded by construction (a crawl
+      // corpus can have millions of domains), so the r11 lint applies;
+      // the pair matrix is k² rows, the join is cheap either way
+      pairs
+        .join(n.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n_sh", "n_a"), Seq("src_a"))
+        .join(n.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n_sh", "n_b"), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("common"),
+          expr("round(CAST(common AS DOUBLE)" +
+            " / CAST(n_a + n_b - common AS DOUBLE), 6)").as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    Some("""WITH d AS (SELECT source, string_split(text, ' ') AS toks
+                  FROM documents
+                  WHERE len(string_split(text, ' ')) >= 3),
+             sh AS (SELECT DISTINCT source, shingle
+                    FROM (SELECT source,
+                            unnest([array_to_string(toks[i:i+2], ' ')
+                                    FOR i IN range(1,
+                                      greatest(len(toks) - 1, 1))])
+                              AS shingle
+                          FROM d)),
+             n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+                   FROM sh GROUP BY source),
+             pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                         CAST(count(*) AS BIGINT) AS common
+                       FROM sh a JOIN sh b
+                         ON a.shingle = b.shingle
+                         AND a.source < b.source
+                       GROUP BY 1, 2)
+            SELECT src_a, src_b,
+                   na.n_sh AS n_a, nb.n_sh AS n_b, common,
+                   round(CAST(common AS DOUBLE)
+                     / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6)
+                     AS jaccard
+            FROM pairs
+            JOIN n na ON na.source = src_a
+            JOIN n nb ON nb.source = src_b
+            ORDER BY src_a, src_b"""))
+
+  /** Prefix-duplicate census — the TEMPLATE-PAGE crawl pattern
+    * (boilerplate-headed documents share a long common prefix but
+    * diverge later, so full-document exact hashing misses them and
+    * any-position span dedup over-counts them): documents cluster on
+    * the portable hash of their first 16 tokens and the census reports
+    * the cluster-size histogram plus each size's document mass —
+    * the shape a dedup planner reads to decide whether prefix-keyed
+    * near-dup is worth a pass. Scale: one stateless projection + one
+    * hash aggregate + a ≤corpus-bounded but in practice tiny histogram
+    * rollup; no joins, no windows. */
+  val qTextPrefixDup = Q(
+    "q_text_prefix_dup",
+    (s, dir) => {
+      val p = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.Det.pHash60(
+            concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
+            .as("ph"))
+      val cl = p.groupBy("ph").agg(count(lit(1)).as("csize"))
+      cl.groupBy("csize")
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("csize")).as("n_docs"))
+        .withColumn("dup_docs",
+          expr("CASE WHEN csize > 1 THEN n_docs ELSE 0 END"))
+        .select("csize", "n_clusters", "n_docs", "dup_docs")
+        .orderBy("csize")
+    },
+    Some {
+      val h = graft.Det.sqlPHash60(
+        "array_to_string(string_split(text, ' ')[1:16], ' ')")
+      s"""WITH p AS (SELECT doc_id, ($h) AS ph FROM documents),
+              cl AS (SELECT ph, CAST(count(*) AS BIGINT) AS csize
+                     FROM p GROUP BY ph),
+              hist AS (SELECT csize,
+                         CAST(count(*) AS BIGINT) AS n_clusters,
+                         CAST(count(*) * csize AS BIGINT) AS n_docs
+                       FROM cl GROUP BY csize)
+            SELECT csize, n_clusters, n_docs,
+                   CASE WHEN csize > 1 THEN n_docs ELSE 0 END AS dup_docs
+            FROM hist ORDER BY csize"""
+    })
+
   val all: Seq[Q] = Seq(
+    qTextSourceOverlap, qTextPrefixDup,
     qMlNaiveBayes,
     qBpePairCounts, qBpeEncode, qBpeTrain, qUrlCanonical, qArrayStats,
     qSampleStratified, qSampleSystematic, qSampleWeighted,

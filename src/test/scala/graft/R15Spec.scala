@@ -734,6 +734,37 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     assert(icc.abs <= 1.0)
   }
 
+  test("source overlap: full matrix, jaccard bounded by the margins") {
+    val rows = SparkEntry.queries("q_text_source_overlap")(spark, sfDir)
+      .collect()
+    val k = sources.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.length.toLong == k * (k - 1) / 2,
+      s"expected the full ${k}x$k upper triangle")
+    rows.foreach { r =>
+      val (na, nb, c, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(c <= math.min(na, nb), "overlap bounded by set sizes")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getString(0) < r.getString(1), "unordered pairs, once")
+      assert(math.abs(j - c.toDouble / (na + nb - c)) <= 1e-6)
+    }
+  }
+
+  test("prefix dup: histogram masses conserve the corpus") {
+    val rows = SparkEntry.queries("q_text_prefix_dup")(spark, sfDir)
+      .collect()
+    val total = sources.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == total,
+      "cluster-size histogram must cover every document once")
+    rows.foreach { r =>
+      val (cs, nc, nd, dd) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nd == cs * nc)
+      assert(dd == (if (cs > 1) nd else 0L))
+    }
+  }
+
   test("ams f2: exact truth replays and estimate is within 5σ") {
     val r = SparkEntry.queries("q_sketch_ams_f2")(spark, sfDir).head()
     assert(r.getLong(0) == 64L)
