@@ -8352,6 +8352,250 @@ object Analytics {
                        * msw), 6) END AS icc
             FROM ms"""))
 
+  /** Ljung–Box portmanteau test — "is there ANY autocorrelation left"
+    * (the residual-whiteness gate every fitted forecast model must
+    * pass; q_time_pacf reads individual lags, Ljung–Box pools them
+    * into one χ²(h) statistic): Q = n(n+2)·Σ_{k≤3} r_k²/(n−k) on the
+    * same n²-scaled exact-integer ACF moments as q_time_pacf (same
+    * $100-unit carrier, same biased-denominator spelling), one shared
+    * rational formula — no transcendental, outputs on the 1e-6 grid.
+    * Scale: one triple-lag pass over the dataset-bounded daily axis. */
+  val qTimeLjungBox = Q(
+    "q_time_ljung_box",
+    (s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("yc"))
+        .withColumn("y", expr("yc div 10000")).drop("yc")
+      val w = Window.orderBy("d")
+      val lagged = daily
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y2", lag(col("y"), 2).over(w))
+        .withColumn("y3", lag(col("y"), 3).over(w))
+      val dd = (a: String, b: String) =>
+        s"CAST(CAST($a AS DECIMAL(38,0)) * CAST($b AS DECIMAL(38,0))" +
+          s" AS DECIMAL(38,0))"
+      val m = lagged.agg(count(lit(1)).as("n"),
+        sum(col("y")).as("s"),
+        sum(expr(dd("y", "y"))).as("syy"),
+        sum(expr(s"CASE WHEN y1 IS NULL THEN CAST(0 AS DECIMAL(38,0))" +
+          s" ELSE ${dd("y", "y1")} END")).as("p1"),
+        sum(expr(s"CASE WHEN y2 IS NULL THEN CAST(0 AS DECIMAL(38,0))" +
+          s" ELSE ${dd("y", "y2")} END")).as("p2"),
+        sum(expr(s"CASE WHEN y3 IS NULL THEN CAST(0 AS DECIMAL(38,0))" +
+          s" ELSE ${dd("y", "y3")} END")).as("p3"),
+        sum(when(col("y1").isNotNull, col("y")).otherwise(0L)).as("b1"),
+        sum(when(col("y2").isNotNull, col("y")).otherwise(0L)).as("b2"),
+        sum(when(col("y3").isNotNull, col("y")).otherwise(0L)).as("b3"),
+        sum(coalesce(col("y1"), lit(0L))).as("a1"),
+        sum(coalesce(col("y2"), lit(0L))).as("a2"),
+        sum(coalesce(col("y3"), lit(0L))).as("a3"))
+      val rk = (k: Int) =>
+        s"CASE WHEN den = CAST(0 AS DOUBLE) THEN NULL ELSE" +
+          s" (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)" +
+          s" * CAST(p$k AS DOUBLE)" +
+          s" - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)" +
+          s" * (CAST(a$k AS DOUBLE) + CAST(b$k AS DOUBLE))" +
+          s" + CAST(n - $k AS DOUBLE) * CAST(s AS DOUBLE)" +
+          s" * CAST(s AS DOUBLE)) / den END"
+      m.withColumn("den", expr(
+        "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
+          " - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)" +
+          " * CAST(s AS DOUBLE)"))
+        .withColumn("r1", expr(rk(1)))
+        .withColumn("r2", expr(rk(2)))
+        .withColumn("r3", expr(rk(3)))
+        .select(col("n"), expr("round(r1, 6)").as("r1"),
+          expr("round(r2, 6)").as("r2"), expr("round(r3, 6)").as("r3"),
+          expr("CASE WHEN n <= 3 THEN NULL ELSE" +
+            " round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)" +
+            " * (r1 * r1 / CAST(n - 1 AS DOUBLE)" +
+            " + r2 * r2 / CAST(n - 2 AS DOUBLE)" +
+            " + r3 * r3 / CAST(n - 3 AS DOUBLE)), 6) END").as("q_stat"))
+    },
+    Some("""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                    CAST(SUM(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) // 10000 AS BIGINT) AS y
+                  FROM lineitem GROUP BY 1),
+             lagged AS (SELECT y,
+                      lag(y, 1) OVER (ORDER BY d) AS y1,
+                      lag(y, 2) OVER (ORDER BY d) AS y2,
+                      lag(y, 3) OVER (ORDER BY d) AS y3
+                    FROM daily),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS s,
+                     sum(CAST(CAST(y AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS syy,
+                     sum(CASE WHEN y1 IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                       ELSE CAST(CAST(y AS DECIMAL(38,0))
+                         * CAST(y1 AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                       END) AS p1,
+                     sum(CASE WHEN y2 IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                       ELSE CAST(CAST(y AS DECIMAL(38,0))
+                         * CAST(y2 AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                       END) AS p2,
+                     sum(CASE WHEN y3 IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                       ELSE CAST(CAST(y AS DECIMAL(38,0))
+                         * CAST(y3 AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                       END) AS p3,
+                     CAST(sum(CASE WHEN y1 IS NOT NULL THEN y ELSE 0 END)
+                       AS BIGINT) AS b1,
+                     CAST(sum(CASE WHEN y2 IS NOT NULL THEN y ELSE 0 END)
+                       AS BIGINT) AS b2,
+                     CAST(sum(CASE WHEN y3 IS NOT NULL THEN y ELSE 0 END)
+                       AS BIGINT) AS b3,
+                     CAST(sum(coalesce(y1, 0)) AS BIGINT) AS a1,
+                     CAST(sum(coalesce(y2, 0)) AS BIGINT) AS a2,
+                     CAST(sum(coalesce(y3, 0)) AS BIGINT) AS a3
+                   FROM lagged),
+             d0 AS (SELECT *,
+                      CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(syy AS DOUBLE)
+                        - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE) AS den
+                    FROM m),
+             r AS (SELECT n,
+                     CASE WHEN den = CAST(0 AS DOUBLE) THEN NULL ELSE
+                       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(p1 AS DOUBLE)
+                        - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                        * (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE))
+                        + CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE)) / den END AS r1,
+                     CASE WHEN den = CAST(0 AS DOUBLE) THEN NULL ELSE
+                       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(p2 AS DOUBLE)
+                        - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                        * (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE))
+                        + CAST(n - 2 AS DOUBLE) * CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE)) / den END AS r2,
+                     CASE WHEN den = CAST(0 AS DOUBLE) THEN NULL ELSE
+                       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(p3 AS DOUBLE)
+                        - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                        * (CAST(a3 AS DOUBLE) + CAST(b3 AS DOUBLE))
+                        + CAST(n - 3 AS DOUBLE) * CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE)) / den END AS r3
+                   FROM d0)
+            SELECT n, round(r1, 6) AS r1, round(r2, 6) AS r2,
+                   round(r3, 6) AS r3,
+                   CASE WHEN n <= 3 THEN NULL ELSE
+                     round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                       * (r1 * r1 / CAST(n - 1 AS DOUBLE)
+                       + r2 * r2 / CAST(n - 2 AS DOUBLE)
+                       + r3 * r3 / CAST(n - 3 AS DOUBLE)), 6) END
+                     AS q_stat
+            FROM r"""))
+
+  /** Durbin–Watson on detrended daily revenue — the REGRESSION-residual
+    * autocorrelation gate (Ljung–Box asks about the raw series; DW asks
+    * whether the residuals of a FIT still carry lag-1 structure — the
+    * classic "your OLS standard errors are lies" detector, DW≈2 clean,
+    * →0 positive, →4 negative): OLS y ~ t on the day index, and both
+    * DW sums collapse to CLOSED FORMS over one pass — the residual
+    * first-difference is e_t − e_{t−1} = Δy_t − b (the trend term
+    * telescopes), so the numerator is ΣΔy² − 2b·(y_n−y_1) + (n−1)b²
+    * (and y_n−y_1 = ΣΔy by telescoping — no first/last lookup), while
+    * SSE = Syy − b·Sty from the standard moments. All moments
+    * integer-exact on the $100-unit carrier; one shared rational
+    * formula, 1e-6 output grid. The day index rides the dataset-bounded
+    * daily rollup (granger allowlist class). */
+  val qTimeDurbinWatson = Q(
+    "q_time_durbin_watson",
+    (s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("yc"))
+        .withColumn("y", expr("yc div 10000")).drop("yc")
+        .withColumn("t",
+          (row_number().over(Window.orderBy("d")) - 1).cast("long"))
+        .withColumn("dy", col("y") - lag(col("y"), 1)
+          .over(Window.orderBy("d")))
+      val dd = (a: String, b: String) =>
+        s"CAST(CAST($a AS DECIMAL(38,0)) * CAST($b AS DECIMAL(38,0))" +
+          s" AS DECIMAL(38,0))"
+      daily.agg(count(lit(1)).as("n"),
+        sum(col("t")).as("st"), sum(col("y")).as("sy"),
+        sum(expr(dd("t", "t"))).as("stt"),
+        sum(expr(dd("t", "y"))).as("sty"),
+        sum(expr(dd("y", "y"))).as("syy"),
+        sum(coalesce(col("dy"), lit(0L))).as("sdy"),
+        sum(expr(s"CASE WHEN dy IS NULL THEN CAST(0 AS DECIMAL(38,0))" +
+          s" ELSE ${dd("dy", "dy")} END")).as("sdy2"))
+        .select(col("n"),
+          expr("CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)" +
+            " * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)").as("ctt"),
+          expr("CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)" +
+            " * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)").as("cty"),
+          expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)" +
+            " * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)").as("cyy"),
+          col("sdy"), col("sdy2"))
+        .withColumn("b", expr(
+          "CASE WHEN ctt = CAST(0 AS DOUBLE) THEN NULL" +
+            " ELSE cty / ctt END"))
+        .withColumn("sse", expr("cyy - b * cty"))
+        .withColumn("num", expr(
+          "CAST(sdy2 AS DOUBLE)" +
+            " - CAST(2 AS DOUBLE) * b * CAST(sdy AS DOUBLE)" +
+            " + CAST(n - 1 AS DOUBLE) * b * b"))
+        .select(col("n"), expr("round(b, 6)").as("slope"),
+          expr("CASE WHEN sse <= CAST(0 AS DOUBLE) THEN NULL" +
+            " ELSE round(num / sse, 6) END").as("dw"))
+    },
+    Some("""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                    CAST(SUM(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) // 10000 AS BIGINT) AS y
+                  FROM lineitem GROUP BY 1),
+             idx AS (SELECT y,
+                       CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT)
+                         AS t,
+                       y - lag(y, 1) OVER (ORDER BY d) AS dy
+                     FROM daily),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(t) AS BIGINT) AS st,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     sum(CAST(CAST(t AS DECIMAL(38,0))
+                       * CAST(t AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS stt,
+                     sum(CAST(CAST(t AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS sty,
+                     sum(CAST(CAST(y AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS syy,
+                     CAST(sum(coalesce(dy, 0)) AS BIGINT) AS sdy,
+                     sum(CASE WHEN dy IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                       ELSE CAST(CAST(dy AS DECIMAL(38,0))
+                         * CAST(dy AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                       END) AS sdy2
+                   FROM idx),
+             c AS (SELECT n, sdy, sdy2,
+                     CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+                       * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS ctt,
+                     CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cty,
+                     CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy
+                   FROM m),
+             f AS (SELECT n, sdy, sdy2, cty, cyy,
+                     CASE WHEN ctt = CAST(0 AS DOUBLE) THEN NULL
+                       ELSE cty / ctt END AS b
+                   FROM c),
+             g AS (SELECT n, b, cyy - b * cty AS sse,
+                     CAST(sdy2 AS DOUBLE)
+                       - CAST(2 AS DOUBLE) * b * CAST(sdy AS DOUBLE)
+                       + CAST(n - 1 AS DOUBLE) * b * b AS num
+                   FROM f)
+            SELECT n, round(b, 6) AS slope,
+                   CASE WHEN sse <= CAST(0 AS DOUBLE) THEN NULL
+                     ELSE round(num / sse, 6) END AS dw
+            FROM g"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -8380,5 +8624,6 @@ object Analytics {
     qAggKruskalWallis, qAggWilcoxonSigned, qAggSignTest,
     qAggFriedman, qAggMedianTest, qAggCochranQ, qAggAndersonDarling,
     qTimeHurst, qTimeSpectralEntropy, qTimeTheilU, qTimePacf,
-    qAggDeming, qAggConcordance, qAggIcc)
+    qAggDeming, qAggConcordance, qAggIcc,
+    qTimeLjungBox, qTimeDurbinWatson)
 }

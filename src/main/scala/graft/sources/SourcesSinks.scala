@@ -1231,8 +1231,61 @@ object SourcesSinks {
                    max(dist_km) AS max_dist_km
             FROM a WHERE rk = 1 GROUP BY hub ORDER BY hub"""))
 
+  /** Quoted-CSV roundtrip — the QUOTING contract (csv_roundtrip proves
+    * plain values survive; csv_malformed proves bad rows quarantine;
+    * this proves the hard middle: fields containing the delimiter,
+    * embedded double quotes, and leading/trailing spaces survive the
+    * writer's quote/escape conventions byte-exactly): a deterministic
+    * adversarial string is built IN-PLAN from each order (commas,
+    * doubled quotes, a quoted template), written through the standard
+    * CSV sink, read back through the standard source, and censused by
+    * (count, Σlength, Σ portable hash) per priority — the hash sum is
+    * order-free and byte-sensitive, so a match proves losslessness.
+    * The oracle recomputes the census ANALYTICALLY from the
+    * construction rule and never reads the CSV (csv_malformed
+    * doctrine). Newlines-in-fields are deliberately excluded: reading
+    * them needs multiLine=true, which makes files UNSPLITTABLE — the
+    * 100 TB posture is to forbid them at write time, stated here. */
+  val qSourceCsvQuoted = Q(
+    "q_source_csv_quoted",
+    (s, dir) => {
+      val desc = "concat('p=\"', o_orderpriority, '\", k=', " +
+        "CAST(o_custkey AS STRING), ', t=\"ab,c\"\"d\" ')"
+      val slim = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr(desc).as("note"))
+      val path = dirKeyedTempPath(s, dir, "csv_quoted")
+      // the writer's ignore*WhiteSpace options default TRUE — Spark
+      // silently TRIMS field edges on write (the reader does not), so a
+      // roundtrip of space-padded fields is lossy unless the writer is
+      // told otherwise. That asymmetry is exactly the contract this
+      // query pins: preserve-whitespace is part of the sink's spec.
+      slim.write.mode("overwrite")
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+      readCsv(s, path, slim.schema)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("note"))).as("sum_len"),
+          sum(graft.Det.pHash32(col("note"))).as("hash_sum"))
+        .orderBy("o_orderpriority")
+    },
+    Some {
+      val desc = "concat('p=\"', o_orderpriority, '\", k=', " +
+        "CAST(o_custkey AS VARCHAR), ', t=\"ab,c\"\"d\" ')"
+      val h = graft.Det.sqlPHash32(desc)
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(length($desc)) AS BIGINT) AS sum_len,
+                 CAST(sum($h) AS BIGINT) AS hash_sum
+          FROM orders GROUP BY o_orderpriority
+          ORDER BY o_orderpriority"""
+    })
+
   val all: Seq[Q] =
-    Seq(qSourceMergeSchema, qSourceCsvMalformed, qTableTimeTravel,
+    Seq(qSourceCsvQuoted,
+      qSourceMergeSchema, qSourceCsvMalformed, qTableTimeTravel,
       qGeoHaversine,
       qGeoBboxRoundtrip, qGeoPolygonBbox, qGeoPolygonArea,
       qGeoMultipolygonArea, qSourceOrcRoundtrip, qSourceXmlRoundtrip,

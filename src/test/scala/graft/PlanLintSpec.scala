@@ -78,7 +78,11 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q_time_hurst" ->
       "row_number over the daily rollup — O(days), dataset-bounded",
     "q_time_pacf" ->
-      "lag(1..3) over the daily rollup — O(days), dataset-bounded")
+      "lag(1..3) over the daily rollup — O(days), dataset-bounded",
+    "q_time_ljung_box" ->
+      "lag(1..3) over the daily rollup — O(days), dataset-bounded",
+    "q_time_durbin_watson" ->
+      "row_number + lag(1) over the daily rollup — O(days), dataset-bounded")
 
   private val cartesianOk: Set[String] = Set.empty
 

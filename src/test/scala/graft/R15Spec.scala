@@ -765,6 +765,69 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ljung box: Q reassembles from the r's and pacf's acf agrees") {
+    val r = SparkEntry.queries("q_time_ljung_box")(spark, sfDir).head()
+    val n = r.getLong(0)
+    val (r1, r2, r3) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val p = SparkEntry.queries("q_time_pacf")(spark, sfDir).head()
+    // same carrier, same moments → identical rounded ACF values
+    assert(r1 == p.getDouble(1) && r2 == p.getDouble(2)
+      && r3 == p.getDouble(3), "ACF must agree across the two queries")
+    val q = n.toDouble * (n + 2) * (r1 * r1 / (n - 1)
+      + r2 * r2 / (n - 2) + r3 * r3 / (n - 3))
+    assert(math.abs(r.getDouble(4) - q) <= 2e-5 * math.max(1.0, q),
+      s"Q replay $q vs engine ${r.getDouble(4)}")
+    assert(r.getDouble(4) >= 0.0)
+  }
+
+  test("durbin watson: dw lives in [0,4] and replays from residuals") {
+    val r = SparkEntry.queries("q_time_durbin_watson")(spark, sfDir)
+      .head()
+    val dw = r.getDouble(2)
+    assert(dw > 0.0 && dw < 4.0, s"DW out of range: $dw")
+    // independent replay through EXPLICIT residuals (the engine never
+    // materializes them — closed forms only)
+    val daily = sources.Tables.lineitem(spark, sfDir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg((sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)")) / 10000)
+        .cast("long").as("y"))
+      .orderBy("d").collect().map(_.getLong(1).toDouble)
+    val n = daily.length
+    val t = (0 until n).map(_.toDouble)
+    val (tb, yb) = (t.sum / n, daily.sum / n)
+    val b = t.zip(daily).map { case (a, y) => (a - tb) * (y - yb) }.sum /
+      t.map(a => (a - tb) * (a - tb)).sum
+    val a0 = yb - b * tb
+    val e = t.zip(daily).map { case (a, y) => y - a0 - b * a }
+    val num = e.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum
+    val den = e.map(x => x * x).sum
+    assert(math.abs(dw - num / den) <= 1e-4,
+      s"DW replay ${num / den} vs engine $dw")
+  }
+
+  test("csv quoted: adversarial strings survive the quote contract") {
+    val rows = SparkEntry.queries("q_source_csv_quoted")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    // replay the census from the construction rule, never the CSV —
+    // a hash_sum match then proves the write→read trip is byte-exact
+    val desc = "concat('p=\"', o_orderpriority, '\", k=', " +
+      "CAST(o_custkey AS STRING), ', t=\"ab,c\"\"d\" ')"
+    val truth = sources.Tables.orders(spark, sfDir)
+      .selectExpr("o_orderpriority", s"$desc AS note")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(length(col("note"))).as("sl"),
+        sum(graft.Det.pHash32(col("note"))).as("hs"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val (n, sl, hs) = truth(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == sl && r.getLong(3) == hs,
+        s"quoted CSV roundtrip lost bytes for ${r.getString(0)}")
+    }
+  }
+
   test("ams f2: exact truth replays and estimate is within 5σ") {
     val r = SparkEntry.queries("q_sketch_ams_f2")(spark, sfDir).head()
     assert(r.getLong(0) == 64L)
