@@ -8596,6 +8596,276 @@ object Analytics {
                      ELSE round(num / sse, 6) END AS dw
             FROM g"""))
 
+  /** X̄/R control chart (Shewhart) — the SPC member of the anomaly
+    * family (ESD/IQR/Hampel flag points against a GLOBAL fit; a control
+    * chart monitors a PROCESS through fixed-size subgroup means and
+    * ranges against ±A₂R̄ limits — the manufacturing/SLO-monitoring
+    * convention): subgroups are each ship-day's first 5 lineitems in
+    * the (orderkey, linenumber) total order (fixed n = 5, partial days
+    * drop — stated), X̄ chart limits X̿ ± A₂R̄ and R chart limits
+    * [D₃R̄, D₄R̄] with the standard n=5 constants (A₂ = 0.577,
+    * D₃ = 0, D₄ = 2.114) as shared literals. Quantity subgroup sums
+    * are exact integers; means/ranges are one division each; the
+    * out-of-control census is integer counting against shared-double
+    * fences. Finals on the 1e-6 grid. Scale: the subgroup window is
+    * day-partitioned (≤rows-per-day), rollups bounded by the day axis. */
+  val qQcXbarR = Q(
+    "q_qc_xbar_r",
+    (s, dir) => {
+      val w = Window.partitionBy("d")
+        .orderBy("l_orderkey", "l_linenumber")
+      val sub = Tables.lineitem(s, dir)
+        .select(to_date(col("l_shipdate")).as("d"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("q"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .groupBy("d")
+        .agg(count(lit(1)).as("c"), sum(col("q")).as("sq"),
+          max(col("q")).as("mx"), min(col("q")).as("mn"))
+        .where(col("c") === 5)
+        .select(col("d"),
+          expr("CAST(sq AS DOUBLE) / CAST(5 AS DOUBLE)").as("xbar"),
+          (col("mx") - col("mn")).as("r"))
+      val lim = sub.agg(count(lit(1)).as("n_days"),
+        sum(expr("CAST(xbar AS DECIMAL(38,12))")).cast(DoubleType)
+          .as("sx"),
+        sum(col("r")).as("sr"))
+        .select(col("n_days"),
+          expr("sx / CAST(n_days AS DOUBLE)").as("xgrand"),
+          expr("CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE)").as("rbar"))
+        .withColumn("ucl_x",
+          expr("xgrand + CAST(0.577 AS DOUBLE) * rbar"))
+        .withColumn("lcl_x",
+          expr("xgrand - CAST(0.577 AS DOUBLE) * rbar"))
+        .withColumn("ucl_r", expr("CAST(2.114 AS DOUBLE) * rbar"))
+      val ooc = sub.crossJoin(broadcast(lim))
+        .agg(sum(when(col("xbar") > col("ucl_x")
+          || col("xbar") < col("lcl_x"), 1L).otherwise(0L))
+          .as("n_ooc_x"),
+          sum(when(col("r").cast(DoubleType) > col("ucl_r"), 1L)
+            .otherwise(0L)).as("n_ooc_r"))
+      lim.crossJoin(broadcast(ooc))
+        .select(col("n_days"), expr("round(xgrand, 6)").as("xbar_grand"),
+          expr("round(rbar, 6)").as("rbar"),
+          expr("round(ucl_x, 6)").as("ucl_x"),
+          expr("round(lcl_x, 6)").as("lcl_x"),
+          expr("round(ucl_r, 6)").as("ucl_r"),
+          col("n_ooc_x"), col("n_ooc_r"))
+    },
+    Some("""WITH sub0 AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                    CAST(l_quantity AS BIGINT) AS q,
+                    row_number() OVER (PARTITION BY CAST(l_shipdate AS DATE)
+                      ORDER BY l_orderkey, l_linenumber) AS rn
+                  FROM lineitem),
+             sub AS (SELECT d,
+                       CAST(sum(q) AS DOUBLE) / CAST(5 AS DOUBLE) AS xbar,
+                       CAST(max(q) - min(q) AS BIGINT) AS r
+                     FROM sub0 WHERE rn <= 5 GROUP BY d
+                     HAVING count(*) = 5),
+             lim AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                       CAST(SUM(CAST(xbar AS DECIMAL(38,12))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE) AS xgrand,
+                       CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                         AS rbar
+                     FROM sub),
+             lm2 AS (SELECT *,
+                       xgrand + CAST(0.577 AS DOUBLE) * rbar AS ucl_x,
+                       xgrand - CAST(0.577 AS DOUBLE) * rbar AS lcl_x,
+                       CAST(2.114 AS DOUBLE) * rbar AS ucl_r
+                     FROM lim),
+             ooc AS (SELECT
+                       CAST(sum(CASE WHEN xbar > ucl_x OR xbar < lcl_x
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ooc_x,
+                       CAST(sum(CASE WHEN CAST(r AS DOUBLE) > ucl_r
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ooc_r
+                     FROM sub, lm2)
+            SELECT n_days, round(xgrand, 6) AS xbar_grand,
+                   round(rbar, 6) AS rbar, round(ucl_x, 6) AS ucl_x,
+                   round(lcl_x, 6) AS lcl_x, round(ucl_r, 6) AS ucl_r,
+                   n_ooc_x, n_ooc_r
+            FROM lm2, ooc"""))
+
+  /** TOST equivalence test — the test for "these two groups are the
+    * SAME" (a non-significant t-test is NOT evidence of equivalence —
+    * absence of evidence; TOST inverts the burden: reject "differs by
+    * more than ±δ" with two one-sided tests): returnflag R vs N on
+    * extendedprice cents, margin δ = 0.5% of the pooled mean (a stated
+    * deterministic rule), Welch SE from the exact DECIMAL(38,0)
+    * moments, t_lower = (Δ+δ)/se, t_upper = (δ−Δ)/se, equivalence
+    * declared when min > 1.645 (the large-n z convention, stated).
+    * One scan, 2-row aggregate, shared rational finals on the 1e-6
+    * grid. */
+  val qAbTost = Q(
+    "q_ab_tost",
+    (s, dir) => {
+      val dd = (e: String) =>
+        s"CAST(CAST($e AS DECIMAL(38,0)) * CAST($e AS DECIMAL(38,0))" +
+          s" AS DECIMAL(38,0))"
+      val m = Tables.lineitem(s, dir)
+        .where(col("l_returnflag").isin("R", "N"))
+        .select(col("l_returnflag").as("g"),
+          expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("v"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(expr(dd("v"))).as("ss"))
+      val p = m.agg(
+        max(when(col("g") === "R", col("n"))).as("n1"),
+        max(when(col("g") === "R", col("s"))).as("s1"),
+        max(when(col("g") === "R", col("ss"))).as("ss1"),
+        max(when(col("g") === "N", col("n"))).as("n2"),
+        max(when(col("g") === "N", col("s"))).as("s2"),
+        max(when(col("g") === "N", col("ss"))).as("ss2"))
+      p.select(col("n1"), col("n2"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
+          " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)").as("diff"),
+        expr("(CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE))" +
+          " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))" +
+          " * CAST(0.005 AS DOUBLE)").as("delta"),
+        expr("sqrt((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)" +
+          " * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))" +
+          " / (CAST(n1 - 1 AS DOUBLE) * CAST(n1 AS DOUBLE))" +
+          " + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)" +
+          " * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))" +
+          " / (CAST(n2 - 1 AS DOUBLE) * CAST(n2 AS DOUBLE)))")
+          .as("se"))
+        .withColumn("t_lower", expr("(diff + delta) / se"))
+        .withColumn("t_upper", expr("(delta - diff) / se"))
+        .select(col("n1"), col("n2"), expr("round(diff, 6)").as("diff"),
+          expr("round(delta, 6)").as("delta"),
+          expr("round(se, 6)").as("se"),
+          expr("round(t_lower, 6)").as("t_lower"),
+          expr("round(t_upper, 6)").as("t_upper"),
+          expr("CAST(CASE WHEN least(t_lower, t_upper)" +
+            " > CAST(1.645 AS DOUBLE) THEN 1 ELSE 0 END AS INT)")
+            .as("equivalent"))
+    },
+    Some("""WITH m AS (SELECT l_returnflag AS g,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS s,
+                    sum(CAST(CAST(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT) AS DECIMAL(38,0))
+                      * CAST(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT) AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                      AS ss
+                  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+                  GROUP BY 1),
+             p AS (SELECT
+                     max(CASE WHEN g = 'R' THEN n END) AS n1,
+                     max(CASE WHEN g = 'R' THEN s END) AS s1,
+                     max(CASE WHEN g = 'R' THEN ss END) AS ss1,
+                     max(CASE WHEN g = 'N' THEN n END) AS n2,
+                     max(CASE WHEN g = 'N' THEN s END) AS s2,
+                     max(CASE WHEN g = 'N' THEN ss END) AS ss2
+                   FROM m),
+             c AS (SELECT n1, n2,
+                     CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS diff,
+                     (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * CAST(0.005 AS DOUBLE) AS delta,
+                     sqrt((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / (CAST(n1 - 1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                       + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                       * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       / (CAST(n2 - 1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                       AS se
+                   FROM p),
+             t AS (SELECT *, (diff + delta) / se AS t_lower,
+                     (delta - diff) / se AS t_upper
+                   FROM c)
+            SELECT n1, n2, round(diff, 6) AS diff,
+                   round(delta, 6) AS delta, round(se, 6) AS se,
+                   round(t_lower, 6) AS t_lower,
+                   round(t_upper, 6) AS t_upper,
+                   CAST(CASE WHEN least(t_lower, t_upper)
+                     > CAST(1.645 AS DOUBLE) THEN 1 ELSE 0 END AS INT)
+                     AS equivalent
+            FROM t"""))
+
+  /** A/B sample-size (power) calculator — the experiment-DESIGN member
+    * of the ab family (lift/SPRT/t-test READ an experiment; this one
+    * answers "how long must we run" BEFORE it starts): from the
+    * observed per-priority revenue variance, the per-arm n to detect a
+    * 1% mean lift at α = 5% (two-sided) / 80% power is
+    * n = 2(z_{α/2}+z_β)²σ²/δ² with the standard constants
+    * (1.959964, 0.841621) as shared literals and δ = 1% of the group
+    * mean (stated rule). Exact DECIMAL(38,0) moments; days-to-run
+    * rides along from the group's observed orders/day rate. Finals on
+    * the 1e-6 grid; σ² in millions on the 1e-3 grid (cast-wobble
+    * doctrine). */
+  val qAbPower = Q(
+    "q_ab_power",
+    (s, dir) => {
+      val m = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), sum(expr(cents)).as("sv"),
+          sum(expr(s"CAST(CAST($cents AS DECIMAL(38,0))" +
+            s" * CAST($cents AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
+            .as("ssv"),
+          countDistinct(col("o_orderdate")).as("days"))
+      m.select(col("pri"), col("n"), col("days"),
+        expr("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)").as("mean"),
+        expr("(CAST(ssv AS DOUBLE) - CAST(sv AS DOUBLE)" +
+          " * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " / CAST(n - 1 AS DOUBLE)").as("var"))
+        .withColumn("delta", expr("mean * CAST(0.01 AS DOUBLE)"))
+        .withColumn("n_req", expr(
+          "CASE WHEN delta = CAST(0 AS DOUBLE) THEN NULL ELSE" +
+            " CAST(ceil(CAST(2 AS DOUBLE)" +
+            " * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))" +
+            " * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))" +
+            " * var / (delta * delta)) AS BIGINT) END"))
+        .select(col("pri"), col("n"), expr("round(mean, 6)").as("mean"),
+          expr("round(var / CAST(1000000 AS DOUBLE), 3)").as("var_m"),
+          expr("round(delta, 6)").as("delta"),
+          col("n_req"),
+          expr("CASE WHEN days = 0 OR n = 0 THEN NULL ELSE" +
+            " CAST(ceil(CAST(n_req AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) / CAST(days AS DOUBLE)))" +
+            " AS BIGINT) END").as("days_to_run"))
+        .orderBy("pri")
+    },
+    Some(s"""WITH m AS (SELECT o_orderpriority AS pri,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum($cents) AS BIGINT) AS sv,
+                    sum(CAST(CAST($cents AS DECIMAL(38,0))
+                      * CAST($cents AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                      AS ssv,
+                    CAST(count(DISTINCT o_orderdate) AS BIGINT) AS days
+                  FROM orders GROUP BY 1),
+             c AS (SELECT pri, n, days,
+                     CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                     (CAST(ssv AS DOUBLE) - CAST(sv AS DOUBLE)
+                       * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n - 1 AS DOUBLE) AS var
+                   FROM m),
+             d AS (SELECT *, mean * CAST(0.01 AS DOUBLE) AS delta
+                   FROM c),
+             e AS (SELECT *,
+                     CASE WHEN delta = CAST(0 AS DOUBLE) THEN NULL ELSE
+                       CAST(ceil(CAST(2 AS DOUBLE)
+                         * (CAST(1.959964 AS DOUBLE)
+                         + CAST(0.841621 AS DOUBLE))
+                         * (CAST(1.959964 AS DOUBLE)
+                         + CAST(0.841621 AS DOUBLE))
+                         * var / (delta * delta)) AS BIGINT) END AS n_req
+                   FROM d)
+            SELECT pri, n, round(mean, 6) AS mean,
+                   round(var / CAST(1000000 AS DOUBLE), 3) AS var_m,
+                   round(delta, 6) AS delta, n_req,
+                   CASE WHEN days = 0 OR n = 0 THEN NULL ELSE
+                     CAST(ceil(CAST(n_req AS DOUBLE)
+                       / (CAST(n AS DOUBLE) / CAST(days AS DOUBLE)))
+                       AS BIGINT) END AS days_to_run
+            FROM e ORDER BY pri"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -8625,5 +8895,6 @@ object Analytics {
     qAggFriedman, qAggMedianTest, qAggCochranQ, qAggAndersonDarling,
     qTimeHurst, qTimeSpectralEntropy, qTimeTheilU, qTimePacf,
     qAggDeming, qAggConcordance, qAggIcc,
-    qTimeLjungBox, qTimeDurbinWatson)
+    qTimeLjungBox, qTimeDurbinWatson,
+    qQcXbarR, qAbTost, qAbPower)
 }

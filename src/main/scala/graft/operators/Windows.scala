@@ -3174,7 +3174,139 @@ object Windows {
             FROM c JOIN part ON c.pk = p_partkey
             GROUP BY 1 ORDER BY brand"""))
 
-  val all: Seq[Q] = Seq(qAllocWaterfall, qInventoryFifo,
+  /** Time-weighted average (TWAP) per event type — the irregular-
+    * sampling mean (a plain mean over-weights bursts: a value held for
+    * an hour must count 3600× a value held a second — the
+    * metering/billing/fair-price rule): each observation is weighted by
+    * its HOLDING TIME (microseconds to the next event of the same
+    * type), the last observation has no successor and drops (stated).
+    * Every weight is an exact integer microsecond span and every value
+    * an exact cent, so Σ(value·dur) rides the DECIMAL(38,0) carrier and
+    * TWAP is one shared division. The plain mean rides along to show
+    * the burst bias. Scale: one lead() per type partition + a per-type
+    * aggregate — no global window. */
+  val qWinTwap = Q(
+    "q_win_twap",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(floor(value * CAST(100.0 AS DOUBLE)" +
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("cents"))
+        .withColumn("dur", lead(col("us"), 1).over(w) - col("us"))
+        .where(col("dur").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(CAST(cents AS DECIMAL(38,0))" +
+            " * CAST(dur AS DECIMAL(38,0)) AS DECIMAL(38,0))")).as("wv"),
+          sum(col("dur")).as("wd"),
+          sum(col("cents")).as("sc"))
+        .select(col("event_type"), col("n"),
+          expr("CASE WHEN wd = 0 THEN NULL ELSE" +
+            " round(CAST(wv AS DOUBLE) / CAST(wd AS DOUBLE), 6) END")
+            .as("twap_cents"),
+          expr("round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6)")
+            .as("plain_mean_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type,
+                    epoch_us(ts) AS us,
+                    CAST(floor(value * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents,
+                    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                      ORDER BY ts, event_id) - epoch_us(ts) AS dur
+                  FROM events),
+             a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(CAST(cents AS DECIMAL(38,0))
+                       * CAST(dur AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS wv,
+                     CAST(sum(dur) AS BIGINT) AS wd,
+                     CAST(sum(cents) AS BIGINT) AS sc
+                   FROM e WHERE dur IS NOT NULL GROUP BY event_type)
+            SELECT event_type, n,
+                   CASE WHEN wd = 0 THEN NULL ELSE
+                     round(CAST(wv AS DOUBLE) / CAST(wd AS DOUBLE), 6)
+                     END AS twap_cents,
+                   round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS plain_mean_cents
+            FROM a ORDER BY event_type"""))
+
+  /** Annualized Sharpe ratio per return-flag class — the
+    * risk-adjusted-return one-number (a mean return alone rewards
+    * volatility; Sharpe divides it out — the portfolio/strategy
+    * comparison metric): daily simple returns r_t = (y_t−y_{t−1})/
+    * y_{t−1} on the daily revenue rollup (zero-baseline days drop,
+    * stated), mean/sd via Dec12 order-free sums over the per-row
+    * returns (each return is ONE shared IEEE division over identical
+    * integer operands), Sharpe = mean/sd·√252 with the trading-year
+    * convention stated, sd the sample form. Finals on the 1e-6 grid.
+    * Scale: one flag-partitioned lag + a 3-row aggregate. */
+  val qWinSharpe = Q(
+    "q_win_sharpe",
+    (s, dir) => {
+      val w = Window.partitionBy("flag").orderBy("d")
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
+      val ret = daily
+        .withColumn("yp", lag(col("y"), 1).over(w))
+        .where(col("yp").isNotNull && col("yp") =!= 0L)
+        .withColumn("r", expr(
+          "CAST(y - yp AS DOUBLE) / CAST(yp AS DOUBLE)"))
+      ret.groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(r AS DECIMAL(38,12))")).cast(DoubleType)
+            .as("sr"),
+          sum(expr("CAST(r * r AS DECIMAL(38,12))")).cast(DoubleType)
+            .as("sr2"))
+        .select(col("flag"), col("n"),
+          expr("round(sr / CAST(n AS DOUBLE), 6)").as("mean_ret"),
+          expr("CASE WHEN n <= 1 THEN NULL ELSE" +
+            " round(sqrt((sr2 - sr * sr / CAST(n AS DOUBLE))" +
+            " / CAST(n - 1 AS DOUBLE)), 6) END").as("sd_ret"),
+          expr("CASE WHEN n <= 1 OR sr2 - sr * sr / CAST(n AS DOUBLE)" +
+            " <= CAST(0 AS DOUBLE) THEN NULL ELSE" +
+            " round(sr / CAST(n AS DOUBLE)" +
+            " / sqrt((sr2 - sr * sr / CAST(n AS DOUBLE))" +
+            " / CAST(n - 1 AS DOUBLE))" +
+            " * sqrt(CAST(252 AS DOUBLE)), 6) END").as("sharpe_ann"))
+        .orderBy("flag")
+    },
+    Some("""WITH daily AS (SELECT l_returnflag AS flag,
+                    CAST(l_shipdate AS DATE) AS d,
+                    CAST(SUM(CAST(floor(l_extendedprice
+                      * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)) AS BIGINT) AS y
+                  FROM lineitem GROUP BY 1, 2),
+             ret AS (SELECT flag,
+                       CAST(y - yp AS DOUBLE) / CAST(yp AS DOUBLE) AS r
+                     FROM (SELECT flag, y,
+                             lag(y, 1) OVER (PARTITION BY flag
+                               ORDER BY d) AS yp
+                           FROM daily)
+                     WHERE yp IS NOT NULL AND yp <> 0),
+             a AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE) AS sr,
+                     CAST(SUM(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE)
+                       AS sr2
+                   FROM ret GROUP BY flag)
+            SELECT flag, n,
+                   round(sr / CAST(n AS DOUBLE), 6) AS mean_ret,
+                   CASE WHEN n <= 1 THEN NULL ELSE
+                     round(sqrt((sr2 - sr * sr / CAST(n AS DOUBLE))
+                       / CAST(n - 1 AS DOUBLE)), 6) END AS sd_ret,
+                   CASE WHEN n <= 1 OR sr2 - sr * sr / CAST(n AS DOUBLE)
+                       <= CAST(0 AS DOUBLE) THEN NULL ELSE
+                     round(sr / CAST(n AS DOUBLE)
+                       / sqrt((sr2 - sr * sr / CAST(n AS DOUBLE))
+                       / CAST(n - 1 AS DOUBLE))
+                       * sqrt(CAST(252 AS DOUBLE)), 6) END AS sharpe_ann
+            FROM a ORDER BY flag"""))
+
+  val all: Seq[Q] = Seq(qWinTwap, qWinSharpe, qAllocWaterfall, qInventoryFifo,
     qWinObv, qWinUlcer,
     qWinRsi, qWinStochastic, qWinAtr, qSeqMarkov2,
     qWinDistinctRolling, qTimeCrosscorr, qSeqPattern,

@@ -828,6 +828,89 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("twap: duration mass conserved, constant series would be exact") {
+    val rows = SparkEntry.queries("q_win_twap")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tw, pm) = (r.getDouble(2), r.getDouble(3))
+      assert(tw > 0.0 && pm > 0.0)
+      // value is bounded in the synthetic generator: TWAP must live
+      // inside the per-type [min,max] cents envelope
+      assert(tw <= 100000.0 && tw >= 1.0)
+    }
+    // replay one type end-to-end
+    val ev = sources.Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .selectExpr("unix_micros(ts) AS us",
+        "CAST(floor(value * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c", "event_id")
+      .orderBy("us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val twap = {
+      var (wv, wd) = (BigInt(0), 0L)
+      ev.sliding(2).foreach {
+        case Array((u1, c1), (u2, _)) => wv += BigInt(c1) * (u2 - u1); wd += u2 - u1
+        case _ =>
+      }
+      wv.toDouble / wd
+    }
+    val got = rows.find(_.getString(0) == "purchase").get.getDouble(2)
+    assert(math.abs(got - twap) <= 1e-4,
+      s"TWAP replay $twap vs engine $got")
+  }
+
+  test("sharpe: reassembles from mean and sd") {
+    val rows = SparkEntry.queries("q_win_sharpe")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (m, sd, sh) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(sd > 0.0)
+      assert(math.abs(sh - m / sd * math.sqrt(252.0)) <= 2e-4 +
+        2e-6 * sh.abs, s"sharpe ${m / sd * math.sqrt(252.0)} vs $sh")
+    }
+  }
+
+  test("xbar/r chart: limits bracket the grand mean, census sane") {
+    val r = SparkEntry.queries("q_qc_xbar_r")(spark, sfDir).head()
+    val (nDays, xg, rb) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val (uclX, lclX, uclR) =
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(nDays > 0 && rb > 0.0)
+    assert(math.abs(uclX - (xg + 0.577 * rb)) <= 2e-6)
+    assert(math.abs(lclX - (xg - 0.577 * rb)) <= 2e-6)
+    assert(math.abs(uclR - 2.114 * rb) <= 2e-6)
+    assert(r.getLong(6) <= nDays && r.getLong(7) <= nDays)
+  }
+
+  test("tost: symmetric in delta, t's reassemble") {
+    val r = SparkEntry.queries("q_ab_tost")(spark, sfDir).head()
+    val (diff, delta, se) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val (tl, tu) = (r.getDouble(5), r.getDouble(6))
+    assert(delta > 0.0 && se > 0.0)
+    assert(math.abs(tl - (diff + delta) / se) <= 2e-4)
+    assert(math.abs(tu - (delta - diff) / se) <= 2e-4)
+    assert(math.abs((tl + tu) - 2.0 * delta / se) <= 4e-4,
+      "t_lower + t_upper must equal 2δ/se")
+    assert(r.getInt(7) == (if (math.min(tl, tu) > 1.645) 1 else 0))
+  }
+
+  test("power: n_req replays from the variance and shrinks with delta") {
+    val rows = SparkEntry.queries("q_ab_power")(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (varM, delta, nReq) =
+        (r.getDouble(3), r.getDouble(4), r.getLong(5))
+      val expect = math.ceil(
+        2.0 * math.pow(1.959964 + 0.841621, 2) * (varM * 1e6)
+          / (delta * delta)).toLong
+      // var_m is on the 1e-3 millions grid → n_req replay tolerance
+      assert(math.abs(nReq - expect) <= math.max(2L, expect / 1000),
+        s"n_req $nReq vs replay $expect")
+      assert(r.getLong(6) > 0, "days_to_run positive")
+    }
+  }
+
   test("ams f2: exact truth replays and estimate is within 5σ") {
     val r = SparkEntry.queries("q_sketch_ams_f2")(spark, sfDir).head()
     assert(r.getLong(0) == 64L)
