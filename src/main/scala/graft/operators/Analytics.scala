@@ -8866,6 +8866,119 @@ object Analytics {
                        AS BIGINT) END AS days_to_run
             FROM e ORDER BY pri"""))
 
+  /** Theil T inequality index with between/within decomposition — the
+    * DECOMPOSABLE inequality measure (Gini — q_agg_gini — cannot split
+    * into between-group + within-group parts; Theil's T = T_between +
+    * Σ s_g·T_g exactly, which is why inequality-of-what-drives-what
+    * analyses use it): customer order-spend across nations. T =
+    * (1/N)Σ(x/μ)ln(x/μ), T_between = Σ s_g ln(μ_g/μ) with s_g the
+    * group revenue share. Spend totals are exact integer cents; every
+    * ratio is one shared division; per-row ln terms ride Dec12
+    * order-free sums; the decomposition identity T = T_b + T_w is
+    * emitted and spec-pinned. Customers with zero spend are excluded
+    * (ln demands positivity — stated). Finals on the 1e-6 grid.
+    * Scale: one orders⋈customer rollup per customer, a 25-row group
+    * layer, one broadcast of the global moment row. */
+  val qAggTheilIndex = Q(
+    "q_agg_theil_index",
+    (s, dir) => {
+      val cust = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey").as("ck"),
+          col("c_nationkey").as("grp"))
+        .agg(sum(expr(cents)).as("x"))
+        .where(col("x") > 0L)
+      val tot = cust.agg(count(lit(1)).as("n"), sum(col("x")).as("xx"))
+      val wt = cust.crossJoin(broadcast(tot))
+        .withColumn("mu", expr("CAST(xx AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("term", expr(
+          "CAST(x AS DOUBLE) / mu * ln(CAST(x AS DOUBLE) / mu)"))
+      val g = wt.groupBy("grp")
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("x_g"),
+          sum(expr("CAST(term AS DECIMAL(38,12))")).cast(DoubleType)
+            .as("tsum_g"),
+          max(col("n")).as("n"), max(col("xx")).as("xx"))
+        .withColumn("s_g", expr(
+          "CAST(x_g AS DOUBLE) / CAST(xx AS DOUBLE)"))
+        .withColumn("mu_g", expr(
+          "CAST(x_g AS DOUBLE) / CAST(n_g AS DOUBLE)"))
+        .withColumn("mu", expr("CAST(xx AS DOUBLE) / CAST(n AS DOUBLE)"))
+        // group-local Theil: T_g = (1/n_g)Σ(x/μ_g)ln(x/μ_g)
+        //   = (μ/μ_g)·[(1/n_g)Σ(x/μ)ln(x/μ)] − ln(μ_g/μ)·(μ/μ_g)·(1/n_g)Σ(x/μ)
+        // spelled via the global-μ terms so ONE per-row pass serves all
+        .withColumn("t_g", expr(
+          "mu / mu_g * (tsum_g / CAST(n_g AS DOUBLE))" +
+            " - ln(mu_g / mu) * (mu / mu_g)" +
+            " * (CAST(x_g AS DOUBLE) / mu / CAST(n_g AS DOUBLE))"))
+      val glob = g.agg(
+        max(col("n")).as("n"),
+        sum(expr("CAST(tsum_g AS DECIMAL(38,12))")).cast(DoubleType)
+          .as("tsum"),
+        sum(expr("CAST(s_g * ln(mu_g / mu) AS DECIMAL(38,12))"))
+          .cast(DoubleType).as("t_between"),
+        sum(expr("CAST(s_g * t_g AS DECIMAL(38,12))")).cast(DoubleType)
+          .as("t_within"))
+        .select(col("n"),
+          expr("round(tsum / CAST(n AS DOUBLE), 6)").as("theil_t"),
+          expr("round(t_between, 6)").as("t_between"),
+          expr("round(t_within, 6)").as("t_within"))
+      g.crossJoin(broadcast(glob))
+        .select(col("grp"), col("n_g"),
+          expr("round(s_g, 6)").as("s_g"),
+          expr("round(t_g, 6)").as("t_g"),
+          col("theil_t"), col("t_between"), col("t_within"))
+        .orderBy("grp")
+    },
+    Some(s"""WITH cust AS (SELECT o_custkey AS ck, c_nationkey AS grp,
+                    CAST(sum($cents) AS BIGINT) AS x
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY 1, 2
+                  HAVING sum($cents) > 0),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS xx FROM cust),
+             wt AS (SELECT grp, x, n, xx,
+                      CAST(xx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                      CAST(x AS DOUBLE)
+                        / (CAST(xx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(x AS DOUBLE)
+                        / (CAST(xx AS DOUBLE) / CAST(n AS DOUBLE)))
+                        AS term
+                    FROM cust, tot),
+             g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(sum(x) AS BIGINT) AS x_g,
+                     CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+                       AS tsum_g,
+                     max(n) AS n, max(xx) AS xx
+                   FROM wt GROUP BY grp),
+             g2 AS (SELECT *,
+                      CAST(x_g AS DOUBLE) / CAST(xx AS DOUBLE) AS s_g,
+                      CAST(x_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mu_g,
+                      CAST(xx AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+                    FROM g),
+             g3 AS (SELECT *,
+                      mu / mu_g * (tsum_g / CAST(n_g AS DOUBLE))
+                        - ln(mu_g / mu) * (mu / mu_g)
+                        * (CAST(x_g AS DOUBLE) / mu
+                        / CAST(n_g AS DOUBLE)) AS t_g
+                    FROM g2),
+             gtot AS (SELECT max(n) AS n,
+                        CAST(SUM(CAST(tsum_g AS DECIMAL(38,12)))
+                          AS DOUBLE) AS tsum,
+                        CAST(SUM(CAST(s_g * ln(mu_g / mu)
+                          AS DECIMAL(38,12))) AS DOUBLE) AS t_between,
+                        CAST(SUM(CAST(s_g * t_g AS DECIMAL(38,12)))
+                          AS DOUBLE) AS t_within
+                      FROM g3),
+             gf AS (SELECT n,
+                      round(tsum / CAST(n AS DOUBLE), 6) AS theil_t,
+                      round(t_between, 6) AS t_between,
+                      round(t_within, 6) AS t_within
+                    FROM gtot)
+            SELECT grp, n_g, round(s_g, 6) AS s_g, round(t_g, 6) AS t_g,
+                   theil_t, t_between, t_within
+            FROM g3, gf ORDER BY grp"""))
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -8896,5 +9009,5 @@ object Analytics {
     qTimeHurst, qTimeSpectralEntropy, qTimeTheilU, qTimePacf,
     qAggDeming, qAggConcordance, qAggIcc,
     qTimeLjungBox, qTimeDurbinWatson,
-    qQcXbarR, qAbTost, qAbPower)
+    qQcXbarR, qAbTost, qAbPower, qAggTheilIndex)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 import graft.{Det, Q}
 import graft.sources.Tables
 
@@ -2322,8 +2323,113 @@ object Relational {
             FROM j ORDER BY pri"""
     })
 
+  /** Moran's I — GLOBAL spatial autocorrelation (the geo family reads
+    * densities and containment; Moran's I answers "do nearby cells
+    * look alike?" — the clustering-vs-noise one-number every spatial
+    * analysis leads with; +1 clustered, 0 random, −1 checkerboard):
+    * event points on the deterministic pHash32 unit square (the
+    * geo_grid_join convention), 16×16 cells valued by mean event
+    * cents, queen (8-neighbor) contiguity weights. I = (n/W)·
+    * Σ_ij w_ij z_i z_j / Σz_i² over the CELL table — the corpus
+    * collapses to ≤256 rows before any pairwise work, and the neighbor
+    * join is an 8-offset explode on cell coordinates (bounded fanout,
+    * never a cell×cell product). Cell means are shared divisions over
+    * exact integer sums; z-products ride Dec12 order-free sums; finals
+    * on the 1e-6 grid. */
+  val qGeoMoranI = Q(
+    "q_geo_moran_i",
+    (s, dir) => {
+      val pts = Tables.events(s, dir).select(
+        expr("CAST(floor(value * CAST(100.0 AS DOUBLE)" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("v"),
+        floor(pmod(Det.pHash32(concat(col("event_id").cast("string"),
+          lit("x"))), lit(1024)).cast(DoubleType) / 1024.0 * 16)
+          .cast(IntegerType).as("cx"),
+        floor(pmod(Det.pHash32(concat(col("event_id").cast("string"),
+          lit("y"))), lit(1024)).cast(DoubleType) / 1024.0 * 16)
+          .cast(IntegerType).as("cy"))
+      val cells = pts.groupBy("cx", "cy")
+        .agg(count(lit(1)).as("c"), sum(col("v")).as("sv"))
+        .withColumn("val", expr(
+          "CAST(sv AS DOUBLE) / CAST(c AS DOUBLE)"))
+      val tot = cells.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(val AS DECIMAL(38,12))")).cast(DoubleType)
+          .as("svl"))
+      val z = cells.crossJoin(broadcast(tot))
+        .withColumn("z", expr("val - svl / CAST(n AS DOUBLE)"))
+        .select("cx", "cy", "z", "n")
+      val offs = s.range(0, 9)
+        .select(expr("CAST(id % 3 - 1 AS INT)").as("dx"),
+          expr("CAST(id div 3 - 1 AS INT)").as("dy"))
+        .where(!(col("dx") === 0 && col("dy") === 0))
+      val nb = z.crossJoin(broadcast(offs))
+        .select((col("cx") + col("dx")).as("cx"),
+          (col("cy") + col("dy")).as("cy"), col("z").as("zj"))
+      val prod = z.join(nb, Seq("cx", "cy"))
+        .agg(count(lit(1)).as("w"),
+          sum(expr("CAST(z * zj AS DECIMAL(38,12))")).cast(DoubleType)
+            .as("cross_sum"))
+      val selfs = z.agg(max(col("n")).as("n"),
+        sum(expr("CAST(z * z AS DECIMAL(38,12))")).cast(DoubleType)
+          .as("z2"))
+      prod.crossJoin(broadcast(selfs))
+        .select(col("n"), col("w"),
+          expr("CASE WHEN z2 = CAST(0 AS DOUBLE) OR w = 0 THEN NULL" +
+            " ELSE round(CAST(n AS DOUBLE) / CAST(w AS DOUBLE)" +
+            " * cross_sum / z2, 6) END").as("moran_i"),
+          expr("round(CAST(-1 AS DOUBLE)" +
+            " / CAST(n - 1 AS DOUBLE), 6)").as("expected_i"))
+    },
+    Some("""WITH pts AS (SELECT
+                    CAST(floor(value * CAST(100.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v,
+                    CAST(floor(CAST(((('0x' || substr(md5(
+                      CAST(event_id AS VARCHAR) || 'x'), 1, 8))::BIGINT)
+                      % 1024 + 1024) % 1024 AS DOUBLE)
+                      / 1024.0 * 16) AS INT) AS cx,
+                    CAST(floor(CAST(((('0x' || substr(md5(
+                      CAST(event_id AS VARCHAR) || 'y'), 1, 8))::BIGINT)
+                      % 1024 + 1024) % 1024 AS DOUBLE)
+                      / 1024.0 * 16) AS INT) AS cy
+                  FROM events),
+             cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS c,
+                         CAST(sum(v) AS BIGINT) AS sv
+                       FROM pts GROUP BY 1, 2),
+             cv AS (SELECT cx, cy,
+                      CAST(sv AS DOUBLE) / CAST(c AS DOUBLE) AS val
+                    FROM cells),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                         AS svl
+                     FROM cv),
+             z AS (SELECT cx, cy,
+                     val - svl / CAST(n AS DOUBLE) AS z, n
+                   FROM cv, tot),
+             offs AS (SELECT CAST(i % 3 - 1 AS INT) AS dx,
+                        CAST(i // 3 - 1 AS INT) AS dy
+                      FROM (SELECT unnest(range(0, 9)) AS i)
+                      WHERE NOT (i % 3 - 1 = 0 AND i // 3 - 1 = 0)),
+             nb AS (SELECT z.cx + dx AS cx, z.cy + dy AS cy,
+                      z.z AS zj
+                    FROM z CROSS JOIN offs),
+             prod AS (SELECT CAST(count(*) AS BIGINT) AS w,
+                        CAST(SUM(CAST(z.z * nb.zj AS DECIMAL(38,12)))
+                          AS DOUBLE) AS cross_sum
+                      FROM z JOIN nb ON z.cx = nb.cx AND z.cy = nb.cy),
+             selfs AS (SELECT max(n) AS n,
+                         CAST(SUM(CAST(z * z AS DECIMAL(38,12)))
+                           AS DOUBLE) AS z2
+                       FROM z)
+            SELECT n, w,
+                   CASE WHEN z2 = CAST(0 AS DOUBLE) OR w = 0 THEN NULL
+                     ELSE round(CAST(n AS DOUBLE) / CAST(w AS DOUBLE)
+                       * cross_sum / z2, 6) END AS moran_i,
+                   round(CAST(-1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+                     AS expected_i
+            FROM prod, selfs"""))
+
   val all: Seq[Q] = Seq(
-    qViewIncremental,
+    qViewIncremental, qGeoMoranI,
     qSnapshotDiff, qDqReferential, qJoinBloomPrefilter, qGraphLabelProp,
     qGraphKcore, qGraphAdamicAdar, qGraphJaccard, qGraphHits,
     qScanFull, qScanPruned, qProjRename, qFilterRange, qFilterNullSentinel,

@@ -3306,7 +3306,131 @@ object Windows {
                        * sqrt(CAST(252 AS DOUBLE)), 6) END AS sharpe_ann
             FROM a ORDER BY flag"""))
 
-  val all: Seq[Q] = Seq(qWinTwap, qWinSharpe, qAllocWaterfall, qInventoryFifo,
+  /** Shapley-value attribution — the game-theoretically FAIR credit
+    * split (last-touch over-credits closers, linear ignores synergy,
+    * Markov needs a chain model; Shapley is the unique efficient/
+    * symmetric/dummy-free allocation): channels = the three
+    * pre-purchase touch types {view, click, signup}, each user's
+    * exposure is the EXACT SET of channels seen before their first
+    * purchase (the Markov first-purchase cut reused — one window pass,
+    * no self-join), the coalition value v(S) is the observed conversion
+    * rate of users exposed to exactly S (unobserved coalitions take
+    * v = 0, stated), and with k = 3 the Shapley sum unrolls to explicit
+    * weights {1/3, 1/6, 1/3} over the 8-row coalition table. The
+    * EFFICIENCY law Σφ = v(full) − v(∅) is emitted as a column (and
+    * pinned in spec) — the property the other attribution models
+    * cannot state. Scale: one events window pass + an 8-row pivot. */
+  val qAttributionShapley = Q(
+    "q_attribution_shapley",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wAll = Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val base = Tables.events(s, dir)
+        .where(col("event_type").isin("view", "click", "signup",
+          "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prn", min(
+          when(col("event_type") === "purchase", col("rn"))).over(wAll))
+      val mask = base
+        .where(col("event_type") =!= "purchase"
+          && (col("prn").isNull || col("rn") < col("prn")))
+        .groupBy("user_id")
+        .agg(
+          (coalesce(max(when(col("event_type") === "view", 1L)), lit(0L))
+            + coalesce(max(when(col("event_type") === "click", 2L)),
+              lit(0L))
+            + coalesce(max(when(col("event_type") === "signup", 4L)),
+              lit(0L))).as("mask"),
+          max(when(col("prn").isNotNull, 1L).otherwise(0L)).as("cv"))
+      val rates = mask.groupBy("mask")
+        .agg(count(lit(1)).as("users"), sum(col("cv")).as("convs"))
+      val vexprs = (0 to 7).map(m =>
+        s"coalesce(max(CASE WHEN mask = $m THEN CAST(convs AS DOUBLE)" +
+          s" / CAST(users AS DOUBLE) END), CAST(0 AS DOUBLE)) AS v$m")
+      val piv = rates.selectExpr(vexprs: _*)
+      val third = "CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)"
+      val sixth = "CAST(1 AS DOUBLE) / CAST(6 AS DOUBLE)"
+      val phi = Map(
+        "view" -> (s"$third * (v1 - v0) + $sixth * ((v3 - v2)" +
+          s" + (v5 - v4)) + $third * (v7 - v6)"),
+        "click" -> (s"$third * (v2 - v0) + $sixth * ((v3 - v1)" +
+          s" + (v6 - v4)) + $third * (v7 - v5)"),
+        "signup" -> (s"$third * (v4 - v0) + $sixth * ((v5 - v1)" +
+          s" + (v6 - v2)) + $third * (v7 - v3)"))
+      val out = phi.toSeq.sortBy(_._1).map { case (ch, e) =>
+        piv.select(lit(ch).as("channel"),
+          expr(s"round($e, 6)").as("phi"),
+          expr("round(v7, 6)").as("v_full"),
+          expr("round(v0, 6)").as("v_none"),
+          expr(s"round((${phi("click")}) + (${phi("signup")})" +
+            s" + (${phi("view")}), 6)").as("phi_total"))
+      }
+      out.reduce(_.unionAll(_)).orderBy("channel")
+    },
+    Some {
+      val vsel = (0 to 7).map(m =>
+        s"coalesce(max(CASE WHEN mask = $m THEN CAST(convs AS DOUBLE)" +
+          s" / CAST(users AS DOUBLE) END), CAST(0 AS DOUBLE)) AS v$m")
+        .mkString(", ")
+      val third = "CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)"
+      val sixth = "CAST(1 AS DOUBLE) / CAST(6 AS DOUBLE)"
+      val phiV = s"$third * (v1 - v0) + $sixth * ((v3 - v2)" +
+        s" + (v5 - v4)) + $third * (v7 - v6)"
+      val phiC = s"$third * (v2 - v0) + $sixth * ((v3 - v1)" +
+        s" + (v6 - v4)) + $third * (v7 - v5)"
+      val phiS = s"$third * (v4 - v0) + $sixth * ((v5 - v1)" +
+        s" + (v6 - v2)) + $third * (v7 - v3)"
+      s"""WITH base0 AS (SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS rn
+                  FROM events
+                  WHERE event_type IN ('view', 'click', 'signup',
+                    'purchase')),
+              base AS (SELECT user_id, event_type, rn,
+                         min(CASE WHEN event_type = 'purchase' THEN rn
+                           END) OVER (PARTITION BY user_id) AS prn
+                       FROM base0),
+              mk AS (SELECT
+                       coalesce(max(CASE WHEN event_type = 'view'
+                         THEN 1 END), 0)
+                       + coalesce(max(CASE WHEN event_type = 'click'
+                         THEN 2 END), 0)
+                       + coalesce(max(CASE WHEN event_type = 'signup'
+                         THEN 4 END), 0) AS mask,
+                       max(CASE WHEN prn IS NOT NULL THEN 1 ELSE 0 END)
+                         AS cv
+                     FROM base
+                     WHERE event_type <> 'purchase'
+                       AND (prn IS NULL OR rn < prn)
+                     GROUP BY user_id),
+              rates AS (SELECT mask, CAST(count(*) AS BIGINT) AS users,
+                          CAST(sum(cv) AS BIGINT) AS convs
+                        FROM mk GROUP BY mask),
+              piv AS (SELECT $vsel FROM rates),
+              phis AS (SELECT 'click' AS channel,
+                         round($phiC, 6) AS phi, v7, v0,
+                         round(($phiC) + ($phiS) + ($phiV), 6)
+                           AS phi_total
+                       FROM piv
+                       UNION ALL
+                       SELECT 'signup', round($phiS, 6), v7, v0,
+                         round(($phiC) + ($phiS) + ($phiV), 6)
+                       FROM piv
+                       UNION ALL
+                       SELECT 'view', round($phiV, 6), v7, v0,
+                         round(($phiC) + ($phiS) + ($phiV), 6)
+                       FROM piv)
+            SELECT channel, phi, round(v7, 6) AS v_full,
+                   round(v0, 6) AS v_none, phi_total
+            FROM phis ORDER BY channel"""
+    })
+
+  val all: Seq[Q] = Seq(qWinTwap, qWinSharpe, qAttributionShapley,
+    qAllocWaterfall, qInventoryFifo,
     qWinObv, qWinUlcer,
     qWinRsi, qWinStochastic, qWinAtr, qSeqMarkov2,
     qWinDistinctRolling, qTimeCrosscorr, qSeqPattern,

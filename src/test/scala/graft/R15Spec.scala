@@ -911,6 +911,44 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("shapley: efficiency law and full replay from coalition rates") {
+    val rows = SparkEntry.queries("q_attribution_shapley")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3)
+    val (vFull, vNone, phiTot) =
+      (rows.head.getDouble(2), rows.head.getDouble(3),
+        rows.head.getDouble(4))
+    // EFFICIENCY: Σφ = v(full) − v(∅) — the Shapley axiom the other
+    // attribution models cannot state
+    assert(math.abs(phiTot - (vFull - vNone)) <= 5e-6,
+      s"efficiency violated: $phiTot vs ${vFull - vNone}")
+    assert(math.abs(rows.map(_.getDouble(1)).sum - phiTot) <= 5e-6)
+  }
+
+  test("theil: decomposition identity T = T_between + T_within") {
+    val rows = SparkEntry.queries("q_agg_theil_index")(spark, sfDir)
+      .collect()
+    assert(rows.length == 25)
+    val (t, tb, tw) = (rows.head.getDouble(4), rows.head.getDouble(5),
+      rows.head.getDouble(6))
+    assert(t >= 0.0 && tb >= 0.0, "Theil components are nonnegative")
+    assert(math.abs(t - (tb + tw)) <= 5e-6,
+      s"decomposition broken: $t vs ${tb + tw}")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) <= 5e-6,
+      "revenue shares must sum to 1")
+  }
+
+  test("moran: null expectation and pure-noise field is near it") {
+    val r = SparkEntry.queries("q_geo_moran_i")(spark, sfDir).head()
+    val (n, w) = (r.getLong(0), r.getLong(1))
+    assert(n > 0 && w > 0 && w <= 8 * n)
+    val (i, e) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(e - (-1.0 / (n - 1))) <= 1e-9)
+    // hash-placed points with iid values: the field is spatial NOISE,
+    // so I must sit near E[I] (far from ±1); generous 6σ-ish band
+    assert(math.abs(i - e) < 0.3, s"noise field scored I=$i (E=$e)")
+  }
+
   test("ams f2: exact truth replays and estimate is within 5σ") {
     val r = SparkEntry.queries("q_sketch_ams_f2")(spark, sfDir).head()
     assert(r.getLong(0) == 64L)
