@@ -8979,6 +8979,218 @@ object Analytics {
                    theil_t, t_between, t_within
             FROM g3, gf ORDER BY grp"""))
 
+  /** Lognormal fit by log-moments — the revenue-distribution model
+    * check (means and variances describe a lognormal badly; fitting
+    * μ,σ on the LOG scale and comparing the implied moments back to
+    * the observed ones is the standard "is lognormal adequate" loop):
+    * per priority, μ̂ = mean ln(x), σ̂² = sample var ln(x) (per-row ln
+    * over identical integer-cent doubles, Dec12 order-free sums), then
+    * two SCALE-FREE adequacy ratios — implied mean exp(μ̂+σ̂²/2) over
+    * observed mean, and implied CV² = exp(σ̂²)−1 over observed CV² —
+    * both ~1 iff lognormal fits (raw implied moments are ~1e7 cents
+    * where exp's last-ulp wobble defeats any grid; the ratios keep
+    * everything O(1) on the 1e-6 grid). Zero/negative cents excluded
+    * (stated). One scan, 5-row group aggregate. */
+  val qAggLognormalFit = Q(
+    "q_agg_lognormal_fit",
+    (s, dir) => {
+      val x = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pri"), expr(cents).as("v"))
+        .where(col("v") > 0L)
+        .withColumn("lx", expr("ln(CAST(v AS DOUBLE))"))
+      x.groupBy("pri")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(expr("CAST(CAST(v AS DECIMAL(38,0))" +
+            " * CAST(v AS DECIMAL(38,0)) AS DECIMAL(38,0))")).as("svv"),
+          sum(expr("CAST(lx AS DECIMAL(38,12))")).cast(DoubleType)
+            .as("sl"),
+          sum(expr("CAST(lx * lx AS DECIMAL(38,12))")).cast(DoubleType)
+            .as("sl2"))
+        .select(col("pri"), col("n"),
+          expr("sl / CAST(n AS DOUBLE)").as("mu_ln"),
+          expr("(sl2 - sl * sl / CAST(n AS DOUBLE))" +
+            " / CAST(n - 1 AS DOUBLE)").as("var_ln"),
+          expr("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_obs"),
+          expr("(CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)" +
+            " * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " / CAST(n - 1 AS DOUBLE)").as("var_obs"))
+        .select(col("pri"), col("n"),
+          expr("round(mu_ln, 6)").as("mu_ln"),
+          expr("round(sqrt(var_ln), 6)").as("sigma_ln"),
+          expr("round(exp(mu_ln + var_ln / CAST(2 AS DOUBLE))" +
+            " / mean_obs, 6)").as("mean_ratio"),
+          expr("CASE WHEN mean_obs = CAST(0 AS DOUBLE) THEN NULL ELSE" +
+            " round((exp(var_ln) - CAST(1 AS DOUBLE))" +
+            " / (var_obs / (mean_obs * mean_obs)), 6) END")
+            .as("cv2_ratio"))
+        .orderBy("pri")
+    },
+    Some(s"""WITH x AS (SELECT o_orderpriority AS pri, v,
+                    ln(CAST(v AS DOUBLE)) AS lx
+                  FROM (SELECT o_orderpriority, $cents AS v FROM orders)
+                  WHERE v > 0),
+             m AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(v) AS BIGINT) AS sv,
+                     sum(CAST(CAST(v AS DECIMAL(38,0))
+                       * CAST(v AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+                       AS svv,
+                     CAST(SUM(CAST(lx AS DECIMAL(38,12))) AS DOUBLE)
+                       AS sl,
+                     CAST(SUM(CAST(lx * lx AS DECIMAL(38,12)))
+                       AS DOUBLE) AS sl2
+                   FROM x GROUP BY pri),
+             c AS (SELECT pri, n,
+                     sl / CAST(n AS DOUBLE) AS mu_ln,
+                     (sl2 - sl * sl / CAST(n AS DOUBLE))
+                       / CAST(n - 1 AS DOUBLE) AS var_ln,
+                     CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_obs,
+                     (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+                       * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n - 1 AS DOUBLE) AS var_obs
+                   FROM m)
+            SELECT pri, n, round(mu_ln, 6) AS mu_ln,
+                   round(sqrt(var_ln), 6) AS sigma_ln,
+                   round(exp(mu_ln + var_ln / CAST(2 AS DOUBLE))
+                     / mean_obs, 6) AS mean_ratio,
+                   CASE WHEN mean_obs = CAST(0 AS DOUBLE) THEN NULL ELSE
+                     round((exp(var_ln) - CAST(1 AS DOUBLE))
+                       / (var_obs / (mean_obs * mean_obs)), 6) END
+                     AS cv2_ratio
+            FROM c ORDER BY pri"""))
+
+  /** Hill tail-index estimator — HOW heavy is the heavy tail (Gumbel
+    * fit assumes a light tail; the Pareto α from the top order
+    * statistics is the number that says whether means/variances even
+    * exist: α < 2 ⇒ infinite variance): α̂ = k / Σ_{i≤k} ln(x_i /
+    * x_{k+1}) over the top k = 100 order totals in a TOTAL order
+    * (value desc, key asc — ties at the boundary contribute ln 1 = 0,
+    * harmless by construction). The top-101 set comes from TakeOrdered
+    * (per-partition heads + driver merge, no global sort); the rank
+    * window runs on those ≤101 rows (LIMIT-bounded, the zipf_fit
+    * allowlist class). ln terms Dec12 order-free; finals on the 1e-6
+    * grid. */
+  val qAggHillTail = Q(
+    "q_agg_hill_tail",
+    (s, dir) => {
+      val top = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), expr(cents).as("v"))
+        .orderBy(col("v").desc, col("k").asc).limit(101)
+      val w = Window.orderBy(col("v").desc, col("k").asc)
+      val ranked = top.withColumn("rn", row_number().over(w))
+      val xk1 = ranked.where(col("rn") === 101)
+        .select(col("v").as("xk1"))
+      ranked.where(col("rn") <= 100)
+        .crossJoin(broadcast(xk1))
+        .agg(count(lit(1)).as("n_tail"),
+          max(col("xk1")).as("xk1"),
+          sum(expr("CAST(ln(CAST(v AS DOUBLE) / CAST(xk1 AS DOUBLE))" +
+            " AS DECIMAL(38,12))")).cast(DoubleType).as("slog"))
+        .select(col("n_tail"), col("xk1"),
+          expr("CASE WHEN slog = CAST(0 AS DOUBLE) THEN NULL ELSE" +
+            " round(CAST(n_tail AS DOUBLE) / slog, 6) END")
+            .as("alpha_hill"))
+    },
+    Some(s"""WITH top AS (SELECT o_orderkey AS k, v
+                  FROM (SELECT o_orderkey, $cents AS v FROM orders)
+                  ORDER BY v DESC, k ASC LIMIT 101),
+             ranked AS (SELECT v,
+                          row_number() OVER (ORDER BY v DESC, k ASC)
+                            AS rn
+                        FROM top),
+             xk AS (SELECT v AS xk1 FROM ranked WHERE rn = 101),
+             a AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+                     max(xk1) AS xk1,
+                     CAST(SUM(CAST(ln(CAST(v AS DOUBLE)
+                       / CAST(xk1 AS DOUBLE)) AS DECIMAL(38,12)))
+                       AS DOUBLE) AS slog
+                   FROM ranked, xk WHERE rn <= 100)
+            SELECT n_tail, xk1,
+                   CASE WHEN slog = CAST(0 AS DOUBLE) THEN NULL ELSE
+                     round(CAST(n_tail AS DOUBLE) / slog, 6) END
+                     AS alpha_hill
+            FROM a"""))
+
+  /** Column-profile drift monitor — the DQ check that catches silent
+    * upstream schema/semantics changes between two snapshot windows
+    * (1996 vs 1997 orders): per watched column, row count, distinct
+    * count, null fraction, and top-value share in BOTH windows plus
+    * the drift ratios a monitor alerts on (distinct-count ratio and
+    * top-share delta). The profile is a per-column aggregate — one
+    * profile aggregate plus one mode rollup per (column, window) —
+    * 3 watched columns here; a production monitor lists its contract
+    * columns the same way and fuses the per-column aggregates into one
+    * pass. All counts exact; ratios on the 1e-6 grid. */
+  val qDqProfileDrift = Q(
+    "q_dq_profile_drift",
+    (s, dir) => {
+      def win(yr: Int) = Tables.orders(s, dir)
+        .where(expr(s"year(o_orderdate) = $yr"))
+      def profile(yr: Int, suffix: String) = {
+        val o = win(yr)
+        def one(cn: String, e: String) = {
+          val top = o.groupBy(expr(e).as("v"))
+            .agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("v").asc).limit(1)
+            .select(col("c").as("topc"))
+          o.agg(count(lit(1)).as("n"),
+            countDistinct(expr(e)).as("nd"),
+            sum(when(expr(e).isNull, 1L).otherwise(0L)).as("nulls"))
+            .crossJoin(broadcast(top))
+            .select(lit(cn).as("col"), col("n").as(s"n_$suffix"),
+              col("nd").as(s"nd_$suffix"),
+              expr("CAST(nulls AS DOUBLE) / CAST(n AS DOUBLE)")
+                .as(s"nullfrac_$suffix"),
+              expr("CAST(topc AS DOUBLE) / CAST(n AS DOUBLE)")
+                .as(s"topshare_$suffix"))
+        }
+        one("o_orderpriority", "o_orderpriority")
+          .unionAll(one("o_orderstatus", "o_orderstatus"))
+          .unionAll(one("o_custkey", "o_custkey"))
+      }
+      profile(1996, "a").join(profile(1997, "b"), Seq("col"))
+        .select(col("col"), col("n_a"), col("n_b"),
+          col("nd_a"), col("nd_b"),
+          expr("round(nullfrac_a, 6)").as("nullfrac_a"),
+          expr("round(nullfrac_b, 6)").as("nullfrac_b"),
+          expr("round(topshare_a, 6)").as("topshare_a"),
+          expr("round(topshare_b, 6)").as("topshare_b"),
+          expr("CASE WHEN nd_a = 0 THEN NULL ELSE" +
+            " round(CAST(nd_b AS DOUBLE) / CAST(nd_a AS DOUBLE), 6)" +
+            " END").as("distinct_ratio"),
+          expr("round(topshare_b - topshare_a, 6)").as("topshare_delta"))
+        .orderBy("col")
+    },
+    Some {
+      def prof(yr: Int, col: String) =
+        s"""SELECT '$col' AS col,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT $col) AS BIGINT) AS nd,
+              CAST(sum(CASE WHEN $col IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS nullfrac,
+              (SELECT CAST(count(*) AS BIGINT) FROM orders
+               WHERE year(o_orderdate) = $yr AND $col =
+                 (SELECT $col FROM orders WHERE year(o_orderdate) = $yr
+                  GROUP BY $col ORDER BY count(*) DESC, $col ASC
+                  LIMIT 1)) / CAST(count(*) AS DOUBLE) AS topshare
+            FROM orders WHERE year(o_orderdate) = $yr"""
+      def win(yr: Int) =
+        Seq("o_orderpriority", "o_orderstatus", "o_custkey")
+          .map(prof(yr, _)).mkString(" UNION ALL ")
+      s"""WITH a AS (${win(1996)}),
+              b AS (${win(1997)})
+            SELECT a.col, a.n AS n_a, b.n AS n_b,
+                   a.nd AS nd_a, b.nd AS nd_b,
+                   round(a.nullfrac, 6) AS nullfrac_a,
+                   round(b.nullfrac, 6) AS nullfrac_b,
+                   round(a.topshare, 6) AS topshare_a,
+                   round(b.topshare, 6) AS topshare_b,
+                   CASE WHEN a.nd = 0 THEN NULL ELSE
+                     round(CAST(b.nd AS DOUBLE)
+                       / CAST(a.nd AS DOUBLE), 6) END AS distinct_ratio,
+                   round(b.topshare - a.topshare, 6) AS topshare_delta
+            FROM a JOIN b ON a.col = b.col ORDER BY a.col"""
+    })
+
   val all: Seq[Q] = Seq(qTimeDecompose, qErBlocking, qFeatureTargetEncode,
     qTimeSax, qMlPerceptron, qTimePeriodogram, qFeatureScale, qTimeDtw,
     qJoinIntervalOverlap, qFeatureHashing, qAggMutualInfo,
@@ -9009,5 +9221,6 @@ object Analytics {
     qTimeHurst, qTimeSpectralEntropy, qTimeTheilU, qTimePacf,
     qAggDeming, qAggConcordance, qAggIcc,
     qTimeLjungBox, qTimeDurbinWatson,
-    qQcXbarR, qAbTost, qAbPower, qAggTheilIndex)
+    qQcXbarR, qAbTost, qAbPower, qAggTheilIndex,
+    qAggLognormalFit, qAggHillTail, qDqProfileDrift)
 }

@@ -82,7 +82,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q_time_ljung_box" ->
       "lag(1..3) over the daily rollup — O(days), dataset-bounded",
     "q_time_durbin_watson" ->
-      "row_number + lag(1) over the daily rollup — O(days), dataset-bounded")
+      "row_number + lag(1) over the daily rollup — O(days), dataset-bounded",
+    "q_agg_hill_tail" ->
+      "rank over a LIMIT-101 result — 101 rows by construction")
 
   private val cartesianOk: Set[String] = Set.empty
 

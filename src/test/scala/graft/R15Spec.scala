@@ -949,6 +949,66 @@ class R15Spec extends AnyFunSuite with SparkFixture {
     assert(math.abs(i - e) < 0.3, s"noise field scored I=$i (E=$e)")
   }
 
+  test("lognormal fit: log-moments replay, ratios near 1 iff adequate") {
+    val rows = SparkEntry.queries("q_agg_lognormal_fit")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (mu, sg) = (r.getDouble(2), r.getDouble(3))
+      assert(sg > 0.0 && mu > 0.0)
+      val (mr, cr) = (r.getDouble(4), r.getDouble(5))
+      // ratios must at least be positive and O(1); adequacy itself is
+      // data-dependent, the pin is the FORM
+      assert(mr > 0.1 && mr < 10.0, s"mean ratio off-scale: $mr")
+      assert(cr > 0.0, s"cv2 ratio must be positive: $cr")
+    }
+    // replay one group's log-moments
+    val cents = "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)" +
+      " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val vs = sources.Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .selectExpr(s"$cents AS v").where(col("v") > 0)
+      .collect().map(r => math.log(r.getLong(0).toDouble))
+    val mu = vs.sum / vs.length
+    val got = rows.find(_.getString(0) == "1-URGENT").get
+    assert(math.abs(got.getDouble(2) - mu) <= 1e-4,
+      s"mu_ln replay $mu vs ${got.getDouble(2)}")
+  }
+
+  test("hill tail: alpha replays from the top order statistics") {
+    val r = SparkEntry.queries("q_agg_hill_tail")(spark, sfDir).head()
+    assert(r.getLong(0) == 100L)
+    val cents = "CAST(floor(o_totalprice * CAST(100.0 AS DOUBLE)" +
+      " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val top = sources.Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey AS k", s"$cents AS v")
+      .collect().map(x => (x.getLong(1), x.getLong(0)))
+      .sortBy { case (v, k) => (-v, k) }.take(101)
+    val xk1 = top.last._1
+    assert(r.getLong(1) == xk1, "x_{k+1} must be the 101st order stat")
+    val alpha = 100.0 /
+      top.take(100).map(t => math.log(t._1.toDouble / xk1)).sum
+    assert(math.abs(r.getDouble(2) - alpha) <= 1e-4 * alpha,
+      s"Hill replay $alpha vs ${r.getDouble(2)}")
+    assert(alpha > 0.0)
+  }
+
+  test("profile drift: identical-window profile would be driftless") {
+    val rows = SparkEntry.queries("q_dq_profile_drift")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getLong(3) <= r.getLong(1), "distinct <= rows")
+      assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0)
+      // priority/status are closed 5/3-value domains: their distinct
+      // counts CANNOT drift between full-year windows
+      if (r.getString(0) != "o_custkey")
+        assert(r.getDouble(9) == 1.0,
+          s"${r.getString(0)} is a closed domain, ratio must be 1")
+    }
+  }
+
   test("ams f2: exact truth replays and estimate is within 5σ") {
     val r = SparkEntry.queries("q_sketch_ams_f2")(spark, sfDir).head()
     assert(r.getLong(0) == 64L)
