@@ -4825,35 +4825,46 @@ object Llm {
     * early in a doc re-chunks only its neighborhood, unlike
     * fixed-width blocks where one shift invalidates every block
     * after it (the property that makes CDC the right unit for
-    * incremental dedup). Chunks assemble via per-doc lead() windows
-    * (doc-length-bounded partitions), identity = md5(chunk), census =
-    * how much chunk mass is SHARED across ≥2 docs. Expected chunk
-    * length ≈ 64 chars (the modulus — a visible policy knob). Scale:
-    * the position fan-out is O(total chars) — the same order as
-    * reading the corpus — and every window is doc-bounded; the census
-    * shuffles on the chunk hash, vocabulary-style.
+    * incremental dedup). Chunks assemble DOC-LOCALLY: the boundary
+    * positions are a per-row array (`filter` over the position
+    * sequence), each start is zipped with its successor (last chunk
+    * ends at len+1), and the chunk hash is cut map-side inside the
+    * array transform — NO exchange ever carries the `text` column
+    * (the r15 window formulation shipped ~len/64 full-text rows per
+    * doc through a hash exchange = O(len²/64) shuffle bytes; this
+    * plan's first exchange is the chunk-hash aggregate over
+    * (doc_id, ch, clen) rows). Identity = md5(chunk), census = how
+    * much chunk mass is SHARED across ≥2 docs. Expected chunk length
+    * ≈ 64 chars (the modulus — a visible policy knob). Scale: the
+    * array fan-out is O(total chars) — the same order as reading the
+    * corpus — all of it inside one map stage; the census shuffles on
+    * the chunk hash, vocabulary-style.
     */
   val qDedupCdcChunks = Q(
     "q_dedup_cdc_chunks",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val pos = docs
-        .select(col("doc_id"), col("text"),
-          explode(expr(
-            "sequence(1, greatest(length(text) - 7, 1))")).as("i"))
-      val starts = pos
-        .where(col("i") === 1 ||
-          pmod(graft.Det.pHash60(expr("substring(text, i, 8)")),
-            lit(64)) === 0)
-        .select(col("doc_id"), col("text"), col("i").as("st"))
-      val w = Window.partitionBy("doc_id").orderBy("st")
+      // Boundary starts as a doc-local array: i = 1 plus every i where
+      // the rolling 8-char window's portable hash ≡ 0 (mod 64).
+      // pHash60 spelled inline (conv/md5) because Det.pHash60 builds a
+      // Column and lambda variables only exist inside this SQL text.
+      val starts = docs.select(col("doc_id"), col("text"),
+        expr(
+          "filter(sequence(1, greatest(length(text) - 7, 1)), i ->" +
+            " i = 1 OR pmod(CAST(conv(substring(md5(CAST(" +
+            "substring(text, i, 8) AS STRING)), 1, 15), 16, 10)" +
+            " AS BIGINT), 64) = 0)").as("sts"))
+      // Zip each start with its successor (sentinel len+1 closes the
+      // last chunk) and hash the substring map-side: rows leaving this
+      // stage are (doc_id, ch, clen) — text never enters an exchange.
       val chunks = starts
-        .withColumn("nxt", lead(col("st"), 1).over(w))
-        .select(col("doc_id"),
-          md5(expr("substring(text, st," +
-            " coalesce(nxt, length(text) + 1) - st)")).as("ch"),
-          expr("coalesce(nxt, length(text) + 1) - st").as("clen"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(sts, concat(slice(sts, 2, greatest(size(sts) - 1," +
+            " 0)), array(length(text) + 1)), (st, nxt) ->" +
+            " struct(md5(substring(text, st, nxt - st)) AS ch," +
+            " nxt - st AS clen))")).as("c"))
+        .select(col("doc_id"), col("c.ch").as("ch"),
+          col("c.clen").as("clen"))
       val perChunk = chunks.groupBy("ch")
         .agg(countDistinct(col("doc_id")).as("nd"),
           count(lit(1)).as("occ"), first(col("clen")).as("clen"))
@@ -4913,29 +4924,33 @@ object Llm {
     * leftmost position — a documented deterministic choice); the
     * winnowing theorem guarantees any shared substring of length
     * ≥ w + k − 1 = 11 chars yields at least one shared fingerprint.
-    * Per-doc windows are doc-length-bounded; fingerprint postings are
-    * df-capped at 50 like the LSH buckets (a fingerprint every doc
-    * shares is boilerplate, not evidence — the identical cap is in the
-    * oracle so parity is exact by construction). Output: top-20 doc
-    * pairs by shared-fingerprint count. Scale: O(chars) fan-out, the
+    * The fingerprint set is a PURE PER-DOCUMENT function, so it is
+    * computed doc-locally: the 8-gram hash array is built once with
+    * `transform(sequence(...))` as (h, i) structs, each window minimum
+    * is `array_min(slice(hs, j, 4))` (struct ordering = (h, i), the
+    * leftmost-tie rule), `array_distinct` collapses repeats — ZERO
+    * exchanges before the df-capped postings aggregate (the r15
+    * formulation shuffled ~24 B × every corpus character through an
+    * Exchange+Sort for the same minima and was the suite's slowest
+    * query). Fingerprint postings are df-capped at 50 like the LSH
+    * buckets (a fingerprint every doc shares is boilerplate, not
+    * evidence — the identical cap is in the oracle so parity is exact
+    * by construction). Output: top-20 doc pairs by shared-fingerprint
+    * count. Scale: O(chars) array work inside one map stage, the
     * postings join is capped-bucket-bounded.
     */
   val qTextWinnowing = Q(
     "q_text_winnowing",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val pos = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"),
-          explode(expr(
-            "sequence(1, greatest(length(text) - 7, 1))")).as("i"))
-        .select(col("doc_id"), col("i"),
-          graft.Det.pHash60(expr("substring(text, i, 8)")).as("h"))
-      val w = Window.partitionBy("doc_id").orderBy("i")
-        .rowsBetween(0, 3)
-      val fps = pos
-        .withColumn("mn", min(struct(col("h"), col("i"))).over(w))
-        .select(col("doc_id"), col("mn.h").as("fp"))
-        .distinct()
+      val fps = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(
+          "transform(sequence(1, greatest(length(text) - 7, 1)), i ->" +
+            " struct(CAST(conv(substring(md5(CAST(substring(text, i, 8)" +
+            " AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h, i AS i))")
+          .as("hs"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(hs)), j ->" +
+            " array_min(slice(hs, j, 4)).h))")).as("fp"))
       val dfc = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .where(col("df") <= 50)
       val posted = fps.join(dfc.select("fp"), "fp")

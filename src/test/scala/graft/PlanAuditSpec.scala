@@ -573,4 +573,44 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(joins == 1 && p.contains("BroadcastHashJoin"),
       s"expected exactly the one profile broadcast join:\n${p.take(1500)}")
   }
+
+  test("cdc chunking never ships text through an exchange") {
+    // The r15 shape sent (doc_id, text, st) boundary rows through a
+    // window exchange — O(len²/64) shuffle bytes per doc. The fix cuts
+    // chunks doc-locally, so: no Window node at all, and no Exchange
+    // whose input carries the text column.
+    val df = Llm.qDedupCdcChunks.fn(spark, sfDir)
+    val p = plan(df)
+    assert(!simplePlan(df).contains("Window"),
+      "chunk assembly must be doc-local, not a window")
+    // FormattedMode lists each node's `Input [n]: [...]`; pair every
+    // Exchange with its input line and reject any carrying text#.
+    val exchangeInputs =
+      """\(\d+\) Exchange[\s\S]*?Input \[\d+\]: \[([^\]]*)\]""".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchangeInputs.nonEmpty, s"expected the census exchanges:\n$p")
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("text#"),
+        s"an exchange still carries the document text: [$in]")
+    }
+  }
+
+  test("winnowing fingerprints are doc-local: no window, no pre-postings sort") {
+    // The r15 shape shuffled ~24 B × every corpus character through
+    // Exchange+Sort for the rowsBetween(0,3) minima. The doc-local
+    // array plan computes the fingerprint set map-side; the only
+    // exchanges left are the df-cap aggregate, the postings joins and
+    // the pair census.
+    val df = Llm.qTextWinnowing.fn(spark, sfDir)
+    val sp = simplePlan(df)
+    assert(!sp.contains("Window"),
+      "fingerprint minima must be array-local, not a window")
+    val exchangeInputs =
+      """\(\d+\) Exchange[\s\S]*?Input \[\d+\]: \[([^\]]*)\]""".r
+        .findAllMatchIn(plan(df)).map(_.group(1)).toList
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("text#") && !in.contains("hs#"),
+        s"an exchange carries raw text or the per-doc hash array: [$in]")
+    }
+  }
 }
