@@ -97,3 +97,45 @@ object ScaleGenOverlap {
     spark.stop()
   }
 }
+
+/** LONG-DOCUMENT degeneracy corpus — the rehearsal axis every other
+  * generator misses: all of them multiply doc COUNT; this one multiplies
+  * doc LENGTH (×`mult`, default 50) at FIXED corpus count. Any operator
+  * whose cost is super-linear in document length (per-char window
+  * shuffles, boundary quadratics, full-text-through-exchange plans) is
+  * linear on the count axis and invisible there — the r15
+  * cdc_chunks/winnowing demerits were exactly this blind spot. Each
+  * repetition is suffixed with a distinct marker token so rolling
+  * hashes/shingles do NOT collapse to one periodic chunk set (that would
+  * understate per-doc work); doc count, language and source mix are
+  * preserved so group-by shapes stay identical to the source corpus.
+  * Usage: runMain graft.ScaleGenLongDocs <srcSfDir> <outDir> [mult]
+  */
+object ScaleGenLongDocs {
+  def main(args: Array[String]): Unit = {
+    val (src, out) = (args(0), args(1))
+    val mult = if (args.length > 2) args(2).toInt else 50
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("text", expr(
+        s"concat_ws(' ', transform(sequence(0, ${mult - 1}), k ->" +
+          " concat(text, ' m', CAST(k AS STRING))))"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // the non-document tables copy 1× so any query runs against outDir
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"[scalegen-longdocs] doc length x$mult at fixed count")
+    spark.stop()
+  }
+}

@@ -2179,7 +2179,13 @@ object Analytics {
       val agg = cum.agg(
         sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
         sum(col("c1") * (col("clt") * 2 + col("cnt") + 1)).as("r1x2"),
-        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+        // tie cube on DECIMAL(38,0): a single value repeated >~2.1e6
+        // times overflows t³ on BIGINT (Spark wraps silently, DuckDB
+        // raises — an engine-DIVERGENT failure); the decimal carrier is
+        // exact to t ≈ 10¹², beyond the 2e9-row rank carrier bound
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))" +
+          " * CAST(cnt AS DECIMAL(38,0)) - CAST(cnt AS DECIMAL(38,0))"))
+          .as("ties"))
       agg.select(col("n1"), col("n2"),
           expr("(r1x2 - n1 * (n1 + 1)) div 2").as("u1"),
           col("r1x2"), col("ties"))
@@ -2212,7 +2218,9 @@ object Analytics {
                        CAST(sum(c2) AS BIGINT) AS n2,
                        CAST(sum(c1 * (clt * 2 + cnt + 1)) AS BIGINT)
                          AS r1x2,
-                       CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+                       sum(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))
+                         * CAST(cnt AS DECIMAL(38,0))
+                         - CAST(cnt AS DECIMAL(38,0))) AS ties
                      FROM cum)
             SELECT n1, n2, (r1x2 - n1 * (n1 + 1)) // 2 AS u1,
                    (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
@@ -6975,7 +6983,9 @@ object Analytics {
           sum(col("c") * (col("clt") * 2 + col("cnt") + 1)).as("r2_g"))
       val tot = cum.agg(
         sum(col("cnt")).as("n"),
-        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+        // DECIMAL(38,0) tie cube — the q_agg_mannwhitney overflow rule
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))" +
+          " * CAST(cnt AS DECIMAL(38,0)) - CAST(cnt AS DECIMAL(38,0))"))
           .as("ties"))
       val hs = g.agg(
         count(lit(1)).as("k"),
@@ -7014,7 +7024,9 @@ object Analytics {
                      CAST(sum(c * (clt * 2 + cnt + 1)) AS BIGINT) AS r2_g
                    FROM pv JOIN cum USING (v) GROUP BY pri),
              tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
-                       CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+                       sum(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))
+                         * CAST(cnt AS DECIMAL(38,0))
+                         - CAST(cnt AS DECIMAL(38,0))) AS ties
                      FROM cum),
              hs AS (SELECT CAST(count(*) AS BIGINT) AS k,
                       ${Det.sqlSum(
@@ -7073,7 +7085,9 @@ object Analytics {
       cum.agg(
         sum(col("cnt")).as("n"),
         sum(col("pos") * (col("clt") * 2 + col("cnt") + 1)).as("w2"),
-        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+        // DECIMAL(38,0) tie cube — the q_agg_mannwhitney overflow rule
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))" +
+          " * CAST(cnt AS DECIMAL(38,0)) - CAST(cnt AS DECIMAL(38,0))"))
           .as("ties"))
         .select(col("n"),
           expr("CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE)").as("w_plus"),
@@ -7109,7 +7123,9 @@ object Analytics {
              agg AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
                        CAST(sum(pos * (clt * 2 + cnt + 1)) AS BIGINT)
                          AS w2,
-                       CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+                       sum(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))
+                         * CAST(cnt AS DECIMAL(38,0))
+                         - CAST(cnt AS DECIMAL(38,0))) AS ties
                      FROM cum)
             SELECT n,
                    CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE) AS w_plus,
@@ -7150,9 +7166,12 @@ object Analytics {
           sum(when(col("v") === col("pv"), 1L).otherwise(0L))
             .as("n_zero"))
         .select(col("flag"), col("n_pos"), col("n_neg"), col("n_zero"),
-          expr("greatest(abs(CAST(n_pos - n_neg AS DOUBLE))" +
+          // all-ties guard (wave convention): every interior change
+          // zero ⇒ n_pos+n_neg = 0 and z is 0/0 — NULL, not NaN
+          expr("CASE WHEN n_pos + n_neg = 0 THEN NULL ELSE" +
+            " greatest(abs(CAST(n_pos - n_neg AS DOUBLE))" +
             " - CAST(1 AS DOUBLE), CAST(0 AS DOUBLE))" +
-            " / sqrt(CAST(n_pos + n_neg AS DOUBLE))").as("z_abs"))
+            " / sqrt(CAST(n_pos + n_neg AS DOUBLE)) END").as("z_abs"))
         .orderBy("flag")
     },
     Some("""WITH daily AS (SELECT l_returnflag AS flag,
@@ -7172,9 +7191,10 @@ object Analytics {
                        AS BIGINT) AS n_zero
                    FROM lagged WHERE pv IS NOT NULL GROUP BY flag)
             SELECT flag, n_pos, n_neg, n_zero,
-                   greatest(abs(CAST(n_pos - n_neg AS DOUBLE))
-                     - CAST(1 AS DOUBLE), CAST(0 AS DOUBLE))
-                   / sqrt(CAST(n_pos + n_neg AS DOUBLE)) AS z_abs
+                   CASE WHEN n_pos + n_neg = 0 THEN NULL ELSE
+                     greatest(abs(CAST(n_pos - n_neg AS DOUBLE))
+                       - CAST(1 AS DOUBLE), CAST(0 AS DOUBLE))
+                     / sqrt(CAST(n_pos + n_neg AS DOUBLE)) END AS z_abs
             FROM m ORDER BY flag"""))
 
   /** Friedman test — the REPEATED-MEASURES member of the nonparametric
@@ -7474,8 +7494,13 @@ object Analytics {
         // shifts A² by well under 1e-3·n/λ-scale — beneath the
         // statistic's resolution, and identically in both engines
         .withColumn("ez", expr("round(exp(-z), 6)"))
+        // degenerate-input guard (wave convention): z below ~1.4e-6
+        // rounds ez to 1 and ln(1−ez) = −Inf; clamp ez to 1−1e-6 so the
+        // term stays finite (identically in both engines). TPC-H order
+        // totals never get near the clamp (min z ≈ 0.006, ez ≤ 0.994).
         .withColumn("lnp",
-          expr("round(ln(CAST(1 AS DOUBLE) - ez), 6)"))
+          expr("round(ln(CAST(1 AS DOUBLE)" +
+            " - least(ez, CAST(0.999999 AS DOUBLE))), 6)"))
         .withColumn("term", expr(
           "CAST(cnt * (2 * clt + cnt) AS DOUBLE) * lnp" +
             " + CAST(cnt * (2 * (n - cle) + cnt) AS DOUBLE) * (-z)"))
@@ -7516,7 +7541,8 @@ object Analytics {
                       round(exp(-z), 6) AS ez
                     FROM zz),
               zl AS (SELECT n, cnt, cle, lam, z,
-                      round(ln(CAST(1 AS DOUBLE) - ez), 6) AS lnp
+                      round(ln(CAST(1 AS DOUBLE)
+                        - least(ez, CAST(0.999999 AS DOUBLE))), 6) AS lnp
                     FROM zq),
              trm AS (SELECT n, lam,
                        CAST(cnt * (2 * (cle - cnt) + cnt) AS DOUBLE)
