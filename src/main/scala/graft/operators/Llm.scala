@@ -4951,6 +4951,15 @@ object Llm {
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(1, size(hs)), j ->" +
             " array_min(slice(hs, j, 4)).h))")).as("fp"))
+        // ONE fp-keyed exchange of the small (doc_id, fp) rows, reused
+        // by all four consumers below (df-cap build + both self-join
+        // sides). Without it the map-side fingerprint pipeline — the
+        // expensive part — is recomputed per consumer: a pure-map plan
+        // has no exchange boundary for Spark's ReusedExchange to dedup
+        // on (measured 2× the window plan at sf0.1). Shuffled bytes
+        // stay ~0.4 fingerprints/char × 16 B — far below the window
+        // plan's every-position rows, and linear in corpus size.
+        .repartition(col("fp"))
       val dfc = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .where(col("df") <= 50)
       val posted = fps.join(dfc.select("fp"), "fp")
