@@ -4844,25 +4844,32 @@ object Llm {
     "q_dedup_cdc_chunks",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      // Boundary starts as a doc-local array: i = 1 plus every i where
-      // the rolling 8-char window's portable hash ≡ 0 (mod 64).
-      // pHash60 spelled inline (conv/md5) because Det.pHash60 builds a
-      // Column and lambda variables only exist inside this SQL text.
-      val starts = docs.select(col("doc_id"), col("text"),
-        expr(
-          "filter(sequence(1, greatest(length(text) - 7, 1)), i ->" +
-            " i = 1 OR pmod(CAST(conv(substring(md5(CAST(" +
-            "substring(text, i, 8) AS STRING)), 1, 15), 16, 10)" +
-            " AS BIGINT), 64) = 0)").as("sts"))
-      // Zip each start with its successor (sentinel len+1 closes the
-      // last chunk) and hash the substring map-side: rows leaving this
-      // stage are (doc_id, ch, clen) — text never enters an exchange.
-      val chunks = starts
-        .select(col("doc_id"), explode(expr(
-          "zip_with(sts, concat(slice(sts, 2, greatest(size(sts) - 1," +
-            " 0)), array(length(text) + 1)), (st, nxt) ->" +
-            " struct(md5(substring(text, st, nxt - st)) AS ch," +
-            " nxt - st AS clen))")).as("c"))
+      // The whole per-doc pipeline is ONE expression over lambda-bound
+      // lets (`transform(array(x), v -> ...)` binds v = x exactly once):
+      //  cs  = the doc's char array — substring(text, i, ..) is O(i) on
+      //        UTF8String (it re-scans from byte 0 per call, quadratic
+      //        in doc length: the ×50-length rehearsal measured 78×),
+      //        while slice(cs, i, k) is O(k) on an offset-indexed array;
+      //  sts = boundary starts: i = 1 plus every i where the rolling
+      //        8-char window's portable hash ≡ 0 (mod 64) — pHash60
+      //        spelled inline (conv/md5) because lambda variables only
+      //        exist inside this SQL text;
+      //  each start zips with its successor (sentinel len+1 closes the
+      //  last chunk) and the chunk md5 is cut from cs map-side.
+      // Rows leaving this stage are (doc_id, ch, clen): the text column
+      // never enters an exchange, and per-doc work is O(len·8).
+      val h8 = "CAST(conv(substring(md5(concat_ws('', slice(cs, i, 8)))" +
+        ", 1, 15), 16, 10) AS BIGINT)"
+      val stsE = "filter(sequence(1, greatest(size(cs) - 7, 1))," +
+        s" i -> i = 1 OR pmod($h8, 64) = 0)"
+      val zipE = "zip_with(sts, concat(slice(sts, 2," +
+        " greatest(size(sts) - 1, 0)), array(size(cs) + 1))," +
+        " (st, nxt) -> struct(md5(concat_ws('', slice(cs, st," +
+        " nxt - st))) AS ch, nxt - st AS clen))"
+      val perDoc = "flatten(transform(array(split(text, ''))," +
+        s" cs -> flatten(transform(array($stsE), sts -> $zipE))))"
+      val chunks = docs
+        .select(col("doc_id"), explode(expr(perDoc)).as("c"))
         .select(col("doc_id"), col("c.ch").as("ch"),
           col("c.clen").as("clen"))
       val perChunk = chunks.groupBy("ch")
@@ -4942,15 +4949,20 @@ object Llm {
   val qTextWinnowing = Q(
     "q_text_winnowing",
     (s, dir) => {
+      // Lambda-bound lets (the q_dedup_cdc_chunks pattern): cs = the
+      // doc's char array (O(1)-indexed — substring(text, i, ..) is
+      // O(i) on UTF8String, quadratic over a long doc), hs = the
+      // 8-gram (h, i) hash array built once from cs.
+      val h8 = "struct(CAST(conv(substring(md5(concat_ws(''," +
+        " slice(cs, i, 8))), 1, 15), 16, 10) AS BIGINT) AS h, i AS i)"
+      val hsE = s"transform(sequence(1, greatest(size(cs) - 7, 1))," +
+        s" i -> $h8)"
+      val fpsE = "flatten(transform(array(split(text, ''))," +
+        s" cs -> flatten(transform(array($hsE)," +
+        " hs -> array_distinct(transform(sequence(1, size(hs))," +
+        " j -> array_min(slice(hs, j, 4)).h))))))"
       val fps = Tables.documents(s, dir)
-        .select(col("doc_id"), expr(
-          "transform(sequence(1, greatest(length(text) - 7, 1)), i ->" +
-            " struct(CAST(conv(substring(md5(CAST(substring(text, i, 8)" +
-            " AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h, i AS i))")
-          .as("hs"))
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, size(hs)), j ->" +
-            " array_min(slice(hs, j, 4)).h))")).as("fp"))
+        .select(col("doc_id"), explode(expr(fpsE)).as("fp"))
         // ONE fp-keyed exchange of the small (doc_id, fp) rows, reused
         // by all four consumers below (df-cap build + both self-join
         // sides). Without it the map-side fingerprint pipeline — the
