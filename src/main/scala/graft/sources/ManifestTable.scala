@@ -42,8 +42,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Snapshot isolation falls out of immutability: an overwrite commit
   * publishes a manifest that no longer references the old files but
   * never deletes them, so a reader pinned at an older version is
-  * untouched by later commits (vacuuming unreferenced files is a
-  * separate, age-gated concern — deliberately not done here).
+  * untouched by later commits. Maintenance (r15 verdict item #6):
+  * [[expireVersions]] bounds time travel to the last K versions,
+  * [[vacuum]] then GCs data files referenced by no remaining version
+  * and older than an age gate (which protects in-flight unpublished
+  * writers), and [[compact]] bin-packs small files as a NEW commit
+  * that rebases around concurrent appends. [[commitEpoch]] is the
+  * exactly-once streaming half: `foreachBatch(batchId)` commits carry
+  * an `#epoch=` ledger line that makes crash-replayed epochs no-ops.
   *
   * Scale: a manifest is namenode metadata (one small file listing
   * paths) — commit cost is independent of data volume; readers plan
@@ -67,16 +73,69 @@ object ManifestTable {
       .foldLeft(0)(math.max)
   }
 
-  /** The data files of a committed version. */
-  def filesAt(root: String, version: Int): Seq[String] = {
+  /** Raw manifest lines (data files + `#epoch=` trailer tags). */
+  private def linesAt(root: String, version: Int): Seq[String] = {
     val vf = versionFile(root, version)
     require(Files.exists(vf), s"no committed version $version at $root")
     Files.readAllLines(vf).asScala.toSeq.filter(_.nonEmpty)
   }
 
+  /** The data files of a committed version (tag lines stripped). */
+  def filesAt(root: String, version: Int): Seq[String] =
+    linesAt(root, version).filterNot(_.startsWith("#"))
+
   /** Read the table as of `version` (explicit file-list plan). */
   def readAt(spark: SparkSession, root: String, version: Int): DataFrame =
     spark.read.parquet(filesAt(root, version): _*)
+
+  /** Write `df`'s rows as a fresh immutable `data/c<token>/` dir and
+    * return the new file paths (readers never list `data/`, so the
+    * half-written state is invisible until a manifest references it).
+    */
+  private def writeData(spark: SparkSession, root: String, df: DataFrame,
+                        token: String): Seq[String] = {
+    val dataDir = Paths.get(root, "data", s"c$token")
+    df.write.parquet(dataDir.toString)
+    Files.list(dataDir).iterator().asScala
+      .map(_.toString)
+      .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS"))
+      .toSeq.sorted
+  }
+
+  /** The optimistic-commit core shared by commit/compact/epoch sinks:
+    * `compose` maps the CURRENT latest file list to the next manifest's
+    * list, and is re-invoked on every retry so a loser rebases onto the
+    * winner's manifest (serializable append/compact). A `compose` that
+    * returns None aborts without committing (used by the idempotent
+    * epoch sink when it discovers its token already committed) — the
+    * caller gets the already-latest version back.
+    */
+  private def commitWith(root: String, token: String)
+                        (compose: Seq[String] => Option[Seq[String]]): Int = {
+    Files.createDirectories(manifestDir(root))
+    var committed = -1
+    while (committed < 0) {
+      val base = latestVersion(root)
+      compose(if (base == 0) Seq.empty else linesAt(root, base)) match {
+        case None => committed = base
+        case Some(lines) =>
+          val tmp = manifestDir(root).resolve(s".tmp-$token")
+          Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+          try {
+            // link(2) is the atomic no-overwrite claim: existence of
+            // the destination makes it throw, and the loser rebases on
+            // the new latest before retrying (rename(2) would silently
+            // replace)
+            Files.createLink(versionFile(root, base + 1), tmp)
+            Files.delete(tmp)
+            committed = base + 1
+          } catch {
+            case _: FileAlreadyExistsException => Files.deleteIfExists(tmp)
+          }
+      }
+    }
+    committed
+  }
 
   /** Commit `df` as the next version. `overwrite = false` appends to the
     * current latest manifest's file list; `true` replaces it. Returns
@@ -87,32 +146,121 @@ object ManifestTable {
   def commit(spark: SparkSession, root: String, df: DataFrame,
              overwrite: Boolean): Int = {
     val token = java.util.UUID.randomUUID().toString.take(12)
-    val dataDir = Paths.get(root, "data", s"c$token")
-    df.write.parquet(dataDir.toString)
-    val newFiles = Files.list(dataDir).iterator().asScala
-      .map(_.toString)
-      .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS"))
-      .toSeq.sorted
-    Files.createDirectories(manifestDir(root))
-    var committed = -1
-    while (committed < 0) {
-      val base = latestVersion(root)
-      val lines =
-        if (overwrite || base == 0) newFiles
-        else filesAt(root, base) ++ newFiles
-      val tmp = manifestDir(root).resolve(s".tmp-$token")
-      Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-      try {
-        // link(2) is the atomic no-overwrite claim: existence of the
-        // destination makes it throw, and the loser rebases on the
-        // new latest before retrying (rename(2) would silently replace)
-        Files.createLink(versionFile(root, base + 1), tmp)
-        Files.delete(tmp)
-        committed = base + 1
-      } catch {
-        case _: FileAlreadyExistsException => Files.deleteIfExists(tmp)
-      }
+    val newFiles = writeData(spark, root, df, token)
+    commitWith(root, token) { base =>
+      Some(if (overwrite) newFiles else base ++ newFiles)
     }
-    committed
+  }
+
+  /** Idempotent epoch commit — the exactly-once streaming sink half:
+    * `foreachBatch(batchId)` passes the epoch as the commit token, and
+    * the manifest line `#epoch=<id>` makes a replayed epoch DETECTABLE.
+    * On restart-replay (same batchId after a crash between sink write
+    * and checkpoint commit), the epoch is found in manifest history and
+    * the call becomes a no-op — no duplicate rows, no duplicate files
+    * referenced (the replayed `data/` dir is left orphaned for vacuum).
+    * This is the standard transactional-sink contract Structured
+    * Streaming documents for foreachBatch: (streamId, epochId)
+    * idempotence supplied by the sink.
+    */
+  def commitEpoch(spark: SparkSession, root: String, df: DataFrame,
+                  epochId: Long): Int = {
+    val tag = s"#epoch=$epochId"
+    if (committedEpochs(root).contains(epochId)) return latestVersion(root)
+    val newFiles = writeData(spark, root, df, s"e$epochId-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    commitWith(root, s"e$epochId") { base =>
+      // re-check INSIDE the commit loop: a concurrent duplicate of the
+      // SAME epoch that won the race makes this a no-op (the fresh
+      // data dir stays unreferenced — vacuum's job); tag lines
+      // propagate forward through appends, so the latest manifest
+      // carries the full committed-epoch ledger
+      if (base.contains(tag)) None
+      else Some(base ++ newFiles :+ tag)
+    }
+  }
+
+  /** Epochs already committed: the `#epoch=` ledger of the LATEST
+    * manifest (tags propagate through every append/compact commit, so
+    * idempotence survives restarts and expired history).
+    */
+  def committedEpochs(root: String): Set[Long] = {
+    val latest = latestVersion(root)
+    if (latest == 0) return Set.empty
+    linesAt(root, latest)
+      .collect { case s if s.startsWith("#epoch=") =>
+        s.stripPrefix("#epoch=").toLong }
+      .toSet
+  }
+
+  /** Bin-pack the latest version's small files (< `smallBytes`) into
+    * ~`targetBytes` outputs and commit the compacted layout as a NEW
+    * version — readers pinned at older versions still see the original
+    * files (snapshot isolation), and a concurrent APPEND that lands
+    * mid-compaction is preserved: the commit rebases as
+    * (latest − compactedInputs) ++ compactedOutputs, never a blind
+    * overwrite. Returns the committed version (or the current latest
+    * when there is nothing to compact).
+    */
+  def compact(spark: SparkSession, root: String,
+              smallBytes: Long, targetBytes: Long): Int = {
+    val base = latestVersion(root)
+    require(base > 0, s"no committed version at $root")
+    val files = filesAt(root, base).filterNot(_.startsWith("#"))
+    val sized = files.map(f => f -> Files.size(Paths.get(f)))
+    val small = sized.filter(_._2 < smallBytes)
+    if (small.size < 2) return base
+    val smallSet = small.map(_._1).toSet
+    val nOut = math.max(1,
+      math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val token = "k" + java.util.UUID.randomUUID().toString.take(11)
+    val packed = writeData(spark, root,
+      spark.read.parquet(small.map(_._1): _*).repartition(nOut), token)
+    commitWith(root, token) { latest =>
+      Some(latest.filterNot(smallSet) ++ packed)
+    }
+  }
+
+  /** Drop manifest versions older than the last `keepLast` — the
+    * time-travel retention gate vacuum() honors. Returns the expired
+    * version numbers.
+    */
+  def expireVersions(root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val latest = latestVersion(root)
+    val expired = (1 to latest - keepLast)
+      .filter(v => Files.exists(versionFile(root, v)))
+    expired.foreach(v => Files.delete(versionFile(root, v)))
+    expired
+  }
+
+  /** Age-gated GC of data files referenced by NO remaining manifest
+    * version (expireVersions first bounds time travel; vacuum then
+    * deletes only orphans whose mtime is older than `minAgeMs` — the
+    * age gate keeps a data dir an IN-FLIGHT committer has written but
+    * not yet published from being swept; Delta's retention-check
+    * analog). Returns the deleted paths.
+    */
+  def vacuum(root: String, minAgeMs: Long): Seq[String] = {
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return Seq.empty
+    val referenced = (1 to latestVersion(root)).iterator
+      .filter(v => Files.exists(versionFile(root, v)))
+      .flatMap(v => filesAt(root, v))
+      .filterNot(_.startsWith("#"))
+      .toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val deleted = Files.walk(dataRoot).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => !referenced.contains(p.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .toList
+    deleted.foreach(Files.delete)
+    // sweep now-empty commit dirs so the census matches the manifest
+    Files.list(dataRoot).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .filter(d => !Files.list(d).iterator().hasNext)
+      .foreach(Files.delete)
+    deleted.map(_.toString)
   }
 }

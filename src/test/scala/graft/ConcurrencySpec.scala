@@ -107,4 +107,89 @@ class ConcurrencySpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.readAt(s, root, 1)
       .collect().map(_.getInt(0)).sorted.toSeq == (1 to 5))
   }
+
+  test("compact bin-packs small files into a new version; pinned readers unaffected") {
+    import graft.sources.ManifestTable
+    val root = tmpDir("manifest_cp")
+    val s = spark
+    import s.implicits._
+    // 6 appends of 1-file commits → 6 small files in v6
+    (0 until 6).foreach { i =>
+      ManifestTable.commit(s, root,
+        ((i * 10) until (i * 10 + 10)).toDF("v").coalesce(1),
+        overwrite = false)
+    }
+    val before = ManifestTable.filesAt(root, 6)
+    assert(before.size == 6)
+    val v7 = ManifestTable.compact(s, root,
+      smallBytes = 1L << 20, targetBytes = 1L << 20)
+    assert(v7 == 7)
+    val after = ManifestTable.filesAt(root, 7)
+    assert(after.size < before.size,
+      s"compaction must shrink the file census: ${after.size}")
+    // same rows, and the pinned pre-compaction reader is untouched
+    assert(ManifestTable.readAt(s, root, 7)
+      .collect().map(_.getInt(0)).sorted.toSeq == (0 until 60))
+    assert(ManifestTable.readAt(s, root, 6)
+      .collect().map(_.getInt(0)).sorted.toSeq == (0 until 60))
+  }
+
+  test("expire + vacuum GC only unreferenced, age-eligible files") {
+    import graft.sources.ManifestTable
+    val root = tmpDir("manifest_gc")
+    val s = spark
+    import s.implicits._
+    ManifestTable.commit(s, root, (1 to 5).toDF("v"), overwrite = false)
+    ManifestTable.commit(s, root, (6 to 9).toDF("v"), overwrite = false)
+    ManifestTable.commit(s, root, Seq(42).toDF("v"), overwrite = true)
+    def census(): Int = {
+      var n = 0
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+        .forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet")) n += 1
+        }
+      n
+    }
+    val full = census()
+    // vacuum BEFORE the retention gate: all three versions retained →
+    // everything is referenced → nothing deleted, v1/v2 readers fine
+    assert(ManifestTable.vacuum(root, minAgeMs = 0).isEmpty)
+    assert(census() == full)
+    assert(ManifestTable.readAt(s, root, 1)
+      .collect().map(_.getInt(0)).sorted.toSeq == (1 to 5))
+    // an age gate far in the future protects even orphans
+    ManifestTable.expireVersions(root, keepLast = 1)
+    assert(ManifestTable.vacuum(root, minAgeMs = 1L << 40).isEmpty)
+    assert(census() == full)
+    // gate open: v1/v2's now-unreferenced files go, v3's survive
+    val deleted = ManifestTable.vacuum(root, minAgeMs = 0)
+    assert(deleted.nonEmpty)
+    assert(census() < full)
+    assert(ManifestTable.readAt(s, root, 3)
+      .collect().map(_.getInt(0)).toSeq == Seq(42))
+  }
+
+  test("epoch commits are idempotent: a replayed epoch is a no-op") {
+    import graft.sources.ManifestTable
+    val root = tmpDir("manifest_ep")
+    val s = spark
+    import s.implicits._
+    val v1 = ManifestTable.commitEpoch(s, root, (1 to 5).toDF("v"), 0L)
+    val v2 = ManifestTable.commitEpoch(s, root, (6 to 9).toDF("v"), 1L)
+    assert((v1, v2) == (1, 2))
+    // crash-replay of epoch 1: same batchId arrives again
+    val v3 = ManifestTable.commitEpoch(s, root, (6 to 9).toDF("v"), 1L)
+    assert(v3 == 2, "replayed epoch must not commit a new version")
+    assert(ManifestTable.readAt(s, root, 2)
+      .collect().map(_.getInt(0)).sorted.toSeq == (1 to 9),
+      "no duplicate rows after replay")
+    assert(ManifestTable.committedEpochs(root) == Set(0L, 1L))
+    // the replayed orphan data dir is vacuum's job, and the ledger
+    // survives a compaction commit
+    ManifestTable.compact(s, root, 1L << 20, 1L << 20)
+    assert(ManifestTable.committedEpochs(root) == Set(0L, 1L))
+    assert(ManifestTable.vacuum(root, minAgeMs = 0).nonEmpty,
+      "the replayed epoch's unpublished files are orphans to GC")
+  }
 }
