@@ -62,24 +62,53 @@ object Bench {
       dt
     }
     val calibIoStart = calibIo()
+    // Per-query plan telemetry (r16 verdict #3): wall-clock on a shared
+    // box cannot pin plans — three rounds of regression churn were all
+    // sweep-load artifacts. Shuffle bytes, spill, and task counts are
+    // deterministic per plan at fixed sf, so cross-round adjudication
+    // reads BYTES first, wall second. Snapshots drain the async listener
+    // bus so serial per-query diffs are exact.
+    val qmAcc = new java.util.concurrent.atomic.AtomicLongArray(4)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            qmAcc.addAndGet(0, m.shuffleReadMetrics.totalBytesRead)
+            qmAcc.addAndGet(1, m.shuffleWriteMetrics.bytesWritten)
+            qmAcc.addAndGet(2, m.memoryBytesSpilled + m.diskBytesSpilled)
+            qmAcc.addAndGet(3, 1L)
+          }
+        }
+      })
+    def qmSnap(): Array[Long] = {
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      Array(qmAcc.get(0), qmAcc.get(1), qmAcc.get(2), qmAcc.get(3))
+    }
     // optional args = run only these queries (local perf iteration; the
     // driver invokes with no args → full run)
     val only = args.toSet
     // (wall seconds, build seconds spent inside Incremental/bucketed-store
-    // writes during the run — warm-path query cost is wall - build)
+    // writes during the run — warm-path query cost is wall - build,
+    // plus the shuffle-read/write/spill/task deltas for this execution)
     def time(name: String,
              fn: (org.apache.spark.sql.SparkSession, String) =>
-               org.apache.spark.sql.DataFrame): (Double, Double) = {
+               org.apache.spark.sql.DataFrame)
+        : (Double, Double, Array[Long]) = {
+      val m0 = qmSnap()
       val t0 = System.nanoTime()
       val b0 = graft.sources.BuildTimer.snapshot
       // a failed query must be visible in the output, not recorded as a
       // suspiciously fast success: report it as -1
       try { fn(spark, sfDir).count()
-        ((System.nanoTime() - t0) / 1e9,
-          (graft.sources.BuildTimer.snapshot - b0) / 1e9) }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val db = (graft.sources.BuildTimer.snapshot - b0) / 1e9
+        val m1 = qmSnap()
+        (dt, db, Array.tabulate(4)(i => m1(i) - m0(i))) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        (-1.0, 0.0)
+        (-1.0, 0.0, Array.fill(4)(0L))
       }
     }
     // Last run's per-query seconds (written by this main at the end of every
@@ -115,6 +144,9 @@ object Bench {
     // prior calibration for THIS sf's rows; ratio > 1 ⇒ machine slower now
     val priorCalib = prior.getOrElse("__calib__", 0.0)
     val calRatio = if (priorCalib > 0) calibStart / priorCalib else 1.0
+    // metrics are attributed from the FIRST (cold) execution: bytes are
+    // plan-determined, and a re-time's store reuse would undercount the
+    // build half
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) => (name, fn, time(name, fn)) }
@@ -135,17 +167,17 @@ object Bench {
     // for, and external load only ever adds time. Builds are taken from
     // the FIRST (cold) run; a build re-firing on a warm re-run is a
     // broken reuse seam and is reported loudly instead of averaged in.
-    val retimed = firstPass.map { case (name, fn, (t1, b1)) =>
+    val retimed = firstPass.map { case (name, fn, (t1, b1, m1)) =>
       val t = if (t1 <= 1.0) t1 else {
-        val (t2, b2) = time(name, fn)
+        val (t2, b2, _) = time(name, fn)
         if (b2 > 0.05)
           System.err.println(f"[bench] $name REBUILT its store on a warm " +
             f"re-run ($b2%.2f s) — reuse seam broken")
         if (t2 < 0) t1 else math.min(t1, t2) // a flaky 2nd run can't mask a good 1st
       }
-      (name, fn, t, b1)
+      (name, fn, t, b1, m1)
     }
-    val results = retimed.map { case (name, fn, t, b) =>
+    val results = retimed.map { case (name, fn, t, b, m) =>
       val base = prior.getOrElse(name, 0.0)
       // threshold class keyed off the PRIOR baseline, not the current
       // sample — a 1.2 s-baseline query reading 0.9 s under load must not
@@ -155,13 +187,13 @@ object Bench {
       // old slack to hide in.
       val factor = (if (base > 1.0) 2.0 else 3.0) * math.max(calRatio, 0.8)
       val v = if (base > 0 && t > factor * base) {
-        val (t3, _) = time(name, fn)
+        val (t3, _, _) = time(name, fn)
         if (t3 < 0) t else math.min(t, t3)
       } else t
-      name -> (v, b)
+      name -> (v, b, m)
     }
-    val wall = results.map { case (k, (v, _)) => k -> v }.toMap
-    val builds = results.collect { case (k, (_, b)) if b > 0.05 => k -> b }
+    val wall = results.map { case (k, (v, _, _)) => k -> v }.toMap
+    val builds = results.collect { case (k, (_, b, _)) if b > 0.05 => k -> b }
     val calibEnd = calib()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // persist this run's full map for the next run's regression gate
@@ -199,20 +231,28 @@ object Bench {
     // each sweep (other sfs' rows kept), and is committed with the round.
     try {
       val detailPath = repoRoot.resolve("BENCH_DETAIL.tsv")
-      val header = "sf_dir\tquery\twall_s\tbuild_s"
+      // r16 verdict #3 columns: shuffle read/write MB, spill MB, tasks —
+      // deterministic per plan, so regressions adjudicate on bytes, not
+      // wall-time noise
+      val header = "sf_dir\tquery\twall_s\tbuild_s\t" +
+        "shuf_read_mb\tshuf_write_mb\tspill_mb\ttasks"
       val keepDetail =
         if (!java.nio.file.Files.exists(detailPath)) Seq.empty
         else scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(detailPath)).asScala.toSeq
           .filter { l =>
             val cols = l.split('\t')
-            cols.length == 4 && cols(0) != "sf_dir" && cols(0) != sfDir
+            cols.length >= 4 && cols(0) != "sf_dir" && cols(0) != sfDir
           }
-      val buildsAll = results.map { case (k, (_, b)) => k -> b }.toMap
+      val buildsAll = results.map { case (k, (_, b, _)) => k -> b }.toMap
+      val qmAll = results.map { case (k, (_, _, m)) => k -> m }.toMap
+      def mb(v: Long): String = f3(v / 1048576.0)
       val mineDetail = wall.toSeq.sortBy(_._1).map { case (k, v) =>
-        s"$sfDir\t$k\t${f3(v)}\t${f3(buildsAll.getOrElse(k, 0.0))}"
+        val m = qmAll.getOrElse(k, Array.fill(4)(0L))
+        s"$sfDir\t$k\t${f3(v)}\t${f3(buildsAll.getOrElse(k, 0.0))}\t" +
+          s"${mb(m(0))}\t${mb(m(1))}\t${mb(m(2))}\t${m(3)}"
       } ++ Seq(s"$sfDir\t__calib__\t${f3(math.min(calibStart, calibEnd))}" +
-               s"\t${f3(calibIoStart)}")
+               s"\t${f3(calibIoStart)}\t0\t0\t0\t0")
       val detailBody = (Seq(header) ++ (keepDetail ++ mineDetail).sorted)
         .mkString("", "\n", "\n")
       java.nio.file.Files.write(detailPath,

@@ -4850,24 +4850,30 @@ object Llm {
       //        UTF8String (it re-scans from byte 0 per call, quadratic
       //        in doc length: the ×50-length rehearsal measured 78×),
       //        while slice(cs, i, k) is O(k) on an offset-indexed array;
+      //  cd  = cs as BIGINT char codes, bound once — the rolling-hash
+      //        input (Det.sparkRoll: Horner base-131 mod 2³¹−1; replaced
+      //        the per-position interpreted md5+conv that dominated the
+      //        map stage in r16 — pure integer arithmetic now, same
+      //        value in DuckDB by construction);
       //  sts = boundary starts: i = 1 plus every i where the rolling
-      //        8-char window's portable hash ≡ 0 (mod 64) — pHash60
-      //        spelled inline (conv/md5) because lambda variables only
-      //        exist inside this SQL text;
+      //        8-char window's hash ≡ 0 (mod 64);
       //  each start zips with its successor (sentinel len+1 closes the
-      //  last chunk) and the chunk md5 is cut from cs map-side.
+      //  last chunk) and the chunk md5 is cut from cs map-side (one md5
+      //  per CHUNK ≈ len/64 — not per position — stays md5: chunk
+      //  identity wants collision-free width).
       // Rows leaving this stage are (doc_id, ch, clen): the text column
       // never enters an exchange, and per-doc work is O(len·8).
-      val h8 = "CAST(conv(substring(md5(concat_ws('', slice(cs, i, 8)))" +
-        ", 1, 15), 16, 10) AS BIGINT)"
-      val stsE = "filter(sequence(1, greatest(size(cs) - 7, 1))," +
+      val h8 = graft.Det.sparkRollAt("cd", "i", 8)
+      val stsE = "filter(sequence(1, greatest(size(cd) - 7, 1))," +
         s" i -> i = 1 OR pmod($h8, 64) = 0)"
       val zipE = "zip_with(sts, concat(slice(sts, 2," +
         " greatest(size(sts) - 1, 0)), array(size(cs) + 1))," +
         " (st, nxt) -> struct(md5(concat_ws('', slice(cs, st," +
         " nxt - st))) AS ch, nxt - st AS clen))"
       val perDoc = "flatten(transform(array(split(text, ''))," +
-        s" cs -> flatten(transform(array($stsE), sts -> $zipE))))"
+        " cs -> flatten(transform(" +
+        "array(transform(cs, c -> CAST(ascii(c) AS BIGINT)))," +
+        s" cd -> flatten(transform(array($stsE), sts -> $zipE))))))"
       val chunks = docs
         .select(col("doc_id"), explode(expr(perDoc)).as("c"))
         .select(col("doc_id"), col("c.ch").as("ch"),
@@ -4890,13 +4896,13 @@ object Llm {
             " / CAST(total_chars AS DOUBLE), 6)").as("shared_char_ratio"))
     },
     Some {
-      val h = graft.Det.sqlPHash60("substr(text, CAST(i AS INTEGER), 8)")
+      val h = graft.Det.sqlRollAt("text", "i", 8)
       s"""WITH pos AS (SELECT doc_id, text,
                     unnest(range(1, greatest(len(text) - 6, 2))) AS i
                   FROM documents),
              st AS (SELECT doc_id, text, CAST(i AS INTEGER) AS st
                     FROM pos
-                    WHERE i = 1 OR (($h) % 64 + 64) % 64 = 0),
+                    WHERE i = 1 OR ($h) % 64 = 0),
              ck AS (SELECT doc_id,
                      md5(substr(text, st,
                        CAST(coalesce(lead(st, 1) OVER (
@@ -4949,18 +4955,27 @@ object Llm {
   val qTextWinnowing = Q(
     "q_text_winnowing",
     (s, dir) => {
-      // Lambda-bound lets (the q_dedup_cdc_chunks pattern): cs = the
-      // doc's char array (O(1)-indexed — substring(text, i, ..) is
-      // O(i) on UTF8String, quadratic over a long doc), hs = the
-      // 8-gram (h, i) hash array built once from cs.
-      val h8 = "struct(CAST(conv(substring(md5(concat_ws(''," +
-        " slice(cs, i, 8))), 1, 15), 16, 10) AS BIGINT) AS h, i AS i)"
-      val hsE = s"transform(sequence(1, greatest(size(cs) - 7, 1))," +
+      // Lambda-bound lets (the q_dedup_cdc_chunks pattern): cd = the
+      // doc's BIGINT char-code array (O(1)-indexed — substring(text,
+      // i, ..) is O(i) on UTF8String, quadratic over a long doc), hs =
+      // the 8-gram (h, i) hash array built once from cd via the
+      // portable integer rolling hash (Det.sparkRoll — replaced the
+      // ~1.5 M interpreted per-position md5+conv evals that made this
+      // the suite's #2 query in r16; Horner base-131 mod 2³¹−1 is
+      // pure arithmetic and identical in DuckDB by construction).
+      val h8 = s"struct(${graft.Det.sparkRollAt("cd", "i", 8)} AS h, i AS i)"
+      val hsE = s"transform(sequence(1, greatest(size(cd) - 7, 1))," +
         s" i -> $h8)"
-      val fpsE = "flatten(transform(array(split(text, ''))," +
-        s" cs -> flatten(transform(array($hsE)," +
+      // window minimum = least() of 4 O(1) element_ats (nulls past the
+      // end are skipped by least — identical to array_min over the
+      // shorter tail slice, without materializing a 4-array per
+      // position)
+      val fpsE = "flatten(transform(" +
+        "array(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)))," +
+        s" cd -> flatten(transform(array($hsE)," +
         " hs -> array_distinct(transform(sequence(1, size(hs))," +
-        " j -> array_min(slice(hs, j, 4)).h))))))"
+        " j -> least(try_element_at(hs, j), try_element_at(hs, j + 1)," +
+        " try_element_at(hs, j + 2), try_element_at(hs, j + 3)).h))))))"
       val fps = Tables.documents(s, dir)
         .select(col("doc_id"), explode(expr(fpsE)).as("fp"))
         // ONE fp-keyed exchange of the small (doc_id, fp) rows, reused
@@ -4983,7 +4998,7 @@ object Llm {
         .limit(20)
     },
     Some {
-      val h = graft.Det.sqlPHash60("substr(text, CAST(i AS INTEGER), 8)")
+      val h = graft.Det.sqlRollAt("text", "i", 8)
       s"""WITH pos AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
                     ($h) AS h
                   FROM (SELECT doc_id, text,

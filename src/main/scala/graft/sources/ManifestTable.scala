@@ -62,15 +62,23 @@ object ManifestTable {
   private def versionFile(root: String, v: Int): Path =
     manifestDir(root).resolve(f"v$v%08d.txt")
 
+  /** Run `f` over a NIO stream and CLOSE it (Files.walk/list hold an
+    * open directory fd until closed — leaking one per maintenance call
+    * would exhaust fds on a long-lived driver).
+    */
+  private def withStream[S <: java.util.stream.BaseStream[_, _], A]
+      (s: S)(f: S => A): A =
+    try f(s) finally s.close()
+
   /** Largest committed version, or 0 if the table has none. */
   def latestVersion(root: String): Int = {
     val md = manifestDir(root)
     if (!Files.isDirectory(md)) 0
-    else Files.list(md).iterator().asScala
+    else withStream(Files.list(md))(_.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toInt }
-      .foldLeft(0)(math.max)
+      .foldLeft(0)(math.max))
   }
 
   /** Raw manifest lines (data files + `#epoch=` trailer tags). */
@@ -96,10 +104,10 @@ object ManifestTable {
                         token: String): Seq[String] = {
     val dataDir = Paths.get(root, "data", s"c$token")
     df.write.parquet(dataDir.toString)
-    Files.list(dataDir).iterator().asScala
+    withStream(Files.list(dataDir))(_.iterator().asScala
       .map(_.toString)
       .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS"))
-      .toSeq.sorted
+      .toSeq.sorted)
   }
 
   /** The optimistic-commit core shared by commit/compact/epoch sinks:
@@ -119,7 +127,12 @@ object ManifestTable {
       compose(if (base == 0) Seq.empty else linesAt(root, base)) match {
         case None => committed = base
         case Some(lines) =>
-          val tmp = manifestDir(root).resolve(s".tmp-$token")
+          // tmp name gets a per-attempt UUID suffix: callers with a
+          // DETERMINISTIC token (commitEpoch's e<id>) may race their own
+          // replay, and two writers sharing one .tmp path could truncate
+          // the inode after the peer hard-linked it as the version file
+          val tmp = manifestDir(root).resolve(s".tmp-$token-" +
+            java.util.UUID.randomUUID().toString.take(8))
           Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
           try {
             // link(2) is the atomic no-overwrite claim: existence of
@@ -148,7 +161,12 @@ object ManifestTable {
     val token = java.util.UUID.randomUUID().toString.take(12)
     val newFiles = writeData(spark, root, df, token)
     commitWith(root, token) { base =>
-      Some(if (overwrite) newFiles else base ++ newFiles)
+      // overwrite replaces the FILE list but carries the `#epoch=`
+      // ledger forward — dropping it would let a crash-replayed epoch
+      // re-commit after any overwrite, breaking commitEpoch's
+      // exactly-once contract ("tags propagate through every commit")
+      Some(if (overwrite) base.filter(_.startsWith("#")) ++ newFiles
+           else base ++ newFiles)
     }
   }
 
@@ -216,9 +234,24 @@ object ManifestTable {
     val token = "k" + java.util.UUID.randomUUID().toString.take(11)
     val packed = writeData(spark, root,
       spark.read.parquet(small.map(_._1): _*).repartition(nOut), token)
-    commitWith(root, token) { latest =>
-      Some(latest.filterNot(smallSet) ++ packed)
-    }
+    commitWith(root, token)(compactCompose(smallSet, packed))
+  }
+
+  /** compact's rebase with conflict detection (Delta-style): the rebase
+    * is only sound against concurrent APPENDS. If any compaction input
+    * vanished from the latest manifest — a concurrent overwrite
+    * replaced the table, or a concurrent compact already packed these
+    * files — appending `packed` would resurrect deleted rows or
+    * duplicate the winner's output. Abort (None); the packed dir is
+    * vacuum's orphan.
+    */
+  private[graft] def compactCompose(smallSet: Set[String],
+                                    packed: Seq[String])
+                                   (latest: Seq[String])
+      : Option[Seq[String]] = {
+    val live = latest.filterNot(_.startsWith("#")).toSet
+    if (!smallSet.subsetOf(live)) None
+    else Some(latest.filterNot(smallSet) ++ packed)
   }
 
   /** Drop manifest versions older than the last `keepLast` — the
@@ -239,7 +272,10 @@ object ManifestTable {
     * deletes only orphans whose mtime is older than `minAgeMs` — the
     * age gate keeps a data dir an IN-FLIGHT committer has written but
     * not yet published from being swept; Delta's retention-check
-    * analog). Returns the deleted paths.
+    * analog). Auxiliary files no manifest lists — `.X.crc` checksum
+    * sidecars and `_SUCCESS` commit markers — are GC'd strictly with
+    * their OWNER (the data file / the commit dir), never while the
+    * owner is live. Returns the deleted DATA paths.
     */
   def vacuum(root: String, minAgeMs: Long): Seq[String] = {
     val dataRoot = Paths.get(root, "data")
@@ -250,17 +286,72 @@ object ManifestTable {
       .filterNot(_.startsWith("#"))
       .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val deleted = Files.walk(dataRoot).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter(p => !referenced.contains(p.toString))
-      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-      .toList
-    deleted.foreach(Files.delete)
-    // sweep now-empty commit dirs so the census matches the manifest
-    Files.list(dataRoot).iterator().asScala
+
+    // Manifests list DATA files only; the committer also leaves
+    // auxiliary files no manifest ever references — ChecksumFileSystem's
+    // `.X.crc` sidecar per part and the `_SUCCESS` commit marker (+ its
+    // own sidecar). An aux file is NOT an orphan in its own right: it is
+    // OWNED — a sidecar by the data file it checksums, a marker by its
+    // commit dir — and must be GC'd with its owner, never while the
+    // owner (or any referenced sibling) is live.
+    def crcOwner(p: Path): Option[Path] = {
+      val n = p.getFileName.toString
+      if (n.startsWith(".") && n.endsWith(".crc") && n.length > 5)
+        Some(p.getParent.resolve(n.stripPrefix(".").stripSuffix(".crc")))
+      else None
+    }
+    def isMarker(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n == "_SUCCESS" || n == "._SUCCESS.crc"
+    }
+    val all = withStream(Files.walk(dataRoot))(_.iterator().asScala
+      .filter(p => Files.isRegularFile(p)).toList)
+    val (aux, dataFiles) =
+      all.partition(p => isMarker(p) || crcOwner(p).isDefined)
+
+    val deadData = dataFiles.filter(p =>
+      !referenced.contains(p.toString) &&
+        Files.getLastModifiedTime(p).toMillis <= cutoff)
+    val deadSet = deadData.map(_.toString).toSet
+    // data files surviving this pass (referenced, or orphans the age
+    // gate is still protecting), per commit dir — a marker lives while
+    // its dir retains ANY surviving data file
+    val survivorsByDir = dataFiles
+      .filterNot(p => deadSet.contains(p.toString))
+      .groupBy(_.getParent).view.mapValues(_.size).toMap
+    val deadAux = aux.filter { p =>
+      crcOwner(p) match {
+        case Some(owner) if !isMarker(p) =>
+          // sidecar dies with its owner; an ownerless sidecar (owner
+          // already GC'd by an older vacuum) is itself age-gated
+          deadSet.contains(owner.toString) ||
+            (!Files.exists(owner) &&
+              Files.getLastModifiedTime(p).toMillis <= cutoff)
+        case _ => // _SUCCESS / ._SUCCESS.crc
+          survivorsByDir.getOrElse(p.getParent, 0) == 0 &&
+            (deadData.exists(_.getParent == p.getParent) ||
+              Files.getLastModifiedTime(p).toMillis <= cutoff)
+      }
+    }
+
+    val deleted = deadData ++ deadAux
+    deleted.foreach(Files.deleteIfExists(_))
+    // sweep now-empty commit dirs so the census matches the manifest.
+    // A dir WE emptied this pass is safe to drop; any other empty dir
+    // is age-gated on its own mtime (a just-created dir of an in-flight
+    // writer is momentarily empty), and the delete tolerates the TOCTOU
+    // where the writer's files land between the check and the unlink.
+    val emptiedHere = deleted.map(_.getParent).toSet
+    withStream(Files.list(dataRoot))(_.iterator().asScala
       .filter(Files.isDirectory(_))
-      .filter(d => !Files.list(d).iterator().hasNext)
-      .foreach(Files.delete)
-    deleted.map(_.toString)
+      .filter(d => withStream(Files.list(d))(!_.iterator().hasNext))
+      .filter(d => emptiedHere.contains(d) ||
+        Files.getLastModifiedTime(d).toMillis <= cutoff)
+      .toList)
+      .foreach { d =>
+        try Files.deleteIfExists(d)
+        catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+      }
+    deadData.map(_.toString)
   }
 }

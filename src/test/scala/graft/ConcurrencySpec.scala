@@ -185,11 +185,92 @@ class ConcurrencySpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getInt(0)).sorted.toSeq == (1 to 9),
       "no duplicate rows after replay")
     assert(ManifestTable.committedEpochs(root) == Set(0L, 1L))
-    // the replayed orphan data dir is vacuum's job, and the ledger
-    // survives a compaction commit
+    // the ledger survives a compaction commit
     ManifestTable.compact(s, root, 1L << 20, 1L << 20)
     assert(ManifestTable.committedEpochs(root) == Set(0L, 1L))
-    assert(ManifestTable.vacuum(root, minAgeMs = 0).nonEmpty,
-      "the replayed epoch's unpublished files are orphans to GC")
+    // a replay that loses the race INSIDE commitWith leaves its fresh
+    // data dir unpublished (the early ledger check catches the serial
+    // replay above without writing anything) — materialize that orphan
+    // shape directly and pin that vacuum GCs it and ONLY it
+    (100 to 102).toDF("v").write
+      .parquet(java.nio.file.Paths.get(root, "data", "ce9-orphan").toString)
+    val referenced = (1 to ManifestTable.latestVersion(root))
+      .flatMap(v => ManifestTable.filesAt(root, v)).toSet
+    val deleted = ManifestTable.vacuum(root, minAgeMs = 0)
+    assert(deleted.nonEmpty,
+      "a raced epoch's unpublished files are orphans to GC")
+    assert(deleted.forall(p => !referenced.contains(p)),
+      "vacuum must delete ORPHAN-dir files only, never referenced ones")
+    assert(deleted.forall(_.contains("ce9-orphan")),
+      s"only the orphan dir's files may go: $deleted")
+    assert(ManifestTable.readAt(s, root, ManifestTable.latestVersion(root))
+      .collect().map(_.getInt(0)).sorted.toSeq == (1 to 9))
+  }
+
+  test("the epoch ledger survives an overwrite commit") {
+    import graft.sources.ManifestTable
+    val root = tmpDir("manifest_ow")
+    val s = spark
+    import s.implicits._
+    ManifestTable.commitEpoch(s, root, (1 to 5).toDF("v"), 0L)
+    ManifestTable.commit(s, root, Seq(7).toDF("v"), overwrite = true)
+    assert(ManifestTable.committedEpochs(root) == Set(0L),
+      "overwrite replaces the file list but must carry the ledger")
+    // a crash-replay of epoch 0 AFTER the overwrite stays a no-op
+    val latest = ManifestTable.latestVersion(root)
+    assert(ManifestTable.commitEpoch(s, root, (1 to 5).toDF("v"), 0L)
+      == latest, "replayed epoch must not re-commit after overwrite")
+    assert(ManifestTable.readAt(s, root, latest)
+      .collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
+  test("compact's rebase aborts when its inputs left the latest " +
+       "manifest (concurrent overwrite / rival compact)") {
+    import graft.sources.ManifestTable.compactCompose
+    val inputs = Set("/t/data/c1/a.parquet", "/t/data/c2/b.parquet")
+    val packed = Seq("/t/data/ck/p.parquet")
+    // serial case: inputs still live → rebase keeps the concurrent
+    // append and the epoch ledger, swaps inputs for the packed files
+    val latest = Seq("#epoch=3", "/t/data/c1/a.parquet",
+      "/t/data/c2/b.parquet", "/t/data/c3/app.parquet")
+    assert(compactCompose(inputs, packed)(latest)
+      == Some(Seq("#epoch=3", "/t/data/c3/app.parquet",
+                  "/t/data/ck/p.parquet")))
+    // a concurrent OVERWRITE won: inputs gone → blindly appending
+    // packed would resurrect deleted rows — must abort
+    assert(compactCompose(inputs, packed)(
+      Seq("/t/data/c9/new.parquet")).isEmpty)
+    // a rival compact won: one input already packed away → appending
+    // our packed output would duplicate every compacted row — abort
+    assert(compactCompose(inputs, packed)(
+      Seq("/t/data/c1/a.parquet", "/t/data/ck2/q.parquet")).isEmpty)
+  }
+
+  test("vacuum's age gate protects an in-flight unpublished commit") {
+    import graft.sources.ManifestTable
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("manifest_if")
+    val s = spark
+    import s.implicits._
+    ManifestTable.commit(s, root, (1 to 5).toDF("v"), overwrite = false)
+    // a committer mid-flight: data dir fully written, manifest NOT yet
+    // linked — invisible to readers, unreferenced by every manifest
+    val inflight = Paths.get(root, "data", "cinflight1")
+    (1 to 3).toDF("v").write.parquet(inflight.toString)
+    val files = Files.list(inflight)
+    val nBefore = try files.count() finally files.close()
+    assert(nBefore > 0)
+    // real age gate: the just-written files are younger than 1h → the
+    // sweep must not touch them (THIS is what makes unpublished
+    // commits safe, not luck)
+    val deleted = ManifestTable.vacuum(root, minAgeMs = 3600L * 1000)
+    assert(deleted.isEmpty)
+    assert(Files.isDirectory(inflight))
+    val files2 = Files.list(inflight)
+    val nAfter = try files2.count() finally files2.close()
+    assert(nAfter == nBefore, "age gate must protect in-flight files")
+    // the published table is of course also untouched
+    assert(ManifestTable.readAt(s, root, 1)
+      .collect().map(_.getInt(0)).sorted.toSeq == (1 to 5))
   }
 }

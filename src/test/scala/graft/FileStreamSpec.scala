@@ -79,4 +79,66 @@ class FileStreamSpec extends AnyFunSuite with SparkFixture {
       r._1 == t("2024-01-01 10:00:00") && r._2 == "click")
     assert(hour10Click == Set((t("2024-01-01 10:00:00"), "click", 2L, 3.0)))
   }
+
+  test("exactly-once composition: foreachBatch(commitEpoch) survives a " +
+       "crash-replay of a committed batch with zero duplicates") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.sources.ManifestTable
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("fs_epoch")
+    val (srcDir, tableRoot, ckpt) = (s"$dir/src", s"$dir/table", s"$dir/ckpt")
+
+    def drop(ids: Range): Unit =
+      ids.toDF("v").coalesce(1).write.mode("append").parquet(srcDir)
+
+    drop(1 to 5)
+    val schema = (1 to 1).toDF("v").schema
+    def start() = s.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        ManifestTable.commitEpoch(s, tableRoot, df, id); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(ManifestTable.committedEpochs(tableRoot) == Set(0L))
+
+    // crash BETWEEN the sink commit and the checkpoint commit: the sink
+    // (our manifest) holds epoch 0, but the engine never recorded it —
+    // simulated by removing the newest entry from ckpt/commits, exactly
+    // the state a kill at that instant leaves on disk. On restart the
+    // engine MUST replay batchId 0 with the same data; the sink's
+    // ledger makes the replay a no-op.
+    val commits = Paths.get(ckpt, "commits")
+    val newest = Files.list(commits).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(newest)
+    // drop the local-fs checksum sidecar with it, as a real kill would
+    // never have written either
+    Files.deleteIfExists(
+      commits.resolve("." + newest.getFileName.toString + ".crc"))
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays epoch 0 → ledger no-op
+      drop(6 to 9)             // then fresh data → epoch 1
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // zero duplicates across the restart, ledger == batch ids, and the
+    // version history is one commit per EFFECTIVE epoch (the replay
+    // added no version)
+    val latest = ManifestTable.latestVersion(tableRoot)
+    assert(ManifestTable.committedEpochs(tableRoot) == Set(0L, 1L))
+    assert(latest == 2,
+      s"replayed epoch must not add a version (history=$latest)")
+    assert(ManifestTable.readAt(s, tableRoot, latest)
+      .collect().map(_.getInt(0)).sorted.toSeq == (1 to 9),
+      "rows must appear exactly once across the crash-replay")
+  }
 }

@@ -320,7 +320,9 @@ class R15Spec extends AnyFunSuite with SparkFixture {
         explode(expr("sequence(1, greatest(length(text) - 7, 1))"))
           .as("i"))
       val st = pos.where(col("i") === 1 ||
-        pmod(graft.Det.pHash60(expr("substring(text, i, 8)")),
+        pmod(expr("aggregate(transform(slice(split(text, ''), i, 8)," +
+          " c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT)," +
+          " (a, c) -> pmod(a * 131 + c, 2147483647))"),
           lit(64)) === 0)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("st")
