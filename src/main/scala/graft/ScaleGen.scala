@@ -112,6 +112,31 @@ object ScaleGenOverlap {
   * Usage: runMain graft.ScaleGenLongDocs <srcSfDir> <outDir> [mult]
   */
 object ScaleGenLongDocs {
+
+  /** Generate the ×mult documents table into `out`; non-document tables
+    * are SYMLINKED (the char-level family reads only documents — a copy
+    * would just burn the sweep's I/O budget). Callable from Bench so the
+    * axis is STANDING (r16 verdict #6), not a one-off hand run.
+    */
+  def generate(spark: SparkSession, src: String, out: String,
+               mult: Int): Unit = {
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("text", expr(
+        s"concat_ws(' ', transform(sequence(0, ${mult - 1}), k ->" +
+          " concat(text, ' m', CAST(k AS STRING))))"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "events", "embeddings").foreach { t =>
+      val link = java.nio.file.Paths.get(out, s"$t.parquet")
+      if (!java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(src, s"$t.parquet"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (src, out) = (args(0), args(1))
     val mult = if (args.length > 2) args(2).toInt else 50
@@ -122,19 +147,7 @@ object ScaleGenLongDocs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.read.parquet(s"$src/documents.parquet")
-      .withColumn("text", expr(
-        s"concat_ws(' ', transform(sequence(0, ${mult - 1}), k ->" +
-          " concat(text, ' m', CAST(k AS STRING))))"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .repartition(16)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    // the non-document tables copy 1× so any query runs against outDir
-    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-      "region", "events", "embeddings").foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    }
+    generate(spark, src, out, mult)
     println(s"[scalegen-longdocs] doc length x$mult at fixed count")
     spark.stop()
   }
