@@ -92,16 +92,17 @@ object Bench {
     // (wall seconds, build seconds spent inside Incremental/bucketed-store
     // writes during the run — warm-path query cost is wall - build,
     // plus the shuffle-read/write/spill/task deltas for this execution)
-    def time(name: String,
-             fn: (org.apache.spark.sql.SparkSession, String) =>
-               org.apache.spark.sql.DataFrame)
+    def timeIn(name: String,
+               fn: (org.apache.spark.sql.SparkSession, String) =>
+                 org.apache.spark.sql.DataFrame,
+               dir: String)
         : (Double, Double, Array[Long]) = {
       val m0 = qmSnap()
       val t0 = System.nanoTime()
       val b0 = graft.sources.BuildTimer.snapshot
       // a failed query must be visible in the output, not recorded as a
       // suspiciously fast success: report it as -1
-      try { fn(spark, sfDir).count()
+      try { fn(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         val db = (graft.sources.BuildTimer.snapshot - b0) / 1e9
         val m1 = qmSnap()
@@ -111,6 +112,10 @@ object Bench {
         (-1.0, 0.0, Array.fill(4)(0L))
       }
     }
+    def time(name: String,
+             fn: (org.apache.spark.sql.SparkSession, String) =>
+               org.apache.spark.sql.DataFrame)
+        : (Double, Double, Array[Long]) = timeIn(name, fn, sfDir)
     // Last run's per-query seconds (written by this main at the end of every
     // run — the driver's BENCH_r{N}.json keeps only a truncated stdout tail,
     // so the full map must persist separately). Used for the cross-run
@@ -132,11 +137,14 @@ object Bench {
       else scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(priorPath)).asScala
         .flatMap { line =>
-          line.split('\t') match {
-            case Array(d, n, v) if d == sfDir =>
-              scala.util.Try(n -> v.toDouble).toOption
-            case _ => None
-          }
+          // r18: prior rows carry the full 8-col telemetry (build, shuffle
+          // bytes, spill, tasks) so next-round wall regressions adjudicate
+          // on BYTES; the wall gate here still reads only col 2. Legacy
+          // 3-col rows (pre-r18) stay parseable.
+          val cols = line.split('\t')
+          if (cols.length >= 3 && cols(0) == sfDir)
+            scala.util.Try(cols(1) -> cols(2).toDouble).toOption
+          else None
         }.toMap
     if (prior.isEmpty)
       System.err.println(s"[bench] no prior baselines for $sfDir at " +
@@ -194,29 +202,78 @@ object Bench {
     }
     val wall = results.map { case (k, (v, _, _)) => k -> v }.toMap
     val builds = results.collect { case (k, (_, b, _)) if b > 0.05 => k -> b }
+    // Standing LONG-DOCUMENT axis (r17 verdict #1/#2): every full sweep
+    // re-measures the char-level family on a ×50-length corpus derived
+    // from this sf's documents table, so the length envelope can never go
+    // stale again. The corpus is regenerated when absent (/tmp evaporates
+    // between rounds); partial (`only`-restricted) runs skip the axis, and
+    // SPARK_GRAFT_LONGDOCS=0 disables it. Timing is single-pass — the
+    // axis adjudicates on shuffle bytes/tasks (plan-determined), not on a
+    // gated wall-clock; its rows ride BENCH_DETAIL/PRIOR like any axis.
+    val charFamily = Seq(
+      "q_text_winnowing", "q_dedup_cdc_chunks", "q_text_chunk",
+      "q_text_boilerplate", "q_text_fingerprint", "q_text_strip_markup",
+      "q_text_pii_mask", "q_dedup_substr_spans", "q_text_prefix_dup")
+    val ldBase = java.nio.file.Paths.get(sfDir).toAbsolutePath
+      .getFileName.toString
+    // sf0.1 keeps the historical /tmp/longdocs50 label so its rows REPLACE
+    // the stale r16 measurements in place; other source sfs get their own
+    // axis label rather than clobbering the sf0.1-derived rows.
+    val ldDir = if (ldBase == "sf0.1") "/tmp/longdocs50"
+                else s"/tmp/longdocs50_$ldBase"
+    val ldResults: Seq[(String, (Double, Double, Array[Long]))] =
+      if (!(only.isEmpty &&
+            sys.env.getOrElse("SPARK_GRAFT_LONGDOCS", "1") != "0")) Seq.empty
+      else try {
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(
+            ldDir, "documents.parquet", "_SUCCESS")))
+          ScaleGenLongDocs.generate(spark, sfDir, ldDir, 50)
+        charFamily.flatMap(n => SparkEntry.queries.get(n).map(fn =>
+          n -> timeIn(n, fn, ldDir)))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] longdocs axis failed: $e")
+        Seq.empty
+      }
     val calibEnd = calib()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // persist this run's full map for the next run's regression gate
+    def mb(v: Long): String = f3(v / 1048576.0)
+    val calibRow = "__calib__" ->
+      ((math.min(calibStart, calibEnd), calibIoStart, Array.fill(4)(0L)))
+    // every axis measured this run, with its full 8-col row set; a FAILED
+    // timing (-1) is dropped so it can never replace a good baseline —
+    // that would permanently disable the regression gate for that query
+    // (base > 0 guard above)
+    val axes: Seq[(String, Seq[(String, (Double, Double, Array[Long]))])] =
+      Seq(sfDir -> (results :+ calibRow)) ++
+        (if (ldResults.nonEmpty) Seq(ldDir -> (ldResults :+ calibRow))
+         else Seq.empty)
+    def axisRows(axis: String,
+                 rs: Seq[(String, (Double, Double, Array[Long]))]) =
+      rs.collect { case (k, (v, b, m)) if v >= 0 =>
+        s"$axis\t$k\t${f3(v)}\t${f3(b)}\t" +
+          s"${mb(m(0))}\t${mb(m(1))}\t${mb(m(2))}\t${m(3)}"
+      }.sorted
+    val written: Map[String, Set[String]] = axes.map { case (a, rs) =>
+      a -> rs.collect { case (k, (v, _, _)) if v >= 0 => k }.toSet
+    }.toMap
+    // persist this run's full telemetry for the next run's regression gate
     // (best-effort: a read-only working dir must not fail the bench);
-    // __calib__ rides the same file so the next run can normalize.
+    // __calib__ rides the same file so the next run can normalize. r18:
+    // all 8 detail columns snapshot here too, so next-round wall diffs
+    // adjudicate on shuffle-byte/task deltas instead of wall noise.
+    // Merge, don't replace: a partial run (`only` args) must not erase
+    // the rest of this sf's baseline rows; legacy 3-col rows survive.
     try {
-      // merge, don't replace: a partial run (`only` args) must not erase
-      // the rest of this sf's baseline rows. A FAILED timing (-1) must not
-      // replace a good baseline either — that would permanently disable
-      // the regression gate for that query (base > 0 guard above).
-      val good = wall.filter { case (_, v) => v >= 0 } +
-        ("__calib__" -> math.min(calibStart, calibEnd))
       val keep =
         if (!java.nio.file.Files.exists(priorPath)) Seq.empty
         else scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(priorPath)).asScala.toSeq
           .filter { l =>
             val cols = l.split('\t')
-            cols.length == 3 &&
-              !(cols(0) == sfDir && good.contains(cols(1)))
+            cols.length >= 3 &&
+              !written.get(cols(0)).exists(_.contains(cols(1)))
           }
-      val mine = good.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$sfDir\t$k\t${f3(v)}" }
+      val mine = axes.flatMap { case (a, rs) => axisRows(a, rs) }
       val body = (keep ++ mine).sorted.mkString("", "\n", "\n")
       java.nio.file.Files.write(priorPath,
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -227,13 +284,13 @@ object Bench {
     // BENCH_r{N}.json keeps only a bounded stdout tail, which at 283
     // queries truncates ~3/4 of the per-query map — regressions were
     // invisible in the committed artifact. BENCH_DETAIL.tsv carries every
-    // query's wall AND build seconds, replacing this sf's rows in place
-    // each sweep (other sfs' rows kept), and is committed with the round.
+    // query's wall/build seconds plus the r16 verdict #3 telemetry columns
+    // (shuffle read/write MB, spill MB, tasks — deterministic per plan, so
+    // regressions adjudicate on bytes, not wall noise), replacing each
+    // measured axis's rows in place (other axes' rows kept, padded to the
+    // 8-col width so the file is never ragged — ADVICE r17).
     try {
       val detailPath = repoRoot.resolve("BENCH_DETAIL.tsv")
-      // r16 verdict #3 columns: shuffle read/write MB, spill MB, tasks —
-      // deterministic per plan, so regressions adjudicate on bytes, not
-      // wall-time noise
       val header = "sf_dir\tquery\twall_s\tbuild_s\t" +
         "shuf_read_mb\tshuf_write_mb\tspill_mb\ttasks"
       val keepDetail =
@@ -242,17 +299,14 @@ object Bench {
           java.nio.file.Files.readAllLines(detailPath)).asScala.toSeq
           .filter { l =>
             val cols = l.split('\t')
-            cols.length >= 4 && cols(0) != "sf_dir" && cols(0) != sfDir
+            cols.length >= 4 && cols(0) != "sf_dir" &&
+              !axes.exists(_._1 == cols(0))
           }
-      val buildsAll = results.map { case (k, (_, b, _)) => k -> b }.toMap
-      val qmAll = results.map { case (k, (_, _, m)) => k -> m }.toMap
-      def mb(v: Long): String = f3(v / 1048576.0)
-      val mineDetail = wall.toSeq.sortBy(_._1).map { case (k, v) =>
-        val m = qmAll.getOrElse(k, Array.fill(4)(0L))
-        s"$sfDir\t$k\t${f3(v)}\t${f3(buildsAll.getOrElse(k, 0.0))}\t" +
-          s"${mb(m(0))}\t${mb(m(1))}\t${mb(m(2))}\t${m(3)}"
-      } ++ Seq(s"$sfDir\t__calib__\t${f3(math.min(calibStart, calibEnd))}" +
-               s"\t${f3(calibIoStart)}\t0\t0\t0\t0")
+          // pre-telemetry rows pad with EMPTY byte/task fields (missing ≠
+          // measured-zero) so header-indexed parsers never hit short rows
+          .map(l => (l.split('\t') ++ Array.fill(8)("")).take(8)
+            .mkString("\t"))
+      val mineDetail = axes.flatMap { case (a, rs) => axisRows(a, rs) }
       val detailBody = (Seq(header) ++ (keepDetail ++ mineDetail).sorted)
         .mkString("", "\n", "\n")
       java.nio.file.Files.write(detailPath,
@@ -279,6 +333,12 @@ object Bench {
     // states across rounds.
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"store_builds","queries":$bs,"sf":"$sfDir"}""")
+    if (ldResults.nonEmpty) {
+      val lq = ldResults.sortBy(_._1)
+        .map { case (k, (v, _, _)) => s"\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"longdocs50","queries":$lq,"sf":"$ldDir"}""")
+    }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_count":${wall.size},"calib_start_s":${f3(calibStart)},"calib_end_s":${f3(calibEnd)},"calib_ratio_vs_prior":${f3(calRatio)},"calib_io_start_s":${f3(calibIoStart)},"calib_io_end_s":${f3(calibIo())},"sf":"$sfDir"}""")
     spark.stop()
   }

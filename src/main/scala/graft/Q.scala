@@ -75,44 +75,32 @@ object Det {
   def sqlPHash32(e: String): String =
     s"(('0x' || substr(md5(CAST(($e) AS VARCHAR)), 1, 8))::BIGINT)"
 
-  /** Portable polynomial rolling hash — Horner over integer char codes,
-    * base 131 mod the Mersenne prime 2³¹−1 — for PER-POSITION hashing in
-    * char-level operators (CDC boundaries, winnowing fingerprints).
-    * Per-position md5 was the r16 cost center (~1.5 M interpreted
-    * md5+concat+conv evals at sf0.1 in winnowing alone); this is 8
-    * multiply-add-mod BIGINT steps per position, identical in both
-    * engines by construction (every intermediate < 2³¹·131 + c, far
-    * inside BIGINT). Domain: ASCII text — Spark `ascii()` and DuckDB
+  /** Portable polynomial rolling hash — a window's chars combined as a
+    * fixed-weight base-131 polynomial mod the Mersenne prime 2³¹−1 —
+    * for PER-POSITION hashing in char-level operators (CDC boundaries,
+    * winnowing fingerprints). Per-position md5 was the r16 cost center
+    * (~1.5 M interpreted md5+concat+conv evals at sf0.1 in winnowing
+    * alone); this is k multiply-adds and ONE final pmod per position,
+    * identical in both engines by construction. The k terms are spelled
+    * out with precomputed base powers (weights 131^(k−1)..131^0 for
+    * window positions 0..k−1) — element_at is O(1) on the code array,
+    * so no per-position slice array is materialized. Positions past the
+    * doc end contribute 0 on BOTH sides, so a tail window shorter than
+    * k keeps the SAME weights for the chars it has (Spark: coalesce
+    * over the null try_element_at; DuckDB: the CASE guard — NB DuckDB
+    * unicode('') is −1, so the guard must be explicit, not coalesce).
+    * Single-pmod safety: max sum = 126·Σ131^k (k<8) ≈ 8.4e16 ≪ 2⁶³ on
+    * ASCII input — the documented domain: Spark `ascii()` and DuckDB
     * `unicode()` agree there and DIVERGE on non-ASCII (Spark yields
     * replacement char 65533); the synthetic corpus is printable ASCII
-    * (re-verified r17: 0 docs match [^\x20-\x7e]).
+    * (re-verified r17: 0 docs match [^\x20-\x7e]); non-ASCII would
+    * break Spark/DuckDB parity loudly in the hash compare.
     *
-    * Spark side expects two lambda-lets in scope: `cd` = the BIGINT
-    * code array (transform(cs, c -> CAST(ascii(c) AS BIGINT))) and the
-    * position variable; the window is slice(cd, i, k) so tail windows
-    * shorter than k hash their available chars — matched on the DuckDB
-    * side by the least(k, len−i+1) range bound.
-    */
-  def sparkRoll(cdVar: String, iVar: String, k: Int): String =
-    s"aggregate(slice($cdVar, $iVar, $k), CAST(0 AS BIGINT)," +
-      " (a, c) -> pmod(a * 131 + c, 2147483647))"
-  def sqlRoll(textE: String, iE: String, k: Int): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT)," +
-      s" list_transform(range(0, least($k, len($textE) - ($iE) + 1))," +
-      s" kk -> CAST(unicode(substr($textE, CAST(($iE) + kk AS INTEGER)," +
-      s" 1)) AS BIGINT))), (a, c) -> (a * 131 + c) % 2147483647)"
-
-  /** Allocation-free spelling of the same polynomial: the k terms are
-    * spelled out with precomputed base powers and ONE final pmod —
-    * element_at is O(1) on the code array, so no per-position slice
-    * array is materialized (the aggregate+slice form above allocates
-    * one; measured ~20% of winnowing's map stage). Positions past the
-    * doc end contribute 0 on BOTH sides (Spark: coalesce over the null
-    * element_at; DuckDB: the CASE guard — NB DuckDB unicode('') is −1,
-    * so the guard must be explicit, not coalesce). Single-pmod safety:
-    * max sum = 126·Σ131^k (k<8) ≈ 8.4e16 ≪ 2⁶³ on ASCII input — the
-    * documented domain; non-ASCII would overflow Spark-side first and
-    * fail parity loudly.
+    * Spark side expects a lambda-let `cd` in scope = the BIGINT code
+    * array (transform(cs, c -> CAST(ascii(c) AS BIGINT))) plus the
+    * position variable. ALWAYS use this pair together — a Horner-over-
+    * slice variant (deleted r18) weighted short tail windows
+    * differently and would silently break parity if mixed in.
     */
   def sparkRollAt(cdVar: String, iVar: String, k: Int): String = {
     val pows = Array.iterate(1L, k)(_ * 131L).reverse

@@ -115,8 +115,9 @@ object ScaleGenLongDocs {
 
   /** Generate the ×mult documents table into `out`; non-document tables
     * are SYMLINKED (the char-level family reads only documents — a copy
-    * would just burn the sweep's I/O budget). Callable from Bench so the
-    * axis is STANDING (r16 verdict #6), not a one-off hand run.
+    * would just burn the sweep's I/O budget). Invoked by Bench every
+    * sweep (regenerate-if-absent) so the axis is STANDING (r16 verdict
+    * #6), not a one-off hand run.
     */
   def generate(spark: SparkSession, src: String, out: String,
                mult: Int): Unit = {
@@ -130,10 +131,16 @@ object ScaleGenLongDocs {
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "events", "embeddings").foreach { t =>
       val link = java.nio.file.Paths.get(out, s"$t.parquet")
-      if (!java.nio.file.Files.exists(link,
+      // Absolute-normalized target: a relative `src` would otherwise be
+      // resolved relative to `out` at READ time and dangle (ADVICE r17).
+      val target = java.nio.file.Paths.get(src, s"$t.parquet")
+        .toAbsolutePath.normalize
+      val stale = java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) != target
+      if (stale) java.nio.file.Files.delete(link)
+      if (stale || !java.nio.file.Files.exists(link,
           java.nio.file.LinkOption.NOFOLLOW_LINKS))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(src, s"$t.parquet"))
+        java.nio.file.Files.createSymbolicLink(link, target)
     }
   }
 

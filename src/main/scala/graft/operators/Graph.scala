@@ -100,13 +100,18 @@ object Graph {
       .distinct()
       // localCheckpoint each round: 2 joins + 2 distincts per round would
       // otherwise stack a lineage Catalyst re-analyzes from scratch every
-      // iteration (planning time grows superlinearly by round 10+)
-      .localCheckpoint(true)
+      // iteration (planning time grows superlinearly by round 10+).
+      // LAZY checkpoint + the checksum action that follows = ONE Spark
+      // job per round (materialize-and-witness fused); the eager form
+      // spent a second full job per round just to persist blocks the
+      // checksum was about to read anyway — at small-graph scale
+      // (dbscan's grid cells) per-round job overhead WAS the wall.
+      .localCheckpoint(false)
     var prev = checksum(e)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val cs = checksum(next)
       if (cs == prev && e.exceptAll(next).isEmpty) {
         // The count component of the checksum is exact, so equal checksums

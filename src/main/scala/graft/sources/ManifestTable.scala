@@ -88,6 +88,18 @@ object ManifestTable {
     Files.readAllLines(vf).asScala.toSeq.filter(_.nonEmpty)
   }
 
+  /** Tolerant manifest read for OPTIMISTIC loops: None when the version
+    * file vanished — a concurrent [[expireVersions]] can unlink `base`
+    * in the window between `latestVersion()` and the read (the
+    * maintenance-storm TOCTOU; exercised by ConcurrencySpec). Callers
+    * re-resolve the latest version and retry instead of crashing a
+    * commit that would have succeeded on rebase.
+    */
+  private def tryLinesAt(root: String, version: Int): Option[Seq[String]] =
+    try Some(Files.readAllLines(versionFile(root, version))
+      .asScala.toSeq.filter(_.nonEmpty))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
   /** The data files of a committed version (tag lines stripped). */
   def filesAt(root: String, version: Int): Seq[String] =
     linesAt(root, version).filterNot(_.startsWith("#"))
@@ -124,7 +136,10 @@ object ManifestTable {
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
-      compose(if (base == 0) Seq.empty else linesAt(root, base)) match {
+      val baseLines =
+        if (base == 0) Some(Seq.empty[String]) else tryLinesAt(root, base)
+      baseLines.flatMap(compose) match {
+        case None if baseLines.isEmpty => () // base expired mid-read: retry
         case None => committed = base
         case Some(lines) =>
           // tmp name gets a per-attempt UUID suffix: callers with a
@@ -222,9 +237,17 @@ object ManifestTable {
     */
   def compact(spark: SparkSession, root: String,
               smallBytes: Long, targetBytes: Long): Int = {
-    val base = latestVersion(root)
-    require(base > 0, s"no committed version at $root")
-    val files = filesAt(root, base).filterNot(_.startsWith("#"))
+    // tolerant latest-read: a concurrent expireVersions can unlink the
+    // resolved base before we read it (same TOCTOU as commitWith) —
+    // re-resolve instead of crashing the maintenance job
+    var files: Seq[String] = null
+    var base = 0
+    while (files == null) {
+      base = latestVersion(root)
+      require(base > 0, s"no committed version at $root")
+      tryLinesAt(root, base).foreach(ls =>
+        files = ls.filterNot(_.startsWith("#")))
+    }
     val sized = files.map(f => f -> Files.size(Paths.get(f)))
     val small = sized.filter(_._2 < smallBytes)
     if (small.size < 2) return base
@@ -280,9 +303,11 @@ object ManifestTable {
   def vacuum(root: String, minAgeMs: Long): Seq[String] = {
     val dataRoot = Paths.get(root, "data")
     if (!Files.isDirectory(dataRoot)) return Seq.empty
+    // tolerant reads: a version can expire between the census loop's
+    // existence check and the read when maintenance jobs overlap — a
+    // vanished manifest simply contributes no references
     val referenced = (1 to latestVersion(root)).iterator
-      .filter(v => Files.exists(versionFile(root, v)))
-      .flatMap(v => filesAt(root, v))
+      .flatMap(v => tryLinesAt(root, v).getOrElse(Seq.empty))
       .filterNot(_.startsWith("#"))
       .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -304,14 +329,45 @@ object ManifestTable {
       val n = p.getFileName.toString
       n == "_SUCCESS" || n == "._SUCCESS.crc"
     }
-    val all = withStream(Files.walk(dataRoot))(_.iterator().asScala
-      .filter(p => Files.isRegularFile(p)).toList)
+    // The census must coexist with IN-FLIGHT writers: Files.walk throws
+    // when a task-attempt file under a writer's `_temporary/` tree
+    // vanishes between enumeration and stat (Spark's commit protocol
+    // renames/deletes those constantly — found by the ConcurrencySpec
+    // maintenance storm). `_temporary` subtrees are the write protocol's
+    // private state, never this GC's business: skip them wholesale, and
+    // treat any file that vanishes mid-walk as not-ours-to-GC.
+    val all = scala.collection.mutable.ListBuffer[Path]()
+    Files.walkFileTree(dataRoot,
+      new java.nio.file.SimpleFileVisitor[Path] {
+        import java.nio.file.FileVisitResult
+        override def preVisitDirectory(d: Path,
+            attrs: java.nio.file.attribute.BasicFileAttributes)
+            : FileVisitResult =
+          if (d.getFileName != null &&
+              d.getFileName.toString == "_temporary")
+            FileVisitResult.SKIP_SUBTREE
+          else FileVisitResult.CONTINUE
+        override def visitFile(f: Path,
+            attrs: java.nio.file.attribute.BasicFileAttributes)
+            : FileVisitResult = {
+          if (attrs.isRegularFile) all += f
+          FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(f: Path, exc: java.io.IOException)
+            : FileVisitResult = FileVisitResult.CONTINUE
+      })
     val (aux, dataFiles) =
-      all.partition(p => isMarker(p) || crcOwner(p).isDefined)
+      all.toList.partition(p => isMarker(p) || crcOwner(p).isDefined)
 
+    // a file that vanishes between the walk and the stat belongs to an
+    // in-flight writer cleaning up after itself — report it younger
+    // than any cutoff so this pass never claims it
+    def mtimeOr(p: Path, absent: Long): Long =
+      try Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => absent }
     val deadData = dataFiles.filter(p =>
       !referenced.contains(p.toString) &&
-        Files.getLastModifiedTime(p).toMillis <= cutoff)
+        mtimeOr(p, Long.MaxValue) <= cutoff)
     val deadSet = deadData.map(_.toString).toSet
     // data files surviving this pass (referenced, or orphans the age
     // gate is still protecting), per commit dir — a marker lives while
@@ -326,11 +382,11 @@ object ManifestTable {
           // already GC'd by an older vacuum) is itself age-gated
           deadSet.contains(owner.toString) ||
             (!Files.exists(owner) &&
-              Files.getLastModifiedTime(p).toMillis <= cutoff)
+              mtimeOr(p, Long.MaxValue) <= cutoff)
         case _ => // _SUCCESS / ._SUCCESS.crc
           survivorsByDir.getOrElse(p.getParent, 0) == 0 &&
             (deadData.exists(_.getParent == p.getParent) ||
-              Files.getLastModifiedTime(p).toMillis <= cutoff)
+              mtimeOr(p, Long.MaxValue) <= cutoff)
       }
     }
 
@@ -344,9 +400,10 @@ object ManifestTable {
     val emptiedHere = deleted.map(_.getParent).toSet
     withStream(Files.list(dataRoot))(_.iterator().asScala
       .filter(Files.isDirectory(_))
-      .filter(d => withStream(Files.list(d))(!_.iterator().hasNext))
+      .filter(d => try withStream(Files.list(d))(!_.iterator().hasNext)
+        catch { case _: java.io.IOException => false })
       .filter(d => emptiedHere.contains(d) ||
-        Files.getLastModifiedTime(d).toMillis <= cutoff)
+        mtimeOr(d, Long.MaxValue) <= cutoff)
       .toList)
       .foreach { d =>
         try Files.deleteIfExists(d)

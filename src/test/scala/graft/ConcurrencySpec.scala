@@ -273,4 +273,97 @@ class ConcurrencySpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.readAt(s, root, 1)
       .collect().map(_.getInt(0)).sorted.toSeq == (1 to 5))
   }
+
+  test("maintenance storm: vacuum + expire race concurrent committers, " +
+       "a compactor and a reader; no live file is ever unlinked") {
+    // r17 verdict #7 — the FULL maintenance storm in one property:
+    // 4 appenders, a compactor, a latest-version reader, and a
+    // maintenance loop (expireVersions + age-gated vacuum) all race on
+    // one table. The pinned contract: at every maintenance round, every
+    // data file of every REMAINING manifest version still exists, and
+    // the final table holds the initial rows plus every appended value
+    // exactly once — while vacuum DOES delete the compaction orphans
+    // that aged out of retention (a storm where vacuum never deletes
+    // anything would prove nothing).
+    import graft.sources.ManifestTable
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("manifest_storm")
+    val s = spark
+    import s.implicits._
+    ManifestTable.commit(s, root, (1 to 20).toDF("v"), overwrite = false)
+    // age gate: long enough to cover any in-flight write→link window
+    // under load, short enough that compaction orphans age out and are
+    // actually GC'd during/after the storm
+    val gateMs = 1500L
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def guarded(body: => Unit): Future[Unit] =
+      Future(try body catch { case t: Throwable => errors.add(t) })
+    // the liveness invariant — called from the maintenance thread only,
+    // so it never races its own expireVersions
+    def assertLive(tag: String): Unit = {
+      val latest = ManifestTable.latestVersion(root)
+      (1 to latest).foreach { v =>
+        if (Files.exists(Paths.get(root, "_manifest", f"v$v%08d.txt")))
+          ManifestTable.filesAt(root, v).foreach(f =>
+            assert(Files.exists(Paths.get(f)),
+              s"$tag: live file of v$v was unlinked: $f"))
+      }
+    }
+    val writers = (1 to 4).map { w =>
+      guarded {
+        (0 until 5).foreach { i =>
+          ManifestTable.commit(s, root, Seq(1000 * w + i).toDF("v"),
+            overwrite = false)
+          Thread.sleep(120)
+        }
+      }
+    }
+    val compactor = guarded {
+      (0 until 5).foreach { _ =>
+        ManifestTable.compact(s, root, 1L << 20, 1L << 20)
+        Thread.sleep(350)
+      }
+    }
+    val reader = guarded {
+      (0 until 30).foreach { _ =>
+        // a reader pinned at what WAS the latest can see its version
+        // expire mid-read when ≥keepLast commits land in the window —
+        // the documented retention contract is "retry at the new
+        // latest", so only that precise failure is tolerated here
+        try assert(ManifestTable.readAt(s, root,
+            ManifestTable.latestVersion(root)).count() >= 20)
+        catch { case _: IllegalArgumentException => () }
+        Thread.sleep(80)
+      }
+    }
+    val maintenance = guarded {
+      (0 until 10).foreach { r =>
+        ManifestTable.expireVersions(root, keepLast = 3)
+        ManifestTable.vacuum(root, gateMs)
+        assertLive(s"storm round $r")
+        Thread.sleep(300)
+      }
+    }
+    Await.result(
+      Future.sequence(writers ++ Seq(compactor, reader, maintenance)),
+      5.minutes)
+    assert(errors.isEmpty, s"storm thread failed: ${errors.peek()}")
+    // quiesce past the age gate, then the terminal maintenance pass:
+    // with history bounded to the latest version, every compaction
+    // input and raced data dir is an aged orphan — vacuum must sweep
+    // them AND leave the live table bit-for-bit intact
+    Thread.sleep(gateMs + 200)
+    ManifestTable.expireVersions(root, keepLast = 1)
+    val swept = ManifestTable.vacuum(root, gateMs)
+    assertLive("final sweep")
+    assert(swept.nonEmpty,
+      "the storm must leave GC-able orphans (compaction rewrote files)")
+    val expect = ((1 to 20) ++
+      (for (w <- 1 to 4; i <- 0 until 5) yield 1000 * w + i)).sorted
+    val got = ManifestTable
+      .readAt(s, root, ManifestTable.latestVersion(root))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == expect,
+      "post-storm table must hold initial + every appended row exactly once")
+  }
 }

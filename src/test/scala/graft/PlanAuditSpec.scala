@@ -82,6 +82,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "time-band condition must ride as residual on the user equi-join")
   }
 
+  test("dbscan grid pins its grid-bounded tables: final plan never " +
+      "re-scans the corpus") {
+    // r17 verdict #5: unpinned, every downstream branch (CC rounds,
+    // border explode, noise anti-join) re-ran the embeddings scan + two
+    // 64-term JL chains — the suite's slowest query at 0.2 MB shuffle.
+    // With the cell census and labeled-core table localCheckpoint'd, the
+    // final plan's ONLY leaves are the checkpointed RDDs.
+    val df = Llm.qEmbedDbscanGrid.fn(spark, sfDir)
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    assert(leaves.nonEmpty)
+    assert(leaves.forall(_.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD]),
+      "a non-checkpointed leaf re-scans the corpus per branch: " +
+        leaves.map(_.nodeName).mkString(", "))
+  }
+
   test("curation verdicts read only the columns they need") {
     val p = plan(Llm.qCorpusCurate.fn(spark, sfDir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
