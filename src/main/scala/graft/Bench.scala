@@ -299,8 +299,12 @@ object Bench {
           java.nio.file.Files.readAllLines(detailPath)).asScala.toSeq
           .filter { l =>
             val cols = l.split('\t')
+            // merge per-(axis, query) — a partial (`only` args) run must
+            // refresh ONLY its own rows, not erase the rest of the
+            // axis's sweep (PRIOR already merged this way; DETAIL
+            // clobbered whole axes)
             cols.length >= 4 && cols(0) != "sf_dir" &&
-              !axes.exists(_._1 == cols(0))
+              !written.get(cols(0)).exists(_.contains(cols(1)))
           }
           // pre-telemetry rows pad with EMPTY byte/task fields (missing ≠
           // measured-zero) so header-indexed parsers never hit short rows

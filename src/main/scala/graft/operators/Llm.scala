@@ -440,14 +440,27 @@ object Llm {
         .join(prefix.toDF("b", "h2"),
           col("h") === col("h2") && col("a") < col("b"))
         .select("a", "b").distinct()
-      val shA = sh.select(col("doc_id").as("a"), col("h").as("ha"))
-      val shB = sh.select(col("doc_id").as("b"), col("h").as("hb"))
-      val repPairs = cand.join(shA, "a")
-        .join(shB, Seq("b"), "inner")
-        .where(col("ha") === col("hb"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-        .join(sizes.toDF("a", "na").hint("shuffle_hash"), "a")
-        .join(sizes.toDF("b", "nb").hint("shuffle_hash"), "b")
+      // Verification by PER-PAIR set intersection (the classic PPJoin
+      // verify step), not a postings re-join: exploding both docs'
+      // full posting lists per candidate and re-aggregating was ~30 MB
+      // of shuffle at sf0.1 — the query's whole residual cost. Each
+      // rep's (distinct) shingle array is collected once off the pinned
+      // postings (rep-bounded rows, doc-length-bounded arrays — the
+      // same boundedness collect_list already assumes in the bucket
+      // family) and the candidate pair intersects two arrays row-local:
+      // inter = |A∩B| via array_intersect (h distinct per doc), na/nb
+      // are the array sizes — identical values to the postings
+      // formulation, a fraction of the exchange.
+      val docArrs = sh.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("h"))).as("hs"))
+        .localCheckpoint(true)
+      val repPairs = cand
+        .join(docArrs.toDF("a", "ha").hint("shuffle_hash"), "a")
+        .join(docArrs.toDF("b", "hb").hint("shuffle_hash"), "b")
+        .select(col("a"), col("b"),
+          expr("size(array_intersect(ha, hb))").cast(LongType).as("inter"),
+          expr("size(ha)").cast(LongType).as("na"),
+          expr("size(hb)").cast(LongType).as("nb"))
         .where(expr("3 * inter >= na + nb"))
       // inter-group expansion: every member of ga pairs with every
       // member of gb (sets identical within a group)
@@ -508,9 +521,10 @@ object Llm {
     * tiny Jaccard (union is dominated by the long doc) but containment
     * |A∩B|/|A| ≈ 1. This is the dedup pass that catches boilerplate
     * wrappers, quoted posts and partial mirrors in a training corpus.
-    * Same single-exchange bucket shape as q_dedup_jaccard_pairs (shingle
-    * postings → in-bucket pairs → per-pair intersection, sizes off the
-    * same exchange); the ≥0.9 threshold is applied as the integer
+    * Same single-exchange bucket shape as q_dedup_jaccard_pairs
+    * (postings from the SHARED pinned dedupBase build → in-bucket
+    * pairs → per-pair intersection; sizes from the same shared
+    * build); the ≥0.9 threshold is applied as the integer
     * predicate 10·inter ≥ 9·min(na,nb) — no float boundary anywhere in
     * the FILTER, the reported scores are one division on identical
     * integer operands. Truth query: uncapped buckets (a capped bucket
