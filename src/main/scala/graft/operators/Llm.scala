@@ -3061,7 +3061,13 @@ object Llm {
   val qTextBoilerplate = Q(
     "q_text_boilerplate",
     (s, dir) => {
+      // postings ride xxhash64(shingle), not the shingle string, through
+      // BOTH exchanges (the q_dedup_jaccard_pairs byte trade, same
+      // ~n²/2⁶⁵ collision acceptance): a 3-token shingle is ~25 chars,
+      // the hash is 8 bytes — at the ×50 long-doc axis this join was
+      // 26.9 MB of string shuffle, the char-level family's largest
       val ss = shingleSets(Tables.documents(s, dir))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       val dfc = ss.groupBy("shingle").agg(count(lit(1)).as("df"))
       ss.join(dfc, "shingle")
         .groupBy("doc_id")
