@@ -194,16 +194,63 @@ object Llm {
           DedupBase(members, sh, dfreq, sizes)
         })
 
-  /** Full-corpus shingle postings, derived from the shared build: every
-    * member inherits its representative's shingle rows — no re-shingling,
-    * no clone-multiplied explode.
+  /** Expand REP-level verified pairs (a, b, inter, na, nb over
+    * representative ids) to MEMBER-level pairs — the output-bound tail
+    * of the exact-dup collapse shared by ppjoin/jaccard/containment:
+    * inter-group pairs inherit the reps' exact inter/na/nb (sets are
+    * identical within a group; sizes follow the doc ids, so when member
+    * ids flip the (a, b) order relative to the rep order, na/nb flip
+    * too), intra-group pairs are exact dups (inter = na = nb — J = 1,
+    * containment 1.0) and only groups whose representative HAS shingles
+    * participate, exactly as in the naive all-pairs oracle. The work is
+    * output-bound where the output itself is quadratic (a clone corpus
+    * MUST emit every clone pair) — never compute-quadratic.
     */
-  private def dedupShFull(b: DedupBase): DataFrame =
-    b.members.join(b.sh.toDF("gid", "h"), "gid")
-      .select(col("doc_id"), col("h"))
-  private def dedupSizesFull(b: DedupBase): DataFrame =
-    b.members.join(b.sizes.toDF("gid", "n"), "gid")
-      .select(col("doc_id"), col("n"))
+  private def dedupExpandRepPairs(bb: DedupBase,
+                                  repPairs: DataFrame): DataFrame = {
+    val members = bb.members
+    val inter = repPairs
+      .join(members.select(col("gid").as("a"), col("doc_id").as("da")),
+        "a")
+      .join(members.select(col("gid").as("b"), col("doc_id").as("db")),
+        "b")
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"),
+        col("inter"),
+        when(col("da") < col("db"), col("na")).otherwise(col("nb"))
+          .as("na"),
+        when(col("da") < col("db"), col("nb")).otherwise(col("na"))
+          .as("nb"))
+    val intra = members
+      .join(bb.sizes.select(col("doc_id").as("gid"), col("n")), "gid")
+      .select(col("gid"), col("doc_id"), col("n"))
+    val intraPairs = intra.toDF("gid", "da", "na")
+      .join(intra.toDF("gid2", "db", "nb"),
+        col("gid") === col("gid2") && col("da") < col("db"))
+      .select(col("da").as("a"), col("db").as("b"),
+        col("na").as("inter"), col("na"), col("nb"))
+    inter.union(intraPairs)
+  }
+
+  /** Rep-level exact intersection counts from UNCAPPED postings buckets
+    * (truth semantics: a dropped hot shingle would bias `inter` itself,
+    * not just recall — the capped scale paths are LSH/ppjoin-prefix):
+    * one shuffle groups rep postings per shingle hash, in-bucket pairs
+    * explode with no self-join, sizes ride SHUFFLE_HASH (the §7.6
+    * broadcast trap: Catalyst's static estimate of the pair aggregate
+    * is tiny, and broadcasting the O(pairs) side OOM'd the r11 10×
+    * rehearsal at a mere 50 k-doc clone corpus).
+    */
+  private def dedupRepPairsAll(b: DedupBase): DataFrame = {
+    val buckets = b.sh.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    expandBucketPairs(buckets, "ids", "struct(x AS a, y AS b)",
+        Nil, maxBucket = Int.MaxValue)
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(b.sizes.toDF("a", "na").hint("shuffle_hash"), "a")
+      .join(b.sizes.toDF("b", "nb").hint("shuffle_hash"), "b")
+  }
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) over 3-shingle
     * sets. This is the small-scale truth; LSH below is the scale path.
@@ -211,34 +258,21 @@ object Llm {
   val qDedupJaccardPairs = Q(
     "q_dedup_jaccard_pairs",
     (s, dir) => {
-      // Single-pass bucket shape over the SHARED pinned postings (see
-      // dedupBase): ONE shuffle groups doc postings per shingle and
-      // in-bucket pairs explode with no self-join.
+      // Truth values on the collapse (r18): rep-level uncapped buckets
+      // give exact inter/na/nb per representative pair, the integer
+      // threshold (3·inter ≥ na+nb ⟺ J ≥ 0.5, no float boundary)
+      // filters at rep level (inter/na/nb are expansion-invariant up to
+      // the na/nb swap, and the predicate is symmetric), and the member
+      // expansion emits the quadratic OUTPUT without quadratic WORK —
+      // the 10× clone rehearsal read 54.8 s on the full-corpus bucket
+      // form (every bucket 10× members → 100× pairs) vs clone-invariant
+      // here. The ORACLE stays the naive all-pairs join over the full
+      // corpus, so parity certifies the whole composition loses nothing.
       val b = dedupBase(s, dir)
-      val sh = dedupShFull(b)
-      val buckets = sh.groupBy("h")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      // truth query: NO bucket cap (dropping a hot shingle would undercount
-      // `inter` and bias jac itself, not just recall) — the capped scale
-      // path is q_dedup_minhash_lsh
-      val inter = expandBucketPairs(buckets, "ids", "struct(x AS a, y AS b)",
-          Nil, maxBucket = Int.MaxValue)
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      val sizes = dedupSizesFull(b)
-      // SHUFFLE_HASH with sizes as the build side: Catalyst's static
-      // estimate of the pair aggregate is tiny, so left alone it
-      // BROADCASTS the O(pairs) side — OOM-death on a duplicate-heavy
-      // corpus (caught by the r11 10x rehearsal: 8 GB driver OOM at a
-      // mere 50k-doc clone corpus). Neither side is broadcast-safe at
-      // 100 TB; the honest shape is a shuffled join keyed on the doc id
-      // with the smaller O(docs) side as the hash build.
-      inter
-        .join(sizes.toDF("a", "na").hint("shuffle_hash"), "a")
-        .join(sizes.toDF("b", "nb").hint("shuffle_hash"), "b")
+      dedupExpandRepPairs(b,
+          dedupRepPairsAll(b).where(expr("3 * inter >= na + nb")))
         .withColumn("jac", col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")).cast(DoubleType))
-        .where(col("jac") >= 0.5)
         .select("a", "b", "inter", "na", "nb", "jac")
         .orderBy("a", "b")
     },
@@ -421,7 +455,6 @@ object Llm {
       // SHARED pinned dedupBase build (r17 verdict #6) — the corpus is
       // scanned and shingled once per session for the whole family.
       val bb = dedupBase(s, dir)
-      val members = bb.members
       val sh = bb.sh
       val dfreq = bb.dfreq
       val sizes = bb.sizes
@@ -462,34 +495,7 @@ object Llm {
           expr("size(ha)").cast(LongType).as("na"),
           expr("size(hb)").cast(LongType).as("nb"))
         .where(expr("3 * inter >= na + nb"))
-      // inter-group expansion: every member of ga pairs with every
-      // member of gb (sets identical within a group)
-      val inter = repPairs
-        .join(members.select(col("gid").as("a"), col("doc_id").as("da")),
-          "a")
-        .join(members.select(col("gid").as("b"), col("doc_id").as("db")),
-          "b")
-        .select(least(col("da"), col("db")).as("a"),
-          greatest(col("da"), col("db")).as("b"),
-          col("inter"),
-          // sizes follow the doc ids: when the member ids flip the
-          // (a, b) order relative to the rep order, na/nb flip too
-          when(col("da") < col("db"), col("na")).otherwise(col("nb"))
-            .as("na"),
-          when(col("da") < col("db"), col("nb")).otherwise(col("na"))
-            .as("nb"))
-      // intra-group expansion: clone pairs are exact dups (J = 1);
-      // only groups whose representative HAS shingles participate —
-      // shingle-less short docs generate no pairs in the naive join
-      val intra = members
-        .join(sizes.select(col("doc_id").as("gid"), col("n")), "gid")
-        .select(col("gid"), col("doc_id"), col("n"))
-      val intraPairs = intra.toDF("gid", "da", "na")
-        .join(intra.toDF("gid2", "db", "nb"),
-          col("gid") === col("gid2") && col("da") < col("db"))
-        .select(col("da").as("a"), col("db").as("b"),
-          col("na").as("inter"), col("na"), col("nb"))
-      inter.union(intraPairs)
+      dedupExpandRepPairs(bb, repPairs)
         .withColumn("jac", col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")).cast(DoubleType))
         .select("a", "b", "inter", "na", "nb", "jac")
@@ -537,22 +543,14 @@ object Llm {
   val qDedupContainment = Q(
     "q_dedup_containment",
     (s, dir) => {
+      // Same collapse+expansion shape as q_dedup_jaccard_pairs (r18):
+      // the ≥0.9 threshold (10·inter ≥ 9·min(na,nb) — min is symmetric
+      // under the expansion's na/nb swap) filters at rep level; the
+      // oracle stays the naive full-corpus join.
       val b = dedupBase(s, dir)
-      val sh = dedupShFull(b)
-      val buckets = sh.groupBy("h")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      val inter = expandBucketPairs(buckets, "ids", "struct(x AS a, y AS b)",
-          Nil, maxBucket = Int.MaxValue)
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      val sizes = dedupSizesFull(b)
-      // shuffle-hash with sizes as build — same rationale (and same r11
-      // 10x-rehearsal OOM) as q_dedup_jaccard_pairs: never let the
-      // statically-underestimated O(pairs) aggregate become a broadcast
-      inter
-        .join(sizes.toDF("a", "na").hint("shuffle_hash"), "a")
-        .join(sizes.toDF("b", "nb").hint("shuffle_hash"), "b")
-        .where(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
+      dedupExpandRepPairs(b,
+          dedupRepPairsAll(b)
+            .where(col("inter") * 10 >= least(col("na"), col("nb")) * 9))
         .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
           (col("inter").cast(DoubleType) / col("na").cast(DoubleType))
             .as("cont_a"),
