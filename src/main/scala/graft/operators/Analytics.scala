@@ -1899,10 +1899,16 @@ object Analytics {
       val d = cum.crossJoin(broadcast(n))
         .withColumn("dnum",
           abs(col("n2") * col("c1c") - col("n1") * col("c2c")))
-      val maxd = d.agg(max(col("dnum")).as("d_num"))
-      d.join(broadcast(maxd), col("dnum") === col("d_num"))
-        .groupBy("n1", "n2", "d_num")
-        .agg(min(col("v")).as("at_v"))
+      // single-pass struct ARGMAX (r18), not max-then-rejoin: the
+      // rejoin re-executed the whole bucketed double-cumsum chain a
+      // second time — half the query's sf0.1 wall. min(v) at the max
+      // rides the struct as a negated tie-break component (IEEE sign
+      // flip is exact).
+      d.groupBy("n1", "n2")
+        .agg(max(struct(col("dnum").as("d_num"), (-col("v")).as("nv")))
+          .as("m"))
+        .select(col("n1"), col("n2"), col("m.d_num").as("d_num"),
+          (-col("m.nv")).as("at_v"))
         .withColumn("d", expr(
           "CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"))
         .select("n1", "n2", "d_num", "d", "at_v")
@@ -4543,20 +4549,29 @@ object Analytics {
         .withColumn("rn", row_number().over(wBasket))
         .where(col("rn") <= graft.operators.Relational.MaxBasket)
         .select("okey", "part")
-      val edges = items.toDF("okey", "pa")
-        .join(items.toDF("okey2", "pb"),
-          col("okey") === col("okey2") && col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      // Brands attach BEFORE pair generation (r18): the old shape
+      // materialized the O(pairs) weighted edge list through THREE
+      // pair-mass exchanges (wedge groupBy + two brand joins ≈ 50 MB
+      // written at sf0.1) and then re-consumed it four times. Every
+      // statistic of Q is an associative integer sum over WEDGES, so
+      // the self-join's output can project straight to (ca, cb) and
+      // partial-aggregate to the ≤|brands|² grid before its only
+      // exchange — the pair list never exists. The items⋈part join is
+      // SHUFFLE_HASH (part is O(catalog) at 100 TB, not broadcastable).
       val brand = Tables.part(s, dir)
-        .select(col("p_partkey").as("pk"), col("p_brand").as("c"))
-      val eb = edges
-        .join(brand.toDF("pa", "ca").hint("shuffle_hash"), "pa")
-        .join(brand.toDF("pb", "cb").hint("shuffle_hash"), "pb")
-      val m = eb.agg(sum(col("w")).as("m"))
-      val ec = eb.where(col("ca") === col("cb"))
+        .select(col("p_partkey").as("part"), col("p_brand").as("c"))
+      val itemsC = items.join(brand.hint("shuffle_hash"), "part")
+      val grp = itemsC.select(col("okey"), col("part").as("pa"),
+          col("c").as("ca"))
+        .join(itemsC.select(col("okey").as("okey2"), col("part").as("pb"),
+          col("c").as("cb")),
+          col("okey") === col("okey2") && col("pa") < col("pb"))
+        .groupBy("ca", "cb").agg(count(lit(1)).as("w"))
+      val m = grp.agg(sum(col("w")).as("m"))
+      val ec = grp.where(col("ca") === col("cb"))
         .groupBy(col("ca").as("c")).agg(sum(col("w")).as("e_c"))
-      val strength = eb.select(col("ca").as("c"), col("w"))
-        .union(eb.select(col("cb").as("c"), col("w")))
+      val strength = grp.select(col("ca").as("c"), col("w"))
+        .union(grp.select(col("cb").as("c"), col("w")))
         .groupBy("c").agg(sum(col("w")).as("d_c"))
       val rows = strength.join(ec, Seq("c"), "left")
         .select(col("c"), coalesce(col("e_c"), lit(0L)).as("e_c"),

@@ -98,6 +98,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
         leaves.map(_.nodeName).mkString(", "))
   }
 
+  test("dedup family reads only the pinned shared build: no full-corpus " +
+      "re-shingle in any final plan") {
+    // r18: jaccard/containment/ppjoin all hang off the memoized
+    // dedupBase (exact-dup collapse + rep postings, localCheckpoint'd).
+    // A non-RDD leaf means some branch re-scans and re-shingles the
+    // corpus — the 39 MB-per-query exchange this build exists to kill.
+    Seq(Llm.qDedupJaccardPairs, Llm.qDedupContainment, Llm.qDedupPpjoin)
+      .foreach { q =>
+        val leaves = q.fn(spark, sfDir)
+          .queryExecution.analyzed.collectLeaves()
+        assert(leaves.nonEmpty)
+        assert(leaves.forall(_.isInstanceOf[
+            org.apache.spark.sql.execution.LogicalRDD]),
+          s"${q.name}: non-pinned leaf re-scans the corpus: " +
+            leaves.map(_.nodeName).mkString(", "))
+      }
+  }
+
   test("curation verdicts read only the columns they need") {
     val p = plan(Llm.qCorpusCurate.fn(spark, sfDir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
