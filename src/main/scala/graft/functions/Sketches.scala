@@ -72,34 +72,43 @@ object Sketches {
   /** PORTABLE Count-Min sketch, built and queried ENTIRELY IN-PLAN —
     * the oracle-reproducible counterpart to q_sketch_heavy_hitters
     * (whose JVM CountMinSketch DuckDB cannot run): depth 4 × width 256
-    * counters, row-d cell = pHash60(d‖':'‖token) mod 256, estimate =
-    * min over the 4 rows. Because the hash is the portable md5-prefix
-    * (Det.pHash60), DuckDB rebuilds the IDENTICAL sketch and the parity
-    * gate certifies construction + query, not just a bound. The CMS
-    * contract est ≥ exact is pinned in SketchesSpec. Scale: the build is
-    * one groupBy over (d, cell) — 1 024 counters, map-side partial
-    * aggregation collapses each partition to ≤1 024 rows before the
-    * shuffle, the textbook mergeable-summary shape; the exact top-25 is
-    * the certification truth path (production keeps only the sketch).
+    * counters; the 4 row hashes are four DISJOINT 8-hex-char windows of
+    * ONE md5(token) (r18 — one digest + four codegen'd conv slices per
+    * token replaced four interpreted per-(token, depth) digests, which
+    * were this query's whole wall: the md5's 128 bits are uniform, and
+    * disjoint windows give the independent-rows property the CMS wants;
+    * the est ≥ exact LAW holds for ANY row hash regardless). Estimate =
+    * min over the 4 rows. Because both engines slice the same md5 hex,
+    * DuckDB rebuilds the IDENTICAL sketch and the parity gate certifies
+    * construction + query, not just a bound. The CMS contract est ≥
+    * exact is pinned in R14Spec. Scale: the build is one groupBy over
+    * (d, cell) — 1 024 counters, map-side partial aggregation collapses
+    * each partition to ≤1 024 rows before the shuffle, the textbook
+    * mergeable-summary shape; the exact top-25 is the certification
+    * truth path (production keeps only the sketch).
     */
   val qSketchCmsPortable = Q(
     "q_sketch_cms_portable",
     (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.{LongType, StringType}
+      def cell(d: Int, c: Column): Column = pmod(
+        conv(substring(md5(c.cast(StringType)), 1 + 8 * d, 8), 16, 10)
+          .cast(LongType), lit(256L))
       val toks = graft.operators.Llm.tokens(
         graft.sources.Tables.documents(s, dir))
-      val depths = s.range(4).select(col("id").cast("int").as("d"))
-      val cells = toks.crossJoin(broadcast(depths))
-        .select(col("d"), pmod(graft.Det.pHash60(
-          concat(col("d").cast("string"), lit(":"), col("tok"))),
-          lit(256)).as("cell"))
+      val cells = toks
+        .select(posexplode(array(
+          (0 until 4).map(d => cell(d, col("tok"))): _*)))
+        .select(col("pos").as("d"), col("col").as("cell"))
         .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
       val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("tok")).limit(25)
-      top.crossJoin(broadcast(depths))
-        .select(col("tok"), col("n_exact"), col("d"),
-          pmod(graft.Det.pHash60(
-            concat(col("d").cast("string"), lit(":"), col("tok"))),
-            lit(256)).as("cell"))
+      top
+        .select(col("tok"), col("n_exact"), posexplode(array(
+          (0 until 4).map(d => cell(d, col("tok"))): _*)))
+        .select(col("tok"), col("n_exact"), col("pos").as("d"),
+          col("col").as("cell"))
         .join(broadcast(cells), Seq("d", "cell"))
         .groupBy("tok", "n_exact")
         .agg(min(col("cnt")).as("n_cms"))
@@ -108,23 +117,25 @@ object Sketches {
         .orderBy(col("n_exact").desc, col("tok"))
     },
     Some {
-      val h = (e: String) => graft.Det.sqlPHash60(e)
+      def h(d: Int, e: String): String =
+        s"((('0x' || substr(md5($e), ${1 + 8 * d}, 8))::BIGINT) % 256)"
+      def hList(e: String): String =
+        (0 until 4).map(d => h(d, e)).mkString("[", ", ", "]")
       s"""WITH toks AS (SELECT tok FROM
                    (SELECT unnest(string_split(text, ' ')) AS tok
                     FROM documents) WHERE tok <> ''),
-              depths AS (SELECT unnest(range(0, 4)) AS d),
-              cells AS (SELECT d,
-                     ((${h("CAST(d AS VARCHAR) || ':' || tok")}) % 256
-                       + 256) % 256 AS cell,
-                     count(*) AS cnt
-                   FROM toks CROSS JOIN depths GROUP BY 1, 2),
+              cells AS (SELECT d, cell, count(*) AS cnt FROM
+                     (SELECT unnest([0, 1, 2, 3]) AS d,
+                             unnest(${hList("tok")}) AS cell
+                      FROM toks)
+                   GROUP BY d, cell),
               top AS (SELECT tok, count(*) AS n_exact FROM toks
                       GROUP BY tok
                       ORDER BY n_exact DESC, tok LIMIT 25),
-              q AS (SELECT top.tok, top.n_exact, depths.d,
-                      ((${h("CAST(depths.d AS VARCHAR) || ':' || top.tok")})
-                        % 256 + 256) % 256 AS cell
-                    FROM top CROSS JOIN depths)
+              q AS (SELECT tok, n_exact,
+                      unnest([0, 1, 2, 3]) AS d,
+                      unnest(${hList("tok")}) AS cell
+                    FROM top)
             SELECT q.tok, q.n_exact,
                    CAST(min(cells.cnt) AS BIGINT) AS n_cms,
                    CAST(min(cells.cnt) - q.n_exact AS BIGINT) AS overcount
