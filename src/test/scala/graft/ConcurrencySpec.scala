@@ -22,6 +22,10 @@ class ConcurrencySpec extends AnyFunSuite with SparkFixture {
     "q_graph_pagerank", "q_graph_sssp",
     // two sharing the corpus pair store
     "q_dedup_clusters", "q_graph_triangles",
+    // three racing the memoized checkpoint-pinned dedupBase build
+    // (r18): computeIfAbsent must serialize the build and hand every
+    // racer the same pinned frames
+    "q_dedup_jaccard_pairs", "q_dedup_containment", "q_dedup_ppjoin",
     // independent store builders
     "q_join_bucketed", "q_layout_zorder",
     // pure queries riding alongside
