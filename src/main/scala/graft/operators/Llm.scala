@@ -114,9 +114,11 @@ object Llm {
     * SELECT DISTINCT self-join is unchanged.
     */
   private def firstCollisionOnly(pairs: DataFrame): DataFrame =
-    pairs.where(!expr(
-      "exists(zip_with(slice(ka, 1, band), slice(kb, 1, band), " +
-        "(p, q) -> p = q), v -> v)"))
+    // native early-exit loop (BandPrefixCollides), not the interpreted
+    // exists(zip_with(slice…)) HOF chain — evaluated once per candidate
+    // pair, it was the ANN query's whole wall at sf0.1 (r18); callers
+    // register it via VectorFunctions.register
+    pairs.where(!expr("band_prefix_collides(ka, kb, band)"))
 
   // ---------------------------------------------------------------- dedup
 

@@ -198,11 +198,88 @@ case class HyperplaneBandKeys(child: Expression,
       newChild: Expression): HyperplaneBandKeys = copy(child = newChild)
 }
 
+/** ∃ j < band: ka[j] == kb[j] — the LSH first-collision filter's
+  * predicate as a native codegen loop with early exit. The declarative
+  * spelling `exists(zip_with(slice(ka,1,band), slice(kb,1,band), …))` is
+  * an INTERPRETED higher-order chain (lambda functions never enter
+  * whole-stage codegen) evaluated once per candidate pair — at sf0.1 the
+  * ANN query explodes ~10⁶ candidates and the interpreter was its whole
+  * wall (the same profiling argument as FloatVecDot above). Semantics are
+  * identical: slice-out-of-range positions simply don't collide (the n
+  * bound below), band 0 checks nothing.
+  */
+case class BandPrefixCollides(first: Expression, second: Expression,
+                              third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "band_prefix_collides"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val intArr = (e: Expression) => e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+    if (intArr(first) && intArr(second) &&
+        third.dataType == org.apache.spark.sql.types.IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<int>, int), got " +
+          s"${first.dataType.sql}, ${second.dataType.sql}, " +
+          s"${third.dataType.sql}")
+  }
+
+  override def nullSafeEval(ka: Any, kb: Any, band: Any): Any = {
+    val x = ka.asInstanceOf[ArrayData]
+    val y = kb.asInstanceOf[ArrayData]
+    val n = math.min(math.min(x.numElements(), y.numElements()),
+      band.asInstanceOf[Int])
+    var j = 0
+    while (j < n) {
+      if (x.getInt(j) == y.getInt(j)) return true
+      j += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ka, kb, band) => {
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min(
+         |  java.lang.Math.min($ka.numElements(), $kb.numElements()), $band);
+         |${ev.value} = false;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($ka.getInt($j) == $kb.getInt($j)) {
+         |    ${ev.value} = true;
+         |    break;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): BandPrefixCollides =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorFunctions {
-  /** Make `vec_dot` callable from expr()/SQL in this session. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Make `vec_dot` + `band_prefix_collides` callable from expr()/SQL in
+    * this session. Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", args => FloatVecDot(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "band_prefix_collides",
+      args => BandPrefixCollides(args(0), args(1), args(2)), "built-in")
+  }
 
   /** Register a band-shape-specific `lsh_keys_<bands>_<rows>` function with
     * the plane matrix baked in (SQL functions can't take a matrix argument).
