@@ -154,11 +154,48 @@ object Llm {
     */
   final case class DedupBase(members: DataFrame, sh: DataFrame,
                              dfreq: DataFrame, sizes: DataFrame)
-  private val dedupBaseCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DedupBase]()
-  private def dedupBase(s: SparkSession, dir: String): DedupBase =
-    dedupBaseCache.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir, _ =>
+  // Cache key doctrine (ADVICE r18 + r18 verdict #5):
+  //  - SESSION identity rides applicationId + SparkContext startTime —
+  //    unique per context LIFECYCLE, unlike identityHashCode whose
+  //    value can be reused by a later session and hand it checkpointed
+  //    RDDs bound to a dead SparkContext. (localCheckpoint pins live at
+  //    context scope, so sibling sessions of one context may share.)
+  //  - CORPUS identity rides a version stamp of the documents.parquet
+  //    part files (count + newest mtime): a caller that rewrites a
+  //    corpus dir in place and re-queries the same path now misses the
+  //    stale entry instead of reading pinned plans over deleted files.
+  //  - Entries whose context has STOPPED are evicted on the next access
+  //    from any session, so dead checkpoint RDDs don't pin for the JVM
+  //    lifetime.
+  private val dedupBaseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.SparkContext, DedupBase)]()
+  private def corpusStamp(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    try {
+      if (!java.nio.file.Files.isDirectory(p))
+        return java.nio.file.Files.getLastModifiedTime(p).toMillis.toString
+      var n = 0L
+      var newest = 0L
+      val st = java.nio.file.Files.list(p)
+      try {
+        st.forEach { f =>
+          n += 1
+          newest = math.max(newest,
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        }
+      } finally st.close()
+      s"$n@$newest"
+    } catch { case _: java.io.IOException => "0" }
+  }
+  private def dedupBase(s: SparkSession, dir: String): DedupBase = {
+    val sc = s.sparkContext
+    val it = dedupBaseCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue._1.isStopped) it.remove()
+    val key = sc.applicationId + "@" + sc.startTime + "|" + dir +
+      "|" + corpusStamp(dir)
+    dedupBaseCache.computeIfAbsent(key, _ => sc -> buildDedupBase(s, dir))._2
+  }
+  private def buildDedupBase(s: SparkSession, dir: String): DedupBase =
         graft.sources.BuildTimer.timed {
           import org.apache.spark.sql.expressions.Window
           val base = Tables.documents(s, dir)
@@ -194,7 +231,7 @@ object Llm {
           val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
             .localCheckpoint(true)
           DedupBase(members, sh, dfreq, sizes)
-        })
+        }
 
   /** Expand REP-level verified pairs (a, b, inter, na, nb over
     * representative ids) to MEMBER-level pairs — the output-bound tail

@@ -218,8 +218,16 @@ case class BandPrefixCollides(first: Expression, second: Expression,
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // containsNull must be FALSE: the loop reads slots with getInt, which
+    // would silently decode a null slot as 0 (a phantom collision on two
+    // null slots). The replaced exists(zip_with(...)) spelling propagated
+    // null instead — rather than pick either semantics at runtime, reject
+    // nullable-element arrays at analysis time. The only producer
+    // (HyperplaneBandKeys) declares containsNull = false, so the LSH
+    // pipeline type-checks unchanged; anything else must prove its
+    // elements non-null first (e.g. via a transform(coalesce) cast).
     val intArr = (e: Expression) => e.dataType match {
-      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case ArrayType(org.apache.spark.sql.types.IntegerType, n) => !n
       case _ => false
     }
     if (intArr(first) && intArr(second) &&
@@ -227,8 +235,8 @@ case class BandPrefixCollides(first: Expression, second: Expression,
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<int>, array<int>, int), got " +
-          s"${first.dataType.sql}, ${second.dataType.sql}, " +
+        s"$prettyName requires (array<int> containsNull=false ×2, int), " +
+          s"got ${first.dataType.sql}, ${second.dataType.sql}, " +
           s"${third.dataType.sql}")
   }
 

@@ -239,10 +239,22 @@ object ManifestTable {
               smallBytes: Long, targetBytes: Long): Int = {
     // tolerant latest-read: a concurrent expireVersions can unlink the
     // resolved base before we read it (same TOCTOU as commitWith) —
-    // re-resolve instead of crashing the maintenance job
+    // re-resolve instead of crashing the maintenance job. BOUNDED
+    // (ADVICE r18): each retry re-resolves a STRICTLY newer latest (the
+    // old one was just expired), so under any finite commit rate a few
+    // attempts suffice — an unbounded loop would spin forever if the
+    // manifest directory itself is being torn down. Persistent loss
+    // must surface as an error, not a hang.
     var files: Seq[String] = null
     var base = 0
+    var attempts = 0
     while (files == null) {
+      attempts += 1
+      if (attempts > 64)
+        throw new java.nio.file.NoSuchFileException(
+          s"$root: latest manifest kept vanishing across $attempts " +
+            "reads — table being deleted, or expire racing faster than " +
+            "reads can resolve")
       base = latestVersion(root)
       require(base > 0, s"no committed version at $root")
       tryLinesAt(root, base).foreach(ls =>
@@ -334,9 +346,15 @@ object ManifestTable {
     // vanishes between enumeration and stat (Spark's commit protocol
     // renames/deletes those constantly — found by the ConcurrencySpec
     // maintenance storm). `_temporary` subtrees are the write protocol's
-    // private state, never this GC's business: skip them wholesale, and
-    // treat any file that vanishes mid-walk as not-ours-to-GC.
+    // private state, never census input: skip them in the main walk, and
+    // treat any file that vanishes mid-walk as not-ours-to-GC. But a
+    // crashed writer never cleans its tree up, so an unconditional skip
+    // accumulates dead `_temporary` debris forever (ADVICE r18) — each
+    // skipped tree is AGE-GATED below on its NEWEST mtime: a live
+    // writer's task attempts keep touching the tree, so a tree whose
+    // newest entry predates the cutoff is abandoned and reclaimed whole.
     val all = scala.collection.mutable.ListBuffer[Path]()
+    val tempTrees = scala.collection.mutable.ListBuffer[Path]()
     Files.walkFileTree(dataRoot,
       new java.nio.file.SimpleFileVisitor[Path] {
         import java.nio.file.FileVisitResult
@@ -344,8 +362,10 @@ object ManifestTable {
             attrs: java.nio.file.attribute.BasicFileAttributes)
             : FileVisitResult =
           if (d.getFileName != null &&
-              d.getFileName.toString == "_temporary")
+              d.getFileName.toString == "_temporary") {
+            tempTrees += d
             FileVisitResult.SKIP_SUBTREE
+          }
           else FileVisitResult.CONTINUE
         override def visitFile(f: Path,
             attrs: java.nio.file.attribute.BasicFileAttributes)
@@ -409,6 +429,57 @@ object ManifestTable {
         try Files.deleteIfExists(d)
         catch { case _: java.nio.file.DirectoryNotEmptyException => () }
       }
+    // abandoned-writer reclaim: a `_temporary` tree whose NEWEST entry
+    // (dir or file, the tree root included) is older than the cutoff has
+    // had no task-attempt activity for the whole retention window —
+    // that writer is dead, not slow. Any mid-walk vanish or IO error
+    // marks the tree young (an active writer is mutating it) and this
+    // pass leaves it alone; the delete itself is children-first and
+    // tolerant for the same race.
+    def newestMtime(t: Path): Long = {
+      var newest = 0L
+      try {
+        Files.walkFileTree(t, new java.nio.file.SimpleFileVisitor[Path] {
+          import java.nio.file.FileVisitResult
+          override def preVisitDirectory(d: Path,
+              attrs: java.nio.file.attribute.BasicFileAttributes)
+              : FileVisitResult = {
+            newest = math.max(newest, attrs.lastModifiedTime.toMillis)
+            FileVisitResult.CONTINUE
+          }
+          override def visitFile(f: Path,
+              attrs: java.nio.file.attribute.BasicFileAttributes)
+              : FileVisitResult = {
+            newest = math.max(newest, attrs.lastModifiedTime.toMillis)
+            FileVisitResult.CONTINUE
+          }
+          override def visitFileFailed(f: Path, exc: java.io.IOException)
+              : FileVisitResult = {
+            newest = Long.MaxValue
+            FileVisitResult.TERMINATE
+          }
+        })
+        newest
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    }
+    tempTrees.filter(newestMtime(_) <= cutoff).foreach { t =>
+      try {
+        val entries = scala.collection.mutable.ListBuffer[Path]()
+        Files.walkFileTree(t, new java.nio.file.SimpleFileVisitor[Path] {
+          import java.nio.file.FileVisitResult
+          override def visitFile(f: Path,
+              attrs: java.nio.file.attribute.BasicFileAttributes)
+              : FileVisitResult = { entries += f; FileVisitResult.CONTINUE }
+          override def postVisitDirectory(d: Path, exc: java.io.IOException)
+              : FileVisitResult = { entries += d; FileVisitResult.CONTINUE }
+          override def visitFileFailed(f: Path, exc: java.io.IOException)
+              : FileVisitResult = FileVisitResult.CONTINUE
+        })
+        entries.foreach(p =>
+          try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+      } catch { case _: java.io.IOException => () }
+    }
     deadData.map(_.toString)
   }
 }

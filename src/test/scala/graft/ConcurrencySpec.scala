@@ -278,6 +278,46 @@ class ConcurrencySpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getInt(0)).sorted.toSeq == (1 to 5))
   }
 
+  test("vacuum reclaims abandoned _temporary trees but not active ones") {
+    // ADVICE r18: skipping `_temporary` subtrees wholesale meant a
+    // crashed writer's debris was NEVER collected. The tree is now
+    // age-gated on its NEWEST mtime: all-old → abandoned, reclaimed
+    // whole; any recent entry → a live writer, untouched.
+    import graft.sources.ManifestTable
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = tmpDir("manifest_tmp")
+    val s = spark
+    import s.implicits._
+    ManifestTable.commit(s, root, (1 to 5).toDF("v"), overwrite = false)
+    def mkTemp(dirName: String): java.nio.file.Path = {
+      val t = Paths.get(root, "data", dirName, "_temporary", "0", "task0")
+      Files.createDirectories(t)
+      Files.write(t.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+      Paths.get(root, "data", dirName, "_temporary")
+    }
+    val dead = mkTemp("cdead")
+    val live = mkTemp("clive")
+    // age the dead tree's every entry past any cutoff; the live tree's
+    // leaf file stays fresh (a writer touched it moments ago) even
+    // though its parents are old — newest-mtime gating must protect it
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 7200L * 1000)
+    Files.walk(dead).forEach(p => Files.setLastModifiedTime(p, old))
+    Files.walk(live).forEach(p => Files.setLastModifiedTime(p, old))
+    Files.setLastModifiedTime(
+      Paths.get(live.toString, "0", "task0", "part-0.parquet"),
+      FileTime.fromMillis(System.currentTimeMillis()))
+    ManifestTable.vacuum(root, minAgeMs = 3600L * 1000)
+    assert(!Files.exists(dead),
+      "an all-old _temporary tree is abandoned debris and must be swept")
+    assert(Files.exists(
+        Paths.get(live.toString, "0", "task0", "part-0.parquet")),
+      "a _temporary tree with any fresh entry belongs to a live writer")
+    // the published table is untouched either way
+    assert(ManifestTable.readAt(s, root, 1)
+      .collect().map(_.getInt(0)).sorted.toSeq == (1 to 5))
+  }
+
   test("maintenance storm: vacuum + expire race concurrent committers, " +
        "a compactor and a reader; no live file is ever unlinked") {
     // r17 verdict #7 — the FULL maintenance storm in one property:
@@ -340,6 +380,44 @@ class ConcurrencySpec extends AnyFunSuite with SparkFixture {
         Thread.sleep(80)
       }
     }
+    // time-travel readers (r18 verdict #7): two threads each pin a
+    // version INSIDE the keepLast=3 retention window and read it in
+    // full while commits, compaction, expire and vacuum all race. The
+    // pinned contract: every read that completes serves a COMPLETE,
+    // CONSISTENT snapshot — the initial 20 rows exactly once, appended
+    // values at most once, nothing alien (a torn compaction rebase
+    // would duplicate or drop initial rows; a vacuumed-but-referenced
+    // file would lose them). A version EXPIRED between pick and read
+    // may fail — but only if it really is gone by then (same retention
+    // contract as the latest-reader above); any other failure rethrows.
+    val appendedVals =
+      (for (w <- 1 to 4; i <- 0 until 5) yield 1000 * w + i).toSet
+    val ttReaders = (0 until 2).map { t =>
+      guarded {
+        val rnd = new scala.util.Random(7 + t)
+        (0 until 20).foreach { _ =>
+          val latest = ManifestTable.latestVersion(root)
+          val v = math.max(1, latest - rnd.nextInt(3))
+          try {
+            val vals = ManifestTable.readAt(s, root, v)
+              .collect().map(_.getInt(0)).toSeq
+            val (init, rest) = vals.partition(_ <= 20)
+            assert(init.sorted == (1 to 20),
+              s"time-travel read of v$v tore the initial commit: " +
+                s"${init.sorted.take(30)}")
+            assert(rest.distinct.size == rest.size &&
+                rest.forall(appendedVals.contains),
+              s"time-travel read of v$v saw duplicated/alien appends")
+          } catch {
+            case t: Throwable =>
+              if (Files.exists(Paths.get(root, "_manifest",
+                  f"v$v%08d.txt"))) throw t
+            // else: v expired mid-read — the documented contract
+          }
+          Thread.sleep(60)
+        }
+      }
+    }
     val maintenance = guarded {
       (0 until 10).foreach { r =>
         ManifestTable.expireVersions(root, keepLast = 3)
@@ -349,7 +427,8 @@ class ConcurrencySpec extends AnyFunSuite with SparkFixture {
       }
     }
     Await.result(
-      Future.sequence(writers ++ Seq(compactor, reader, maintenance)),
+      Future.sequence(writers ++ ttReaders ++
+        Seq(compactor, reader, maintenance)),
       5.minutes)
     assert(errors.isEmpty, s"storm thread failed: ${errors.peek()}")
     // quiesce past the age gate, then the terminal maintenance pass:
@@ -369,5 +448,40 @@ class ConcurrencySpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getInt(0)).sorted.toSeq
     assert(got == expect,
       "post-storm table must hold initial + every appended row exactly once")
+  }
+
+  test("dedupBase invalidates when a corpus dir is rewritten in place") {
+    // r18 verdict #5 / ADVICE: the memoized checkpoint-pinned dedup
+    // build was keyed on the dir STRING only — a caller that rewrites a
+    // corpus in place and re-queries the same path got stale pinned
+    // plans over deleted files. The key now carries a part-file version
+    // stamp; this pins the contract end-to-end: same path, different
+    // corpus, fresh values.
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("dedup_rewrite")
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shared = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    // corpus A: docs 1 and 2 share every 3-gram shingle (J = 1 ≥ 0.5),
+    // doc 3 disjoint → exactly one qualifying pair (expanded form)
+    write(Seq(1L -> shared, 2L -> shared,
+      3L -> (1 to 12).map(i => s"beta$i").mkString(" ")))
+    val q = SparkEntry.queries("q_dedup_jaccard_pairs")
+    val nA = q(s, dir).count()
+    assert(nA == 1L, s"corpus A must yield exactly one J>=0.5 pair, got $nA")
+    // rewrite IN PLACE: three mutually shingle-disjoint docs → 0 pairs.
+    // A stale pinned build would keep reporting corpus A's pair (or
+    // crash on the deleted part files).
+    write(Seq(1L -> (1 to 12).map(i => s"gamma$i").mkString(" "),
+      2L -> (1 to 12).map(i => s"delta$i").mkString(" "),
+      3L -> (1 to 12).map(i => s"epsil$i").mkString(" ")))
+    val nB = q(s, dir).count()
+    assert(nB == 0L,
+      s"rewritten corpus must re-derive the dedup build (got $nB pairs)")
   }
 }
