@@ -265,10 +265,17 @@ object Bench {
     // timing (-1) is dropped so it can never replace a good baseline —
     // that would permanently disable the regression gate for that query
     // (base > 0 guard above)
+    // A PARTIAL (`only` args) run keeps its hands off the axis's calib
+    // rows: its bracket describes a few-query window, not the sweep the
+    // axis's other rows were measured in — letting it overwrite
+    // __calib__ would re-normalize the whole axis's gate against a
+    // window most rows never saw. Full sweeps own the calib rows.
+    val calibRows =
+      if (only.nonEmpty) Seq.empty else Seq(calibRow, calibEndRow)
     val axes: Seq[(String, Seq[(String, (Double, Double, Array[Long]))])] =
-      Seq(sfDir -> (results :+ calibRow :+ calibEndRow)) ++
+      Seq(sfDir -> (results ++ calibRows)) ++
         (if (ldResults.nonEmpty)
-           Seq(ldDir -> (ldResults :+ calibRow :+ calibEndRow))
+           Seq(ldDir -> (ldResults ++ calibRows))
          else Seq.empty)
     def axisRows(axis: String,
                  rs: Seq[(String, (Double, Double, Array[Long]))]) =

@@ -1832,19 +1832,17 @@ object Relational {
     (s, dir) => {
       val k = 25
       val und = graphUnd(s, dir)
-      // LAZY-pin each round's degree table (r18 verdict #8, the dbscan
-      // fusion applied to the peel): deg_r feeds THREE branches (its
-      // census aggregate, the surviving filter, the removed-set loss
-      // join), so unpinned, each census branch replayed every earlier
-      // round's joins — 322 tasks on 0.3 MB of shuffle, pure replay.
-      // Lazy checkpoints materialize once inside the single final
-      // union action (no extra job per round — the CC doctrine) and
-      // every later branch reads the cached blocks. The bucketed und
-      // store stays a TABLE scan on purpose: pinning it would erase
-      // its bucket partitioning and re-shuffle the edge side of every
-      // loss join.
+      // Deliberately UNPINNED (r19 A/B, /tmp/ab_graph.scala protocol in
+      // BASELINE.md): the dbscan/hits checkpoint-fusion pattern was
+      // tried here — lazy-pinned deg_r + a one-shuffle union+groupBy
+      // delta — and measured 2.05 s min vs 1.49 s for THIS spelling in
+      // the same JVM, alternating. The census branches' replay that
+      // motivated the pin is already deduplicated by ReusedExchange
+      // inside the single plan (the branches share every exchange
+      // subtree), while pins pay cache write+read AND hide those
+      // exchanges from reuse. Keep the one declarative plan; Catalyst
+      // wins this one.
       var deg = graphDeg(s, dir) // deg over ALL nodes = round-1 degrees
-        .localCheckpoint(false)
       val censusParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
       censusParts += deg.agg(lit(0).as("round"),
         count(lit(1)).as("n_nodes"))
@@ -1855,23 +1853,13 @@ object Relational {
         if (r < 4) {
           val gone = deg.where(col("deg") < k)
             .select(col("src").as("gone"))
-          // per-dst losses: edge store joined bucket-locally on its
-          // bucket column, ONE aggregate over the incident subset
           val loss = und.join(gone, col("src") === col("gone"))
             .groupBy(col("dst")).agg(count(lit(1)).as("lost"))
-          // deg_r = deg_{r-1} − losses as ONE union+groupBy shuffle of
-          // node-sized rows (the r19 refinement of the r12 delta peel):
-          // the left-join spelling exchanged surv AND loss separately
-          // per round; summing tagged contributions moves each node
-          // once. keep=1 marks the survivor leg so a removed node that
-          // lost neighbors can't resurrect through its loss rows.
-          deg = surv.select(col("src"), col("deg"), lit(1).as("keep"))
-            .unionByName(loss.select(col("dst").as("src"),
-              (-col("lost")).as("deg"), lit(0).as("keep")))
-            .groupBy("src")
-            .agg(sum(col("deg")).as("deg"), max(col("keep")).as("keep"))
-            .where(col("keep") === 1).drop("keep")
-            .localCheckpoint(false)
+            .select(col("dst").as("lnode"), col("lost"))
+          deg = surv.select(col("src"), col("deg"))
+            .join(loss, col("src") === col("lnode"), "left")
+            .select(col("src"),
+              (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
         }
       }
       censusParts.reduce(_ unionByName _)

@@ -98,21 +98,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
         leaves.map(_.nodeName).mkString(", "))
   }
 
-  test("iterative graph queries pin their round tables: hits/kcore final " +
-      "plans read only checkpointed RDDs") {
-    // r18 verdict #8 (the dbscan fusion applied to the graph family):
-    // hits' a2/h2 and kcore's per-round degree tables each feed 2-3
-    // branches — unpinned, every census/top-k/L1 branch replayed the
-    // whole earlier-round join chain (322-359 tasks on <2 MB shuffle).
-    // With lazy checkpoints, the final plan's ONLY leaves are the
-    // pinned RDDs; the bucketed edge store is consumed inside them.
-    Seq(Relational.qGraphKcore, Relational.qGraphHits).foreach { q =>
+  test("hits pins its half-step score tables: final plan reads only " +
+      "checkpointed RDDs") {
+    // r18 verdict #8 (the dbscan fusion applied where it measured
+    // faster): hits' a2/h2 each feed 2-3 branches — unpinned, every
+    // top-k/L1 branch replayed the whole half-step join chain (359
+    // tasks on 1.7 MB). With the lazy pins the final plan's ONLY
+    // leaves are the pinned RDDs; the bucketed edge store is consumed
+    // inside them. (kcore was A/B'd with the same pattern and the
+    // unpinned declarative plan won — ReusedExchange already dedupes
+    // its census branches — so it is deliberately NOT pinned here;
+    // see the kcore docstring + BASELINE.md r19.)
+    Seq(Relational.qGraphHits).foreach { q =>
       val leaves = q.fn(spark, sfDir)
         .queryExecution.analyzed.collectLeaves()
       assert(leaves.nonEmpty)
       assert(leaves.forall(_.isInstanceOf[
           org.apache.spark.sql.execution.LogicalRDD]),
-        s"${q.name}: non-pinned leaf replays the round chain: " +
+        s"${q.name}: non-pinned leaf replays the half-step chain: " +
           leaves.map(_.nodeName).mkString(", "))
     }
   }
