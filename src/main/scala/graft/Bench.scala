@@ -286,52 +286,13 @@ object Bench {
     val written: Map[String, Set[String]] = axes.map { case (a, rs) =>
       a -> rs.collect { case (k, (v, _, _)) if v >= 0 => k }.toSet
     }.toMap
-    // Pad every retained row to 8 FULLY TYPED columns (r18 verdict #4):
-    // pre-telemetry rows carried empty byte/task fields that broke
-    // header-indexed float parsers. 0-sentinels are the documented
-    // trade — those axes' corpora are gone, so "not measured" and
-    // "measured zero" are equally unusable as priors, and a file where
-    // every row parses wins.
-    def pad8(l: String): String = {
-      val c = (l.split('\t') ++ Array.fill(8)("")).take(8)
-      (0 until 8).map { i =>
-        if (c(i).nonEmpty) c(i) else if (i == 7) "0" else "0.000"
-      }.mkString("\t")
-    }
-    // Byte-twin wall protection (r18 verdict #1): when THIS sweep ran
-    // loaded, a new row whose shuffle-byte/spill/task telemetry is
-    // bit-close to its prior twin but whose wall is slower is a LOAD
-    // artifact, not a plan change — keep the prior (quiet) row verbatim
-    // so the next round's gate stays anchored to real plan cost. Only
-    // fires on a loaded bracket: on a quiet box the fresh measurement
-    // always wins, so a genuine same-bytes regression (e.g. codegen
-    // fell back to interpreted) still lands the moment a quiet sweep
-    // sees it.
+    // Row normalization (r18 verdict #4) + byte-twin wall protection
+    // (r18 verdict #1) live in graft.BenchMerge — pure functions,
+    // unit-tested by BenchMergeSpec — so the snapshot policy is pinned
+    // by tests instead of only exercised inside this main.
+    def pad8(l: String): String = BenchMerge.pad8(l)
     def twinProtect(oldLines: Seq[String], mine: Seq[String]): Seq[String] =
-      if (!sweepLoaded) mine
-      else {
-        val old = oldLines.map(pad8).flatMap { l =>
-          val c = l.split('\t')
-          if (c.length == 8) Some((c(0), c(1)) -> c) else None
-        }.toMap
-        mine.map { l =>
-          val c = l.split('\t')
-          old.get((c(0), c(1))) match {
-            case Some(o) if !c(1).startsWith("__calib") =>
-              val keepOld = try {
-                def near(a: String, b: String) = {
-                  val x = a.toDouble; val y = b.toDouble
-                  math.abs(x - y) <= math.max(0.05, 0.02 * math.max(x, y))
-                }
-                o(2).toDouble > 0 && o(2).toDouble < c(2).toDouble &&
-                  o(7) == c(7) && near(o(4), c(4)) && near(o(5), c(5)) &&
-                  near(o(6), c(6))
-              } catch { case _: NumberFormatException => false }
-              if (keepOld) o.mkString("\t") else l
-            case _ => l
-          }
-        }
-      }
+      BenchMerge.twinProtect(oldLines, mine, sweepLoaded)
     // persist this run's full telemetry for the next run's regression gate
     // (best-effort: a read-only working dir must not fail the bench);
     // __calib__/__calib_end__ ride the same file so the next run can

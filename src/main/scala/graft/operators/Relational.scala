@@ -2093,6 +2093,13 @@ object Relational {
     * (a, b) tiebreak. Same-side pairs are never adjacent in a bipartite
     * graph, so no existing-edge exclusion join is needed here (a general
     * graph adds one anti-join against the edge store).
+    * Cluster sizing (r19 10× rehearsal, BASELINE.md): the pair
+    * aggregate's working set grows with the QUADRATIC per-hub fan-out,
+    * not the input bytes — at 10× it spilled 9.1 GB against 32 fixed
+    * partitions while staying wall-linear. At real scale size
+    * shuffle.partitions (or AQE's advisory size) to the pair mass, and
+    * cap hub degrees the way the basket graph does if the degree
+    * distribution is unbounded.
     */
   val qGraphAdamicAdar = Q(
     "q_graph_adamic_adar",
