@@ -1929,11 +1929,24 @@ object Llm {
   def cosineNearDupPairs(embIn: DataFrame, threshold: Double): DataFrame = {
     graft.plans.VectorFunctions.register(embIn.sparkSession)
     val emb = embIn.withColumn("ns", expr("vec_dot(embedding, embedding)"))
+    // The pure theta join (a < b) plans as BroadcastNestedLoopJoin: the
+    // build side broadcasts, the STREAMED side's parallelism is its
+    // input-split count — 3 parquet splits at sf0.1, so the O(N²)
+    // scoring loop ran near-serial on a 32-thread box (3.1 s on 3
+    // tasks, r19 telemetry). One ~3 MB round-robin exchange of the
+    // streamed side spreads the quadratic compute across every core —
+    // the same rule a 1000-executor cluster needs (stream-side
+    // partitions ≥ cluster cores; the broadcast side is the small
+    // capped table either way). Measured: 3.13 → 0.77 s at sf0.1,
+    // identical rows (parity green), and the embed pair-table BUILD
+    // every downstream consumer pays (clusters/lcc/triangles) rides
+    // the same scoring join, so it parallelizes with it.
+    val cores = embIn.sparkSession.sparkContext.defaultParallelism
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"),
-      col("ns").as("nsa"))
+      col("ns").as("nsa")).repartition(cores)
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"),
       col("ns").as("nsb"))
-    a.join(b, col("a") < col("b"))
+    a.join(broadcast(b), col("a") < col("b"))
       .withColumn("score", round(
         expr("vec_dot(va, vb)") /
           (sqrt(col("nsa")) * sqrt(col("nsb"))), 6))
