@@ -183,4 +183,30 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       Layout.compact(spark, in, tmpDir("edge_one_base") + "/o", 1L << 30)
     assert(after == 1)
   }
+
+  test("band_prefix_collides rejects nullable-element arrays at " +
+      "analysis time, accepts non-null ones") {
+    // ADVICE r18: the codegen loop reads slots with getInt, which would
+    // silently decode a null slot as 0 — a phantom collision on two
+    // null slots. The expression now requires containsNull = false, so
+    // the hazard is an analysis-time error, not a wrong row.
+    graft.plans.VectorFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq(1).toDF("x")
+    // array(1, 2): containsNull = false → type-checks and evaluates
+    val ok = df.selectExpr(
+      "band_prefix_collides(array(1, 2), array(1, 9), 2) AS c",
+      "band_prefix_collides(array(1, 2), array(9, 9), 2) AS n")
+      .collect()(0)
+    assert(ok.getBoolean(0) && !ok.getBoolean(1))
+    // a CAST(NULL AS INT) element makes containsNull = true → rejected
+    // with the doctrine message, never a silent 0 == 0 collision
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("band_prefix_collides(array(1, CAST(NULL AS INT)), " +
+        "array(1, 2), 2)").collect()
+    }
+    assert(e.getMessage.contains("containsNull"),
+      s"expected the containsNull rejection, got: ${e.getMessage}")
+  }
 }
