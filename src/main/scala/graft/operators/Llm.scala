@@ -1936,17 +1936,25 @@ object Llm {
     // tasks, r19 telemetry). One ~3 MB round-robin exchange of the
     // streamed side spreads the quadratic compute across every core —
     // the same rule a 1000-executor cluster needs (stream-side
-    // partitions ≥ cluster cores; the broadcast side is the small
-    // capped table either way). Measured: 3.13 → 0.77 s at sf0.1,
+    // partitions ≥ cluster cores). Measured: 3.13 → 0.77 s at sf0.1,
     // identical rows (parity green), and the embed pair-table BUILD
     // every downstream consumer pays (clusters/lcc/triangles) rides
-    // the same scoring join, so it parallelizes with it.
+    // the same scoring join, so it parallelizes with it. Deliberately
+    // NO broadcast hint on b: BNLJ's build side stays the PLANNER's
+    // stats-based call (PlanLintSpec bans force-broadcasting a
+    // corpus-scale side — the r11 OOM class; on a cluster where
+    // embeddings outgrow the broadcast threshold the right plan is
+    // blocked/LSH candidate generation, which is exactly what the
+    // q_sim_cosine_ann_* rows implement — THIS query is the documented
+    // brute-force truth path). The repartition sits on the PROBE side,
+    // which the planner streams: b, unrepartitioned and fully
+    // cacheable, is the cheaper build.
     val cores = embIn.sparkSession.sparkContext.defaultParallelism
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"),
       col("ns").as("nsa")).repartition(cores)
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"),
       col("ns").as("nsb"))
-    a.join(broadcast(b), col("a") < col("b"))
+    a.join(b, col("a") < col("b"))
       .withColumn("score", round(
         expr("vec_dot(va, vb)") /
           (sqrt(col("nsa")) * sqrt(col("nsb"))), 6))
