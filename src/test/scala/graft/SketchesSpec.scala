@@ -94,4 +94,40 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(merged == whole,
       "max-merge of disjoint halves must equal the whole-corpus sketch")
   }
+
+  test("grouped shard-merge law: per-(group, shard) registers max-merged " +
+      "per group equal the per-group direct build (random keys)") {
+    // the q_agg_hll_shards shape generalized: not 2 halves but an
+    // arbitrary 8-way shard split WITHIN groups, on synthetic keys a
+    // seeded RNG draws with duplicates and skew — the n-way grouped
+    // form of the semilattice law the oracle certifies on fixed data.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1719)
+    val rows = Seq.tabulate(20000) { _ =>
+      (Seq("A", "B", "C")(rnd.nextInt(3)),
+        // skewed key space: heavy dups in a small range + a long tail
+        if (rnd.nextBoolean()) rnd.nextInt(500).toLong
+        else rnd.nextLong().abs % 1000000L)
+    }
+    val df = rows.toDF("g", "k")
+      .withColumn("shard", pmod(col("k"), lit(8)))
+      .withColumn("h", graft.Det.pHash60(col("k")))
+      .select(col("g"), col("shard"),
+        pmod(col("h"), lit(256)).as("reg"), expr("h div 256").as("w"))
+      .select(col("g"), col("shard"), col("reg"), expr(
+        "CASE WHEN w = 0 THEN 53 ELSE CAST(round(log2(" +
+          "CAST((w & (-w)) AS DOUBLE))) AS INTEGER) + 1 END").as("rho"))
+    val direct = df.groupBy("g", "reg").agg(max(col("rho")).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val viaShards = df.groupBy("g", "shard", "reg")
+      .agg(max(col("rho")).as("m"))
+      .groupBy("g", "reg").agg(max(col("m")).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(viaShards == direct,
+      "per-group max-merge across 8 shards must equal the direct build")
+  }
 }
