@@ -62,6 +62,26 @@ object Bench {
       dt
     }
     val calibIoStart = calibIo()
+    // CPU-DENSE single-thread probe (r19 verdict #2): the codegen+shuffle
+    // calib above is parallel and latency-ish — the r19 driver sweep
+    // carried 3.4×-inflated CPU-dense walls (winnowing 51.8 vs 15.4 s on
+    // bit-identical bytes/tasks) behind a FLAT bracket. A fixed
+    // single-thread compute loop (no alloc, no Spark) samples exactly the
+    // per-core throughput those walls depend on; it rides the TSV as
+    // __calib_cpu__ / __calib_cpu_end__ so a CPU-starved window is
+    // attributable on read even when the parallel bracket looks quiet.
+    def calibCpu(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < (1 << 27)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibCpuStart = calibCpu()
     // Per-query plan telemetry (r16 verdict #3): wall-clock on a shared
     // box cannot pin plans — three rounds of regression churn were all
     // sweep-load artifacts. Shuffle bytes, spill, and task counts are
@@ -236,6 +256,7 @@ object Bench {
       }
     val calibEnd = calib()
     val calibIoEnd = calibIo()
+    val calibCpuEnd = calibCpu()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def mb(v: Long): String = f3(v / 1048576.0)
     // BOTH bracket probes ride the TSV (r18 verdict #2): the old single
@@ -249,6 +270,12 @@ object Bench {
       ((calibStart, calibIoStart, Array.fill(4)(0L)))
     val calibEndRow = "__calib_end__" ->
       ((calibEnd, calibIoEnd, Array.fill(4)(0L)))
+    // CPU-dense single-thread probe rows (r19 verdict #2) — same
+    // start/end bracket shape as __calib__/__calib_end__
+    val calibCpuRow = "__calib_cpu__" ->
+      ((calibCpuStart, 0.0, Array.fill(4)(0L)))
+    val calibCpuEndRow = "__calib_cpu_end__" ->
+      ((calibCpuEnd, 0.0, Array.fill(4)(0L)))
     // Loaded-window detection for the PRIOR snapshot (r18 verdict #1):
     // a sweep whose bracket decayed >1.3× (or that started >1.3× above
     // the prior calibration) ran on a degrading box — its inflated
@@ -271,7 +298,8 @@ object Bench {
     // __calib__ would re-normalize the whole axis's gate against a
     // window most rows never saw. Full sweeps own the calib rows.
     val calibRows =
-      if (only.nonEmpty) Seq.empty else Seq(calibRow, calibEndRow)
+      if (only.nonEmpty) Seq.empty
+      else Seq(calibRow, calibEndRow, calibCpuRow, calibCpuEndRow)
     val axes: Seq[(String, Seq[(String, (Double, Double, Array[Long]))])] =
       Seq(sfDir -> (results ++ calibRows)) ++
         (if (ldResults.nonEmpty)
@@ -287,12 +315,15 @@ object Bench {
       a -> rs.collect { case (k, (v, _, _)) if v >= 0 => k }.toSet
     }.toMap
     // Row normalization (r18 verdict #4) + byte-twin wall protection
-    // (r18 verdict #1) live in graft.BenchMerge — pure functions,
-    // unit-tested by BenchMergeSpec — so the snapshot policy is pinned
-    // by tests instead of only exercised inside this main.
-    def pad8(l: String): String = BenchMerge.pad8(l)
-    def twinProtect(oldLines: Seq[String], mine: Seq[String]): Seq[String] =
-      BenchMerge.twinProtect(oldLines, mine, sweepLoaded)
+    // (r18 verdict #1, per-row since r19 verdict #2) live in
+    // graft.BenchMerge — pure functions, unit-tested by BenchMergeSpec —
+    // so the snapshot policy is pinned by tests instead of only
+    // exercised inside this main. The two artifacts now get DIFFERENT
+    // policies (ADVICE r19): BENCH_PRIOR (the gate input) substitutes
+    // quieter byte-twin priors (flag kept_prior); BENCH_DETAIL always
+    // keeps this run's true walls and only FLAGS discounted rows
+    // (load_suspect) so in-run decay stays visible in the artifact.
+    def pad9(l: String): String = BenchMerge.pad9(l)
     // persist this run's full telemetry for the next run's regression gate
     // (best-effort: a read-only working dir must not fail the bench);
     // __calib__/__calib_end__ ride the same file so the next run can
@@ -311,9 +342,9 @@ object Bench {
         .filter { l =>
           val cols = l.split('\t')
           !written.get(cols(0)).exists(_.contains(cols(1)))
-        }.map(pad8)
-      val mine = twinProtect(oldPrior,
-        axes.flatMap { case (a, rs) => axisRows(a, rs) })
+        }.map(pad9)
+      val mine = BenchMerge.protectPrior(oldPrior,
+        axes.flatMap { case (a, rs) => axisRows(a, rs) }, sweepLoaded)
       val body = (keep ++ mine).sorted.mkString("", "\n", "\n")
       java.nio.file.Files.write(priorPath,
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -332,7 +363,7 @@ object Bench {
     try {
       val detailPath = repoRoot.resolve("BENCH_DETAIL.tsv")
       val header = "sf_dir\tquery\twall_s\tbuild_s\t" +
-        "shuf_read_mb\tshuf_write_mb\tspill_mb\ttasks"
+        "shuf_read_mb\tshuf_write_mb\tspill_mb\ttasks\tflag"
       val oldDetail =
         if (!java.nio.file.Files.exists(detailPath)) Seq.empty[String]
         else scala.jdk.CollectionConverters.ListHasAsScala(
@@ -348,9 +379,9 @@ object Bench {
         .filter { l =>
           val cols = l.split('\t')
           !written.get(cols(0)).exists(_.contains(cols(1)))
-        }.map(pad8)
-      val mineDetail = twinProtect(oldDetail,
-        axes.flatMap { case (a, rs) => axisRows(a, rs) })
+        }.map(pad9)
+      val mineDetail = BenchMerge.flagDetail(oldDetail,
+        axes.flatMap { case (a, rs) => axisRows(a, rs) }, sweepLoaded)
       val detailBody = (Seq(header) ++ (keepDetail ++ mineDetail).sorted)
         .mkString("", "\n", "\n")
       java.nio.file.Files.write(detailPath,
@@ -383,7 +414,7 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"longdocs50","queries":$lq,"sf":"$ldDir"}""")
     }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_count":${wall.size},"calib_start_s":${f3(calibStart)},"calib_end_s":${f3(calibEnd)},"calib_ratio_vs_prior":${f3(calRatio)},"calib_io_start_s":${f3(calibIoStart)},"calib_io_end_s":${f3(calibIoEnd)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_count":${wall.size},"calib_start_s":${f3(calibStart)},"calib_end_s":${f3(calibEnd)},"calib_ratio_vs_prior":${f3(calRatio)},"calib_io_start_s":${f3(calibIoStart)},"calib_io_end_s":${f3(calibIoEnd)},"calib_cpu_start_s":${f3(calibCpuStart)},"calib_cpu_end_s":${f3(calibCpuEnd)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -112,6 +112,17 @@ object Llm {
     * key matches. slice(_, 1, 0) is the empty array, so band 0 needs no
     * special case. Output set is IDENTICAL to distinct() — the oracles'
     * SELECT DISTINCT self-join is unchanged.
+    *
+    * Type contract (ADVICE r19): `band_prefix_collides` hard-rejects
+    * array<int> with containsNull=true at ANALYSIS time (a null slot
+    * would decode as a phantom 0==0 collision). In-repo `ka`/`kb` come
+    * straight from HyperplaneBandKeys (containsNull=false) so this
+    * pipeline type-checks unchanged — but band-key arrays PERSISTED to
+    * parquet and read back default to containsNull=true. A caller
+    * consuming STORED keys must first prove elements non-null with the
+    * documented escape hatch: `transform(ka, x -> coalesce(x, <sentinel>))`
+    * (or a cast through the non-null schema), choosing a sentinel outside
+    * the hash range so a masked null can never manufacture a collision.
     */
   private def firstCollisionOnly(pairs: DataFrame): DataFrame =
     // native early-exit loop (BandPrefixCollides), not the interpreted
@@ -169,30 +180,59 @@ object Llm {
   //    lifetime.
   private val dedupBaseCache = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.SparkContext, DedupBase)]()
+  // Monotone token for the stamp's failure arm: a transient listing error
+  // must produce a key that aliases NOTHING (not even another failure) —
+  // the shared "0" sentinel it replaces silently reused a stale pinned
+  // build across the very rewrite the stamp exists to detect (ADVICE r19).
+  private val stampFailSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private def corpusStamp(dir: String): String = {
     val p = java.nio.file.Paths.get(dir, "documents.parquet")
     try {
       if (!java.nio.file.Files.isDirectory(p))
-        return java.nio.file.Files.getLastModifiedTime(p).toMillis.toString
+        return java.nio.file.Files.getLastModifiedTime(p).toMillis.toString +
+          "@" + java.nio.file.Files.size(p)
       var n = 0L
       var newest = 0L
+      var bytes = 0L
       val st = java.nio.file.Files.list(p)
       try {
         st.forEach { f =>
           n += 1
           newest = math.max(newest,
             java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          // total byte size folds in (ADVICE r19): a same-part-count
+          // rewrite landing inside one mtime millisecond still changes
+          // the stamp unless it is also byte-identical
+          bytes += (try java.nio.file.Files.size(f)
+                    catch { case _: java.io.IOException => 0L })
         }
       } finally st.close()
-      s"$n@$newest"
-    } catch { case _: java.io.IOException => "0" }
+      s"$n@$newest@$bytes"
+    } catch { case _: java.io.IOException =>
+      "ioerr#" + stampFailSeq.incrementAndGet()
+    }
   }
   private def dedupBase(s: SparkSession, dir: String): DedupBase = {
     val sc = s.sparkContext
     val it = dedupBaseCache.entrySet().iterator()
     while (it.hasNext) if (it.next().getValue._1.isStopped) it.remove()
-    val key = sc.applicationId + "@" + sc.startTime + "|" + dir +
-      "|" + corpusStamp(dir)
+    val prefix = sc.applicationId + "@" + sc.startTime + "|" + dir + "|"
+    val key = prefix + corpusStamp(dir)
+    // Stamp-miss eviction (ADVICE r19, medium): a new stamp for the same
+    // (session, dir) means the corpus was rewritten in place — the
+    // displaced entry's three pinned checkpoint frames would otherwise
+    // stay resident until the context stops, so a long-lived session
+    // rewriting corpora repeatedly would accumulate pinned blocks without
+    // bound. The "|" terminator after dir keeps /a/b from matching /a/bc.
+    val old = dedupBaseCache.entrySet().iterator()
+    while (old.hasNext) {
+      val e = old.next()
+      if (e.getKey != key && e.getKey.startsWith(prefix)) {
+        val b = e.getValue._2
+        Seq(b.members, b.sh, b.sizes).foreach(Graph.release)
+        old.remove()
+      }
+    }
     dedupBaseCache.computeIfAbsent(key, _ => sc -> buildDedupBase(s, dir))._2
   }
   private def buildDedupBase(s: SparkSession, dir: String): DedupBase =

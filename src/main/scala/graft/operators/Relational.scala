@@ -2093,13 +2093,21 @@ object Relational {
     * (a, b) tiebreak. Same-side pairs are never adjacent in a bipartite
     * graph, so no existing-edge exclusion join is needed here (a general
     * graph adds one anti-join against the edge store).
-    * Cluster sizing (r19 10× rehearsal, BASELINE.md): the pair
-    * aggregate's working set grows with the QUADRATIC per-hub fan-out,
-    * not the input bytes — at 10× it spilled 9.1 GB against 32 fixed
-    * partitions while staying wall-linear. At real scale size
-    * shuffle.partitions (or AQE's advisory size) to the pair mass, and
-    * cap hub degrees the way the basket graph does if the degree
-    * distribution is unbounded.
+    * FAN-OUT-SIZED pair exchange (r19 verdict #1, closing the weak item
+    * in code): the (a, b) aggregate's working set grows with the
+    * QUADRATIC per-hub wedge mass Σ deg·(deg−1)/2, not the input bytes —
+    * at 10× the byte-sized default (32 fixed partitions) spilled 9.1 GB
+    * while staying wall-linear. One tiny scalar aggregate over the
+    * bucketed degree store prices the exchange in wedge ROWS before the
+    * plan is built, and the wedge stream is hash-repartitioned on (a, b)
+    * at ~512k wedges (≈50 MB of aggregate hash state) per partition;
+    * groupBy(a, b) then REUSES that hashpartitioning (EnsureRequirements
+    * adds no second exchange), so the only cost is the forgone map-side
+    * combine — measured a wash here because same-(a, b) wedges rarely
+    * co-reside in an input split. Same rule as near-dup's streamed-side
+    * repartition: a stage's parallelism sizes to its OWN mass (pair
+    * fan-out), never to its input's. Hub-degree capping (the basket-graph
+    * pattern) remains the lever if the degree distribution is unbounded.
     */
   val qGraphAdamicAdar = Q(
     "q_graph_adamic_adar",
@@ -2110,11 +2118,20 @@ object Relational {
         .select(col("src").as("n"),
           expr("CAST(CAST(1.0 AS DOUBLE) / ln(CAST(deg AS DOUBLE)) " +
             "AS DECIMAL(38,12))").as("w"))
+      val wedgeRows = graphDeg(s, dir)
+        .where(pmod(col("src"), lit(2)) === 0 && col("deg") >= 2)
+        .agg(coalesce(sum(expr(
+          "CAST(deg AS BIGINT) * (CAST(deg AS BIGINT) - 1) DIV 2")),
+          lit(0L)).as("wr"))
+        .head.getLong(0)
+      val pairParts = math.max(s.sparkContext.defaultParallelism,
+        math.min(20000L, (wedgeRows + (1L << 19) - 1) / (1L << 19)).toInt)
       val ctr = und.where(pmod(col("src"), lit(2)) === 0)
       ctr.select(col("src").as("n"), col("dst").as("a"))
         .join(ctr.select(col("src").as("n"), col("dst").as("b")), Seq("n"))
         .where(col("a") < col("b"))
         .join(w, Seq("n"))
+        .repartition(pairParts, col("a"), col("b"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_common"), sum(col("w")).as("sd"))
         .orderBy(col("sd").desc, col("a"), col("b"))

@@ -475,9 +475,28 @@ object ManifestTable {
           override def visitFileFailed(f: Path, exc: java.io.IOException)
               : FileVisitResult = FileVisitResult.CONTINUE
         })
-        entries.foreach(p =>
-          try Files.deleteIfExists(p)
-          catch { case _: java.io.IOException => () })
+        // TOCTOU guard (ADVICE r19): between the newestMtime age check
+        // and this delete walk, a writer reusing the same `_temporary`
+        // tree (a new job attempt on the same output dir) can create
+        // fresh task files. Each entry's mtime is re-checked against the
+        // cutoff immediately before its delete; the FIRST young entry
+        // aborts the whole tree's reclaim — the tree is live again, and
+        // the next vacuum re-ages it from scratch. (A fresh file also
+        // bumps its parent dir's mtime, so the dirs deleted after it in
+        // postVisit order are protected transitively.)
+        var aborted = false
+        val eit = entries.iterator
+        while (!aborted && eit.hasNext) {
+          val p = eit.next()
+          val young =
+            try Files.exists(p) &&
+              Files.getLastModifiedTime(p).toMillis > cutoff
+            catch { case _: java.io.IOException => true }
+          if (young) aborted = true
+          else
+            try Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () }
+        }
       } catch { case _: java.io.IOException => () }
     }
     deadData.map(_.toString)
