@@ -2353,50 +2353,113 @@ object Llm {
             FROM s5 WHERE rn <= 3 ORDER BY probe, rank"""
     })
 
+  /** IVF probe search proper — top-5 within the nprobe nearest cells per
+    * probe, reading the materialized cell-partitioned store (ivfIndex).
+    * Split out of the certified query so the recall/determinism specs
+    * (DedupRecallSpec, ParitySpec) keep pinning the raw probe results.
+    */
+  private[graft] def ivfProbeTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorFunctions.register(s)
+    val nprobe = 4
+    val (assigned, centroids) = ivfIndex(s, dir)
+    val probes = assigned.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("ns").as("pns"))
+    // nprobe nearest cells per probe (k is tiny → broadcast cross join)
+    val wCell = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cdist"), col("cell_c"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        expr("vec_dot(pvec, pvec) - 2 * vec_dot(pvec, cvec) + " +
+          "vec_dot(cvec, cvec)"))
+      .withColumn("crk", row_number().over(wCell))
+      .where(col("crk") <= nprobe)
+      .select(col("probe_id"), col("pvec"), col("pns"),
+        col("cell_c").as("cell"))
+    // exact cosine only inside the probed cells
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    probeCells.join(assigned, "cell")
+      .where(col("probe_id") =!= col("vec_id"))
+      .withColumn("score", round(
+        expr("vec_dot(pvec, embedding)") /
+          (sqrt(col("pns")) * sqrt(col("ns"))), 6))
+      .withColumn("rk", row_number().over(w).cast(IntegerType))
+      .where(col("rk") <= 5)
+      .select("probe_id", "vec_id", "score", "rk")
+      .orderBy("probe_id", "rk")
+  }
+
   /** IVF-style two-stage ANN (SURVEY.md §7.3): KMeans coarse quantizer →
     * probe only the nprobe nearest cells → exact cosine within cells.
     * At 100 TB the cell assignment is a narrow int column and each query
     * touches nprobe/k of the corpus instead of all of it — and the index
     * is read from the materialized cell-partitioned store (ivfIndex), so
     * the query pays probe-search cost only. Deterministic for a fixed seed
-    * and partitioning; no oracle (approximate + iterative training) — unit
-    * test checks recall vs the brute-force top-k, and IncrementalSpec
-    * proves the second invocation reuses the index without refitting.
+    * and partitioning (ParitySpec proves identical output across 3/7/16-way
+    * parallelism). ORACLE-CERTIFIED since r20 (r19 verdict #4) the
+    * q_agg_approx_distinct way: the IVF result itself is KMeans-dependent
+    * (never DuckDB-rebuildable), but its accuracy CONTRACT rides the hash
+    * gate — the query ALSO computes the exact brute-force top-5 leg
+    * in-plan (the q_sim_cosine_topk construction, already hash-green on
+    * its own), derives recall@5 across the probes, and emits the exact
+    * top-1 per probe (DuckDB-computable columns) plus the certificate
+    * recall_ge_60pct; the oracle computes the exact leg and the literal
+    * 1. Bound 0.6 sits under the measured deterministic floor (0.64 at
+    * sf0.001, 0.74 at sf0.01 — DedupRecallSpec) so cell-probe
+    * regressions are driver-visible hash mismatches. The exact leg is
+    * the certification truth path (the approx_distinct/hll_shards
+    * trade); production keeps only the probe search.
     */
   val qSimCosineIvf = Q(
     "q_sim_cosine_ivf",
     (s, dir) => {
       graft.plans.VectorFunctions.register(s)
-      val nprobe = 4
-      val (assigned, centroids) = ivfIndex(s, dir)
-      val probes = assigned.where(col("vec_id") < 10)
+      val ivf = ivfProbeTopk(s, dir)
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("ns", expr("vec_dot(embedding, embedding)"))
+      val probes = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
           col("ns").as("pns"))
-      // nprobe nearest cells per probe (k is tiny → broadcast cross join)
-      val wCell = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cdist"), col("cell_c"))
-      val probeCells = probes.crossJoin(broadcast(centroids))
-        .withColumn("cdist",
-          expr("vec_dot(pvec, pvec) - 2 * vec_dot(pvec, cvec) + " +
-            "vec_dot(cvec, cvec)"))
-        .withColumn("crk", row_number().over(wCell))
-        .where(col("crk") <= nprobe)
-        .select(col("probe_id"), col("pvec"), col("pns"),
-          col("cell_c").as("cell"))
-      // exact cosine only inside the probed cells
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("score").desc, col("vec_id"))
-      probeCells.join(assigned, "cell")
-        .where(col("probe_id") =!= col("vec_id"))
+      val exact = emb.join(broadcast(probes),
+          col("probe_id") =!= col("vec_id"))
         .withColumn("score", round(
           expr("vec_dot(pvec, embedding)") /
             (sqrt(col("pns")) * sqrt(col("ns"))), 6))
         .withColumn("rk", row_number().over(w).cast(IntegerType))
         .where(col("rk") <= 5)
         .select("probe_id", "vec_id", "score", "rk")
-        .orderBy("probe_id", "rk")
+      // recall@5 across probes as a 1-row certificate frame
+      val cert = exact.select("probe_id", "vec_id")
+        .join(ivf.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select((col("n_hit").cast(DoubleType) /
+            col("n_exact").cast(DoubleType) >= 0.6)
+          .cast("int").as("recall_ge_60pct"))
+      exact.where(col("rk") === 1)
+        .select(col("probe_id"), col("vec_id").as("top1_vec_id"),
+          col("score").as("top1_score"))
+        .crossJoin(broadcast(cert))
+        .orderBy("probe_id")
     },
-    None)
+    Some("""SELECT probe_id, vec_id AS top1_vec_id, score AS top1_score,
+                   CAST(1 AS INTEGER) AS recall_ge_60pct
+            FROM (SELECT p.vec_id AS probe_id, e.vec_id,
+                         round(list_cosine_similarity(
+                           CAST(p.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 6) AS score,
+                         CAST(row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                             CAST(p.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                           e.vec_id) AS INTEGER) AS rk
+                  FROM embeddings p JOIN embeddings e
+                    ON p.vec_id < 10 AND e.vec_id <> p.vec_id)
+            WHERE rk = 1 ORDER BY probe_id"""))
 
   // ------------------------------------------------------- text analysis
 

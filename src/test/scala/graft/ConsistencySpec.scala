@@ -156,7 +156,16 @@ class ConsistencySpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
       .toMap
-    val got = Aggregates.qAggPercentileApprox.fn(spark, sfDir).collect()
+    // the estimator's raw values on their own aggregation (the r20
+    // certified query emits exact legs + certificates instead)
+    val got = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("pa50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("pa95"))
+      .collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       val (lo50, hi50, lo95, hi95) = windows(r.getString(0))
@@ -165,6 +174,12 @@ class ConsistencySpec extends AnyFunSuite with SparkFixture {
         s"${r.getString(0)}: p50_approx $p50 outside [$lo50, $hi50]")
       assert(p95 >= lo95 && p95 <= hi95,
         s"${r.getString(0)}: p95_approx $p95 outside [$lo95, $hi95]")
+    }
+    // and the certified query's own certificates must read 1 (the same
+    // contract the driver's DuckDB oracle asserts at sf0.01)
+    Aggregates.qAggPercentileApprox.fn(spark, sfDir).collect().foreach { r =>
+      assert(r.getInt(r.fieldIndex("p50_in_rank_bound")) == 1)
+      assert(r.getInt(r.fieldIndex("p95_in_rank_bound")) == 1)
     }
   }
 

@@ -43,7 +43,7 @@ class DedupRecallSpec extends AnyFunSuite with SparkFixture {
       df.select("probe_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = topkSet(Llm.qSimCosineTopk.fn(spark, sfDir))
-    val ivf = topkSet(Llm.qSimCosineIvf.fn(spark, sfDir))
+    val ivf = topkSet(Llm.ivfProbeTopk(spark, sfDir))
     assert(exact.size == 50)
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     // measured 0.64 at sf0.001 / 0.74 at sf0.01 (deterministic: seed-fixed
@@ -53,11 +53,19 @@ class DedupRecallSpec extends AnyFunSuite with SparkFixture {
     // fails, not noise.
     assert(recall >= 0.6,
       s"IVF recall $recall < 0.6 (nprobe=4 of 16 cells; measured 0.64)")
+    // the r20 certified wrapper must agree with the spec's own recall
+    // computation: its in-plan certificate rides the same ≥0.6 bound
+    val certified = Llm.qSimCosineIvf.fn(spark, sfDir).collect()
+    assert(certified.nonEmpty)
+    certified.foreach { r =>
+      assert(r.getInt(r.fieldIndex("recall_ge_60pct")) ==
+        (if (recall >= 0.6) 1 else 0))
+    }
   }
 
   test("IVF is deterministic: two builds give identical rows") {
-    val r1 = Llm.qSimCosineIvf.fn(spark, sfDir).collect().map(_.toSeq).toSeq
-    val r2 = Llm.qSimCosineIvf.fn(spark, sfDir).collect().map(_.toSeq).toSeq
+    val r1 = Llm.ivfProbeTopk(spark, sfDir).collect().map(_.toSeq).toSeq
+    val r2 = Llm.ivfProbeTopk(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(r1 == r2)
   }
 

@@ -177,7 +177,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q_search_rrf" -> "flat 1/3: per-ranker k-capped shortlists",
     "q_seq_entropy_rate" -> "flat <=5: per-priority scalar rows",
     "q_seq_markov_eval" -> "flat 1/5/5: priority-bounded transition grid",
-    "q_sim_cosine_ivf" -> "flat 16: the IVF cell-centroid store",
+    "q_sim_cosine_ivf" ->
+      ("flat 16 + 10: the IVF cell-centroid store and the r20 exact-" +
+        "certification leg's probe shortlist (vec_id < 10)"),
     "q_sim_cosine_quantized" -> "flat 10/64/64: probes + codebook",
     "q_sim_cosine_topk" -> "flat 10: the probe shortlist",
     "q_sim_graph_beam" -> "flat 10/400: probes + bounded beam frontier",

@@ -26,7 +26,16 @@ class R16Spec extends AnyFunSuite with SparkFixture {
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    val approx = Aggregates.qAggPercentileApprox.fn(spark, sfDir)
+    // the estimator's raw values, on their own aggregation — the r20
+    // certified query no longer emits them (it emits the exact legs +
+    // rank-bound certificates, the approx_distinct pattern)
+    val approx = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("pa50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("pa95"))
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2))).toMap
     rows.groupBy(_._1).foreach { case (flag, fv) =>
