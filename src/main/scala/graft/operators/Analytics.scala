@@ -124,8 +124,10 @@ object Analytics {
       val probes = emb.where(col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
           col("embedding").as("pvec"), col("ns").as("pns"))
-      val scored = emb.join(broadcast(probes),
-          col("probe_id") =!= col("vec_id"))
+      // widenStream: 20 codegen dots per streamed row — the PlanLintSpec
+      // dense-BNLJ rule (streamed-side partitions >= cores)
+      val scored = graft.operators.Llm.widenStream(emb)
+        .join(broadcast(probes), col("probe_id") =!= col("vec_id"))
         .withColumn("score", round(
           expr("vec_dot(pvec, embedding)") /
             (sqrt(col("pns")) * sqrt(col("ns"))), 6))

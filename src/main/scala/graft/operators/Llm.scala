@@ -1935,7 +1935,9 @@ object Llm {
       val probes = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
           col("ns").as("pns"))
-      val scored = emb.join(broadcast(probes),
+      // widenStream: the k-probe scoring loop is compute-dense per
+      // streamed row (k codegen dots) — the PlanLintSpec dense-BNLJ rule
+      val scored = widenStream(emb).join(broadcast(probes),
           col("probe_id") =!= col("vec_id"))
         .withColumn("score", round(
           expr("vec_dot(pvec, embedding)") /
@@ -1961,6 +1963,22 @@ object Llm {
                   FROM embeddings p JOIN embeddings e
                     ON p.vec_id < 10 AND e.vec_id <> p.vec_id)
             WHERE rk <= 5 ORDER BY probe_id, rk"""))
+
+  /** Round-robin-widen a compute-dense BNLJ streamed side to at least
+    * core parallelism — the r19 near-dup rule, now PlanLintSpec-pinned:
+    * a BroadcastNestedLoopJoin streams its non-build side at the INPUT's
+    * split count (3 parquet splits at sf0.1 — the O(N·M) vec_dot scoring
+    * loop ran near-serial on a 32-thread box), so compute-dense stage
+    * parallelism must be sized to CORES, not input bytes. Widens to
+    * max(cores, current splits): never coalesces a corpus whose split
+    * count already exceeds cores (at 100 TB the scan's own parallelism
+    * is the right answer), while keeping the exchange STATICALLY in the
+    * plan so the lint can certify the invariant without running the job.
+    */
+  private[graft] def widenStream(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(math.max(cores, df.rdd.getNumPartitions))
+  }
 
   /** Exact cosine near-dup pairs over any embeddings frame (brute force,
     * codegen dot). Parameterized so scale experiments can probe other
@@ -1989,9 +2007,8 @@ object Llm {
     // brute-force truth path). The repartition sits on the PROBE side,
     // which the planner streams: b, unrepartitioned and fully
     // cacheable, is the cheaper build.
-    val cores = embIn.sparkSession.sparkContext.defaultParallelism
-    val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"),
-      col("ns").as("nsa")).repartition(cores)
+    val a = widenStream(emb.select(col("vec_id").as("a"),
+      col("embedding").as("va"), col("ns").as("nsa")))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"),
       col("ns").as("nsb"))
     a.join(b, col("a") < col("b"))

@@ -271,6 +271,122 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
       "the lint failed to flag a corpus-scale broadcast build side")
   }
 
+  /** (d) the r19 compute-dense streamed-side class, pinned: a
+    * BroadcastNestedLoopJoin streams its non-build side at the INPUT's
+    * split count — 3 parquet splits at sf0.1 — so when the per-joined-row
+    * work is compute-dense (a codegen FloatVecDot in the join condition
+    * or fused in the same stage above the join), the O(N·M) scoring loop
+    * runs near-serial on a 32-thread box regardless of how small the
+    * bytes are. The near-dup fix (one round-robin
+    * repartition(defaultParallelism) of the streamed side, 3.13 → 0.77 s
+    * at sf0.1) is a single call a refactor could silently drop; this lint
+    * makes the drop a red test. Rule: every BNLJ with vec_dot in scope
+    * must stream at ≥ defaultParallelism partitions. An Exchange resets
+    * the dense-above flag — compute past a shuffle runs at the
+    * EXCHANGE's parallelism, not the join's.
+    */
+  private val denseBnljOk: Map[String, String] = Map(
+    "q_embed_center" ->
+      ("streams the corpus against a SINGLE broadcast row (the corpus-" +
+        "mean vector) — per-streamed-row work is O(dims), a map-" +
+        "equivalent codegen scan pass whose parallelism is the scan's " +
+        "split count (grows with the corpus); a repartition would add a " +
+        "full-corpus exchange to what is semantically a projection"),
+    "q_sim_cosine_ivf" ->
+      ("streams the 10-row probe shortlist against broadcast centroids " +
+        "(k=16) — O(probes·k) work bounded by construction, and the " +
+        "corpus-scale scoring join below it is cell-partition-pruned"),
+    "q_sim_maxsim" ->
+      ("streams the 8-probe shortlist against the broadcast token table " +
+        "— O(probes·tokens) bounded by the vec_id < 8 cap"))
+
+  /** Effective streamed-side widths need the EnsureRequirements
+    * exchanges (an aggregate-fed streamed side is shuffle.partitions
+    * wide at runtime but its pre-exchange sparkPlan reports its scan's
+    * UnknownPartitioning(0)), so this lint plans with AQE off and walks
+    * executedPlan. A streamed side that still reports < cores there is
+    * scan-fed or locally narrow — exactly the class the near-dup fix
+    * repartitioned.
+    */
+  private def denseBnljUnderParallel(mk: => org.apache.spark.sql.DataFrame)
+  : Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val cores = spark.sparkContext.defaultParallelism
+    def dense(p: SparkPlan): Boolean = p.expressions.exists(
+      _.exists(_.isInstanceOf[graft.plans.FloatVecDot]))
+    def walk(p: SparkPlan, denseAbove: Boolean): Seq[String] = p match {
+      case e: Exchange => e.children.flatMap(walk(_, denseAbove = false))
+      case j: BroadcastNestedLoopJoinExec =>
+        val streamed = j.buildSide match {
+          case BuildLeft => j.right
+          case BuildRight => j.left
+        }
+        val n = streamed.outputPartitioning.numPartitions
+        val flagged =
+          if ((denseAbove || dense(j)) && n < cores)
+            Seq(s"BNLJ streams ${streamed.nodeName} at $n < $cores " +
+              "partitions under dense vec_dot compute")
+          else Seq.empty
+        flagged ++ j.children.flatMap(walk(_, denseAbove = false))
+      case other =>
+        val d = denseAbove || dense(other)
+        other.children.flatMap(walk(_, d))
+    }
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try walk(mk.queryExecution.executedPlan, denseAbove = false)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("no query streams a compute-dense BNLJ side below core parallelism") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (denseBnljOk.contains(name)) None
+        else {
+          val off = denseBnljUnderParallel(fn(spark, sfDir))
+          if (off.nonEmpty) Some(s"$name (${off.mkString("; ")})")
+          else None
+        }
+    }
+    assert(offenders.isEmpty,
+      s"compute-dense BNLJ streamed sides below core parallelism:\n  ${
+        offenders.mkString("\n  ")}")
+  }
+
+  test("dense-BNLJ allowlist holds no stale entries") {
+    val stale = denseBnljOk.keySet.filterNot { name =>
+      SparkEntry.queries.get(name)
+        .exists(fn => denseBnljUnderParallel(fn(spark, sfDir)).nonEmpty)
+    }
+    assert(stale.isEmpty,
+      s"allowlisted queries no longer plan an under-parallel dense BNLJ: " +
+        s"$stale")
+  }
+
+  test("the dense-BNLJ lint flags the de-repartitioned near-dup shape") {
+    // reconstruct the r19 bug: the exact O(N²) scoring join WITHOUT the
+    // streamed-side repartition — the streamed side arrives at its
+    // parquet split count and the quadratic vec_dot loop serializes. If
+    // this goes green the suite-wide invariant above is vacuous.
+    import org.apache.spark.sql.functions._
+    graft.plans.VectorFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .withColumn("ns", expr("vec_dot(embedding, embedding)"))
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"),
+      col("ns").as("nsa"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"),
+      col("ns").as("nsb"))
+    val bad = a.join(b, col("a") < col("b"))
+      .withColumn("score",
+        expr("vec_dot(va, vb)") / (sqrt(col("nsa")) * sqrt(col("nsb"))))
+      .where(col("score") >= 0.4)
+    assert(denseBnljUnderParallel(bad).nonEmpty,
+      "the lint failed to flag an under-parallel dense BNLJ streamed side")
+  }
+
   test("no query plans an unhinted CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
