@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions._
   *  - other tables copied 1× (queries reading only those scale ~1× by
   *    construction — mark them when reporting).
   * Each replicated table lands as a multi-file parquet DIRECTORY so scans
-  * get real file parallelism. Usage: runMain graft.ScaleGen <src> <out>
+  * get real file parallelism.
+  * Usage: runMain graft.ScaleGen <src> <out> [docMult] [lineMult] [embMult]
+  * — the optional multipliers (default 10/10/5) are the r20 extension for
+  * rehearsing the shuffle-mass family beyond 10× (the "plans you'd want
+  * at 100×" bar): ×30 documents stresses ppjoin/jaccard pair exchanges at
+  * ~9× the candidate mass, ×30 lineitem the graph family's wedge fan-out.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val (src, out) = (args(0), args(1))
+    val docMult = if (args.length > 2) args(2).toInt else 10
+    val lineMult = if (args.length > 3) args(3).toInt else 10
+    val embMult = if (args.length > 4) args(4).toInt else 5
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -48,11 +56,87 @@ object ScaleGen {
       println(s"[scalegen] $table x1 copied")
     }
 
-    replicate("lineitem", 10, Seq("l_orderkey", "l_partkey", "l_suppkey"))
-    replicate("documents", 10, Seq("doc_id"))
-    replicate("embeddings", 5, Seq("vec_id"))
+    replicate("lineitem", lineMult,
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("documents", docMult, Seq("doc_id"))
+    replicate("embeddings", embMult, Seq("vec_id"))
     Seq("orders", "customer", "supplier", "part", "nation", "region",
       "events").foreach(copy)
+    spark.stop()
+  }
+}
+
+/** LARGE-N EMBEDDINGS rehearsal corpus — the ANN axis every other
+  * generator under-scales: the sf0.1 store is 2 000 vectors (dim 64,
+  * components ~N(0, 0.125), norm ≈ 1), where O(N²) brute force is
+  * trivially unbeatable and no crossover can be observed. This one
+  * replicates ×`copies` (default 50 → 100 000 vectors) with vec_id
+  * offsets and a DETERMINISTIC per-component jitter of ±eps (default
+  * 0.02, hash-driven — xxhash64(vec_id, dim, replica), no RNG state):
+  * replica 0 keeps the original vectors bit-exact, replicas 1..k form a
+  * tight cluster around each original. With eps = 0.02 at dim 64 the
+  * intra-cluster cosine concentrates at ≈ 0.984-0.999 (≥ 0.95 with
+  * margin) while inter-cluster stays at the source corpus's ≤ ~0.55 —
+  * so the 0.95-threshold near-dup TRUTH is exactly the intra-cluster
+  * pair set, a CONSTRUCTED ground truth that lets recall be measured at
+  * an N where the brute-force leg costs minutes, not milliseconds.
+  * Non-embedding tables are symlinked (the ANN family reads only
+  * embeddings). Usage: runMain graft.ScaleGenEmbed <src> <out>
+  * [copies] [eps]
+  */
+object ScaleGenEmbed {
+
+  /** The ×copies jittered replication itself, reusable (DedupRecallSpec
+    * pins the tuned LSH band shapes against a smoke-scale instance of
+    * the SAME construction the 10⁵ rehearsal used): replica 0 keeps the
+    * source vectors bit-exact; replica rep > 0 adds ±eps uniform per
+    * component from the non-negative residue of a 3-ary xxhash64 — a
+    * pure function of (base id, dim, replica), no RNG state.
+    */
+  def jitterReplicate(df: DataFrame, copies: Int, eps: Double): DataFrame = {
+    val off = df.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+    val parts = (0 until copies).map { rep =>
+      val jittered =
+        if (rep == 0) df.select("vec_id", "embedding", "label")
+        else df.select(col("vec_id"),
+          expr(s"""transform(embedding, (x, i) -> CAST(x + $eps *
+                   ((CAST(((xxhash64(vec_id, i, $rep) % 2001) + 2001)
+                          % 2001 AS DOUBLE)) / 1000.0 - 1.0) AS FLOAT))""")
+            .as("embedding"),
+          col("label"))
+      jittered.withColumn("vec_id", col("vec_id") + lit(rep * off))
+    }
+    parts.reduce(_.unionAll(_))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (src, out) = (args(0), args(1))
+    val copies = if (args.length > 2) args(2).toInt else 50
+    val eps = if (args.length > 3) args(3).toDouble else 0.02
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.parquet(s"$src/embeddings.parquet")
+    jitterReplicate(df, copies, eps)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scalegen-embed] embeddings x$copies (eps=$eps) done")
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "events", "documents").foreach { t =>
+      val link = java.nio.file.Paths.get(out, s"$t.parquet")
+      val target = java.nio.file.Paths.get(src, s"$t.parquet")
+        .toAbsolutePath.normalize
+      val stale = java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) != target
+      if (stale) java.nio.file.Files.delete(link)
+      if (stale || !java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link, target)
+    }
     spark.stop()
   }
 }

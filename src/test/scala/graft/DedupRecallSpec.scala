@@ -120,4 +120,34 @@ class DedupRecallSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._4).toSet == Set("proto", "drop", "keep"),
       "a verdict branch is unexercised at this SF")
   }
+
+  test("r20 tuned LSH band shapes hold 0.95-dedup recall on the " +
+      "ScaleGenEmbed construction") {
+    // smoke-scale instance of the SAME construction the 10\u2075 rehearsal
+    // measured (BASELINE.md r20 ANN crossover): \u00d75 jittered replication,
+    // eps = 0.02 \u21d2 the 0.95-threshold truth is exactly the intra-cluster
+    // pair set (C(5,2) = 10 pairs per base vector). The tuned shapes from
+    // the 10\u2075 run \u2014 12 rows/band, 8 vs 16 bands \u2014 must keep their
+    // measured recall class here too (everything is deterministic:
+    // hash-driven jitter, literal hyperplanes).
+    val base = graft.sources.Tables.embeddings(spark, sfDir)
+    val jr = ScaleGenEmbed.jitterReplicate(base, 5, 0.02).cache()
+    try {
+      val exact = pairSet(Llm.cosineNearDupPairs(jr, 0.95))
+      val nBase = base.count()
+      assert(exact.size == nBase * 10,
+        s"constructed truth broke: ${exact.size} pairs != ${nBase * 10} " +
+          "intra-cluster pairs \u2014 jitter eps or threshold drifted")
+      for ((bands, rows, bound) <- Seq((8, 12, 0.95), (16, 12, 0.99))) {
+        val found = pairSet(Llm.cosineAnnLshPairs(jr, 0.95, bands, rows))
+        assert(found.subsetOf(exact),
+          s"${bands}x$rows false positives: ${found.diff(exact)}")
+        val recall = found.intersect(exact).size.toDouble / exact.size
+        assert(recall >= bound,
+          s"${bands}x$rows recall $recall < $bound " +
+            s"(${found.size}/${exact.size})")
+      }
+    } finally jr.unpersist(blocking = false)
+  }
+
 }
