@@ -2093,21 +2093,29 @@ object Relational {
     * (a, b) tiebreak. Same-side pairs are never adjacent in a bipartite
     * graph, so no existing-edge exclusion join is needed here (a general
     * graph adds one anti-join against the edge store).
-    * FAN-OUT-SIZED pair exchange (r19 verdict #1, closing the weak item
-    * in code): the (a, b) aggregate's working set grows with the
-    * QUADRATIC per-hub wedge mass Σ deg·(deg−1)/2, not the input bytes —
-    * at 10× the byte-sized default (32 fixed partitions) spilled 9.1 GB
-    * while staying wall-linear. One tiny scalar aggregate over the
-    * bucketed degree store prices the exchange in wedge ROWS before the
-    * plan is built, and the wedge stream is hash-repartitioned on (a, b)
-    * at ~512k wedges (≈50 MB of aggregate hash state) per partition;
-    * groupBy(a, b) then REUSES that hashpartitioning (EnsureRequirements
-    * adds no second exchange), so the only cost is the forgone map-side
-    * combine — measured a wash here because same-(a, b) wedges rarely
-    * co-reside in an input split. Same rule as near-dup's streamed-side
-    * repartition: a stage's parallelism sizes to its OWN mass (pair
-    * fan-out), never to its input's. Hub-degree capping (the basket-graph
-    * pattern) remains the lever if the degree distribution is unbounded.
+    * THE SPILL POST-MORTEM (r19 #1 → r20 root cause, A/B'd in one JVM at
+    * 30×): the rehearsal spill (9.1 GB at 10×/8 g, 641 MB at 30×/48 g)
+    * was attributed to the (a, b) pair aggregate and r20 first shipped a
+    * wedge-count-priced repartition of the pair exchange. The 30×
+    * four-variant A/B disproved that attribution: the spill came from
+    * the SORTS of the SortMergeJoin self-join — the bucketed store was
+    * written with many files per bucket, so the scan could not trust
+    * per-bucket sortedness and every consumer re-sorted the adjacency
+    * (explicit repartition + SMJ: 641 MB spill; same plan with a
+    * shuffle_hash self-join: 0 spill; plain groupBy either way). The fix
+    * is structural and store-side: writeBucketed now aligns writers to
+    * ONE FILE PER BUCKET, so the self-join and weight join are exchange-
+    * free AND sort-free, and the explicit pair repartition — an extra
+    * full exchange of the wedge stream that also forfeited map-side
+    * combine (measured +0.3–0.4 GB shuffle at 30× for no spill benefit)
+    * — is REMOVED: groupBy(a, b) plans its own AQE-sized exchange over
+    * the already-fanned-out wedge bytes, which IS the pair mass (AQE
+    * sizes the aggregate to fan-out by construction; the r19 "sized to
+    * input bytes" objection applied to the sort's memory, not this
+    * exchange). 30× validation: 0 spill, wall tracking the linear wedge
+    * mass (8.7M → 262M wedges), hash unchanged. Hub-degree capping (the
+    * basket-graph pattern) remains the lever if the degree distribution
+    * is unbounded.
     */
   val qGraphAdamicAdar = Q(
     "q_graph_adamic_adar",
@@ -2118,20 +2126,11 @@ object Relational {
         .select(col("src").as("n"),
           expr("CAST(CAST(1.0 AS DOUBLE) / ln(CAST(deg AS DOUBLE)) " +
             "AS DECIMAL(38,12))").as("w"))
-      val wedgeRows = graphDeg(s, dir)
-        .where(pmod(col("src"), lit(2)) === 0 && col("deg") >= 2)
-        .agg(coalesce(sum(expr(
-          "CAST(deg AS BIGINT) * (CAST(deg AS BIGINT) - 1) DIV 2")),
-          lit(0L)).as("wr"))
-        .head.getLong(0)
-      val pairParts = math.max(s.sparkContext.defaultParallelism,
-        math.min(20000L, (wedgeRows + (1L << 19) - 1) / (1L << 19)).toInt)
       val ctr = und.where(pmod(col("src"), lit(2)) === 0)
       ctr.select(col("src").as("n"), col("dst").as("a"))
         .join(ctr.select(col("src").as("n"), col("dst").as("b")), Seq("n"))
         .where(col("a") < col("b"))
         .join(w, Seq("n"))
-        .repartition(pairParts, col("a"), col("b"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_common"), sum(col("w")).as("sd"))
         .orderBy(col("sd").desc, col("a"), col("b"))

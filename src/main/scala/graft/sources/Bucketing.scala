@@ -30,7 +30,18 @@ object Bucketing {
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite")
+    // ONE FILE PER BUCKET (r20): without the aligning repartition each
+    // writer task emits its own file into every bucket it touches, and
+    // the scan trusts per-bucket sortedness only when a bucket is a
+    // single file — so every downstream merge join re-SORTED its inputs
+    // (the sort, not the pair aggregate, was the real source of the
+    // adamic-adar rehearsal spill: 641 MB at 30×, 9.1 GB at 10×/8 g).
+    // Repartitioning on the bucket key (same murmur3 hash as the bucket
+    // spec) concentrates each bucket in exactly one task → one file →
+    // consumers plan exchange-free AND sort-free. One extra exchange on
+    // the WRITE path, amortized across every read like the store itself.
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
@@ -53,6 +64,18 @@ object Bucketing {
     // not race the DROP/delete/rewrite — see Incremental.withBuildLock
     Incremental.withBuildLock(s"bucketed:$table") {
     val spark = df.sparkSession
+    // Sorted-bucket trust (r20, with the one-file-per-bucket writer
+    // below): since Spark 3 the scan reports NO output ordering for
+    // bucketed tables by default, so every merge-join consumer re-sorts
+    // the store it just read — the adamic-adar rehearsal spill in full.
+    // This legacy conf re-enables the ordering report; Spark lists the
+    // bucket files at planning time and honors sortedness only when a
+    // bucket is a single file — exactly the layout writeBucketed now
+    // guarantees. Session-scoped, set where the store is ensured so the
+    // behavior travels with the library (planning-time file listing is
+    // metadata-cheap at any bucket count).
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      "true")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString
     // the skip must never serve a table built from DIFFERENT inputs (e.g.

@@ -464,38 +464,58 @@ object ManifestTable {
     }
     tempTrees.filter(newestMtime(_) <= cutoff).foreach { t =>
       try {
-        val entries = scala.collection.mutable.ListBuffer[Path]()
+        val entries =
+          scala.collection.mutable.ListBuffer[(Path, Boolean)]()
         Files.walkFileTree(t, new java.nio.file.SimpleFileVisitor[Path] {
           import java.nio.file.FileVisitResult
           override def visitFile(f: Path,
               attrs: java.nio.file.attribute.BasicFileAttributes)
-              : FileVisitResult = { entries += f; FileVisitResult.CONTINUE }
+              : FileVisitResult = {
+            entries += ((f, false)); FileVisitResult.CONTINUE
+          }
           override def postVisitDirectory(d: Path, exc: java.io.IOException)
-              : FileVisitResult = { entries += d; FileVisitResult.CONTINUE }
+              : FileVisitResult = {
+            entries += ((d, true)); FileVisitResult.CONTINUE
+          }
           override def visitFileFailed(f: Path, exc: java.io.IOException)
               : FileVisitResult = FileVisitResult.CONTINUE
         })
-        // TOCTOU guard (ADVICE r19): between the newestMtime age check
-        // and this delete walk, a writer reusing the same `_temporary`
-        // tree (a new job attempt on the same output dir) can create
-        // fresh task files. Each entry's mtime is re-checked against the
-        // cutoff immediately before its delete; the FIRST young entry
-        // aborts the whole tree's reclaim — the tree is live again, and
-        // the next vacuum re-ages it from scratch. (A fresh file also
-        // bumps its parent dir's mtime, so the dirs deleted after it in
-        // postVisit order are protected transitively.)
+        // TOCTOU guard (ADVICE r19, r20 correction): between the
+        // newestMtime age check and this delete walk, a writer reusing
+        // the same `_temporary` tree (a new job attempt on the same
+        // output dir) can create fresh task files. Each FILE's mtime is
+        // re-checked against the cutoff immediately before its unlink;
+        // the first young file aborts the whole tree's reclaim — the
+        // tree is live again, and the next vacuum re-ages it from
+        // scratch. DIRECTORIES must NOT get the mtime re-check: our own
+        // child unlinks bump the parent dir's mtime, so the original
+        // every-entry check aborted on the first directory it had just
+        // emptied — the sweep could never complete (caught by
+        // ConcurrencySpec once the full suite ran). For a directory the
+        // filesystem's emptiness rule IS the atomic guard: a dir a live
+        // writer repopulated throws DirectoryNotEmptyException, which
+        // aborts the reclaim the same way a young file does.
         var aborted = false
         val eit = entries.iterator
         while (!aborted && eit.hasNext) {
-          val p = eit.next()
-          val young =
-            try Files.exists(p) &&
-              Files.getLastModifiedTime(p).toMillis > cutoff
-            catch { case _: java.io.IOException => true }
-          if (young) aborted = true
-          else
+          val (p, isDir) = eit.next()
+          if (isDir)
             try Files.deleteIfExists(p)
-            catch { case _: java.io.IOException => () }
+            catch {
+              case _: java.nio.file.DirectoryNotEmptyException =>
+                aborted = true
+              case _: java.io.IOException => ()
+            }
+          else {
+            val young =
+              try Files.exists(p) &&
+                Files.getLastModifiedTime(p).toMillis > cutoff
+              catch { case _: java.io.IOException => true }
+            if (young) aborted = true
+            else
+              try Files.deleteIfExists(p)
+              catch { case _: java.io.IOException => () }
+          }
         }
       } catch { case _: java.io.IOException => () }
     }
