@@ -31,6 +31,58 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("r20 store layout: one file per bucket, merge joins sort-free") {
+    // The adamic-adar rehearsal spill post-mortem (BASELINE.md r20):
+    // multi-file buckets mean no consumer can trust per-bucket
+    // sortedness, so every merge join re-sorts the store it just read —
+    // at 30× that sort was the entire 641 MB–9.1 GB spill. Two
+    // invariants pin the fix so a refactor can't silently reintroduce
+    // it: (a) writeBucketed's aligning repartition leaves exactly one
+    // file per bucket even when the input df has many partitions;
+    // (b) with the sorted-scan trust conf ensureBucketed sets, an
+    // equi-self-join over the store plans as SortMergeJoin with NO Sort
+    // and NO Exchange.
+    val df = spark.range(0L, 5000L, 1L, 16) // 16 input partitions
+      .select((col("id") % 97).as("k"), col("id").as("v"))
+    graft.sources.Bucketing.ensureBucketed(df, "sorted_bkt", "k",
+      buckets = 8, inputs = Seq(sfDir + "/region.parquet"))
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val dir = new java.io.File(new java.net.URI(
+      new org.apache.hadoop.fs.Path(wh, "sorted_bkt").toString match {
+        case s if s.startsWith("file:") => s
+        case s => "file:" + s
+      }))
+    val bucketFiles = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-"))
+    // bucket id is the _NNNNN suffix before .c000; each must be unique
+    val byBucket = bucketFiles.groupBy(n => n.split("_").last)
+    val multi = byBucket.filter(_._2.length > 1)
+    assert(multi.isEmpty,
+      s"buckets with >1 file (sortedness untrustable): $multi")
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t = spark.table("sorted_bkt")
+      val j = t.toDF("k", "va").join(t.toDF("k", "vb"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange"),
+        s"bucketed self-join still shuffles:\n${plan.take(1500)}")
+      assert(!plan.contains("Sort ["),
+        s"bucketed self-join still SORTS its sorted input:\n${
+          plan.take(1500)}")
+      assert(j.count() ==
+        df.groupBy("k").count().agg(sum(col("count") * col("count")))
+          .head.getLong(0))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS sorted_bkt")
+    }
+  }
+
   test("writeBucketed survives an orphaned warehouse dir from a dead session") {
     // simulate the cross-session failure: location exists on disk, but the
     // (in-memory) catalog has no table entry — plain saveAsTable dies with
