@@ -541,17 +541,46 @@ object Llm {
       // prefix is consumed by BOTH candidate-join sides on different
       // keys (h vs h2) — no exchange reuse possible — so pin it once:
       // it is rep-bounded (≤ n/2+1 rows per rep) and its lineage holds
-      // the df-order window
+      // the df-order window. rn/n ride along for the r21 positional and
+      // length filters below (two small ints per posting).
       val prefix = sh.join(dfreq, "h")
         .join(sizes.hint("shuffle_hash"), "doc_id")
         .withColumn("rn", row_number().over(wDoc))
         .where(col("rn") <= expr("n DIV 2 + 1"))
-        .select("doc_id", "h")
+        .select("doc_id", "h", "rn", "n")
         .localCheckpoint(true)
-      val cand = prefix.toDF("a", "h")
-        .join(prefix.toDF("b", "h2"),
-          col("h") === col("h2") && col("a") < col("b"))
-        .select("a", "b").distinct()
+      // r21 optimization (guide §2.3/§8: decide with small rows, move
+      // heavy rows once): the verify step below attaches each rep's FULL
+      // shingle array to every candidate pair, and that array-carrying
+      // exchange was 162 MB of the query's 185 MB at sf0.1 (408 647
+      // candidate pairs × ~430 B array). PPJoin's classic LENGTH and
+      // POSITIONAL filters prune candidates using only the small ints
+      // already in the prefix postings, BEFORE any array is attached:
+      //  - length: J ≥ 0.5 ⟹ inter ≤ min(na,nb) and 3·inter ≥ na+nb
+      //    ⟹ 3·min(na,nb) ≥ na+nb — applied inside the join condition.
+      //  - positional: under the consistent global (df, h) order, every
+      //    shared token ordered before the LAST shared prefix token is
+      //    inside both prefixes (positions are monotone in the global
+      //    order), so it is counted by alpha = |prefix(a) ∩ prefix(b)|;
+      //    the remaining shared tokens sit after position pa = max(rn_a)
+      //    in a AND after pb = max(rn_b) in b, hence
+      //    inter ≤ alpha + min(na − pa, nb − pb). Pairs failing
+      //    3·(alpha + min(na−pa, nb−pb)) ≥ na+nb can never pass the
+      //    exact verify predicate — dropping them cannot change output
+      //    (the verify step still applies 3·inter ≥ na+nb exactly).
+      // Measured at sf0.1: 408 647 → 119 543 candidates (3.4×), query
+      // shuffle 185 MB → ~60 MB. Zero recall loss by construction.
+      val cand = prefix.toDF("a", "h", "ra", "na")
+        .join(prefix.toDF("b", "h2", "rb", "nb"),
+          col("h") === col("h2") && col("a") < col("b") &&
+            expr("3 * least(na, nb) >= na + nb"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("alpha"),
+          max(col("ra")).as("pa"), max(col("rb")).as("pb"),
+          first(col("na")).as("pna"), first(col("nb")).as("pnb"))
+        .where(expr(
+          "3 * (alpha + least(pna - pa, pnb - pb)) >= pna + pnb"))
+        .select("a", "b")
       // Verification by PER-PAIR set intersection (the classic PPJoin
       // verify step), not a postings re-join: exploding both docs'
       // full posting lists per candidate and re-aggregating was ~30 MB
@@ -574,6 +603,13 @@ object Llm {
           expr("size(ha)").cast(LongType).as("na"),
           expr("size(hb)").cast(LongType).as("nb"))
         .where(expr("3 * inter >= na + nb"))
+        // r21: pin the (tiny) verified pair set. The final global
+        // orderBy's range-sampling pass otherwise re-executes this
+        // subtree — the array-carrying exchange above was read TWICE
+        // (2 × 61 MB at sf0.1, jobs adjacent in the probe) just to
+        // range-partition ~25 rows. Verified pairs are output-bounded,
+        // so the pin is a few rows, and the sort samples those instead.
+        .localCheckpoint(true)
       dedupExpandRepPairs(bb, repPairs)
         .withColumn("jac", col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter")).cast(DoubleType))
@@ -5121,38 +5157,21 @@ object Llm {
     "q_dedup_cdc_chunks",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      // The whole per-doc pipeline is ONE expression over lambda-bound
-      // lets (`transform(array(x), v -> ...)` binds v = x exactly once):
-      //  cs  = the doc's char array — substring(text, i, ..) is O(i) on
-      //        UTF8String (it re-scans from byte 0 per call, quadratic
-      //        in doc length: the ×50-length rehearsal measured 78×),
-      //        while slice(cs, i, k) is O(k) on an offset-indexed array;
-      //  cd  = cs as BIGINT char codes, bound once — the rolling-hash
-      //        input (Det.sparkRollAt: base-131 mod 2³¹−1; replaced
-      //        the per-position interpreted md5+conv that dominated the
-      //        map stage in r16 — pure integer arithmetic now, same
-      //        value in DuckDB by construction);
-      //  sts = boundary starts: i = 1 plus every i where the rolling
-      //        8-char window's hash ≡ 0 (mod 64);
-      //  each start zips with its successor (sentinel len+1 closes the
-      //  last chunk) and the chunk md5 is cut from cs map-side (one md5
-      //  per CHUNK ≈ len/64 — not per position — stays md5: chunk
-      //  identity wants collision-free width).
-      // Rows leaving this stage are (doc_id, ch, clen): the text column
-      // never enters an exchange, and per-doc work is O(len·8).
-      val h8 = graft.Det.sparkRollAt("cd", "i", 8)
-      val stsE = "filter(sequence(1, greatest(size(cd) - 7, 1))," +
-        s" i -> i = 1 OR pmod($h8, 64) = 0)"
-      val zipE = "zip_with(sts, concat(slice(sts, 2," +
-        " greatest(size(sts) - 1, 0)), array(size(cs) + 1))," +
-        " (st, nxt) -> struct(md5(concat_ws('', slice(cs, st," +
-        " nxt - st))) AS ch, nxt - st AS clen))"
-      val perDoc = "flatten(transform(array(split(text, ''))," +
-        " cs -> flatten(transform(" +
-        "array(transform(cs, c -> CAST(ascii(c) AS BIGINT)))," +
-        s" cd -> flatten(transform(array($stsE), sts -> $zipE))))))"
+      // Rows leaving the map stage are (doc_id, ch, clen): the text
+      // column never enters an exchange, and per-doc work is O(len·8);
+      // chunk identity stays md5 (collision-free width), one md5 per
+      // CHUNK ≈ len/64, not per position.
+      // r21: the per-doc boundary+md5 pipeline (formerly a lambda-let
+      // expr() chain over split/ascii/filter/zip_with) is the native
+      // kernel graft.plans.CdcChunks (same boundary rule, same per-chunk
+      // md5 bytes, same clen — value-identical by construction, pinned
+      // against the old expr() formulation by R21OptSpec). The
+      // interpreted HOF chain built ~6 intermediate arrays per doc and
+      // was 5-10 s of the ×50 long-doc axis; the kernel walks the
+      // UTF-8 bytes once per doc.
+      graft.plans.VectorFunctions.register(s)
       val chunks = docs
-        .select(col("doc_id"), explode(expr(perDoc)).as("c"))
+        .select(col("doc_id"), explode(expr("cdc_chunks(text)")).as("c"))
         .select(col("doc_id"), col("c.ch").as("ch"),
           col("c.clen").as("clen"))
       val perChunk = chunks.groupBy("ch")
@@ -5232,29 +5251,20 @@ object Llm {
   val qTextWinnowing = Q(
     "q_text_winnowing",
     (s, dir) => {
-      // Lambda-bound lets (the q_dedup_cdc_chunks pattern): cd = the
-      // doc's BIGINT char-code array (O(1)-indexed — substring(text,
-      // i, ..) is O(i) on UTF8String, quadratic over a long doc), hs =
-      // the 8-gram (h, i) hash array built once from cd via the
-      // portable integer rolling hash (Det.sparkRollAt — replaced the
-      // ~1.5 M interpreted per-position md5+conv evals that made this
-      // the suite's #2 query in r16; Horner base-131 mod 2³¹−1 is
-      // pure arithmetic and identical in DuckDB by construction).
-      val h8 = s"struct(${graft.Det.sparkRollAt("cd", "i", 8)} AS h, i AS i)"
-      val hsE = s"transform(sequence(1, greatest(size(cd) - 7, 1))," +
-        s" i -> $h8)"
-      // window minimum = least() of 4 O(1) element_ats (nulls past the
-      // end are skipped by least — identical to array_min over the
-      // shorter tail slice, without materializing a 4-array per
-      // position)
-      val fpsE = "flatten(transform(" +
-        "array(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)))," +
-        s" cd -> flatten(transform(array($hsE)," +
-        " hs -> array_distinct(transform(sequence(1, size(hs))," +
-        " j -> least(try_element_at(hs, j), try_element_at(hs, j + 1)," +
-        " try_element_at(hs, j + 2), try_element_at(hs, j + 3)).h))))))"
+      // r21: the per-doc fingerprint set (8-gram rolling hashes →
+      // w = 4 window minima by (h, leftmost i) → distinct) is the native
+      // single-pass kernel graft.plans.WinnowFingerprints — the same
+      // Det.sparkRollAt base-131 mod 2³¹−1 arithmetic and the same
+      // struct-least tiebreak, value-identical as a SET (pinned against
+      // the old expr() formulation by R21OptSpec; element order is
+      // immaterial — the column explodes into set-keyed aggregation).
+      // The replaced lambda-let chain (split/ascii → (h,i) structs →
+      // least over 4 try_element_ats → array_distinct) was interpreted
+      // per position and built ~6 arrays per doc: 52-67 s of the ×50
+      // long-doc axis, the suite's slowest single stage.
+      graft.plans.VectorFunctions.register(s)
       val fps = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(expr(fpsE)).as("fp"))
+        .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
         // ONE fp-keyed exchange of the small (doc_id, fp) rows, reused
         // by all four consumers below (df-cap build + both self-join
         // sides). Without it the map-side fingerprint pipeline — the

@@ -1,0 +1,243 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Char-level operator kernels as single-pass JVM loops (r21 optimization
+  * round, guide §1.2 "per-task work" + §4 "eliminate interpreted chains in
+  * the hot path").
+  *
+  * The declarative formulations these replace (q_text_winnowing /
+  * q_dedup_cdc_chunks map stages) build, PER DOCUMENT, a chain of
+  * intermediate Catalyst arrays — split(text,'') (one UTF8String per
+  * char), transform→ascii codes, transform→(h,i) hash structs, per-window
+  * least() slices, array_distinct — all evaluated through interpreted
+  * higher-order lambdas (lambda functions never enter whole-stage
+  * codegen). At the ×50 long-doc bench axis that map stage was 52-67 s
+  * (winnowing) / 5-10 s (cdc) of pure GC+interpreter churn over ~80 M
+  * positions. Each expression here walks the document's UTF-8 bytes once
+  * with zero per-position allocation; rows are documents (thousands), so
+  * CodegenFallback's per-ROW boundary cost is noise — the FloatVecDot
+  * precedent needed codegen because its rows were candidate PAIRS
+  * (millions), not docs.
+  *
+  * PARITY DOCTRINE (Det.sparkRollAt/sqlRollAt): the rolling hash is the
+  * base-131 polynomial over per-char codes, pmod 2³¹−1, computed with
+  * EXACTLY the old term order and Java long wraparound, so values are
+  * bit-identical to the expr() formulation on any input where ascii(c)
+  * equals the code point (the documented printable-ASCII corpus domain;
+  * both formulations already diverge from DuckDB outside it). Code points
+  * are decoded from UTF-8 so multi-byte chars degrade the same way a
+  * codepoint-wise split does, and chunk md5 bytes are sliced on codepoint
+  * boundaries — identical to md5(concat of the char slice).
+  */
+private[plans] object CharKernel {
+  final val Mod = 2147483647L // 2^31 − 1 (Det doctrine prime)
+  final val K = 8 // rolling window chars
+  // weights 131^(K−1)..131^0 — same orientation as Det.sparkRollAt
+  final val Pows: Array[Long] = Array.iterate(1L, K)(_ * 131L).reverse
+
+  /** Decode code points; empty input decodes to n = 0 (callers replicate
+    * split('')'s [''] singleton semantics explicitly).
+    */
+  def codePoints(s: UTF8String): Array[Int] = {
+    val n = s.numChars()
+    val out = new Array[Int](n)
+    var i = 0
+    var off = 0
+    val bytes = s.getBytes
+    while (i < n) {
+      val b0 = bytes(off) & 0xff
+      if (b0 < 0x80) { out(i) = b0; off += 1 }
+      else {
+        // multi-byte: decode via String (cold path — ASCII corpus domain)
+        val cs = s.substring(i, i + 1).toString
+        out(i) = if (cs.isEmpty) 0 else cs.codePointAt(0)
+        off += (if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4)
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Byte offset of each codepoint start, plus total length sentinel —
+    * lets chunk md5 slice original bytes on char boundaries.
+    */
+  def byteOffsets(s: UTF8String): Array[Int] = {
+    val bytes = s.getBytes
+    val n = s.numChars()
+    val out = new Array[Int](n + 1)
+    var i = 0
+    var off = 0
+    while (i < n) {
+      out(i) = off
+      val b0 = bytes(off) & 0xff
+      off += (if (b0 < 0x80) 1 else if (b0 < 0xe0) 2
+              else if (b0 < 0xf0) 3 else 4)
+      i += 1
+    }
+    out(n) = bytes.length
+    out
+  }
+
+  /** h(i) for 0-based position i over codes (0 past end), the direct
+    * 8-term polynomial — identical arithmetic (incl. wraparound) to the
+    * spelled-out Det.sparkRollAt terms, then pmod.
+    */
+  def hashAt(codes: Array[Int], i: Int): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < K) {
+      val idx = i + j
+      if (idx < codes.length) acc += codes(idx).toLong * Pows(j)
+      j += 1
+    }
+    ((acc % Mod) + Mod) % Mod
+  }
+
+  /** All position hashes; m = max(n − 7, 1) like the expr() sequence. */
+  def positionHashes(codes: Array[Int]): Array[Long] = {
+    val m = math.max(codes.length - (K - 1), 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) { out(i) = hashAt(codes, i); i += 1 }
+    out
+  }
+}
+
+/** array<long> of DISTINCT winnowing fingerprints of one document:
+  * window w = 4 minima over the 8-gram rolling hashes, min by (h, then
+  * position) — the leftmost-tie rule of the struct least() it replaces.
+  * The distinct SET equals the old array_distinct(transform(...)) value;
+  * element order is ascending (the consumer explodes into set-keyed
+  * aggregation, so order is immaterial — pinned by R21OptSpec).
+  */
+case class WinnowFingerprints(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = CharKernel.codePoints(input.asInstanceOf[UTF8String])
+    val hs = CharKernel.positionHashes(codes)
+    val m = hs.length
+    val mins = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      // least() over up to 4 (h, i) structs: smallest h wins, leftmost on
+      // ties — scanning ascending i with strict < implements the tiebreak
+      var best = hs(j)
+      var idx = j + 1
+      val end = math.min(j + 3, m - 1)
+      while (idx <= end) {
+        if (hs(idx) < best) best = hs(idx)
+        idx += 1
+      }
+      mins(j) = best
+      j += 1
+    }
+    java.util.Arrays.sort(mins)
+    var uniq = 0
+    var i = 0
+    while (i < m) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(uniq) = mins(i); uniq += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(mins, uniq))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFingerprints = copy(child = newChild)
+}
+
+/** array<struct<ch: string, clen: bigint>> of content-defined chunks of
+  * one document: boundary starts at char 1 plus every position whose
+  * 8-gram rolling hash ≡ 0 (mod 64); each chunk is md5(hex) of the char
+  * span to the next start (sentinel n+1). Identical values to the
+  * zip_with/slice/md5 expr() chain it replaces (md5 of the same bytes,
+  * same clen), including the empty-document [''] singleton case.
+  */
+case class CdcChunks(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("ch", StringType, nullable = true),
+      StructField("clen", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  private def hex(bytes: Array[Byte]): UTF8String = {
+    val digits = "0123456789abcdef"
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = digits((bytes(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = digits(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val codes = CharKernel.codePoints(s)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // split('') on '' yields [''] — one empty chunk of clen 1 (the chunk
+    // length formula reads size(cs) + 1 − st = 1 + 1 − 1)
+    if (codes.length == 0) {
+      return new GenericArrayData(Array[Any](
+        InternalRow(hex(md.digest(Array.emptyByteArray)), 1L)))
+    }
+    val hs = CharKernel.positionHashes(codes)
+    val n = codes.length
+    // boundary starts (1-based): 1, plus every i with h ≡ 0 (mod 64)
+    var nStarts = 0
+    val starts = new Array[Int](hs.length)
+    var i = 0
+    while (i < hs.length) {
+      if (i == 0 || hs(i) % 64 == 0) { starts(nStarts) = i + 1; nStarts += 1 }
+      i += 1
+    }
+    val offs = CharKernel.byteOffsets(s)
+    val bytes = s.getBytes
+    val out = new Array[Any](nStarts)
+    var c = 0
+    while (c < nStarts) {
+      val st = starts(c)
+      val nxt = if (c + 1 < nStarts) starts(c + 1) else n + 1
+      val b0 = offs(st - 1)
+      val b1 = offs(nxt - 1)
+      md.reset()
+      md.update(bytes, b0, b1 - b0)
+      out(c) = InternalRow(hex(md.digest()), (nxt - st).toLong)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcChunks = copy(child = newChild)
+}

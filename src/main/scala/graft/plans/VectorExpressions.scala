@@ -287,6 +287,10 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "band_prefix_collides",
       args => BandPrefixCollides(args(0), args(1), args(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps", args => WinnowFingerprints(args(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_chunks", args => CdcChunks(args(0)), "built-in")
   }
 
   /** Register a band-shape-specific `lsh_keys_<bands>_<rows>` function with
