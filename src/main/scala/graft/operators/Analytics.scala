@@ -644,8 +644,13 @@ object Analytics {
   val qNgramNovelty = Q(
     "q_ngram_novelty",
     (s, dir) => {
-      val sh = Llm.shinglesWithPos(Tables.documents(s, dir))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
+      // r21: ShingleXxh64Set kernel — same seed-42 hashes, per-doc
+      // distinct replaces the interpreted shingle lambda AND the
+      // (doc_id, h) distinct exchange (see dedupBase).
+      graft.plans.VectorFunctions.register(s)
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(
+          expr("shingle_xxh64_set(split(text, ' '))")).as("h"))
       val owner = sh.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
       val perDoc = sh.join(owner, "h")
         .groupBy("doc_id")

@@ -256,9 +256,15 @@ object Llm {
           // string-compare. A 64-bit collision over a ~27k-shingle
           // vocabulary is ~1e-11 — and the input corpus is fixed, so
           // parity is deterministic, not probabilistic.
-          val sh = shinglesWithPos(reps)
-            .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-            .distinct()
+          // r21: the shingle walk + per-doc distinct is the native
+          // ShingleXxh64Set kernel (same XXH64 seed-42 bytes, distinct
+          // on the hash as before) — the interpreted transform lambda
+          // AND the (doc_id, h) distinct EXCHANGE are gone: per-doc
+          // distinct keyed by doc_id IS the global distinct.
+          graft.plans.VectorFunctions.register(s)
+          val sh = reps
+            .select(col("doc_id"), explode(
+              expr("shingle_xxh64_set(split(text, ' '))")).as("h"))
             .localCheckpoint(true)
           // df stays a LAZY aggregate over the pinned postings: single
           // consumer (ppjoin's prefix), one small two-phase agg — a pin
@@ -3166,14 +3172,24 @@ object Llm {
 
   val qTextFingerprint = Q(
     "q_text_fingerprint",
-    (s, dir) =>
-      shingleSets(Tables.documents(s, dir))
-        .withColumn("h", Det.pHash60(col("shingle")))
-        .groupBy("doc_id")
-        .agg(array_join(slice(sort_array(collect_list(col("h"))), 1, 8), ",")
-          .as("fingerprint"),
-          count(lit(1)).as("n_shingles"))
-        .orderBy("doc_id"),
+    // r21: the fingerprint is a PURE PER-DOCUMENT value, so it computes
+    // entirely map-side via the ShingleMd5Set kernel (per-doc distinct
+    // shingle strings → sorted pHash60 multiset, identical values to
+    // Det.pHash60 over shingleSets) — the explode, the (doc_id, shingle)
+    // distinct exchange and the collect_list aggregation exchange are
+    // all gone; the plan is scan → project → sort. ×50 long-doc axis:
+    // 13.8 s → map-bound; pinned vs the old formulation by R21OptSpec.
+    (s, dir) => {
+      graft.plans.VectorFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("shingle_md5p60_set(split(text, ' '))").as("hs"))
+        .where(size(col("hs")) > 0)
+        .select(col("doc_id"),
+          array_join(expr("slice(hs, 1, 8)"), ",").as("fingerprint"),
+          size(col("hs")).cast(LongType).as("n_shingles"))
+        .orderBy("doc_id")
+    },
     Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
                         FROM documents
                         WHERE len(string_split(text, ' ')) >= 3),
@@ -3279,9 +3295,15 @@ object Llm {
       // BOTH exchanges (the q_dedup_jaccard_pairs byte trade, same
       // ~n²/2⁶⁵ collision acceptance): a 3-token shingle is ~25 chars,
       // the hash is 8 bytes — at the ×50 long-doc axis this join was
-      // 26.9 MB of string shuffle, the char-level family's largest
-      val ss = shingleSets(Tables.documents(s, dir))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      // 26.9 MB of string shuffle, the char-level family's largest.
+      // r21: the ShingleXxh64Set kernel replaces the interpreted shingle
+      // transform AND the string-keyed distinct exchange (per-doc
+      // distinct on the hash — the same collision acceptance as above,
+      // now applied one step earlier).
+      graft.plans.VectorFunctions.register(s)
+      val ss = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(
+          expr("shingle_xxh64_set(split(text, ' '))")).as("shingle"))
       val dfc = ss.groupBy("shingle").agg(count(lit(1)).as("df"))
       ss.join(dfc, "shingle")
         .groupBy("doc_id")

@@ -241,3 +241,152 @@ case class CdcChunks(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): CdcChunks = copy(child = newChild)
 }
+
+/** Shared shingle walk for the two set kernels below: 3-token shingles
+  * exactly as Llm.shinglesWithPos builds them — concat_ws(' ',
+  * slice(toks, i, 3)) over a split(text, ' ') token array, docs with
+  * < 3 tokens yielding NO shingles (the .where(size >= 3) row filter
+  * becomes an empty array the caller's explode drops).
+  */
+private[plans] object ShingleKernel {
+  private val Space = UTF8String.fromString(" ")
+
+  def eachShingle(toksRaw: ArrayData)(f: UTF8String => Unit): Boolean = {
+    val n = toksRaw.numElements()
+    if (n < 3) return false
+    var i = 0
+    while (i <= n - 3) {
+      // concat_ws skips NULLs (split never emits them) and keeps empty
+      // tokens — concatWs replicates both
+      f(UTF8String.concatWs(Space, toksRaw.getUTF8String(i),
+        toksRaw.getUTF8String(i + 1), toksRaw.getUTF8String(i + 2)))
+      i += 1
+    }
+    true
+  }
+
+  def sortedDistinct(vals: Array[Long], m: Int): Array[Long] = {
+    val a = java.util.Arrays.copyOf(vals, m)
+    java.util.Arrays.sort(a)
+    var uniq = 0
+    var i = 0
+    while (i < a.length) {
+      if (i == 0 || a(i) != a(i - 1)) { a(uniq) = a(i); uniq += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(a, uniq)
+  }
+}
+
+/** Sorted DISTINCT array<long> of xxhash64(3-token shingle) per token
+  * array — the map side of the shingle→hash postings pipeline
+  * (dedupBase sh, q_text_boilerplate, q_ngram_novelty). Value-equal to
+  * exploding shinglesWithPos and hashing (XXH64.hashUTF8String with
+  * Spark's seed 42), with distinct applied to the HASH — the ~n²/2⁶⁴
+  * in-doc collision acceptance those call sites already document.
+  * Replaces an interpreted transform(sequence(...)) lambda (one
+  * UTF8String slice array + concat per position) plus a string-keyed
+  * distinct exchange with one pass and a long-keyed exchange.
+  */
+case class ShingleXxh64Set(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_xxh64_set"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires array<string>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val out = new Array[Long](math.max(n - 2, 0))
+    var m = 0
+    ShingleKernel.eachShingle(toks) { sh =>
+      out(m) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(sh, 42L)
+      m += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(ShingleKernel.sortedDistinct(out, m))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleXxh64Set = copy(child = newChild)
+}
+
+/** Sorted array<long> of Det.pHash60/pHash32 md5-prefix values over the
+  * per-doc DISTINCT shingle STRINGS (exact string distinct — the
+  * shingleSets semantics), one value per distinct shingle INCLUDING any
+  * md5-prefix duplicates, so size() is the exact distinct-shingle count
+  * and the sorted order equals sort_array(collect_list(h)).
+  * hexLen = 15 → first 60 md5 bits (pHash60), 8 → first 32 (pHash32):
+  * value = big-endian md5 prefix, identical to
+  * conv(substring(md5(shingle), 1, hexLen), 16, 10).
+  */
+case class ShingleMd5Set(child: Expression, hexLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(hexLen == 15 || hexLen == 8, "hexLen must be 15 or 8")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_md5_set"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires array<string>, got ${t.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](math.max(n - 2, 0))
+    var m = 0
+    ShingleKernel.eachShingle(toks) { sh =>
+      if (seen.add(sh)) {
+        md.reset()
+        val d = md.digest(sh.getBytes)
+        // first hexLen nibbles of the hex digest as an unsigned value:
+        // 15 → bytes 0..7 >>> 4 (60 bits), 8 → bytes 0..3 (32 bits)
+        val v =
+          if (hexLen == 15)
+            (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+          else
+            ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        out(m) = v
+        m += 1
+      }
+    }
+    val a = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(a)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(a)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleMd5Set = copy(child = newChild)
+}

@@ -291,6 +291,10 @@ object VectorFunctions {
       "winnow_fps", args => WinnowFingerprints(args(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cdc_chunks", args => CdcChunks(args(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_xxh64_set", args => ShingleXxh64Set(args(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_md5p60_set", args => ShingleMd5Set(args(0), 15), "built-in")
   }
 
   /** Register a band-shape-specific `lsh_keys_<bands>_<rows>` function with
