@@ -1268,25 +1268,36 @@ object Relational {
     * size, and basket size is hard-capped at [[MaxBasket]] before the
     * join (the 100 TB guard, enforced in both engines).
     */
+  /** r21: the per-order item set as ONE sorted capped array — a single
+    * okey-keyed aggregate replaces the old distinct exchange (hash on
+    * (okey, part)) PLUS the row_number window exchange (hash on okey):
+    * sort_array(collect_set(part)) is exactly "distinct parts, part-
+    * ascending", and slice(…, 1, MaxBasket) is exactly rn <= MaxBasket.
+    * Consumers explode pairs/items MAP-SIDE off this frame, so the
+    * a<b self-join disappears from both basket queries; the only
+    * remaining exchanges are the fundamental pair/support aggregates.
+    */
+  private def basketArrays(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .groupBy("okey")
+      .agg(expr(s"slice(sort_array(collect_set(part)), 1, $MaxBasket)")
+        .as("ps"))
+
+  private val basketPairsE =
+    "flatten(transform(ps, (x, i) -> transform(" +
+      "slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"
+
   val qBasketPairs = Q(
     "q_basket_pairs",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wBasket = Window.partitionBy(col("okey")).orderBy(col("part"))
-      val items = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
-        .withColumn("rn", row_number().over(wBasket))
-        .where(col("rn") <= MaxBasket)
-        .select("okey", "part")
-      items.toDF("okey", "pa")
-        .join(items.toDF("okey2", "pb"),
-          col("okey") === col("okey2") && col("pa") < col("pb"))
+    (s, dir) =>
+      basketArrays(s, dir)
+        .select(explode(expr(basketPairsE)).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .groupBy("pa", "pb")
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("pa"), col("pb"))
-        .limit(20)
-    },
+        .limit(20),
     Some(s"""WITH items AS (
               SELECT okey, part FROM (
                 SELECT okey, part,
@@ -1323,19 +1334,17 @@ object Relational {
   val qRecItemCosine = Q(
     "q_rec_item_cosine",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wBasket = Window.partitionBy(col("okey")).orderBy(col("part"))
-      val items = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
-        .withColumn("rn", row_number().over(wBasket))
-        .where(col("rn") <= MaxBasket)
-        .select("okey", "part")
-      val support = items.groupBy("part")
+      // r21: pairs and supports both explode map-side off the shared
+      // basketArrays frame (one okey aggregate, ReusedExchange across
+      // the two consumers) — the items distinct + window exchanges and
+      // the okey self-join are gone; see basketArrays.
+      val bsk = basketArrays(s, dir)
+      val support = bsk.select(explode(col("ps")).as("part"))
+        .groupBy("part")
         .agg(count(lit(1)).as("n"))
-      val co = items.toDF("okey", "pa")
-        .join(items.toDF("okey2", "pb"),
-          col("okey") === col("okey2") && col("pa") < col("pb"))
+      val co = bsk
+        .select(explode(expr(basketPairsE)).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .groupBy("pa", "pb")
         .agg(count(lit(1)).as("co"))
       co

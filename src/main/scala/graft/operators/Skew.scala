@@ -36,6 +36,16 @@ object Skew {
         .cast("int"))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
+      // r21: pin the shuffle the salt EXISTS for. Catalyst's static
+      // estimate of the replicated dim stays under the broadcast
+      // threshold, so it silently planned a BroadcastHashJoin — a
+      // ×salts-inflated broadcast build (orders ×8 ≈ 3.6 M rows at
+      // sf0.1, ~2 s of build+ship for a skew remedy that never
+      // engages: a broadcast join has no skew problem and at scale
+      // the ×salts dim is exactly the r11 broadcast-OOM class). With
+      // SHUFFLE_HASH the (key, salt) exchange actually spreads the
+      // hot key. Row-identical either way (SkewSpec).
+      .hint("shuffle_hash")
     saltedBig
       .join(replicatedSmall,
         col(bigKey) === col(smallKey) &&
@@ -59,6 +69,9 @@ object Skew {
         .cast("int"))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
+      // r21: same SHUFFLE_HASH pin as saltedInnerJoin (left-outer keeps
+      // the dim as build side, which ShuffledHashJoin supports)
+      .hint("shuffle_hash")
     saltedBig
       .join(replicatedSmall,
         col(bigKey) === col(smallKey) &&
