@@ -1309,8 +1309,14 @@ object Llm {
     "q_dedup_minhash_lsh",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sh = shingleSets(docs)
-        .withColumn("h", Det.pHash32(col("shingle")))
+      // r21: ShingleMd5Set kernel — per-doc distinct shingle strings →
+      // pHash32 multiset, value-identical to shingleSets + Det.pHash32
+      // (pinned by R21OptSpec); kills the interpreted shingle lambda,
+      // the per-shingle md5-hex/conv chain and the string distinct
+      // exchange.
+      graft.plans.VectorFunctions.register(s)
+      val sh = docs.select(col("doc_id"), explode(
+        expr("shingle_md5p32_set(split(text, ' '))")).as("h"))
       val r = MinhashK / MinhashBands
       val sigCols = (0 until MinhashK).map { i =>
         val (a, b) = mhAB(i)
@@ -5419,12 +5425,19 @@ object Llm {
   val qTextSourceOverlap = Q(
     "q_text_source_overlap",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("source"), split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) >= 3)
-      val sh = d.select(col("source"),
-        explode(expr("transform(sequence(1, size(toks) - 2), " +
-          "i -> concat_ws(' ', slice(toks, i, 3)))")).as("shingle"))
+      // r21: shingles ride xxhash64 through the distinct and the
+      // self-join (the q_dedup_jaccard_pairs / q_text_boilerplate byte
+      // trade, same ~n²/2⁶⁴ collision acceptance — the oracle stays on
+      // raw strings): the ShingleXxh64Set kernel replaces the
+      // interpreted per-position transform, and the cross-doc distinct
+      // + the shingle-keyed self-join now move 8-byte longs instead of
+      // ~25-byte strings. The distinct here is SOURCE-level (shingles
+      // shared across a source's docs), so the exchange remains — only
+      // its payload shrinks.
+      graft.plans.VectorFunctions.register(s)
+      val sh = Tables.documents(s, dir)
+        .select(col("source"), explode(
+          expr("shingle_xxh64_set(split(text, ' '))")).as("shingle"))
         .distinct()
       val n = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
       val pairs = sh.as("a").join(sh.as("b"),

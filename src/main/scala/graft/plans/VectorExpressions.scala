@@ -295,6 +295,8 @@ object VectorFunctions {
       "shingle_xxh64_set", args => ShingleXxh64Set(args(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_md5p60_set", args => ShingleMd5Set(args(0), 15), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_md5p32_set", args => ShingleMd5Set(args(0), 8), "built-in")
   }
 
   /** Register a band-shape-specific `lsh_keys_<bands>_<rows>` function with

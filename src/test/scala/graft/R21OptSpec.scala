@@ -91,6 +91,21 @@ class R21OptSpec extends AnyFunSuite with SparkFixture {
     assert(joined.count() === 0, "shingle_md5p60_set diverged")
   }
 
+  test("ShingleMd5Set p32 variant matches shingleSets+pHash32") {
+    graft.plans.VectorFunctions.register(spark)
+    val old = operators.Llm.shingleSets(docsPlus)
+      .withColumn("h", Det.pHash32(col("shingle")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("old"))
+    val nw = docsPlus
+      .select(col("doc_id"),
+        expr("shingle_md5p32_set(split(text, ' '))").as("nw"))
+      .where(size(col("nw")) > 0)
+    val joined = old.join(nw, Seq("doc_id"), "full")
+      .where(not(col("old") <=> col("nw")))
+    assert(joined.count() === 0, "shingle_md5p32_set diverged")
+  }
+
   test("ppjoin candidate filters drop no qualifying pair (vs naive truth)") {
     // q_dedup_jaccard_pairs is the uncapped all-pairs truth; ppjoin with
     // the r21 length+positional filters must still match it row-for-row
