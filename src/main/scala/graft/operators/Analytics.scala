@@ -473,6 +473,10 @@ object Analytics {
             "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
         .withColumn("x",
           datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+        // r21: calendar-bounded (days × flags) but consumed three times
+        // (both slope-pair sides + the intercept join), each re-running
+        // the lineitem aggregate — pin once
+        .localCheckpoint(true)
       val a = daily.select(col("flag"), col("x").as("xi"), col("y").as("yi"))
       val b = daily.select(col("flag"), col("x").as("xj"), col("y").as("yj"))
       val med = b.join(broadcast(a), Seq("flag"))
@@ -1058,6 +1062,10 @@ object Analytics {
           " + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("y"))
         .withColumn("t",
           datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+        // r21: calendar-bounded; the 3-round ESD driver loop executes
+        // its survivor chain ~2× per round and every execution re-ran
+        // the lineitem aggregate (~7 corpus scans per query) — pin once
+        .localCheckpoint(true)
       var surv = daily
       var picks = Seq.empty[DataFrame]
       for (r <- 1 to 3) {
@@ -4568,12 +4576,24 @@ object Analytics {
       val brand = Tables.part(s, dir)
         .select(col("p_partkey").as("part"), col("p_brand").as("c"))
       val itemsC = items.join(brand.hint("shuffle_hash"), "part")
+        // r21: ONE okey-keyed exchange shared by both self-join sides
+        // (the winnowing repartition pattern): without it each side
+        // planned its own ENSURE_REQUIREMENTS exchange and the whole
+        // distinct+window+brand-join chain executed twice (JobProbe:
+        // two identical 7.7 MB exchange-write jobs).
+        .repartition(col("okey"))
       val grp = itemsC.select(col("okey"), col("part").as("pa"),
           col("c").as("ca"))
         .join(itemsC.select(col("okey").as("okey2"), col("part").as("pb"),
           col("c").as("cb")),
           col("okey") === col("okey2") && col("pa") < col("pb"))
         .groupBy("ca", "cb").agg(count(lit(1)).as("w"))
+        // r21: pin the brand grid — it is ≤ |brands|² rows (625 at any
+        // scale) but its lineage is the whole wedge self-join, and the
+        // four consumers below (m, ec, both strength arms) re-executed
+        // that chain: JobProbe showed the wedge jobs running 4× (~60 MB
+        // of the query's reads). One eager checkpoint, one execution.
+        .localCheckpoint(true)
       val m = grp.agg(sum(col("w")).as("m"))
       val ec = grp.where(col("ca") === col("cb"))
         .groupBy(col("ca").as("c")).agg(sum(col("w")).as("e_c"))
@@ -5010,6 +5030,11 @@ object Analytics {
           when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))
       val cells = base.groupBy("feature", "xv", "y")
         .agg(count(lit(1)).as("o"))
+        // r21: pin the contingency cells — grid-bounded (|features| ×
+        // |levels| × 2 rows) but its lineage is the 5-way stacked
+        // corpus scan, which the four consumers below (rt/ct/nt/mi)
+        // re-executed (JobProbe: two full stack-scan jobs per run).
+        .localCheckpoint(true)
       val rt = cells.groupBy("feature", "xv").agg(sum(col("o")).as("r"))
       val ct = cells.groupBy("feature", "y").agg(sum(col("o")).as("c"))
       val nt = cells.groupBy("feature").agg(sum(col("o")).as("n"))

@@ -4689,16 +4689,26 @@ object Llm {
       val toks = docs.select(col("doc_id"), col("source"), col("tr"),
         explode(split(col("text"), " ")).as("tok"))
         .where(col("tok") =!= "")
+      // r21: the train-token explode used to be re-scanned by FOUR
+      // independent aggregates (tc, cl, glob's vocab count, and hits'
+      // join side). tc is vocab×class-bounded, so pin it once and
+      // DERIVE the others: tot = Σc per class (same count of train
+      // tokens), v = distinct tok over tc (distinct across classes),
+      // ndocs = train docs with n_tok > 0 (a doc appears in the token
+      // stream iff it has ≥1 non-empty token) — exact integer
+      // identities, parity-checked. The corpus explode now runs once
+      // for training counts and once for the test-side hits join.
       val tc = toks.where(col("tr")).groupBy("source", "tok")
         .agg(count(lit(1)).as("c"))
         .select(col("source").as("cls"), col("tok"), col("c"))
-      val cl = toks.where(col("tr")).groupBy("source")
-        .agg(count(lit(1)).as("tot"),
-          countDistinct(col("doc_id")).as("ndocs"))
-        .select(col("source").as("cls"), col("tot"), col("ndocs"))
+        .localCheckpoint(true)
+      val cl = tc.groupBy("cls").agg(sum(col("c")).as("tot"))
+        .join(docs.where(col("tr") && col("n_tok") > 0)
+          .groupBy(col("source").as("cls"))
+          .agg(count(lit(1)).as("ndocs")), Seq("cls"))
+        .select(col("cls"), col("tot"), col("ndocs"))
       val glob = cl.agg(sum(col("ndocs")).as("n_train"))
-        .crossJoin(toks.where(col("tr"))
-          .agg(countDistinct(col("tok")).as("v")))
+        .crossJoin(tc.agg(countDistinct(col("tok")).as("v")))
       val hits = toks.where(!col("tr"))
         .join(tc.hint("shuffle_hash"), Seq("tok"))
         .groupBy("doc_id", "cls")
