@@ -2025,7 +2025,14 @@ object Llm {
     */
   private[graft] def widenStream(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(math.max(cores, df.rdd.getNumPartitions))
+    val parts = df.rdd.getNumPartitions
+    // r21 (ADVICE r20): repartition(n) to the same n is NOT a no-op —
+    // when the scan's split count already covers the cores (the 100 TB
+    // regime) the old max() spelling paid a pure full round-robin
+    // exchange of the streamed corpus. Widen ONLY when genuinely
+    // under-parallel; at sf0.1 (3 splits < 32 cores) plans still widen,
+    // so the PlanLintSpec dense-BNLJ invariant stays satisfiable.
+    if (parts >= cores) df else df.repartition(cores)
   }
 
   /** Exact cosine near-dup pairs over any embeddings frame (brute force,
