@@ -1309,27 +1309,30 @@ object Llm {
     "q_dedup_minhash_lsh",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      // r21: ShingleMd5Set kernel — per-doc distinct shingle strings →
-      // pHash32 multiset, value-identical to shingleSets + Det.pHash32
-      // (pinned by R21OptSpec); kills the interpreted shingle lambda,
-      // the per-shingle md5-hex/conv chain and the string distinct
-      // exchange.
+      // r21: the whole per-doc frame is MAP-SIDE now. ShingleMd5Set
+      // yields the sorted pHash32 multiset over per-doc distinct
+      // shingle strings (value-identical to shingleSets + Det.pHash32,
+      // pinned by R21OptSpec) — which IS sort_array(collect_list(h));
+      // MinhashSigs folds the K universal-hash minima over that array
+      // in one pass (same long arithmetic as the min((a*h+b)%p)
+      // aggregates it replaces, pinned by R21OptSpec). The (doc_id, h)
+      // explode + groupBy exchange is gone — a MinHash signature is a
+      // per-document value, the map-side-signature property that makes
+      // it the 100 TB path. n = size(hs) = the old count(1).
       graft.plans.VectorFunctions.register(s)
-      val sh = docs.select(col("doc_id"), explode(
-        expr("shingle_md5p32_set(split(text, ' '))")).as("h"))
       val r = MinhashK / MinhashBands
-      val sigCols = (0 until MinhashK).map { i =>
-        val (a, b) = mhAB(i)
-        min(expr(s"(${a}L * h + ${b}L) % ${MinhashP}L")).as(s"sig_$i")
-      }
-      // ONE doc-level aggregation computes the K-min signature, the sorted
-      // hash set (for candidate verification), and the set size — every
-      // downstream branch hangs off the same exchange (ReusedExchange)
-      // instead of re-scanning the corpus per branch.
-      val aggCols = sigCols :+
-        sort_array(collect_list(col("h"))).as("hs") :+
-        count(lit(1)).as("n")
-      val perDoc = sh.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      val ab = (0 until MinhashK).map(mhAB)
+      val sigsFn = graft.plans.VectorFunctions.registerMinhashSigs(
+        s, ab.map(_._1), ab.map(_._2), MinhashP)
+      val perDoc = docs
+        .select(col("doc_id"),
+          expr("shingle_md5p32_set(split(text, ' '))").as("hs"))
+        .where(size(col("hs")) > 0)
+        .withColumn("sigs", expr(s"$sigsFn(hs)"))
+        .select(Seq(col("doc_id")) ++
+          (0 until MinhashK).map(i =>
+            expr(s"sigs[$i]").as(s"sig_$i")) ++
+          Seq(col("hs"), size(col("hs")).cast(LongType).as("n")): _*)
       // band key = ordered concat of the r signature values in the band
       val bandKeys = (0 until MinhashBands).map { b =>
         concat_ws(",", (b * r until (b + 1) * r)

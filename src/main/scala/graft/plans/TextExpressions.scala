@@ -390,3 +390,66 @@ case class ShingleMd5Set(child: Expression, hexLen: Int)
   override protected def withNewChildInternal(
       newChild: Expression): ShingleMd5Set = copy(child = newChild)
 }
+
+/** All K MinHash signature values of one base-hash array in one pass:
+  * out[k] = min over h of (as(k)·h + bs(k)) mod p — the same universal
+  * hash family, same Java long arithmetic, as the per-row expression
+  * `min((a*h + b) % p)` aggregated over exploded rows. A MinHash
+  * signature is a PER-DOCUMENT value, so computing it map-side removes
+  * the (doc_id, h) explode + groupBy exchange entirely — the
+  * map-side-signature property that makes MinHash the 100 TB dedup
+  * path in the first place. Callers must filter shingle-less docs first
+  * (the old groupBy dropped them implicitly); an empty array would
+  * yield Long.MaxValue sentinels, not absent rows.
+  */
+case class MinhashSigs(child: Expression, as: Seq[Long], bs: Seq[Long],
+                       p: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(as.length == bs.length && as.nonEmpty)
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires array<bigint>, got ${t.sql}")
+    }
+
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val k = aArr.length
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var best = Long.MaxValue
+      var i = 0
+      val a = aArr(j)
+      val b = bArr(j)
+      while (i < n) {
+        val v = (a * hs.getLong(i) + b) % p
+        if (v < best) best = v
+        i += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinhashSigs = copy(child = newChild)
+}

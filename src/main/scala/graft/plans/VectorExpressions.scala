@@ -299,6 +299,18 @@ object VectorFunctions {
       "shingle_md5p32_set", args => ShingleMd5Set(args(0), 8), "built-in")
   }
 
+  /** Register a `minhash_sigs_<k>` function with the universal-hash
+    * family constants baked in (SQL functions can't take array
+    * literals as family parameters). Idempotent per family size.
+    */
+  def registerMinhashSigs(spark: SparkSession, as: Seq[Long],
+                          bs: Seq[Long], p: Long): String = {
+    val name = s"minhash_sigs_${as.length}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, args => MinhashSigs(args(0), as, bs, p), "built-in")
+    name
+  }
+
   /** Register a band-shape-specific `lsh_keys_<bands>_<rows>` function with
     * the plane matrix baked in (SQL functions can't take a matrix argument).
     * Idempotent per shape; name-spaced by shape so two shapes can coexist

@@ -106,6 +106,33 @@ class R21OptSpec extends AnyFunSuite with SparkFixture {
     assert(joined.count() === 0, "shingle_md5p32_set diverged")
   }
 
+  test("MinhashSigs matches the min((a*h+b)%p) aggregates") {
+    graft.plans.VectorFunctions.register(spark)
+    val p = 4294967311L
+    val ab = (0 until 16).map { i =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      def pos(h: Long): Long = h & Long.MaxValue
+      (pos(XXH64.hashLong(i.toLong, 7L)) % (1L << 30) + 1L,
+        pos(XXH64.hashLong(i.toLong, 13L)) % p)
+    }
+    val fn = graft.plans.VectorFunctions.registerMinhashSigs(
+      spark, ab.map(_._1), ab.map(_._2), p)
+    val sh = docsPlus.select(col("doc_id"), explode(
+      expr("shingle_md5p32_set(split(text, ' '))")).as("h"))
+    val oldSigs = sh.groupBy("doc_id").agg(
+      array(ab.map { case (a, b) =>
+        min(expr(s"(${a}L * h + ${b}L) % ${p}L"))
+      }: _*).as("old"))
+    val nw = docsPlus
+      .select(col("doc_id"),
+        expr("shingle_md5p32_set(split(text, ' '))").as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), expr(s"$fn(hs)").as("nw"))
+    val joined = oldSigs.join(nw, Seq("doc_id"), "full")
+      .where(not(col("old") <=> col("nw")))
+    assert(joined.count() === 0, "minhash_sigs diverged")
+  }
+
   test("ppjoin candidate filters drop no qualifying pair (vs naive truth)") {
     // q_dedup_jaccard_pairs is the uncapped all-pairs truth; ppjoin with
     // the r21 length+positional filters must still match it row-for-row
