@@ -2129,19 +2129,37 @@ object Relational {
   val qGraphAdamicAdar = Q(
     "q_graph_adamic_adar",
     (s, dir) => {
+      // r22 (r21 verdict #7): the per-wedge weight rides the pair
+      // aggregation as an 8-byte unscaled-long micro-unit (10⁻¹² units
+      // of the SAME DECIMAL(38,12) value) instead of a 16-byte decimal
+      // — sum(long) partials halve the sd column through the (a, b)
+      // exchange, the query's only corpus-scaled shuffle. Exactness and
+      // the overflow bound (documented in OPTIMIZATION_r22.md): each
+      // term is the unscaled value of CAST(1/ln(deg) AS DECIMAL(38,12)),
+      // ≤ ⌈10¹²/ln 2⌉ ≈ 1.443·10¹² (deg ≥ 2 by the store filter); the
+      // per-pair term count n_common ≤ deg(supplier) ≤ parts-per-
+      // supplier, which in this schema is scale-INVARIANT (TPC-H ships 4
+      // suppliers per part: ~80 parts/supplier at every SF), so the sum
+      // is ≤ ~10¹⁴·k — 2⁶³ overflows only past ~6.4 M common neighbors
+      // per pair, 5 orders of magnitude above the schema's degree
+      // ceiling. make_dec12 reconstructs the EXACT same DECIMAL(38,12)
+      // (same unscaled value, same scale) the old sum(decimal) produced,
+      // so ordering, ties and aa_score are bit-identical.
+      graft.plans.VectorFunctions.register(s)
       val und = graphUnd(s, dir)
       val w = graphDeg(s, dir)
         .where(pmod(col("src"), lit(2)) === 0 && col("deg") >= 2)
         .select(col("src").as("n"),
-          expr("CAST(CAST(1.0 AS DOUBLE) / ln(CAST(deg AS DOUBLE)) " +
-            "AS DECIMAL(38,12))").as("w"))
+          expr("unscaled_dec(CAST(CAST(1.0 AS DOUBLE) " +
+            "/ ln(CAST(deg AS DOUBLE)) AS DECIMAL(38,12)))").as("w"))
       val ctr = und.where(pmod(col("src"), lit(2)) === 0)
       ctr.select(col("src").as("n"), col("dst").as("a"))
         .join(ctr.select(col("src").as("n"), col("dst").as("b")), Seq("n"))
         .where(col("a") < col("b"))
         .join(w, Seq("n"))
         .groupBy("a", "b")
-        .agg(count(lit(1)).as("n_common"), sum(col("w")).as("sd"))
+        .agg(count(lit(1)).as("n_common"), sum(col("w")).as("sd_micro"))
+        .withColumn("sd", expr("make_dec12(sd_micro)"))
         .orderBy(col("sd").desc, col("a"), col("b"))
         .limit(20)
         .select(col("a"), col("b"), col("n_common"),

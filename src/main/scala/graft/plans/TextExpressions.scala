@@ -53,11 +53,22 @@ private[plans] object CharKernel {
     while (i < n) {
       val b0 = bytes(off) & 0xff
       if (b0 < 0x80) { out(i) = b0; off += 1 }
-      else {
-        // multi-byte: decode via String (cold path — ASCII corpus domain)
-        val cs = s.substring(i, i + 1).toString
-        out(i) = if (cs.isEmpty) 0 else cs.codePointAt(0)
-        off += (if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4)
+      else if (b0 < 0xe0) {
+        // multi-byte: decode directly from the tracked byte offset
+        // (ADVICE r21: the old substring(i, i+1) fallback rescanned the
+        // UTF8String from byte 0 per char — O(n²) on non-ASCII docs).
+        // Well-formed UTF-8 (the only thing split() feeds) decodes to
+        // the same code point the String round-trip produced.
+        out(i) = ((b0 & 0x1f) << 6) | (bytes(off + 1) & 0x3f)
+        off += 2
+      } else if (b0 < 0xf0) {
+        out(i) = ((b0 & 0x0f) << 12) | ((bytes(off + 1) & 0x3f) << 6) |
+          (bytes(off + 2) & 0x3f)
+        off += 3
+      } else {
+        out(i) = ((b0 & 0x07) << 18) | ((bytes(off + 1) & 0x3f) << 12) |
+          ((bytes(off + 2) & 0x3f) << 6) | (bytes(off + 3) & 0x3f)
+        off += 4
       }
       i += 1
     }
@@ -439,8 +450,13 @@ case class MinhashSigs(child: Expression, as: Seq[Long], bs: Seq[Long],
       val a = aArr(j)
       val b = bArr(j)
       while (i < n) {
-        val v = (a * hs.getLong(i) + b) % p
-        if (v < best) best = v
+        // null slots are skipped, not read as garbage (ADVICE r21: the
+        // type check admits containsNull=true arrays; current call
+        // sites never produce one, but the function is session-visible)
+        if (!hs.isNullAt(i)) {
+          val v = (a * hs.getLong(i) + b) % p
+          if (v < best) best = v
+        }
         i += 1
       }
       out(j) = best

@@ -277,6 +277,114 @@ case class BandPrefixCollides(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Crossing-number ray cast of one point against a polygon edge list —
+  * the per-(point, polygon) kernel of q_geo_point_in_polygon as one
+  * codegen loop (r21 verdict #5: the `aggregate()` higher-order spelling
+  * is an INTERPRETED lambda chain — lambdas never enter whole-stage
+  * codegen — evaluated once per BNLJ candidate pair, ~375 k pairs at
+  * sf0.1, and was the last big interpreted expression in a hot path).
+  *
+  * Arithmetic is the EXACT per-edge expression it replaces, in the same
+  * order on the same doubles:
+  *   (y1 > py) != (y2 > py) && px < x1 + (py − y1)·(x2 − x1)/(y2 − y1)
+  * with the same short-circuit (the division only runs when the straddle
+  * test already guarantees y2 ≠ y1 — horizontal edges contribute 0,
+  * vertical edges hit the exact zero-product term), so crossings — and
+  * the odd/even verdict — are bit-identical to the HOF formulation.
+  * Edges shorter than 2 points or with sub-2 coordinate arity count 0,
+  * matching element_at's null-propagation-to-false in the CASE.
+  */
+case class RayCrossings(first: Expression, second: Expression,
+                        third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "ray_crossings"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = first.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+      case _ => false
+    }
+    if (ok && second.dataType == DoubleType && third.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<array<array<double>>>, double, " +
+          s"double), got ${first.dataType.sql}, ${second.dataType.sql}, " +
+          s"${third.dataType.sql}")
+  }
+
+  override def nullSafeEval(es: Any, pxA: Any, pyA: Any): Any = {
+    val edges = es.asInstanceOf[ArrayData]
+    val px = pxA.asInstanceOf[Double]
+    val py = pyA.asInstanceOf[Double]
+    var acc = 0
+    var i = 0
+    val n = edges.numElements()
+    while (i < n) {
+      val e = edges.getArray(i)
+      if (e.numElements() >= 2) {
+        val p1 = e.getArray(0)
+        val p2 = e.getArray(1)
+        if (p1.numElements() >= 2 && p2.numElements() >= 2) {
+          val x1 = p1.getDouble(0); val y1 = p1.getDouble(1)
+          val x2 = p2.getDouble(0); val y2 = p2.getDouble(1)
+          if ((y1 > py) != (y2 > py) &&
+              px < x1 + (py - y1) * (x2 - x1) / (y2 - y1)) acc += 1
+        }
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (es, px, py) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val e = ctx.freshName("e")
+      val p1 = ctx.freshName("p1")
+      val p2 = ctx.freshName("p2")
+      val x1 = ctx.freshName("x1")
+      val y1 = ctx.freshName("y1")
+      val x2 = ctx.freshName("x2")
+      val y2 = ctx.freshName("y2")
+      s"""
+         |int $acc = 0;
+         |int $n = $es.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $e =
+         |    $es.getArray($i);
+         |  if ($e.numElements() >= 2) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $p1 =
+         |      $e.getArray(0);
+         |    org.apache.spark.sql.catalyst.util.ArrayData $p2 =
+         |      $e.getArray(1);
+         |    if ($p1.numElements() >= 2 && $p2.numElements() >= 2) {
+         |      double $x1 = $p1.getDouble(0); double $y1 = $p1.getDouble(1);
+         |      double $x2 = $p2.getDouble(0); double $y2 = $p2.getDouble(1);
+         |      if (($y1 > $py) != ($y2 > $py) &&
+         |          $px < $x1 + ($py - $y1) * ($x2 - $x1) / ($y2 - $y1)) {
+         |        $acc++;
+         |      }
+         |    }
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): RayCrossings =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorFunctions {
   /** Make `vec_dot` + `band_prefix_collides` callable from expr()/SQL in
     * this session. Idempotent.
@@ -297,15 +405,39 @@ object VectorFunctions {
       "shingle_md5p60_set", args => ShingleMd5Set(args(0), 15), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_md5p32_set", args => ShingleMd5Set(args(0), 8), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ray_crossings",
+      args => RayCrossings(args(0), args(1), args(2)), "built-in")
+    // Decimal(38,12) ⇄ unscaled-long micro-units (r21 verdict #7, the
+    // adamic-adar byte trim): both are Spark's own internal expressions
+    // (UnscaledValue / MakeDecimal — the machinery behind long-backed
+    // decimal aggregates), exposed to expr() so a DECIMAL(38,12) weight
+    // can ride a shuffle as an 8-byte long and be reconstructed
+    // bit-identically (same unscaled value, same scale) on the other
+    // side. Exact by construction — no double round-trip anywhere.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unscaled_dec",
+      args => org.apache.spark.sql.catalyst.expressions
+        .UnscaledValue(args(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "make_dec12",
+      args => org.apache.spark.sql.catalyst.expressions
+        .MakeDecimal(args(0), 38, 12), "built-in")
   }
 
-  /** Register a `minhash_sigs_<k>` function with the universal-hash
-    * family constants baked in (SQL functions can't take array
-    * literals as family parameters). Idempotent per family size.
+  /** Register a `minhash_sigs_<k>_<digest>` function with the
+    * universal-hash family constants baked in (SQL functions can't take
+    * array literals as family parameters). Idempotent per family; the
+    * constants digest in the name keeps two same-K families from
+    * silently colliding under createOrReplaceTempFunction's last-wins
+    * (ADVICE r21).
     */
   def registerMinhashSigs(spark: SparkSession, as: Seq[Long],
                           bs: Seq[Long], p: Long): String = {
-    val name = s"minhash_sigs_${as.length}"
+    val digest = java.lang.Long.toHexString(
+      (as ++ bs :+ p).foldLeft(1125899906842597L)((h, v) =>
+        h * 31L + v) & Long.MaxValue)
+    val name = s"minhash_sigs_${as.length}_$digest"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, args => MinhashSigs(args(0), as, bs, p), "built-in")
     name

@@ -866,6 +866,7 @@ object SourcesSinks {
   val qGeoPointInPolygon = Q(
     "q_geo_point_in_polygon",
     (s, dir) => {
+      graft.plans.VectorFunctions.register(s)
       def ring(hw: Column, ccw: Boolean) = {
         val corners = Seq((-1, -1), (1, -1), (1, 1), (-1, 1), (-1, -1))
           .map { case (sx, sy) =>
@@ -911,18 +912,14 @@ object SourcesSinks {
       pts.join(broadcast(geom),
           col("px") >= col("bxmin") && col("px") <= col("bxmax") &&
             col("py") >= col("bymin") && col("py") <= col("bymax"))
-        .withColumn("crossings", expr(
-          """aggregate(edges, 0,
-               (acc, e) -> acc + (CASE WHEN
-                 (element_at(element_at(e, 1), 2) > py)
-                   != (element_at(element_at(e, 2), 2) > py)
-                 AND px < element_at(element_at(e, 1), 1)
-                   + (py - element_at(element_at(e, 1), 2))
-                     * (element_at(element_at(e, 2), 1)
-                        - element_at(element_at(e, 1), 1))
-                     / (element_at(element_at(e, 2), 2)
-                        - element_at(element_at(e, 1), 2))
-                 THEN 1 ELSE 0 END))"""))
+        // r22 (verdict #5): the per-pair ray cast is the RayCrossings
+        // codegen kernel — the interpreted aggregate() lambda over the
+        // edge list ran once per BNLJ candidate pair (~375 k at sf0.1)
+        // and never entered whole-stage codegen. Identical per-edge
+        // arithmetic in the same order (same straddle short-circuit),
+        // so crossings is bit-identical; pinned by R22OptSpec against
+        // the replaced HOF chain.
+        .withColumn("crossings", expr("ray_crossings(edges, px, py)"))
         .where(col("crossings") % 2 === 1)
         .groupBy("feat_id")
         .agg(count(lit(1)).as("n_inside"),

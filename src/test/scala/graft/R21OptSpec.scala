@@ -12,13 +12,16 @@ class R21OptSpec extends AnyFunSuite with SparkFixture {
   private def docsPlus = {
     // real corpus docs plus adversarial edges: empty text, single char,
     // 7 chars (below one full window), exactly 8, and a text whose
-    // window hash can hit the mod-64 boundary repeatedly
+    // window hash can hit the mod-64 boundary repeatedly. Edge ids are
+    // derived from max(doc_id) + 1 so a larger test scale factor can
+    // never collide them with real corpus ids (ADVICE r21).
     val real = sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
+    val base = real.agg(max(col("doc_id"))).head.getLong(0) + 1
     val edges = spark.createDataFrame(Seq(
-      (100001L, ""), (100002L, "a"), (100003L, "abcdefg"),
-      (100004L, "abcdefgh"), (100005L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
-      (100006L, "the quick brown fox jumps over the lazy dog " * 20)))
+      (base, ""), (base + 1, "a"), (base + 2, "abcdefg"),
+      (base + 3, "abcdefgh"), (base + 4, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (base + 5, "the quick brown fox jumps over the lazy dog " * 20)))
       .toDF("doc_id", "text")
     real.union(edges)
   }
