@@ -1898,6 +1898,15 @@ object Analytics {
   val qAggKsTest = Q(
     "q_agg_ks_test",
     (s, dir) => {
+      // r22 (verdict #1, guide §2.4): the two cumsums ride ONE
+      // runningSums pass — the chained form planned the pv subtree 2×
+      // per call (9 copies of the corpus aggregate in the committed
+      // 675-line before-plan) and paid a second per-bucket window +
+      // offsets join. Same window spec, same per-column arithmetic, so
+      // c1c/c2c are value-identical; the identical pv aggregate
+      // exchanges are deduped by ReusedExchange at runtime (an eager
+      // pin was A/B'd and LOST in-box: 2-3 checkpoint jobs cost more
+      // than the planning they saved — see OPTIMIZATION_r22.md).
       val pv = Tables.lineitem(s, dir)
         .where(col("l_returnflag").isin("R", "N"))
         .select(col("l_extendedprice").as("v"),
@@ -1906,10 +1915,8 @@ object Analytics {
         .groupBy("v")
         .agg(sum(col("g1")).as("c1"), sum(col("g2")).as("c2"))
       val bucketed = Prefix.withRangeBucket(pv, col("v"), 64, "__b")
-      val cum = Prefix.runningSum(
-        Prefix.runningSum(bucketed, "__b", Seq(col("v")),
-          bucketDesc = false, col("c1"), "c1c"),
-        "__b", Seq(col("v")), bucketDesc = false, col("c2"), "c2c")
+      val cum = Prefix.runningSums(bucketed, "__b", Seq(col("v")),
+        bucketDesc = false, Seq(col("c1") -> "c1c", col("c2") -> "c2c"))
       val n = pv.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       val d = cum.crossJoin(broadcast(n))
         .withColumn("dnum",
@@ -7015,6 +7022,14 @@ object Analytics {
   val qAggKruskalWallis = Q(
     "q_agg_kruskal_wallis",
     (s, dir) => {
+      // r22 (verdict #1, guide §2.4): tot aggregates vr DIRECTLY —
+      // runningSum is row-preserving over vr, so Σcnt and the tie cubes
+      // are identical on either frame, and the tot leg drops the whole
+      // Prefix bucket/window subtree from the plan (the committed
+      // 1032-line before-plan carried it twice). The duplicated pv/vr
+      // aggregate exchanges dedup at runtime via ReusedExchange.
+      // (Eager pins of pv/vr/g were A/B'd and LOST in-box — 3 pin jobs
+      // put +1.4 s on the query at sf0.1.)
       val v = Tables.orders(s, dir).select(
         col("o_orderpriority").as("pri"), expr(cents).as("v"))
       val pv = v.groupBy("v", "pri").agg(count(lit(1)).as("c"))
@@ -7028,7 +7043,7 @@ object Analytics {
         .groupBy("pri")
         .agg(sum(col("c")).as("n_g"),
           sum(col("c") * (col("clt") * 2 + col("cnt") + 1)).as("r2_g"))
-      val tot = cum.agg(
+      val tot = vr.agg(
         sum(col("cnt")).as("n"),
         // DECIMAL(38,0) tie cube — the q_agg_mannwhitney overflow rule
         sum(expr("CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))" +
@@ -7351,6 +7366,14 @@ object Analytics {
   val qAggMedianTest = Q(
     "q_agg_median_test",
     (s, dir) => {
+      // r22 note: a (v, pri)-granularity shared axis (pvp) was A/B'd
+      // here and REVERTED — runtime exchange reuse did not fire across
+      // the med/g legs, so the query shipped the ~5×-row pvp exchange
+      // twice (shuffle read 4.5 → 9.0 MB at sf0.1) while the original
+      // g-leg aggregates map-side to one row per priority (near-zero
+      // shuffle). Eager pins of pv/med/g were likewise A/B'd and lost
+      // in-box (pin jobs cost more than the planning they save). The
+      // original two-pass shape stands — see OPTIMIZATION_r22.md.
       val x = Tables.orders(s, dir).select(
         col("o_orderpriority").as("pri"), expr(cents).as("v"))
       val pv = x.groupBy("v").agg(count(lit(1)).as("cnt"))

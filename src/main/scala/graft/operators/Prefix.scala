@@ -101,23 +101,48 @@ object Prefix {
     */
   def runningSum(
       df: DataFrame, bucketCol: String, order: Seq[Column],
-      bucketDesc: Boolean, value: Column, out: String): DataFrame = {
-    val local = df.withColumn("__gr_loc",
-      sum(value).over(
-        Window.partitionBy(col(bucketCol)).orderBy(order: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      bucketDesc: Boolean, value: Column, out: String): DataFrame =
+    runningSums(df, bucketCol, order, bucketDesc, Seq(value -> out))
+
+  /** N exact inclusive running sums over ONE decomposed total order in a
+    * single pass (r22, guide §2.4): chaining runningSum k times plans —
+    * and at 100 TB re-executes — the input subtree 2^k times (each call
+    * references its input twice: local window + bucket totals). All k
+    * sums share the same window spec and the same offsets join here, so
+    * the input is referenced exactly twice regardless of k. Per-column
+    * arithmetic (window frame, per-bucket totals, offset narrowing cast,
+    * final add) is identical to the single-column form — runningSum
+    * itself now delegates, so the two can never drift.
+    */
+  def runningSums(
+      df: DataFrame, bucketCol: String, order: Seq[Column],
+      bucketDesc: Boolean, values: Seq[(Column, String)]): DataFrame = {
+    val w = Window.partitionBy(col(bucketCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = values.zipWithIndex.foldLeft(df) {
+      case (d, ((value, _), i)) =>
+        d.withColumn(s"__gr_loc_$i", sum(value).over(w))
+    }
     val bOrd = if (bucketDesc) col(bucketCol).desc else col(bucketCol).asc
-    val totals = df.groupBy(bucketCol).agg(sum(value).as("__gr_bt"))
-    val btType = totals.schema("__gr_bt").dataType
-    val offs = totals
-      .withColumn("__gr_off", coalesce(
-        sum(col("__gr_bt")).over(
-          Window.orderBy(bOrd).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)).cast(btType))
-      .select(col(bucketCol), col("__gr_off"))
-    local.join(broadcast(offs), Seq(bucketCol))
-      .withColumn(out, col("__gr_off") + col("__gr_loc"))
-      .drop("__gr_loc", "__gr_off")
+    val totals = df.groupBy(bucketCol).agg(
+      sum(values.head._1).as("__gr_bt_0"),
+      values.tail.zipWithIndex.map { case ((value, _), i) =>
+        sum(value).as(s"__gr_bt_${i + 1}") }: _*)
+    val wOff = Window.orderBy(bOrd)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = values.indices.foldLeft(totals) { case (d, i) =>
+        val btType = totals.schema(s"__gr_bt_$i").dataType
+        d.withColumn(s"__gr_off_$i", coalesce(
+          sum(col(s"__gr_bt_$i")).over(wOff), lit(0L)).cast(btType))
+      }
+      .select(col(bucketCol) +:
+        values.indices.map(i => col(s"__gr_off_$i")): _*)
+    values.zipWithIndex.foldLeft(
+        local.join(broadcast(offs), Seq(bucketCol))) {
+      case (d, ((_, out), i)) =>
+        d.withColumn(out, col(s"__gr_off_$i") + col(s"__gr_loc_$i"))
+    }.drop(values.indices.flatMap(i =>
+      Seq(s"__gr_loc_$i", s"__gr_off_$i")): _*)
   }
 
   /** Per-GROUP variant of withRangeBucket: bucket bounds come from each
